@@ -1,13 +1,232 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Relational, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Conventions that keep the DuckDB oracle compare honest:
+  *  - every column aliased identically in the Spark plan and the SQL;
+  *  - doubles rounded on BOTH sides (float-association noise);
+  *  - integer outputs are BIGINT on both sides (Spark size()/length()
+  *    are int32, DuckDB len()/length() are int64; DuckDB sum(int) is
+  *    HUGEINT and must be cast back);
+  *  - timestamps surfaced as formatted strings (UTC both sides);
+  *  - every ORDER BY is over a unique key of the result.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, QueryFn] = Map(
+    // §2.B relational analytics
+    "q1_pricing_summary"          -> Relational.q1PricingSummary,
+    "q3_shipping_priority"        -> Relational.q3ShippingPriority,
+    "q5_local_supplier"           -> Relational.q5LocalSupplier,
+    "q6_forecast_revenue"         -> Relational.q6ForecastRevenue,
+    "q_top_customers_per_segment" -> Relational.qTopCustomersPerSegment,
+    "q_order_priority"            -> Relational.qOrderPriority,
+    "q_parts_never_ordered"       -> Relational.qPartsNeverOrdered,
+    "q_nation_revenue_rollup"     -> Relational.qNationRevenueRollup,
+    "q_customer_distribution"     -> Relational.qCustomerDistribution,
+    "q_events_windowed"           -> Relational.qEventsWindowed,
+    "q_events_sessionize"         -> Relational.qEventsSessionize,
+    "q_events_topk_users"         -> Relational.qEventsTopkUsers,
+    "q_events_json_extract"       -> Relational.qEventsJsonExtract,
+    // §2.A mapreduce parity
+    "mr_wordcount"                -> TextOps.mrWordcount,
+    "mr_grep"                     -> TextOps.mrGrep,
+    "mr_inverted_index"           -> TextOps.mrInvertedIndex,
+    "mr_distinct_tokens"          -> TextOps.mrDistinctTokens,
+    // §2.E text analysis
+    "text_token_stats"            -> TextOps.textTokenStats,
+    "text_quality"                -> TextOps.textQuality,
+    "text_langid"                 -> TextOps.textLangid,
+    "text_fingerprint"            -> TextOps.textFingerprint,
+    // §2.C dedup (SQL-expressible part)
+    "dedup_exact"                 -> TextOps.dedupExact,
+    // §2.F multimodal stand-in
+    "mm_media_stats"              -> TextOps.mmMediaStats,
+  )
+
+  /** DuckDB-runnable equivalents, same column names, same ordering. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |floor((sum(l_quantity))*100 + 0.5)/100 AS sum_qty,
+        |floor((sum(l_extendedprice))*100 + 0.5)/100 AS sum_base_price,
+        |floor((sum(l_extendedprice*(1-l_discount)))*100 + 0.5)/100 AS sum_disc_price,
+        |floor((sum(l_extendedprice*(1-l_discount)*(1+l_tax)))*100 + 0.5)/100 AS sum_charge,
+        |floor((avg(l_quantity))*100 + 0.5)/100 AS avg_qty,
+        |floor((avg(l_extendedprice))*100 + 0.5)/100 AS avg_price,
+        |floor((avg(l_discount))*10000 + 0.5)/10000 AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+        |floor((sum(l_extendedprice*(1-l_discount)))*100 + 0.5)/100 AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |AND o_orderdate < TIMESTAMP '1997-01-01' AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name, floor((sum(l_extendedprice*(1-l_discount)))*100 + 0.5)/100 AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |AND r_name = 'ASIA'
+        |AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT floor((sum(l_extendedprice*l_discount))*100 + 0.5)/100 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_top_customers_per_segment" ->
+      """SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, c_custkey, c_name, total_spent FROM (
+        |  SELECT c_mktsegment, c_custkey, c_name, total_spent,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY total_spent DESC, c_custkey) AS rnk
+        |  FROM (
+        |    SELECT c_mktsegment, c_custkey, c_name, floor((sum(o_totalprice))*100 + 0.5)/100 AS total_spent
+        |    FROM customer JOIN orders ON c_custkey = o_custkey
+        |    GROUP BY c_mktsegment, c_custkey, c_name) t
+        |) w WHERE rnk <= 5 ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_parts_never_ordered" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_nation_revenue_rollup" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |floor((sum(o_totalprice))*100 + 0.5)/100 AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, CAST(year(o_orderdate) AS BIGINT))
+        |ORDER BY n_name ASC NULLS FIRST, order_year ASC NULLS FIRST""".stripMargin,
+
+    "q_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_events_windowed" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |count(*) AS n_events, floor((sum(value))*100 + 0.5)/100 AS sum_value,
+        |count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_sessionize" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |count(*) AS n_events, floor((sum(value))*100 + 0.5)/100 AS sum_value FROM (
+        |  SELECT user_id, value,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events) t
+        |) s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_topk_users" ->
+      """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id, total_value FROM (
+        |  SELECT event_type, user_id, total_value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY total_value DESC, user_id) AS rnk
+        |  FROM (SELECT event_type, user_id, floor((sum(value))*100 + 0.5)/100 AS total_value FROM events GROUP BY 1,2) t
+        |) w WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    "q_events_json_extract" ->
+      """SELECT event_type, floor((avg(k))*10000 + 0.5)/10000 AS avg_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "mr_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+
+    "mr_grep" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE contains(text, 'merge') ORDER BY doc_id""".stripMargin,
+
+    "mr_inverted_index" ->
+      """SELECT token, array_to_string(list_sort(list(doc_id)), ',') AS doc_ids, count(*) AS df
+        |FROM (SELECT DISTINCT doc_id, token FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token FROM documents) u
+        |  WHERE token <> '') d
+        |GROUP BY token ORDER BY token""".stripMargin,
+
+    "mr_distinct_tokens" ->
+      """SELECT lang, count(DISTINCT token) AS n_tokens
+        |FROM (SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token FROM documents) t
+        |WHERE token <> '' GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_token_stats" ->
+      """SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+        |floor((avg(length(tok)))*100 + 0.5)/100 AS avg_tok_len
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok FROM documents) t
+        |WHERE tok <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  floor((len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in'], t))) / CAST(len(toks) AS DOUBLE))*10000 + 0.5)/10000 AS stop_ratio,
+        |  floor(((length(text) - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE))*10000 + 0.5)/10000 AS alnum_ratio,
+        |  floor((len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))*10000 + 0.5)/10000 AS ttr,
+        |  floor((least(len(toks) / 100.0, 1.0) * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)))*10000 + 0.5)/10000 AS quality
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |hits AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','is'], t))) AS BIGINT) AS en_hits,
+        |  CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist'], t))) AS BIGINT) AS de_hits,
+        |  CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','est'], t))) AS BIGINT) AS fr_hits,
+        |  CAST(len(list_filter(toks, t -> list_contains(['el','los','que','de','es'], t))) AS BIGINT) AS es_hits
+        |FROM base)
+        |SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |       WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+        |       WHEN es_hits > 0 THEN 'es' ELSE 'und' END AS lang_pred
+        |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "mm_media_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |floor((avg(octet_length(CAST(text AS BLOB))))*100 + 0.5)/100 AS avg_bytes,
+        |count(DISTINCT substring(text, 1, 1)) AS n_magics
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+  )
 }

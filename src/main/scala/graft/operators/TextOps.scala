@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cols._
+
+/** Word-count family (reference parity) + text-analysis operators
+  * (SURVEY.md §2.A / §2.E). All map-only or partial+final aggregate —
+  * the only shuffles are the groupBys on the (small) token/doc keys.
+  */
+object TextOps {
+  import graft.SparkEntry.QueryFn
+
+  /** Word frequency over documents.text — parity with the reference's
+    * DemoMapper/DemoReducer word count (/root/reference/mapper.go:36,
+    * reducer.go:36): whitespace split, case-sensitive, count per word.
+    */
+  val mrWordcount: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(wsTokens($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"word")
+  }
+
+  /** Substring grep over the corpus (the classic MapReduce demo; the
+    * reference filters input keys by prefix, s3_utils.go:49 — here we
+    * filter values, which is the useful generalization). */
+  val mrGrep: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"text".contains("merge"))
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** Inverted index: normalized token → sorted posting list. The
+    * posting list is emitted as a comma-joined string so the oracle
+    * compare is representation-stable. */
+  val mrInvertedIndex: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(normTokens($"text")).as("token"))
+      .distinct()
+      .groupBy($"token")
+      .agg(
+        array_join(sort_array(collect_list($"doc_id")), ",").as("doc_ids"),
+        count(lit(1)).as("df"))
+      .orderBy($"token")
+  }
+
+  /** Distinct normalized tokens per language. */
+  val mrDistinctTokens: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang", explode(normTokens($"text")).as("token"))
+      .groupBy($"lang")
+      .agg(count_distinct($"token").as("n_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** Per-document token statistics. */
+  val textTokenStats: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(normTokens($"text")).as("tok"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count_distinct($"tok").as("n_distinct"),
+        rnd(avg(length($"tok")), 2).as("avg_tok_len"))
+      .orderBy($"doc_id")
+  }
+
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Heuristic quality score: token count, stopword ratio, punctuation
+    * ratio, type-token ratio. Deterministic, engine-replicable. */
+  val textQuality: QueryFn = (s, dir) => {
+    import s.implicits._
+    val toks = normTokens($"text")
+    val nTok = size(toks).cast("double")
+    val nStop = hitCount(toks, stopwords).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    // punctuation = anything that is not alnum/space, counted by
+    // length difference after deletion
+    val nPunct = (length($"text") - length(regexp_replace(lower($"text"), "[a-z0-9 ]", ""))).cast("double")
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        nTok.cast("long").as("n_tokens"),
+        rnd(nStop / nTok, 4).as("stop_ratio"),
+        rnd(nPunct / length($"text"), 4).as("alnum_ratio"),
+        rnd(nDistinct / nTok, 4).as("ttr"),
+        rnd(least(nTok / lit(100.0), lit(1.0)) * (nDistinct / nTok), 4).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "que", "de", "es"))
+
+  /** Stopword-hit language heuristic: argmax over per-language hit
+    * counts with fixed tie order (en > de > fr > es), 'und' when no
+    * hits at all. */
+  val textLangid: QueryFn = (s, dir) => {
+    import s.implicits._
+    val toks = normTokens($"text")
+    val hits = langStops.map { case (lg, ws) => lg -> hitCount(toks, ws).cast("long") }
+    val Seq(en, de, fr, es) = hits.map(_._2)
+    val pred = when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id", $"lang",
+        en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"),
+        pred.as("lang_pred"))
+      .orderBy($"doc_id")
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text. */
+  val textFingerprint: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", md5(normText($"text")).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact dedup: group by content fingerprint, keep min doc_id.
+    * At 100 TB this is the cheapest dedup pass: one shuffle on a
+    * 128-bit key, partial agg map-side. */
+  val dedupExact: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(md5(normText($"text")).as("fp"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy($"keep_id")
+  }
+
+  /** Multimodal stand-in: treat text bytes as an opaque binary payload
+    * with typed metadata; per-source size stats + first-byte "format
+    * sniff" (see graft.multimodal for the full plumbing). */
+  val mmMediaStats: QueryFn = (s, dir) => {
+    import s.implicits._
+    val payload = $"text".cast("binary")
+    Tables.documents(s, dir)
+      .select($"source", octet_length(payload).as("n_bytes"),
+        substring($"text", 1, 1).as("magic"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_bytes").as("total_bytes"),
+        rnd(avg($"n_bytes"), 2).as("avg_bytes"),
+        count_distinct($"magic").as("n_magics"))
+      .orderBy($"source")
+  }
+}

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate:
+   run after `sbt "runMain graft.Verify <sfDir> <outDir>"`.
+   Compares each <outDir>/<name> parquet against DuckDB running
+   oracle_sql.json on the same sfDir tables.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+
+def first_diff(a, b):
+    for c in a.columns:
+        neq = a[c].astype(str) != b[c].astype(str)
+        if neq.any():
+            i = neq.idxmax()
+            return f"col={c} row={i}: {a[c][i]!r} vs {b[c][i]!r}"
+    return "?"
+
+
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails, passes = [], []
+for name in sorted(oracle):
+    sql = oracle[name]
+    pdir = f"{out_dir}/{name}"
+    if not os.path.isdir(pdir):
+        fails.append((name, "no spark output")); continue
+    files = glob.glob(f"{pdir}/*.parquet")
+    got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        fails.append((name, f"oracle sql error: {e}")); continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        fails.append((name, f"columns differ: {list(got.columns)} vs {list(exp.columns)}")); continue
+    if got.dtypes.tolist() != exp.dtypes.tolist():
+        fails.append((name, "dtypes differ: " +
+                      str([(c, str(a), str(b)) for c, a, b in
+                           zip(got.columns, got.dtypes, exp.dtypes) if a != b])))
+        continue
+    if len(got) != len(exp):
+        fails.append((name, f"row count {len(got)} vs {len(exp)}")); continue
+    gs = got.sort_values(list(got.columns)).reset_index(drop=True)
+    es = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    try:
+        pd.testing.assert_frame_equal(gs, es, check_exact=True)
+        passes.append(name)
+    except AssertionError as e:
+        fails.append((name, str(e).split("\n")[0] +
+                      " (first diff: " + first_diff(gs, es) + ")"))
+
+print(f"PASS {len(passes)}: {' '.join(passes)}")
+for n, msg in fails:
+    print(f"FAIL {n}: {msg[:500]}")
+sys.exit(1 if fails else 0)
