@@ -40,6 +40,7 @@ object SparkEntry {
     "q_events_json_extract"       -> Relational.qEventsJsonExtract,
     // §2.A mapreduce parity
     "mr_wordcount"                -> TextOps.mrWordcount,
+    "mr_wordcount_engine"         -> TextOps.mrWordcountEngine,
     "mr_grep"                     -> TextOps.mrGrep,
     "mr_inverted_index"           -> TextOps.mrInvertedIndex,
     "mr_distinct_tokens"          -> TextOps.mrDistinctTokens,
@@ -156,6 +157,11 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "mr_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+
+    "mr_wordcount_engine" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
         |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,

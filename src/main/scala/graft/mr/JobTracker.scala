@@ -1,0 +1,94 @@
+package graft.mr
+
+import java.util.UUID
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Job lifecycle + stats parity with the reference's
+  * JobManager/StatsManager (/root/reference/jobManager.go:34,
+  * statsManager.go:30, mapreduce.go:57-90):
+  *
+  *   Start(body) → jobId      (async, like MapReduceNode.Start)
+  *   Status(jobId) → Boolean  (isCompleted)
+  *   Done(jobId)              (frees tracking state)
+  *   Stats(jobId)             (wall time + Spark job/task counts)
+  *
+  * Scheduling, retry, and failure detection — which the reference
+  * implements with pings and task reassignment (mapreduce.go:347) —
+  * belong to the Spark scheduler; this class only *observes* it via a
+  * SparkListener keyed on the job group.
+  */
+final class JobTracker(spark: SparkSession) {
+
+  final case class JobStats(
+      jobId: String,
+      status: String, // starting | working | completed | failed
+      startMs: Long,
+      endMs: Long,
+      sparkJobs: Int,
+      tasks: Int) {
+    def wallMs: Long = (if (endMs == 0L) System.currentTimeMillis() else endMs) - startMs
+  }
+
+  private val jobs = new ConcurrentHashMap[String, JobStats]()
+  private val pool = Executors.newCachedThreadPool()
+
+  private val listener = new SparkListener {
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val group = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+      if (group != null && jobs.containsKey(group)) {
+        jobs.computeIfPresent(group, (_, st) => st.copy(
+          status = "working",
+          sparkJobs = st.sparkJobs + 1,
+          tasks = st.tasks + js.stageInfos.map(_.numTasks).sum))
+      }
+    }
+    override def onJobEnd(je: SparkListenerJobEnd): Unit = ()
+  }
+  spark.sparkContext.addSparkListener(listener)
+
+  /** Launch `body` (which must run Spark action(s)) as a tracked job. */
+  def start(body: => Unit): String = {
+    val jobId = UUID.randomUUID().toString
+    jobs.put(jobId, JobStats(jobId, "starting", System.currentTimeMillis(), 0L, 0, 0))
+    pool.submit(new Runnable {
+      override def run(): Unit = {
+        spark.sparkContext.setJobGroup(jobId, s"graft-mr-$jobId")
+        try {
+          body
+          jobs.computeIfPresent(jobId, (_, st) =>
+            st.copy(status = "completed", endMs = System.currentTimeMillis()))
+        } catch {
+          case e: Throwable =>
+            jobs.computeIfPresent(jobId, (_, st) =>
+              st.copy(status = "failed", endMs = System.currentTimeMillis()))
+        } finally spark.sparkContext.clearJobGroup()
+      }
+    })
+    jobId
+  }
+
+  /** Parity with MapReduceNode.Status — has the job completed? */
+  def status(jobId: String): Boolean =
+    Option(jobs.get(jobId)).exists(s => s.status == "completed" || s.status == "failed")
+
+  def stats(jobId: String): Option[JobStats] = Option(jobs.get(jobId))
+
+  /** Parity with MapReduceNode.Done — release tracking state. */
+  def done(jobId: String): Unit = jobs.remove(jobId)
+
+  /** Block until the job completes (test helper; the reference's test
+    * polls Status in a sleep loop, pkg_test.go:73). */
+  def await(jobId: String, timeoutMs: Long = 120000L): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!status(jobId) && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    status(jobId)
+  }
+
+  def shutdown(): Unit = {
+    pool.shutdown()
+    spark.sparkContext.removeSparkListener(listener)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.mr
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** The reference's programming model (Mapper/Reducer/Emitter,
+  * /root/reference/mapper.go:13, reducer.go:13, emitter.go:17),
+  * compiled to Spark Datasets.
+  *
+  * What the reference implements by hand — input chunking (M tasks),
+  * hash-partitioned intermediate storage (hash(key) mod R,
+  * emittedStore.go), task assignment, retry, completion tracking
+  * (taskManager.go, mapreduce.go) — maps 1:1 onto Spark's input
+  * splits, shuffle, and DAG scheduler, so the engine here is only the
+  * semantic core: flatMap → (optional map-side combine) → grouped
+  * reduce.
+  *
+  * Scale note: always supply a [[Combiner]] when the reduction is
+  * associative — that path compiles to `reduceGroups`, whose physical
+  * plan does partial aggregation before the shuffle (the difference
+  * between shuffling one pair per (mapper, word) and one pair per
+  * word occurrence at 100 TB). The combiner-less path streams each
+  * key's values through the reducer exactly once, like the
+  * reference's ReduceTask.execute (tasks.go:139).
+  */
+trait Emitter[K2, V2] {
+  def emit(key: K2, value: V2): Unit
+}
+
+trait Mapper[K1, V1, K2, V2] extends Serializable {
+  def map(key: K1, value: V1, emitter: Emitter[K2, V2]): Unit
+}
+
+trait Reducer[K2, V2, Out] extends Serializable {
+  def reduce(key: K2, values: Iterator[V2]): Out
+}
+
+/** Associative merge of intermediate values — enables map-side
+  * partial aggregation (the reference has no equivalent; its demo
+  * reducer re-sums everything reducer-side, reducer.go:36). */
+trait Combiner[V2] extends Serializable {
+  def combine(a: V2, b: V2): V2
+}
+
+/** Parity with the reference's JobConfig (jobConfig.go:6).
+  * `m` (map task count) is advisory only — Spark derives input splits
+  * from the source; `r` (reduce partitions) controls the partitioning
+  * of the result, like the reference's one-output-object-per-reduce-
+  * partition. 0 = let Spark/AQE decide. */
+final case class JobConfig(m: Int = 0, r: Int = 0)
+
+object MapReduceJob {
+
+  /** Run a map-reduce job over a keyed dataset. */
+  def run[K1, V1, K2, V2, Out](
+      input: Dataset[(K1, V1)],
+      mapper: Mapper[K1, V1, K2, V2],
+      reducer: Reducer[K2, V2, Out],
+      combiner: Option[Combiner[V2]] = None,
+      config: JobConfig = JobConfig())(implicit
+      kEnc: Encoder[K2],
+      kvEnc: Encoder[(K2, V2)],
+      vEnc: Encoder[V2],
+      outEnc: Encoder[(K2, Out)]): Dataset[(K2, Out)] = {
+
+    val mapped = input.mapPartitions { it =>
+      it.flatMap { case (k, v) =>
+        val buf = ArrayBuffer.empty[(K2, V2)]
+        mapper.map(k, v, (k2: K2, v2: V2) => { buf += ((k2, v2)); () })
+        buf
+      }
+    }
+
+    val grouped = mapped.groupByKey(_._1)
+    val reduced = combiner match {
+      case Some(c) =>
+        grouped
+          .mapValues(_._2)
+          .reduceGroups((a: V2, b: V2) => c.combine(a, b))
+          .map { case (k, v) => (k, reducer.reduce(k, Iterator.single(v))) }
+      case None =>
+        grouped.mapGroups { (k, it) => (k, reducer.reduce(k, it.map(_._2))) }
+    }
+    if (config.r > 0) reduced.repartition(config.r) else reduced
+  }
+}
+
+/** The reference's demo job: word-frequency counting
+  * (/root/reference/mapper.go:36, reducer.go:36), with the map-side
+  * pre-count kept (the demo also counts within a chunk before
+  * emitting) plus a combiner for shuffle-light scaling. */
+object WordCount {
+
+  class WordCountMapper extends Mapper[String, String, String, Long] {
+    override def map(key: String, value: String, em: Emitter[String, Long]): Unit = {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      value.split("\\s+").foreach { w =>
+        if (w.nonEmpty) counts.update(w, counts.getOrElse(w, 0L) + 1L)
+      }
+      counts.foreach { case (w, c) => em.emit(w, c) }
+    }
+  }
+
+  object SumCombiner extends Combiner[Long] {
+    override def combine(a: Long, b: Long): Long = a + b
+  }
+
+  class SumReducer extends Reducer[String, Long, Long] {
+    override def reduce(key: String, values: Iterator[Long]): Long = values.sum
+  }
+}

@@ -1,0 +1,123 @@
+package graft.mr
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inputer/Outputer parity (/root/reference/inputer.go:11,
+  * outputer.go:11).
+  *
+  * The reference's Inputer is a key-value fetch API (list a folder,
+  * fetch one object per map task). Here each Inputer exposes BOTH
+  * faces:
+  *  - `listKeys`/`getValue` — literal API parity, driver-side, for
+  *    small corpora and tests;
+  *  - `toDataset` — the scale path: a distributed `Dataset[(key,
+  *    value)]` whose partitioning comes from the source's splits
+  *    (Spark's equivalent of the reference's M map tasks).
+  */
+trait Inputer extends Serializable {
+  def listKeys(spark: SparkSession): Seq[String]
+  def getValue(spark: SparkSession, key: String): String
+  def toDataset(spark: SparkSession): Dataset[(String, String)]
+}
+
+trait Outputer extends Serializable {
+  /** Write a reduced dataset. Parity with Outputer.Output(key, value)
+    * — one logical record per reduced key. */
+  def write[Out](ds: Dataset[(String, Out)]): Unit
+}
+
+/** One file = one map input, like S3Inputer listing a folder prefix
+  * (inputer.go:20): key = file name, value = whole file contents. */
+final case class TextDirInputer(dir: String) extends Inputer {
+  override def listKeys(spark: SparkSession): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+  }
+  override def getValue(spark: SparkSession, key: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(key), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(key))
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      out.toString("UTF-8")
+    } finally in.close()
+  }
+  override def toDataset(spark: SparkSession): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(dir)
+      .select(input_file_name().as("key"), col("value"))
+      .as[(String, String)]
+  }
+}
+
+/** Line-boundary chunking parity (SplitFileIntoChunks,
+  * /root/reference/s3_utils.go:71): the file is split into ~chunkBytes
+  * pieces at line boundaries; key = chunk number. On Spark the split
+  * is done by the text source's own partitioning
+  * (`maxPartitionBytes`), so chunking never touches the driver. */
+final case class ChunkedTextInputer(path: String, chunkBytes: Long) extends Inputer {
+  override def listKeys(spark: SparkSession): Seq[String] =
+    (0 until toDataset(spark).rdd.getNumPartitions).map(_.toString)
+  override def getValue(spark: SparkSession, key: String): String =
+    toDataset(spark).filter(col("_1") === key).head()._2
+  override def toDataset(spark: SparkSession): Dataset[(String, String)] = {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", chunkBytes.toString)
+    try {
+      val lines = spark.read.textFile(path)
+      lines.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          val sb = new StringBuilder
+          it.foreach { l => sb.append(l).append('\n') }
+          if (sb.isEmpty) Iterator.empty else Iterator((i.toString, sb.toString))
+        }
+        .toDS()
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(v =>
+        spark.conf.set("spark.sql.files.maxPartitionBytes", v))
+    }
+  }
+}
+
+/** Parquet table as keyed input: keyCol → valueCol strings. */
+final case class ParquetTableInputer(path: String, keyCol: String, valueCol: String)
+    extends Inputer {
+  override def listKeys(spark: SparkSession): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(path).select(col(keyCol).cast("string")).as[String]
+      .collect().toSeq.sorted
+  }
+  override def getValue(spark: SparkSession, key: String): String = {
+    import spark.implicits._
+    spark.read.parquet(path).filter(col(keyCol).cast("string") === key)
+      .select(col(valueCol).cast("string")).as[String].head()
+  }
+  override def toDataset(spark: SparkSession): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col(keyCol).cast("string").as("_1"), col(valueCol).cast("string").as("_2"))
+      .as[(String, String)]
+  }
+}
+
+/** Tab-separated text output, one part file per reduce partition —
+  * parity with S3Outputer writing one object per reduced key under a
+  * folder (outputer.go:29). */
+final case class TextDirOutputer(dir: String) extends Outputer {
+  override def write[Out](ds: Dataset[(String, Out)]): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map { case (k, v) => s"$k\t$v" }.write.mode(SaveMode.Overwrite).text(dir)
+  }
+}
+
+/** Parquet output (key, value) — the columnar-native sink. */
+final case class ParquetOutputer(dir: String) extends Outputer {
+  override def write[Out](ds: Dataset[(String, Out)]): Unit =
+    ds.toDF("key", "value").write.mode(SaveMode.Overwrite).parquet(dir)
+}

@@ -25,6 +25,23 @@ object TextOps {
       .orderBy($"word")
   }
 
+  /** Same word count, but routed through the generic
+    * [[graft.mr.MapReduceJob]] engine — proves the Mapper/Reducer/
+    * Combiner API produces results identical to the declarative plan
+    * (same oracle SQL as mr_wordcount). */
+  val mrWordcountEngine: QueryFn = (s, dir) => {
+    import s.implicits._
+    import graft.mr.{MapReduceJob, WordCount}
+    val input = Tables.documents(s, dir)
+      .select($"doc_id".cast("string"), $"text")
+      .as[(String, String)]
+    MapReduceJob
+      .run(input, new WordCount.WordCountMapper, new WordCount.SumReducer,
+        Some(WordCount.SumCombiner))
+      .toDF("word", "cnt")
+      .orderBy($"word")
+  }
+
   /** Substring grep over the corpus (the classic MapReduce demo; the
     * reference filters input keys by prefix, s3_utils.go:49 — here we
     * filter values, which is the useful generalization). */

@@ -1,0 +1,132 @@
+package graft.mr
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+import graft.operators.TextOps
+
+class MapReduceSpec extends SparkTestBase {
+
+  private def docsInput = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id".cast("string"), $"text")
+      .as[(String, String)]
+  }
+
+  test("engine wordcount == declarative wordcount") {
+    import spark.implicits._
+    val engine = MapReduceJob
+      .run(docsInput, new WordCount.WordCountMapper, new WordCount.SumReducer,
+        Some(WordCount.SumCombiner))
+      .collect().toMap
+    val declarative = TextOps.mrWordcount(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    assert(engine == declarative)
+    assert(engine.nonEmpty)
+  }
+
+  test("combiner path == no-combiner path") {
+    import spark.implicits._
+    val withC = MapReduceJob
+      .run(docsInput, new WordCount.WordCountMapper, new WordCount.SumReducer,
+        Some(WordCount.SumCombiner)).collect().toMap
+    val withoutC = MapReduceJob
+      .run(docsInput, new WordCount.WordCountMapper, new WordCount.SumReducer,
+        None).collect().toMap
+    assert(withC == withoutC)
+  }
+
+  test("custom mapper/reducer: per-language char histogram") {
+    import spark.implicits._
+    val input = Tables.documents(spark, sfDir)
+      .select($"lang", $"text").as[(String, String)]
+    val mapper = new Mapper[String, String, String, Long] {
+      override def map(k: String, v: String, em: Emitter[String, Long]): Unit =
+        em.emit(k, v.length.toLong)
+    }
+    val reducer = new Reducer[String, Long, Long] {
+      override def reduce(k: String, vs: Iterator[Long]): Long = vs.sum
+    }
+    val got = MapReduceJob.run(input, mapper, reducer).collect().toMap
+    val expected = Tables.documents(spark, sfDir)
+      .groupBy($"lang").agg(sum(length($"text")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("JobConfig.r controls output partitioning") {
+    import spark.implicits._
+    val out = MapReduceJob.run(docsInput, new WordCount.WordCountMapper,
+      new WordCount.SumReducer, Some(WordCount.SumCombiner), JobConfig(r = 3))
+    assert(out.rdd.getNumPartitions == 3)
+  }
+
+  test("JobTracker lifecycle: start → working → completed, stats counted") {
+    val tracker = new JobTracker(spark)
+    val id = tracker.start {
+      docsInput.count()
+      ()
+    }
+    assert(tracker.await(id), "job did not complete in time")
+    val st = tracker.stats(id).get
+    assert(st.status == "completed")
+    assert(st.sparkJobs >= 1)
+    assert(st.tasks >= 1)
+    assert(st.wallMs >= 0)
+    tracker.done(id)
+    assert(tracker.stats(id).isEmpty)
+    // failed body → failed status, still "completed" per Status()
+    val bad = tracker.start { throw new RuntimeException("boom") }
+    assert(tracker.await(bad))
+    assert(tracker.stats(bad).get.status == "failed")
+    tracker.shutdown()
+  }
+
+  test("TextDirInputer: listKeys/getValue parity with toDataset") {
+    val dir = Files.createTempDirectory("graft-in").toFile
+    Files.writeString(new java.io.File(dir, "a.txt").toPath, "hello world\nsecond line")
+    Files.writeString(new java.io.File(dir, "b.txt").toPath, "more text")
+    val in = TextDirInputer(dir.getAbsolutePath)
+    val keys = in.listKeys(spark)
+    assert(keys.size == 2)
+    assert(in.getValue(spark, keys.head).contains("hello world"))
+    val ds = in.toDataset(spark).collect().toMap
+    assert(ds.size == 2)
+    assert(ds.values.toSet == Set("hello world\nsecond line", "more text"))
+  }
+
+  test("ChunkedTextInputer: chunks cover the file at line boundaries") {
+    val f = Files.createTempFile("graft-chunk", ".txt")
+    val lines = (1 to 1000).map(i => s"line-$i")
+    Files.writeString(f, lines.mkString("\n"))
+    val in = ChunkedTextInputer(f.toString, chunkBytes = 2048)
+    val chunks = in.toDataset(spark).collect()
+    assert(chunks.length > 1, "expected multiple chunks for 2KB chunk size")
+    val reassembled = chunks.sortBy(_._1.toInt).map(_._2).mkString
+    assert(reassembled.split("\n").toSeq == lines)
+  }
+
+  test("outputers round-trip") {
+    import spark.implicits._
+    val data = Seq(("k1", 1L), ("k2", 2L)).toDS()
+    val tDir = Files.createTempDirectory("graft-out-text").toString + "/out"
+    TextDirOutputer(tDir).write(data)
+    val back = spark.read.text(tDir).collect().map(_.getString(0)).toSet
+    assert(back == Set("k1\t1", "k2\t2"))
+    val pDir = Files.createTempDirectory("graft-out-parq").toString + "/out"
+    ParquetOutputer(pDir).write(data)
+    val pback = spark.read.parquet(pDir).as[(String, Long)].collect().toMap
+    assert(pback == Map("k1" -> 1L, "k2" -> 2L))
+  }
+
+  test("ParquetTableInputer reads keyed values") {
+    val in = ParquetTableInputer(s"$sfDir/documents.parquet", "doc_id", "text")
+    val ds = in.toDataset(spark)
+    assert(ds.count() == 500)
+    val first = ds.filter(col("_1") === "0").collect()
+    assert(first.length == 1)
+  }
+}
