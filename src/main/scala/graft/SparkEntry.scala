@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, TextOps}
+import graft.operators.{AnnOps, DedupOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -49,8 +49,17 @@ object SparkEntry {
     "text_quality"                -> TextOps.textQuality,
     "text_langid"                 -> TextOps.textLangid,
     "text_fingerprint"            -> TextOps.textFingerprint,
-    // §2.C dedup (SQL-expressible part)
+    "text_winnow"                 -> TextOps.textWinnow,
+    // §2.C dedup
     "dedup_exact"                 -> TextOps.dedupExact,
+    "dedup_minhash_lsh"           -> DedupOps.dedupMinhashLsh,
+    "dedup_simhash"               -> DedupOps.dedupSimhash,
+    "dedup_ngram_jaccard"         -> DedupOps.dedupNgramJaccard,
+    "dedup_embedding"             -> DedupOps.dedupEmbedding,
+    // §2.D similarity search
+    "ann_bruteforce_topk"         -> AnnOps.annBruteforceTopk,
+    "ann_lsh_topk"                -> AnnOps.annLshTopk,
+    "ann_ivf_topk"                -> AnnOps.annIvfTopk,
     // §2.F multimodal stand-in
     "mm_media_stats"              -> TextOps.mmMediaStats,
   )
@@ -227,6 +236,16 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "ann_bruteforce_topk" ->
+      """WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 10),
+        |sims AS (SELECT pid, e.vec_id AS nid,
+        |  list_cosine_similarity(pe, CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM probes, embeddings e WHERE e.vec_id <> pid),
+        |ranked AS (SELECT pid, nid, sim,
+        |  row_number() OVER (PARTITION BY pid ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM sims)
+        |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor((sim)*10000 + 0.5)/10000 AS sim
+        |FROM ranked WHERE rnk <= 5 ORDER BY pid, rnk""".stripMargin,
 
     "mm_media_stats" ->
       """SELECT source, count(*) AS n_docs,

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Hashing / signature primitives for the dedup + similarity suite.
+  *
+  * Everything is seeded and driver-side deterministic: the same seeds
+  * produce the same signatures on every run and every cluster size,
+  * which is what makes the [rows-only] operators reproducible.
+  *
+  * Where the per-row logic is a tight loop over an array (simhash,
+  * winnowing, hyperplane projection) we use a Scala UDF on primitive
+  * arrays — measured faster than a 64-way higher-order-function
+  * expansion, and still fully distributed (map-side, no shuffle).
+  * MinHash signatures, by contrast, stay pure `functions._`
+  * compositions (codegen'd, whole-stage).
+  */
+object Hashes {
+
+  /** FNV-1a 64-bit — tiny, dependency-free, stable across JVMs. */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Word n-gram shingles from a token array column (w-shingling). */
+  def shingles(tokens: Column, n: Int): Column =
+    filter(
+      transform(tokens, (_, i) =>
+        when(i <= size(tokens) - n, array_join(slice(tokens, i + 1, lit(n)), " "))),
+      s => s.isNotNull)
+
+  /** Seeded per-permutation salts for MinHash. */
+  def minhashParams(numPerms: Int, seed: Long = 42L): Seq[Long] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPerms)(rng.nextLong())
+  }
+
+  /** MinHash signature column: sig[p] = min over shingles of
+    * xxhash64(salt_p, s) — one independent hash family member per
+    * salt (avoids ANSI-mode overflow of the classic a*h+b form).
+    * Pure built-in expressions → whole-stage codegen. */
+  def minhashSignature(shingleCol: Column, params: Seq[Long]): Column =
+    array(params.map { salt =>
+      array_min(transform(shingleCol, s => xxhash64(lit(salt), s)))
+    }: _*)
+
+  /** LSH band keys from a signature: hash of each r-slice. Explode the
+    * result and group on (band index, key) — only ~B rows per doc ever
+    * shuffle, never the O(n²) pair space. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), array_join(transform(
+        slice(sig, b * rowsPerBand + 1, rowsPerBand), _.cast("string")), "_"))
+    }: _*)
+
+  /** 64-bit SimHash over a token multiset. */
+  val simhash64: UserDefinedFunction = udf { (tokens: Seq[String]) =>
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv64(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** Seeded random hyperplanes (H x dim), components in [-1, 1). */
+  def hyperplanes(h: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(h, dim)(rng.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-projection signature of an embedding onto the planes:
+    * bit i = (embedding · plane_i) > 0. */
+  def hyperplaneSig(planes: Array[Array[Double]]): UserDefinedFunction =
+    udf { (emb: Seq[Float]) =>
+      var sig = 0L
+      var p = 0
+      while (p < planes.length) {
+        val plane = planes(p)
+        var dot = 0.0
+        var i = 0
+        while (i < plane.length && i < emb.length) { dot += emb(i) * plane(i); i += 1 }
+        if (dot > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): hash all
+    * k-gram character shingles, slide a window of w hashes, keep the
+    * rightmost minimum per window; dedupe positions. Returns the
+    * selected hashes (sorted, distinct). */
+  def winnow(k: Int, w: Int): UserDefinedFunction = udf { (text: String) =>
+    val n = text.length - k + 1
+    if (n <= 0) Array.empty[Long]
+    else {
+      val hashes = Array.tabulate(n)(i => fnv64(text.substring(i, i + k)))
+      val picked = scala.collection.mutable.LinkedHashSet.empty[Int]
+      if (n <= w) {
+        var best = 0
+        for (i <- 1 until n) if (hashes(i) <= hashes(best)) best = i
+        picked += best
+      } else {
+        for (start <- 0 to n - w) {
+          var best = start
+          for (i <- start + 1 until start + w)
+            if (hashes(i) <= hashes(best)) best = i
+          picked += best
+        }
+      }
+      picked.toArray.map(hashes).distinct.sorted
+    }
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cols._
+import graft.functions.Hashes._
+
+/** Near-duplicate detection suite (SURVEY.md §2.C) — the operators an
+  * LLM-data pipeline runs over a 100 TB crawl. All four share the same
+  * scale shape:
+  *
+  *   1. map-side signature (codegen'd exprs or a primitive-array UDF);
+  *   2. candidate generation by *blocking* — explode a per-doc key set
+  *      (LSH band, rare shingle, signature chunk) and self-join on the
+  *      block key, so the shuffle carries O(docs × keys) rows and the
+  *      O(n²) pair space is never materialized;
+  *   3. exact verification only within candidate pairs.
+  *
+  * Skew note: a degenerate block (e.g. thousands of identical docs in
+  * one LSH bucket) concentrates pairs on one key; AQE skew-join
+  * splitting handles moderate cases, and `dedup_exact` (run first in a
+  * real pipeline) removes the identical-doc mass that causes the worst
+  * ones.
+  */
+object DedupOps {
+  import graft.SparkEntry.QueryFn
+
+  val ShingleSize = 3
+  val NumPerms = 64
+  val Bands = 16
+  val RowsPerBand = 4 // Bands * RowsPerBand == NumPerms
+
+  /** doc_id + distinct shingle set (+ signature inputs), reused by the
+    * minhash and ngram operators. */
+  private def docShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        array_distinct(shingles(normTokens($"text"), ShingleSize)).as("sh"))
+      .filter(size($"sh") > 0)
+  }
+
+  /** Candidate pairs (a < b) from exploding a per-doc key array and
+    * self-joining on the key. */
+  private def pairsByKey(keyed: DataFrame): DataFrame = {
+    val a = keyed.select(col("key"), col("doc_id").as("doc_a"))
+    val b = keyed.select(col("key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("key")).where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the shingle
+    * sets; emits pairs with jaccard >= tau. */
+  private def verifyJaccard(pairs: DataFrame, docs: DataFrame, tau: Double): DataFrame = {
+    val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), rnd(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash + banded LSH near-dup pairs, verified at jaccard >= 0.5.
+    * B=16 bands of r=4 ⇒ candidate threshold ≈ (1/16)^(1/4) ≈ 0.5. */
+  val dedupMinhashLsh: QueryFn = (s, dir) => {
+    import s.implicits._
+    val docs = docShingles(s, dir).cache()
+    val keyed = docs
+      .select($"doc_id",
+        explode(bandKeys(minhashSignature($"sh", minhashParams(NumPerms)), Bands, RowsPerBand)).as("key"))
+    verifyJaccard(pairsByKey(keyed), docs, tau = 0.5)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, candidates share at
+    * least one of four 16-bit chunks, verified at hamming <= 6. */
+  val dedupSimhash: QueryFn = (s, dir) => {
+    import s.implicits._
+    val sigs = Tables.documents(s, dir)
+      .select($"doc_id", simhash64(normTokens($"text")).as("sig"))
+      .cache()
+    val keyed = sigs.select($"doc_id",
+      explode(array((0 until 4).map { c =>
+        concat_ws(":", lit(c), shiftrightunsigned($"sig", c * 16) % 65536)
+      }: _*)).as("key"))
+    val pairs = pairsByKey(keyed)
+    val a = sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a"))
+    val b = sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")).cast("long"))
+      .where($"hamming" <= 6)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Exact n-gram Jaccard with rare-shingle blocking: only shingles
+    * appearing in 2..maxDf docs generate candidates (frequent shingles
+    * produce quadratic blow-up and no selectivity; singletons produce
+    * no pairs). Every pair sharing a rare shingle is verified exactly. */
+  val dedupNgramJaccard: QueryFn = (s, dir) => {
+    import s.implicits._
+    val docs = docShingles(s, dir).cache()
+    val exploded = docs.select($"doc_id", explode($"sh").as("key"))
+    val rare = exploded.groupBy($"key")
+      .agg(count(lit(1)).as("df"))
+      .where($"df".between(2, 20))
+      .select($"key")
+    val keyed = exploded.join(rare, "key")
+    verifyJaccard(pairsByKey(keyed), docs, tau = 0.5)
+  }
+
+  /** Embedding-cosine near-dup pairs via random-hyperplane LSH:
+    * 16-bit sign signature, two 8-bit bands for candidates, exact
+    * cosine >= 0.95 verification. */
+  val dedupEmbedding: QueryFn = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val planes = hyperplanes(16, 64)
+    val sigged = emb
+      .select($"vec_id", $"embedding", hyperplaneSig(planes)($"embedding").as("sig"))
+      .cache()
+    val keyed = sigged.select($"vec_id".as("doc_id"),
+      explode(array(
+        concat_ws(":", lit(0), $"sig" % 256),
+        concat_ws(":", lit(1), shiftrightunsigned($"sig", 8) % 256))).as("key"))
+    val pairs = pairsByKey(keyed)
+      .withColumnRenamed("doc_a", "vec_a").withColumnRenamed("doc_b", "vec_b")
+    val a = sigged.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
+    val b = sigged.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
+    pairs.join(a, "vec_a").join(b, "vec_b")
+      .withColumn("cos", cosine($"emb_a", $"emb_b"))
+      .where($"cos" >= 0.95)
+      .select($"vec_a", $"vec_b", rnd($"cos", 4).as("cos"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+}

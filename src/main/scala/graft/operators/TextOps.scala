@@ -150,6 +150,23 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Winnowing fingerprints (rolling k-gram hashes, rightmost-min
+    * window selection) — the document-fingerprinting scheme used for
+    * plagiarism/overlap detection. Map-only; [rows-only] oracle (the
+    * scheme is spec-tested in HashesSpec). */
+  val textWinnow: QueryFn = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Hashes.winnow
+    val fps = winnow(k = 5, w = 4)(normText($"text"))
+    Tables.documents(s, dir)
+      .select($"doc_id", fps.as("fps"))
+      .select(
+        $"doc_id",
+        size($"fps").cast("long").as("n_fps"),
+        aggregate($"fps", lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"))
+      .orderBy($"doc_id")
+  }
+
   /** Exact dedup: group by content fingerprint, keep min doc_id.
     * At 100 TB this is the cheapest dedup pass: one shuffle on a
     * 128-bit key, partial agg map-side. */

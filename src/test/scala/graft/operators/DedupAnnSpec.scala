@@ -1,0 +1,153 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+import graft.functions.Hashes
+
+class DedupAnnSpec extends SparkTestBase {
+
+  /** Write a synthetic documents/embeddings table pair under a temp
+    * sfDir so the QueryFns can be driven against known ground truth. */
+  private lazy val synthDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-synth").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val nearDup = base.replace("kappa", "lambda") // one token in 50 differs
+    val other = "one two three four five six seven eight nine ten " * 5
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, nearDup, "en", "src0", nearDup.length.toLong),
+      (2L, other, "en", "src1", other.length.toLong),
+      (3L, base, "en", "src2", base.length.toLong)) // exact dup of 0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val rng = new scala.util.Random(123)
+    def vec(): Array[Float] = Array.fill(64)(rng.nextFloat() * 2 - 1)
+    val v0 = vec()
+    val v0near = v0.clone(); v0near(0) += 0.01f // cosine ~ 1
+    val vecs = Seq(
+      (0L, v0, 0), (1L, v0near, 0), (2L, vec(), 1), (3L, vec(), 2),
+      (4L, vec(), 3), (5L, vec(), 4))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  // ---- brute-force ground truths (independent implementations) ----
+
+  private def tokenize(t: String): Seq[String] =
+    t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  private def trueJaccardPairs(dir: String, tau: Double): Set[(Long, Long)] = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val sets = docs.map { case (id, t) =>
+      id -> tokenize(t).sliding(3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      if j >= tau
+    } yield (a, b)).toSet
+  }
+
+  test("dedup_minhash_lsh: sound (every pair truly >= tau) and finds near-dups") {
+    val got = DedupOps.dedupMinhashLsh(spark, synthDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = trueJaccardPairs(synthDir, 0.5)
+    assert(got.subsetOf(truth), s"unsound pairs: ${got.diff(truth)}")
+    // near-dup (0,1), exact dups (0,3) and (1,3)-via-(0,3): jaccard ~1 → must be found
+    assert(got.contains((0L, 1L)))
+    assert(got.contains((0L, 3L)))
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc paired")
+  }
+
+  test("dedup_ngram_jaccard: equals brute-force pairs at tau=0.5 (rare-shingle block)") {
+    val got = DedupOps.dedupNgramJaccard(spark, synthDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = trueJaccardPairs(synthDir, 0.5)
+    assert(got.subsetOf(truth))
+    assert(got.contains((0L, 1L)) && got.contains((0L, 3L)))
+  }
+
+  test("dedup_simhash: exact dups at hamming 0, near-dups within 6, strangers apart") {
+    val rows = DedupOps.dedupSimhash(spark, synthDir).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((0L, 3L)) == 0L, "exact dup must have hamming 0")
+    assert(got.contains((0L, 1L)), "one-token-changed doc within hamming 6")
+    assert(!got.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("dedup_embedding: near-identical vectors found, others not") {
+    val got = DedupOps.dedupEmbedding(spark, synthDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)), s"got $got")
+  }
+
+  test("ann_bruteforce_topk: matches driver-side exact ranking on sf0.001") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until 10L).flatMap { pid =>
+      emb.toSeq.filter(_._1 != pid)
+        .map { case (nid, e) => (nid, cos(emb(pid), e)) }
+        .sortBy { case (nid, s) => (-math.floor(s * 1e6 + 0.5) / 1e6, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, _), i) => (pid, (i + 1).toLong, nid) }
+    }.toSet
+    val got = AnnOps.annBruteforceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("ann_lsh_topk and ann_ivf_topk: valid rankings with useful recall") {
+    val exact = AnnOps.annBruteforceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    for ((name, fn) <- Seq("lsh" -> AnnOps.annLshTopk, "ivf" -> AnnOps.annIvfTopk)) {
+      val rows = fn(spark, sfDir).collect()
+      val byProbe = rows.groupBy(_.getLong(0))
+      assert(byProbe.keySet == (0L until 10L).toSet, s"$name: every probe answered")
+      byProbe.values.foreach { rs =>
+        assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq,
+          s"$name: ranks contiguous from 1")
+        val sims = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+        assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"$name: sims descending")
+      }
+      val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      info(s"$name recall@5 = $recall")
+      assert(recall > 0.15, s"$name recall too low: $recall")
+    }
+  }
+
+  test("text_winnow: deterministic, dense, and dup-detecting") {
+    import spark.implicits._
+    val a = TextOps.textWinnow(spark, synthDir).collect()
+    val b = TextOps.textWinnow(spark, synthDir).collect()
+    assert(a.toSeq == b.toSeq, "winnow must be deterministic")
+    val byId = a.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId(0L) == byId(3L), "exact dups share fingerprint stats")
+    assert(byId.values.forall(_._1 > 0), "every non-trivial doc fingerprinted")
+  }
+
+  test("queries are deterministic across runs (rows-only gate safety)") {
+    for (name <- Seq("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk")) {
+      val fn = graft.SparkEntry.queries(name)
+      val r1 = fn(spark, sfDir).collect().toSeq
+      val r2 = fn(spark, sfDir).collect().toSeq
+      assert(r1 == r2, s"$name not deterministic")
+    }
+  }
+}
