@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashes.fnv64
+
+/** Multimodal column plumbing (SURVEY.md §2.F): media as opaque
+  * `binary` payloads with typed metadata, processed by batched
+  * per-partition codecs.
+  *
+  * The decode step is STUBBED: real image/audio libraries are not in
+  * this container, so [[FakeCodec]] produces deterministic
+  * content-hash-seeded pseudo-features. Everything around it — the
+  * schema, the partition-preserving batched `mapPartitions` shape
+  * (the Scala analogue of Arrow-batched `mapInPandas`), the
+  * format-sniffing, and the downstream joins — is real and tested,
+  * and a real codec drops in behind the same trait.
+  */
+final case class MediaMeta(
+    kind: String,       // image | audio | video | bin
+    width: Int,         // image/video pixels, 0 otherwise
+    height: Int,
+    sampleRateHz: Int,  // audio, 0 otherwise
+    durationMs: Long)   // audio/video, 0 otherwise
+
+final case class MediaRecord(
+    media_id: Long,
+    source: String,
+    payload: Array[Byte],
+    meta: MediaMeta)
+
+final case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    dim: Int,
+    features: Array[Float])
+
+trait MediaCodec extends Serializable {
+  /** Identify the container format from magic bytes. */
+  def sniff(payload: Array[Byte]): String
+  /** Decode + feature-extract one payload. Real implementations batch
+    * internally (the pipeline hands them whole partitions). */
+  def decode(payload: Array[Byte], meta: MediaMeta): Array[Float]
+}
+
+/** Deterministic stand-in codec: sniffs real magic bytes, "features"
+  * are seeded by the FNV hash of the payload — stable across runs,
+  * executors, and partitionings. */
+object FakeCodec extends MediaCodec {
+  val Dim = 8
+
+  override def sniff(payload: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < payload.length) payload(i) & 0xff else -1
+    if (at(0) == 0xff && at(1) == 0xd8) "image" // JPEG
+    else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "image"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F') "audio" // WAV
+    else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "video" // MP4
+    else "bin"
+  }
+
+  override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] = {
+    val h = fnv64(new String(payload, java.nio.charset.StandardCharsets.ISO_8859_1))
+    val rng = new scala.util.Random(h)
+    Array.fill(Dim)(rng.nextFloat())
+  }
+}
+
+object MediaPipeline {
+
+  /** Stand-in corpus: documents' text bytes as payloads (the real
+    * pipeline would read binary files or a payload column). */
+  def fromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text".cast("binary").as("payload"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, src, payload) =>
+        MediaRecord(id, src,
+          payload, MediaMeta(FakeCodec.sniff(payload), 0, 0, 0, 0L))
+      }
+  }
+
+  /** Batched featurization: partition-preserving (no shuffle), codec
+    * sees `batchSize` records at a time — the seam where a real
+    * vectorized decoder (or GPU batch) plugs in. */
+  def featurize(
+      ds: Dataset[MediaRecord],
+      codec: MediaCodec,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val f = codec.decode(r.payload, r.meta)
+          MediaFeatures(r.media_id, r.meta.kind, f.length, f)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.G). The reference is a
+  * batch engine; these are the streaming twins of the batch event
+  * queries (`q_events_windowed`, `q_events_sessionize`), built the
+  * Spark-native way: readStream → event-time watermark → windowed agg
+  * / flatMapGroupsWithState. StreamingSpec proves batch/stream parity
+  * on the finite events table.
+  */
+object Streams {
+
+  /** The events parquet schema as the streaming source sees it
+    * (ts = raw NANOS int64; see graft.Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events table with the same ns→µs
+    * normalization as the batch loader. The file source requires a
+    * directory, so the single events.parquet is exposed through a
+    * per-sfDir symlink dir (a real deployment streams a landing
+    * directory to begin with). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-events-" + Integer.toHexString(sfDir.hashCode))
+    if (!Files.exists(stage)) {
+      Files.createDirectories(stage)
+      Files.createSymbolicLink(
+        stage.resolve("events.parquet"), Paths.get(sfDir, "events.parquet"))
+    }
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Hourly tumbling-window aggregate with a 1-hour watermark.
+    * `count_distinct` is not available under incremental execution, so
+    * uniques are HLL (`approx_count_distinct`) — the batch twin in
+    * StreamingSpec uses the same sketch, which is deterministic for
+    * identical inputs. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(
+        col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"), col("approx_users"))
+
+  // ---- stateful sessionization ----
+
+  final case class Ev(user_id: Long, ts_us: Long, value: Double)
+  final case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)
+  final case class Session(
+      user_id: Long, start_us: Long, end_us: Long, n_events: Long,
+      sum_value: Double, closed: Boolean)
+
+  val GapUs: Long = 1800L * 1000000L // 30 min, same as the batch twin
+
+  /** Gap-based sessionization via flatMapGroupsWithState: sessions
+    * close when a 30-minute silence is observed (within the batch) or
+    * when the event-time timeout fires (watermark passed last+gap).
+    * State per user is O(1) — the canonical scale-safe shape.
+    *
+    * Takes the (ts: timestamp, user_id, value) events frame; also
+    * runs in batch mode (state empty, no timeouts), which is how
+    * StreamingSpec proves parity with `q_events_sessionize`. */
+  def sessionize(events: DataFrame): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = GapUs // local copy — keeps the closure free of `this`
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    def fn(userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val evs = rows.map(t => Ev(t._1, micros(t._2), t._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      if (evs.isEmpty && state.hasTimedOut) {
+        state.getOption.foreach { s =>
+          out += Session(userId, s.start_us, s.last_us, s.n, s.sum, closed = true)
+        }
+        state.remove()
+      } else {
+        val sorted = evs.toArray.sortBy(_.ts_us)
+        var cur = state.getOption.orNull
+        sorted.foreach { e =>
+          cur match {
+            case null =>
+              cur = SessionState(e.ts_us, e.ts_us, 1L, e.value)
+            case s if e.ts_us - s.last_us > gapUs =>
+              out += Session(userId, s.start_us, s.last_us, s.n, s.sum, closed = true)
+              cur = SessionState(e.ts_us, e.ts_us, 1L, e.value)
+            case s =>
+              cur = SessionState(s.start_us, e.ts_us, s.n + 1L, s.sum + e.value)
+          }
+        }
+        if (cur != null) {
+          state.update(cur)
+          state.setTimeoutTimestamp(cur.last_us / 1000L + gapUs / 1000L)
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "30 minutes")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}
