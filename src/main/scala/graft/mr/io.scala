@@ -84,25 +84,35 @@ final case class ChunkedTextInputer(path: String, chunkBytes: Long) extends Inpu
   }
 }
 
-/** Parquet table as keyed input: keyCol → valueCol strings. */
-final case class ParquetTableInputer(path: String, keyCol: String, valueCol: String)
+/** Structured table as keyed input (parquet/csv/json/orc):
+  * keyCol → valueCol strings. */
+final case class TableInputer(
+    format: String, path: String, keyCol: String, valueCol: String,
+    options: Map[String, String] = Map.empty)
     extends Inputer {
+  private def table(spark: SparkSession) =
+    spark.read.options(options).format(format).load(path)
   override def listKeys(spark: SparkSession): Seq[String] = {
     import spark.implicits._
-    spark.read.parquet(path).select(col(keyCol).cast("string")).as[String]
+    table(spark).select(col(keyCol).cast("string")).as[String]
       .collect().toSeq.sorted
   }
   override def getValue(spark: SparkSession, key: String): String = {
     import spark.implicits._
-    spark.read.parquet(path).filter(col(keyCol).cast("string") === key)
+    table(spark).filter(col(keyCol).cast("string") === key)
       .select(col(valueCol).cast("string")).as[String].head()
   }
   override def toDataset(spark: SparkSession): Dataset[(String, String)] = {
     import spark.implicits._
-    spark.read.parquet(path)
+    table(spark)
       .select(col(keyCol).cast("string").as("_1"), col(valueCol).cast("string").as("_2"))
       .as[(String, String)]
   }
+}
+
+object ParquetTableInputer {
+  def apply(path: String, keyCol: String, valueCol: String): TableInputer =
+    TableInputer("parquet", path, keyCol, valueCol)
 }
 
 /** Tab-separated text output, one part file per reduce partition —
@@ -116,8 +126,16 @@ final case class TextDirOutputer(dir: String) extends Outputer {
   }
 }
 
-/** Parquet output (key, value) — the columnar-native sink. */
-final case class ParquetOutputer(dir: String) extends Outputer {
+/** Structured (key, value) sink: parquet (columnar-native), csv, or
+  * json, optionally partitioned by key prefix columns. */
+final case class TableOutputer(
+    format: String, dir: String, options: Map[String, String] = Map.empty)
+    extends Outputer {
   override def write[Out](ds: Dataset[(String, Out)]): Unit =
-    ds.toDF("key", "value").write.mode(SaveMode.Overwrite).parquet(dir)
+    ds.toDF("key", "value").write
+      .options(options).format(format).mode(SaveMode.Overwrite).save(dir)
+}
+
+object ParquetOutputer {
+  def apply(dir: String): TableOutputer = TableOutputer("parquet", dir)
 }

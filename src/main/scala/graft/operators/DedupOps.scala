@@ -70,9 +70,14 @@ object DedupOps {
   val dedupMinhashLsh: QueryFn = (s, dir) => {
     import s.implicits._
     val docs = docShingles(s, dir).cache()
-    val keyed = docs
-      .select($"doc_id",
-        explode(bandKeys(minhashSignature($"sh", minhashParams(NumPerms)), Bands, RowsPerBand)).as("key"))
+    // Two-step select: materialize the 64-perm signature as a column
+    // FIRST, then slice band keys out of it. Folding both into one
+    // expression would inline the signature computation once per band
+    // (16×) — measured 40× slower at sf0.1.
+    val sigged = docs.select($"doc_id",
+      minhashSignature($"sh", minhashParams(NumPerms)).as("sig"))
+    val keyed = sigged.select($"doc_id",
+      explode(bandKeys($"sig", Bands, RowsPerBand)).as("key"))
     verifyJaccard(pairsByKey(keyed), docs, tau = 0.5)
   }
 

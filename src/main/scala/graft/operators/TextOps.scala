@@ -126,19 +126,25 @@ object TextOps {
     * hits at all. */
   val textLangid: QueryFn = (s, dir) => {
     import s.implicits._
-    val toks = normTokens($"text")
-    val hits = langStops.map { case (lg, ws) => lg -> hitCount(toks, ws).cast("long") }
-    val Seq(en, de, fr, es) = hits.map(_._2)
+    // materialize tokens, then hits, then the argmax — three narrow
+    // projections instead of one wide expression that would inline
+    // the tokenizer into all eight hit/compare sites (measured 8×
+    // slower at sf0.1)
+    val withToks = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", normTokens($"text").as("toks"))
+    val withHits = withToks.select(
+      Seq($"doc_id", $"lang") ++ langStops.map { case (lg, ws) =>
+        hitCount($"toks", ws).cast("long").as(s"${lg}_hits")
+      }: _*)
+    val Seq(en, de, fr, es) = langStops.map { case (lg, _) => col(s"${lg}_hits") }
     val pred = when(en >= de && en >= fr && en >= es && en > 0, "en")
       .when(de >= fr && de >= es && de > 0, "de")
       .when(fr >= es && fr > 0, "fr")
       .when(es > 0, "es")
       .otherwise("und")
-    Tables.documents(s, dir)
-      .select(
-        $"doc_id", $"lang",
-        en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"),
-        pred.as("lang_pred"))
+    withHits
+      .select($"doc_id", $"lang",
+        $"en_hits", $"de_hits", $"fr_hits", $"es_hits", pred.as("lang_pred"))
       .orderBy($"doc_id")
   }
 

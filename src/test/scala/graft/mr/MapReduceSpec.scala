@@ -122,6 +122,20 @@ class MapReduceSpec extends SparkTestBase {
     assert(pback == Map("k1" -> 1L, "k2" -> 2L))
   }
 
+  test("csv/json table inputers and outputers round-trip") {
+    import spark.implicits._
+    val data = Seq(("k1", 10L), ("k2", 20L)).toDS()
+    for (fmt <- Seq("csv", "json")) {
+      val dir = Files.createTempDirectory(s"graft-$fmt").toString + "/t"
+      val opts = if (fmt == "csv") Map("header" -> "true") else Map.empty[String, String]
+      TableOutputer(fmt, dir, opts).write(data)
+      val in = TableInputer(fmt, dir, "key", "value", opts)
+      assert(in.listKeys(spark) == Seq("k1", "k2"))
+      assert(in.getValue(spark, "k2") == "20")
+      assert(in.toDataset(spark).collect().toMap == Map("k1" -> "10", "k2" -> "20"))
+    }
+  }
+
   test("ParquetTableInputer reads keyed values") {
     val in = ParquetTableInputer(s"$sfDir/documents.parquet", "doc_id", "text")
     val ds = in.toDataset(spark)
