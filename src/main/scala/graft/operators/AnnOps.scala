@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols._
 import graft.functions.Hashes._
+import graft.functions.VectorExpressions.cosine_sim
 
 /** Approximate-nearest-neighbor search over the embeddings table
   * (SURVEY.md §2.D).
@@ -47,7 +48,7 @@ object AnnOps {
     import s.implicits._
     val cands = Tables.embeddings(s, dir)
       .join(broadcast(probes(s, dir)), $"vec_id" =!= $"pid")
-      .select($"pid", $"vec_id".as("nid"), cosine($"pe", $"embedding").as("sim"))
+      .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"embedding").as("sim"))
     rankTopK(cands, K)
   }
 
@@ -71,7 +72,7 @@ object AnnOps {
     val cands = p.join(c, Seq("key"))
       .where($"vec_id" =!= $"pid")
       .select($"pid", $"vec_id".as("nid"), $"pe", $"embedding").distinct()
-      .select($"pid", $"nid", cosine($"pe", $"embedding").as("sim"))
+      .select($"pid", $"nid", cosine_sim($"pe", $"embedding").as("sim"))
     rankTopK(cands, K)
   }
 
@@ -95,21 +96,21 @@ object AnnOps {
     val cellsB = broadcast(centroids)
     // nearest cell per corpus vector (rank-1 over the small cell set)
     val byDist = Window.partitionBy($"vec_id")
-      .orderBy(rnd(cosine($"embedding", $"centroid"), 6).desc, $"cell".asc)
+      .orderBy(rnd(cosine_sim($"embedding", $"centroid"), 6).desc, $"cell".asc)
     val assigned = emb.crossJoin(cellsB)
       .withColumn("r", row_number().over(byDist))
       .where($"r" === 1)
       .select($"vec_id", $"embedding", $"cell")
     // probes explode to their top `IvfProbeCells` cells
     val pByDist = Window.partitionBy($"pid")
-      .orderBy(rnd(cosine($"pe", $"centroid"), 6).desc, $"cell".asc)
+      .orderBy(rnd(cosine_sim($"pe", $"centroid"), 6).desc, $"cell".asc)
     val probeCells = probes(s, dir).crossJoin(cellsB)
       .withColumn("r", row_number().over(pByDist))
       .where($"r" <= IvfProbeCells)
       .select($"pid", $"pe", $"cell")
     val cands = probeCells.join(assigned, Seq("cell"))
       .where($"vec_id" =!= $"pid")
-      .select($"pid", $"vec_id".as("nid"), cosine($"pe", $"embedding").as("sim"))
+      .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"embedding").as("sim"))
     rankTopK(cands, K)
   }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols._
 import graft.functions.Hashes._
+import graft.functions.VectorExpressions.cosine_sim
 
 /** Near-duplicate detection suite (SURVEY.md §2.C) — the operators an
   * LLM-data pipeline runs over a 100 TB crawl. All four share the same
@@ -137,7 +138,7 @@ object DedupOps {
     val a = sigged.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
     val b = sigged.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
     pairs.join(a, "vec_a").join(b, "vec_b")
-      .withColumn("cos", cosine($"emb_a", $"emb_b"))
+      .withColumn("cos", cosine_sim($"emb_a", $"emb_b"))
       .where($"cos" >= 0.95)
       .select($"vec_a", $"vec_b", rnd($"cos", 4).as("cos"))
       .orderBy($"vec_a", $"vec_b")

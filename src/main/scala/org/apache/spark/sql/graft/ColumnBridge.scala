@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `Column(expr)` constructor (Connect
+  * refactor); the classic bridge lives behind `private[sql]`. This is
+  * the standard extension-library shim: a tiny forwarder compiled
+  * into the `org.apache.spark.sql` namespace. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
