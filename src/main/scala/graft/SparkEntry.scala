@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnOps, DedupOps, Relational, TextOps}
+import graft.operators.{AnnOps, DedupOps, Relational, RelationalExt, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -38,6 +38,15 @@ object SparkEntry {
     "q_events_sessionize"         -> Relational.qEventsSessionize,
     "q_events_topk_users"         -> Relational.qEventsTopkUsers,
     "q_events_json_extract"       -> Relational.qEventsJsonExtract,
+    "q7_nation_volume"            -> RelationalExt.q7NationVolume,
+    "q10_returned_items"          -> RelationalExt.q10ReturnedItems,
+    "q15_top_supplier"            -> RelationalExt.q15TopSupplier,
+    "q17_small_qty_orders"        -> RelationalExt.q17SmallQtyOrders,
+    "q18_large_orders"            -> RelationalExt.q18LargeOrders,
+    "q22_global_sales"            -> RelationalExt.q22GlobalSales,
+    "q_set_ops"                   -> RelationalExt.qSetOps,
+    "q_pivot_status"              -> RelationalExt.qPivotStatus,
+    "q_value_percentiles"         -> RelationalExt.qValuePercentiles,
     // §2.A mapreduce parity
     "mr_wordcount"                -> TextOps.mrWordcount,
     "mr_wordcount_engine"         -> TextOps.mrWordcountEngine,
@@ -69,12 +78,12 @@ object SparkEntry {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |floor((sum(l_quantity))*100 + 0.5)/100 AS sum_qty,
-        |floor((sum(l_extendedprice))*100 + 0.5)/100 AS sum_base_price,
-        |floor((sum(l_extendedprice*(1-l_discount)))*100 + 0.5)/100 AS sum_disc_price,
-        |floor((sum(l_extendedprice*(1-l_discount)*(1+l_tax)))*100 + 0.5)/100 AS sum_charge,
+        |floor((CAST(sum(CAST((l_extendedprice) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS sum_base_price,
+        |floor((CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS sum_disc_price,
+        |floor((CAST(sum(CAST((l_extendedprice*(1-l_discount)*(1+l_tax)) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS sum_charge,
         |floor((avg(l_quantity))*100 + 0.5)/100 AS avg_qty,
-        |floor((avg(l_extendedprice))*100 + 0.5)/100 AS avg_price,
-        |floor((avg(l_discount))*10000 + 0.5)/10000 AS avg_disc,
+        |floor((CAST(sum(CAST((l_extendedprice) AS DECIMAL(27,10))) AS DOUBLE)/count(*))*100 + 0.5)/100 AS avg_price,
+        |floor((CAST(sum(CAST((l_discount) AS DECIMAL(27,10))) AS DOUBLE)/count(*))*10000 + 0.5)/10000 AS avg_disc,
         |count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
@@ -82,7 +91,7 @@ object SparkEntry {
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
-        |floor((sum(l_extendedprice*(1-l_discount)))*100 + 0.5)/100 AS revenue
+        |floor((CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
         |AND o_orderdate < TIMESTAMP '1997-01-01' AND l_shipdate > TIMESTAMP '1997-01-01'
@@ -90,7 +99,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q5_local_supplier" ->
-      """SELECT n_name, floor((sum(l_extendedprice*(1-l_discount)))*100 + 0.5)/100 AS revenue
+      """SELECT n_name, floor((CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
         |AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -99,7 +108,7 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q6_forecast_revenue" ->
-      """SELECT floor((sum(l_extendedprice*l_discount))*100 + 0.5)/100 AS revenue
+      """SELECT floor((CAST(sum(CAST((l_extendedprice*l_discount) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
@@ -109,7 +118,7 @@ object SparkEntry {
         |  SELECT c_mktsegment, c_custkey, c_name, total_spent,
         |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY total_spent DESC, c_custkey) AS rnk
         |  FROM (
-        |    SELECT c_mktsegment, c_custkey, c_name, floor((sum(o_totalprice))*100 + 0.5)/100 AS total_spent
+        |    SELECT c_mktsegment, c_custkey, c_name, floor((CAST(sum(CAST((o_totalprice) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS total_spent
         |    FROM customer JOIN orders ON c_custkey = o_custkey
         |    GROUP BY c_mktsegment, c_custkey, c_name) t
         |) w WHERE rnk <= 5 ORDER BY c_mktsegment, rnk""".stripMargin,
@@ -127,7 +136,7 @@ object SparkEntry {
 
     "q_nation_revenue_rollup" ->
       """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
-        |floor((sum(o_totalprice))*100 + 0.5)/100 AS revenue, count(*) AS n_orders
+        |floor((CAST(sum(CAST((o_totalprice) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS revenue, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, CAST(year(o_orderdate) AS BIGINT))
         |ORDER BY n_name ASC NULLS FIRST, order_year ASC NULLS FIRST""".stripMargin,
@@ -141,13 +150,13 @@ object SparkEntry {
 
     "q_events_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-        |count(*) AS n_events, floor((sum(value))*100 + 0.5)/100 AS sum_value,
+        |count(*) AS n_events, floor((CAST(sum(CAST((value) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS sum_value,
         |count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "q_events_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
-        |count(*) AS n_events, floor((sum(value))*100 + 0.5)/100 AS sum_value FROM (
+        |count(*) AS n_events, floor((CAST(sum(CAST((value) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS sum_value FROM (
         |  SELECT user_id, value,
         |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
         |  FROM (SELECT user_id, ts, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events) t
@@ -157,13 +166,98 @@ object SparkEntry {
       """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id, total_value FROM (
         |  SELECT event_type, user_id, total_value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY total_value DESC, user_id) AS rnk
-        |  FROM (SELECT event_type, user_id, floor((sum(value))*100 + 0.5)/100 AS total_value FROM events GROUP BY 1,2) t
+        |  FROM (SELECT event_type, user_id, floor((CAST(sum(CAST((value) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS total_value FROM events GROUP BY 1,2) t
         |) w WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
 
     "q_events_json_extract" ->
       """SELECT event_type, floor((avg(k))*10000 + 0.5)/10000 AS avg_k, min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |floor((CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS revenue
+        |FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND o_custkey = c_custkey
+        |AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |AND n1.n_name <> n2.n_name
+        |AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |floor((CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS revenue
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |AND l_returnflag = 'R'
+        |AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    floor((CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty_orders" ->
+      """SELECT floor((CAST(sum(CAST((l_extendedprice) AS DECIMAL(27,10))) AS DOUBLE) / 7.0)*100 + 0.5)/100 AS avg_yearly
+        |FROM lineitem l1
+        |JOIN (SELECT l_partkey AS ap_partkey, avg(l_quantity) * 0.2 AS qty_threshold
+        |      FROM lineitem GROUP BY l_partkey) a
+        |ON l1.l_partkey = a.ap_partkey
+        |WHERE l1.l_quantity < a.qty_threshold""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+        |floor((total_qty)*100 + 0.5)/100 AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey AS big_okey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) b
+        |ON o_orderkey = big_okey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q22_global_sales" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |floor((CAST(sum(CAST((c_acctbal) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST((c_acctbal) AS DECIMAL(27,10))) AS DOUBLE)/count(*) FROM customer WHERE c_acctbal > 0)
+        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT c_custkey FROM (
+        |  SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |) t ORDER BY c_custkey""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT c_mktsegment,
+        |count(*) FILTER (o_orderstatus = 'F') AS status_f,
+        |count(*) FILTER (o_orderstatus = 'O') AS status_o,
+        |count(*) FILTER (o_orderstatus = 'P') AS status_p
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_value_percentiles" ->
+      """SELECT event_type,
+        |floor((quantile_cont(value, 0.25))*10000 + 0.5)/10000 AS p25,
+        |floor((quantile_cont(value, 0.5))*10000 + 0.5)/10000 AS p50,
+        |floor((quantile_cont(value, 0.75))*10000 + 0.5)/10000 AS p75,
+        |floor((quantile_cont(value, 0.95))*10000 + 0.5)/10000 AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "mr_wordcount" ->
       """SELECT word, count(*) AS cnt

@@ -51,6 +51,21 @@ object Cols {
     floor(c * f + lit(0.5)) / f
   }
 
+  /** Exact cross-engine sum of continuous doubles: the per-row value
+    * stays double (bit-identical in any engine computing the same
+    * expression), but accumulation runs in DECIMAL(27,10) — exact, so
+    * the result cannot depend on partial-aggregation order. Without
+    * this, Spark's tree aggregation vs a sequential engine's sum can
+    * straddle a rounding boundary (observed: 285207.035 ± 1e-9 →
+    * .03 vs .04). Oracle twin:
+    * `CAST(sum(CAST((x) AS DECIMAL(27,10))) AS DOUBLE)`. */
+  def xsum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(27, 10))).cast("double")
+
+  /** Exact-sum average (see [[xsum]]); count must equal the non-null
+    * row count of `c`. */
+  def xavg(c: Column): Column = xsum(c) / count(lit(1))
+
   /** Count of tokens from `tokens` that appear in `vocab`. */
   def hitCount(tokens: Column, vocab: Seq[String]): Column =
     size(filter(tokens, t => t.isInCollection(vocab)))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Cols.rnd
+import graft.functions.Cols.{rnd, xsum, xavg}
 
 /** Relational analytics surface (SURVEY.md §2.B).
   *
@@ -30,12 +30,12 @@ object Relational {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         rnd(sum($"l_quantity"), 2).as("sum_qty"),
-        rnd(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        rnd(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-        rnd(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        rnd(xsum($"l_extendedprice"), 2).as("sum_base_price"),
+        rnd(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        rnd(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
         rnd(avg($"l_quantity"), 2).as("avg_qty"),
-        rnd(avg($"l_extendedprice"), 2).as("avg_price"),
-        rnd(avg($"l_discount"), 4).as("avg_disc"),
+        rnd(xavg($"l_extendedprice"), 2).as("avg_price"),
+        rnd(xavg($"l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -49,7 +49,7 @@ object Relational {
         $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
         $"l_discount".between(0.05, 0.07) &&
         $"l_quantity" < 24)
-      .agg(rnd(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
+      .agg(rnd(xsum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
   }
 
   /** TPC-H Q3-style shipping priority: broadcast customer dim, shuffle
@@ -62,7 +62,7 @@ object Relational {
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(rnd(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .agg(rnd(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
       .select(
         $"l_orderkey",
         date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
@@ -90,7 +90,7 @@ object Relational {
       .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(rnd(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .agg(rnd(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
       .orderBy($"revenue".desc, $"n_name".asc)
   }
 
@@ -99,7 +99,7 @@ object Relational {
     import s.implicits._
     val totals = Tables.orders(s, dir)
       .groupBy($"o_custkey")
-      .agg(rnd(sum($"o_totalprice"), 2).as("total_spent"))
+      .agg(rnd(xsum($"o_totalprice"), 2).as("total_spent"))
     val w = Window.partitionBy($"c_mktsegment")
       .orderBy($"total_spent".desc, $"c_custkey".asc)
     Tables.customer(s, dir)
@@ -142,7 +142,7 @@ object Relational {
       .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
       .rollup($"n_name", year($"o_orderdate").cast("long").as("order_year"))
-      .agg(rnd(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(rnd(xsum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy($"n_name".asc_nulls_first, $"order_year".asc_nulls_first)
   }
 
@@ -167,7 +167,7 @@ object Relational {
         $"event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        rnd(sum($"value"), 2).as("sum_value"),
+        rnd(xsum($"value"), 2).as("sum_value"),
         count_distinct($"user_id").as("n_users"))
       .orderBy($"hour", $"event_type")
   }
@@ -184,7 +184,7 @@ object Relational {
       .agg(
         sum($"new_session").as("n_sessions"),
         count(lit(1)).as("n_events"),
-        rnd(sum($"value"), 2).as("sum_value"))
+        rnd(xsum($"value"), 2).as("sum_value"))
       .orderBy($"user_id")
   }
 
@@ -195,7 +195,7 @@ object Relational {
       .orderBy($"total_value".desc, $"user_id".asc)
     Tables.events(s, dir)
       .groupBy($"event_type", $"user_id")
-      .agg(rnd(sum($"value"), 2).as("total_value"))
+      .agg(rnd(xsum($"value"), 2).as("total_value"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= 3)
       .select($"event_type", $"rnk", $"user_id", $"total_value")

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cols.{rnd, xsum, xavg}
+
+/** Extended relational surface (SURVEY.md §2.B cont.): the operator
+  * classes the first batch didn't exercise — scalar and correlated
+  * subqueries, CTE-style staged aggregation, set operations, pivot,
+  * exact percentiles. Same scale rules as [[Relational]].
+  */
+object RelationalExt {
+  import graft.SparkEntry.QueryFn
+
+  /** TPC-H Q7-style: revenue volume between every (supplier nation,
+    * customer nation) pair per year. Dims broadcast twice under
+    * different aliases. */
+  val q7NationVolume: QueryFn = (s, dir) => {
+    import s.implicits._
+    val n1 = Tables.nation(s, dir).select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(s, dir).select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(rnd(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** TPC-H Q10-style: top 20 customers by returned-item revenue. */
+  val q10ReturnedItems: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+      .join(Tables.orders(s, dir).filter(
+        $"o_orderdate" >= lit("1996-10-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(rnd(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q15-style: the supplier(s) achieving max revenue — staged
+    * agg (CTE) + scalar-subquery max, joined back without a shuffle of
+    * the fact side. */
+  val q15TopSupplier: QueryFn = (s, dir) => {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(rnd(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("total_rev"))
+    val maxRev = rev.agg(max($"total_rev").as("mr"))
+    Tables.supplier(s, dir)
+      .join(rev, $"s_suppkey" === $"l_suppkey")
+      .join(broadcast(maxRev), $"total_rev" === $"mr")
+      .select($"s_suppkey", $"s_name", $"total_rev")
+      .orderBy($"s_suppkey")
+  }
+
+  /** TPC-H Q17-style: revenue from small-quantity lineitems, where
+    * "small" is a correlated per-part average — expressed as a staged
+    * agg + equi-join (the scalable lowering of the correlated
+    * subquery). */
+  val q17SmallQtyOrders: QueryFn = (s, dir) => {
+    import s.implicits._
+    val avgQty = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey".as("ap_partkey"))
+      .agg((avg($"l_quantity") * 0.2).as("qty_threshold"))
+    Tables.lineitem(s, dir)
+      .join(avgQty, $"l_partkey" === $"ap_partkey")
+      .filter($"l_quantity" < $"qty_threshold")
+      .agg(rnd(xsum($"l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18-style: large orders (sum qty > 150) with customers. */
+  val q18LargeOrders: QueryFn = (s, dir) => {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey".as("big_okey"))
+      .agg(sum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > 150)
+    Tables.orders(s, dir)
+      .join(big, $"o_orderkey" === $"big_okey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+        $"o_totalprice", rnd($"total_qty", 2).as("total_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+  }
+
+  /** TPC-H Q22-style: well-funded customers (acctbal above the
+    * positive-balance average — scalar subquery) who never ordered
+    * (anti-join), summarized per segment. */
+  val q22GlobalSales: QueryFn = (s, dir) => {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter($"c_acctbal" > 0.0)
+      .agg(xavg($"c_acctbal").as("avg_bal"))
+    cust
+      .crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), rnd(xsum($"c_acctbal"), 2).as("totacctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Set operations: customers ordering in both 1996 and 1997
+    * (INTERSECT) but not 1998 (EXCEPT). */
+  val qSetOps: QueryFn = (s, dir) => {
+    import s.implicits._
+    def buyers(yr: Int) = Tables.orders(s, dir)
+      .filter(year($"o_orderdate") === yr)
+      .select($"o_custkey".as("c_custkey")).distinct()
+    buyers(1996).intersect(buyers(1997)).except(buyers(1998))
+      .orderBy($"c_custkey")
+  }
+
+  /** Pivot: order counts per market segment × order status. */
+  val qPivotStatus: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"c_mktsegment",
+        coalesce($"F", lit(0L)).as("status_f"),
+        coalesce($"O", lit(0L)).as("status_o"),
+        coalesce($"P", lit(0L)).as("status_p"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Exact interpolated percentiles (type-7, same as DuckDB
+    * quantile_cont) of event value per type. */
+  val qValuePercentiles: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        rnd(percentile($"value", lit(0.25)), 4).as("p25"),
+        rnd(percentile($"value", lit(0.5)), 4).as("p50"),
+        rnd(percentile($"value", lit(0.75)), 4).as("p75"),
+        rnd(percentile($"value", lit(0.95)), 4).as("p95"))
+      .orderBy($"event_type")
+  }
+}
