@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: prints, for each audited query, whether the
+  * plan has the properties the 100 TB posture depends on — filters
+  * pushed into the parquet scan, pruned read schemas, broadcast joins
+  * on dimension sides, map-side partial aggregation, and
+  * whole-stage-codegen coverage. Run:
+  *   sbt 'runMain graft.PlanAudit /root/testdata/sf0.001'
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val audits: Seq[(String, Map[String, String => Boolean])] = Seq(
+      "q6_forecast_revenue" -> Map(
+        "filters pushed to scan" -> (_.contains("PushedFilters: [IsNotNull(l_shipdate)")),
+        "schema pruned to 4 cols" -> (p =>
+          "ReadSchema: [^\n]*l_quantity".r.findFirstIn(p).isDefined &&
+          !p.contains("l_orderkey")),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "whole-stage codegen" -> (_.contains("WholeStageCodegen subtree"))),
+      "q5_local_supplier" -> Map(
+        "all dims broadcast" -> (p => "BroadcastHashJoin".r.findAllIn(p).size >= 4),
+        "single fact-fact shuffle join" -> (p =>
+          "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1),
+        "orders date filter pushed" -> (_.contains("PushedFilters: [IsNotNull(o_orderdate)"))),
+      "q3_shipping_priority" -> Map(
+        "customer broadcast" -> (_.contains("BroadcastHashJoin")),
+        "lineitem date filter pushed" -> (p =>
+          "PushedFilters: \\[[^\\]]*GreaterThan\\(l_shipdate".r.findFirstIn(p).isDefined)),
+      "q1_pricing_summary" -> Map(
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "schema pruned (no partkey)" -> (p => !p.contains("l_partkey"))),
+      "q_order_priority" -> Map(
+        "semi join, not inner+distinct" -> (_.contains("LeftSemi"))),
+      "q_parts_never_ordered" -> Map(
+        "anti join" -> (_.contains("LeftAnti"))),
+      "ann_bruteforce_topk" -> Map(
+        "probes broadcast" -> (_.contains("BroadcastNestedLoopJoin")),
+        "codegen cosine" -> (_.contains("WholeStageCodegen subtree"))),
+      "dedup_minhash_lsh" -> Map(
+        "no cartesian product" -> (p => !p.contains("CartesianProduct"))),
+      "mr_wordcount" -> Map(
+        "partial count before shuffle" -> (_.contains("partial_count")),
+        "only text column read" -> (p => !p.contains("doc_id"))))
+
+    var failures = 0
+    audits.foreach { case (name, checks) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // AQE prints the pre-execution plan without codegen stage marks,
+      // so append the codegen-mode explain (which compiles the stages)
+      val plan = df.queryExecution.executedPlan.toString + "\n" +
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      println(s"== $name")
+      checks.foreach { case (label, check) =>
+        val ok = check(plan)
+        if (!ok) failures += 1
+        println(s"   ${if (ok) "PASS" else "FAIL"}  $label")
+      }
+    }
+    println(if (failures == 0) "ALL PLAN CHECKS PASS" else s"$failures CHECK(S) FAILED")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

