@@ -59,6 +59,7 @@ object SparkEntry {
     "text_langid"                 -> TextOps.textLangid,
     "text_fingerprint"            -> TextOps.textFingerprint,
     "text_winnow"                 -> TextOps.textWinnow,
+    "text_sample_hash"            -> TextOps.textSampleHash,
     // §2.C dedup
     "dedup_exact"                 -> TextOps.dedupExact,
     "dedup_minhash_lsh"           -> DedupOps.dedupMinhashLsh,
@@ -322,6 +323,12 @@ object SparkEntry {
         |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
         |       WHEN es_hits > 0 THEN 'es' ELSE 'und' END AS lang_pred
         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "text_sample_hash" ->
+      """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

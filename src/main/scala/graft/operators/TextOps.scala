@@ -156,6 +156,21 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic hash sampling: ~12.5% of docs selected by the
+    * first hex nibble of md5(doc_id) — the engine-portable way to
+    * sample reproducibly (seeded `TABLESAMPLE` is engine-specific;
+    * md5 of the same string is not). Map-only, no shuffle until the
+    * tiny per-lang rollup. */
+  val textSampleHash: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where(substring(md5($"doc_id".cast("string")), 1, 1).isin("0", "1"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        min($"doc_id").as("first_id"), max($"doc_id").as("last_id"))
+      .orderBy($"lang")
+  }
+
   /** Winnowing fingerprints (rolling k-gram hashes, rightmost-min
     * window selection) — the document-fingerprinting scheme used for
     * plagiarism/overlap detection. Map-only; [rows-only] oracle (the
