@@ -37,6 +37,7 @@ object SparkEntry {
     "q_events_windowed"           -> Relational.qEventsWindowed,
     "q_events_sessionize"         -> Relational.qEventsSessionize,
     "q_events_topk_users"         -> Relational.qEventsTopkUsers,
+    "q_events_topk_native"        -> Relational.qEventsTopkNative,
     "q_events_json_extract"       -> Relational.qEventsJsonExtract,
     "q7_nation_volume"            -> RelationalExt.q7NationVolume,
     "q10_returned_items"          -> RelationalExt.q10ReturnedItems,
@@ -170,6 +171,13 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY event_type ORDER BY total_value DESC, user_id) AS rnk
         |  FROM (SELECT event_type, user_id, floor((CAST(sum(CAST((value) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS total_value FROM events GROUP BY 1,2) t
         |) w WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    "q_events_topk_native" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY event_type, value DESC, event_id""".stripMargin,
 
     "q_events_json_extract" ->
       """SELECT event_type, floor((avg(k))*10000 + 0.5)/10000 AS avg_k, min(k) AS min_k, max(k) AS max_k

@@ -202,6 +202,20 @@ object Relational {
       .orderBy($"event_type", $"rnk")
   }
 
+  /** Top-3 raw events per type through the native TopKPerKey operator
+    * (graft.plans) — partial per-partition heaps, shuffle of ≤ k rows
+    * per (partition, key), final merge; no per-partition total sort. */
+  val qEventsTopkNative: QueryFn = (s, dir) => {
+    import s.implicits._
+    graft.plans.TopK
+      .perKey(Tables.events(s, dir),
+        keyCols = Seq("event_type"),
+        orderCols = Seq("value" -> false, "event_id" -> true),
+        k = 3)
+      .select($"event_type", $"event_id", $"value")
+      .orderBy($"event_type", $"value".desc, $"event_id".asc)
+  }
+
   /** Semi-structured extraction: JSON props → typed column → agg. */
   val qEventsJsonExtract: QueryFn = (s, dir) => {
     import s.implicits._

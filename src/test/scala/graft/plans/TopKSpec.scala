@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class TopKSpec extends SparkTestBase {
+
+  test("TopK.perKey == window row_number form (events: top 3 values per type)") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val got = TopK.perKey(ev,
+        keyCols = Seq("event_type"),
+        orderCols = Seq("value" -> false, "event_id" -> true),
+        k = 3)
+      .select($"event_type", $"event_id", $"value")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"value".desc, $"event_id".asc)
+    val expected = ev.withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3)
+      .select($"event_type", $"event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    assert(got == expected)
+    assert(got.size == 15) // 5 event types x top 3
+  }
+
+  test("physical plan: partial + final TopKPerKeyExec with one exchange between") {
+    val df = TopK.perKey(Tables.events(spark, sfDir),
+      Seq("event_type"), Seq("value" -> false), 2)
+    df.collect() // force planning through AQE
+    val plan = df.queryExecution.executedPlan.toString
+    // AQE prints both the final and initial plans: 2 nodes in each
+    assert("TopKPerKey \\[".r.findAllIn(plan).size >= 2, plan.take(600))
+    assert(plan.contains("Exchange hashpartitioning(event_type"), plan.take(600))
+  }
+
+  test("keys with fewer than k rows are returned whole") {
+    import spark.implicits._
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+    val got = TopK.perKey(tiny, Seq("k"), Seq("v" -> false), 5)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L), ("a", 2L), ("b", 3L)))
+  }
+}
