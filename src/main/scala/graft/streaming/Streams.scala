@@ -62,6 +62,14 @@ object Streams {
         col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"), col("approx_users"))
 
+  /** Streaming dedup: first event per (user_id, event_type) wins;
+    * state for a key is dropped once the watermark passes it —
+    * bounded state, the streaming twin of `dedup_exact`. */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
   // ---- stateful sessionization ----
 
   final case class Ev(user_id: Long, ts_us: Long, value: Double)

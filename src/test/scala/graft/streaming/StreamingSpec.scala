@@ -29,6 +29,19 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("streaming dedup: one survivor per (user, type) key") {
+    import spark.implicits._
+    val deduped = Streams.streamingDedup(Streams.eventsStream(spark, sfDir))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_out").count()
+    val expected = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type").distinct().count()
+    assert(got == expected)
+    assert(got > 0)
+  }
+
   test("streaming sessionize: closed sessions + open state == batch session count") {
     import spark.implicits._
     // stream path: one micro-batch holding the whole finite table
