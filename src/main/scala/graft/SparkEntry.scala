@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnOps, DedupOps, Relational, RelationalExt, TextOps}
+import graft.operators.{AnnOps, DedupOps, EventAnalytics, Relational, RelationalExt, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -48,6 +48,8 @@ object SparkEntry {
     "q_set_ops"                   -> RelationalExt.qSetOps,
     "q_pivot_status"              -> RelationalExt.qPivotStatus,
     "q_value_percentiles"         -> RelationalExt.qValuePercentiles,
+    "q_events_funnel"             -> EventAnalytics.qEventsFunnel,
+    "q_events_retention"          -> EventAnalytics.qEventsRetention,
     // §2.A mapreduce parity
     "mr_wordcount"                -> TextOps.mrWordcount,
     "mr_wordcount_engine"         -> TextOps.mrWordcountEngine,
@@ -268,6 +270,24 @@ object SparkEntry {
         |floor((quantile_cont(value, 0.75))*10000 + 0.5)/10000 AS p75,
         |floor((quantile_cont(value, 0.95))*10000 + 0.5)/10000 AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |       (SELECT count(*) FROM s2) AS n_view_after,
+        |       (SELECT count(*) FROM s3) AS n_purchase_after""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS d0 FROM events GROUP BY user_id)
+        |SELECT strftime(f.d0, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', f.d0, date_trunc('day', e.ts)) AS BIGINT) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
 
     "mr_wordcount" ->
       """SELECT word, count(*) AS cnt

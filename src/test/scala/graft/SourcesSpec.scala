@@ -29,6 +29,43 @@ class SourcesSpec extends SparkTestBase {
       Tables.documents(spark, sfDir).where($"lang" === "en").count())
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    // the catalog is per-JVM but the warehouse dir persists: clear
+    // leftover locations from previous runs
+    for (t <- Seq("li_bucketed", "ord_bucketed")) {
+      val d = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete())
+        d.delete()
+      }
+    }
+    Tables.lineitem(spark, sfDir)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    Tables.orders(spark, sfDir)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself must not shuffle either side: the only
+      // exchange allowed is the one feeding the final aggregation
+      val joinPart = plan.split("HashAggregate").last
+      assert(!joinPart.contains("Exchange"),
+        s"bucketed join should be exchange-free:\n${plan.take(1200)}")
+      assert(joined.agg(sum($"n")).head().getLong(0) ==
+        Tables.lineitem(spark, sfDir).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("csv and json round-trip a full table with schema") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).orderBy($"doc_id")
