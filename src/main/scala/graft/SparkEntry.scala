@@ -48,6 +48,8 @@ object SparkEntry {
     "q_set_ops"                   -> RelationalExt.qSetOps,
     "q_pivot_status"              -> RelationalExt.qPivotStatus,
     "q_value_percentiles"         -> RelationalExt.qValuePercentiles,
+    "q19_discounted_revenue"      -> RelationalExt.q19DiscountedRevenue,
+    "q_events_moving_avg"         -> RelationalExt.qEventsMovingAvg,
     "q_events_funnel"             -> EventAnalytics.qEventsFunnel,
     "q_events_retention"          -> EventAnalytics.qEventsRetention,
     // §2.A mapreduce parity
@@ -270,6 +272,21 @@ object SparkEntry {
         |floor((quantile_cont(value, 0.75))*10000 + 0.5)/10000 AS p75,
         |floor((quantile_cont(value, 0.95))*10000 + 0.5)/10000 AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q19_discounted_revenue" ->
+      """SELECT floor((CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q_events_moving_avg" ->
+      """SELECT user_id, event_id, floor((value)*10000 + 0.5)/10000 AS value,
+        |floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))*10000 + 0.5)/10000 AS mavg
+        |FROM events WHERE user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_events_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),

@@ -118,6 +118,35 @@ object RelationalExt {
       .orderBy($"c_mktsegment")
   }
 
+  /** TPC-H Q19-style: disjunction of conjunctive band predicates —
+    * exercises OR-of-ANDs pushdown and join + residual filtering. */
+  val q19DiscountedRevenue: QueryFn = (s, dir) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .where(
+        ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity".between(1, 20)) ||
+        ($"p_brand" === "Brand#2" && $"p_size".between(10, 30) && $"l_quantity".between(10, 30)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(20, 50) && $"l_quantity".between(20, 40)))
+      .agg(
+        rnd(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Trailing moving average over each user's event values (window
+    * frame: 3 preceding + current), first 10 users. */
+  val qEventsMovingAvg: QueryFn = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(s, dir)
+      .where($"user_id" < 10)
+      .withColumn("mavg", rnd(avg($"value").over(w), 4))
+      .select($"user_id", $"event_id", rnd($"value", 4).as("value"), $"mavg")
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** Set operations: customers ordering in both 1996 and 1997
     * (INTERSECT) but not 1998 (EXCEPT). */
   val qSetOps: QueryFn = (s, dir) => {

@@ -7,6 +7,18 @@ import org.apache.spark.sql.functions._
 /** SURVEY §2.H: partitioned writes + partition pruning on read. */
 class SourcesSpec extends SparkTestBase {
 
+  test("driver contract: entry() flagship returns rows; every query has unique columns") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // oracle compare sorts columns by name — duplicate names would
+    // silently corrupt it
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, sfDir).columns.toSeq
+      assert(cols.distinct == cols, s"$name has duplicate columns: $cols")
+    }
+    // every oracle key must have a query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("partitionBy write → partition-pruned read") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-part").toString + "/docs"
