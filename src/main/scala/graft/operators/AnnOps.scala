@@ -33,11 +33,19 @@ object AnnOps {
   }
 
   private def rankTopK(cands: DataFrame, k: Int): DataFrame = {
+    // heavy phase: native TopKPerKey (bounded heaps, ≤k rows per
+    // (partition, probe) shuffled) instead of a window sort over
+    // every candidate; the row_number afterwards only ranks the
+    // k·probes survivors
+    val topped = graft.plans.TopK.perKey(
+      cands.withColumn("sim_r", rnd(col("sim"), 6)),
+      keyCols = Seq("pid"),
+      orderCols = Seq("sim_r" -> false, "nid" -> true),
+      k = k)
     val w = Window.partitionBy(col("pid"))
-      .orderBy(rnd(col("sim"), 6).desc, col("nid").asc)
-    cands
+      .orderBy(col("sim_r").desc, col("nid").asc)
+    topped
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
       .select(col("pid"), col("rnk"), col("nid"), rnd(col("sim"), 4).as("sim"))
       .orderBy(col("pid"), col("rnk"))
   }
