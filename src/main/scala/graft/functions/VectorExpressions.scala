@@ -75,12 +75,81 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen SimHash over a token array — one fused loop per
+  * row, bit-compatible with [[Hashes.simhash64]] (same FNV-1a char
+  * hash, same majority rule); VectorExprSpec asserts equality. */
+case class SimHash64Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 expects array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val acc = new Array[Int](64)
+    var j = 0
+    while (j < arr.numElements()) {
+      if (!arr.isNullAt(j)) {
+        val h = Hashes.fnv64(arr.getUTF8String(j).toString)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $acc = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $h = graft.functions.Hashes.fnv64($a.getUTF8String($i).toString());
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $acc[$b]++; else $acc[$b]--;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) if ($acc[$b] > 0) $sig |= (1L << $b);
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   /** Column-API face of [[CosineSim]]. */
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+
+  /** Column-API face of [[SimHash64Expr]]. */
+  def simhash64_native(tokens: Column): Column =
+    column(SimHash64Expr(expression(tokens)))
 
   private val fnId = FunctionIdentifier("cosine_sim")
   private val info = new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim")

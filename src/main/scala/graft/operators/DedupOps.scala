@@ -92,7 +92,8 @@ object DedupOps {
   val dedupSimhash: QueryFn = (s, dir) => {
     import s.implicits._
     val sigs = Tables.documents(s, dir)
-      .select($"doc_id", simhash64(normTokens($"text")).as("sig"))
+      .select($"doc_id",
+        graft.functions.VectorExpressions.simhash64_native(normTokens($"text")).as("sig"))
       .cache()
     val keyed = sigs.select($"doc_id",
       explode(array((0 until 4).map { c =>

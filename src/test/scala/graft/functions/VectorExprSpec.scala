@@ -55,6 +55,18 @@ class VectorExprSpec extends SparkTestBase {
     assert(n == 45)
   }
 
+  test("SimHash64Expr == UDF simhash, bit for bit, on real token arrays") {
+    import spark.implicits._
+    import graft.functions.Cols.normTokens
+    val diff = Tables.documents(spark, sfDir)
+      .select(
+        VectorExpressions.simhash64_native(normTokens($"text")).as("native"),
+        Hashes.simhash64(normTokens($"text")).as("viaUdf"))
+      .where($"native" =!= $"viaUdf")
+      .count()
+    assert(diff == 0)
+  }
+
   test("null/mismatched input handling") {
     import spark.implicits._
     val df = Seq(
