@@ -65,6 +65,8 @@ object SparkEntry {
     "text_fingerprint"            -> TextOps.textFingerprint,
     "text_winnow"                 -> TextOps.textWinnow,
     "text_sample_hash"            -> TextOps.textSampleHash,
+    "text_levenshtein_pairs"      -> TextOps.textLevenshteinPairs,
+    "q_corr_stats"                -> RelationalExt.qCorrStats,
     // §2.C dedup
     "dedup_exact"                 -> TextOps.dedupExact,
     "dedup_minhash_lsh"           -> DedupOps.dedupMinhashLsh,
@@ -368,6 +370,21 @@ object SparkEntry {
         |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
         |       WHEN es_hits > 0 THEN 'es' ELSE 'und' END AS lang_pred
         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "text_levenshtein_pairs" ->
+      """SELECT a.source AS src_a, b.source AS src_b,
+        |CAST(levenshtein(a.source, b.source) AS BIGINT) AS dist
+        |FROM (SELECT DISTINCT source FROM documents) a,
+        |     (SELECT DISTINCT source FROM documents) b
+        |WHERE a.source < b.source AND levenshtein(a.source, b.source) <= 2
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    "q_corr_stats" ->
+      """SELECT l_returnflag,
+        |floor((corr(l_quantity, l_extendedprice))*10000 + 0.5)/10000 AS qty_price_corr,
+        |floor((stddev_samp(l_quantity))*10000 + 0.5)/10000 AS qty_stddev,
+        |floor((covar_samp(l_quantity, l_extendedprice))*100 + 0.5)/100 AS qty_price_covar
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "text_sample_hash" ->
       """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id, max(doc_id) AS last_id

@@ -173,6 +173,19 @@ object RelationalExt {
       .orderBy($"c_mktsegment")
   }
 
+  /** Statistical aggregates: correlation, sample stddev/covariance
+    * of quantity vs extended price per return flag. */
+  val qCorrStats: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        rnd(corr($"l_quantity", $"l_extendedprice"), 4).as("qty_price_corr"),
+        rnd(stddev_samp($"l_quantity"), 4).as("qty_stddev"),
+        rnd(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("qty_price_covar"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Exact interpolated percentiles (type-7, same as DuckDB
     * quantile_cont) of event value per type. */
   val qValuePercentiles: QueryFn = (s, dir) => {

@@ -156,6 +156,20 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Pairwise edit distance between distinct source labels (string
+    * similarity surface; tiny-side cross join stays broadcastable). */
+  val textLevenshteinPairs: QueryFn = (s, dir) => {
+    import s.implicits._
+    val srcs = Tables.documents(s, dir).select($"source").distinct()
+    val a = srcs.select($"source".as("src_a"))
+    val b = srcs.select($"source".as("src_b"))
+    a.crossJoin(broadcast(b))
+      .where($"src_a" < $"src_b")
+      .withColumn("dist", levenshtein($"src_a", $"src_b").cast("long"))
+      .where($"dist" <= 2)
+      .orderBy($"src_a", $"src_b")
+  }
+
   /** Deterministic hash sampling: ~12.5% of docs selected by the
     * first hex nibble of md5(doc_id) — the engine-portable way to
     * sample reproducibly (seeded `TABLESAMPLE` is engine-specific;

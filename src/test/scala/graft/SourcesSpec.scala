@@ -78,6 +78,18 @@ class SourcesSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("orc round-trips with schema and pushdown") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString + "/li"
+    val li = Tables.lineitem(spark, sfDir)
+    li.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == li.count())
+    val filtered = back.where($"l_quantity" < 10).select($"l_orderkey")
+    assert(filtered.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    assert(filtered.count() == li.where($"l_quantity" < 10).count())
+  }
+
   test("csv and json round-trip a full table with schema") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).orderBy($"doc_id")
