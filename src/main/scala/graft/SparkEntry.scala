@@ -52,6 +52,8 @@ object SparkEntry {
     "q_events_moving_avg"         -> RelationalExt.qEventsMovingAvg,
     "q_events_funnel"             -> EventAnalytics.qEventsFunnel,
     "q_events_retention"          -> EventAnalytics.qEventsRetention,
+    "q_events_anomaly"            -> EventAnalytics.qEventsAnomaly,
+    "q_orders_mom_growth"         -> EventAnalytics.qOrdersMoM,
     // §2.A mapreduce parity
     "mr_wordcount"                -> TextOps.mrWordcount,
     "mr_wordcount_engine"         -> TextOps.mrWordcountEngine,
@@ -299,6 +301,28 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM s1) AS n_signup,
         |       (SELECT count(*) FROM s2) AS n_view_after,
         |       (SELECT count(*) FROM s3) AS n_purchase_after""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH st AS (
+        |  SELECT event_type AS et,
+        |    CAST(sum(CAST((value) AS DECIMAL(27,10))) AS DOUBLE) AS sv,
+        |    CAST(sum(CAST((value*value) AS DECIMAL(27,10))) AS DOUBLE) AS svv,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY event_type),
+        |th AS (SELECT et, sv/n AS mean, sqrt((svv - sv*sv/n)/(n - 1.0)) AS sd FROM st)
+        |SELECT event_type, event_id, floor((value)*10000 + 0.5)/10000 AS value
+        |FROM events JOIN th ON event_type = et
+        |WHERE value > mean + 3.0*sd
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "q_orders_mom_growth" ->
+      """WITH m AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |    floor((CAST(sum(CAST((o_totalprice) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  floor(((revenue - lag(revenue) OVER (ORDER BY month)) / lag(revenue) OVER (ORDER BY month) * 100.0)*10000 + 0.5)/10000 AS growth_pct
+        |FROM m ORDER BY month""".stripMargin,
 
     "q_events_retention" ->
       """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS d0 FROM events GROUP BY user_id)

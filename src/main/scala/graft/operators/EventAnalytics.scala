@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Cols.rnd
 
 /** Product-analytics operators over the events stream (SURVEY §2.B
   * cont.) — funnel and cohort-retention, the two staples of
@@ -30,6 +31,44 @@ object EventAnalytics {
     s1.agg(count(lit(1)).as("n_signup"))
       .crossJoin(s2.agg(count(lit(1)).as("n_view_after")))
       .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  /** 3-sigma anomaly detection per event type. Mean and stddev are
+    * derived from decimal-exact sums (sum, sum of squares), so the
+    * threshold is bit-identical across engines and the filter can
+    * never flip on association noise. */
+  val qEventsAnomaly: QueryFn = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Cols.xsum
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy($"event_type".as("et"))
+      .agg(
+        xsum($"value").as("sv"),
+        xsum($"value" * $"value").as("svv"),
+        count(lit(1)).cast("double").as("n"))
+      .select($"et", ($"sv" / $"n").as("mean"),
+        sqrt(($"svv" - $"sv" * $"sv" / $"n") / ($"n" - 1.0)).as("sd"))
+    ev.join(broadcast(stats), $"event_type" === $"et")
+      .where($"value" > $"mean" + lit(3.0) * $"sd")
+      .select($"event_type", $"event_id", rnd($"value", 4).as("value"))
+      .orderBy($"event_type", $"event_id")
+  }
+
+  /** Month-over-month revenue growth (lag window over a monthly
+    * rollup). */
+  val qOrdersMoM: QueryFn = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Cols.xsum
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("month"))
+      .agg(rnd(xsum($"o_totalprice"), 2).as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"month")
+    monthly
+      .withColumn("prev", lag($"revenue", 1).over(w))
+      .withColumn("growth_pct",
+        rnd(($"revenue" - $"prev") / $"prev" * 100.0, 4))
+      .select($"month", $"revenue", $"growth_pct")
+      .orderBy($"month")
   }
 
   /** Day-0 cohort retention: users grouped by first-seen day, counted
