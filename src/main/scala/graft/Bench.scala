@@ -1,18 +1,46 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, forcing full materialization through the noop
   * sink (a bare `.count()` would let Catalyst prune the very columns
-  * the query exists to compute). One unmeasured warmup run per query
-  * amortizes JIT/codegen/broadcast setup, so the reported number is
-  * steady-state throughput. Output: one JSON line on stdout.
+  * the query exists to compute).
+  *
+  * Built to survive a driver wall-clock kill (round-1 failure mode:
+  * the sbt run was killed mid-list and the round had NO perf
+  * artifact):
+  *  - each query runs inside its own Spark job group with a watchdog
+  *    that cancels it after SPARK_GRAFT_QUERY_TIMEOUT (default 60 s);
+  *  - a global deadline (SPARK_GRAFT_BENCH_BUDGET, default 480 s of
+  *    query time) skips the remainder rather than blowing the budget,
+  *    so the final stdout JSON line always lands;
+  *  - per-query timings flush incrementally to stderr and to
+  *    `bench_partial.jsonl` as each query completes;
+  *  - a JVM shutdown hook prints the summary line with whatever has
+  *    completed if the process is killed before the natural end.
+  *
+  * Warmup policy: a first measured run covers codegen + broadcast +
+  * JIT; only queries whose first run lands in [1 s, 30 s] get a second
+  * (steady-state) run, and the reported value is the min — sub-second
+  * queries are overhead-dominated either way, and very slow ones
+  * can't afford the repeat.
+  *
+  * Output: one JSON line on stdout —
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * Failed queries report -1, budget-skipped ones -2; both are
+  * excluded from the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val queryTimeoutMs =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "60").toLong * 1000L
+    val benchBudgetMs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "480").toLong * 1000L
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,28 +50,71 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val done = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val printed = new AtomicBoolean(false)
+
+    def summaryLine(): String = {
+      val qs = names.map { n =>
+        "\"" + n + "\":" + "%.3f".format(done.getOrDefault(n, -2.0))
+      }.mkString("{", ",", "}")
+      val total = names.map(n => done.getOrDefault(n, -2.0)).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Driver kill (SIGTERM) still yields the partial summary on stdout.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (printed.compareAndSet(false, true)) { println(summaryLine()); System.out.flush() }
+    }))
+
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
-      val t = try {
-        force(name) // warmup: codegen + broadcast + JIT
+    /** Run with a watchdog that cancels the job group at the timeout. */
+    def timedRun(name: String): Double = {
+      val group = s"bench-$name"
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+      val watchdog = new java.util.Timer(true)
+      watchdog.schedule(new java.util.TimerTask {
+        def run(): Unit = spark.sparkContext.cancelJobGroup(group)
+      }, queryTimeoutMs)
+      try {
         val t0 = System.nanoTime()
         force(name)
         (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+      } finally {
+        watchdog.cancel()
+        spark.sparkContext.clearJobGroup()
       }
-      name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val partial = new java.io.PrintWriter(
+      new java.io.FileWriter("bench_partial.jsonl", false), true)
+    val benchStart = System.nanoTime()
+    names.zipWithIndex.foreach { case (name, i) =>
+      val elapsedMs = (System.nanoTime() - benchStart) / 1e6
+      if (elapsedMs > benchBudgetMs) {
+        done.put(name, -2.0)
+        System.err.println(s"[bench] $name SKIPPED (budget ${benchBudgetMs / 1000}s exceeded)")
+      } else {
+        val t = try {
+          val t1 = timedRun(name)
+          val remainingMs = benchBudgetMs - (System.nanoTime() - benchStart) / 1e6
+          if (t1 >= 1.0 && t1 <= 30.0 && remainingMs > t1 * 1500) // 1.5x headroom
+            math.min(t1, timedRun(name))
+          else t1
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
+        done.put(name, t)
+        System.err.println(f"[bench] ${i + 1}%2d/${names.size} $name%-28s ${t}%8.3f s")
+        partial.println(s"""{"name":"$name","sec":${"%.3f".format(t)}}""")
+      }
+    }
+    partial.close()
+    if (printed.compareAndSet(false, true)) println(summaryLine())
     spark.stop()
   }
 }

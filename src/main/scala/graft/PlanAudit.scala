@@ -49,6 +49,17 @@ object PlanAudit {
         "codegen cosine" -> (_.contains("WholeStageCodegen subtree"))),
       "dedup_minhash_lsh" -> Map(
         "no cartesian product" -> (p => !p.contains("CartesianProduct"))),
+      "ann_ivf_topk" -> Map(
+        // r1 regression guard: centroid assignment must stay a map-side
+        // argmax — no corpus crossJoin, no window shuffled by vec_id
+        // (the only windows left are the per-probe top-k ranking)
+        "no cartesian assignment" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "no per-vector window shuffle" -> (p =>
+          !p.contains("windowspecdefinition(vec_id"))),
+      "dedup_embedding" -> Map(
+        "top-N is bounded TakeOrdered, not a global sort" ->
+          (_.contains("TakeOrderedAndProject"))),
       "mr_wordcount" -> Map(
         "partial count before shuffle" -> (_.contains("partial_count")),
         "only text column read" -> (p => !p.contains("doc_id"))))

@@ -28,13 +28,18 @@ trait Outputer extends Serializable {
 }
 
 /** One file = one map input, like S3Inputer listing a folder prefix
-  * (inputer.go:20): key = file name, value = whole file contents. */
-final case class TextDirInputer(dir: String) extends Inputer {
+  * (inputer.go:20): key = file name, value = whole file contents.
+  *
+  * `prefix` filters inputs to file names starting with it — parity
+  * with FilterKeysByPrefix (/root/reference/s3_utils.go:49), which
+  * lets a job run over a key subset. Empty prefix = everything. */
+final case class TextDirInputer(dir: String, prefix: String = "") extends Inputer {
   override def listKeys(spark: SparkSession): Seq[String] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath.toString).sorted.toSeq
   }
   override def getValue(spark: SparkSession, key: String): String = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -48,7 +53,10 @@ final case class TextDirInputer(dir: String) extends Inputer {
   }
   override def toDataset(spark: SparkSession): Dataset[(String, String)] = {
     import spark.implicits._
-    spark.read.option("wholetext", "true").text(dir)
+    // the prefix reaches the source as a glob, so non-matching files
+    // are never opened (the distributed twin of the listKeys filter)
+    val path = if (prefix.isEmpty) dir else s"$dir/$prefix*"
+    spark.read.option("wholetext", "true").text(path)
       .select(input_file_name().as("key"), col("value"))
       .as[(String, String)]
   }
@@ -138,4 +146,36 @@ final case class TableOutputer(
 
 object ParquetOutputer {
   def apply(dir: String): TableOutputer = TableOutputer("parquet", dir)
+}
+
+/** One object per reduced key — literal parity with S3Outputer, which
+  * stores `OutputFolder/<key>` per reduce output
+  * (/root/reference/outputer.go:29). On a distributed FS the "object"
+  * is the directory `dir/key=<k>/` holding exactly one part file: the
+  * dataset is repartitioned by key first, so each key's rows land in
+  * one task, and `partitionBy` splits that task's output per key.
+  * Hive-style escaping applies to keys with special characters — the
+  * documented deviation from raw S3 object names. */
+final case class KeyedDirOutputer(dir: String, format: String = "text")
+    extends Outputer {
+  override def write[Out](ds: Dataset[(String, Out)]): Unit =
+    ds.toDF("key", "value")
+      .withColumn("value", col("value").cast("string"))
+      .repartition(col("key"))
+      .write.partitionBy("key").mode(SaveMode.Overwrite).format(format).save(dir)
+}
+
+/** Chunk-writer parity with SplitFileIntoChunks
+  * (/root/reference/s3_utils.go:71): split `path` at line boundaries
+  * into ~chunkBytes pieces MATERIALIZED as one object per chunk under
+  * `outDir` (the reference pre-chunks corpora so later jobs read
+  * chunk-per-task). Chunking and writing are both distributed — the
+  * driver never holds a chunk. Returns the number of chunks. */
+object ChunkWriter {
+  def splitFileIntoChunks(
+      spark: SparkSession, path: String, outDir: String, chunkBytes: Long): Long = {
+    val chunks = ChunkedTextInputer(path, chunkBytes).toDataset(spark)
+    KeyedDirOutputer(outDir).write(chunks)
+    spark.read.format("text").load(outDir).select(col("key")).distinct().count()
+  }
 }

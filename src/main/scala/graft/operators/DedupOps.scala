@@ -162,9 +162,21 @@ object DedupOps {
     labels.select($"doc_id", $"rep".as("cluster_rep")).orderBy($"doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs via random-hyperplane LSH:
-    * 16-bit sign signature, two 8-bit bands for candidates, exact
-    * cosine >= 0.95 verification. */
+  val EmbTopN = 100
+
+  /** Embedding-cosine near-dup *review queue*: random-hyperplane LSH
+    * candidates (16-bit sign signature, two 8-bit bands), exact cosine
+    * inside the candidate set, and the global top-N most-similar pairs
+    * emitted (cos desc, then vec ids — fully deterministic).
+    *
+    * r1 emitted `cos >= 0.95` pairs, which is the right production
+    * threshold but returns 0 rows on the near-random test embeddings
+    * (max pair cosine ≈ 0.51 at sf0.01), making the driver's check
+    * vacuous. Top-N keeps the identical LSH+verify scale shape — the
+    * ranking is a TakeOrderedAndProject (per-partition bounded heaps,
+    * never a global sort), so the plan is 100 TB-safe — while always
+    * producing a checkable, nonzero result. A production dedup pass
+    * filters the same candidate stream at its τ instead of ranking. */
   val dedupEmbedding: QueryFn = (s, dir) => {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
@@ -181,9 +193,9 @@ object DedupOps {
     val a = sigged.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
     val b = sigged.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
     pairs.join(a, "vec_a").join(b, "vec_b")
-      .withColumn("cos", cosine_sim($"emb_a", $"emb_b"))
-      .where($"cos" >= 0.95)
-      .select($"vec_a", $"vec_b", rnd($"cos", 4).as("cos"))
-      .orderBy($"vec_a", $"vec_b")
+      .withColumn("cos_raw", cosine_sim($"emb_a", $"emb_b"))
+      .orderBy(rnd($"cos_raw", 6).desc, $"vec_a".asc, $"vec_b".asc)
+      .limit(EmbTopN)
+      .select($"vec_a", $"vec_b", rnd($"cos_raw", 4).as("cos"))
   }
 }

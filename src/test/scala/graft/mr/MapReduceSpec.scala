@@ -143,4 +143,52 @@ class MapReduceSpec extends SparkTestBase {
     val first = ds.filter(col("_1") === "0").collect()
     assert(first.length == 1)
   }
+
+  test("TextDirInputer prefix filter: only matching keys listed and read") {
+    val dir = Files.createTempDirectory("graft-prefix").toFile
+    Files.writeString(new java.io.File(dir, "train_1.txt").toPath, "t1")
+    Files.writeString(new java.io.File(dir, "train_2.txt").toPath, "t2")
+    Files.writeString(new java.io.File(dir, "eval_1.txt").toPath, "e1")
+    val in = TextDirInputer(dir.getAbsolutePath, prefix = "train_")
+    val keys = in.listKeys(spark)
+    assert(keys.size == 2 && keys.forall(_.contains("train_")))
+    val ds = in.toDataset(spark).collect()
+    assert(ds.length == 2 && ds.map(_._2).toSet == Set("t1", "t2"))
+  }
+
+  test("KeyedDirOutputer: one object per reduced key (outputer.go parity)") {
+    import spark.implicits._
+    val data = Seq(("alpha", 3L), ("beta", 7L), ("gamma", 11L)).toDS()
+    val dir = Files.createTempDirectory("graft-keyed").toString + "/out"
+    KeyedDirOutputer(dir).write(data)
+    val keyDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("key=")).sortBy(_.getName)
+    assert(keyDirs.map(_.getName).toSeq == Seq("key=alpha", "key=beta", "key=gamma"))
+    keyDirs.foreach { kd =>
+      val parts = kd.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.length == 1, s"${kd.getName}: expected exactly one object")
+    }
+    val back = spark.read.format("text").load(dir)
+      .select(col("key"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getString(1).toLong).toMap
+    assert(back == Map("alpha" -> 3L, "beta" -> 7L, "gamma" -> 11L))
+  }
+
+  test("ChunkWriter.splitFileIntoChunks materializes reassemblable chunks") {
+    val f = Files.createTempFile("graft-split", ".txt")
+    val lines = (1 to 1000).map(i => s"row-$i")
+    Files.writeString(f, lines.mkString("\n"))
+    val outDir = Files.createTempDirectory("graft-split-out").toString + "/chunks"
+    val n = ChunkWriter.splitFileIntoChunks(spark, f.toString, outDir, chunkBytes = 2048)
+    assert(n > 1, "expected multiple materialized chunks")
+    // reassemble from the stored objects, ordered by chunk number
+    // each chunk value ends with '\n', so the line-wise read-back has
+    // one empty trailing record per chunk object — drop those
+    val back = spark.read.format("text").load(outDir)
+      .select(col("key").cast("int"), col("value")).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+      .filter(_._2.nonEmpty)
+      .sortBy(_._1).map(_._2)
+    assert(back.toSeq == lines, "chunk objects must reassemble the file's lines")
+  }
 }

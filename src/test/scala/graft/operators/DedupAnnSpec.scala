@@ -84,10 +84,36 @@ class DedupAnnSpec extends SparkTestBase {
     assert(!got.keySet.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
-  test("dedup_embedding: near-identical vectors found, others not") {
-    val got = DedupOps.dedupEmbedding(spark, synthDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((0L, 1L)), s"got $got")
+  test("dedup_embedding: near-identical pair ranks first with cos ~ 1") {
+    val rows = DedupOps.dedupEmbedding(spark, synthDir).collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert((top.getLong(0), top.getLong(1)) == ((0L, 1L)), s"top pair: $top")
+    assert(top.getDouble(2) > 0.99, s"near-identical cos: ${top.getDouble(2)}")
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "cos descending")
+  }
+
+  test("dedup_embedding: sf0.001 pairs carry exact brute-force cosines, full top-N") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = DedupOps.dedupEmbedding(spark, sfDir).collect()
+    assert(rows.length == DedupOps.EmbTopN, s"expected full top-N, got ${rows.length}")
+    rows.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(a < b, "pairs canonical (a < b)")
+      val truth = math.floor(cos(emb(a), emb(b)) * 1e4 + 0.5) / 1e4
+      assert(math.abs(c - truth) <= 1e-9, s"pair ($a,$b): emitted $c vs brute $truth")
+    }
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, "cos descending")
   }
 
   test("dedup_clusters: transitive closure groups {0,1,3}, leaves 2 alone") {
@@ -136,7 +162,9 @@ class DedupAnnSpec extends SparkTestBase {
       val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
       val recall = got.intersect(exact).size.toDouble / exact.size
       info(s"$name recall@5 = $recall")
-      assert(recall > 0.15, s"$name recall too low: $recall")
+      // a real bar: tuned band/probe budgets (12×4-bit bands; 6 probe
+      // cells) hold ~0.8 recall on the near-random test embeddings
+      assert(recall >= 0.6, s"$name recall too low: $recall")
     }
   }
 
@@ -151,7 +179,8 @@ class DedupAnnSpec extends SparkTestBase {
   }
 
   test("queries are deterministic across runs (rows-only gate safety)") {
-    for (name <- Seq("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk")) {
+    for (name <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
+                     "ann_lsh_topk", "ann_ivf_topk")) {
       val fn = graft.SparkEntry.queries(name)
       val r1 = fn(spark, sfDir).collect().toSeq
       val r2 = fn(spark, sfDir).collect().toSeq
