@@ -60,6 +60,12 @@ object PlanAudit {
       "dedup_embedding" -> Map(
         "top-N is bounded TakeOrdered, not a global sort" ->
           (_.contains("TakeOrderedAndProject"))),
+      "q_skewed_agg" -> Map(
+        // the salt must reach the physical join keys, and the salted
+        // side must stay a shuffle join (a broadcast would silently
+        // defeat the salt and re-concentrate the hot key)
+        "salt in join keys" -> (_.contains("__salt")),
+        "salted join stays shuffle-hash" -> (_.contains("ShuffledHashJoin"))),
       "mr_wordcount" -> Map(
         "partial count before shuffle" -> (_.contains("partial_count")),
         "only text column read" -> (p => !p.contains("doc_id"))))

@@ -49,6 +49,10 @@ object SparkEntry {
     "q_pivot_status"              -> RelationalExt.qPivotStatus,
     "q_value_percentiles"         -> RelationalExt.qValuePercentiles,
     "q19_discounted_revenue"      -> RelationalExt.q19DiscountedRevenue,
+    "q12_late_lines"              -> RelationalExt.q12LateLines,
+    "q14_promo_share"             -> RelationalExt.q14PromoShare,
+    "q16_brand_suppliers"         -> RelationalExt.q16BrandSuppliers,
+    "q_skewed_agg"                -> RelationalExt.qSkewedAgg,
     "q_events_moving_avg"         -> RelationalExt.qEventsMovingAvg,
     "q_events_funnel"             -> EventAnalytics.qEventsFunnel,
     "q_events_retention"          -> EventAnalytics.qEventsRetention,
@@ -76,6 +80,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"         -> DedupOps.dedupNgramJaccard,
     "dedup_embedding"             -> DedupOps.dedupEmbedding,
     "dedup_clusters"              -> DedupOps.dedupClusters,
+    "dedup_pipeline"              -> DedupOps.dedupPipeline,
     // §2.D similarity search
     "ann_bruteforce_topk"         -> AnnOps.annBruteforceTopk,
     "ann_lsh_topk"                -> AnnOps.annLshTopk,
@@ -284,6 +289,57 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |floor((100.0 * CAST(sum(CAST((CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) AS DECIMAL(27,10))) AS DOUBLE)
+        | / CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(27,10))) AS DOUBLE))*10000 + 0.5)/10000 AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q16_brand_suppliers" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (1, 5, 10, 15, 20, 25)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q_skewed_agg" ->
+      """SELECT o_orderpriority,
+        |floor((CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS revenue,
+        |count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]) AS sh
+        |  FROM toks WHERE len(tk) >= 3),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 20),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ex a JOIN rare USING (s) JOIN ex b USING (s)
+        |  WHERE a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, floor((jac)*10000 + 0.5)/10000 AS jaccard
+        |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_events_moving_avg" ->
       """SELECT user_id, event_id, floor((value)*10000 + 0.5)/10000 AS value,

@@ -33,20 +33,21 @@ object DedupOps {
   val Bands = 16
   val RowsPerBand = 4 // Bands * RowsPerBand == NumPerms
 
-  /** doc_id + distinct shingle set, reused by the minhash and ngram
-    * operators. Shingles are stored as xxhash64 longs, not strings:
-    * the downstream array_intersect/array_union verification compares
-    * 8-byte values instead of variable-length strings (measured ~2×
-    * on the verify join), and a 64-bit collision corrupting a Jaccard
-    * estimate is ~1e-13 per pair. */
-  private def docShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .select($"doc_id",
-        array_distinct(transform(shingles(normTokens($"text"), ShingleSize),
-          sh => xxhash64(sh))).as("sh"))
-      .filter(size($"sh") > 0)
-  }
+  /** doc_id + distinct shingle set from any (doc_id, text) frame —
+    * reused by the minhash, ngram, and pipeline operators. Shingles
+    * are stored as xxhash64 longs, not strings: the downstream
+    * array_intersect/array_union verification compares 8-byte values
+    * instead of variable-length strings (measured ~2× on the verify
+    * join), and a 64-bit collision corrupting a Jaccard estimate is
+    * ~1e-13 per pair. */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(transform(shingles(normTokens(col("text")), ShingleSize),
+        sh => xxhash64(sh))).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  private def docShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    shingled(Tables.documents(s, dir))
 
   /** Candidate pairs (a < b) from exploding a per-doc key array and
     * self-joining on the key. */
@@ -71,20 +72,26 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash + banded LSH near-dup pairs, verified at jaccard >= 0.5.
-    * B=16 bands of r=4 ⇒ candidate threshold ≈ (1/16)^(1/4) ≈ 0.5. */
-  val dedupMinhashLsh: QueryFn = (s, dir) => {
-    import s.implicits._
-    val docs = docShingles(s, dir).cache()
+  /** MinHash+LSH near-dup pairs over a pre-shingled (doc_id, sh)
+    * frame (the reusable stage behind [[dedupMinhashLsh]] and
+    * [[dedupPipeline]]), verified at jaccard >= tau. */
+  private def minhashPairs(docs: DataFrame, tau: Double): DataFrame = {
     // Two-step select: materialize the 64-perm signature as a column
     // FIRST, then slice band keys out of it. Folding both into one
     // expression would inline the signature computation once per band
     // (16×) — measured 40× slower at sf0.1.
-    val sigged = docs.select($"doc_id",
-      minhashSignature($"sh", minhashParams(NumPerms)).as("sig"))
-    val keyed = sigged.select($"doc_id",
-      explode(bandKeys($"sig", Bands, RowsPerBand)).as("key"))
-    verifyJaccard(pairsByKey(keyed), docs, tau = 0.5)
+    val sigged = docs.select(col("doc_id"),
+      minhashSignature(col("sh"), minhashParams(NumPerms)).as("sig"))
+    val keyed = sigged.select(col("doc_id"),
+      explode(bandKeys(col("sig"), Bands, RowsPerBand)).as("key"))
+    verifyJaccard(pairsByKey(keyed), docs, tau)
+  }
+
+  /** MinHash + banded LSH near-dup pairs, verified at jaccard >= 0.5.
+    * B=16 bands of r=4 ⇒ candidate threshold ≈ (1/16)^(1/4) ≈ 0.5. */
+  val dedupMinhashLsh: QueryFn = (s, dir) => {
+    val docs = docShingles(s, dir).cache()
+    minhashPairs(docs, tau = 0.5)
   }
 
   /** SimHash near-dup pairs: 64-bit signature, candidates share at
@@ -135,23 +142,31 @@ object DedupOps {
   val dedupClusters: QueryFn = (s, dir) => {
     import s.implicits._
     val pairs = dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b")
+    val universe = Tables.documents(s, dir).select($"doc_id")
+    connectedComponents(pairs, universe)
+      .select($"doc_id", $"rep".as("cluster_rep")).orderBy($"doc_id")
+  }
+
+  /** Connected components of the pair graph over `universe` via
+    * iterative min-label propagation (the reusable stage behind
+    * [[dedupClusters]] and [[dedupPipeline]]). Returns (doc_id, rep). */
+  private def connectedComponents(pairs: DataFrame, universe: DataFrame): DataFrame = {
     val edges = pairs
-      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
-    var labels = Tables.documents(s, dir)
-      .select($"doc_id", $"doc_id".as("rep")).cache()
-    var checksum = labels.agg(sum($"rep")).head().getLong(0)
+    var labels = universe.select(col("doc_id"), col("doc_id").as("rep")).cache()
+    var checksum = labels.agg(sum(col("rep"))).head().getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 10) {
       val neighborMin = edges
-        .join(labels.select($"doc_id".as("doc_b"), $"rep".as("nrep")), "doc_b")
-        .groupBy($"doc_a").agg(min($"nrep").as("nrep"))
+        .join(labels.select(col("doc_id").as("doc_b"), col("rep").as("nrep")), "doc_b")
+        .groupBy(col("doc_a")).agg(min(col("nrep")).as("nrep"))
       val next = labels
-        .join(neighborMin.select($"doc_a".as("doc_id"), $"nrep"), Seq("doc_id"), "left")
-        .select($"doc_id", least($"rep", coalesce($"nrep", $"rep")).as("rep"))
+        .join(neighborMin.select(col("doc_a").as("doc_id"), col("nrep")), Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
         .cache()
-      val nextSum = next.agg(sum($"rep")).head().getLong(0)
+      val nextSum = next.agg(sum(col("rep"))).head().getLong(0)
       labels.unpersist()
       labels = next
       converged = nextSum == checksum
@@ -159,7 +174,41 @@ object DedupOps {
       rounds += 1
     }
     edges.unpersist()
-    labels.select($"doc_id", $"rep".as("cluster_rep")).orderBy($"doc_id")
+    labels
+  }
+
+  /** The composed LLM-corpus dedup pass (SURVEY.md §2.C as a
+    * pipeline): exact dedup → minhash near-dup pairs among the exact
+    * survivors → connected components → keep one representative per
+    * cluster. Output: the keep-list with per-stage lineage — for each
+    * kept doc, how many exact dups and near-dup cluster members it
+    * absorbed (so `sum(n_exact + n_near) + count(*) - ...` audits the
+    * pass). This is the query a 100 TB crawl actually runs; each
+    * stage is the already-verified operator, chained without any
+    * driver materialization between stages (the CC loop's checksum
+    * `.head()` per round is the only driver touch). */
+  val dedupPipeline: QueryFn = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    // stage 1: exact — keep min doc_id per normalized-text fingerprint
+    val withFp = docs.withColumn("fp", md5(graft.functions.Cols.normText($"text")))
+    val exactGroups = withFp.groupBy($"fp")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+    val survivors = withFp.join(exactGroups.select($"fp", $"doc_id"), Seq("fp", "doc_id"))
+      .select($"doc_id", $"text")
+    // stage 2: near-dup pairs among survivors only (the exact pass has
+    // already removed the identical-doc mass that makes LSH buckets hot)
+    val pairs = minhashPairs(shingled(survivors).cache(), tau = 0.5)
+      .select($"doc_a", $"doc_b")
+    // stage 3: clusters over survivors; keep each cluster's min doc_id
+    val labels = connectedComponents(pairs, survivors.select($"doc_id"))
+    labels
+      .join(exactGroups.select($"doc_id", $"n_copies"), "doc_id")
+      .groupBy($"rep".as("doc_id"))
+      .agg(
+        (sum($"n_copies") - count(lit(1))).cast("long").as("n_exact_dups"),
+        (count(lit(1)) - 1).cast("long").as("n_near_dups"))
+      .orderBy($"doc_id")
   }
 
   val EmbTopN = 100

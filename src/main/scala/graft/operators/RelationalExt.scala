@@ -199,4 +199,75 @@ object RelationalExt {
         rnd(percentile($"value", lit(0.95)), 4).as("p95"))
       .orderBy($"event_type")
   }
+
+  /** TPC-H Q12-flavored (the synthetic lineitem has no shipmode, so
+    * linestatus plays its role): per line status, how many
+    * late-shipped 1996 lines belonged to high- vs low-priority
+    * orders. Conditional aggregation — one pass, partial aggs. */
+  val q12LateLines: QueryFn = (s, dir) => {
+    import s.implicits._
+    val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  /** TPC-H Q14-style: promo parts' share of monthly 1996 revenue.
+    * Part is broadcast; both the promo and total sums come from one
+    * conditional aggregation (no second scan). */
+  val q14PromoShare: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("month"))
+      .agg(
+        rnd(lit(100.0) * xsum(when($"p_type" === "PROMO",
+            $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(lit(0.0))) /
+          xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("promo_pct"))
+      .orderBy($"month")
+  }
+
+  /** TPC-H Q16-flavored (no partsupp table; lineitem provides the
+    * part↔supplier edges): distinct suppliers per (brand, size) for
+    * selected sizes, excluding one brand and promo parts. */
+  val q16BrandSuppliers: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" &&
+          $"p_size".isin(1, 5, 10, 15, 20, 25))),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_size")
+      .agg(count_distinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+  }
+
+  /** Revenue by order priority through [[Skew.saltedJoin]]: the
+    * lineitem side is salted into 8 sub-keys and orders replicated
+    * per salt, so one hot orderkey spreads over 8 shuffle partitions
+    * instead of one straggler task. Result-identical to the plain
+    * join (the oracle is plain SQL); PlanAudit asserts the salted
+    * shuffle-hash shape. */
+  val qSkewedAgg: QueryFn = (s, dir) => {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("okey"), $"l_extendedprice", $"l_discount")
+    val small = Tables.orders(s, dir)
+      .select($"o_orderkey".as("okey"), $"o_orderpriority")
+    Skew.saltedJoin(big, small, "okey", factor = 8)
+      .groupBy($"o_orderpriority")
+      .agg(
+        rnd(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"o_orderpriority")
+  }
 }

@@ -31,7 +31,10 @@ object Skew {
     val salts = small.sparkSession.range(factor.toLong)
       .select(col("id").cast("long").as("__salt"))
     val replicated = small.crossJoin(broadcast(salts))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    // shuffle_hash: this utility exists for the "small side too big to
+    // broadcast" regime — letting Catalyst broadcast the replicated
+    // side here would silently defeat the salt under test
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 
   /** `count(DISTINCT valueCol)` per `groupCol`, computed as two

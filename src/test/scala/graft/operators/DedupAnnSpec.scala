@@ -116,6 +116,23 @@ class DedupAnnSpec extends SparkTestBase {
     assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, "cos descending")
   }
 
+  test("dedup_pipeline: exact → near → clusters keep-list with lineage counts") {
+    // synth corpus: 0=base, 1=near-dup of 0, 2=unrelated, 3=exact dup of 0.
+    // exact stage keeps {0,1,2} (3 folds into 0); near stage clusters
+    // {0,1}; final keep-list {0,2} with 0 absorbing 1 exact + 1 near.
+    val got = DedupOps.dedupPipeline(spark, synthDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1L, 1L), (2L, 0L, 0L)), s"got ${got.toSeq}")
+  }
+
+  test("dedup_pipeline: doc mass is conserved at sf0.001") {
+    val rows = DedupOps.dedupPipeline(spark, sfDir).collect()
+    val accounted = rows.map(r => 1L + r.getLong(1) + r.getLong(2)).sum
+    val total = Tables.documents(spark, sfDir).count()
+    assert(accounted == total,
+      s"keep-list + absorbed dups must cover every doc: $accounted vs $total")
+  }
+
   test("dedup_clusters: transitive closure groups {0,1,3}, leaves 2 alone") {
     val got = DedupOps.dedupClusters(spark, synthDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
