@@ -31,7 +31,6 @@ object Streams {
     * directory to begin with). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
       "graft-events-" + Integer.toHexString(sfDir.hashCode))
     if (!Files.exists(stage)) {
@@ -39,9 +38,17 @@ object Streams {
       Files.createSymbolicLink(
         stage.resolve("events.parquet"), Paths.get(sfDir, "events.parquet"))
     }
+    eventsStreamFrom(spark, stage.toString)
+  }
+
+  /** Streaming events source over any landing directory of raw-schema
+    * parquet files (the restart/recovery spec feeds one file per
+    * micro-batch through this). */
+  def eventsStreamFrom(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
-      .parquet(stage.toString)
+      .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -69,6 +76,32 @@ object Streams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
+  /** Stream-stream interval self-join: each view is matched with the
+    * same user's purchases landing within the next hour. Both sides
+    * carry watermarks and the join condition bounds purchase_ts to
+    * [view_ts, view_ts + 1h], so Spark can expire join state once the
+    * watermark passes the interval — bounded state, the requirement
+    * for an unbounded 100 TB/day event stream. Also evaluates in
+    * batch mode (plain interval join), which is how StreamingSpec
+    * proves result parity. */
+  def viewPurchaseJoin(events: DataFrame): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("purchase_value"))
+  }
 
   // ---- stateful sessionization ----
 

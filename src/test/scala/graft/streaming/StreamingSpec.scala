@@ -75,6 +75,62 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream interval join == batch interval join (view → purchase ≤ 1h)") {
+    import spark.implicits._
+    val joined = Streams.viewPurchaseJoin(Streams.eventsStream(spark, sfDir))
+    val q = joined.writeStream
+      .format("memory").queryName("vp_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("vp_out")
+      .select($"view_id", $"purchase_id").as[(Long, Long)].collect().toSet
+
+    val expected = Streams.viewPurchaseJoin(Tables.events(spark, sfDir))
+      .select($"view_id", $"purchase_id").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "test data must contain view→purchase pairs")
+    assert(got == expected)
+  }
+
+  test("checkpoint restart: dedup state and source offsets survive recovery") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-stream-in").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-stream-out").toString + "/out"
+
+    // raw-schema events (ts in NANOS like the real table); batch 2
+    // replays batch 1's (user, type) keys 10 min later — within the
+    // 1 h watermark, so only recovered dedup state can drop them
+    val t0 = 1700000000000000000L // ns
+    def mkFile(name: String, rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+    val batch1 = (1L to 5L).map(u => (u, t0 + u * 1000000000L, u, "view"))
+    val batch2 = (1L to 5L).map(u => (100L + u, t0 + 600L * 1000000000L + u, u, "view")) ++
+      Seq((200L, t0 + 600L * 1000000000L, 6L, "view"), (201L, t0 + 600L * 1000000000L, 7L, "view"))
+
+    def runOnce(): Unit = {
+      val q = Streams.streamingDedup(Streams.eventsStreamFrom(spark, inDir))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    mkFile("b1", batch1)
+    runOnce()
+    mkFile("b2", batch2)
+    runOnce() // new query object, same checkpoint — recovery path
+
+    val out = spark.read.parquet(outDir).select($"user_id", $"event_id")
+      .as[(Long, Long)].collect()
+    // batch1 keys exactly once (not re-emitted after restart), batch2
+    // replays dropped by recovered state, genuinely new keys pass
+    assert(out.length == 7, s"expected 7 survivors, got ${out.length}: ${out.toSeq}")
+    assert(out.map(_._1).sorted.toSeq == (1L to 7L), "one survivor per user")
+    assert(out.filter(_._1 <= 5L).forall(_._2 <= 5L),
+      "replayed keys must keep the ORIGINAL event (state recovered)")
+  }
+
   test("sessionize also runs in batch mode (closed sessions = total - 1 per user)") {
     import spark.implicits._
     val batchSessions = Streams.sessionize(Tables.events(spark, sfDir))
