@@ -53,6 +53,8 @@ object SparkEntry {
     "q14_promo_share"             -> RelationalExt.q14PromoShare,
     "q16_brand_suppliers"         -> RelationalExt.q16BrandSuppliers,
     "q_skewed_agg"                -> RelationalExt.qSkewedAgg,
+    "q_skewed_distinct"           -> RelationalExt.qSkewedDistinct,
+    "q8_market_share"             -> RelationalExt.q8MarketShare,
     "q_events_moving_avg"         -> RelationalExt.qEventsMovingAvg,
     "q_events_funnel"             -> EventAnalytics.qEventsFunnel,
     "q_events_retention"          -> EventAnalytics.qEventsRetention,
@@ -87,6 +89,7 @@ object SparkEntry {
     "ann_ivf_topk"                -> AnnOps.annIvfTopk,
     // §2.F multimodal stand-in
     "mm_media_stats"              -> TextOps.mmMediaStats,
+    "mm_featurize"                -> TextOps.mmFeaturize,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -313,6 +316,23 @@ object SparkEntry {
         |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (1, 5, 10, 15, 20, 25)
         |GROUP BY p_brand, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q_skewed_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |floor((CAST(sum(CAST((CASE WHEN n2.n_name = 'NATION_5' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) AS DECIMAL(27,10))) AS DOUBLE)
+        | / CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(27,10))) AS DOUBLE))*1000000 + 0.5)/1000000 AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
 
     "q_skewed_agg" ->
       """SELECT o_orderpriority,

@@ -251,6 +251,45 @@ object RelationalExt {
       .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
   }
 
+  /** TPC-H Q8-style market share: of all revenue shipped to ASIA
+    * customers per order year, the fraction supplied from nation
+    * NATION_5. Dims broadcast; one conditional aggregation. */
+  val q8MarketShare: QueryFn = (s, dir) => {
+    import s.implicits._
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".as("c_nk"))
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"s_nk")
+      .select($"s_suppkey", $"supp_nation")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(asiaNations), $"c_nationkey" === $"c_nk")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(rnd(
+        xsum(when($"supp_nation" === "NATION_5",
+          $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(lit(0.0))) /
+          xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 6).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  /** Distinct users per event type through
+    * [[Skew.saltedDistinctCount]] — the two-phase distinct that
+    * spreads one hot group's values over hash partitions of
+    * (group, value) instead of funneling them through one reducer.
+    * Oracle is the plain `count(DISTINCT ...)`. */
+  val qSkewedDistinct: QueryFn = (s, dir) => {
+    import s.implicits._
+    Skew.saltedDistinctCount(Tables.events(s, dir), $"event_type", $"user_id")
+      .select($"__g".as("event_type"), $"n_distinct")
+      .orderBy($"event_type")
+  }
+
   /** Revenue by order priority through [[Skew.saltedJoin]]: the
     * lineitem side is salted into 8 sub-keys and orders replicated
     * per salt, so one hot orderkey spreads over 8 shuffle partitions

@@ -230,4 +230,26 @@ object TextOps {
         count_distinct($"magic").as("n_magics"))
       .orderBy($"source")
   }
+
+  /** Multimodal featurize pass through the batched `mapPartitions`
+    * codec seam (graft.multimodal.MediaPipeline): payloads →
+    * fixed-dim feature vectors → per-kind stats. The codec is the
+    * declared deterministic stub (no media libs in the container), so
+    * the result is stable across runs/partitionings and the driver's
+    * rows-only gate is meaningful; decimal-exact sums keep the mean
+    * independent of partial-agg order. */
+  val mmFeaturize: QueryFn = (s, dir) => {
+    import s.implicits._
+    val feats = graft.multimodal.MediaPipeline.featurize(
+      graft.multimodal.MediaPipeline.fromDocuments(s, dir),
+      graft.multimodal.FakeCodec)
+    feats.toDF()
+      .select($"kind", $"dim", element_at($"features", 1).cast("double").as("f0"))
+      .groupBy($"kind")
+      .agg(
+        count(lit(1)).as("n_media"),
+        max($"dim").cast("long").as("dim"),
+        rnd(xavg($"f0"), 4).as("avg_f0"))
+      .orderBy($"kind")
+  }
 }
