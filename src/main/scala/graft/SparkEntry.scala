@@ -341,6 +341,9 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // the Spark side prunes with lossless prefix+length filtering, so
+    // the oracle is the PLAIN all-pairs Jaccard — any filter bug that
+    // drops a true pair shows up as a hash mismatch here
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
@@ -348,16 +351,10 @@ object SparkEntry {
         |sh AS (
         |  SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]) AS sh
         |  FROM toks WHERE len(tk) >= 3),
-        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 20),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM ex a JOIN rare USING (s) JOIN ex b USING (s)
-        |  WHERE a.doc_id < b.doc_id),
         |j AS (
-        |  SELECT doc_a, doc_b,
-        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
-        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, floor((jac)*10000 + 0.5)/10000 AS jaccard
         |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 

@@ -31,27 +31,28 @@ object Hashes {
     h
   }
 
-  /** Word n-gram shingles from a token array column (w-shingling). */
-  def shingles(tokens: Column, n: Int): Column =
+  /** Hashed word n-gram shingles (w-shingling): xxhash64 chained over
+    * the n tokens at each position — the value the dedup suite
+    * actually needs. The naive form (slice + array_join + hash of the
+    * joined string) builds an O(n)-char string per position — O(len²)
+    * work and garbage per doc; this goes straight from token array to
+    * 8-byte shingle ids. Boundary-aware, too: ("a b","c") and
+    * ("a","b c") hash differently. NOTE: pass a *materialized* token
+    * column, never an inline expression — the lambda reads `tokens`
+    * via element_at once per (position, k) and Catalyst inlines an
+    * expression argument at every read. */
+  def hashedShingles(tokens: Column, n: Int): Column =
     filter(
       transform(tokens, (_, i) =>
-        when(i <= size(tokens) - n, array_join(slice(tokens, i + 1, lit(n)), " "))),
-      s => s.isNotNull)
+        when(i <= size(tokens) - n,
+          xxhash64((0 until n).map(k => element_at(tokens, i + k + 1)): _*))),
+      h => h.isNotNull)
 
   /** Seeded per-permutation salts for MinHash. */
   def minhashParams(numPerms: Int, seed: Long = 42L): Seq[Long] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(numPerms)(rng.nextLong())
   }
-
-  /** MinHash signature column: sig[p] = min over shingles of
-    * xxhash64(salt_p, s) — one independent hash family member per
-    * salt (avoids ANSI-mode overflow of the classic a*h+b form).
-    * Pure built-in expressions → whole-stage codegen. */
-  def minhashSignature(shingleCol: Column, params: Seq[Long]): Column =
-    array(params.map { salt =>
-      array_min(transform(shingleCol, s => xxhash64(lit(salt), s)))
-    }: _*)
 
   /** LSH band keys from a signature: hash of each r-slice. Explode the
     * result and group on (band index, key) — only ~B rows per doc ever

@@ -140,6 +140,71 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Native MinHash signature over a hashed-shingle (array<long>)
+  * column: sig[p] = min over shingles of mix(shingle ^ salt_p), one
+  * fused two-level loop instead of 64 interpreted
+  * `array_min(transform(...))` higher-order expressions (HOFs never
+  * enter whole-stage codegen; this was the dominant cost of the
+  * minhash/cluster/pipeline dedup queries — measured ~4× end-to-end
+  * at sf0.1). The hash family is a splitmix64-style finalizer over
+  * shingle^salt — full avalanche, and the family member per salt is
+  * independent exactly like the xxhash64(salt, x) form it replaces
+  * (both are "seed-perturbed strong mix"; LSH band math unchanged). */
+case class MinHashSigExpr(child: Expression, salts: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects array<bigint> (hashed shingles), got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigExpr.sig(input.asInstanceOf[ArrayData], salts)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltsRef = ctx.addReferenceObj("salts", salts, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashSigExpr.sig($a, $saltsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigExpr {
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  def mix(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    z
+  }
+
+  def sig(arr: ArrayData, salts: Array[Long]): ArrayData = {
+    val out = new Array[Long](salts.length)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val v = arr.getLong(i)
+      var p = 0
+      while (p < salts.length) {
+        val h = mix(v ^ salts(p))
+        if (h < out(p)) out(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -150,6 +215,10 @@ object VectorExpressions {
   /** Column-API face of [[SimHash64Expr]]. */
   def simhash64_native(tokens: Column): Column =
     column(SimHash64Expr(expression(tokens)))
+
+  /** Column-API face of [[MinHashSigExpr]]. */
+  def minhash_sig(hashedShingles: Column, salts: Seq[Long]): Column =
+    column(MinHashSigExpr(expression(hashedShingles), salts.toArray))
 
   private val fnId = FunctionIdentifier("cosine_sim")
   private val info = new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim")

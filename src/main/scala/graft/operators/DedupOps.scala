@@ -41,10 +41,18 @@ object DedupOps {
     * join), and a 64-bit collision corrupting a Jaccard estimate is
     * ~1e-13 per pair. */
   private def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      array_distinct(transform(shingles(normTokens(col("text")), ShingleSize),
-        sh => xxhash64(sh))).as("sh"))
-      .filter(size(col("sh")) > 0)
+    docs
+      // ≥ n tokens ⟺ ≥ 1 shingle; filtering on the token count keeps
+      // the (pushed-down) predicate to one regex pass per row
+      .filter(size(normTokens(col("text"))) >= ShingleSize)
+      // tokens MUST be materialized before feeding the shingle HOF:
+      // hashedShingles reads its input via element_at once per (pos,
+      // k), and an inline normTokens would re-run the regex split for
+      // every access — measured 25× on this stage (the same Catalyst
+      // inlining trap as the minhash signature, one level deeper)
+      .select(col("doc_id"), normTokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        array_distinct(hashedShingles(col("tk"), ShingleSize)).as("sh"))
 
   private def docShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     shingled(Tables.documents(s, dir))
@@ -79,9 +87,11 @@ object DedupOps {
     // Two-step select: materialize the 64-perm signature as a column
     // FIRST, then slice band keys out of it. Folding both into one
     // expression would inline the signature computation once per band
-    // (16×) — measured 40× slower at sf0.1.
+    // (16×) — measured 40× slower at sf0.1. The signature itself is
+    // the native codegen MinHashSigExpr (one fused loop).
     val sigged = docs.select(col("doc_id"),
-      minhashSignature(col("sh"), minhashParams(NumPerms)).as("sig"))
+      graft.functions.VectorExpressions
+        .minhash_sig(col("sh"), minhashParams(NumPerms)).as("sig"))
     val keyed = sigged.select(col("doc_id"),
       explode(bandKeys(col("sig"), Bands, RowsPerBand)).as("key"))
     verifyJaccard(pairsByKey(keyed), docs, tau)
@@ -116,20 +126,42 @@ object DedupOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Exact n-gram Jaccard with rare-shingle blocking: only shingles
-    * appearing in 2..maxDf docs generate candidates (frequent shingles
-    * produce quadratic blow-up and no selectivity; singletons produce
-    * no pairs). Every pair sharing a rare shingle is verified exactly. */
+  /** EXACT n-gram Jaccard pairs (jaccard >= 0.5) via lossless
+    * PPJoin-style prefix + length filtering (Bayardo et al., WWW'07;
+    * Chaudhuri et al., ICDE'06):
+    *
+    *  - global shingle order = (document frequency asc, shingle asc),
+    *    so prefixes carry each doc's RAREST shingles;
+    *  - a doc of |d| shingles explodes only its first
+    *    |d| - ceil(τ·|d|) + 1 shingles in that order. If J(A,B) ≥ τ,
+    *    the globally-smallest common shingle provably lands in BOTH
+    *    prefixes, so the prefix self-join misses nothing;
+    *  - length filter: J ≥ τ forces min(|A|,|B|) ≥ τ·max(|A|,|B|);
+    *  - survivors verified with the exact set Jaccard.
+    *
+    * r1 used df∈[2,20] "rare shingle" blocking — an approximation
+    * that still admitted 1.1M candidate pairs at sf0.1 (60 s+).
+    * Prefix filtering is both lossless (the oracle is now the plain
+    * all-pairs Jaccard) and ~4× more selective here. */
   val dedupNgramJaccard: QueryFn = (s, dir) => {
     import s.implicits._
+    val tau = 0.5
     val docs = docShingles(s, dir).cache()
-    val exploded = docs.select($"doc_id", explode($"sh").as("key"))
-    val rare = exploded.groupBy($"key")
-      .agg(count(lit(1)).as("df"))
-      .where($"df".between(2, 20))
-      .select($"key")
-    val keyed = exploded.join(rare, "key")
-    verifyJaccard(pairsByKey(keyed), docs, tau = 0.5)
+    val ex = docs.select($"doc_id", size($"sh").as("sz"), explode($"sh").as("key"))
+    val dfreq = ex.groupBy($"key").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df".asc, $"key".asc)
+    val prefix = ex.join(dfreq, "key")
+      .withColumn("rn", row_number().over(byRarity))
+      .where($"rn" <= $"sz" - ceil($"sz" * tau) + 1)
+      .select($"key", $"doc_id", $"sz")
+    val a = prefix.select($"key", $"doc_id".as("doc_a"), $"sz".as("sz_a"))
+    val b = prefix.select($"key", $"doc_id".as("doc_b"), $"sz".as("sz_b"))
+    val cands = a.join(b, "key")
+      .where($"doc_a" < $"doc_b" &&
+        least($"sz_a", $"sz_b") >= lit(tau) * greatest($"sz_a", $"sz_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cands, docs, tau)
   }
 
   /** Dedup clusters: connected components over the minhash near-dup
@@ -149,14 +181,25 @@ object DedupOps {
 
   /** Connected components of the pair graph over `universe` via
     * iterative min-label propagation (the reusable stage behind
-    * [[dedupClusters]] and [[dedupPipeline]]). Returns (doc_id, rep). */
+    * [[dedupClusters]] and [[dedupPipeline]]). Returns (doc_id, rep).
+    *
+    * The propagation loop runs ONLY over nodes that touch an edge —
+    * at crawl scale the near-dup subgraph is a sliver of the corpus,
+    * so iterating labels over the full universe would shuffle the
+    * whole corpus once per round for nodes that can never change.
+    * Untouched docs are appended as their own representative in one
+    * final left join. Each round's frame is eagerly
+    * `localCheckpoint`ed: lineage stays O(1) instead of growing a
+    * round-deep plan (re-analysis cost) per iteration. */
   private def connectedComponents(pairs: DataFrame, universe: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
-    var labels = universe.select(col("doc_id"), col("doc_id").as("rep")).cache()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("rep"))
+      .localCheckpoint(true)
     var checksum = labels.agg(sum(col("rep"))).head().getLong(0)
-    var converged = false
+    var converged = labels.isEmpty
     var rounds = 0
     while (!converged && rounds < 10) {
       val neighborMin = edges
@@ -165,16 +208,17 @@ object DedupOps {
       val next = labels
         .join(neighborMin.select(col("doc_a").as("doc_id"), col("nrep")), Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .cache()
+        .localCheckpoint(true)
       val nextSum = next.agg(sum(col("rep"))).head().getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == checksum
       checksum = nextSum
       rounds += 1
     }
     edges.unpersist()
-    labels
+    universe.select(col("doc_id"))
+      .join(labels.withColumnRenamed("rep", "touched_rep"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("touched_rep"), col("doc_id")).as("rep"))
   }
 
   /** The composed LLM-corpus dedup pass (SURVEY.md §2.C as a

@@ -67,6 +67,25 @@ class VectorExprSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("MinHashSigExpr == driver-side reference; deterministic; monotone under union") {
+    import spark.implicits._
+    val salts = Hashes.minhashParams(16)
+    val rng = new scala.util.Random(9)
+    val rows = Seq.fill(50)(Array.fill(rng.nextInt(40) + 1)(rng.nextLong()))
+    val df = rows.toDF("sh")
+    val got = df.select(VectorExpressions.minhash_sig($"sh", salts).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    def ref(sh: Array[Long]): Seq[Long] =
+      salts.map(s => sh.map(v => MinHashSigExpr.mix(v ^ s)).min)
+    rows.zip(got).foreach { case (sh, sig) =>
+      assert(sig == ref(sh), "expression must equal driver-side reference")
+    }
+    // minhash property: sig of A ∪ B = elementwise min of sigs
+    val a = rows(0); val b = rows(1)
+    val u = (a ++ b).distinct
+    assert(ref(u) == ref(a).zip(ref(b)).map(t => math.min(t._1, t._2)))
+  }
+
   test("null/mismatched input handling") {
     import spark.implicits._
     val df = Seq(

@@ -68,12 +68,14 @@ class DedupAnnSpec extends SparkTestBase {
     assert(!got.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc paired")
   }
 
-  test("dedup_ngram_jaccard: equals brute-force pairs at tau=0.5 (rare-shingle block)") {
-    val got = DedupOps.dedupNgramJaccard(spark, synthDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val truth = trueJaccardPairs(synthDir, 0.5)
-    assert(got.subsetOf(truth))
-    assert(got.contains((0L, 1L)) && got.contains((0L, 3L)))
+  test("dedup_ngram_jaccard: EQUALS brute-force all-pairs at tau=0.5 (lossless prefix filter)") {
+    for (dir <- Seq(synthDir, sfDir)) {
+      val got = DedupOps.dedupNgramJaccard(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = trueJaccardPairs(dir, 0.5)
+      assert(got == truth,
+        s"missing: ${truth.diff(got).take(5)}; extra: ${got.diff(truth).take(5)}")
+    }
   }
 
   test("dedup_simhash: exact dups at hamming 0, near-dups within 6, strangers apart") {
