@@ -55,6 +55,10 @@ object SparkEntry {
     "q_skewed_agg"                -> RelationalExt.qSkewedAgg,
     "q_skewed_distinct"           -> RelationalExt.qSkewedDistinct,
     "q8_market_share"             -> RelationalExt.q8MarketShare,
+    "q9_profit_by_nation"         -> RelationalExt.q9ProfitByNation,
+    "q21_late_suppliers"          -> RelationalExt.q21LateSuppliers,
+    "q_window_funcs"              -> RelationalExt.qWindowFuncs,
+    "q_cube_revenue"              -> RelationalExt.qCubeRevenue,
     "q_events_moving_avg"         -> RelationalExt.qEventsMovingAvg,
     "q_events_funnel"             -> EventAnalytics.qEventsFunnel,
     "q_events_retention"          -> EventAnalytics.qEventsRetention,
@@ -320,6 +324,46 @@ object SparkEntry {
     "q_skewed_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |floor((CAST(sum(CAST((l_extendedprice*(1-l_discount) - 0.8*p_retailprice*l_quantity) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS profit
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q21_late_suppliers" ->
+      """WITH multi AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING count(DISTINCT l_suppkey) > 1)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM lineitem
+        |JOIN multi USING (l_orderkey)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT user_id, event_id,
+        |floor((sum(value) OVER w)*10000 + 0.5)/10000 AS run_sum,
+        |CAST(row_number() OVER w AS BIGINT) AS rn,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |floor((value - lag(value) OVER w)*10000 + 0.5)/10000 AS delta
+        |FROM events WHERE user_id < 5
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_cube_revenue" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+        |floor((CAST(sum(CAST((o_totalprice) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+        |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -2,11 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Hardened like Bench: each query runs in its own job group with a
+  * watchdog (SPARK_GRAFT_QUERY_TIMEOUT, default 120 s) so one
+  * pathological query can't eat the driver's wall clock and zero the
+  * whole round's correctness artifact; oracle_sql.json is written
+  * FIRST so a mid-run kill still leaves the oracle set on disk. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val queryTimeoutMs =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "120").toLong * 1000L
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,13 +23,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,6 +38,22 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    SparkEntry.queries.foreach { case (name, fn) =>
+      spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
+      val watchdog = new java.util.Timer(true)
+      watchdog.schedule(new java.util.TimerTask {
+        def run(): Unit = spark.sparkContext.cancelJobGroup(s"verify-$name")
+      }, queryTimeoutMs)
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        watchdog.cancel()
+        spark.sparkContext.clearJobGroup()
+      }
+    }
     spark.stop()
   }
 }

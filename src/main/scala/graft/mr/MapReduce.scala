@@ -43,12 +43,34 @@ trait Combiner[V2] extends Serializable {
   def combine(a: V2, b: V2): V2
 }
 
-/** Parity with the reference's JobConfig (jobConfig.go:6).
+/** Full-field parity with the reference's JobConfig (jobConfig.go:6).
   * `m` (map task count) is advisory only — Spark derives input splits
   * from the source; `r` (reduce partitions) controls the partitioning
   * of the result, like the reference's one-output-object-per-reduce-
-  * partition. 0 = let Spark/AQE decide. */
-final case class JobConfig(m: Int = 0, r: Int = 0)
+  * partition. 0 = let Spark/AQE decide. The input/output fields
+  * resolve to Inputers/Outputers exactly like the reference wires
+  * them: a prechunked `inputFolder` reads one value per stored chunk
+  * object; a monolithic `inputFile` is split into ~`m` line-boundary
+  * chunks on the fly (the reference calls SplitFileIntoChunks up
+  * front instead); `outputFolder` gets one object per reduced key
+  * (S3Outputer parity). */
+final case class JobConfig(
+    m: Int = 0,
+    r: Int = 0,
+    inputFolder: String = "",
+    outputFolder: String = "",
+    prechunked: Boolean = false,
+    inputFile: String = "") {
+
+  def inputer: Inputer =
+    if (!prechunked && inputFile.nonEmpty) {
+      val size = math.max(1L, new java.io.File(inputFile).length())
+      val chunkBytes = if (m > 0) math.max(1L, size / m) else 1L << 20
+      ChunkedTextInputer(inputFile, chunkBytes)
+    } else TextDirInputer(inputFolder)
+
+  def outputer: Outputer = KeyedDirOutputer(outputFolder)
+}
 
 object MapReduceJob {
 
@@ -83,6 +105,24 @@ object MapReduceJob {
         grouped.mapGroups { (k, it) => (k, reducer.reduce(k, it.map(_._2))) }
     }
     if (config.r > 0) reduced.repartition(config.r) else reduced
+  }
+
+  /** End-to-end parity with the reference's `Start(config, ...)`
+    * (mapreduce.go): resolve the config's Inputer, run the job, write
+    * one object per reduced key to the config's output folder. Keys
+    * are strings end-to-end, as in the reference. */
+  def start[V2, Out](
+      spark: org.apache.spark.sql.SparkSession,
+      config: JobConfig,
+      mapper: Mapper[String, String, String, V2],
+      reducer: Reducer[String, V2, Out],
+      combiner: Option[Combiner[V2]] = None)(implicit
+      kvEnc: Encoder[(String, V2)],
+      vEnc: Encoder[V2],
+      outEnc: Encoder[(String, Out)]): Unit = {
+    import spark.implicits.newStringEncoder
+    val out = run(config.inputer.toDataset(spark), mapper, reducer, combiner, config)
+    config.outputer.write(out)
   }
 }
 

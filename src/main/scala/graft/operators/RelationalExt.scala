@@ -251,6 +251,75 @@ object RelationalExt {
       .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
   }
 
+  /** Window-function depth in one pass: running revenue, row rank,
+    * quartile bucket, and delta-vs-previous per user over event time.
+    * Running aggregation is sequential within the frame on any
+    * engine, so the doubles agree bit-for-bit given the same total
+    * order (ts, event_id). */
+  val qWindowFuncs: QueryFn = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .filter($"user_id" < 5)
+      .select($"user_id", $"event_id",
+        rnd(sum($"value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4).as("run_sum"),
+        row_number().over(w).cast("long").as("rn"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        rnd($"value" - lag($"value", 1).over(w), 4).as("delta"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** CUBE aggregation: order counts + revenue over every subset of
+    * (segment, status) — the multi-level variant beyond
+    * `q_nation_revenue_rollup`'s ROLLUP. */
+  val qCubeRevenue: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        rnd(xsum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"c_mktsegment".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  /** TPC-H Q21-flavored: suppliers with the most late lines (shipped
+    * > 90 days after order date) on multi-supplier orders. The
+    * multi-supplier set is a grouped HAVING, joined back semi-style. */
+  val q21LateSuppliers: QueryFn = (s, dir) => {
+    import s.implicits._
+    val multi = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(count_distinct($"l_suppkey").as("n_supp"))
+      .where($"n_supp" > 1)
+      .select($"l_orderkey".as("mo_key"))
+    Tables.lineitem(s, dir)
+      .join(multi, $"l_orderkey" === $"mo_key")
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .where($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_suppkey".asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q9-flavored profit (no partsupp table — 80% of
+    * p_retailprice stands in for supply cost): per supplier nation and
+    * order year. */
+  val q9ProfitByNation: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))
+      .agg(rnd(xsum(
+        $"l_extendedprice" * (lit(1.0) - $"l_discount") -
+          lit(0.8) * $"p_retailprice" * $"l_quantity"), 2).as("profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
   /** TPC-H Q8-style market share: of all revenue shipped to ASIA
     * customers per order year, the fraction supplied from nation
     * NATION_5. Dims broadcast; one conditional aggregation. */

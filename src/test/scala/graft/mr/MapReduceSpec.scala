@@ -174,6 +174,31 @@ class MapReduceSpec extends SparkTestBase {
     assert(back == Map("alpha" -> 3L, "beta" -> 7L, "gamma" -> 11L))
   }
 
+  test("JobConfig parity: Start(config) runs folder→wordcount→per-key objects") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-jobin").toFile
+    Files.writeString(new java.io.File(inDir, "a.txt").toPath, "x y x")
+    Files.writeString(new java.io.File(inDir, "b.txt").toPath, "y z")
+    val outDir = Files.createTempDirectory("graft-jobout").toString + "/out"
+    val cfg = JobConfig(r = 2, inputFolder = inDir.getAbsolutePath, outputFolder = outDir)
+    MapReduceJob.start(spark, cfg,
+      new WordCount.WordCountMapper, new WordCount.SumReducer, Some(WordCount.SumCombiner))
+    val back = spark.read.format("text").load(outDir)
+      .select(col("key"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getString(1).toLong).toMap
+    assert(back == Map("x" -> 2L, "y" -> 2L, "z" -> 1L))
+  }
+
+  test("JobConfig parity: monolithic inputFile is chunked into ~m map inputs") {
+    val f = Files.createTempFile("graft-jobfile", ".txt")
+    Files.writeString(f, (1 to 500).map(i => s"w$i").mkString("\n"))
+    val cfg = JobConfig(m = 4, inputFile = f.toString)
+    val ds = cfg.inputer.toDataset(spark)
+    val n = ds.count()
+    assert(n >= 2 && n <= 8, s"expected ~4 chunks, got $n")
+    assert(ds.collect().map(_._2).mkString.split("\n").length == 500)
+  }
+
   test("ChunkWriter.splitFileIntoChunks materializes reassemblable chunks") {
     val f = Files.createTempFile("graft-split", ".txt")
     val lines = (1 to 1000).map(i => s"row-$i")
