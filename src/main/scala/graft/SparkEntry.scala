@@ -78,6 +78,7 @@ object SparkEntry {
     "text_winnow"                 -> TextOps.textWinnow,
     "text_sample_hash"            -> TextOps.textSampleHash,
     "text_levenshtein_pairs"      -> TextOps.textLevenshteinPairs,
+    "text_subword_stats"          -> TextOps.textSubwordStats,
     "q_corr_stats"                -> RelationalExt.qCorrStats,
     // §2.C dedup
     "dedup_exact"                 -> TextOps.dedupExact,
@@ -519,6 +520,14 @@ object SparkEntry {
         |     (SELECT DISTINCT source FROM documents) b
         |WHERE a.source < b.source AND levenshtein(a.source, b.source) <= 2
         |ORDER BY src_a, src_b""".stripMargin,
+
+    "text_subword_stats" ->
+      """SELECT doc_id,
+        |CAST(len(pc) AS BIGINT) AS n_pieces,
+        |CAST(len(list_distinct(pc)) AS BIGINT) AS n_distinct,
+        |floor((CAST(list_sum(list_transform(pc, x -> length(x))) AS DOUBLE) / len(pc))*10000 + 0.5)/10000 AS avg_piece_len
+        |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]') AS pc FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
 
     "q_corr_stats" ->
       """SELECT l_returnflag,

@@ -213,6 +213,24 @@ object TextOps {
       .orderBy($"keep_id")
   }
 
+  /** BPE-ish subword statistics: pre-tokenize with the
+    * letters/digits/punctuation-run regex a byte-pair tokenizer
+    * applies before merges, then count pieces — the "how many tokens
+    * will this cost" pass of an LLM data pipeline (a real BPE plugs
+    * its merge table into the same shape). */
+  val textSubwordStats: QueryFn = (s, dir) => {
+    import s.implicits._
+    val pieces = regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))
+    Tables.documents(s, dir)
+      .select($"doc_id", pieces.as("pc"))
+      .select($"doc_id",
+        size($"pc").cast("long").as("n_pieces"),
+        size(array_distinct($"pc")).cast("long").as("n_distinct"),
+        rnd(aggregate($"pc", lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          size($"pc"), 4).as("avg_piece_len"))
+      .orderBy($"doc_id")
+  }
+
   /** Multimodal stand-in: treat text bytes as an opaque binary payload
     * with typed metadata; per-source size stats + first-byte "format
     * sniff" (see graft.multimodal for the full plumbing). */

@@ -77,6 +77,13 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
 
+  /** Stream-static enrichment: broadcast-join a static dimension onto
+    * the event stream (the standard "attach user/session metadata at
+    * ingest" shape — the static side is planned per micro-batch, no
+    * state). Left join keeps unmatched events flowing. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Stream-stream interval self-join: each view is matched with the
     * same user's purchases landing within the next hour. Both sides
     * carry watermarks and the join condition bounds purchase_ts to

@@ -90,6 +90,24 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("stream-static enrichment == batch join (broadcast dim per micro-batch)") {
+    import spark.implicits._
+    // static dim: each user's first-seen day, computed batch-side
+    val dim = Tables.events(spark, sfDir)
+      .groupBy($"user_id").agg(date_trunc("day", min($"ts")).as("cohort_day"))
+    val enriched = Streams.enrich(Streams.eventsStream(spark, sfDir), dim)
+      .groupBy($"cohort_day").agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enrich_out")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val batch = Streams.enrich(Tables.events(spark, sfDir), dim)
+      .groupBy($"cohort_day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got == batch)
+  }
+
   test("checkpoint restart: dedup state and source offsets survive recovery") {
     import java.nio.file.Files
     import spark.implicits._
