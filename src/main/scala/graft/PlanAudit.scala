@@ -68,7 +68,22 @@ object PlanAudit {
         "salted join stays shuffle-hash" -> (_.contains("ShuffledHashJoin"))),
       "mr_wordcount" -> Map(
         "partial count before shuffle" -> (_.contains("partial_count")),
-        "only text column read" -> (p => !p.contains("doc_id"))))
+        "only text column read" -> (p => !p.contains("doc_id"))),
+      "q9_profit_by_nation" -> Map(
+        "part/supplier/nation dims broadcast" ->
+          (p => "BroadcastHashJoin".r.findAllIn(p).size >= 3),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "q_window_funcs" -> Map(
+        // all four window functions share one (partition, order) spec
+        // → a single sort, a single Window operator
+        "one window operator for four functions" ->
+          (p => "\\bWindow\\b".r.findAllIn(p).size <= 1),
+        "user filter pushed to scan" ->
+          (p => "PushedFilters: \\[[^\\]]*LessThan\\(user_id".r.findFirstIn(p).isDefined)),
+      "q16_brand_suppliers" -> Map(
+        "part filters pushed to scan" ->
+          (p => "PushedFilters: \\[[^\\]]*Not\\(EqualTo\\(p_brand".r.findFirstIn(p).isDefined),
+        "distinct-count partial before shuffle" -> (_.contains("partial_"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>
