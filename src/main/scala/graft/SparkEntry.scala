@@ -59,6 +59,8 @@ object SparkEntry {
     "q21_late_suppliers"          -> RelationalExt.q21LateSuppliers,
     "q_window_funcs"              -> RelationalExt.qWindowFuncs,
     "q_cube_revenue"              -> RelationalExt.qCubeRevenue,
+    "q_events_session_window"     -> RelationalExt.qEventsSessionWindow,
+    "q_approx_stats"              -> RelationalExt.qApproxStats,
     "q_events_moving_avg"         -> RelationalExt.qEventsMovingAvg,
     "q_events_funnel"             -> EventAnalytics.qEventsFunnel,
     "q_events_retention"          -> EventAnalytics.qEventsRetention,
@@ -365,6 +367,21 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderstatus)
         |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q_events_session_window" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT user_id, ts, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events) t),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM lagged)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |count(*) AS n_events,
+        |floor((CAST(sum(CAST((value) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -234,10 +234,13 @@ object DedupOps {
   val dedupPipeline: QueryFn = (s, dir) => {
     import s.implicits._
     val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-    // stage 1: exact — keep min doc_id per normalized-text fingerprint
+    // stage 1: exact — keep min doc_id per normalized-text fingerprint.
+    // exactGroups is consumed three times (survivor join, lineage
+    // join) — cache the small grouped frame, not the raw text.
     val withFp = docs.withColumn("fp", md5(graft.functions.Cols.normText($"text")))
     val exactGroups = withFp.groupBy($"fp")
       .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .cache()
     val survivors = withFp.join(exactGroups.select($"fp", $"doc_id"), Seq("fp", "doc_id"))
       .select($"doc_id", $"text")
     // stage 2: near-dup pairs among survivors only (the exact pass has

@@ -251,6 +251,35 @@ object RelationalExt {
       .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
   }
 
+  /** Gap sessionization via Spark's NATIVE `session_window` grouping
+    * (the same operator the streaming engine uses for session state)
+    * — the declarative twin of `q_events_sessionize`'s lag/cumsum
+    * formulation, verified against the same SQL oracle semantics. */
+  val qEventsSessionWindow: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), rnd(xsum($"value"), 2).as("sum_value"))
+      .select($"user_id",
+        date_format($"sw.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** Sketch aggregates for cardinality/quantiles at scale: HLL++
+    * distinct users and GK-sketch median per event type. No SQL
+    * oracle (DuckDB's sketches differ) — ApproxSpec bounds both
+    * against the exact answers. */
+  val qApproxStats: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id").as("approx_users"),
+        rnd(percentile_approx($"value", lit(0.5), lit(10000)), 4).as("approx_p50"))
+      .orderBy($"event_type")
+  }
+
   /** Window-function depth in one pass: running revenue, row rank,
     * quartile bucket, and delta-vs-previous per user over event time.
     * Running aggregation is sequential within the frame on any

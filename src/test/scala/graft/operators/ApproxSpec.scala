@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+/** q_approx_stats has no SQL oracle (DuckDB's sketch implementations
+  * differ), so this spec is its ground truth: the HLL++ cardinality
+  * and GK-sketch median must land within tight bounds of the exact
+  * answers, and the result must be deterministic (the driver's
+  * rows-only gate hashes it). */
+class ApproxSpec extends SparkTestBase {
+
+  test("q_approx_stats: HLL within 5% of exact, sketch median within exact p45-p55") {
+    import spark.implicits._
+    val approx = RelationalExt.qApproxStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        count_distinct($"user_id").as("u"),
+        percentile($"value", lit(0.45)).as("p45"),
+        percentile($"value", lit(0.55)).as("p55"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    for ((et, (users, p50)) <- approx) {
+      val (exactUsers, p45, p55) = exact(et)
+      assert(math.abs(users - exactUsers) <= math.max(1L, (exactUsers * 0.05).toLong),
+        s"$et: HLL $users vs exact $exactUsers")
+      assert(p50 >= p45 - 1e-9 && p50 <= p55 + 1e-9,
+        s"$et: sketch median $p50 outside exact [$p45, $p55]")
+    }
+  }
+
+  test("q_approx_stats: deterministic across runs (rows-only gate safety)") {
+    val fn = graft.SparkEntry.queries("q_approx_stats")
+    val r1 = fn(spark, sfDir).collect().toSeq
+    val r2 = fn(spark, sfDir).collect().toSeq
+    assert(r1 == r2)
+  }
+}
