@@ -83,7 +83,19 @@ object PlanAudit {
       "q16_brand_suppliers" -> Map(
         "part filters pushed to scan" ->
           (p => "PushedFilters: \\[[^\\]]*Not\\(EqualTo\\(p_brand".r.findFirstIn(p).isDefined),
-        "distinct-count partial before shuffle" -> (_.contains("partial_"))))
+        "distinct-count partial before shuffle" -> (_.contains("partial_"))),
+      // Catalyst's own rank-filter pushdown (InferWindowGroupLimit)
+      // must stay engaged on the declarative top-k queries — it's the
+      // built-in partial-limit-before-shuffle twin of our heap-based
+      // TopKPerKey operator, and a regression here (e.g. a filter
+      // rewritten so the rank column is no longer recognized) would
+      // silently resurrect the full per-partition sort
+      "q_events_topk_users" -> Map(
+        "rank filter lowered to WindowGroupLimit" ->
+          (_.contains("WindowGroupLimit"))),
+      "q_top_customers_per_segment" -> Map(
+        "rank filter lowered to WindowGroupLimit" ->
+          (_.contains("WindowGroupLimit"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>
