@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnOps, DedupOps, EventAnalytics, Relational, RelationalExt, TextOps}
+import graft.operators.{AnnOps, DedupOps, EventAnalytics, PipelineOps, Relational, RelationalExt, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -81,6 +81,12 @@ object SparkEntry {
     "text_sample_hash"            -> TextOps.textSampleHash,
     "text_levenshtein_pairs"      -> TextOps.textLevenshteinPairs,
     "text_subword_stats"          -> TextOps.textSubwordStats,
+    "text_pii_scan"               -> PipelineOps.textPiiScan,
+    "text_gopher_rules"           -> PipelineOps.textGopherRules,
+    "text_boilerplate"            -> PipelineOps.textBoilerplate,
+    "q_stratified_sample"         -> PipelineOps.qStratifiedSample,
+    "q_top_ngrams"                -> PipelineOps.qTopNgrams,
+    "q_domain_mix"                -> PipelineOps.qDomainMix,
     "q_corr_stats"                -> RelationalExt.qCorrStats,
     // §2.C dedup
     "dedup_exact"                 -> TextOps.dedupExact,
@@ -545,6 +551,100 @@ object SparkEntry {
         |floor((CAST(list_sum(list_transform(pc, x -> length(x))) AS DOUBLE) / len(pc))*10000 + 0.5)/10000 AS avg_piece_len
         |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]') AS pc FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scan" ->
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' host 10.2.' || (doc_id % 250) || '.7 port' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-02' || (doc_id % 10) || (doc_id % 10) || ' today' ELSE '' END AS pt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(pt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(pt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |    CAST(len(regexp_extract_all(pt, '\b555-\d{4}\b')) AS BIGINT) AS n_phones,
+        |    CAST(length(regexp_replace(regexp_replace(regexp_replace(pt,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b555-\d{4}\b', '<PHONE>', 'g')) AS BIGINT) AS red_len
+        |  FROM p)
+        |SELECT doc_id, n_emails, n_ips, n_phones,
+        |  n_emails + n_ips + n_phones AS n_pii, red_len
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_gopher_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS mwl,
+        |    CAST(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in'], t))) AS BIGINT) AS stop_hits,
+        |    [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk)-1)] AS g2
+        |  FROM toks),
+        |d AS (
+        |  SELECT doc_id, n_tokens, mwl, stop_hits,
+        |    1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup2
+        |  FROM base)
+        |SELECT doc_id, n_tokens,
+        |  floor((mwl)*10000 + 0.5)/10000 AS mean_wlen,
+        |  stop_hits,
+        |  floor((dup2)*10000 + 0.5)/10000 AS dup2_ratio,
+        |  CAST(n_tokens BETWEEN 20 AND 80 AS BIGINT) AS wc_ok,
+        |  CAST(mwl BETWEEN 4.0 AND 5.0 AS BIGINT) AS wlen_ok,
+        |  CAST(dup2 <= 0.05 AS BIGINT) AS rep_ok,
+        |  CAST(stop_hits >= 1 AS BIGINT) AS stop_ok,
+        |  CAST(n_tokens BETWEEN 20 AND 80 AND mwl BETWEEN 4.0 AND 5.0
+        |       AND dup2 <= 0.05 AND stop_hits >= 1 AS BIGINT) AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS tok
+        |  FROM documents),
+        |df AS (SELECT tok, count(*) AS df FROM d GROUP BY tok),
+        |t AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tok, df, floor((CAST(df AS DOUBLE)/n_docs)*10000 + 0.5)/10000 AS df_ratio
+        |FROM df, t WHERE CAST(df AS DOUBLE)/n_docs >= 0.5
+        |ORDER BY tok""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CASE WHEN strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+        |         < (CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 WHEN 'fr' THEN 2 ELSE 1 END)
+        |         THEN 1 ELSE 0 END AS hit
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_total,
+        |  CAST(sum(hit) AS BIGINT) AS n_sampled,
+        |  floor((avg(CAST(hit AS DOUBLE)))*10000 + 0.5)/10000 AS sample_rate
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, unnest([array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk)-1)]) AS ng
+        |  FROM toks WHERE len(tk) >= 2),
+        |c AS (SELECT lang, ng, count(*) AS cnt FROM g GROUP BY lang, ng),
+        |r AS (SELECT lang, ng, cnt,
+        |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ng) AS rn FROM c)
+        |SELECT lang, ng, cnt FROM r WHERE rn <= 5
+        |ORDER BY lang, cnt DESC, ng""".stripMargin,
+
+    "q_domain_mix" ->
+      """WITH agg AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source, lang),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM agg)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  floor((CAST(n_tokens AS DOUBLE)/tot)*1000000 + 0.5)/1000000 AS token_share
+        |FROM agg, t ORDER BY source, lang""".stripMargin,
 
     "q_corr_stats" ->
       """SELECT l_returnflag,

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cols._
+
+/** Training-data curation operators (SURVEY.md §2.E extension): the
+  * passes an LLM data pipeline runs between raw crawl and tokenizer —
+  * PII scrubbing, heuristic quality filtering (Gopher/MassiveText-style
+  * rules), boilerplate-vocabulary discovery, stratified sampling, and
+  * the corpus-mix report. All map-only or partial+final aggregates;
+  * the only corpus-wide shuffles are groupBys on small keys (token,
+  * lang, source) — every pass here scales linearly with corpus bytes.
+  */
+object PipelineOps {
+  import graft.SparkEntry.QueryFn
+
+  /** Word n-grams from a MATERIALIZED token-array column (pass a plain
+    * column reference, not the tokenizer expression — Catalyst inlines
+    * a non-trivial argument into every `element_at` site otherwise;
+    * see SURVEY §6). Empty array when the doc is shorter than n. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  // ---------------------------------------------------------------
+  // PII scan / redaction
+  // ---------------------------------------------------------------
+
+  // ASCII-only patterns chosen to behave identically under Java regex
+  // (Spark) and RE2 (DuckDB oracle).
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b555-\\d{4}\\b"
+
+  /** Deterministic PII fixture: the synthetic corpus contains no
+    * emails/IPs/phones, so scanning it raw would be a vacuous green
+    * (the round-1 `dedup_embedding` failure mode). Both the Spark plan
+    * and the oracle SQL append the same doc_id-derived fixtures, so
+    * the extraction/redaction machinery is genuinely exercised with
+    * known-nonzero hits. */
+  def withPiiFixtures(docId: Column, text: Column): Column = concat(
+    text,
+    when(docId % 7 === 0,
+      concat(lit(" contact user"), docId, lit("@example.com now"))).otherwise(""),
+    when(docId % 5 === 0,
+      concat(lit(" host 10.2."), docId % 250, lit(".7 port"))).otherwise(""),
+    when(docId % 11 === 0,
+      concat(lit(" call 555-02"), docId % 10, docId % 10, lit(" today"))).otherwise(""))
+
+  /** Per-document PII scan + redaction audit: counts per pattern class
+    * and the post-redaction length. Map-only — at 100 TB this runs at
+    * scan speed with zero shuffle (the orderBy exists only for the
+    * deterministic oracle compare). */
+  val textPiiScan: QueryFn = (s, dir) => {
+    import s.implicits._
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace($"pt", emailRe, "<EMAIL>"),
+          ipv4Re, "<IP>"),
+        phoneRe, "<PHONE>")
+    Tables.documents(s, dir)
+      .select($"doc_id", withPiiFixtures($"doc_id", $"text").as("pt"))
+      .select(
+        $"doc_id",
+        size(regexp_extract_all($"pt", lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all($"pt", lit(ipv4Re), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all($"pt", lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        length(redacted).cast("long").as("red_len"))
+      .withColumn("n_pii", ($"n_emails" + $"n_ips" + $"n_phones").as("n_pii"))
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones", $"n_pii", $"red_len")
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // Gopher-style quality rules
+  // ---------------------------------------------------------------
+
+  /** Heuristic keep/drop filter in the style of the Gopher /
+    * MassiveText quality rules (Rae et al. 2021, arXiv:2112.11446
+    * table A1): word-count bounds, mean-word-length band, duplicate
+    * 2-gram fraction cap, stopword-presence floor. Thresholds tuned so
+    * the sf corpus mixes keeps and drops (a filter that keeps
+    * everything verifies nothing). Flag columns are kept separate so
+    * a pipeline can ablate individual rules. */
+  val textGopherRules: QueryFn = (s, dir) => {
+    import s.implicits._
+    val toksd = Tables.documents(s, dir)
+      .select($"doc_id", normTokens($"text").as("toks"))
+    val base = toksd.select(
+      $"doc_id",
+      size($"toks").cast("long").as("n_tokens"),
+      (aggregate($"toks", lit(0L), (a, x) => a + length(x)).cast("double") /
+        size($"toks")).as("mwl"),
+      hitCount($"toks", TextOps.stopwords).cast("long").as("stop_hits"),
+      wordNgrams($"toks", 2).as("g2"))
+    val dup2 = lit(1.0) - size(array_distinct($"g2")).cast("double") / size($"g2")
+    base
+      .withColumn("dup2", dup2)
+      .select(
+        $"doc_id", $"n_tokens",
+        rnd($"mwl", 4).as("mean_wlen"),
+        $"stop_hits",
+        rnd($"dup2", 4).as("dup2_ratio"),
+        ($"n_tokens" >= 20 && $"n_tokens" <= 80).cast("long").as("wc_ok"),
+        ($"mwl" >= 4.0 && $"mwl" <= 5.0).cast("long").as("wlen_ok"),
+        ($"dup2" <= 0.05).cast("long").as("rep_ok"),
+        ($"stop_hits" >= 1).cast("long").as("stop_ok"))
+      .withColumn("keep",
+        ($"wc_ok" === 1 && $"wlen_ok" === 1 && $"rep_ok" === 1 && $"stop_ok" === 1)
+          .cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // Boilerplate vocabulary discovery
+  // ---------------------------------------------------------------
+
+  /** Tokens present in ≥ 50% of documents — the corpus-specific
+    * stopword/boilerplate list a pipeline derives before dedup (at web
+    * scale these are nav-bar strings and license headers). Document
+    * frequency, not term frequency: one distinct per doc, then a
+    * partial+final count on the (tiny) token key. The corpus total is
+    * a 1-row broadcast, not a driver collect. */
+  val textBoilerplate: QueryFn = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val df = docs
+      .select($"doc_id", explode(array_distinct(normTokens($"text"))).as("tok"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    df.crossJoin(broadcast(total))
+      .where($"df".cast("double") / $"n_docs" >= 0.5)
+      .select($"tok", $"df", rnd($"df".cast("double") / $"n_docs", 4).as("df_ratio"))
+      .orderBy($"tok")
+  }
+
+  // ---------------------------------------------------------------
+  // Stratified deterministic sampling
+  // ---------------------------------------------------------------
+
+  /** Per-language stratified sample with different target rates
+    * (en 50%, de 25%, fr 12.5%, others 6.25%) selected by the first
+    * md5 nibble of doc_id — the deterministic, engine-portable version
+    * of weighted reservoir sampling that a data-mix rebalance applies.
+    * Map-only predicate; the rollup shuffles only |langs| keys. */
+  val qStratifiedSample: QueryFn = (s, dir) => {
+    import s.implicits._
+    val nib = conv(substring(md5($"doc_id".cast("string")), 1, 1), 16, 10).cast("int")
+    val lim = when($"lang" === "en", 8)
+      .when($"lang" === "de", 4)
+      .when($"lang" === "fr", 2)
+      .otherwise(1)
+    val sampled = nib < lim
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"),
+        rnd(avg(when(sampled, 1.0).otherwise(0.0)), 4).as("sample_rate"))
+      .orderBy($"lang")
+  }
+
+  // ---------------------------------------------------------------
+  // Top n-grams per language (native TopKPerKey reuse)
+  // ---------------------------------------------------------------
+
+  /** Top-5 word 2-grams per language by frequency, ranked through the
+    * custom TopKPerKey Catalyst operator (partial per-partition heaps,
+    * ≤ k rows per key shuffled — no per-language total sort; the same
+    * plan shape survives a vocabulary of billions of n-grams). */
+  val qTopNgrams: QueryFn = (s, dir) => {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .select($"lang", normTokens($"text").as("toks"))
+      .select($"lang", explode(wordNgrams($"toks", 2)).as("ng"))
+      .groupBy($"lang", $"ng")
+      .agg(count(lit(1)).as("cnt"))
+    graft.plans.TopK
+      .perKey(counts, keyCols = Seq("lang"),
+        orderCols = Seq("cnt" -> false, "ng" -> true), k = 5)
+      .select($"lang", $"ng", $"cnt")
+      .orderBy($"lang", $"cnt".desc, $"ng".asc)
+  }
+
+  // ---------------------------------------------------------------
+  // Corpus mix report
+  // ---------------------------------------------------------------
+
+  /** Training-mix report: docs, token counts and corpus token share
+    * per (source, lang) — the table a data-mixing step consumes to set
+    * sampling weights. One partial+final agg over the corpus; the
+    * grand total joins back as a 1-row broadcast. */
+  val qDomainMix: QueryFn = (s, dir) => {
+    import s.implicits._
+    val agg = Tables.documents(s, dir)
+      .select($"source", $"lang", size(normTokens($"text")).cast("long").as("n"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+    val total = agg.agg(sum($"n_tokens").as("tot"))
+    agg.crossJoin(broadcast(total))
+      .select($"source", $"lang", $"n_docs", $"n_tokens",
+        rnd($"n_tokens".cast("double") / $"tot", 6).as("token_share"))
+      .orderBy($"source", $"lang")
+  }
+}

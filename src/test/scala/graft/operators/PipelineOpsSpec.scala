@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+/** Curation-pipeline operators (PipelineOps): each test checks against
+  * an independent reformulation (declarative twin or closed-form
+  * expectation), plus the non-vacuity properties the round-1 verdict
+  * demanded (a filter that keeps everything / a scan with zero hits
+  * verifies nothing). Runs on sf0.001. */
+class PipelineOpsSpec extends SparkTestBase {
+
+  test("text_pii_scan: fixture hit counts are exact per doc_id residue") {
+    import spark.implicits._
+    val rows = PipelineOps.textPiiScan(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, em, ip, ph, pii, _) =>
+      assert(em == (if (id % 7 == 0) 1L else 0L), s"doc $id emails")
+      assert(ip == (if (id % 5 == 0) 1L else 0L), s"doc $id ips")
+      assert(ph == (if (id % 11 == 0) 1L else 0L), s"doc $id phones")
+      assert(pii == em + ip + ph)
+    }
+    // non-vacuous: every pattern class fires somewhere in the corpus
+    assert(rows.map(_._2).sum > 0 && rows.map(_._3).sum > 0 && rows.map(_._4).sum > 0)
+  }
+
+  test("text_pii_scan: redaction shortens exactly the PII docs") {
+    import spark.implicits._
+    val origLen = Tables.documents(spark, sfDir)
+      .select($"doc_id", length(PipelineOps.withPiiFixtures($"doc_id", $"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    PipelineOps.textPiiScan(spark, sfDir)
+      .select($"doc_id", $"n_pii", $"red_len")
+      .as[(Long, Long, Long)].collect()
+      .foreach { case (id, pii, redLen) =>
+        if (pii == 0) assert(redLen == origLen(id), s"doc $id unchanged")
+        else assert(redLen != origLen(id), s"doc $id redacted")
+      }
+  }
+
+  test("text_gopher_rules: keep is the AND of flags and is non-vacuous") {
+    import spark.implicits._
+    val df = PipelineOps.textGopherRules(spark, sfDir).cache()
+    val flags = df.select($"wc_ok", $"wlen_ok", $"rep_ok", $"stop_ok", $"keep")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    flags.foreach { case (a, b, c, d, keep) =>
+      assert(keep == (a min b min c min d))
+    }
+    val keeps = flags.map(_._5).sum
+    assert(keeps > 0 && keeps < flags.length,
+      s"filter must mix keeps and drops, got $keeps/${flags.length}")
+    // each individual rule also drops someone (thresholds not dead)
+    assert(flags.exists(_._1 == 0) && flags.exists(_._3 == 0))
+    df.unpersist()
+  }
+
+  test("text_boilerplate: df counts match a direct recompute, ratio bounded") {
+    import spark.implicits._
+    val got = PipelineOps.textBoilerplate(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val direct = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(array_distinct(
+        graft.functions.Cols.normTokens($"text"))).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    got.foreach { case (tok, df, ratio) =>
+      assert(direct(tok) == df)
+      assert(df.toDouble / nDocs >= 0.5 && ratio <= 1.0)
+    }
+  }
+
+  test("q_stratified_sample: rates land near the per-lang targets") {
+    import spark.implicits._
+    val rows = PipelineOps.qStratifiedSample(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+    val target = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.125)
+      .withDefaultValue(0.0625)
+    rows.foreach { case (lang, total, sampled, rate) =>
+      assert(sampled > 0 && sampled < total, s"$lang sample non-vacuous")
+      // ±4 sd binomial tolerance on a deterministic hash sample
+      val p = target(lang)
+      val sd = math.sqrt(p * (1 - p) / total)
+      assert(math.abs(rate - p) < 4 * sd + 1e-9, s"$lang rate $rate vs $p")
+    }
+  }
+
+  test("q_top_ngrams: TopKPerKey plan matches the declarative window twin") {
+    import spark.implicits._
+    val counts = Tables.documents(spark, sfDir)
+      .select($"lang", graft.functions.Cols.normTokens($"text").as("toks"))
+      .select($"lang", explode(PipelineOps.wordNgrams($"toks", 2)).as("ng"))
+      .groupBy($"lang", $"ng").agg(count(lit(1)).as("cnt"))
+    val twin = counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"cnt".desc, $"ng".asc)))
+      .filter($"rn" <= 5).select($"lang", $"ng", $"cnt")
+      .as[(String, String, Long)].collect().toSet
+    val got = PipelineOps.qTopNgrams(spark, sfDir)
+      .as[(String, String, Long)].collect()
+    assert(got.toSet == twin)
+    assert(got.groupBy(_._1).values.forall(_.size == 5))
+  }
+
+  test("q_domain_mix: token shares sum to 1 and totals match the corpus") {
+    import spark.implicits._
+    val rows = PipelineOps.qDomainMix(spark, sfDir)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-3)
+    val corpusToks = Tables.documents(spark, sfDir)
+      .select(size(graft.functions.Cols.normTokens($"text")).cast("long").as("n"))
+      .agg(sum($"n")).as[Long].head()
+    assert(rows.map(_._4).sum == corpusToks)
+  }
+}
