@@ -95,7 +95,38 @@ object PlanAudit {
           (_.contains("WindowGroupLimit"))),
       "q_top_customers_per_segment" -> Map(
         "rank filter lowered to WindowGroupLimit" ->
-          (_.contains("WindowGroupLimit"))))
+          (_.contains("WindowGroupLimit"))),
+      "q_asof_join" -> Map(
+        // the sort-merge as-of: ONE union shuffle + per-key running
+        // window; no join operator at all (a BroadcastNestedLoop or
+        // Cartesian here would mean the inequality-join anti-pattern)
+        "no join operator" -> (p =>
+          !p.contains("Join") && !p.contains("CartesianProduct")),
+        "single window over the union" ->
+          (p => "\\bWindow\\b".r.findAllIn(p).size <= 1),
+        "running frame, not full-partition buffer" ->
+          (_.contains("unboundedpreceding$(), currentrow$()"))),
+      "q2_min_cost_supplier" -> Map(
+        "argmin via partial agg, no window sort" -> (p =>
+          p.contains("partial_min") && !p.contains("\nWindow")),
+        "part dim broadcast" -> (_.contains("BroadcastHashJoin"))),
+      "text_pii_scan" -> Map(
+        // PII scan must stay a pure scan→project pipeline
+        "map-only (no agg, no join)" -> (p =>
+          !p.contains("Aggregate") && !p.contains("Join")),
+        "whole-stage codegen" -> (_.contains("WholeStageCodegen subtree"))),
+      "text_boilerplate" -> Map(
+        "corpus total joined as broadcast, not collected" ->
+          (_.contains("BroadcastNestedLoopJoin")),
+        "df count partial before shuffle" -> (_.contains("partial_count"))),
+      "q_top_ngrams" -> Map(
+        "ranked through native TopKPerKey heaps" ->
+          (_.contains("TopKPerKey")),
+        "ngram count partial before shuffle" -> (_.contains("partial_count"))),
+      "q_grouping_sets" -> Map(
+        "one Expand + one aggregation, not three scans" -> (p =>
+          "\\bExpand\\b".r.findAllIn(p).size == 1 &&
+          "Scan parquet".r.findAllIn(p).size <= 2)))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

@@ -61,6 +61,9 @@ object SparkEntry {
     "q_cube_revenue"              -> RelationalExt.qCubeRevenue,
     "q_events_session_window"     -> RelationalExt.qEventsSessionWindow,
     "q_approx_stats"              -> RelationalExt.qApproxStats,
+    "q2_min_cost_supplier"        -> RelationalExt.q2MinCostSupplier,
+    "q_grouping_sets"             -> RelationalExt.qGroupingSets,
+    "q_asof_join"                 -> operators.AsOf.qAsofJoin,
     "q_events_moving_avg"         -> RelationalExt.qEventsMovingAvg,
     "q_events_funnel"             -> EventAnalytics.qEventsFunnel,
     "q_events_retention"          -> EventAnalytics.qEventsRetention,
@@ -100,6 +103,7 @@ object SparkEntry {
     "ann_bruteforce_topk"         -> AnnOps.annBruteforceTopk,
     "ann_lsh_topk"                -> AnnOps.annLshTopk,
     "ann_ivf_topk"                -> AnnOps.annIvfTopk,
+    "ann_sq8_topk"                -> AnnOps.annSq8Topk,
     // §2.F multimodal stand-in
     "mm_media_stats"              -> TextOps.mmMediaStats,
     "mm_featurize"                -> TextOps.mmFeaturize,
@@ -551,6 +555,34 @@ object SparkEntry {
         |floor((CAST(list_sum(list_transform(pc, x -> length(x))) AS DOUBLE) / len(pc))*10000 + 0.5)/10000 AS avg_piece_len
         |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]') AS pc FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH unit AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |r AS (
+        |  SELECT l_partkey, l_suppkey, cost,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY cost, l_suppkey) AS rn
+        |  FROM unit)
+        |SELECT l_partkey, p_brand, l_suppkey AS best_suppkey,
+        |  floor((cost)*10000 + 0.5)/10000 AS best_cost
+        |FROM r JOIN part ON l_partkey = p_partkey
+        |WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+        |floor((CAST(sum(CAST((o_totalprice) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT e.user_id, e.event_id,
+        |strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_date,
+        |CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(e.ts AS DATE)) AS BIGINT) AS days_since
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "text_pii_scan" ->
       """WITH p AS (

@@ -90,6 +90,43 @@ object AnnOps {
     rankTopK(cands, K)
   }
 
+  /** SQ8 top-k: the corpus is scalar-quantized to 8 bits per dimension
+    * (per-dim min/max affine code — 4× memory vs float32, the standard
+    * first compression step for a billion-vector index), then scored
+    * asymmetrically: full-precision probes against dequantized corpus
+    * vectors (ADC). Quantize and dequantize are both map-side
+    * transforms — zero extra shuffle vs the brute-force scan, and at
+    * real scale the int8 codes are what you'd persist/bucket (compose
+    * with the IVF cell routing above for the full IVF+SQ index). The
+    * per-dim min/max bounds are a 64-row aggregate collected as
+    * literals, exactly like the IVF centroids. */
+  val annSq8Topk: QueryFn = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val bounds = emb
+      .select(posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"pos")
+      .agg(min($"x".cast("double")).as("lo"), max($"x".cast("double")).as("hi"))
+      .orderBy($"pos").collect()
+    val lo = bounds.map(_.getDouble(1))
+    val scale = bounds.map(r => math.max(r.getDouble(2) - r.getDouble(1), 1e-12))
+    val loLit = typedLit(lo.toSeq); val scaleLit = typedLit(scale.toSeq)
+    // encode (what a real index stores), then decode — separate
+    // selects so neither array expression is inlined into the other
+    val codes = emb.select($"vec_id",
+      transform($"embedding", (x, i) =>
+        round((x.cast("double") - element_at(loLit, i + 1)) /
+          element_at(scaleLit, i + 1) * 255).cast("int")).as("q"))
+    val recon = codes.select($"vec_id",
+      transform($"q", (v, i) =>
+        element_at(loLit, i + 1) +
+          v.cast("double") / 255.0 * element_at(scaleLit, i + 1)).as("emb_hat"))
+    val cands = recon
+      .join(broadcast(probes(s, dir)), $"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"emb_hat").as("sim"))
+    rankTopK(cands, K)
+  }
+
   val IvfProbeCells = 6
 
   /** IVF top-k: coarse quantizer = per-label centroids (a single agg —

@@ -388,6 +388,44 @@ object RelationalExt {
       .orderBy($"event_type")
   }
 
+  /** Q2-flavored cheapest-supplier-per-part: argmin per group via
+    * `min(struct(cost, suppkey))` — ONE partial+final aggregation
+    * carrying an 16-byte struct, instead of the min-join-back
+    * two-pass or a window sort. Unit cost stands in for ps_supplycost
+    * (no partsupp table); struct ordering makes the tie-break (lowest
+    * suppkey) explicit and engine-reproducible. */
+  val q2MinCostSupplier: QueryFn = (s, dir) => {
+    import s.implicits._
+    val unit = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice" / $"l_quantity").as("cost"))
+    val best = unit
+      .groupBy($"l_partkey")
+      .agg(min(struct($"cost", $"l_suppkey")).as("b"))
+      .select($"l_partkey", $"b.l_suppkey".as("best_suppkey"),
+        rnd($"b.cost", 4).as("best_cost"))
+    best
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"p_brand", $"best_suppkey", $"best_cost")
+      .orderBy($"l_partkey")
+  }
+
+  /** Explicit GROUPING SETS — the general form of which ROLLUP/CUBE
+    * (already covered) are specializations: per-segment totals,
+    * per-status totals, and the grand total in one pass (Spark
+    * expands to a single Expand + one aggregation, not three scans). */
+  val qGroupingSets: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .groupingSets(
+        Seq(Seq($"c_mktsegment"), Seq($"o_orderstatus"), Seq()),
+        $"c_mktsegment", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        rnd(xsum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"c_mktsegment".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
   /** Revenue by order priority through [[Skew.saltedJoin]]: the
     * lineitem side is salted into 8 sub-keys and orders replicated
     * per salt, so one hot orderkey spreads over 8 shuffle partitions

@@ -165,6 +165,19 @@ class DedupAnnSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("ann_sq8_topk: 8-bit quantization barely dents recall") {
+    import spark.implicits._
+    val exact = AnnOps.annBruteforceTopk(spark, sfDir)
+      .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+    val got = AnnOps.annSq8Topk(spark, sfDir)
+      .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(s"ann_sq8_topk recall@5 = $recall")
+    // scalar quantization is near-lossless on unit-scale dims; a big
+    // drop here means the encode/decode affine is wrong
+    assert(recall >= 0.9, s"sq8 recall too low: $recall")
+  }
+
   test("ann_lsh_topk and ann_ivf_topk: valid rankings with useful recall") {
     val exact = AnnOps.annBruteforceTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
