@@ -123,6 +123,13 @@ object PlanAudit {
         "ranked through native TopKPerKey heaps" ->
           (_.contains("TopKPerKey")),
         "ngram count partial before shuffle" -> (_.contains("partial_count"))),
+      "q_range_join" -> Map(
+        // bucketing must keep the range join an equi-join — a
+        // BroadcastNestedLoop or Cartesian here means the residual
+        // range predicate became the ONLY join condition
+        "range join stays equi-join" -> (p =>
+          !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
       "q_grouping_sets" -> Map(
         "one Expand + one aggregation, not three scans" -> (p =>
           "\\bExpand\\b".r.findAllIn(p).size == 1 &&

@@ -64,6 +64,7 @@ object SparkEntry {
     "q2_min_cost_supplier"        -> RelationalExt.q2MinCostSupplier,
     "q_grouping_sets"             -> RelationalExt.qGroupingSets,
     "q_asof_join"                 -> operators.AsOf.qAsofJoin,
+    "q_range_join"                -> EventAnalytics.qRangeJoin,
     "q_events_moving_avg"         -> RelationalExt.qEventsMovingAvg,
     "q_events_funnel"             -> EventAnalytics.qEventsFunnel,
     "q_events_retention"          -> EventAnalytics.qEventsRetention,
@@ -90,6 +91,7 @@ object SparkEntry {
     "q_stratified_sample"         -> PipelineOps.qStratifiedSample,
     "q_top_ngrams"                -> PipelineOps.qTopNgrams,
     "q_domain_mix"                -> PipelineOps.qDomainMix,
+    "text_lm_score"               -> PipelineOps.textLmScore,
     "q_corr_stats"                -> RelationalExt.qCorrStats,
     // §2.C dedup
     "dedup_exact"                 -> TextOps.dedupExact,
@@ -576,6 +578,16 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
         |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
 
+    "q_range_join" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.event_id,
+        |  count(v.ts) AS n_views,
+        |  floor((coalesce(CAST(sum(CAST((v.value) AS DECIMAL(27,10))) AS DOUBLE), 0.0))*100 + 0.5)/100 AS sum_view_val
+        |FROM p LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        |GROUP BY p.user_id, p.event_id ORDER BY event_id""".stripMargin,
+
     "q_asof_join" ->
       """SELECT e.user_id, e.event_id,
         |strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_date,
@@ -667,6 +679,24 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ng) AS rn FROM c)
         |SELECT lang, ng, cnt FROM r WHERE rn <= 5
         |ORDER BY lang, cnt DESC, ng""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+        |  FROM toks WHERE len(tk) >= 2),
+        |bgc AS (SELECT lang, w1, w2, count(*) AS c2 FROM bg GROUP BY 1,2,3),
+        |ugc AS (SELECT lang, w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bgc GROUP BY 1,2),
+        |v AS (SELECT lang, count(DISTINCT w2) AS vsize FROM bgc GROUP BY 1)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  floor((CAST(sum(CAST((CAST(c2 + 1 AS DOUBLE) / (c1 + vsize)) AS DECIMAL(27,10))) AS DOUBLE) / count(*))*1000000 + 0.5)/1000000 AS lm_score
+        |FROM bg b
+        |JOIN bgc ON b.lang = bgc.lang AND b.w1 = bgc.w1 AND b.w2 = bgc.w2
+        |JOIN ugc ON b.lang = ugc.lang AND b.w1 = ugc.w1
+        |JOIN v ON b.lang = v.lang
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     "q_domain_mix" ->
       """WITH agg AS (

@@ -14,6 +14,38 @@ import graft.functions.Cols.rnd
 object EventAnalytics {
   import graft.SparkEntry.QueryFn
 
+  /** Range join — views in the hour before each purchase, per user —
+    * implemented with the scale-safe bucketing pattern: both sides get
+    * an hour-bucket key, the (bounded) probe side explodes the 2
+    * candidate buckets its range can touch, the join is a plain
+    * EQUI-join on (user, bucket) with the exact range as a residual
+    * filter. A raw inequality join would be a per-user cross product
+    * (BroadcastNestedLoop at best); this shuffles each event exactly
+    * once (probes twice) and never pairs events from different hours.
+    * Each (purchase, view) pair meets in exactly one bucket — the
+    * view's own — so no dedup is needed. */
+  val qRangeJoin: QueryFn = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val bucket = (c: org.apache.spark.sql.Column) => floor(unix_timestamp(c) / 3600)
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts",
+        explode(array(bucket($"ts"), bucket($"ts") - 1)).as("bkt"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_uid"), bucket($"ts").as("v_bkt"),
+        $"ts".as("v_ts"), $"value".as("v_val"))
+    purch
+      .join(views,
+        $"user_id" === $"v_uid" && $"bkt" === $"v_bkt" &&
+          $"v_ts" >= $"ts" - expr("INTERVAL 1 HOUR") && $"v_ts" < $"ts",
+        "left")
+      .groupBy($"user_id", $"event_id")
+      .agg(
+        count($"v_ts").as("n_views"),
+        rnd(coalesce(graft.functions.Cols.xsum($"v_val"), lit(0.0)), 2).as("sum_view_val"))
+      .orderBy($"event_id")
+  }
+
   /** Strict-order funnel signup → view → purchase: each stage counts
     * users whose stage event happened after their previous stage's
     * first event. */

@@ -190,6 +190,47 @@ object PipelineOps {
   }
 
   // ---------------------------------------------------------------
+  // Bigram language-model fluency score
+  // ---------------------------------------------------------------
+
+  /** Per-document fluency score from a corpus bigram model: the mean
+    * add-1-smoothed conditional probability P(w_i | w_{i-1}) under
+    * per-language bigram counts — the shape of a perplexity-based
+    * quality filter (CCNet-style), built without transcendentals so
+    * both engines agree bit-for-bit (log/exp differ across libm
+    * implementations in the last ulp; a plain ratio mean doesn't).
+    * Two aggregations over the corpus bigram stream (model fit) + one
+    * join back (scoring) — all partial+final, keys are (lang, w1[,
+    * w2]): the exact plan a 100 TB n-gram scorer uses, with the model
+    * tables shuffle-joined (they grow with vocabulary², never
+    * broadcastable at real scale — only the 1-row-per-lang vocabulary
+    * size is). */
+  val textLmScore: QueryFn = (s, dir) => {
+    import s.implicits._
+    val toksd = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", normTokens($"text").as("toks"))
+      .where(size($"toks") >= 2)
+    val bg = toksd
+      .select($"doc_id", $"lang",
+        explode(transform(sequence(lit(1), size($"toks") - 1), i =>
+          struct(element_at($"toks", i).as("w1"),
+            element_at($"toks", i + 1).as("w2")))).as("p"))
+      .select($"doc_id", $"lang", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val bgc = bg.groupBy($"lang", $"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val ugc = bgc.groupBy($"lang", $"w1").agg(sum($"c2").as("c1"))
+    val v = bgc.groupBy($"lang").agg(count_distinct($"w2").as("vsize"))
+    val prob = ($"c2" + 1).cast("double") / ($"c1" + $"vsize")
+    bg.join(bgc, Seq("lang", "w1", "w2"))
+      .join(ugc, Seq("lang", "w1"))
+      .join(broadcast(v), Seq("lang"))
+      .select($"doc_id", prob.as("p"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        rnd(xsum($"p") / count(lit(1)), 6).as("lm_score"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------
   // Corpus mix report
   // ---------------------------------------------------------------
 

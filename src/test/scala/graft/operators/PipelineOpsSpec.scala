@@ -106,6 +106,46 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.groupBy(_._1).values.forall(_.size == 5))
   }
 
+  test("text_lm_score: probabilities bounded, bigram counts tie to token counts") {
+    import spark.implicits._
+    val scores = PipelineOps.textLmScore(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(scores.nonEmpty)
+    scores.foreach { case (id, n, sc) =>
+      assert(sc > 0.0 && sc <= 1.0, s"doc $id score $sc out of (0,1]")
+      assert(n >= 1)
+    }
+    val nToks = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(graft.functions.Cols.normTokens($"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    scores.foreach { case (id, n, _) => assert(n == nToks(id) - 1, s"doc $id") }
+    // scores must discriminate (a constant score means the model
+    // collapsed, e.g. every bigram got the same smoothed probability)
+    assert(scores.map(_._3).distinct.length > 10)
+  }
+
+  test("q_range_join: bucketed equi-join == direct inequality join") {
+    import spark.implicits._
+    val got = EventAnalytics.qRangeJoin(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"ts".as("vts"), $"value".as("vval"))
+    val brute = p.join(v,
+        $"user_id" === $"vu" &&
+          $"vts" >= $"ts" - expr("INTERVAL 1 HOUR") && $"vts" < $"ts", "left")
+      .groupBy($"user_id", $"event_id")
+      .agg(count($"vts").as("n"),
+        graft.functions.Cols.rnd(
+          coalesce(graft.functions.Cols.xsum($"vval"), lit(0.0)), 2).as("sv"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == brute)
+    assert(got.exists(_._3 > 0), "some purchase must have prior views")
+    assert(got.exists(_._3 == 0), "some purchase must have none (left-join path)")
+  }
+
   test("q_domain_mix: token shares sum to 1 and totals match the corpus") {
     import spark.implicits._
     val rows = PipelineOps.qDomainMix(spark, sfDir)
