@@ -63,6 +63,7 @@ object SparkEntry {
     "q_approx_stats"              -> RelationalExt.qApproxStats,
     "q2_min_cost_supplier"        -> RelationalExt.q2MinCostSupplier,
     "q_grouping_sets"             -> RelationalExt.qGroupingSets,
+    "q_full_outer"                -> RelationalExt.qFullOuter,
     "q_asof_join"                 -> operators.AsOf.qAsofJoin,
     "q_range_join"                -> EventAnalytics.qRangeJoin,
     "q_events_moving_avg"         -> RelationalExt.qEventsMovingAvg,
@@ -101,6 +102,7 @@ object SparkEntry {
     "dedup_embedding"             -> DedupOps.dedupEmbedding,
     "dedup_clusters"              -> DedupOps.dedupClusters,
     "dedup_pipeline"              -> DedupOps.dedupPipeline,
+    "dedup_incremental"           -> DedupOps.dedupIncremental,
     // §2.D similarity search
     "ann_bruteforce_topk"         -> AnnOps.annBruteforceTopk,
     "ann_lsh_topk"                -> AnnOps.annLshTopk,
@@ -557,6 +559,44 @@ object SparkEntry {
         |floor((CAST(list_sum(list_transform(pc, x -> length(x))) AS DOUBLE) / len(pc))*10000 + 0.5)/10000 AS avg_piece_len
         |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]') AS pc FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH y96 AS (SELECT o_custkey, count(*) AS n_1996 FROM orders
+        |  WHERE year(o_orderdate) = 1996 GROUP BY o_custkey),
+        |y97 AS (SELECT o_custkey, count(*) AS n_1997 FROM orders
+        |  WHERE year(o_orderdate) = 1997 GROUP BY o_custkey)
+        |SELECT coalesce(y96.o_custkey, y97.o_custkey) AS custkey,
+        |  coalesce(n_1996, 0) AS n_1996, coalesce(n_1997, 0) AS n_1997,
+        |  CASE WHEN n_1996 IS NOT NULL AND n_1997 IS NOT NULL THEN 'both'
+        |       WHEN n_1996 IS NOT NULL THEN 'only_1996' ELSE 'only_1997' END AS presence
+        |FROM y96 FULL OUTER JOIN y97 ON y96.o_custkey = y97.o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH norm AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents),
+        |oldkeep AS (
+        |  SELECT fp, min(doc_id) AS old_id FROM norm WHERE doc_id % 5 <> 4 GROUP BY fp),
+        |exact AS (
+        |  SELECT n.doc_id AS new_id, o.old_id, 'exact' AS kind, CAST(1.0 AS DOUBLE) AS sim
+        |  FROM norm n JOIN oldkeep o USING (fp) WHERE n.doc_id % 5 = 4),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]) AS sh
+        |  FROM toks WHERE len(tk) >= 3),
+        |near AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, 'near' AS kind,
+        |    floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(a.sh, b.sh))))*10000 + 0.5)/10000 AS sim
+        |  FROM sh a JOIN sh b ON a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+        |  WHERE a.doc_id NOT IN (SELECT new_id FROM exact)
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+        |SELECT new_id, old_id, kind, sim
+        |FROM (SELECT * FROM exact UNION ALL SELECT * FROM near) u
+        |ORDER BY new_id, old_id, kind""".stripMargin,
 
     "q2_min_cost_supplier" ->
       """WITH unit AS (

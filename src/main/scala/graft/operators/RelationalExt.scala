@@ -388,6 +388,25 @@ object RelationalExt {
       .orderBy($"event_type")
   }
 
+  /** FULL OUTER join — completes the join-type surface (inner, left,
+    * semi, anti, cross, full): per-customer order counts 1996 vs
+    * 1997, keeping customers active in either year only. */
+  val qFullOuter: QueryFn = (s, dir) => {
+    import s.implicits._
+    def yearly(yr: Int, n: String) = Tables.orders(s, dir)
+      .filter(year($"o_orderdate") === yr)
+      .groupBy($"o_custkey".as("custkey")).agg(count(lit(1)).as(n))
+    yearly(1996, "n_1996")
+      .join(yearly(1997, "n_1997"), Seq("custkey"), "full_outer")
+      .select($"custkey",
+        coalesce($"n_1996", lit(0L)).as("n_1996"),
+        coalesce($"n_1997", lit(0L)).as("n_1997"),
+        when($"n_1996".isNotNull && $"n_1997".isNotNull, "both")
+          .when($"n_1996".isNotNull, "only_1996")
+          .otherwise("only_1997").as("presence"))
+      .orderBy($"custkey")
+  }
+
   /** Q2-flavored cheapest-supplier-per-part: argmin per group via
     * `min(struct(cost, suppkey))` — ONE partial+final aggregation
     * carrying an 16-byte struct, instead of the min-join-back

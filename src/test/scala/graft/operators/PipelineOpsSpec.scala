@@ -146,6 +146,69 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.exists(_._3 == 0), "some purchase must have none (left-join path)")
   }
 
+  test("dedup_incremental: exact + near stages on a synthetic batch split") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // ids chosen so % 5 == 4 lands docs in the NEW batch:
+    // old = {0 base, 1 other}, new = {4 exact dup of 0, 9 near-dup of
+    // 0 (one token in 50 differs), 14 unrelated}
+    val dir = Files.createTempDirectory("graft-incr").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val near = base.replace("kappa", "lambda")
+    val other = "one two three four five six seven eight nine ten " * 5
+    val uniq = "red orange yellow green blue indigo violet black white gray " * 5
+    Seq(
+      (0L, base, "en", "s", base.length.toLong),
+      (1L, other, "en", "s", other.length.toLong),
+      (4L, base, "en", "s", base.length.toLong),
+      (9L, near, "en", "s", near.length.toLong),
+      (14L, uniq, "en", "s", uniq.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = DedupOps.dedupIncremental(spark, dir)
+      .as[(Long, Long, String, Double)].collect()
+    val exact = got.filter(_._3 == "exact")
+    val nearGot = got.filter(_._3 == "near")
+    assert(exact.toSeq == Seq((4L, 0L, "exact", 1.0)))
+    assert(nearGot.map(r => (r._1, r._2)).toSeq == Seq((9L, 0L)))
+    assert(nearGot.head._4 >= 0.5 && nearGot.head._4 < 1.0)
+    assert(!got.exists(_._1 == 14L), "unrelated new doc must not pair")
+  }
+
+  test("dedup_incremental: sf0.001 near pairs agree with brute-force jaccard") {
+    import spark.implicits._
+    val got = DedupOps.dedupIncremental(spark, sfDir)
+      .as[(Long, Long, String, Double)].collect()
+    // brute force over STRING 3-gram shingles (independent of the
+    // hashed-shingle implementation)
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", graft.functions.Cols.normTokens($"text").as("tk"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, tk) => id -> tk.sliding(3).map(_.mkString(" ")).toSet }
+      .filter(_._2.nonEmpty).toMap
+    val brute = for {
+      (a, sa) <- docs.toSeq if a % 5 == 4
+      (b, sb) <- docs.toSeq if b % 5 != 4
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.5
+    } yield (a, b)
+    assert(got.filter(_._3 == "near").map(r => (r._1, r._2)).toSet == brute.toSet)
+  }
+
+  test("q_full_outer: one-sided rows survive with zero-filled counts") {
+    import spark.implicits._
+    val rows = RelationalExt.qFullOuter(spark, sfDir)
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.exists(_._4 == "only_1996") && rows.exists(_._4 == "only_1997")
+      && rows.exists(_._4 == "both"), "all three presence classes must occur")
+    rows.foreach { case (_, a, b, p) =>
+      p match {
+        case "both"      => assert(a > 0 && b > 0)
+        case "only_1996" => assert(a > 0 && b == 0)
+        case "only_1997" => assert(a == 0 && b > 0)
+      }
+    }
+  }
+
   test("q_domain_mix: token shares sum to 1 and totals match the corpus") {
     import spark.implicits._
     val rows = PipelineOps.qDomainMix(spark, sfDir)
