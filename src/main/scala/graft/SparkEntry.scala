@@ -77,6 +77,7 @@ object SparkEntry {
     "mr_grep"                     -> TextOps.mrGrep,
     "mr_inverted_index"           -> TextOps.mrInvertedIndex,
     "mr_distinct_tokens"          -> TextOps.mrDistinctTokens,
+    "mr_chained"                  -> TextOps.mrChained,
     // §2.E text analysis
     "text_token_stats"            -> TextOps.textTokenStats,
     "text_quality"                -> TextOps.textQuality,
@@ -93,6 +94,8 @@ object SparkEntry {
     "q_top_ngrams"                -> PipelineOps.qTopNgrams,
     "q_domain_mix"                -> PipelineOps.qDomainMix,
     "text_lm_score"               -> PipelineOps.textLmScore,
+    "text_tfidf_top"              -> PipelineOps.textTfidfTop,
+    "q_histogram"                 -> EventAnalytics.qHistogram,
     "q_corr_stats"                -> RelationalExt.qCorrStats,
     // §2.C dedup
     "dedup_exact"                 -> TextOps.dedupExact,
@@ -635,6 +638,42 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "mr_chained" ->
+      """SELECT cnt, count(*) AS n_words FROM (
+        |  SELECT count(*) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+        |  WHERE word <> '' GROUP BY word) c
+        |GROUP BY cnt ORDER BY cnt""".stripMargin,
+
+    "text_tfidf_top" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |t AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, tok, CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / df) AS tfidf
+        |  FROM tf JOIN df USING (tok), t),
+        |r AS (
+        |  SELECT doc_id, tok, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY floor((tfidf)*1000000 + 0.5)/1000000 DESC, tok) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok,
+        |  floor((tfidf)*10000 + 0.5)/10000 AS tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_histogram" ->
+      """WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+        |b AS (
+        |  SELECT CAST(least(floor((value - lo) / ((hi - lo) / 10.0)), 9.0) AS BIGINT) AS bucket, value
+        |  FROM events, s)
+        |SELECT bucket, count(*) AS n,
+        |  floor((min(value))*10000 + 0.5)/10000 AS v_min,
+        |  floor((max(value))*10000 + 0.5)/10000 AS v_max
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "text_pii_scan" ->
       """WITH p AS (

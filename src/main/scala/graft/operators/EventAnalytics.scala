@@ -14,6 +14,25 @@ import graft.functions.Cols.rnd
 object EventAnalytics {
   import graft.SparkEntry.QueryFn
 
+  /** Equi-width histogram of event values: global min/max come back
+    * as a 1-row broadcast, bucket assignment is a map-side floor —
+    * two corpus passes, no sort (an NTILE formulation would need a
+    * global sort; equi-width needs only the bounds). */
+  val qHistogram: QueryFn = (s, dir) => {
+    import s.implicits._
+    val stats = Tables.events(s, dir)
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+    Tables.events(s, dir)
+      .crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        least(floor(($"value" - $"lo") / (($"hi" - $"lo") / 10.0)), lit(9.0)).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        rnd(min($"value"), 4).as("v_min"),
+        rnd(max($"value"), 4).as("v_max"))
+      .orderBy($"bucket")
+  }
+
   /** Range join — views in the hour before each purchase, per user —
     * implemented with the scale-safe bucketing pattern: both sides get
     * an hour-bucket key, the (bounded) probe side explodes the 2

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -187,6 +188,36 @@ object PipelineOps {
         orderCols = Seq("cnt" -> false, "ng" -> true), k = 5)
       .select($"lang", $"ng", $"cnt")
       .orderBy($"lang", $"cnt".desc, $"ng".asc)
+  }
+
+  // ---------------------------------------------------------------
+  // TF-IDF top terms
+  // ---------------------------------------------------------------
+
+  /** Top-3 terms per document by TF-IDF, with the rational
+    * N/df weighting (no log: libm log differs across engines in the
+    * last ulp, a plain ratio doesn't — same reasoning as
+    * [[textLmScore]]). Ranking runs through the native TopKPerKey
+    * operator (bounded heaps, ≤ 3 rows per doc shuffled) — its third
+    * consumer, here with doc_id as the key, i.e. millions of small
+    * groups rather than a few large ones. */
+  val textTfidfTop: QueryFn = (s, dir) => {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(normTokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(total))
+      .withColumn("tfidf", $"tf".cast("double") * ($"n_docs".cast("double") / $"df"))
+      .withColumn("tfidf_r", rnd($"tfidf", 6))
+    val topped = graft.plans.TopK.perKey(scored,
+      keyCols = Seq("doc_id"), orderCols = Seq("tfidf_r" -> false, "tok" -> true), k = 3)
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf_r".desc, $"tok".asc)
+    topped
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select($"doc_id", $"rnk", $"tok", rnd($"tfidf", 4).as("tfidf"))
+      .orderBy($"doc_id", $"rnk")
   }
 
   // ---------------------------------------------------------------

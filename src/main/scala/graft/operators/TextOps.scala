@@ -78,6 +78,36 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** Two chained MapReduce jobs through the graft.mr engine — the
+    * composability the reference gets by feeding one job's output
+    * folder to the next job's input folder (its Start() chain):
+    * job 1 = word count, job 2 = frequency-of-frequencies over job
+    * 1's output Dataset. Both jobs run with a Combiner, so each is
+    * partial+final; no materialization is forced between them —
+    * Catalyst plans the chain as one DAG, which is the point of
+    * compiling the MR model to Datasets instead of files. */
+  val mrChained: QueryFn = (s, dir) => {
+    import s.implicits._
+    import graft.mr._
+    val input = Tables.documents(s, dir)
+      .select($"doc_id".cast("string"), $"text").as[(String, String)]
+    val counts = MapReduceJob.run(input,
+      new WordCount.WordCountMapper, new WordCount.SumReducer,
+      Some(WordCount.SumCombiner))
+    val freqMapper = new Mapper[String, Long, Long, Long] {
+      def map(k: String, v: Long, e: Emitter[Long, Long]): Unit = e.emit(v, 1L)
+    }
+    val sumReducer = new Reducer[Long, Long, Long] {
+      def reduce(k: Long, vs: Iterator[Long]): Long = vs.sum
+    }
+    val sumCombiner = new Combiner[Long] {
+      def combine(a: Long, b: Long): Long = a + b
+    }
+    MapReduceJob.run(counts, freqMapper, sumReducer, Some(sumCombiner))
+      .toDF("cnt", "n_words")
+      .orderBy($"cnt")
+  }
+
   /** Per-document token statistics. */
   val textTokenStats: QueryFn = (s, dir) => {
     import s.implicits._
