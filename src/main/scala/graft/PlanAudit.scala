@@ -133,7 +133,29 @@ object PlanAudit {
       "q_grouping_sets" -> Map(
         "one Expand + one aggregation, not three scans" -> (p =>
           "\\bExpand\\b".r.findAllIn(p).size == 1 &&
-          "Scan parquet".r.findAllIn(p).size <= 2)))
+          "Scan parquet".r.findAllIn(p).size <= 2)),
+      "text_decontaminate" -> Map(
+        // the benchmark n-gram set is eval-suite-sized, not
+        // corpus-sized — it must be the broadcast side so the training
+        // corpus streams past it map-side
+        "benchmark gram set broadcast" -> (_.contains("BroadcastHashJoin")),
+        "per-doc counts partial before shuffle" -> (_.contains("partial_count"))),
+      "q_sliding_distinct" -> Map(
+        // day spine is ~hundreds of rows: broadcast; the only
+        // corpus-sized shuffle is the (day,user) distinct
+        "day spine broadcast" -> (p =>
+          p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin")),
+        "distinct partial before shuffle" -> (_.contains("partial_"))),
+      "q_copurchase_pairs" -> Map(
+        // pairs must meet on the l_orderkey equi-join — a cartesian
+        // means the within-order pairing became all-pairs
+        "no cartesian pairing" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
+        "pair counts partial before shuffle" -> (_.contains("partial_count"))),
+      "q11_part_value_share" -> Map(
+        "grand total broadcast back, not collected" ->
+          (_.contains("BroadcastNestedLoopJoin")),
+        "partial agg before shuffle" -> (_.contains("partial_"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

@@ -65,6 +65,10 @@ object SparkEntry {
     "q_grouping_sets"             -> RelationalExt.qGroupingSets,
     "q_full_outer"                -> RelationalExt.qFullOuter,
     "q_asof_join"                 -> operators.AsOf.qAsofJoin,
+    "q11_part_value_share"        -> operators.SupplyOps.q11PartValueShare,
+    "q20_excess_suppliers"        -> operators.SupplyOps.q20ExcessSuppliers,
+    "q_copurchase_pairs"          -> operators.SupplyOps.qCopurchasePairs,
+    "q_sliding_distinct"          -> EventAnalytics.qSlidingDistinct,
     "q_range_join"                -> EventAnalytics.qRangeJoin,
     "q_events_moving_avg"         -> RelationalExt.qEventsMovingAvg,
     "q_events_funnel"             -> EventAnalytics.qEventsFunnel,
@@ -95,6 +99,8 @@ object SparkEntry {
     "q_domain_mix"                -> PipelineOps.qDomainMix,
     "text_lm_score"               -> PipelineOps.textLmScore,
     "text_tfidf_top"              -> PipelineOps.textTfidfTop,
+    "text_decontaminate"          -> PipelineOps.textDecontaminate,
+    "text_readability"            -> PipelineOps.textReadability,
     "q_histogram"                 -> EventAnalytics.qHistogram,
     "q_corr_stats"                -> RelationalExt.qCorrStats,
     // §2.C dedup
@@ -818,6 +824,72 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY pid ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM sims)
         |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor((sim)*10000 + 0.5)/10000 AS sim
         |FROM ranked WHERE rnk <= 5 ORDER BY pid, rnk""".stripMargin,
+
+    "q11_part_value_share" ->
+      """WITH pv AS (
+        |  SELECT l_partkey, CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(27,10))) AS DOUBLE) AS value
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT CAST(sum(CAST(value AS DECIMAL(27,10))) AS DOUBLE) AS tot, count(*) AS np FROM pv)
+        |SELECT l_partkey, floor((value)*100 + 0.5)/100 AS value,
+        |  floor((value/tot)*1000000 + 0.5)/1000000 AS share
+        |FROM pv, t WHERE value > 1.5 * tot/np ORDER BY l_partkey""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH sq AS (
+        |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, sum(qty) AS pqty, count(*) AS nsupp FROM sq GROUP BY 1),
+        |dom AS (
+        |  SELECT l_suppkey, count(*) AS n_dominant
+        |  FROM sq JOIN pt USING (l_partkey) WHERE nsupp >= 2 AND qty > 0.5 * pqty GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_dominant
+        |FROM supplier JOIN dom ON s_suppkey = l_suppkey
+        |WHERE n_dominant >= 5 ORDER BY s_suppkey""".stripMargin,
+
+    "q_copurchase_pairs" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+        |FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY part_a, part_b""".stripMargin,
+
+    "q_sliding_distinct" ->
+      """WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS spine_d FROM events),
+        |du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events)
+        |SELECT strftime(spine_d, '%Y-%m-%d') AS day,
+        |  count(DISTINCT CASE WHEN du.d = spine_d THEN du.user_id END) AS n_users_day,
+        |  count(DISTINCT du.user_id) AS n_users_7d
+        |FROM days JOIN du ON du.d BETWEEN spine_d - INTERVAL 6 DAY AND spine_d
+        |GROUP BY spine_d ORDER BY day""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+3], ' ') for i in generate_series(1, len(tk)-3)])) AS ng
+        |  FROM toks WHERE len(tk) >= 4),
+        |ngc AS (SELECT doc_id, count(*) AS n_grams FROM g WHERE doc_id % 10 <> 9 GROUP BY doc_id),
+        |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 9),
+        |hits AS (
+        |  SELECT g.doc_id, count(*) AS n_hit
+        |  FROM g JOIN bench USING (ng) WHERE g.doc_id % 10 <> 9 GROUP BY g.doc_id)
+        |SELECT h.doc_id, c.n_grams, h.n_hit,
+        |  floor((CAST(h.n_hit AS DOUBLE)/c.n_grams)*10000 + 0.5)/10000 AS hit_ratio
+        |FROM hits h JOIN ngc c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "text_readability" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_syll,
+        |  floor((CAST(n_syll AS DOUBLE)/n_words)*10000 + 0.5)/10000 AS syll_per_word,
+        |  floor((CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE)*n_words
+        |         - CAST(84.6 AS DOUBLE)*(CAST(n_syll AS DOUBLE)/n_words))*100 + 0.5)/100 AS flesch
+        |FROM b WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
 
     "mm_media_stats" ->
       """SELECT source, count(*) AS n_docs,

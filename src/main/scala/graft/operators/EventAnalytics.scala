@@ -122,6 +122,27 @@ object EventAnalytics {
       .orderBy($"month")
   }
 
+  /** Trailing-7-day distinct users per day (the DAU/WAU rollup).
+    * COUNT(DISTINCT) can't run inside a sliding window frame, and a
+    * 7-day state store per key is the streaming answer — in batch the
+    * scale-safe plan is: dedup to (day, user) first (partial-agg
+    * shuffle), then a range join against the ~hundreds-of-rows day
+    * spine, which Spark broadcasts. Each (day,user) row is replicated
+    * at most 7×, independent of corpus size. */
+  val qSlidingDistinct: QueryFn = (s, dir) => {
+    import s.implicits._
+    val du = Tables.events(s, dir)
+      .select(date_trunc("day", $"ts").as("d"), $"user_id").distinct()
+    val days = du.select($"d".as("spine_d")).distinct()
+    du.join(broadcast(days),
+        $"d" >= date_sub($"spine_d", 6) && $"d" <= $"spine_d")
+      .groupBy(date_format($"spine_d", "yyyy-MM-dd").as("day"))
+      .agg(
+        count_distinct(when($"d" === $"spine_d", $"user_id")).as("n_users_day"),
+        count_distinct($"user_id").as("n_users_7d"))
+      .orderBy($"day")
+  }
+
   /** Day-0 cohort retention: users grouped by first-seen day, counted
     * per day offset they return on. */
   val qEventsRetention: QueryFn = (s, dir) => {

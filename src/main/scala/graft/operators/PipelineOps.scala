@@ -262,6 +262,62 @@ object PipelineOps {
   }
 
   // ---------------------------------------------------------------
+  // Benchmark decontamination
+  // ---------------------------------------------------------------
+
+  /** Train/benchmark decontamination scan — the pass that keeps eval
+    * sets out of the training corpus (Gopher/GPT-3 style n-gram
+    * overlap; Brown et al. 2020 §C use 13-grams on web-scale text,
+    * here 4-grams fit the short synthetic docs). Docs with
+    * doc_id%10==9 stand in for the benchmark set. The benchmark's
+    * distinct n-gram set is small regardless of corpus size (it scales
+    * with the eval suite, not the crawl), so it is THE broadcast side;
+    * the training corpus streams past it map-side and only matching
+    * grams reach the per-doc count shuffle. Emits one row per
+    * contaminated training doc. */
+  val textDecontaminate: QueryFn = (s, dir) => {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", normTokens($"text").as("toks"))
+      .where(size($"toks") >= 4)
+      .select($"doc_id", explode(array_distinct(wordNgrams($"toks", 4))).as("ng"))
+    val bench = grams.where($"doc_id" % 10 === 9).select($"ng").distinct()
+    val train = grams.where($"doc_id" % 10 =!= 9)
+    val nGrams = train.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = train.join(broadcast(bench), "ng")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+    hits.join(nGrams, "doc_id")
+      .select($"doc_id", $"n_grams", $"n_hit",
+        rnd($"n_hit".cast("double") / $"n_grams", 4).as("hit_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // Readability scoring
+  // ---------------------------------------------------------------
+
+  /** Flesch-style readability proxy: syllables approximated by vowel
+    * groups (`[aeiouy]+`), the document scored as one sentence (the
+    * synthetic corpus has no sentence punctuation — on real text the
+    * words-per-sentence term divides by a `[.!?]+` count). All
+    * rational arithmetic on counts, so both engines agree bit-for-bit;
+    * map-only, runs at scan speed. */
+  val textReadability: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(normTokens($"text")).cast("long").as("n_words"),
+        size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syll"))
+      .where($"n_words" > 0)
+      .select($"doc_id", $"n_words", $"n_syll",
+        rnd($"n_syll".cast("double") / $"n_words", 4).as("syll_per_word"),
+        rnd(lit(206.835) - lit(1.015) * $"n_words"
+          - lit(84.6) * ($"n_syll".cast("double") / $"n_words"), 2).as("flesch"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------
   // Corpus mix report
   // ---------------------------------------------------------------
 

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cols.{rnd, xsum}
+
+/** Supply-chain analytics flavors (SURVEY §2.B cont.): Q11/Q20-style
+  * concentration queries and market-basket co-occurrence. All three
+  * follow the same scale posture as the rest of the relational
+  * surface — fact-side partial+final aggregation, 1-row totals joined
+  * back as broadcasts, never a driver-side collect.
+  */
+object SupplyOps {
+  import graft.SparkEntry.QueryFn
+
+  /** Q11-flavored part value concentration: parts whose lineitem
+    * revenue exceeds 1.5× the mean part revenue (the TPC-H Q11 shape —
+    * per-key value vs a fraction-of-total threshold — with lineitem
+    * standing in for partsupp). The threshold is relative, so the
+    * query is scale-invariant; the grand total is a 1-row broadcast,
+    * never a driver value. One shuffle on l_partkey. */
+  val q11PartValueShare: QueryFn = (s, dir) => {
+    import s.implicits._
+    val pv = Tables.lineitem(s, dir)
+      .select($"l_partkey", ($"l_extendedprice" * (lit(1) - $"l_discount")).as("val"))
+      .groupBy($"l_partkey")
+      .agg(xsum($"val").as("value"))
+    val tot = pv.agg(xsum($"value").as("tot"), count(lit(1)).as("np"))
+    pv.crossJoin(broadcast(tot))
+      .where($"value" > lit(1.5) * $"tot" / $"np")
+      .select($"l_partkey",
+        rnd($"value", 2).as("value"),
+        rnd($"value" / $"tot", 6).as("share"))
+      .orderBy($"l_partkey")
+  }
+
+  /** Q20-flavored dominant suppliers: suppliers that shipped more than
+    * half of a multi-supplier part's 1996 volume, for at least 5 such
+    * parts. Two partial+final aggs on (suppkey, partkey) then partkey;
+    * the date filter is pushed to the parquet scan. The supplier dim
+    * joins in as a broadcast. */
+  val q20ExcessSuppliers: QueryFn = (s, dir) => {
+    import s.implicits._
+    val sq = Tables.lineitem(s, dir)
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(sum($"l_quantity").as("qty"))
+    val pt = sq.groupBy($"l_partkey")
+      .agg(sum($"qty").as("pqty"), count(lit(1)).as("nsupp"))
+    val dom = sq.join(pt, "l_partkey")
+      .where($"nsupp" >= 2 && $"qty" > lit(0.5) * $"pqty")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_dominant"))
+      .where($"n_dominant" >= 5)
+    dom.join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"n_dominant")
+      .orderBy($"s_suppkey")
+  }
+
+  /** Market-basket co-occurrence: part pairs ordered together in ≥ 3
+    * orders. The classic within-group self-join — distinct
+    * (order, part) first, then pairs meet on l_orderkey. Orders hold
+    * only a handful of distinct parts, so the per-order pair expansion
+    * is bounded-quadratic in a small constant (at 100 TB the shuffle
+    * is the distinct + the pair groupBy, both partial-aggregated; an
+    * order with millions of items would need a per-order cap, which
+    * real basket data never hits). */
+  val qCopurchasePairs: QueryFn = (s, dir) => {
+    import s.implicits._
+    val op = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val a = op.select($"l_orderkey", $"l_partkey".as("part_a"))
+    val b = op.select($"l_orderkey", $"l_partkey".as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .where($"part_a" < $"part_b")
+      .groupBy($"part_a", $"part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .where($"n_orders" >= 3)
+      .orderBy($"part_a", $"part_b")
+  }
+}
