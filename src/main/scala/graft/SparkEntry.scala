@@ -82,6 +82,7 @@ object SparkEntry {
     "mr_inverted_index"           -> TextOps.mrInvertedIndex,
     "mr_distinct_tokens"          -> TextOps.mrDistinctTokens,
     "mr_chained"                  -> TextOps.mrChained,
+    "mr_secondary_sort"           -> TextOps.mrSecondarySort,
     // §2.E text analysis
     "text_token_stats"            -> TextOps.textTokenStats,
     "text_quality"                -> TextOps.textQuality,
@@ -515,6 +516,16 @@ object SparkEntry {
       """SELECT lang, count(DISTINCT token) AS n_tokens
         |FROM (SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token FROM documents) t
         |WHERE token <> '' GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "mr_secondary_sort" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT lang,
+        |  array_to_string((list(doc_id ORDER BY n DESC, doc_id))[:5], ',') AS top5_ids,
+        |  count(*) AS n_docs
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,

@@ -107,6 +107,49 @@ object MapReduceJob {
     if (config.r > 0) reduced.repartition(config.r) else reduced
   }
 
+  /** Secondary sort: the reducer sees each key's values in
+    * `sortCols` order — the classic Hadoop composite-key pattern
+    * (partition by natural key, sort by (key, value-fields), walk key
+    * runs). Compiled to `repartition(key)` + `sortWithinPartitions`,
+    * so ordering comes from the shuffle's sort machinery (spillable,
+    * O(1) memory per group) — values are streamed to the reducer, not
+    * buffered per key, exactly like Hadoop's grouping comparator.
+    * `sortCols` must order by `_1` first; ties across the remaining
+    * columns should be broken to a total order for determinism. */
+  def runSecondarySort[K2, V2, Out](
+      input: Dataset[(K2, V2)],
+      reducer: Reducer[K2, V2, Out],
+      sortCols: Seq[org.apache.spark.sql.Column],
+      config: JobConfig = JobConfig())(implicit
+      kvEnc: Encoder[(K2, V2)],
+      outEnc: Encoder[(K2, Out)]): Dataset[(K2, Out)] = {
+    val parts =
+      if (config.r > 0) config.r
+      else input.sparkSession.sessionState.conf.numShufflePartitions
+    // normalize column names so sortCols can address `_1` / `_2.field`
+    // regardless of what the caller's select named them
+    val kv = input.toDF("_1", "_2").as[(K2, V2)]
+    val sorted = kv
+      .repartition(parts, kv.col("_1"))
+      .sortWithinPartitions(sortCols: _*)
+    sorted.mapPartitions { it =>
+      val buf = it.buffered
+      new scala.collection.AbstractIterator[(K2, Out)] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): (K2, Out) = {
+          val k = buf.head._1
+          val vals: Iterator[V2] = new scala.collection.AbstractIterator[V2] {
+            def hasNext: Boolean = buf.hasNext && buf.head._1 == k
+            def next(): V2 = buf.next()._2
+          }
+          val out = reducer.reduce(k, vals)
+          while (vals.hasNext) vals.next() // drain any unconsumed tail
+          (k, out)
+        }
+      }
+    }
+  }
+
   /** End-to-end parity with the reference's `Start(config, ...)`
     * (mapreduce.go): resolve the config's Inputer, run the job, write
     * one object per reduced key to the config's output folder. Keys

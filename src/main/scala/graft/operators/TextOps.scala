@@ -42,6 +42,37 @@ object TextOps {
       .orderBy($"word")
   }
 
+  /** Secondary sort through the engine: per language, the reducer
+    * receives docs ordered by (n_tokens DESC, doc_id) — it emits the
+    * first five doc_ids without sorting anything itself (ordering
+    * comes from the shuffle sort; see
+    * [[graft.mr.MapReduceJob.runSecondarySort]]). */
+  val mrSecondarySort: QueryFn = (s, dir) => {
+    import s.implicits._
+    val input = Tables.documents(s, dir)
+      .select($"lang", struct(
+        size(normTokens($"text")).cast("long").as("n"),
+        $"doc_id".as("id")).as("v"))
+      .as[(String, (Long, Long))]
+    val reducer = new graft.mr.Reducer[String, (Long, Long), (String, Long)] {
+      override def reduce(key: String, values: Iterator[(Long, Long)]): (String, Long) = {
+        val top = new scala.collection.mutable.ArrayBuffer[Long](5)
+        var n = 0L
+        values.foreach { case (_, id) =>
+          if (top.length < 5) top += id
+          n += 1
+        }
+        (top.mkString(","), n)
+      }
+    }
+    graft.mr.MapReduceJob
+      .runSecondarySort(input, reducer,
+        Seq(col("_1"), col("_2.n").desc, col("_2.id").asc))
+      .map { case (lang, (ids, n)) => (lang, ids, n) }
+      .toDF("lang", "top5_ids", "n_docs")
+      .orderBy($"lang")
+  }
+
   /** Substring grep over the corpus (the classic MapReduce demo; the
     * reference filters input keys by prefix, s3_utils.go:49 — here we
     * filter values, which is the useful generalization). */

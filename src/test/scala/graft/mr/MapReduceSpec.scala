@@ -216,4 +216,50 @@ class MapReduceSpec extends SparkTestBase {
       .sortBy(_._1).map(_._2)
     assert(back.toSeq == lines, "chunk objects must reassemble the file's lines")
   }
+
+  test("secondary sort streams values to the reducer in sort order") {
+    import spark.implicits._
+    val input = Tables.documents(spark, sfDir)
+      .select($"lang", struct(
+        size(split($"text", "\\s+")).cast("long").as("n"),
+        $"doc_id".as("id")).as("v"))
+      .as[(String, (Long, Long))]
+    // reducer ASSERTS the order contract instead of sorting: any
+    // out-of-order delivery fails the job
+    val reducer = new Reducer[String, (Long, Long), Long] {
+      override def reduce(key: String, values: Iterator[(Long, Long)]): Long = {
+        var prev: Option[(Long, Long)] = None
+        var n = 0L
+        values.foreach { v =>
+          prev.foreach { p =>
+            require(p._1 > v._1 || (p._1 == v._1 && p._2 < v._2),
+              s"out of order under $key: $p then $v")
+          }
+          prev = Some(v); n += 1
+        }
+        n
+      }
+    }
+    val out = MapReduceJob.runSecondarySort(input, reducer,
+      Seq(col("_1"), col("_2.n").desc, col("_2.id").asc)).collect().toMap
+    val expected = Tables.documents(spark, sfDir)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(out == expected, "per-key counts must survive the run-walking iterator")
+  }
+
+  test("secondary sort drains unconsumed values (early-exit reducer)") {
+    import spark.implicits._
+    val input = Tables.documents(spark, sfDir)
+      .select($"lang", $"doc_id").as[(String, Long)]
+    // consumes only the first value per key — the next key must still
+    // start at its own run, not mid-way through the previous one
+    val firstOnly = new Reducer[String, Long, Long] {
+      override def reduce(key: String, values: Iterator[Long]): Long = values.next()
+    }
+    val out = MapReduceJob.runSecondarySort(input, firstOnly,
+      Seq(col("_1"), col("_2").asc)).collect().toMap
+    val expected = Tables.documents(spark, sfDir)
+      .groupBy($"lang").agg(min($"doc_id")).as[(String, Long)].collect().toMap
+    assert(out == expected)
+  }
 }
