@@ -155,6 +155,12 @@ object PlanAudit {
       "q11_part_value_share" -> Map(
         "grand total broadcast back, not collected" ->
           (_.contains("BroadcastNestedLoopJoin")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "emb_kmeans" -> Map(
+        // assignment must stay a map-side argmin over literal
+        // centroids: no join in the final plan, one small agg shuffle
+        "no join in assignment" -> (p =>
+          !p.contains("Join") && !p.contains("CartesianProduct")),
         "partial agg before shuffle" -> (_.contains("partial_"))))
 
     var failures = 0

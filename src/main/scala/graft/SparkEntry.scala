@@ -118,6 +118,7 @@ object SparkEntry {
     "ann_lsh_topk"                -> AnnOps.annLshTopk,
     "ann_ivf_topk"                -> AnnOps.annIvfTopk,
     "ann_sq8_topk"                -> AnnOps.annSq8Topk,
+    "emb_kmeans"                  -> operators.KMeansOps.embKmeans,
     // §2.F multimodal stand-in
     "mm_media_stats"              -> TextOps.mmMediaStats,
     "mm_featurize"                -> TextOps.mmFeaturize,
@@ -901,6 +902,48 @@ object SparkEntry {
         |  floor((CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE)*n_words
         |         - CAST(84.6 AS DOUBLE)*(CAST(n_syll AS DOUBLE)/n_words))*100 + 0.5)/100 AS flesch
         |FROM b WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    // deterministic Lloyd's: init = vec_id < 8, 3 fixed iterations,
+    // decimal-exact distance/centroid sums, argmin ties to lower
+    // cluster — both engines compute identical centroids every round
+    "emb_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cluster, dim, val FROM e WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT e.vec_id, c.cluster,
+        |    CAST(sum(CAST((e.val - c.val)*(e.val - c.val) AS DECIMAL(27,10))) AS DOUBLE) AS d2
+        |  FROM e JOIN c0 c USING (dim) GROUP BY e.vec_id, c.cluster),
+        |a1 AS (
+        |  SELECT vec_id, cluster, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d1),
+        |c1 AS (
+        |  SELECT a.cluster, e.dim,
+        |    CAST(sum(CAST(e.val AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS val
+        |  FROM e JOIN a1 a ON e.vec_id = a.vec_id AND a.rn = 1 GROUP BY a.cluster, e.dim),
+        |d2_ AS (
+        |  SELECT e.vec_id, c.cluster,
+        |    CAST(sum(CAST((e.val - c.val)*(e.val - c.val) AS DECIMAL(27,10))) AS DOUBLE) AS d2
+        |  FROM e JOIN c1 c USING (dim) GROUP BY e.vec_id, c.cluster),
+        |a2 AS (
+        |  SELECT vec_id, cluster, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d2_),
+        |c2 AS (
+        |  SELECT a.cluster, e.dim,
+        |    CAST(sum(CAST(e.val AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS val
+        |  FROM e JOIN a2 a ON e.vec_id = a.vec_id AND a.rn = 1 GROUP BY a.cluster, e.dim),
+        |d3 AS (
+        |  SELECT e.vec_id, c.cluster,
+        |    CAST(sum(CAST((e.val - c.val)*(e.val - c.val) AS DECIMAL(27,10))) AS DOUBLE) AS d2
+        |  FROM e JOIN c2 c USING (dim) GROUP BY e.vec_id, c.cluster),
+        |a3 AS (
+        |  SELECT vec_id, cluster, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d3)
+        |SELECT cluster AS cluster_id, count(*) AS n_vecs,
+        |  floor((CAST(sum(CAST(d2 AS DECIMAL(27,10))) AS DOUBLE)/count(*))*10000 + 0.5)/10000 AS mean_d2
+        |FROM a3 WHERE rn = 1 GROUP BY cluster ORDER BY cluster_id""".stripMargin,
 
     "mm_media_stats" ->
       """SELECT source, count(*) AS n_docs,
