@@ -118,6 +118,7 @@ object SparkEntry {
     "ann_lsh_topk"                -> AnnOps.annLshTopk,
     "ann_ivf_topk"                -> AnnOps.annIvfTopk,
     "ann_sq8_topk"                -> AnnOps.annSq8Topk,
+    "ann_pq_topk"                 -> AnnOps.annPqTopk,
     "emb_kmeans"                  -> operators.KMeansOps.embKmeans,
     // §2.F multimodal stand-in
     "mm_media_stats"              -> TextOps.mmMediaStats,

