@@ -23,10 +23,13 @@ import org.apache.spark.sql.SparkSession
   *    completed if the process is killed before the natural end.
   *
   * Warmup policy: a first measured run covers codegen + broadcast +
-  * JIT; only queries whose first run lands in [1 s, 30 s] get a second
-  * (steady-state) run, and the reported value is the min — sub-second
-  * queries are overhead-dominated either way, and very slow ones
-  * can't afford the repeat.
+  * JIT; every query whose first run takes ≥ 1 s gets a second
+  * (steady-state) run when the budget allows, and the reported value
+  * is the min — sub-second queries are overhead-dominated either way.
+  * r2 capped the retry at 30 s, which excluded exactly the queries
+  * where a steal-time spike matters most (the recorded dedup_pipeline
+  * 48.8 s was one); now the slow ones retry first in line as long as
+  * 1.2× their first-run time remains in the budget.
   *
   * Output: one JSON line on stdout —
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
@@ -50,7 +53,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional comma-separated subset for local iteration
+    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) => qs.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq.sorted
+      case None     => SparkEntry.queries.keys.toSeq.sorted
+    }
     val done = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val printed = new AtomicBoolean(false)
 
@@ -100,7 +107,11 @@ object Bench {
         val t = try {
           val t1 = timedRun(name)
           val remainingMs = benchBudgetMs - (System.nanoTime() - benchStart) / 1e6
-          if (t1 >= 1.0 && t1 <= 30.0 && remainingMs > t1 * 1500) // 1.5x headroom
+          // >30 s queries are the ones a contention spike distorts
+          // most — they retry too (1.2× headroom vs 1.5× for cheap
+          // ones, so one slow retry can't eat the whole tail's budget)
+          val headroom = if (t1 > 30.0) 1200 else 1500
+          if (t1 >= 1.0 && remainingMs > t1 * headroom)
             math.min(t1, timedRun(name))
           else t1
         } catch {

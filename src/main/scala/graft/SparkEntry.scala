@@ -620,6 +620,68 @@ object SparkEntry {
         |FROM (SELECT * FROM exact UNION ALL SELECT * FROM near) u
         |ORDER BY new_id, old_id, kind""".stripMargin,
 
+    // clusters replayed engine-independently: the pair graph is the
+    // same exact all-pairs Jaccard as dedup_ngram_jaccard's oracle,
+    // and connectivity is a recursive CTE (UNION = set fixpoint) —
+    // any CC bug (the r2 round-cap class) hashes differently here
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]) AS sh
+        |  FROM toks WHERE len(tk) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |rep AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+        |SELECT d.doc_id, CAST(least(coalesce(r.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_rep
+        |FROM documents d LEFT JOIN rep r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the full composed pass: exact fingerprint dedup → all-pairs
+    // Jaccard among survivors → recursive-CTE clusters → keep-list
+    // with lineage counts. sum(1 + n_exact_dups + n_near_dups) over
+    // the result equals count(documents): mass conservation is part
+    // of the hash check
+    "dedup_pipeline" ->
+      """WITH RECURSIVE norm AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents),
+        |grp AS (SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies FROM norm GROUP BY fp),
+        |surv AS (SELECT d.doc_id, d.text FROM documents d JOIN grp ON grp.keep_id = d.doc_id),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM surv),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]) AS sh
+        |  FROM toks WHERE len(tk) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |rep AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+        |lab AS (
+        |  SELECT s.doc_id, least(coalesce(r.mn, s.doc_id), s.doc_id) AS rep
+        |  FROM surv s LEFT JOIN rep r USING (doc_id))
+        |SELECT lab.rep AS doc_id,
+        |  CAST(sum(g.n_copies) - count(*) AS BIGINT) AS n_exact_dups,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_near_dups
+        |FROM lab JOIN grp g ON g.keep_id = lab.doc_id
+        |GROUP BY lab.rep ORDER BY doc_id""".stripMargin,
+
     "q2_min_cost_supplier" ->
       """WITH unit AS (
         |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost

@@ -135,6 +135,42 @@ class DedupAnnSpec extends SparkTestBase {
       s"keep-list + absorbed dups must cover every doc: $accounted vs $total")
   }
 
+  test("connectedComponents: 40-hop chain converges (r2's propagation capped at 10 rounds)") {
+    import spark.implicits._
+    // a near-dup chain with diameter 40 — the template-heavy-crawl
+    // shape that silently broke min-label propagation under its cap;
+    // star contraction needs only O(log 40) rounds and ASSERTS the
+    // fixpoint, so a regression here throws instead of mislabeling
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val universe = (0L until 46L).toDF("doc_id")
+    val got = DedupOps.connectedComponents(pairs, universe).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 40L).foreach(i => assert(got(i) == 0L, s"chain node $i got rep ${got(i)}"))
+    (41L until 46L).foreach(i => assert(got(i) == i, s"isolated node $i"))
+  }
+
+  test("connectedComponents: mixed edge orientation, multiple components") {
+    import spark.implicits._
+    val pairs = Seq((7L, 3L), (3L, 9L), (9L, 1L), (20L, 25L), (25L, 21L))
+      .toDF("doc_a", "doc_b")
+    val universe = Seq(1L, 3L, 7L, 9L, 20L, 21L, 25L, 30L).toDF("doc_id")
+    val got = DedupOps.connectedComponents(pairs, universe).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 3L, 7L, 9L).forall(got(_) == 1L), s"component A: $got")
+    assert(Seq(20L, 21L, 25L).forall(got(_) == 20L), s"component B: $got")
+    assert(got(30L) == 30L, "isolated doc is its own rep")
+  }
+
+  test("dedup_incremental: index reuse returns identical results") {
+    // second run reads the persisted corpus index instead of
+    // rebuilding — results must be bit-identical
+    val first = DedupOps.dedupIncremental(spark, sfDir).collect().toSeq
+    val second = DedupOps.dedupIncremental(spark, sfDir).collect().toSeq
+    assert(first == second)
+    assert(new java.io.File(
+      DedupOps.IncrementalIndex.root(sfDir, 0.5), "_READY").exists())
+  }
+
   test("dedup_clusters: transitive closure groups {0,1,3}, leaves 2 alone") {
     val got = DedupOps.dedupClusters(spark, synthDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
