@@ -102,6 +102,7 @@ object SparkEntry {
     "text_tfidf_top"              -> PipelineOps.textTfidfTop,
     "text_decontaminate"          -> PipelineOps.textDecontaminate,
     "text_readability"            -> PipelineOps.textReadability,
+    "pipeline_curate"             -> PipelineOps.pipelineCurate,
     "q_histogram"                 -> EventAnalytics.qHistogram,
     "q_corr_stats"                -> RelationalExt.qCorrStats,
     // §2.C dedup
@@ -619,6 +620,86 @@ object SparkEntry {
         |SELECT new_id, old_id, kind, sim
         |FROM (SELECT * FROM exact UNION ALL SELECT * FROM near) u
         |ORDER BY new_id, old_id, kind""".stripMargin,
+
+    // the full curation funnel replayed in SQL: every stage reuses the
+    // expressions of its standalone oracle (gopher keep, 4-gram
+    // decontamination, fingerprint dedup, all-pairs Jaccard +
+    // recursive-CTE clusters, nibble-stratified sampling); the funnel
+    // counts are monotone and sum(n_input) = corpus size, so mass
+    // conservation is inside the hash check
+    "pipeline_curate" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, lang, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |flags AS (
+        |  SELECT doc_id, source, lang, text, tk,
+        |    len(tk) AS n_tokens,
+        |    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS mwl,
+        |    len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in'], t))) AS stop_hits,
+        |    [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk)-1)] AS g2
+        |  FROM toks),
+        |quality AS (
+        |  SELECT doc_id, source, lang, text, tk FROM flags
+        |  WHERE n_tokens BETWEEN 20 AND 80 AND mwl BETWEEN 4.0 AND 5.0
+        |    AND 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2) <= 0.05
+        |    AND stop_hits >= 1),
+        |g4 AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+3], ' ') for i in generate_series(1, len(tk)-3)])) AS ng
+        |  FROM toks WHERE len(tk) >= 4),
+        |bench AS (SELECT DISTINCT ng FROM g4 WHERE doc_id % 10 = 9),
+        |contaminated AS (
+        |  SELECT DISTINCT g4.doc_id FROM g4 JOIN bench USING (ng) WHERE g4.doc_id % 10 <> 9),
+        |decont AS (
+        |  SELECT q.* FROM quality q
+        |  WHERE q.doc_id % 10 <> 9
+        |    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |fp AS (
+        |  SELECT doc_id, source, lang, tk,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+        |  FROM decont),
+        |keepfp AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+        |exact AS (SELECT fp.* FROM fp JOIN keepfp ON fp.f = keepfp.f AND fp.doc_id = keepfp.doc_id),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]) AS sh
+        |  FROM exact WHERE len(tk) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |rep AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+        |near AS (
+        |  SELECT x.* FROM exact x LEFT JOIN rep r USING (doc_id)
+        |  WHERE least(coalesce(r.mn, x.doc_id), x.doc_id) = x.doc_id),
+        |sampled AS (
+        |  SELECT * FROM near
+        |  WHERE strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+        |        < (CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 WHEN 'fr' THEN 2 ELSE 1 END)),
+        |agg_i AS (SELECT source, lang, count(*) AS n_input FROM documents GROUP BY 1, 2),
+        |agg_q AS (SELECT source, lang, count(*) AS n_quality FROM quality GROUP BY 1, 2),
+        |agg_d AS (SELECT source, lang, count(*) AS n_decont FROM decont GROUP BY 1, 2),
+        |agg_e AS (SELECT source, lang, count(*) AS n_exact FROM exact GROUP BY 1, 2),
+        |agg_n AS (SELECT source, lang, count(*) AS n_near FROM near GROUP BY 1, 2),
+        |agg_s AS (SELECT source, lang, count(*) AS n_sampled FROM sampled GROUP BY 1, 2)
+        |SELECT i.source, i.lang, i.n_input,
+        |  CAST(coalesce(q.n_quality, 0) AS BIGINT) AS n_quality,
+        |  CAST(coalesce(d.n_decont, 0) AS BIGINT) AS n_decont,
+        |  CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact,
+        |  CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
+        |  CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+        |FROM agg_i i
+        |LEFT JOIN agg_q q USING (source, lang)
+        |LEFT JOIN agg_d d USING (source, lang)
+        |LEFT JOIN agg_e ex USING (source, lang)
+        |LEFT JOIN agg_n n USING (source, lang)
+        |LEFT JOIN agg_s s USING (source, lang)
+        |ORDER BY i.source, i.lang""".stripMargin,
 
     // clusters replayed engine-independently: the pair graph is the
     // same exact all-pairs Jaccard as dedup_ngram_jaccard's oracle,

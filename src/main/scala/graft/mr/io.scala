@@ -155,14 +155,29 @@ object ParquetOutputer {
   * dataset is repartitioned by key first, so each key's rows land in
   * one task, and `partitionBy` splits that task's output per key.
   * Hive-style escaping applies to keys with special characters — the
-  * documented deviation from raw S3 object names. */
-final case class KeyedDirOutputer(dir: String, format: String = "text")
+  * documented deviation from raw S3 object names.
+  *
+  * SCALE GUARD: one directory per key is faithful to the reference
+  * but is a filesystem-metadata bomb at crawl-scale key cardinality
+  * (a wordcount over 100 TB has billions of keys). The write refuses
+  * beyond `maxKeys` (default 10k, the regime where per-key objects
+  * still make sense) — route high-cardinality outputs to
+  * [[TableOutputer]], which writes ordinary size-based parquet/csv
+  * files instead. The check is one cheap distinct count on a column
+  * that was about to shuffle anyway. */
+final case class KeyedDirOutputer(
+    dir: String, format: String = "text", maxKeys: Long = 10000L)
     extends Outputer {
-  override def write[Out](ds: Dataset[(String, Out)]): Unit =
-    ds.toDF("key", "value")
-      .withColumn("value", col("value").cast("string"))
-      .repartition(col("key"))
+  override def write[Out](ds: Dataset[(String, Out)]): Unit = {
+    val df = ds.toDF("key", "value").withColumn("value", col("value").cast("string"))
+    val nKeys = df.select(col("key")).distinct().count()
+    require(nKeys <= maxKeys,
+      s"KeyedDirOutputer: $nKeys distinct keys exceeds maxKeys=$maxKeys — " +
+        "one object per key does not scale to this cardinality; use TableOutputer " +
+        "(size-based files) or raise maxKeys deliberately")
+    df.repartition(col("key"))
       .write.partitionBy("key").mode(SaveMode.Overwrite).format(format).save(dir)
+  }
 }
 
 /** Chunk-writer parity with SplitFileIntoChunks

@@ -40,7 +40,7 @@ object DedupOps {
     * instead of variable-length strings (measured ~2× on the verify
     * join), and a 64-bit collision corrupting a Jaccard estimate is
     * ~1e-13 per pair. */
-  private def shingled(docs: DataFrame): DataFrame =
+  private[operators] def shingled(docs: DataFrame): DataFrame =
     docs
       // ≥ n tokens ⟺ ≥ 1 shingle; filtering on the token count keeps
       // the (pushed-down) predicate to one regex pass per row

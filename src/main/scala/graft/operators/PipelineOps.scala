@@ -321,6 +321,101 @@ object PipelineOps {
   // Corpus mix report
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // End-to-end curation funnel
+  // ---------------------------------------------------------------
+
+  /** The composed corpus-curation pass a pretraining-data pipeline
+    * actually ships — every stage is the already-verified operator,
+    * chained with no driver materialization between stages:
+    *
+    *   input → Gopher quality keep ([[textGopherRules]]'s predicate)
+    *         → benchmark decontamination ([[textDecontaminate]]'s
+    *           4-gram scan; contaminated docs and the benchmark docs
+    *           themselves drop)
+    *         → exact dedup (min doc_id per fingerprint)
+    *         → near dedup (lossless prefix-filtered Jaccard pairs →
+    *           star-contraction clusters → keep representatives)
+    *         → stratified sample ([[qStratifiedSample]]'s rates)
+    *
+    * Output: the per-(source, lang) funnel — doc counts surviving
+    * each stage. Monotone by construction, and `sum(n_input)` equals
+    * the corpus size, so mass conservation is part of the oracle hash.
+    * Every stage is map-side or an already-audited dedup shape; the
+    * funnel rollup joins six tiny (source, lang) aggregates. */
+  val pipelineCurate: QueryFn = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"lang", $"text")
+
+    // stage 1: quality — same predicate as textGopherRules.keep
+    val flags = docs
+      .select($"doc_id", $"source", $"lang", $"text", normTokens($"text").as("toks"))
+      .select($"doc_id", $"source", $"lang", $"text",
+        size($"toks").cast("long").as("n_tokens"),
+        (aggregate($"toks", lit(0L), (a, x) => a + length(x)).cast("double") /
+          size($"toks")).as("mwl"),
+        hitCount($"toks", TextOps.stopwords).cast("long").as("stop_hits"),
+        wordNgrams($"toks", 2).as("g2"))
+      .withColumn("dup2",
+        lit(1.0) - size(array_distinct($"g2")).cast("double") / size($"g2"))
+    val quality = flags
+      .where($"n_tokens" >= 20 && $"n_tokens" <= 80 &&
+        $"mwl" >= 4.0 && $"mwl" <= 5.0 && $"dup2" <= 0.05 && $"stop_hits" >= 1)
+      .select($"doc_id", $"source", $"lang", $"text")
+      .cache()
+
+    // stage 2: decontamination — benchmark docs (doc_id%10==9) leave
+    // the corpus, and any doc sharing a 4-gram with them drops
+    val grams = docs
+      .select($"doc_id", normTokens($"text").as("toks"))
+      .where(size($"toks") >= 4)
+      .select($"doc_id", explode(array_distinct(wordNgrams($"toks", 4))).as("ng"))
+    val bench = grams.where($"doc_id" % 10 === 9).select($"ng").distinct()
+    val contaminated = grams.where($"doc_id" % 10 =!= 9)
+      .join(broadcast(bench), "ng").select($"doc_id").distinct()
+    val decont = quality.where($"doc_id" % 10 =!= 9)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .cache()
+
+    // stage 3: exact dedup among survivors
+    val withFp = decont.withColumn("fp", md5(normText($"text")))
+    val exactKeep = withFp.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+    val exact = withFp.join(exactKeep, Seq("fp", "doc_id"))
+      .select($"doc_id", $"source", $"lang", $"text")
+      .cache()
+
+    // stage 4: near dedup — exact Jaccard pairs → star-contraction CC
+    val pairs = DedupOps
+      .jaccardPairs(DedupOps.shingled(exact.select($"doc_id", $"text")).cache(), tau = 0.5)
+      .select($"doc_a", $"doc_b")
+    val reps = DedupOps.connectedComponents(pairs, exact.select($"doc_id"))
+    val near = exact.join(reps, "doc_id").where($"rep" === $"doc_id").drop("rep")
+
+    // stage 5: stratified sample — same nibble rule as qStratifiedSample
+    val nib = conv(substring(md5($"doc_id".cast("string")), 1, 1), 16, 10).cast("int")
+    val lim = when($"lang" === "en", 8)
+      .when($"lang" === "de", 4)
+      .when($"lang" === "fr", 2)
+      .otherwise(1)
+    val sampled = near.where(nib < lim)
+
+    def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.groupBy(col("source"), col("lang")).agg(count(lit(1)).as(name))
+    cnt(docs, "n_input")
+      .join(cnt(quality, "n_quality"), Seq("source", "lang"), "left")
+      .join(cnt(decont, "n_decont"), Seq("source", "lang"), "left")
+      .join(cnt(exact, "n_exact"), Seq("source", "lang"), "left")
+      .join(cnt(near, "n_near"), Seq("source", "lang"), "left")
+      .join(cnt(sampled, "n_sampled"), Seq("source", "lang"), "left")
+      .select($"source", $"lang", $"n_input",
+        coalesce($"n_quality", lit(0L)).as("n_quality"),
+        coalesce($"n_decont", lit(0L)).as("n_decont"),
+        coalesce($"n_exact", lit(0L)).as("n_exact"),
+        coalesce($"n_near", lit(0L)).as("n_near"),
+        coalesce($"n_sampled", lit(0L)).as("n_sampled"))
+      .orderBy($"source", $"lang")
+  }
+
   /** Training-mix report: docs, token counts and corpus token share
     * per (source, lang) — the table a data-mixing step consumes to set
     * sampling weights. One partial+final agg over the corpus; the

@@ -11,8 +11,11 @@ trait SparkTestBase extends AnyFunSuite {
 
 object SparkTestBase {
   lazy val session: SparkSession = {
+    // local[4, 2]: 2 task attempts, so specs can inject a first-attempt
+    // task failure and prove the engine retries it (the reference's
+    // ping/reassign behavior, mapreduce.go:347)
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -78,11 +78,58 @@ class MapReduceSpec extends SparkTestBase {
     assert(st.wallMs >= 0)
     tracker.done(id)
     assert(tracker.stats(id).isEmpty)
-    // failed body → failed status, still "completed" per Status()
+    // failed body → failed status, still "completed" per Status(),
+    // and the CAUSE is kept (r2 swallowed it)
     val bad = tracker.start { throw new RuntimeException("boom") }
     assert(tracker.await(bad))
     assert(tracker.stats(bad).get.status == "failed")
+    assert(tracker.stats(bad).get.failure.exists(_.contains("boom")))
     tracker.shutdown()
+  }
+
+  test("JobTracker records per-task durations with p50/p95 (statsManager parity)") {
+    val tracker = new JobTracker(spark)
+    val id = tracker.start {
+      docsInput.repartition(4).count()
+      ()
+    }
+    assert(tracker.await(id))
+    val st = tracker.stats(id).get
+    assert(st.taskDurationsMs.nonEmpty, "task durations not collected")
+    assert(st.taskDurationsMs.forall(_ >= 0))
+    assert(st.taskP50Ms <= st.taskP95Ms)
+    assert(st.taskP95Ms <= st.taskDurationsMs.max)
+    tracker.done(id)
+    tracker.shutdown()
+  }
+
+  test("batch task failure is retried: job completes with correct output") {
+    // the reference detects dead workers by ping and reassigns their
+    // tasks (mapreduce.go:347-383); under Spark that is the
+    // scheduler's task-retry machinery. Prove it end-to-end: the
+    // mapper throws on the FIRST attempt of partition 0 (test master
+    // local[4,2] allows one retry), the job must still complete with
+    // wordcounts identical to the failure-free run.
+    import spark.implicits._
+    class FlakyMapper extends Mapper[String, String, String, Long] {
+      private val inner = new WordCount.WordCountMapper
+      override def map(key: String, value: String, em: Emitter[String, Long]): Unit = {
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0)
+          throw new RuntimeException("injected task failure (attempt 0)")
+        inner.map(key, value, em)
+      }
+    }
+    val got = MapReduceJob
+      .run(docsInput, new FlakyMapper, new WordCount.SumReducer,
+        Some(WordCount.SumCombiner))
+      .collect().toMap
+    val clean = MapReduceJob
+      .run(docsInput, new WordCount.WordCountMapper, new WordCount.SumReducer,
+        Some(WordCount.SumCombiner))
+      .collect().toMap
+    assert(got == clean, "retried job must produce the failure-free result")
+    assert(got.nonEmpty)
   }
 
   test("TextDirInputer: listKeys/getValue parity with toDataset") {
@@ -172,6 +219,19 @@ class MapReduceSpec extends SparkTestBase {
       .select(col("key"), col("value")).collect()
       .map(r => r.getString(0) -> r.getString(1).toLong).toMap
     assert(back == Map("alpha" -> 3L, "beta" -> 7L, "gamma" -> 11L))
+  }
+
+  test("KeyedDirOutputer refuses crawl-scale key cardinality (scale guard)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cap").toString
+    val wide = (0 until 50).map(i => (s"k$i", i.toLong)).toDS()
+    val ex = intercept[IllegalArgumentException] {
+      KeyedDirOutputer(dir + "/out", maxKeys = 10L).write(wide)
+    }
+    assert(ex.getMessage.contains("TableOutputer"))
+    // within the cap the parity write still works
+    KeyedDirOutputer(dir + "/ok", maxKeys = 100L).write(wide)
+    assert(spark.read.text(dir + "/ok").count() == 50)
   }
 
   test("JobConfig parity: Start(config) runs folder→wordcount→per-key objects") {

@@ -209,6 +209,25 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline_curate: funnel is monotone, conserves mass, and each stage is non-vacuous") {
+    import spark.implicits._
+    val rows = PipelineOps.pipelineCurate(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, lg, in, q, d, e, n, sm) =>
+      assert(in >= q && q >= d && d >= e && e >= n && n >= sm,
+        s"funnel not monotone for ($src,$lg): $in >= $q >= $d >= $e >= $n >= $sm")
+    }
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._3).sum == total, "n_input must cover the whole corpus")
+    // each stage must actually drop something somewhere, else the
+    // composition verifies nothing on this corpus
+    assert(rows.map(r => r._3 - r._4).sum > 0, "quality stage vacuous")
+    assert(rows.map(r => r._4 - r._5).sum > 0, "decontamination stage vacuous")
+    assert(rows.map(r => r._6 - r._7).sum > 0, "near-dedup stage vacuous")
+    assert(rows.map(r => r._7 - r._8).sum > 0, "sampling stage vacuous")
+  }
+
   test("q_domain_mix: token shares sum to 1 and totals match the corpus") {
     import spark.implicits._
     val rows = PipelineOps.qDomainMix(spark, sfDir)
