@@ -701,6 +701,66 @@ object SparkEntry {
         |LEFT JOIN agg_s s USING (source, lang)
         |ORDER BY i.source, i.lang""".stripMargin,
 
+    // FNV-1a 64-bit replayed in SQL (HUGEINT mod-2^64 multiply, xor,
+    // signed reinterpretation), then the full winnowing selection:
+    // 5-gram rolling hashes, window of 4, rightmost minimum per
+    // window, distinct fingerprints
+    "text_winnow" ->
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i FROM d WHERE length(t) >= 5),
+        |g0 AS (SELECT doc_id, i, list_reduce(
+        |        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |          list_transform(split(substring(t, i, 5), ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |        (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616) AS h
+        |      FROM pos),
+        |g AS (SELECT doc_id, i,
+        |        CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |             THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END AS BIGINT) AS hs
+        |      FROM g0),
+        |n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |st AS (SELECT doc_id, unnest(generate_series(0, n - least(4, n))) AS s, least(4, n) AS len FROM n),
+        |win AS (SELECT st.doc_id, st.s, g.i, g.hs
+        |        FROM st JOIN g ON g.doc_id = st.doc_id AND g.i > st.s AND g.i <= st.s + st.len),
+        |r AS (SELECT doc_id, s, hs,
+        |        row_number() OVER (PARTITION BY doc_id, s ORDER BY hs ASC, i DESC) AS rn FROM win),
+        |sel AS (SELECT DISTINCT doc_id, hs FROM r WHERE rn = 1),
+        |agg AS (SELECT doc_id, count(*) AS n_fps, bit_xor(hs) AS fp_xor FROM sel GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_fps, 0) AS BIGINT) AS n_fps,
+        |  CAST(coalesce(a.fp_xor, 0) AS BIGINT) AS fp_xor
+        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // 64-bit SimHash replayed in SQL: FNV-1a per token, per-bit
+    // majority vote, 4×16-bit chunk blocking (masked, not mod — the
+    // sign-of-dividend mod was a real recall bug this oracle caught),
+    // exact hamming verification
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+        |th AS (SELECT doc_id, list_reduce(
+        |        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |          list_transform(split(t, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |        (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616) AS h
+        |      FROM tok),
+        |bitsum AS (
+        |  SELECT doc_id, b.bit,
+        |    CASE WHEN sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |         THEN CAST(1 AS HUGEINT) << b.bit ELSE CAST(0 AS HUGEINT) END AS bv
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+        |  GROUP BY doc_id, b.bit),
+        |sigs AS (SELECT doc_id, CAST(sum(bv) AS HUGEINT) AS sig FROM bitsum GROUP BY doc_id),
+        |ch AS (SELECT doc_id, c.c, (sig >> (c.c * 16)) & 65535 AS cv
+        |       FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ch a JOIN ch b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT doc_a, doc_b, bit_count(xor(sa.sig, sb.sig)) AS hamming
+        |  FROM cand JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin,
+
     // clusters replayed engine-independently: the pair graph is the
     // same exact all-pairs Jaccard as dedup_ngram_jaccard's oracle,
     // and connectivity is a recursive CTE (UNION = set fixpoint) —

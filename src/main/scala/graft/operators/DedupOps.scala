@@ -120,7 +120,11 @@ object DedupOps {
       .cache()
     val keyed = sigs.select($"doc_id",
       explode(array((0 until 4).map { c =>
-        concat_ws(":", lit(c), shiftrightunsigned($"sig", c * 16) % 65536)
+        // mask, don't mod: `sig % 65536` keeps the dividend's SIGN, so
+        // chunk 0 of a negative signature could never collide with the
+        // same low 16 bits of a positive one — a silent recall hole
+        // found by the r3 DuckDB oracle (pair at hamming 6 missed)
+        concat_ws(":", lit(c), shiftrightunsigned($"sig", c * 16).bitwiseAND(lit(65535L)))
       }: _*)).as("key"))
     val pairs = pairsByKey(keyed)
     val a = sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a"))
