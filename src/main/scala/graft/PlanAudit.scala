@@ -161,6 +161,25 @@ object PlanAudit {
         // centroids: no join in the final plan, one small agg shuffle
         "no join in assignment" -> (p =>
           !p.contains("Join") && !p.contains("CartesianProduct")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "ann_pq_topk" -> Map(
+        // ADC scan: probes broadcast against the map-side
+        // reconstruction; the shortlist must ride the native bounded
+        // heaps, never a corpus-wide window sort
+        "probes broadcast" -> (_.contains("BroadcastNestedLoopJoin")),
+        "shortlist via native TopKPerKey" -> (_.contains("TopKPerKey")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "dedup_incremental" -> Map(
+        // the corpus side must come from the persisted index files,
+        // not a recomputation over the corpus text
+        "reads persisted corpus index" -> (_.contains("graft-incidx")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "pipeline_curate" -> Map(
+        // the decontamination gram join keeps the benchmark set (the
+        // small side by construction) broadcast; no stage of the
+        // funnel may degenerate to an all-pairs plan
+        "broadcast join present" -> (_.contains("BroadcastHashJoin")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct")),
         "partial agg before shuffle" -> (_.contains("partial_"))))
 
     var failures = 0

@@ -120,6 +120,7 @@ object SparkEntry {
     "ann_ivf_topk"                -> AnnOps.annIvfTopk,
     "ann_sq8_topk"                -> AnnOps.annSq8Topk,
     "ann_pq_topk"                 -> AnnOps.annPqTopk,
+    "ann_ivfpq_topk"              -> AnnOps.annIvfPqTopk,
     "emb_kmeans"                  -> operators.KMeansOps.embKmeans,
     // §2.F multimodal stand-in
     "mm_media_stats"              -> TextOps.mmMediaStats,

@@ -282,45 +282,49 @@ object AnnOps {
     * partitioned by vec_id, which shuffled the whole corpus × cells;
     * PlanAudit asserts the shuffle-free shape now). Probes pick their
     * `IvfProbeCells` nearest cells the same map-side way. */
-  val annIvfTopk: QueryFn = (s, dir) => {
-    import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    // centroid per label: elementwise mean of 64-dim float arrays
-    val cells: Seq[(Int, Seq[Double])] = emb
-      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
-      // decimal-exact mean: per-element float→double is bit-identical
-      // across engines and decimal accumulation is order-independent,
-      // so a DuckDB oracle recomputes the SAME centroids (plain avg()
-      // would expose partial-agg float association)
-      .groupBy($"label", $"pos")
-      .agg((sum($"x".cast("decimal(27,10)")).cast("double") / count(lit(1))).as("m"))
-      .groupBy($"label").agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-      .select($"label".cast("int").as("cell"), transform($"pm", p => p.getField("m")).as("centroid"))
+  /** Coarse-quantizer centroids: per-label elementwise mean,
+    * decimal-exact (per-element float→double is bit-identical across
+    * engines and decimal accumulation is order-independent, so a
+    * DuckDB oracle recomputes the SAME centroids — plain avg() would
+    * expose partial-agg float association). Tiny by construction →
+    * collected and embedded as literals. */
+  private def ivfCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(27,10)")).cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("label")).agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").cast("int").as("cell"),
+        transform(col("pm"), p => p.getField("m")).as("centroid"))
       .collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    val cellsLit = typedLit(cells) // array<struct<_1:int cell, _2:array<double> centroid>>
-    // per-cell similarity structs; the cosine loop runs once per
-    // (vector, cell) because `scored` is materialized in its own
-    // select before any multi-use consumer (the r1 inlining trap)
-    def scored(embCol: org.apache.spark.sql.Column) =
-      transform(cellsLit, c => struct(
-        rnd(cosine_sim(embCol, c.getField("_2")), 6).as("sim"),
-        c.getField("_1").as("cell")))
-    // argmax by (sim desc, cell asc) — a fold over the scored array,
-    // entirely inside the projection: no join, no window, no shuffle
-    val assigned = emb
-      .select($"vec_id", $"embedding", scored($"embedding").as("scored"))
-      .select($"vec_id", $"embedding",
-        aggregate($"scored", element_at($"scored", 1), (acc, x) =>
-          when(x.getField("sim") > acc.getField("sim") ||
-               (x.getField("sim") === acc.getField("sim") &&
-                x.getField("cell") < acc.getField("cell")), x)
-            .otherwise(acc)).getField("cell").as("cell"))
-    // probes take their top `IvfProbeCells` cells (sort the tiny
-    // scored array per row, slice, explode) — also map-side
-    val probeCells = probes(s, dir)
-      .select($"pid", $"pe", scored($"pe").as("scored"))
+
+  /** Per-cell (sim, cell) structs for one embedding column. Always
+    * materialize the result in its own select before any multi-use
+    * consumer (the r1 inlining trap). */
+  private def cellScores(cellsLit: org.apache.spark.sql.Column)(
+      embCol: org.apache.spark.sql.Column) =
+    transform(cellsLit, c => struct(
+      rnd(cosine_sim(embCol, c.getField("_2")), 6).as("sim"),
+      c.getField("_1").as("cell")))
+
+  /** Argmax by (sim desc, cell asc) — a fold over the scored array,
+    * entirely inside the projection: no join, no window, no shuffle. */
+  private def argmaxCell(scored: org.apache.spark.sql.Column) =
+    aggregate(scored, element_at(scored, 1), (acc, x) =>
+      when(x.getField("sim") > acc.getField("sim") ||
+           (x.getField("sim") === acc.getField("sim") &&
+            x.getField("cell") < acc.getField("cell")), x)
+        .otherwise(acc)).getField("cell")
+
+  /** Probes exploded to their top `IvfProbeCells` cells (sort the
+    * tiny scored array per row, slice, explode) — map-side. */
+  private def probeCellsOf(s: SparkSession, dir: String,
+      cellsLit: org.apache.spark.sql.Column): DataFrame = {
+    import s.implicits._
+    probes(s, dir)
+      .select($"pid", $"pe", cellScores(cellsLit)($"pe").as("scored"))
       .select($"pid", $"pe", explode(slice(array_sort($"scored",
         (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
           .when(l.getField("sim") < r.getField("sim"), 1)
@@ -328,9 +332,58 @@ object AnnOps {
           .when(l.getField("cell") > r.getField("cell"), 1)
           .otherwise(0)), 1, IvfProbeCells)).as("sc"))
       .select($"pid", $"pe", $"sc.cell".as("cell"))
-    val cands = probeCells.join(assigned, Seq("cell"))
+  }
+
+  val annIvfTopk: QueryFn = (s, dir) => {
+    import s.implicits._
+    val cellsLit = typedLit(ivfCentroids(s, dir))
+    val assigned = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", cellScores(cellsLit)($"embedding").as("scored"))
+      .select($"vec_id", $"embedding", argmaxCell($"scored").as("cell"))
+    val cands = probeCellsOf(s, dir, cellsLit).join(assigned, Seq("cell"))
       .where($"vec_id" =!= $"pid")
       .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"embedding").as("sim"))
     rankTopK(cands, K)
+  }
+
+  /** IVF-PQ: the composed billion-vector index — coarse IVF routing
+    * (map-side argmax over centroid literals) over PQ-compressed
+    * vectors (8 B/vector), exactly the memory/scan layout a real
+    * large-scale index persists. One projection computes BOTH the
+    * cell and the PQ codes for every vector (no join between the two
+    * index structures), the probed cells restrict the ADC scan to
+    * `IvfProbeCells / n_cells` of the corpus (vs [[annPqTopk]]'s full
+    * scan), and the 50-candidate shortlist is exact-re-ranked like
+    * the flat PQ path. Refinement at real scale: encode residuals
+    * (vector − cell centroid) instead of raw vectors for tighter
+    * codebooks; the plumbing is identical. */
+  val annIvfPqTopk: QueryFn = (s, dir) => {
+    import s.implicits._
+    val subDim = 64 / PqSubspaces
+    val cellsLit = typedLit(ivfCentroids(s, dir))
+    val cb = trainPq(s, dir)
+    // one map-side pass: cell assignment + PQ encode + ADC decode
+    val corpus = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", asDouble($"embedding").as("raw"))
+      .select($"vec_id", $"embedding", $"raw", l2norm($"raw").as("nrm"))
+      .select($"vec_id", $"embedding", transform($"raw", x => x / $"nrm").as("emb"))
+      .select($"vec_id",
+        cellScores(cellsLit)($"embedding").as("scored"),
+        pqEncode(cb, subDim)($"emb").as("codes"))
+      .select($"vec_id", argmaxCell($"scored").as("cell"),
+        pqDecode(cb, subDim)($"codes").as("emb_hat"))
+    val cands = probeCellsOf(s, dir, cellsLit).join(corpus, Seq("cell"))
+      .where($"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"emb_hat").as("sim"))
+    val shortlist = graft.plans.TopK.perKey(
+      cands.withColumn("sim_r", rnd($"sim", 6)),
+      keyCols = Seq("pid"),
+      orderCols = Seq("sim_r" -> false, "nid" -> true),
+      k = PqShortlist).select($"pid", $"nid")
+    val rerank = shortlist
+      .join(Tables.embeddings(s, dir).select($"vec_id".as("nid"), $"embedding".as("ne")), "nid")
+      .join(broadcast(probes(s, dir)), "pid")
+      .select($"pid", $"nid", cosine_sim($"pe", $"ne").as("sim"))
+    rankTopK(rerank, K)
   }
 }

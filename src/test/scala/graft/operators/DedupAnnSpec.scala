@@ -229,6 +229,20 @@ class DedupAnnSpec extends SparkTestBase {
     assert(recall >= 0.6, s"pq recall too low: $recall")
   }
 
+  test("ann_ivfpq_topk: composed index (cell routing × PQ codes × re-rank) keeps recall") {
+    import spark.implicits._
+    val exact = AnnOps.annBruteforceTopk(spark, sfDir)
+      .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+    val got = AnnOps.annIvfPqTopk(spark, sfDir)
+      .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(s"ann_ivfpq_topk recall@5 = $recall")
+    // strictly harder than flat PQ (the probed cells bound what the
+    // shortlist can see) — the composed index must still clear the
+    // same bar the standalone approximations do
+    assert(recall >= 0.6, s"ivf-pq recall too low: $recall")
+  }
+
   test("ann_lsh_topk and ann_ivf_topk: valid rankings with useful recall") {
     val exact = AnnOps.annBruteforceTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
