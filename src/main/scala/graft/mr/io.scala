@@ -70,6 +70,11 @@ final case class TextDirInputer(dir: String, prefix: String = "") extends Inpute
 final case class ChunkedTextInputer(path: String, chunkBytes: Long) extends Inputer {
   override def listKeys(spark: SparkSession): Seq[String] =
     (0 until toDataset(spark).rdd.getNumPartitions).map(_.toString)
+  // SCALE NOTE: listKeys/getValue are the reference's one-object-at-a-
+  // time client face (inputer.go:11) kept for API parity — getValue
+  // re-scans the file to serve ONE chunk. Jobs must consume
+  // `toDataset` (one distributed pass); these two exist for
+  // small-input parity tests and driver-side poking only.
   override def getValue(spark: SparkSession, key: String): String =
     toDataset(spark).filter(col("_1") === key).head()._2
   override def toDataset(spark: SparkSession): Dataset[(String, String)] = {
@@ -100,10 +105,17 @@ final case class TableInputer(
     extends Inputer {
   private def table(spark: SparkSession) =
     spark.read.options(options).format(format).load(path)
+  // SCALE NOTE: listKeys collects every key to the driver — it is the
+  // reference's ListKeys parity face (inputer.go:11) and is guarded to
+  // the same regime as KeyedDirOutputer; anything bigger must consume
+  // `toDataset`, which never touches the driver.
   override def listKeys(spark: SparkSession): Seq[String] = {
     import spark.implicits._
-    table(spark).select(col(keyCol).cast("string")).as[String]
-      .collect().toSeq.sorted
+    val keys = table(spark).select(col(keyCol).cast("string")).as[String]
+      .limit(1000001).collect()
+    require(keys.length <= 1000000,
+      s"TableInputer.listKeys: >1M keys — use toDataset for the distributed path")
+    keys.toSeq.sorted
   }
   override def getValue(spark: SparkSession, key: String): String = {
     import spark.implicits._
