@@ -261,10 +261,23 @@ object DedupOps {
   private[operators] object IncrementalIndex {
     private val Version = "v1"
 
-    def root(dir: String, tau: Double): String =
+    /** The path is keyed by a fingerprint of the corpus FILES (name,
+      * size, mtime), not just the directory name: the test corpus is
+      * regenerated in place between rounds, and an index keyed by
+      * path alone would silently serve stale state for new data. A
+      * production pipeline gets this for free from immutable
+      * date-partitioned corpora. */
+    def root(dir: String, tau: Double): String = {
+      val docs = new java.io.File(dir, "documents.parquet")
+      val files =
+        if (docs.isDirectory) docs.listFiles().sortBy(_.getName)
+        else Array(docs)
+      val fp = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString(dir, "|", "")
       "/tmp/graft-incidx-" + Version + "-s" + ShingleSize +
         "-t" + (tau * 100).toInt + "-" +
-        java.lang.Long.toHexString(graft.functions.Hashes.fnv64(dir))
+        java.lang.Long.toHexString(graft.functions.Hashes.fnv64(fp))
+    }
 
     def ensure(
         s: org.apache.spark.sql.SparkSession, dir: String, tau: Double,

@@ -171,6 +171,27 @@ class DedupAnnSpec extends SparkTestBase {
       DedupOps.IncrementalIndex.root(sfDir, 0.5), "_READY").exists())
   }
 
+  test("dedup_incremental: index path tracks corpus file changes (stale-index guard)") {
+    // the test corpus is regenerated in place between rounds — an
+    // index keyed by path alone would serve stale state for new data
+    val dir = Files.createTempDirectory("graft-idxkey").toString
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val dst = new java.io.File(s"$dir/documents.parquet")
+    // the test corpus is a single parquet file; a Spark-written corpus
+    // is a directory of part files — root() handles both
+    if (src.isDirectory) {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        Files.copy(f.toPath, new java.io.File(dst, f.getName).toPath)
+      }
+    } else Files.copy(src.toPath, dst.toPath)
+    val touchable = if (dst.isDirectory) dst.listFiles().toSeq else Seq(dst)
+    val before = DedupOps.IncrementalIndex.root(dir, 0.5)
+    touchable.foreach(f => f.setLastModified(f.lastModified() + 60000))
+    val after = DedupOps.IncrementalIndex.root(dir, 0.5)
+    assert(before != after, "index key must change when corpus files change")
+  }
+
   test("dedup_clusters: transitive closure groups {0,1,3}, leaves 2 alone") {
     val got = DedupOps.dedupClusters(spark, synthDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
