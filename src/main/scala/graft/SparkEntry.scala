@@ -292,7 +292,7 @@ object SparkEntry {
         |floor((CAST(sum(CAST((c_acctbal) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT CAST(sum(CAST((c_acctbal) AS DECIMAL(27,10))) AS DOUBLE)/count(*) FROM customer WHERE c_acctbal > 0)
-        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_set_ops" ->

@@ -102,8 +102,14 @@ object RelationalExt {
   }
 
   /** TPC-H Q22-style: well-funded customers (acctbal above the
-    * positive-balance average — scalar subquery) who never ordered
-    * (anti-join), summarized per segment. */
+    * positive-balance average — scalar subquery) who never placed an
+    * URGENT order (anti-join), summarized per segment. TPC-H's
+    * original anti-joins against ALL orders, but this generator gives
+    * every customer at least one order — that form returns zero rows
+    * at every scale, and a permanently-empty result verifies nothing
+    * (the r1 dedup_embedding lesson); the urgent-order variant keeps
+    * the identical scalar-subquery + anti-join plan shape with a
+    * non-vacuous answer. */
   val q22GlobalSales: QueryFn = (s, dir) => {
     import s.implicits._
     val cust = Tables.customer(s, dir)
@@ -112,7 +118,8 @@ object RelationalExt {
     cust
       .crossJoin(broadcast(avgBal))
       .filter($"c_acctbal" > $"avg_bal")
-      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_anti")
+      .join(Tables.orders(s, dir).where($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("numcust"), rnd(xsum($"c_acctbal"), 2).as("totacctbal"))
       .orderBy($"c_mktsegment")
