@@ -185,7 +185,7 @@ object SparkEntry {
 
     "q_parts_never_ordered" ->
       """SELECT p_brand, count(*) AS n_parts FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 49)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_nation_revenue_rollup" ->

@@ -125,11 +125,16 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
-  /** NOT EXISTS → left-anti join: parts that never shipped. */
+  /** NOT EXISTS → left-anti join: parts that never shipped in bulk
+    * (no lineitem at quantity ≥ 49). The plain "never ordered" form
+    * is permanently empty on this generator — every part has
+    * lineitems — and a 0-row result verifies nothing; the bulk
+    * variant keeps the identical anti-join plan with a real answer. */
   val qPartsNeverOrdered: QueryFn = (s, dir) => {
     import s.implicits._
     Tables.part(s, dir)
-      .join(Tables.lineitem(s, dir), $"p_partkey" === $"l_partkey", "left_anti")
+      .join(Tables.lineitem(s, dir).where($"l_quantity" >= 49),
+        $"p_partkey" === $"l_partkey", "left_anti")
       .groupBy($"p_brand")
       .agg(count(lit(1)).as("n_parts"))
       .orderBy($"p_brand")
