@@ -103,6 +103,7 @@ object SparkEntry {
     "text_decontaminate"          -> PipelineOps.textDecontaminate,
     "text_readability"            -> PipelineOps.textReadability,
     "pipeline_curate"             -> PipelineOps.pipelineCurate,
+    "text_ccnet_buckets"          -> PipelineOps.textCcnetBuckets,
     "q_histogram"                 -> EventAnalytics.qHistogram,
     "q_corr_stats"                -> RelationalExt.qCorrStats,
     // §2.C dedup
@@ -701,6 +702,41 @@ object SparkEntry {
         |LEFT JOIN agg_n n USING (source, lang)
         |LEFT JOIN agg_s s USING (source, lang)
         |ORDER BY i.source, i.lang""".stripMargin,
+
+    // head/middle/tail tertiles per language by the same bigram-LM
+    // score as text_lm_score's oracle; ntile ties broken on
+    // (rounded score, doc_id) so both engines cut identically
+    "text_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+        |  FROM toks WHERE len(tk) >= 2),
+        |bgc AS (SELECT lang, w1, w2, count(*) AS c2 FROM bg GROUP BY 1,2,3),
+        |ugc AS (SELECT lang, w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bgc GROUP BY 1,2),
+        |v AS (SELECT lang, count(DISTINCT w2) AS vsize FROM bgc GROUP BY 1),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    floor((CAST(sum(CAST((CAST(c2 + 1 AS DOUBLE) / (c1 + vsize)) AS DECIMAL(27,10))) AS DOUBLE) / count(*))*1000000 + 0.5)/1000000 AS lm_score
+        |  FROM bg b
+        |  JOIN bgc ON b.lang = bgc.lang AND b.w1 = bgc.w1 AND b.w2 = bgc.w2
+        |  JOIN ugc ON b.lang = ugc.lang AND b.w1 = ugc.w1
+        |  JOIN v ON b.lang = v.lang
+        |  GROUP BY b.doc_id),
+        |dt AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |tert AS (
+        |  SELECT sc.doc_id, dt.lang, dt.n_toks, sc.lm_score,
+        |    ntile(3) OVER (PARTITION BY dt.lang ORDER BY sc.lm_score ASC, sc.doc_id ASC) AS tertile
+        |  FROM sc JOIN dt USING (doc_id))
+        |SELECT lang,
+        |  CASE WHEN tertile = 3 THEN 'head' WHEN tertile = 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  floor((CAST(sum(CAST(lm_score AS DECIMAL(27,10))) AS DOUBLE)/count(*))*1000000 + 0.5)/1000000 AS avg_score
+        |FROM tert GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
     // FNV-1a 64-bit replayed in SQL (HUGEINT mod-2^64 multiply, xor,
     // signed reinterpretation), then the full winnowing selection:

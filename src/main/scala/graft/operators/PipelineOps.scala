@@ -322,6 +322,38 @@ object PipelineOps {
   // ---------------------------------------------------------------
 
   // ---------------------------------------------------------------
+  // CCNet-style perplexity buckets
+  // ---------------------------------------------------------------
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020, arXiv:
+    * 1911.00359 §4.3): each language's documents are split into
+    * head/middle/tail tertiles by LM fluency ([[textLmScore]], which
+    * stands in for the Kneser-Ney perplexity CCNet uses), and the
+    * report carries doc/token mass per bucket — the table a
+    * pretraining mix uses to oversample the head. Deterministic:
+    * ntile over (rounded score, doc_id); decimal-exact score means.
+    * One window per language partition + one small agg — the window
+    * sorts each language's docs once, the same cost class as any
+    * per-group ranking at 100 TB. */
+  val textCcnetBuckets: QueryFn = (s, dir) => {
+    import s.implicits._
+    val scored = textLmScore(s, dir).select($"doc_id", $"lm_score")
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", size(normTokens($"text")).cast("long").as("n_toks"))
+    val w = Window.partitionBy($"lang").orderBy($"lm_score".asc, $"doc_id".asc)
+    scored.join(docs, "doc_id")
+      .withColumn("tertile", ntile(3).over(w))
+      .withColumn("bucket",
+        when($"tertile" === 3, "head").when($"tertile" === 2, "middle").otherwise("tail"))
+      .groupBy($"lang", $"bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        rnd(xsum($"lm_score") / count(lit(1)), 6).as("avg_score"))
+      .orderBy($"lang", $"bucket")
+  }
+
+  // ---------------------------------------------------------------
   // End-to-end curation funnel
   // ---------------------------------------------------------------
 

@@ -228,6 +228,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows.map(r => r._7 - r._8).sum > 0, "sampling stage vacuous")
   }
 
+  test("text_ccnet_buckets: tertiles partition each language, head is most fluent") {
+    import spark.implicits._
+    val rows = PipelineOps.textCcnetBuckets(spark, sfDir)
+      .as[(String, String, Long, Long, Double)].collect()
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (lang, bs) =>
+      val m = bs.map(b => b._2 -> b).toMap
+      assert(m.keySet == Set("head", "middle", "tail"), s"$lang buckets: ${m.keySet}")
+      // tertiles: doc counts differ by at most 1
+      val counts = bs.map(_._3)
+      assert(counts.max - counts.min <= 1, s"$lang tertile sizes: ${counts.toSeq}")
+      // score ordering: head (most fluent) >= middle >= tail
+      assert(m("head")._5 >= m("middle")._5 && m("middle")._5 >= m("tail")._5,
+        s"$lang bucket scores out of order: $m")
+    }
+    // every scored doc lands in exactly one bucket
+    val scored = PipelineOps.textLmScore(spark, sfDir).count()
+    assert(rows.map(_._3).sum == scored)
+  }
+
   test("q_domain_mix: token shares sum to 1 and totals match the corpus") {
     import spark.implicits._
     val rows = PipelineOps.qDomainMix(spark, sfDir)
