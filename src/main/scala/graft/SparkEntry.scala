@@ -104,6 +104,7 @@ object SparkEntry {
     "text_readability"            -> PipelineOps.textReadability,
     "pipeline_curate"             -> PipelineOps.pipelineCurate,
     "text_ccnet_buckets"          -> PipelineOps.textCcnetBuckets,
+    "text_repeated_ngrams"        -> PipelineOps.textRepeatedNgrams,
     "q_histogram"                 -> EventAnalytics.qHistogram,
     "q_corr_stats"                -> RelationalExt.qCorrStats,
     // §2.C dedup
@@ -702,6 +703,18 @@ object SparkEntry {
         |LEFT JOIN agg_n n USING (source, lang)
         |LEFT JOIN agg_s s USING (source, lang)
         |ORDER BY i.source, i.lang""".stripMargin,
+
+    "text_repeated_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest([array_to_string(tk[i:i+5], ' ') for i in generate_series(1, len(tk)-5)]) AS ng
+        |  FROM toks WHERE len(tk) >= 6)
+        |SELECT ng, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+        |  min(doc_id) AS first_doc
+        |FROM g GROUP BY ng HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY ng""".stripMargin,
 
     // head/middle/tail tertiles per language by the same bigram-LM
     // score as text_lm_score's oracle; ntile ties broken on

@@ -322,6 +322,37 @@ object PipelineOps {
   // ---------------------------------------------------------------
 
   // ---------------------------------------------------------------
+  // Cross-document repeated phrases (memorization-risk report)
+  // ---------------------------------------------------------------
+
+  /** Verbatim-duplication audit: 6-token phrases appearing in ≥ 2
+    * distinct documents, with document/occurrence counts and the
+    * first doc carrying each — the report run before training to
+    * gauge verbatim-memorization risk (Lee et al. 2022,
+    * arXiv:2107.06499 motivates substring-level dedup; phrase-grain
+    * n-grams are its scan-speed approximation). Distinct from
+    * [[textBoilerplate]] (single-token df) and [[textDecontaminate]]
+    * (train-vs-benchmark): this is corpus-internal, phrase-level.
+    * Shape: explode grams (map-side), one partial+final agg on the
+    * gram key, HAVING on the grouped result — linear in corpus
+    * tokens, no joins. */
+  val textRepeatedNgrams: QueryFn = (s, dir) => {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", normTokens($"text").as("toks"))
+      .where(size($"toks") >= 6)
+      .select($"doc_id", explode(wordNgrams($"toks", 6)).as("ng"))
+    grams
+      .groupBy($"ng")
+      .agg(
+        count_distinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min($"doc_id").as("first_doc"))
+      .where($"n_docs" >= 2)
+      .orderBy($"ng")
+  }
+
+  // ---------------------------------------------------------------
   // CCNet-style perplexity buckets
   // ---------------------------------------------------------------
 
