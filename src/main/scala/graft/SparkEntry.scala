@@ -75,6 +75,8 @@ object SparkEntry {
     "q_events_retention"          -> EventAnalytics.qEventsRetention,
     "q_events_anomaly"            -> EventAnalytics.qEventsAnomaly,
     "q_orders_mom_growth"         -> EventAnalytics.qOrdersMoM,
+    "q_pagerank"                  -> operators.GraphOps.qPagerank,
+    "q_markov_transitions"        -> operators.GraphOps.qMarkovTransitions,
     // §2.A mapreduce parity
     "mr_wordcount"                -> TextOps.mrWordcount,
     "mr_wordcount_engine"         -> TextOps.mrWordcountEngine,
@@ -98,6 +100,7 @@ object SparkEntry {
     "q_stratified_sample"         -> PipelineOps.qStratifiedSample,
     "q_top_ngrams"                -> PipelineOps.qTopNgrams,
     "q_domain_mix"                -> PipelineOps.qDomainMix,
+    "q_mix_temperature"           -> PipelineOps.qMixTemperature,
     "text_lm_score"               -> PipelineOps.textLmScore,
     "text_tfidf_top"              -> PipelineOps.textTfidfTop,
     "text_decontaminate"          -> PipelineOps.textDecontaminate,
@@ -1224,6 +1227,62 @@ object SparkEntry {
     // deterministic Lloyd's: init = vec_id < 8, 3 fixed iterations,
     // decimal-exact distance/centroid sums, argmin ties to lower
     // cluster — both engines compute identical centroids every round
+    // 5 unrolled damped iterations; every order-sensitive sum is the
+    // xsum decimal twin, every float constant written as the same
+    // literal Spark uses (0.15 is NOT 1-0.85 in binary)
+    "q_pagerank" ->
+      ("""WITH rev AS (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS u, CAST(c_nationkey AS BIGINT) AS v,
+        |    CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(27,10))) AS DOUBLE) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |dir_ AS (SELECT u, v, rev FROM rev WHERE u <> v
+        |         UNION ALL SELECT v AS u, u AS v, rev FROM rev WHERE u <> v),
+        |sym AS (SELECT u, v, CAST(sum(CAST(rev AS DECIMAL(27,10))) AS DOUBLE) AS w
+        |        FROM dir_ GROUP BY 1, 2),
+        |ow AS (SELECT u, CAST(sum(CAST(w AS DECIMAL(27,10))) AS DOUBLE) AS wout
+        |       FROM sym GROUP BY 1),
+        |p AS (SELECT sym.u, sym.v, sym.w / ow.wout AS p FROM sym JOIN ow ON sym.u = ow.u),
+        |nn AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS n FROM p),
+        |r0 AS (SELECT DISTINCT u AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r FROM p),
+        |""".stripMargin +
+        (1 to 5).map { i =>
+          s"""r$i AS (SELECT p.v AS node,
+             |  CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + CAST(0.85 AS DOUBLE) *
+             |    CAST(sum(CAST((p.p * r${i - 1}.r) AS DECIMAL(27,10))) AS DOUBLE) AS r
+             |  FROM p JOIN r${i - 1} ON p.u = r${i - 1}.node GROUP BY p.v)""".stripMargin
+        }.mkString(",\n") +
+        """
+        |SELECT n_name AS nation, floor((r)*1000000 + 0.5)/1000000 AS pr
+        |FROM r5 JOIN nation ON r5.node = CAST(n_nationkey AS BIGINT)
+        |ORDER BY pr DESC, nation""".stripMargin),
+
+    "q_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |trans AS (SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src, sum(n) AS tn FROM trans GROUP BY 1)
+        |SELECT trans.src, trans.dst, CAST(trans.n AS BIGINT) AS n,
+        |  floor((CAST(trans.n AS DOUBLE) / CAST(tot.tn AS DOUBLE))*1000000 + 0.5)/1000000 AS p
+        |FROM trans JOIN tot ON trans.src = tot.src
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH bys AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS nn,
+        |  CAST(sum(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(27,10))) AS DOUBLE) AS sq
+        |  FROM bys)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  floor((CAST(n_docs AS DOUBLE) / nn)*1000000 + 0.5)/1000000 AS p_raw,
+        |  floor((sqrt(CAST(n_docs AS DOUBLE)) / sq)*1000000 + 0.5)/1000000 AS p_temp,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / sq * nn + 0.5) AS BIGINT) AS target_docs
+        |FROM bys, tot ORDER BY source""".stripMargin,
+
     "emb_kmeans" ->
       """WITH e AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,

@@ -321,6 +321,36 @@ object PipelineOps {
   // Corpus mix report
   // ---------------------------------------------------------------
 
+  /** Temperature-resampled corpus mix (the α-sampling of multilingual
+    * LM training — Lample & Conneau 2019, arXiv:1901.07291 §3.1;
+    * XLM-R's rebalancing): per-source sampling weights
+    * w_s ∝ n_s^α at α = 0.5, flattening the natural source
+    * distribution so head domains stop drowning the tail, plus the
+    * integer per-source target counts a sampler would draw.
+    *
+    * α is fixed at 0.5 because √ is an IEEE-exact operation — both
+    * engines produce bit-identical weights, whereas a general
+    * `pow(n, 0.3)` is correctly-rounded in neither and may differ in
+    * the last ulp (libm vs Math.pow). The Σ√n normalizer accumulates
+    * in decimal ([[xsum]]) so partial-agg order can't move it.
+    * Shape: one partial+final count per source, a 1-row broadcast of
+    * the totals, map-side arithmetic — the cheapest possible report. */
+  val qMixTemperature: QueryFn = (s, dir) => {
+    import s.implicits._
+    val bySource = Tables.documents(s, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val tot = bySource.agg(
+      sum($"n_docs").cast("double").as("nn"),
+      xsum(sqrt($"n_docs".cast("double"))).as("sq"))
+    bySource.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs",
+        rnd($"n_docs".cast("double") / $"nn", 6).as("p_raw"),
+        rnd(sqrt($"n_docs".cast("double")) / $"sq", 6).as("p_temp"),
+        floor(sqrt($"n_docs".cast("double")) / $"sq" * $"nn" + lit(0.5))
+          .cast("long").as("target_docs"))
+      .orderBy($"source")
+  }
+
   // ---------------------------------------------------------------
   // Cross-document repeated phrases (memorization-risk report)
   // ---------------------------------------------------------------

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Structural oracles for the graph/sequence operators — the DuckDB
+  * gate pins exact values; these pin the mathematical invariants that
+  * must hold on ANY input, so a refactor can't silently change the
+  * semantics while still matching a regenerated oracle. */
+class GraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q_pagerank: ranks form a probability distribution with trade-weighted order") {
+    val got = GraphOps.qPagerank(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // damped PageRank over a stochastic matrix conserves mass: sum = 1
+    val mass = got.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"rank mass $mass != 1")
+    // every rank has at least the teleport floor
+    val n = got.length
+    got.foreach(r => assert(r.getDouble(1) >= 0.15 / n - 1e-9,
+      s"${r.getString(0)} below teleport floor"))
+    // output is rank-descending
+    val prs = got.map(_.getDouble(1))
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b }, "not sorted by pr desc")
+  }
+
+  test("q_pagerank: star topology concentrates rank on the hub") {
+    // hand graph through the same iteration core: a 5-spoke star —
+    // the hub must out-rank every spoke after any number of rounds
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L))
+      .toDF("u", "v")
+    val sym = edges.select($"u", $"v")
+      .unionByName(edges.select($"v".as("u"), $"u".as("v")))
+      .withColumn("w", lit(1.0))
+    val out = sym.groupBy($"u").agg(sum($"w").as("wout"))
+    val p = sym.join(out, "u").select($"u", $"v", ($"w" / $"wout").as("p"))
+      .localCheckpoint(true)
+    val n = 6.0
+    var ranks = p.select($"u".as("node")).distinct().withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to 5) {
+      ranks = p.join(ranks, p("u") === ranks("node"))
+        .groupBy(p("v"))
+        .agg((lit(0.15 / n) + lit(0.85) * sum(p("p") * ranks("r"))).as("r"))
+        .select(col("v").as("node"), col("r"))
+    }
+    val byNode = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byNode(0L) > byNode(1L) * 3, s"hub ${byNode(0L)} not dominant over spoke ${byNode(1L)}")
+    (1L to 5L).foreach(i => assert(math.abs(byNode(i) - byNode(1L)) < 1e-12,
+      "symmetric spokes must tie exactly"))
+  }
+
+  test("q_markov_transitions: per-source probabilities sum to 1") {
+    val got = GraphOps.qMarkovTransitions(spark, sfDir)
+    val sums = got.groupBy($"src").agg(sum($"p").as("ps"), sum($"n").as("tn"))
+      .collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-4,
+        s"src ${r.getString(0)} probabilities sum to ${r.getDouble(1)}")
+    }
+    // transition counts conserve events: sum(n) = total events - one
+    // terminal event per user (the last event has no successor)
+    val ev = graft.Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select($"user_id").distinct().count()
+    val gotN = got.agg(sum($"n")).head().getLong(0)
+    assert(gotN == expected, s"transition mass $gotN != events-minus-terminals $expected")
+  }
+
+  test("q_mix_temperature: flattening inequality and integer targets") {
+    val got = PipelineOps.qMixTemperature(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // α < 1 flattens: head sources lose share, tail sources gain
+    got.foreach { r =>
+      val (pRaw, pTemp) = (r.getDouble(2), r.getDouble(3))
+      val mean = 1.0 / got.length
+      if (pRaw > mean) assert(pTemp <= pRaw + 1e-9, s"head ${r.getString(0)} not flattened")
+      else assert(pTemp >= pRaw - 1e-9, s"tail ${r.getString(0)} not lifted")
+    }
+    // both columns are distributions
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+    // targets re-scale to ~ the corpus size (rounding slack ≤ #sources)
+    val nTotal = got.map(_.getLong(1)).sum
+    val tTotal = got.map(_.getLong(4)).sum
+    assert(math.abs(tTotal - nTotal) <= got.length, s"targets $tTotal vs corpus $nTotal")
+  }
+}
