@@ -77,6 +77,7 @@ object SparkEntry {
     "q_orders_mom_growth"         -> EventAnalytics.qOrdersMoM,
     "q_pagerank"                  -> operators.GraphOps.qPagerank,
     "q_markov_transitions"        -> operators.GraphOps.qMarkovTransitions,
+    "q_triangle_count"            -> operators.GraphOps.qTriangleCount,
     // §2.A mapreduce parity
     "mr_wordcount"                -> TextOps.mrWordcount,
     "mr_wordcount_engine"         -> TextOps.mrWordcountEngine,
@@ -101,6 +102,7 @@ object SparkEntry {
     "q_top_ngrams"                -> PipelineOps.qTopNgrams,
     "q_domain_mix"                -> PipelineOps.qDomainMix,
     "q_mix_temperature"           -> PipelineOps.qMixTemperature,
+    "text_seed_sim"               -> PipelineOps.textSeedSim,
     "text_lm_score"               -> PipelineOps.textLmScore,
     "text_tfidf_top"              -> PipelineOps.textTfidfTop,
     "text_decontaminate"          -> PipelineOps.textDecontaminate,
@@ -1259,6 +1261,59 @@ object SparkEntry {
         |SELECT n_name AS nation, floor((r)*1000000 + 0.5)/1000000 AS pr
         |FROM r5 JOIN nation ON r5.node = CAST(n_nationkey AS BIGINT)
         |ORDER BY pr DESC, nation""".stripMargin),
+
+    "q_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |  SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS src,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS dst
+        |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM o e1 JOIN o e2 ON e1.dst = e2.src
+        |  WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)),
+        |n AS (SELECT unnest([a, b, c]) AS l_partkey FROM tri)
+        |SELECT l_partkey, count(*) AS n_tri FROM n GROUP BY 1
+        |ORDER BY n_tri DESC, l_partkey LIMIT 20""".stripMargin,
+
+    "text_seed_sim" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |t AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT doc_id, tok, CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / df) AS w
+        |  FROM tf JOIN df USING (tok), t WHERE df * 10 <= n_docs),
+        |nrm AS (SELECT doc_id,
+        |  sqrt(CAST(sum(CAST((w*w) AS DECIMAL(27,10))) AS DOUBLE)) AS nrm
+        |  FROM w GROUP BY 1),
+        |dots AS (
+        |  SELECT p.doc_id AS probe_id, d.doc_id AS match_id,
+        |    CAST(sum(CAST((p.w * d.w) AS DECIMAL(27,10))) AS DOUBLE) AS dot
+        |  FROM w p JOIN w d ON p.tok = d.tok
+        |  WHERE p.doc_id % 100 = 0 AND d.doc_id % 100 <> 0
+        |  GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT probe_id, match_id, dot / (np.nrm * nd.nrm) AS sim
+        |  FROM dots
+        |  JOIN nrm np ON dots.probe_id = np.doc_id
+        |  JOIN nrm nd ON dots.match_id = nd.doc_id),
+        |r AS (
+        |  SELECT probe_id, match_id, sim,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, match_id) AS rnk
+        |  FROM sims)
+        |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, match_id,
+        |  floor((sim)*10000 + 0.5)/10000 AS sim
+        |FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
 
     "q_markov_transitions" ->
       """WITH seq AS (

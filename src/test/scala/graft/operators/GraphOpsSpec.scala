@@ -51,6 +51,21 @@ class GraphOpsSpec extends SparkTestBase {
       "symmetric spokes must tie exactly"))
   }
 
+  test("triangleCorners: K4, path, and star hand graphs") {
+    def corners(es: Seq[(Long, Long)]): Map[Long, Long] =
+      GraphOps.triangleCorners(es.toDF("u", "v")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: every vertex sits on exactly C(3,2) = 3 triangles
+    val k4 = corners(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)))
+    assert(k4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"K4 gave $k4")
+    // a path and a star are triangle-free
+    assert(corners(Seq((1L,2L),(2L,3L),(3L,4L))).isEmpty, "path has no triangles")
+    assert(corners(Seq((1L,2L),(1L,3L),(1L,4L),(1L,5L))).isEmpty, "star has no triangles")
+    // triangle with a pendant: pendant node absent, triangle nodes = 1
+    val t = corners(Seq((1L,2L),(1L,3L),(2L,3L),(3L,4L)))
+    assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"pendant graph gave $t")
+  }
+
   test("q_markov_transitions: per-source probabilities sum to 1") {
     val got = GraphOps.qMarkovTransitions(spark, sfDir)
     val sums = got.groupBy($"src").agg(sum($"p").as("ps"), sum($"n").as("tn"))
