@@ -180,7 +180,37 @@ object PlanAudit {
         // funnel may degenerate to an all-pairs plan
         "broadcast join present" -> (_.contains("BroadcastHashJoin")),
         "no cartesian" -> (p => !p.contains("CartesianProduct")),
-        "partial agg before shuffle" -> (_.contains("partial_"))))
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "q_pagerank" -> Map(
+        // the fact-scale edge derivation is checkpointed BEFORE the
+        // loop: the iteration plan reads the materialized edge RDD and
+        // the only parquet left is the nation dim on the way out — a
+        // lineitem scan here would mean the loop re-derives the graph
+        // every round
+        "facts out of the loop (checkpointed edges)" -> (p =>
+          p.contains("ExistingRDD") &&
+          "Scan parquet".r.findAllIn(p).size <= 1),
+        "no cartesian" -> (p => !p.contains("CartesianProduct")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "text_seed_sim" -> Map(
+        // sparse cosine = posting-list equi-joins; a nested-loop or
+        // cartesian would mean the probe×corpus pairing went dense
+        "posting join stays equi-join" -> (p =>
+          !p.contains("CartesianProduct")),
+        "ranked through native TopKPerKey heaps" ->
+          (_.contains("TopKPerKey")),
+        "dot products partial before shuffle" -> (_.contains("partial_"))),
+      "q_triangle_count" -> Map(
+        // the support-filtered edge set is checkpointed: the counting
+        // plan intersects adjacency arrays over the materialized RDD
+        // with NO parquet re-scan (itemset pair-gen consumed lineitem
+        // exactly once, at checkpoint build)
+        "facts consumed once (checkpointed edges)" -> (p =>
+          p.contains("ExistingRDD") &&
+          !p.contains("Scan parquet")),
+        "no cartesian wedge pairing" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
+        "corner count partial before shuffle" -> (_.contains("partial_count"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

@@ -110,6 +110,75 @@ object Streams {
         col("view_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
+  // ---- streaming near-dup alerts (minhash-LSH at ingest) ----
+
+  final case class NeardupAlert(band: String, doc_id: Long, prior_id: Long)
+
+  /** Per-band state cap: a degenerate band (boilerplate shared by
+    * thousands of docs) otherwise grows state and emits O(n²) alerts
+    * for one key. 32 priors ≈ the alert fan-out a review queue can
+    * absorb; the batch dedup pass still sees the full graph. */
+  val MaxPriorsPerBand = 32
+
+  /** Near-duplicate ALERTS at ingest: the streaming face of
+    * minhash-LSH dedup ([[graft.operators.DedupOps]]). Input is the
+    * exploded (doc_id, band-key) stream — same signature/banding
+    * expressions as the batch operator — keyed by band;
+    * `flatMapGroupsWithState` keeps the doc ids already seen per band
+    * and emits (band, new doc, prior doc) candidate pairs the moment
+    * the collision happens, so a crawler can hold near-dups at the
+    * door instead of discovering them in the nightly batch pass.
+    * Within a micro-batch, arrivals pair in doc_id order (the
+    * deterministic stand-in for arrival order); state per band is
+    * capped at [[MaxPriorsPerBand]] ids (at real scale the state
+    * store also TTLs idle bands by processing time — boilerplate
+    * bands go hot and stay hot, content bands are sparse).
+    * Exactly the candidate-generation half of LSH: verification
+    * (exact Jaccard on the alerted pairs) stays a batch join
+    * downstream, where the shingle sets live. */
+  def neardupAlerts(bandedDocs: DataFrame): Dataset[NeardupAlert] = {
+    import bandedDocs.sparkSession.implicits._
+    val cap = MaxPriorsPerBand
+
+    def fn(band: String, rows: Iterator[(Long, String)],
+        state: GroupState[Seq[Long]]): Iterator[NeardupAlert] = {
+      val prior = state.getOption.getOrElse(Seq.empty)
+      val arrivals = rows.map(_._1).toArray.distinct.sorted
+        .filterNot(prior.contains)
+      val out = scala.collection.mutable.ArrayBuffer.empty[NeardupAlert]
+      var seen = prior
+      arrivals.foreach { id =>
+        seen.foreach(p => out += NeardupAlert(band, id, p))
+        if (seen.size < cap) seen = seen :+ id
+      }
+      state.update(seen)
+      out.iterator
+    }
+
+    bandedDocs
+      .select(col("doc_id"), col("band"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** The batch-side banding for [[neardupAlerts]]: (doc_id, band)
+    * rows from the same shingle → minhash → band-key pipeline as
+    * `dedup_minhash_lsh` (shared expressions, so stream and batch
+    * agree bit-for-bit on what collides). */
+  def bandedDocs(docs: DataFrame): DataFrame = {
+    import graft.functions.Cols.normTokens
+    import graft.functions.Hashes.{bandKeys, hashedShingles, minhashParams}
+    import graft.operators.DedupOps.{Bands, NumPerms, RowsPerBand, ShingleSize}
+    val sh = docs
+      .filter(size(normTokens(col("text"))) >= ShingleSize)
+      .select(col("doc_id"), normTokens(col("text")).as("tk"))
+      .select(col("doc_id"), array_distinct(hashedShingles(col("tk"), ShingleSize)).as("sh"))
+    sh.select(col("doc_id"),
+        graft.functions.VectorExpressions.minhash_sig(col("sh"), minhashParams(NumPerms)).as("sig"))
+      .select(col("doc_id"), explode(bandKeys(col("sig"), Bands, RowsPerBand)).as("band"))
+  }
+
   // ---- stateful sessionization ----
 
   final case class Ev(user_id: Long, ts_us: Long, value: Double)

@@ -149,6 +149,48 @@ class StreamingSpec extends SparkTestBase {
       "replayed keys must keep the ORIGINAL event (state recovered)")
   }
 
+  test("near-dup alerts at ingest: stream == capped batch LSH candidate pairs across 2 micro-batches") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-ndup-in").toString
+
+    // split the corpus into two landing files on doc_id — arrival
+    // order is then the doc_id order the alert fold assumes
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val mid = 250L
+    docs.where($"doc_id" < mid).coalesce(1).write.mode("append").parquet(inDir)
+    docs.where($"doc_id" >= mid).coalesce(1).write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1) // force 2 micro-batches
+      .parquet(inDir)
+    val q = Streams.neardupAlerts(Streams.bandedDocs(stream))
+      .writeStream.format("memory").queryName("ndup_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ndup_out")
+      .select($"band", $"doc_id", $"prior_id")
+      .as[(String, Long, Long)].collect().toSet
+
+    // expected: per band, fold doc_ids in order with the same state
+    // cap the operator applies
+    val cap = Streams.MaxPriorsPerBand
+    val expected = Streams.bandedDocs(docs)
+      .as[(Long, String)].collect().groupBy(_._2).toSeq.flatMap { case (band, rows) =>
+        val ids = rows.map(_._1).distinct.sorted
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        var seen = List.empty[Long]
+        ids.foreach { id =>
+          seen.foreach(p => out += ((band, id, p)))
+          if (seen.size < cap) seen = seen :+ id
+        }
+        out
+      }.toSet
+    assert(expected.nonEmpty, "test corpus must produce at least one collision")
+    assert(got == expected,
+      s"stream alerts != batch candidates: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("sessionize also runs in batch mode (closed sessions = total - 1 per user)") {
     import spark.implicits._
     val batchSessions = Streams.sessionize(Tables.events(spark, sfDir))
