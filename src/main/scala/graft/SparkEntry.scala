@@ -1383,5 +1383,79 @@ object SparkEntry {
         |floor((avg(octet_length(CAST(text AS BLOB))))*100 + 0.5)/100 AS avg_bytes,
         |count(DISTINCT substring(text, 1, 1)) AS n_magics
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "dedup_minhash_lsh" -> minhashLshOracle,
   )
+
+  /** `dedup_minhash_lsh` replayed END-TO-END in DuckDB — the whole
+    * LSH index, not just the verified output: FNV-1a 3-gram shingles
+    * (same HUGEINT mod-2^64 reduce as the winnow/simhash oracles),
+    * the splitmix64 salt mix behind MinHashSigExpr, signed min per
+    * permutation, 16×4 banding, and exact Jaccard ≥ 0.5 verification
+    * of the colliding pairs. Two mechanical notes:
+    *
+    *  - the mod-2^64 MULTIPLIES are split into 32-bit halves:
+    *    both splitmix constants are ≈2^64, so a direct HUGEINT
+    *    product of two 64-bit operands would overflow 128-bit signed
+    *    ((a·b) mod 2^64 = (aˡbˡ + ((aˡbʰ + aʰbˡ) mod 2^32)·2^32)
+    *    mod 2^64 — every intermediate < 2^65);
+    *  - Spark keys bands on xxhash64(band, slice-as-string); the
+    *    oracle groups on (band, slice-as-string) directly — the same
+    *    partition of documents, minus the astronomically unlikely
+    *    xxhash collision.
+    *
+    * The 64 salt literals are the same Random(42) draw the Spark
+    * expression uses, emitted unsigned. */
+  private lazy val minhashLshOracle: String = {
+    val salts = graft.functions.Hashes.minhashParams(DedupOps.NumPerms)
+      .zipWithIndex
+      .map { case (s, p) => s"($p, CAST(${java.lang.Long.toUnsignedString(s)} AS HUGEINT))" }
+      .mkString(", ")
+    def mulSplit(z: String, c: Long): String = {
+      val hi = c >>> 32
+      val lo = c & 0xffffffffL
+      s"(($z % 4294967296) * $lo + ((($z % 4294967296) * $hi + ($z // 4294967296) * $lo) % 4294967296) * 4294967296) % 18446744073709551616"
+    }
+    val c1 = java.lang.Long.parseUnsignedLong("ff51afd7ed558ccd", 16)
+    val c2 = java.lang.Long.parseUnsignedLong("c4ceb9fe1a85ec53", 16)
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]) AS shs
+       |  FROM toks WHERE len(tk) >= 3),
+       |hh AS (
+       |  SELECT doc_id, list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |        list_transform(split(u.s, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |      (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616) AS hu
+       |  FROM (SELECT doc_id, unnest(shs) AS s FROM sh) u),
+       |salts(p, salt) AS (VALUES $salts),
+       |mx AS (
+       |  SELECT doc_id, p,
+       |    xor(hu, salt) AS z0,
+       |    xor(z0, z0 >> 33) AS z1,
+       |    ${mulSplit("z1", c1)} AS z2,
+       |    xor(z2, z2 >> 33) AS z3,
+       |    ${mulSplit("z3", c2)} AS z4,
+       |    xor(z4, z4 >> 33) AS z5
+       |  FROM hh CROSS JOIN salts),
+       |sig AS (
+       |  SELECT doc_id, p, min(CAST(CASE WHEN z5 >= CAST(9223372036854775808 AS HUGEINT)
+       |      THEN z5 - CAST(18446744073709551616 AS HUGEINT) ELSE z5 END AS BIGINT)) AS sv
+       |  FROM mx GROUP BY doc_id, p),
+       |bandk AS (
+       |  SELECT doc_id, p // 4 AS b, array_to_string(list(CAST(sv AS VARCHAR) ORDER BY p), '_') AS bk
+       |  FROM sig GROUP BY doc_id, p // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandk a JOIN bandk b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.shs, sb.shs))) AS jac
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, floor(jac*10000 + 0.5)/10000 AS jaccard
+       |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

@@ -31,23 +31,6 @@ object Hashes {
     h
   }
 
-  /** Hashed word n-gram shingles (w-shingling): xxhash64 chained over
-    * the n tokens at each position — the value the dedup suite
-    * actually needs. The naive form (slice + array_join + hash of the
-    * joined string) builds an O(n)-char string per position — O(len²)
-    * work and garbage per doc; this goes straight from token array to
-    * 8-byte shingle ids. Boundary-aware, too: ("a b","c") and
-    * ("a","b c") hash differently. NOTE: pass a *materialized* token
-    * column, never an inline expression — the lambda reads `tokens`
-    * via element_at once per (position, k) and Catalyst inlines an
-    * expression argument at every read. */
-  def hashedShingles(tokens: Column, n: Int): Column =
-    filter(
-      transform(tokens, (_, i) =>
-        when(i <= size(tokens) - n,
-          xxhash64((0 until n).map(k => element_at(tokens, i + k + 1)): _*))),
-      h => h.isNotNull)
-
   /** Seeded per-permutation salts for MinHash. */
   def minhashParams(numPerms: Int, seed: Long = 42L): Seq[Long] = {
     val rng = new scala.util.Random(seed)

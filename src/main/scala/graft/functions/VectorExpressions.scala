@@ -205,6 +205,68 @@ object MinHashSigExpr {
   }
 }
 
+/** Native codegen word-n-gram shingle hasher: out[i] = FNV-1a 64 of
+  * `tokens[i] + " " + ... + tokens[i+n-1]` — bit-identical to
+  * [[Hashes.fnv64]] over the space-joined n-gram, but computed in one
+  * fused loop with no intermediate strings or array slices.
+  *
+  * FNV (not xxhash64) on purpose: FNV-1a is already replayed inside
+  * DuckDB by the winnow/simhash oracles (HUGEINT mod-2^64 reduce), so
+  * shingles hashed this way make the ENTIRE minhash-LSH index — salt
+  * mix, signature mins, band collisions, verified pairs —
+  * reproducible by a second engine. xxhash64's internal block
+  * chaining over Spark's UTF-8 buffers has no practical SQL replay.
+  * VectorExprSpec asserts parity with the composable
+  * fnv64-of-array_join form. */
+case class FnvShinglesExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"fnv_shingles expects array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    FnvShinglesExpr.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.FnvShinglesExpr.shingles($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FnvShinglesExpr {
+  def shingles(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements() - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var k = 0
+      while (k < n) {
+        if (k > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        val s = arr.getUTF8String(i + k).toString
+        var j = 0
+        while (j < s.length) { h ^= s.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+        k += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -219,6 +281,10 @@ object VectorExpressions {
   /** Column-API face of [[MinHashSigExpr]]. */
   def minhash_sig(hashedShingles: Column, salts: Seq[Long]): Column =
     column(MinHashSigExpr(expression(hashedShingles), salts.toArray))
+
+  /** Column-API face of [[FnvShinglesExpr]]. */
+  def fnv_shingles(tokens: Column, n: Int): Column =
+    column(FnvShinglesExpr(expression(tokens), n))
 
   private val fnId = FunctionIdentifier("cosine_sim")
   private val info = new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim")

@@ -35,24 +35,23 @@ object DedupOps {
 
   /** doc_id + distinct shingle set from any (doc_id, text) frame —
     * reused by the minhash, ngram, and pipeline operators. Shingles
-    * are stored as xxhash64 longs, not strings: the downstream
+    * are stored as 64-bit longs, not strings: the downstream
     * array_intersect/array_union verification compares 8-byte values
     * instead of variable-length strings (measured ~2× on the verify
     * join), and a 64-bit collision corrupting a Jaccard estimate is
-    * ~1e-13 per pair. */
+    * ~1e-13 per pair. The hash is FNV-1a over the space-joined n-gram
+    * (native fused [[graft.functions.FnvShinglesExpr]]) — the one
+    * hash family the DuckDB oracles can replay, which is what makes
+    * `dedup_minhash_lsh` hash-verifiable end-to-end (r3). */
   private[operators] def shingled(docs: DataFrame): DataFrame =
     docs
       // ≥ n tokens ⟺ ≥ 1 shingle; filtering on the token count keeps
       // the (pushed-down) predicate to one regex pass per row
       .filter(size(normTokens(col("text"))) >= ShingleSize)
-      // tokens MUST be materialized before feeding the shingle HOF:
-      // hashedShingles reads its input via element_at once per (pos,
-      // k), and an inline normTokens would re-run the regex split for
-      // every access — measured 25× on this stage (the same Catalyst
-      // inlining trap as the minhash signature, one level deeper)
       .select(col("doc_id"), normTokens(col("text")).as("tk"))
       .select(col("doc_id"),
-        array_distinct(hashedShingles(col("tk"), ShingleSize)).as("sh"))
+        array_distinct(graft.functions.VectorExpressions
+          .fnv_shingles(col("tk"), ShingleSize)).as("sh"))
 
   private def docShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     shingled(Tables.documents(s, dir))
@@ -259,7 +258,10 @@ object DedupOps {
     * against them in the query has the tiny batch on the other side,
     * so AQE broadcasts the batch and the index never shuffles. */
   private[operators] object IncrementalIndex {
-    private val Version = "v1"
+    // v2: shingle hash switched from xxhash64 chains to FNV-1a n-grams
+    // (FnvShinglesExpr) — an index persisted under v1 holds hashes no
+    // current query can match
+    private val Version = "v2"
 
     /** The path is keyed by a fingerprint of the corpus FILES (name,
       * size, mtime), not just the directory name: the test corpus is

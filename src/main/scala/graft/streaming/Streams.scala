@@ -168,12 +168,13 @@ object Streams {
     * agree bit-for-bit on what collides). */
   def bandedDocs(docs: DataFrame): DataFrame = {
     import graft.functions.Cols.normTokens
-    import graft.functions.Hashes.{bandKeys, hashedShingles, minhashParams}
+    import graft.functions.Hashes.{bandKeys, minhashParams}
     import graft.operators.DedupOps.{Bands, NumPerms, RowsPerBand, ShingleSize}
     val sh = docs
       .filter(size(normTokens(col("text"))) >= ShingleSize)
       .select(col("doc_id"), normTokens(col("text")).as("tk"))
-      .select(col("doc_id"), array_distinct(hashedShingles(col("tk"), ShingleSize)).as("sh"))
+      .select(col("doc_id"), array_distinct(graft.functions.VectorExpressions
+        .fnv_shingles(col("tk"), ShingleSize)).as("sh"))
     sh.select(col("doc_id"),
         graft.functions.VectorExpressions.minhash_sig(col("sh"), minhashParams(NumPerms)).as("sig"))
       .select(col("doc_id"), explode(bandKeys(col("sig"), Bands, RowsPerBand)).as("band"))

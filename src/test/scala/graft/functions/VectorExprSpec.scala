@@ -86,6 +86,28 @@ class VectorExprSpec extends SparkTestBase {
     assert(ref(u) == ref(a).zip(ref(b)).map(t => math.min(t._1, t._2)))
   }
 
+  test("FnvShinglesExpr == fnv64 of the space-joined n-gram, on real token arrays") {
+    import spark.implicits._
+    import graft.functions.Cols.normTokens
+    val docs = Tables.documents(spark, sfDir)
+      .select(normTokens($"text").as("tk"))
+      .where(size($"tk") >= 3)
+    val got = docs
+      .select($"tk", VectorExpressions.fnv_shingles($"tk", 3).as("sh"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val tk = r.getSeq[String](0)
+      val sh = r.getSeq[Long](1)
+      val exp = tk.sliding(3).map(g => Hashes.fnv64(g.mkString(" "))).toSeq
+      assert(sh == exp, "fused shingle hash must equal fnv64(join(gram, ' '))")
+    }
+    // fewer tokens than n → empty, not null
+    val short = Seq(Seq("a", "b")).toDF("tk")
+      .select(VectorExpressions.fnv_shingles($"tk", 3).as("sh")).head()
+    assert(short.getSeq[Long](0).isEmpty)
+  }
+
   test("null/mismatched input handling") {
     import spark.implicits._
     val df = Seq(
