@@ -210,7 +210,21 @@ object PlanAudit {
           !p.contains("Scan parquet")),
         "no cartesian wedge pairing" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
-        "corner count partial before shuffle" -> (_.contains("partial_count"))))
+        "corner count partial before shuffle" -> (_.contains("partial_count"))),
+      "text_chunk_passages" -> Map(
+        // document→passage explosion is a pure scan→project pipeline:
+        // any join or aggregate here means chunking stopped being
+        // embarrassingly parallel
+        "map-only chunk explosion (no join, no agg)" -> (p =>
+          !p.contains("Join") && !p.contains("HashAggregate")),
+        "whole-stage codegen" -> (_.contains("WholeStageCodegen subtree"))),
+      "q_bfs_distance" -> Map(
+        // every BFS round is checkpointed: the final plan unions
+        // materialized RDD levels — a parquet scan here would mean a
+        // round re-derived the co-purchase graph from the fact table
+        "levels checkpointed (no parquet rescan)" -> (p =>
+          p.contains("ExistingRDD") && !p.contains("Scan parquet")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

@@ -78,6 +78,7 @@ object SparkEntry {
     "q_pagerank"                  -> operators.GraphOps.qPagerank,
     "q_markov_transitions"        -> operators.GraphOps.qMarkovTransitions,
     "q_triangle_count"            -> operators.GraphOps.qTriangleCount,
+    "q_bfs_distance"              -> operators.GraphOps.qBfsDistance,
     // §2.A mapreduce parity
     "mr_wordcount"                -> TextOps.mrWordcount,
     "mr_wordcount_engine"         -> TextOps.mrWordcountEngine,
@@ -110,6 +111,8 @@ object SparkEntry {
     "pipeline_curate"             -> PipelineOps.pipelineCurate,
     "text_ccnet_buckets"          -> PipelineOps.textCcnetBuckets,
     "text_repeated_ngrams"        -> PipelineOps.textRepeatedNgrams,
+    "text_chunk_passages"         -> PipelineOps.textChunkPassages,
+    "q_pack_shards"               -> PipelineOps.qPackShards,
     "q_histogram"                 -> EventAnalytics.qHistogram,
     "q_corr_stats"                -> RelationalExt.qCorrStats,
     // §2.C dedup
@@ -1281,6 +1284,58 @@ object SparkEntry {
         |n AS (SELECT unnest([a, b, c]) AS l_partkey FROM tri)
         |SELECT l_partkey, count(*) AS n_tri FROM n GROUP BY 1
         |ORDER BY n_tri DESC, l_partkey LIMIT 20""".stripMargin,
+
+    // bounded-hop BFS reach over the support->=2 co-purchase graph:
+    // seed = smallest part in the edge set, min hop distance <= 4
+    // (the bound is the operator's semantics, so the recursive CTE
+    // and the fixed-round Spark loop agree by construction)
+    "q_bfs_distance" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |seed AS (SELECT min(u) AS s FROM sym),
+        |walk(node, dist) AS (
+        |  SELECT s, 0 FROM seed WHERE s IS NOT NULL
+        |  UNION
+        |  SELECT sym.v, w.dist + 1 FROM walk w JOIN sym ON sym.u = w.node
+        |  WHERE w.dist < 4)
+        |SELECT CAST(node AS BIGINT) AS l_partkey, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY dist, l_partkey""".stripMargin,
+
+    // sliding 64-token windows at stride 48, md5 chunk fingerprints;
+    // DuckDB slices are 1-based INCLUSIVE on both ends
+    "text_chunk_passages" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |n AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+        |ch AS (SELECT doc_id, tk, n,
+        |    unnest(generate_series(0, CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END)) AS i
+        |  FROM n)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(i*48 AS BIGINT) AS start_tok,
+        |  CAST(least(i*48 + 64, n) - i*48 AS BIGINT) AS n_tok,
+        |  md5(array_to_string(tk[i*48+1 : least(i*48+64, n)], ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // greedy concatenation packing: cut every 2048 tokens in
+    // (source, doc_id) order; docs assigned to the shard their start
+    // offset falls in
+    "q_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t),
+        |sh AS (SELECT source, doc_id, n_tok,
+        |    CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS shard_id FROM c)
+        |SELECT source, shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
+        |FROM sh GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin,
 
     "text_seed_sim" ->
       """WITH tok AS (

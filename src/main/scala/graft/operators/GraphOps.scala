@@ -121,6 +121,20 @@ object GraphOps {
     * broadcast. */
   val qTriangleCount: QueryFn = (s, dir) => {
     import s.implicits._
+    triangleCorners(copurchaseEdges(s, dir))
+      .withColumnRenamed("node", "l_partkey")
+      .orderBy($"n_tri".desc, $"l_partkey".asc)
+      .limit(20)
+  }
+
+  /** The support-≥ 2 co-purchase part edge set (canonical u < v pairs)
+    * behind [[qTriangleCount]] and [[qBfsDistance]]: map-side
+    * per-order itemset pair generation (one groupBy shuffle,
+    * k²/2 fan-out bounded by order width), one partial+final agg for
+    * support. */
+  private[operators] def copurchaseEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
     val byOrder = Tables.lineitem(s, dir)
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey")).as("ps"))
@@ -129,12 +143,8 @@ object GraphOps {
         transform(slice($"ps", i + lit(2), size($"ps")),
           y => struct(x.as("u"), y.as("v")))))).as("pr"))
       .select($"pr.u", $"pr.v")
-    val edges = pairs.groupBy($"u", $"v").agg(count(lit(1)).as("support"))
+    pairs.groupBy($"u", $"v").agg(count(lit(1)).as("support"))
       .where($"support" >= 2).select($"u", $"v")
-    triangleCorners(edges)
-      .withColumnRenamed("node", "l_partkey")
-      .orderBy($"n_tri".desc, $"l_partkey".asc)
-      .limit(20)
   }
 
   /** Per-node triangle participation counts (node, n_tri) for an
@@ -165,6 +175,68 @@ object GraphOps {
         explode(array_intersect(col("na"), col("nb"))).as("c"))
     tris.select(explode(array(col("src"), col("dst"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** BFS hop-distance bound — part of the operator's SEMANTICS ("the
+    * ≤ 4-hop reach report"), not a convergence cap: the round count is
+    * fixed, so the plan is the same DAG at any scale and both engines
+    * agree by construction. */
+  val BfsMaxHops = 4
+
+  /** Bounded-hop BFS over the co-purchase part graph: minimum hop
+    * distance from the seed part (smallest part key in the edge set)
+    * to everything within [[BfsMaxHops]] hops — the reach/expansion
+    * probe behind "related products" walks and graph-radius checks.
+    *
+    * Shape per round: frontier ⋈ edges (shuffle keyed on the node —
+    * O(frontier × avg-degree) rows move), distinct, then a LEFT ANTI
+    * join against the visited set to keep only newly reached nodes.
+    * Nothing driver-side ever holds a node list (the seed is a 1-row
+    * agg); `localCheckpoint` per round keeps lineage O(1) instead of
+    * O(rounds). At a billion edges the identical plan runs with the
+    * edge frame hash-partitioned by src — the Pregel iteration shape,
+    * like the PageRank loop above but with frontier pruning (visited
+    * nodes drop out, so late rounds touch a shrinking working set).
+    *
+    * Determinism: hop distances are integers and the seed is a min —
+    * no floats anywhere, so the DuckDB recursive-CTE replay matches
+    * exactly. */
+  val qBfsDistance: QueryFn = (s, dir) => {
+    import s.implicits._
+    val e = copurchaseEdges(s, dir)
+    val sym = e.select($"u".cast("long").as("u"), $"v".cast("long").as("v"))
+    val symBoth = sym.unionByName(sym.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint(true)
+    val seedRow = symBoth.agg(min($"u")).head()
+    if (seedRow.isNullAt(0))
+      // no edges at this scale → empty reach report (typed)
+      symBoth.select($"u".as("l_partkey"), $"u".as("dist")).limit(0)
+    else
+      bfsDistances(s, symBoth, seedRow.getLong(0), BfsMaxHops)
+        .orderBy($"dist", $"l_partkey")
+  }
+
+  /** The frontier-expansion BFS core behind [[qBfsDistance]] —
+    * factored out so specs can feed hand graphs. `symBoth` must carry
+    * both directions of every edge as (u, v) longs. */
+  private[operators] def bfsDistances(
+      s: org.apache.spark.sql.SparkSession,
+      symBoth: org.apache.spark.sql.DataFrame,
+      seed: Long, maxHops: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    var dist = Seq((seed, 0L)).toDF("l_partkey", "dist")
+    var frontier = Seq(seed).toDF("node")
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(symBoth, frontier("node") === symBoth("u"))
+        .select($"v".as("node")).distinct()
+        .join(dist, col("node") === dist("l_partkey"), "left_anti")
+        .localCheckpoint(true)
+      dist = dist
+        .unionByName(next.select($"node".as("l_partkey"), lit(h.toLong).as("dist")))
+        .localCheckpoint(true)
+      frontier = next
+    }
+    dist
   }
 
   /** First-order Markov transition model over per-user event streams:

@@ -349,6 +349,41 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  /** Bloom-filter decontamination — the 100 TB face of
+    * [[textDecontaminate]]. The exact scan broadcasts the raw
+    * benchmark gram set; at a real benchmark suite × several n-gram
+    * orders that set is tens of GB and stops fitting executor
+    * memory. A Bloom filter compresses it to ~10 bits/gram at 1% fpp
+    * with ZERO false negatives: contamination can never slip
+    * through, and the (tiny) false-positive overhang is re-checked
+    * exactly downstream on the flagged docs only. Probe is map-side
+    * over the broadcast sketch — same scan shape as the exact join,
+    * two orders of magnitude less broadcast weight.
+    *
+    * Spec-verified ([[PipelineOpsSpec]]): every exactly-contaminated
+    * doc appears with n_flagged ≥ its exact hit count (no false
+    * negatives, the Bloom guarantee), and gram-level false positives
+    * stay within a generous multiple of the configured fpp. */
+  def bloomDecontaminate(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", normTokens($"text").as("toks"))
+      .where(size($"toks") >= 4)
+      .select($"doc_id", explode(array_distinct(wordNgrams($"toks", 4))).as("ng"))
+    val bench = grams.where($"doc_id" % 10 === 9).select($"ng").distinct()
+    val bf = bench.stat.bloomFilter("ng", math.max(bench.count(), 1L), fpp)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((ng: String) => bfB.value.mightContain(ng))
+    grams.where($"doc_id" % 10 =!= 9)
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(mightContain($"ng"), 1L).otherwise(0L)).as("n_flagged"))
+      .where($"n_flagged" > 0)
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------
   // Readability scoring
   // ---------------------------------------------------------------
@@ -570,6 +605,89 @@ object PipelineOps {
     * per (source, lang) — the table a data-mixing step consumes to set
     * sampling weights. One partial+final agg over the corpus; the
     * grand total joins back as a 1-row broadcast. */
+  /** Context-window parameters for [[textChunkPassages]]: 64-token
+    * windows with a 16-token overlap (stride 48) — the shape RAG
+    * passage stores and fixed-context pretraining shards use. */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+
+  /** Sliding token-window passage chunking: every document becomes
+    * ⌈(n−W)/S⌉+1 overlapping chunks of ≤ W tokens at stride S, each
+    * with its token offsets and an md5 content fingerprint — the
+    * document→passage explosion that precedes embedding, ANN indexing
+    * (the `embeddings` table is what its output looks like one stage
+    * later), and fixed-context shard packing.
+    *
+    * Pure map-side: tokenize once, explode a `sequence` of chunk
+    * indices, `slice` the materialized token array per chunk — no
+    * shuffle at all until the output sort (which a production run
+    * drops). Chunk counts scale with corpus tokens, never with
+    * document count², and a 100 TB corpus chunks in one pass over
+    * the scan. The fingerprint makes the output directly joinable to
+    * chunk-grain dedup (md5 equality = verbatim window overlap).
+    *
+    * The last chunk is the short tail (no padding — token counts
+    * stay honest); docs shorter than one window emit exactly one
+    * chunk. */
+  val textChunkPassages: QueryFn = (s, dir) => {
+    import s.implicits._
+    val W = ChunkWindow; val S = ChunkStride
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", normTokens($"text").as("tk"))
+      .withColumn("n", size($"tk"))
+      .where($"n" > 0)
+    toks
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          when($"n" <= W, lit(0))
+            .otherwise(floor(($"n" - W + S - 1) / S).cast("int")))))
+      .select(
+        $"doc_id",
+        $"chunk_idx".cast("long").as("chunk_idx"),
+        ($"chunk_idx" * S).cast("long").as("start_tok"),
+        (least($"chunk_idx" * S + W, $"n") - $"chunk_idx" * S).cast("long").as("n_tok"),
+        md5(concat_ws(" ",
+          slice($"tk", $"chunk_idx" * S + 1,
+            least($"chunk_idx" * S + W, $"n") - $"chunk_idx" * S))).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Tokens per training shard for [[qPackShards]] — a 2048-token
+    * context window. */
+  val ShardTokens = 2048
+
+  /** Greedy concatenation packing plan: documents are concatenated in
+    * (source, doc_id) order and cut every [[ShardTokens]] tokens —
+    * the GPT-style pretraining packing that turns a curated corpus
+    * into fixed-context shards. Each document is assigned to the
+    * shard its START offset falls in; the report is per-shard doc
+    * and token mass (so fill ratio and boundary-straddle waste are
+    * auditable before any tokenizer runs).
+    *
+    * Shape: ONE shuffle (partition by source) + an in-partition sort
+    * for the running-cumsum window, then a partial+final agg on
+    * (source, shard) — the sessionize partitioning. At 100 TB each
+    * source packs independently; for petabyte single sources the
+    * same plan runs per (source, date-bucket) with shard ids offset
+    * by a per-bucket base — still no global sort. Integer token
+    * counts and integer cut points mean both engines agree
+    * bit-for-bit. */
+  val qPackShards: QueryFn = (s, dir) => {
+    import s.implicits._
+    val bySource = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", size(normTokens($"text")).cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(bySource))
+      .withColumn("shard_id",
+        floor(($"cum" - $"n_tok") / lit(ShardTokens)).cast("long"))
+      .groupBy($"source", $"shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"source", $"shard_id")
+  }
+
   val qDomainMix: QueryFn = (s, dir) => {
     import s.implicits._
     val agg = Tables.documents(s, dir)

@@ -162,6 +162,43 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  // ---- continuous per-key top-k ----
+
+  final case class TopkEntry(event_type: String, rank: Int, event_id: Long, value: Double)
+
+  /** Continuous per-key top-k at ingest: the streaming face of the
+    * native batch [[graft.plans.TopKPerKey]] operator. State per key
+    * is the bounded top-k list itself — O(k) per key, the same bound
+    * the batch operator's partial heaps hold per partition — merged
+    * with each micro-batch's arrivals and re-emitted whenever it
+    * changes (Update-mode semantics surfaced through Append emission
+    * per batch; the latest emission per key IS the current top-k).
+    * Ties break on event_id asc, same total order as the batch
+    * operator, so after any prefix of the stream the state equals
+    * the batch top-k of the events seen so far — StreamingSpec
+    * asserts exactly that against the TopKPerKey plan. */
+  def topkEvents(events: DataFrame, k: Int = 5): Dataset[TopkEntry] = {
+    import events.sparkSession.implicits._
+
+    def fn(key: String, rows: Iterator[(String, Long, Double)],
+        state: GroupState[Seq[(Long, Double)]]): Iterator[TopkEntry] = {
+      val merged = (state.getOption.getOrElse(Seq.empty) ++ rows.map(r => (r._2, r._3)))
+        .distinct
+        .sortBy { case (id, v) => (-v, id) }
+        .take(k)
+      state.update(merged)
+      merged.zipWithIndex.map { case ((id, v), i) =>
+        TopkEntry(key, i + 1, id, v)
+      }.iterator
+    }
+
+    events
+      .select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** The batch-side banding for [[neardupAlerts]]: (doc_id, band)
     * rows from the same shingle → minhash → band-key pipeline as
     * `dedup_minhash_lsh` (shared expressions, so stream and batch

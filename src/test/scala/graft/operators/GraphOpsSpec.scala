@@ -66,6 +66,41 @@ class GraphOpsSpec extends SparkTestBase {
     assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"pendant graph gave $t")
   }
 
+  test("bfsDistances: chain + branch hand graph, hop cap, unreachable excluded") {
+    // 0-1-2-3-4-5-6 chain with a branch 2-10, plus disconnected 99-100
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 10L), (99L, 100L))
+    val sym = edges.toDF("u", "v")
+      .unionByName(edges.map(_.swap).toDF("u", "v"))
+    val got = GraphOps.bfsDistances(spark, sym, seed = 0L, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 10L -> 3L, 4L -> 4L),
+      s"distances wrong: $got")
+    // 5, 6 are beyond the 4-hop bound; 99/100 are unreachable
+    assert(!got.contains(5L) && !got.contains(99L))
+    // distances are minimal, not path-order dependent: add a long
+    // detour 0-20, 20-21, 21-2 — node 2 keeps dist 2
+    val detour = edges ++ Seq((0L, 20L), (20L, 21L), (21L, 2L))
+    val sym2 = detour.toDF("u", "v")
+      .unionByName(detour.map(_.swap).toDF("u", "v"))
+    val got2 = GraphOps.bfsDistances(spark, sym2, seed = 0L, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(2L) == 2L && got2(21L) == 2L)
+  }
+
+  test("q_bfs_distance: seed at dist 0, levels contiguous, edge-consistent") {
+    val got = GraphOps.qBfsDistance(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    if (got.nonEmpty) {
+      assert(got.count(_._2 == 0L) == 1, "exactly one seed")
+      val levels = got.map(_._2).distinct.sorted
+      assert(levels.head == 0L && levels.max <= GraphOps.BfsMaxHops)
+      // levels are contiguous: a node at dist d implies some node at d-1
+      assert(levels.zip(levels.tail).forall { case (a, b) => b == a + 1 },
+        s"gap in BFS levels: ${levels.toSeq}")
+    }
+  }
+
   test("q_markov_transitions: per-source probabilities sum to 1") {
     val got = GraphOps.qMarkovTransitions(spark, sfDir)
     val sums = got.groupBy($"src").agg(sum($"p").as("ps"), sum($"n").as("tn"))

@@ -12,6 +12,87 @@ import graft.{SparkTestBase, Tables}
   * verifies nothing). Runs on sf0.001. */
 class PipelineOpsSpec extends SparkTestBase {
 
+  test("q_pack_shards: mass conservation, contiguous shards, bounded straddle") {
+    import spark.implicits._
+    val got = PipelineOps.qPackShards(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(size(graft.functions.Cols.normTokens($"text")).cast("long"))
+      .as[Long].collect().sum
+    // every token lands in exactly one shard
+    assert(got.map(_._4).sum == totalTokens, "token mass not conserved")
+    got.groupBy(_._1).foreach { case (src, shards) =>
+      val ids = shards.map(_._2).sorted
+      // shard ids are contiguous from 0 — no empty cut points
+      assert(ids.head == 0L && ids.zip(ids.tail).forall { case (a, b) => b == a + 1 },
+        s"source $src shard ids not contiguous: ${ids.toSeq}")
+      // a non-final shard overfills only by its straddling docs: its
+      // token mass stays under ShardTokens + the source's longest doc
+      val maxDoc = Tables.documents(spark, sfDir).where($"source" === src)
+        .select(size(graft.functions.Cols.normTokens($"text")).cast("long"))
+        .as[Long].collect().max
+      shards.sortBy(_._2).dropRight(1).foreach { case (_, _, _, nt, _) =>
+        assert(nt < PipelineOps.ShardTokens + maxDoc)
+      }
+    }
+  }
+
+  test("bloom decontamination: zero false negatives vs exact scan, bounded false positives") {
+    import spark.implicits._
+    val exact = PipelineOps.textDecontaminate(spark, sfDir)
+      .select($"doc_id", $"n_hit").as[(Long, Long)].collect().toMap
+    val bloom = PipelineOps.bloomDecontaminate(spark, sfDir, fpp = 0.01)
+      .select($"doc_id", $"n_grams", $"n_flagged").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact.nonEmpty, "exact scan must find contamination at this sf")
+    // the Bloom guarantee: every exactly-contaminated gram flags —
+    // a contaminated doc can never be missed or under-counted
+    exact.foreach { case (doc, hits) =>
+      val fl = bloom.get(doc).map(_._2).getOrElse(0L)
+      assert(fl >= hits, s"doc $doc: bloom flagged $fl < exact $hits — false negative")
+    }
+    // false-positive budget: extra flagged grams beyond the exact
+    // hits stay within a generous multiple of fpp × scanned volume
+    val totalTrainGrams = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", graft.functions.Cols.normTokens($"text").as("toks"))
+      .where($"doc_id" % 10 =!= 9 && size($"toks") >= 4)
+      .select(explode(array_distinct(PipelineOps.wordNgrams($"toks", 4))))
+      .count()
+    val extra = bloom.values.map(_._2).sum - exact.values.sum
+    assert(extra >= 0)
+    assert(extra <= math.max(20L, (0.05 * totalTrainGrams).toLong),
+      s"$extra false-positive grams over $totalTrainGrams scanned — fpp blown")
+  }
+
+  test("text_chunk_passages: stride/coverage invariants and exact chunk count") {
+    import spark.implicits._
+    val W = PipelineOps.ChunkWindow; val S = PipelineOps.ChunkStride
+    val chunks = PipelineOps.textChunkPassages(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val nToks = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(graft.functions.Cols.normTokens($"text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (doc, cs) =>
+      val n = nToks(doc)
+      val expected = if (n <= W) 1L else (n - W + S - 1) / S + 1
+      assert(cs.length == expected, s"doc $doc: ${cs.length} chunks, want $expected")
+      val sorted = cs.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, idx, start, len), i) =>
+        assert(idx == i && start == i * S, s"doc $doc chunk $i offsets")
+        assert(len == math.min(start + W, n) - start, s"doc $doc chunk $i length")
+      }
+      // coverage: last chunk ends exactly at n (no token dropped or padded)
+      val (_, _, ls, ll) = sorted.last
+      assert(ls + ll == n, s"doc $doc tail coverage")
+    }
+    // multi-chunk docs exist at this sf (non-vacuous overlap), and
+    // consecutive full windows overlap by exactly W - S tokens
+    assert(chunks.exists(_._2.length > 1), "no multi-chunk docs — vacuous")
+  }
+
   test("text_pii_scan: fixture hit counts are exact per doc_id residue") {
     import spark.implicits._
     val rows = PipelineOps.textPiiScan(spark, sfDir)

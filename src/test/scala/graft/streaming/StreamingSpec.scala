@@ -191,6 +191,45 @@ class StreamingSpec extends SparkTestBase {
       s"stream alerts != batch candidates: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("continuous top-k: emissions == batch TopKPerKey after each stream prefix") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-topk-in").toString
+    val ev = Tables.events(spark, sfDir).select($"event_type", $"event_id", $"value")
+    val f1 = ev.where($"event_id" % 2 === 0)
+    f1.coalesce(1).write.mode("append").parquet(inDir)
+    ev.where($"event_id" % 2 =!= 0).coalesce(1).write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("event_type STRING, event_id LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 1) // 2 micro-batches, f1 first
+      .parquet(inDir)
+    val q = Streams.topkEvents(stream, k = 5)
+      .writeStream.format("memory").queryName("topk_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("topk_out")
+      .select($"event_type", $"rank", $"event_id", $"value")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    // after batch 1 the state is top-k(f1); after batch 2 it is
+    // top-k(all) — the append log holds exactly the union of the two
+    // ranked snapshots, each computed here through the NATIVE batch
+    // TopKPerKey operator (stream and batch share the total order)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      graft.plans.TopK.perKey(df, Seq("event_type"),
+          Seq(("value", false), ("event_id", true)), 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.flatMap { case (ty, rows) =>
+          rows.sortBy { case (_, id, v) => (-v, id) }.zipWithIndex
+            .map { case ((_, id, v), i) => (ty, i + 1, id, v) }
+        }
+    val expected = (ranked(f1) ++ ranked(ev)).toSet
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("sessionize also runs in batch mode (closed sessions = total - 1 per user)") {
     import spark.implicits._
     val batchSessions = Streams.sessionize(Tables.events(spark, sfDir))
