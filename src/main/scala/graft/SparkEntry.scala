@@ -1440,6 +1440,44 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashLshOracle,
+    "ann_lsh_topk" -> annLshOracle,
+    "dedup_embedding" -> dedupEmbeddingOracle,
+
+    // mm_featurize replayed end-to-end: the magic-prefix payload
+    // construction (chr() literals = the bytes MediaPipeline
+    // prepends), the sniff CASE, FNV-1a over the payload chars, and
+    // java.util.Random's 48-bit LCG seeded with the hash — one
+    // scramble + one step gives nextFloat() = next(24)/2^24, which is
+    // dyadic and therefore exact in both engines
+    "mm_featurize" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 7 AS INT)
+        |      WHEN 0 THEN chr(255)||chr(216)||chr(255)||text
+        |      WHEN 1 THEN chr(137)||'PNG'||text
+        |      WHEN 2 THEN 'RIFF'||text
+        |      WHEN 3 THEN 'mp4_ftyp'||text
+        |      ELSE text END AS pay
+        |  FROM documents),
+        |k AS (SELECT doc_id, pay,
+        |    CASE
+        |      WHEN unicode(substring(pay,1,1)) = 255 AND unicode(substring(pay,2,1)) = 216 THEN 'image'
+        |      WHEN unicode(substring(pay,1,1)) = 137 AND substring(pay,2,3) = 'PNG' THEN 'image'
+        |      WHEN substring(pay,1,4) = 'RIFF' THEN 'audio'
+        |      WHEN substring(pay,5,4) = 'ftyp' THEN 'video'
+        |      ELSE 'bin' END AS kind
+        |  FROM p),
+        |h AS (SELECT doc_id, kind, list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(split(pay, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |      (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616) AS hu
+        |    FROM k),
+        |f AS (SELECT doc_id, kind,
+        |    CAST(((xor(hu, 25214903917) % 281474976710656) * 25214903917 + 11)
+        |         % 281474976710656 // 16777216 AS DOUBLE) / 16777216 AS f0
+        |  FROM h)
+        |SELECT kind, count(*) AS n_media, CAST(8 AS BIGINT) AS dim,
+        |  floor((CAST(sum(CAST(f0 AS DECIMAL(27,10))) AS DOUBLE)/count(*))*10000 + 0.5)/10000 AS avg_f0
+        |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
   )
 
   /** `dedup_minhash_lsh` replayed END-TO-END in DuckDB — the whole
@@ -1461,6 +1499,97 @@ object SparkEntry {
     *
     * The 64 salt literals are the same Random(42) draw the Spark
     * expression uses, emitted unsigned. */
+  /** The seeded random hyperplanes behind `ann_lsh_topk` /
+    * `dedup_embedding`, emitted as a DuckDB list-of-lists literal.
+    * Scala's `Double.toString` is the shortest round-trip
+    * representation, and DuckDB parses decimal literals to the
+    * nearest double — so the planes are bit-identical on both
+    * engines, and every dot product below them is too (both engines
+    * accumulate left-to-right over index order in doubles). */
+  private def planesLiteral(h: Int): String =
+    graft.functions.Hashes.hyperplanes(h, 64)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** `ann_lsh_topk` replayed end-to-end: 48 sign-projection bits from
+    * the literal planes, 12×4-bit band collision candidates, exact
+    * cosine re-scoring, rank by (rounded sim, nid). The cosine is the
+    * same three left-to-right double accumulations as the native
+    * CosineSim expression, so similarity values match bit for bit. */
+  private lazy val annLshOracle: String = {
+    s"""WITH pl AS (SELECT ${planesLiteral(operators.AnnOps.LshPlanes)} AS w),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [CAST(embedding[i] AS DOUBLE) * w[p][i] for i in generate_series(1, 64)]),
+       |      (a, b) -> a + b) AS dot
+       |  FROM e, pl, (SELECT unnest(generate_series(1, ${operators.AnnOps.LshPlanes})) AS p)),
+       |bv AS (
+       |  SELECT vec_id, (p - 1) // 4 AS b,
+       |    sum(CASE WHEN dot > 0 THEN (1 << ((p - 1) % 4)) ELSE 0 END) AS val
+       |  FROM d GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT pr.vec_id AS pid, c.vec_id AS nid
+       |  FROM bv pr JOIN bv c ON pr.b = c.b AND pr.val = c.val
+       |  WHERE pr.vec_id < ${operators.AnnOps.NumProbes} AND c.vec_id <> pr.vec_id),
+       |cos AS (
+       |  SELECT cand.pid, cand.nid,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [CAST(a.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+       |      (x, y) -> x + y)
+       |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        [CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+       |        (x, y) -> x + y))
+       |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        [CAST(bb.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+       |        (x, y) -> x + y))) AS sim
+       |  FROM cand JOIN e a ON a.vec_id = cand.pid JOIN e bb ON bb.vec_id = cand.nid),
+       |rk AS (
+       |  SELECT pid, nid, sim,
+       |    row_number() OVER (PARTITION BY pid
+       |      ORDER BY floor(sim*1000000 + 0.5)/1000000 DESC, nid ASC) AS rnk
+       |  FROM cos)
+       |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor(sim*10000 + 0.5)/10000 AS sim
+       |FROM rk WHERE rnk <= ${operators.AnnOps.K} ORDER BY pid, rnk""".stripMargin
+  }
+
+  /** `dedup_embedding` replayed the same way: 16 literal planes, two
+    * 8-bit bands, canonical (a < b) candidate pairs, exact cosine,
+    * global top-N by (rounded cos, pair). */
+  private lazy val dedupEmbeddingOracle: String = {
+    s"""WITH pl AS (SELECT ${planesLiteral(16)} AS w),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [CAST(embedding[i] AS DOUBLE) * w[p][i] for i in generate_series(1, 64)]),
+       |      (a, b) -> a + b) AS dot
+       |  FROM e, pl, (SELECT unnest(generate_series(1, 16)) AS p)),
+       |bv AS (
+       |  SELECT vec_id, (p - 1) // 8 AS b,
+       |    sum(CASE WHEN dot > 0 THEN (1 << ((p - 1) % 8)) ELSE 0 END) AS val
+       |  FROM d GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+       |  FROM bv a JOIN bv c ON a.b = c.b AND a.val = c.val AND a.vec_id < c.vec_id),
+       |cos AS (
+       |  SELECT cand.vec_a, cand.vec_b,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [CAST(a.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+       |      (x, y) -> x + y)
+       |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        [CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+       |        (x, y) -> x + y))
+       |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        [CAST(bb.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+       |        (x, y) -> x + y))) AS cos_raw
+       |  FROM cand JOIN e a ON a.vec_id = cand.vec_a JOIN e bb ON bb.vec_id = cand.vec_b)
+       |SELECT vec_a, vec_b, floor(cos_raw*10000 + 0.5)/10000 AS cos
+       |FROM cos
+       |ORDER BY floor(cos_raw*1000000 + 0.5)/1000000 DESC, vec_a, vec_b
+       |LIMIT ${operators.DedupOps.EmbTopN}""".stripMargin
+  }
+
   private lazy val minhashLshOracle: String = {
     val salts = graft.functions.Hashes.minhashParams(DedupOps.NumPerms)
       .zipWithIndex

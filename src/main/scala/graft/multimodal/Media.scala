@@ -70,12 +70,28 @@ object MediaPipeline {
 
   /** Stand-in corpus: documents' text bytes as payloads (the real
     * pipeline would read binary files or a payload column). */
+  /** Deterministic magic-byte fixtures, keyed on doc_id residue — the
+    * same injected-on-both-engines discipline as text_pii_scan's PII
+    * fixtures: the synthetic corpus is all text, so without these the
+    * sniff lands on 'bin' for every record and the kind dimension of
+    * every downstream assertion is vacuous. The DuckDB oracle
+    * prepends the identical prefixes (as chr() literals), so the
+    * fnv-seeded features match byte for byte. */
+  def magicPrefix(id: Long): Array[Byte] = (id % 7L) match {
+    case 0L => Array(0xff, 0xd8, 0xff).map(_.toByte) // JPEG SOI
+    case 1L => Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    case 2L => "RIFF".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    case 3L => "mp4_ftyp".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    case _  => Array.empty[Byte]
+  }
+
   def fromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     graft.Tables.documents(spark, sfDir)
       .select($"doc_id", $"source", $"text".cast("binary").as("payload"))
       .as[(Long, String, Array[Byte])]
-      .map { case (id, src, payload) =>
+      .map { case (id, src, body) =>
+        val payload = magicPrefix(id) ++ body
         MediaRecord(id, src,
           payload, MediaMeta(FakeCodec.sniff(payload), 0, 0, 0, 0L))
       }
