@@ -91,6 +91,7 @@ object SparkEntry {
     "text_token_stats"            -> TextOps.textTokenStats,
     "text_quality"                -> TextOps.textQuality,
     "text_langid"                 -> TextOps.textLangid,
+    "text_langid_ngram"           -> TextOps.textLangidNgram,
     "text_fingerprint"            -> TextOps.textFingerprint,
     "text_winnow"                 -> TextOps.textWinnow,
     "text_sample_hash"            -> TextOps.textSampleHash,
@@ -114,6 +115,7 @@ object SparkEntry {
     "text_chunk_passages"         -> PipelineOps.textChunkPassages,
     "q_pack_shards"               -> PipelineOps.qPackShards,
     "q_histogram"                 -> EventAnalytics.qHistogram,
+    "q_heavy_hitters"             -> EventAnalytics.qHeavyHittersCms,
     "q_corr_stats"                -> RelationalExt.qCorrStats,
     // §2.C dedup
     "dedup_exact"                 -> TextOps.dedupExact,
@@ -1305,6 +1307,28 @@ object SparkEntry {
         |  WHERE w.dist < 4)
         |SELECT CAST(node AS BIGINT) AS l_partkey, CAST(min(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY dist, l_partkey""".stripMargin,
+
+    // trigram-profile language ID: top-64 profiles learned from the
+    // doc_id%4==0 training quarter, held-out docs classified by
+    // profile-hit argmax (ties to the smaller lang), 'unk' when no
+    // profile trigram matches; output = confusion matrix
+    "text_langid_ngram" ->
+      """WITH d AS (SELECT doc_id, lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |tr AS (SELECT doc_id, lang, unnest([substring(t, i, 3) for i in generate_series(1, length(t)-2)]) AS tri
+        |       FROM d WHERE length(t) >= 3),
+        |trainc AS (SELECT lang, tri, count(*) AS cnt FROM tr WHERE doc_id % 4 = 0 GROUP BY 1, 2),
+        |prof AS (SELECT lang AS plang, tri FROM (
+        |    SELECT lang, tri, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri ASC) AS rn
+        |    FROM trainc) WHERE rn <= 64),
+        |ev AS (SELECT DISTINCT doc_id, tri FROM tr WHERE doc_id % 4 <> 0),
+        |hits AS (SELECT e.doc_id, p.plang, count(*) AS h FROM ev e JOIN prof p USING (tri) GROUP BY 1, 2),
+        |best AS (SELECT doc_id, plang FROM (
+        |    SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, plang ASC) AS rn
+        |    FROM hits) WHERE rn = 1)
+        |SELECT d.lang, coalesce(b.plang, 'unk') AS pred_lang, count(*) AS n_docs
+        |FROM d LEFT JOIN best b USING (doc_id)
+        |WHERE d.doc_id % 4 <> 0
+        |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
 
     // sliding 64-token windows at stride 48, md5 chunk fingerprints;
     // DuckDB slices are 1-based INCLUSIVE on both ends

@@ -145,6 +145,35 @@ object EventAnalytics {
 
   /** Day-0 cohort retention: users grouped by first-seen day, counted
     * per day offset they return on. */
+  /** Count-Min-Sketch heavy hitters: the sketch face of "top users by
+    * event volume" — the third sketch family in the suite (HLL
+    * distinct, GK quantiles, CMS frequencies). The sketch is built
+    * with `DataFrameStatFunctions.countMinSketch` (one partial+final
+    * merge to a KB-sized binary, the shape that survives any corpus
+    * size), candidates come from the exact top-k through the native
+    * TopKPerKey heaps, and each candidate's estimate is read from the
+    * broadcast sketch map-side.
+    *
+    * Deterministic (fixed seed) so the driver's rows-only gate is
+    * meaningful; the CMS guarantees are spec-asserted instead of
+    * SQL-replayed (the sketch's internal hashing has no practical
+    * SQL twin): estimate ≥ true count always (one-sided error), and
+    * estimate ≤ true + eps·N at confidence 1-δ. */
+  val qHeavyHittersCms: QueryFn = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val eps = 0.001
+    val sketch = ev.stat.countMinSketch($"user_id", eps, 0.99, 42)
+    val skB = s.sparkContext.broadcast(sketch)
+    val est = udf((u: Long) => skB.value.estimateCount(u))
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("true_cnt"))
+    graft.plans.TopK.perKey(
+        exact.withColumn("g", lit(1)),
+        Seq("g"), Seq("true_cnt" -> false, "user_id" -> true), 10)
+      .select($"user_id", $"true_cnt", est($"user_id").as("est_cnt"))
+      .orderBy($"true_cnt".desc, $"user_id")
+  }
+
   val qEventsRetention: QueryFn = (s, dir) => {
     import s.implicits._
     val ev = Tables.events(s, dir)

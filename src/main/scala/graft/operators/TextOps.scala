@@ -209,6 +209,59 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Profile trigrams kept per language for [[textLangidNgram]]. */
+  val LangProfileSize = 64
+
+  /** Character-trigram-profile language ID (Cavnar & Trenkle 1994,
+    * the n-gram-profile method behind CLD-style detectors), with the
+    * profiles LEARNED from the corpus itself: a deterministic
+    * quarter of the docs (doc_id % 4 == 0) trains per-language
+    * trigram profiles (top-[[LangProfileSize]] by frequency, ranked
+    * through the native TopKPerKey operator — its fourth consumer),
+    * and the held-out docs are classified by profile-hit argmax.
+    * Output is the confusion matrix (declared lang × predicted),
+    * 'unk' for docs sharing no trigram with any profile — mass
+    * conservation over eval docs is part of the oracle hash.
+    *
+    * Scale shape: profile fit is one (lang, trigram) partial+final
+    * agg + a per-lang bounded heap — profiles are KB-sized and
+    * broadcast; scoring explodes eval trigrams map-side, hits the
+    * broadcast profiles, and argmaxes via one partial+final
+    * min(struct) agg. Nothing corpus-sized shuffles twice, and the
+    * whole query is integer arithmetic — bit-identical cross-engine. */
+  val textLangidNgram: QueryFn = (s, dir) => {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", normText($"text").as("t"))
+    val tri = d
+      .where(length($"t") >= 3)
+      .select($"doc_id", $"lang",
+        explode(transform(sequence(lit(1), length($"t") - 2),
+          i => $"t".substr(i, lit(3)))).as("tri"))
+    val trainCounts = tri.where($"doc_id" % 4 === 0)
+      .groupBy($"lang", $"tri").agg(count(lit(1)).as("cnt"))
+    val prof = graft.plans.TopK.perKey(
+        trainCounts, Seq("lang"), Seq("cnt" -> false, "tri" -> true),
+        LangProfileSize)
+      .select($"lang".as("plang"), $"tri")
+    val hits = tri.where($"doc_id" % 4 =!= 0)
+      .select($"doc_id", $"tri").distinct()
+      .join(broadcast(prof), "tri")
+      .groupBy($"doc_id", $"plang").agg(count(lit(1)).as("h"))
+    // argmax via min(struct(-hits, lang)): highest hit count, ties to
+    // the lexicographically smaller language — one partial+final agg,
+    // no window sort (the q2 argmin pattern)
+    val best = hits
+      .groupBy($"doc_id")
+      .agg(min(struct((-$"h").as("nh"), $"plang")).as("b"))
+      .select($"doc_id", $"b.plang".as("pred"))
+    d.where($"doc_id" % 4 =!= 0).select($"doc_id", $"lang")
+      .join(best, Seq("doc_id"), "left")
+      .select($"lang", coalesce($"pred", lit("unk")).as("pred_lang"))
+      .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text. */
   val textFingerprint: QueryFn = (s, dir) => {
     import s.implicits._

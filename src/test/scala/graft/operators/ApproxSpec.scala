@@ -33,6 +33,25 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("q_heavy_hitters: CMS one-sided error bound and determinism") {
+    import spark.implicits._
+    val got = EventAnalytics.qHeavyHittersCms(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 10)
+    val n = graft.Tables.events(spark, sfDir).count()
+    got.foreach { case (u, truth, est) =>
+      // Count-Min never underestimates...
+      assert(est >= truth, s"user $u: est $est < true $truth")
+      // ...and overestimates by at most eps*N (eps=0.001) at the
+      // sketch's confidence; allow 3x slack for the tail
+      assert(est <= truth + (0.003 * n).toLong + 1, s"user $u: est $est vs $truth (N=$n)")
+    }
+    // deterministic across runs (fixed seed) — rows-only gate safety
+    val again = EventAnalytics.qHeavyHittersCms(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("q_approx_stats: deterministic across runs (rows-only gate safety)") {
     val fn = graft.SparkEntry.queries("q_approx_stats")
     val r1 = fn(spark, sfDir).collect().toSeq
