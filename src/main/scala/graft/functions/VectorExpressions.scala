@@ -297,13 +297,31 @@ object VectorExpressions {
 
 /** SparkSessionExtensions hook: lets users opt in with
   * `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.functions.GraftExtensions` and call
-  * `cosine_sim` from SQL. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. Injects
+  * the whole custom surface — `cosine_sim` / `simhash64` /
+  * `fnv_shingles` as SQL functions, and the TopKPerKey planner
+  * strategy, so a session built with the extensions plans
+  * [[graft.plans.TopKPerKeyPlan]] without touching
+  * `spark.experimental` (the imperative fallback
+  * [[graft.plans.TopK.perKey]] still self-registers for plain
+  * sessions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64Expr(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("fnv_shingles"),
+      new ExpressionInfo(classOf[FnvShinglesExpr].getName, "fnv_shingles"),
+      (exprs: Seq[Expression]) => FnvShinglesExpr(
+        exprs(0),
+        // n must be a foldable int literal, e.g. fnv_shingles(tk, 3)
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
   }
 }

@@ -108,6 +108,60 @@ class VectorExprSpec extends SparkTestBase {
     assert(short.getSeq[Long](0).isEmpty)
   }
 
+  test("GraftExtensions session: SQL functions + TopKPerKey strategy, no experimental touch") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val ext = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      try {
+        import ext.implicits._
+        // SQL functions resolve without imperative registration
+        val row = ext.sql(
+          """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+            |       simhash64(array('a', 'b')) AS s,
+            |       fnv_shingles(array('a', 'b', 'c', 'd'), 3) AS f""".stripMargin).head()
+        assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+        assert(row.getLong(1) == {
+          val acc = Seq("a", "b").map(Hashes.fnv64)
+          var sig = 0L
+          for (b <- 0 until 64) {
+            val v = acc.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+            if (v > 0) sig |= 1L << b
+          }
+          sig
+        })
+        assert(row.getSeq[Long](2) ==
+          Seq(Hashes.fnv64("a b c"), Hashes.fnv64("b c d")))
+        // the injected strategy plans TopKPerKeyPlan — experimental
+        // strategies stay empty
+        assert(ext.experimental.extraStrategies.isEmpty)
+        val df = Seq(("a", 3L), ("a", 1L), ("a", 2L), ("b", 9L)).toDF("k", "v")
+        val analyzed = df.queryExecution.analyzed
+        val attr = (n: String) => analyzed.output.find(_.name == n).get
+        val plan = graft.plans.TopKPerKeyPlan(
+          Seq(attr("k")),
+          Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(
+            attr("v"), org.apache.spark.sql.catalyst.expressions.Descending)),
+          2, analyzed)
+        val top = org.apache.spark.sql.graft.ColumnBridge.ofRows(ext, plan)
+        assert(top.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        assert(top.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+          Set(("a", 3L), ("a", 2L), ("b", 9L)))
+        assert(ext.experimental.extraStrategies.isEmpty, "strategy came from extensions")
+      } finally {
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+      }
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+    }
+  }
+
   test("null/mismatched input handling") {
     import spark.implicits._
     val df = Seq(
