@@ -224,7 +224,26 @@ object PlanAudit {
         // round re-derived the co-purchase graph from the fact table
         "levels checkpointed (no parquet rescan)" -> (p =>
           p.contains("ExistingRDD") && !p.contains("Scan parquet")),
-        "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "text_langid_ngram" -> Map(
+        // KB-sized learned profiles must broadcast against the
+        // exploded eval trigrams; profile fit rides the native heaps
+        "profiles broadcast to the scoring join" ->
+          (_.contains("BroadcastHashJoin")),
+        "profile fit through native TopKPerKey" -> (_.contains("TopKPerKey")),
+        "trigram counts partial before shuffle" -> (_.contains("partial_count"))),
+      "q_pack_shards" -> Map(
+        // packing = ONE shuffle: the window partitions by source and
+        // the shard agg reuses that partitioning via partial aggs; a
+        // second wide exchange would mean the cumsum left its partition
+        "cumsum window present" -> (p => "\\bWindow\\b".r.findAllIn(p).size == 1),
+        "shard mass partial before shuffle" -> (_.contains("partial_")),
+        "no join anywhere" -> (p => !p.contains("Join"))),
+      "q_heavy_hitters" -> Map(
+        // exact candidates ride the native bounded heaps; the sketch
+        // estimate is a map-side UDF over the broadcast CMS
+        "candidates through native TopKPerKey" -> (_.contains("TopKPerKey")),
+        "exact counts partial before shuffle" -> (_.contains("partial_count"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

@@ -1466,6 +1466,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashLshOracle,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
+    "ann_pq_topk" -> annPqOracle,
+    "ann_ivfpq_topk" -> annIvfPqOracle,
 
     // mm_featurize replayed end-to-end: the magic-prefix payload
     // construction (chr() literals = the bytes MediaPipeline
@@ -1576,6 +1578,161 @@ object SparkEntry {
        |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor(sim*10000 + 0.5)/10000 AS sim
        |FROM rk WHERE rnk <= ${operators.AnnOps.K} ORDER BY pid, rnk""".stripMargin
   }
+
+  /** FNV-1a 64 over a string SQL expression, as unsigned HUGEINT —
+    * shared by the winnow/simhash/minhash/mm/PQ replays. */
+  private def fnvSql(strExpr: String): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |        list_transform(split($strExpr, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |      (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)""".stripMargin
+
+  /** Exact cosine between two DOUBLE-list SQL expressions with the
+    * same three left-to-right accumulations as the native CosineSim
+    * expression — bit-identical, unlike an engine-builtin whose
+    * association order is unspecified. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [$a[i] * $b[i] for i in generate_series(1, 64)]), (x, y) -> x + y)
+       |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        [$a[i] * $a[i] for i in generate_series(1, 64)]), (x, y) -> x + y))
+       |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        [$b[i] * $b[i] for i in generate_series(1, 64)]), (x, y) -> x + y)))""".stripMargin
+
+  /** The PQ INDEX replayed in SQL, through `hat` (reconstructed
+    * corpus vectors) — including CODEBOOK TRAINING: the FNV
+    * quarter-sample and hash-spread init, all three Lloyd rounds
+    * (per-(vec,sub) argmin with left-to-right squared-distance sums
+    * exactly like the encode UDF, decimal-exact centroid means, empty
+    * codes keeping their previous centroid), corpus encode, and
+    * reconstruction. The same determinism discipline as
+    * `emb_kmeans`'s 3-iteration unroll, lifted to 16 independent
+    * subspace quantizers. Shared by the flat-PQ and IVF-PQ oracles. */
+  private lazy val pqIndexCtes: String = {
+    val lloydRounds = (1 to 3).map { r =>
+      val prev = s"c${r - 1}"
+      s"""d$r AS (
+         |  SELECT nv.vec_id, nv.sub, c.code,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list((nv.v - c.cv)*(nv.v - c.cv) ORDER BY nv.pos)), (a, b) -> a + b) AS d
+         |  FROM nv JOIN samp USING (vec_id)
+         |  JOIN $prev c ON c.sub = nv.sub AND c.pos = nv.pos
+         |  GROUP BY nv.vec_id, nv.sub, c.code),
+         |a$r AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+         |    FROM d$r) WHERE rn = 1),
+         |m$r AS (
+         |  SELECT a.sub, a.code, nv.pos,
+         |    CAST(sum(CAST(nv.v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS mv
+         |  FROM a$r a JOIN nv ON nv.vec_id = a.vec_id AND nv.sub = a.sub
+         |  GROUP BY 1, 2, 3),
+         |c$r AS (
+         |  SELECT c.sub, c.code, c.pos, coalesce(m.mv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN m$r m ON m.sub = c.sub AND m.code = c.code AND m.pos = c.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS (
+       |  SELECT vec_id, label, [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS raw
+       |  FROM embeddings),
+       |e1 AS (
+       |  SELECT vec_id, raw,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(raw, x -> x*x)), (a, b) -> a + b)) AS nrm
+       |  FROM e0),
+       |ne AS (SELECT vec_id, list_transform(raw, x -> x/nrm) AS emb FROM e1),
+       |nv AS (
+       |  SELECT vec_id, CAST((i - 1) // 4 AS INT) AS sub, CAST((i - 1) % 4 AS INT) AS pos, emb[i] AS v
+       |  FROM ne, (SELECT unnest(generate_series(1, 64)) AS i) ii),
+       |samp AS (SELECT vec_id FROM ne
+       |  WHERE ${fnvSql("CAST(vec_id AS VARCHAR)")} % 4 = 0),
+       |init AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY
+       |    ${fnvSql("'i' || CAST(vec_id AS VARCHAR)")} % 1048576, vec_id) AS rn
+       |  FROM samp),
+       |c0 AS (
+       |  SELECT nv.sub, CAST(init.rn - 1 AS INT) AS code, nv.pos, nv.v AS cv
+       |  FROM nv JOIN init USING (vec_id) WHERE init.rn <= 16),
+       |$lloydRounds,
+       |de AS (
+       |  SELECT nv.vec_id, nv.sub, c.code,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list((nv.v - c.cv)*(nv.v - c.cv) ORDER BY nv.pos)), (a, b) -> a + b) AS d
+       |  FROM nv JOIN c3 c ON c.sub = nv.sub AND c.pos = nv.pos
+       |  GROUP BY nv.vec_id, nv.sub, c.code),
+       |ae AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+       |    FROM de) WHERE rn = 1),
+       |hat AS (
+       |  SELECT a.vec_id, list(c.cv ORDER BY a.sub * 4 + c.pos) AS h
+       |  FROM ae a JOIN c3 c ON c.sub = a.sub AND c.code = a.code
+       |  GROUP BY a.vec_id),
+       |pr AS (SELECT vec_id AS pid, raw AS pe FROM e0 WHERE vec_id < 10)""".stripMargin
+  }
+
+  /** Shortlist → exact re-rank → final ranking, shared by both PQ
+    * oracles (`cands` must provide (pid, nid, sim)). */
+  private lazy val pqServeTail: String =
+    s"""short AS (
+       |  SELECT pid, nid FROM (
+       |    SELECT pid, nid, row_number() OVER (PARTITION BY pid
+       |      ORDER BY floor(sim*1000000 + 0.5)/1000000 DESC, nid ASC) AS rn
+       |    FROM cands) WHERE rn <= 50),
+       |ex AS (
+       |  SELECT s.pid, s.nid,
+       |    ${cosSql("a.raw", "b.raw")} AS sim
+       |  FROM short s JOIN e0 a ON a.vec_id = s.pid JOIN e0 b ON b.vec_id = s.nid),
+       |rk AS (
+       |  SELECT pid, nid, sim, row_number() OVER (PARTITION BY pid
+       |    ORDER BY floor(sim*1000000 + 0.5)/1000000 DESC, nid ASC) AS rnk
+       |  FROM ex)
+       |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor(sim*10000 + 0.5)/10000 AS sim
+       |FROM rk WHERE rnk <= 5 ORDER BY pid, rnk""".stripMargin
+
+  /** `ann_pq_topk`: the PQ index CTEs + full-corpus ADC scan +
+    * shortlist/re-rank tail. */
+  private lazy val annPqOracle: String =
+    s"""WITH $pqIndexCtes,
+       |cands AS (
+       |  SELECT pr.pid, t.vec_id AS nid,
+       |    ${cosSql("pe", "h")} AS sim
+       |  FROM pr JOIN hat t ON t.vec_id <> pr.pid),
+       |$pqServeTail""".stripMargin
+
+  /** `ann_ivfpq_topk`: the same PQ index CTEs, with the ADC scan
+    * restricted to each probe's top-6 IVF cells — decimal-exact cell
+    * centroids per label (the `ann_ivf_topk` discipline), cell
+    * scores rounded to 1e-6 before the argmax/top-6 exactly like the
+    * Spark `cellScores` expression. */
+  private lazy val annIvfPqOracle: String =
+    s"""WITH $pqIndexCtes,
+       |cr AS (
+       |  SELECT label, i, CAST(sum(CAST(raw[i] AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
+       |  FROM e0, (SELECT unnest(generate_series(1, 64)) AS i) ii
+       |  GROUP BY 1, 2),
+       |cent AS (SELECT CAST(label AS INTEGER) AS cell, list(m ORDER BY i) AS centroid FROM cr GROUP BY label),
+       |cdist AS (
+       |  SELECT e0.vec_id, ct.cell,
+       |    floor((${cosSql("e0.raw", "ct.centroid")})*1000000 + 0.5)/1000000 AS sim
+       |  FROM e0 CROSS JOIN cent ct),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |    FROM cdist) t WHERE rn = 1),
+       |pcells AS (
+       |  SELECT vec_id AS pid, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |    FROM cdist WHERE vec_id < 10) t WHERE rn <= 6),
+       |cands AS (
+       |  SELECT DISTINCT p.pid, a.vec_id AS nid,
+       |    ${cosSql("pr.pe", "h.h")} AS sim
+       |  FROM pcells p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.pid
+       |  JOIN pr ON pr.pid = p.pid
+       |  JOIN hat h ON h.vec_id = a.vec_id),
+       |$pqServeTail""".stripMargin
 
   /** `dedup_embedding` replayed the same way: 16 literal planes, two
     * 8-bit bands, canonical (a < b) candidate pairs, exact cosine,

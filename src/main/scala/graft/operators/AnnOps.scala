@@ -195,18 +195,26 @@ object AnnOps {
   private val pqCodebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
 
+  /** FNV-1a of a column's string form — the sampling/ordering hash
+    * for PQ training. FNV (not xxhash64) so the DuckDB oracle can
+    * replay the sample selection and the spread init exactly (same
+    * reasoning as the dedup shingle hash); a sampling hash needs
+    * dispersion, not cryptographic strength. */
+  private val fnvOf = udf((x: String) => graft.functions.Hashes.fnv64(x))
+
   private def trainPq(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
     pqCodebooks.computeIfAbsent(dir, _ => {
       import s.implicits._
       val subDim = 64 / PqSubspaces
       val quarter = normalizedEmb(s, dir)
-        .where(pmod(xxhash64($"vec_id"), lit(4)) === 0)
+        .where(fnvOf($"vec_id".cast("string")).bitwiseAND(lit(3L)) === 0)
       // tiny corpora (specs) train on everything; the sample path is
       // the one that matters at scale
       val sample =
         (if (quarter.count() >= PqCodes * 2L) quarter else normalizedEmb(s, dir)).cache()
       var cb: Array[Array[Array[Double]]] = sample
-        .orderBy(pmod(xxhash64($"vec_id", lit(1)), lit(1 << 20)), $"vec_id")
+        .orderBy(fnvOf(concat(lit("i"), $"vec_id".cast("string")))
+          .bitwiseAND(lit((1L << 20) - 1)), $"vec_id")
         .limit(PqCodes)
         .select($"emb").as[Seq[Double]].collect()
         .map(v => (0 until PqSubspaces).map(m =>
@@ -215,13 +223,16 @@ object AnnOps {
       for (_ <- 1 to 3) {
         // one map-side encode + one (sub, code, pos) agg of 16×16×4
         // keys per Lloyd round; generators can't share a select, so
-        // the two posexplodes chain through an intermediate projection
+        // the two posexplodes chain through an intermediate projection.
+        // The mean is decimal-exact (like the IVF centroids): plain
+        // avg() would expose partial-aggregation float association
+        // and no second engine could reproduce the codebooks
         val sums = sample
           .select($"emb", posexplode(pqEncode(cb, subDim)($"emb")).as(Seq("sub", "code")))
           .select($"sub", $"code",
             posexplode(slice($"emb", $"sub" * subDim + 1, lit(subDim))).as(Seq("pos", "v")))
           .groupBy($"sub", $"code", $"pos")
-          .agg(avg($"v").as("m"))
+          .agg((sum($"v".cast("decimal(27,10)")).cast("double") / count(lit(1))).as("m"))
           .collect()
         val next = Array.tabulate(PqSubspaces)(m => cb(m).map(_.clone()))
         sums.foreach { r =>
