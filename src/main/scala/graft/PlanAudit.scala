@@ -243,7 +243,44 @@ object PlanAudit {
         // exact candidates ride the native bounded heaps; the sketch
         // estimate is a map-side UDF over the broadcast CMS
         "candidates through native TopKPerKey" -> (_.contains("TopKPerKey")),
-        "exact counts partial before shuffle" -> (_.contains("partial_count"))))
+        "exact counts partial before shuffle" -> (_.contains("partial_count"))),
+      "q_zorder_layout" -> Map(
+        // bucket + Morton interleave are scan-time bit arithmetic; the
+        // report is one partial+final agg on file_id — any join or
+        // window here would mean the layout pass stopped being map-side
+        "no join, no window" -> (p =>
+          !p.contains("Join") && !"\\bWindow\\b".r.findFirstIn(p).isDefined),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "only custkey+orderdate read" -> (p =>
+          p.contains("o_custkey") && !p.contains("o_totalprice"))),
+      "q_bm25_search" -> Map(
+        // df (3 rows) and corpus stats (1 row) broadcast; the final
+        // top-20 is a bounded heap, never a global sort
+        "df and stats broadcast" -> (p =>
+          "BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2),
+        "top-20 is TakeOrderedAndProject" -> (_.contains("TakeOrderedAndProject")),
+        "tf partial agg before shuffle" -> (_.contains("partial_count"))),
+      "text_char_diversity" -> Map(
+        // the (doc_id, ch) count must partial-aggregate map-side: the
+        // per-doc alphabet bounds the shuffle, not the doc length
+        "char counts partial before shuffle" -> (_.contains("partial_count")),
+        "no join" -> (p => !p.contains("Join")),
+        "only doc_id+text read" -> (p => !p.contains("n_chars,"))),
+      "dedup_cdc_chunks" -> Map(
+        // chunking is one per-doc window (in-partition running sum);
+        // the cross-doc group is partial-agg'd; nothing joins
+        "single per-doc window" -> (p =>
+          "\\bWindow\\b".r.findAllIn(p).size == 1 &&
+          p.contains("windowspecdefinition(doc_id")),
+        "no join" -> (p => !p.contains("Join")),
+        "chunk group partial before shuffle" -> (_.contains("partial_"))),
+      "dedup_semantic" -> Map(
+        // centroids are literals (map-side assignment — no join to a
+        // centroid table); the pairwise join keys on cluster_id and
+        // must stay an equi-join, never a cartesian
+        "no cartesian pairwise" -> (p => !p.contains("CartesianProduct")),
+        "cluster-keyed equi-join" -> (p =>
+          "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(p).isDefined)))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

@@ -137,6 +137,12 @@ object SparkEntry {
     // §2.F multimodal stand-in
     "mm_media_stats"              -> TextOps.mmMediaStats,
     "mm_featurize"                -> TextOps.mmFeaturize,
+    // r3 wave 2: retrieval, layout, partial-dup + semantic dedup
+    "text_char_diversity"         -> PipelineOps.textCharDiversity,
+    "q_bm25_search"               -> PipelineOps.qBm25Search,
+    "q_zorder_layout"             -> operators.LayoutOps.qZorderLayout,
+    "dedup_cdc_chunks"            -> DedupOps.dedupCdcChunks,
+    "dedup_semantic"              -> DedupOps.dedupSemantic,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1418,40 +1424,7 @@ object SparkEntry {
         |FROM bys, tot ORDER BY source""".stripMargin,
 
     "emb_kmeans" ->
-      """WITH e AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
-        |    CAST(unnest(embedding) AS DOUBLE) AS val
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cluster, dim, val FROM e WHERE vec_id < 8),
-        |d1 AS (
-        |  SELECT e.vec_id, c.cluster,
-        |    CAST(sum(CAST((e.val - c.val)*(e.val - c.val) AS DECIMAL(27,10))) AS DOUBLE) AS d2
-        |  FROM e JOIN c0 c USING (dim) GROUP BY e.vec_id, c.cluster),
-        |a1 AS (
-        |  SELECT vec_id, cluster, d2,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d1),
-        |c1 AS (
-        |  SELECT a.cluster, e.dim,
-        |    CAST(sum(CAST(e.val AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS val
-        |  FROM e JOIN a1 a ON e.vec_id = a.vec_id AND a.rn = 1 GROUP BY a.cluster, e.dim),
-        |d2_ AS (
-        |  SELECT e.vec_id, c.cluster,
-        |    CAST(sum(CAST((e.val - c.val)*(e.val - c.val) AS DECIMAL(27,10))) AS DOUBLE) AS d2
-        |  FROM e JOIN c1 c USING (dim) GROUP BY e.vec_id, c.cluster),
-        |a2 AS (
-        |  SELECT vec_id, cluster, d2,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d2_),
-        |c2 AS (
-        |  SELECT a.cluster, e.dim,
-        |    CAST(sum(CAST(e.val AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS val
-        |  FROM e JOIN a2 a ON e.vec_id = a.vec_id AND a.rn = 1 GROUP BY a.cluster, e.dim),
-        |d3 AS (
-        |  SELECT e.vec_id, c.cluster,
-        |    CAST(sum(CAST((e.val - c.val)*(e.val - c.val) AS DECIMAL(27,10))) AS DOUBLE) AS d2
-        |  FROM e JOIN c2 c USING (dim) GROUP BY e.vec_id, c.cluster),
-        |a3 AS (
-        |  SELECT vec_id, cluster, d2,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d3)
+      s"""WITH $kmeansAssignCtes
         |SELECT cluster AS cluster_id, count(*) AS n_vecs,
         |  floor((CAST(sum(CAST(d2 AS DECIMAL(27,10))) AS DOUBLE)/count(*))*10000 + 0.5)/10000 AS mean_d2
         |FROM a3 WHERE rn = 1 GROUP BY cluster ORDER BY cluster_id""".stripMargin,
@@ -1468,6 +1441,102 @@ object SparkEntry {
     "dedup_embedding" -> dedupEmbeddingOracle,
     "ann_pq_topk" -> annPqOracle,
     "ann_ivfpq_topk" -> annIvfPqOracle,
+
+    "text_char_diversity" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), '')) AS ch FROM documents),
+        |pc AS (SELECT doc_id, ch, count(*) AS c FROM ch WHERE len(ch) > 0 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars, count(*) AS n_distinct_chars,
+        |  floor((CAST(sum(c*c) AS DOUBLE)/CAST(sum(c)*sum(c) AS DOUBLE))*1000000 + 0.5)/1000000 AS collision_mass,
+        |  floor((CAST(sum(c)*sum(c) AS DOUBLE)/CAST(sum(c*c) AS DOUBLE))*10000 + 0.5)/10000 AS eff_alphabet,
+        |  floor((CAST(max(c) AS DOUBLE)/CAST(sum(c) AS DOUBLE))*1000000 + 0.5)/1000000 AS top_char_share
+        |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks WHERE len(tk) > 0),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+        |hit AS (
+        |  SELECT doc_id, unnest(list_filter(tk, x -> x IN ('join', 'scan', 'filter'))) AS term
+        |  FROM toks WHERE len(tk) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM hit GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id, dl.dl,
+        |    ((CAST(st.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)
+        |      * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))))
+        |    / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |       ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+        |        ((CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)) /
+        |         (CAST(st.tot_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) AS term_score
+        |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id, st)
+        |SELECT doc_id, max(dl) AS dl,
+        |  floor((CAST(sum(CAST(term_score AS DECIMAL(27,10))) AS DOUBLE))*1000000 + 0.5)/1000000 AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_zorder_layout" -> {
+      val morton = (0 until 8).map { i =>
+        s"(((xb >> $i) & 1) << ${2 * i}) | (((yb >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" | ")
+      s"""WITH b AS (
+        |  SELECT CAST(o_custkey // ${operators.LayoutOps.CustDiv} AS BIGINT) & 255 AS xb,
+        |    CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT) & 255 AS yb
+        |  FROM orders),
+        |z AS (SELECT xb, yb, ($morton) AS z FROM b)
+        |SELECT (z >> 8) AS file_id, count(*) AS n_rows,
+        |  min(xb) AS cust_min, max(xb) AS cust_max,
+        |  min(yb) AS month_min, max(yb) AS month_max,
+        |  (max(xb) - min(xb) + 1) * (max(yb) - min(yb) + 1) AS envelope_area
+        |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
+    },
+
+    "dedup_cdc_chunks" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |t2 AS (
+        |  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos
+        |  FROM toks WHERE len(tk) > 0),
+        |f AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN ${fnvSql("tok")} % 8 = 0 THEN 1 ELSE 0 END AS b
+        |  FROM t2),
+        |c AS (
+        |  SELECT doc_id, pos, tok,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) - b AS cid
+        |  FROM f),
+        |chk AS (
+        |  SELECT doc_id, cid, count(*) AS n_tokens,
+        |    string_agg(tok, ' ' ORDER BY pos) AS chunk
+        |  FROM c GROUP BY 1, 2)
+        |SELECT chunk, CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ, min(doc_id) AS first_doc
+        |FROM chk WHERE n_tokens >= ${operators.DedupOps.CdcMinTokens}
+        |GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2 ORDER BY chunk""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH $kmeansAssignCtes,
+        |asg AS (SELECT vec_id, cluster FROM a3 WHERE rn = 1),
+        |ev AS (
+        |  SELECT vec_id, [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS emb
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    ${cosSql("ea.emb", "eb.emb")} AS cos_raw
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id),
+        |rk AS (
+        |  SELECT cluster, vec_a, vec_b, cos_raw,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY floor(cos_raw*1000000 + 0.5)/1000000 DESC, vec_a, vec_b) AS rnk
+        |  FROM pr)
+        |SELECT CAST(cluster AS BIGINT) AS cluster_id, CAST(rnk AS BIGINT) AS rnk,
+        |  vec_a, vec_b, floor(cos_raw*10000 + 0.5)/10000 AS cos
+        |FROM rk WHERE rnk <= ${operators.DedupOps.SemTopPerCluster}
+        |ORDER BY cluster_id, rnk""".stripMargin,
 
     // mm_featurize replayed end-to-end: the magic-prefix payload
     // construction (chr() literals = the bytes MediaPipeline
@@ -1578,6 +1647,46 @@ object SparkEntry {
        |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor(sim*10000 + 0.5)/10000 AS sim
        |FROM rk WHERE rnk <= ${operators.AnnOps.K} ORDER BY pid, rnk""".stripMargin
   }
+
+  /** The 3-iteration exact Lloyd's assignment replay (init =
+    * vec_id < 8, decimal-exact distances and means, ties to the lower
+    * cluster) — a3 holds (vec_id, cluster, d2, rn); rn = 1 is the
+    * final assignment. Shared by `emb_kmeans` and `dedup_semantic`. */
+  private lazy val kmeansAssignCtes: String =
+    """e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS val
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cluster, dim, val FROM e WHERE vec_id < 8),
+      |d1 AS (
+      |  SELECT e.vec_id, c.cluster,
+      |    CAST(sum(CAST((e.val - c.val)*(e.val - c.val) AS DECIMAL(27,10))) AS DOUBLE) AS d2
+      |  FROM e JOIN c0 c USING (dim) GROUP BY e.vec_id, c.cluster),
+      |a1 AS (
+      |  SELECT vec_id, cluster, d2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d1),
+      |c1 AS (
+      |  SELECT a.cluster, e.dim,
+      |    CAST(sum(CAST(e.val AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS val
+      |  FROM e JOIN a1 a ON e.vec_id = a.vec_id AND a.rn = 1 GROUP BY a.cluster, e.dim),
+      |d2_ AS (
+      |  SELECT e.vec_id, c.cluster,
+      |    CAST(sum(CAST((e.val - c.val)*(e.val - c.val) AS DECIMAL(27,10))) AS DOUBLE) AS d2
+      |  FROM e JOIN c1 c USING (dim) GROUP BY e.vec_id, c.cluster),
+      |a2 AS (
+      |  SELECT vec_id, cluster, d2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d2_),
+      |c2 AS (
+      |  SELECT a.cluster, e.dim,
+      |    CAST(sum(CAST(e.val AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS val
+      |  FROM e JOIN a2 a ON e.vec_id = a.vec_id AND a.rn = 1 GROUP BY a.cluster, e.dim),
+      |d3 AS (
+      |  SELECT e.vec_id, c.cluster,
+      |    CAST(sum(CAST((e.val - c.val)*(e.val - c.val) AS DECIMAL(27,10))) AS DOUBLE) AS d2
+      |  FROM e JOIN c2 c USING (dim) GROUP BY e.vec_id, c.cluster),
+      |a3 AS (
+      |  SELECT vec_id, cluster, d2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d3)""".stripMargin
 
   /** FNV-1a 64 over a string SQL expression, as unsigned HUGEINT —
     * shared by the winnow/simhash/minhash/mm/PQ replays. */

@@ -484,4 +484,100 @@ object DedupOps {
       .limit(EmbTopN)
       .select($"vec_a", $"vec_b", rnd($"cos_raw", 4).as("cos"))
   }
+
+  /** Boundary mask for [[dedupCdcChunks]]: cut after a token whose
+    * FNV hash has its low 3 bits zero — expected chunk ≈ 8 tokens.
+    * Masking, not `%`: Spark's hash is a SIGNED long and `%` keeps
+    * the dividend's sign (the simhash blocking bug the r3 oracle
+    * caught); `& 7` equals the unsigned mod on the low bits. */
+  val CdcMask = 7L
+  val CdcMinTokens = 4
+
+  /** Content-defined chunking dedup (the rsync/LBFS boundary trick,
+    * Muthitacharoen et al., SOSP'01, applied at token granularity):
+    * cut each document into variable-size chunks at content-derived
+    * boundaries, then find chunks shared across documents. Because
+    * boundaries depend only on LOCAL content, an edit resynchronizes
+    * at the next boundary — so CDC catches *partial* duplication
+    * (quoted passages, templated spans, copy-paste containment) that
+    * whole-document minhash misses and fixed-stride chunking loses to
+    * offset drift.
+    *
+    * Shape: chunking is per-document (one window partitioned by
+    * doc_id — an in-partition running sum, no global sort); the only
+    * corpus-wide shuffle groups by chunk text, partial-agg'd, with
+    * volume bounded by total tokens / expected chunk size. At 100 TB
+    * the group key is the chunk's 128-bit hash and the text stays in
+    * the payload of one exemplar row; the report face keeps the text
+    * as the key so a second engine can replay it verbatim. */
+  val dedupCdcChunks: QueryFn = (s, dir) => {
+    import s.implicits._
+    import graft.functions.VectorExpressions.fnv_shingles
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", normTokens($"text").as("tk"))
+      .where(size($"tk") > 0)
+      .select($"doc_id",
+        posexplode(arrays_zip($"tk", fnv_shingles($"tk", 1).as("h")))
+          .as(Seq("pos", "th")))
+      .select($"doc_id", $"pos", $"th.tk".as("tok"),
+        when($"th.h".bitwiseAND(CdcMask) === 0, 1L).otherwise(0L).as("b"))
+    val chunks = toks
+      .withColumn("cid", sum($"b").over(byPos) - $"b")
+      .groupBy($"doc_id", $"cid")
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct($"pos", $"tok"))), _.getField("tok")),
+          " ").as("chunk"))
+    chunks
+      .where($"n_tokens" >= CdcMinTokens)
+      .groupBy($"chunk")
+      .agg(min($"n_tokens").as("n_tokens"),
+        countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min($"doc_id").as("first_doc"))
+      .where($"n_docs" >= 2)
+      .orderBy($"chunk")
+  }
+
+  /** Pairs reported per cluster by [[dedupSemantic]]. */
+  val SemTopPerCluster = 3
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-
+    * dup discovery with the pairwise pass BUCKETED BY K-MEANS CLUSTER
+    * — cosine is computed only within a cluster, never across the
+    * corpus, so the pair space shrinks from n²/2 to Σ nᵢ²/2 (with
+    * balanced clusters, a k× reduction; in production k scales with
+    * corpus size to hold nᵢ roughly constant). Reuses the exact,
+    * SQL-replayable Lloyd's model from [[KMeansOps]] — centroids are
+    * a k×dim broadcast, assignment is map-side, and the self-join
+    * shuffles on cluster_id (k keys; at real scale the join key is
+    * (cluster, salt-block) so one giant cluster cannot pin a task).
+    *
+    * Like [[dedupEmbedding]], the report face emits each cluster's
+    * top-[[SemTopPerCluster]] most-similar pairs through the rounded-
+    * cosine ranking (the test embeddings are near-random, so a
+    * production τ ≈ 0.95 filter returns zero rows and would make the
+    * gate vacuous); a real pass filters the identical pair stream at
+    * its τ instead of ranking. */
+  val dedupSemantic: QueryFn = (s, dir) => {
+    import s.implicits._
+    val assigned = KMeansOps.assignments(s, dir)
+      .select($"vec_id", $"embedding", $"cluster_id").cache()
+    val a = assigned.select($"cluster_id", $"vec_id".as("vec_a"),
+      $"embedding".as("emb_a"))
+    val b = assigned.select($"cluster_id", $"vec_id".as("vec_b"),
+      $"embedding".as("emb_b"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id")
+      .orderBy(rnd($"cos_raw", 6).desc, $"vec_a".asc, $"vec_b".asc)
+    a.join(b, Seq("cluster_id")).where($"vec_a" < $"vec_b")
+      .withColumn("cos_raw", cosine_sim($"emb_a", $"emb_b"))
+      .withColumn("rnk", row_number().over(byCluster))
+      .where($"rnk" <= SemTopPerCluster)
+      .select($"cluster_id", $"rnk".cast("long").as("rnk"),
+        $"vec_a", $"vec_b", rnd($"cos_raw", 4).as("cos"))
+      .orderBy($"cluster_id", $"rnk")
+  }
 }

@@ -54,7 +54,11 @@ object KMeansOps {
       struct(d2(emb, c).as("d"), lit(i).as("c"))
     }: _*))
 
-  def kmeans(s: SparkSession, dir: String, k: Int = K, iters: Int = Iters): DataFrame = {
+  /** The fitted centroids after `iters` exact Lloyd's iterations —
+    * k×dim doubles, the broadcastable model other operators build on
+    * ([[DedupOps.dedupSemantic]] buckets its pairwise pass with them). */
+  def fitCentroids(s: SparkSession, dir: String,
+      k: Int = K, iters: Int = Iters): Array[Array[Double]] = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", asDouble($"embedding").as("emb"))
@@ -84,11 +88,28 @@ object KMeansOps {
       require(seen.forall(identity), "empty cluster — lower k or reseed")
       cents = next
     }
+    cents
+  }
 
+  /** (vec_id, embedding, cluster_id, d2) for every vector under the
+    * fitted model — assignment is the same zero-shuffle map-side
+    * argmin over literal centroids as the training rounds. */
+  def assignments(s: SparkSession, dir: String,
+      k: Int = K, iters: Int = Iters): DataFrame = {
+    import s.implicits._
+    val cents = fitCentroids(s, dir, k, iters)
     Tables.embeddings(s, dir)
-      .select($"vec_id", assign(asDouble($"embedding"), cents).as("a"))
-      .groupBy($"a.c".cast("long").as("cluster_id"))
-      .agg(count(lit(1)).as("n_vecs"), rnd(xsum($"a.d") / count(lit(1)), 4).as("mean_d2"))
+      .select($"vec_id", $"embedding",
+        assign(asDouble($"embedding"), cents).as("a"))
+      .select($"vec_id", $"embedding",
+        $"a.c".cast("long").as("cluster_id"), $"a.d".as("d2"))
+  }
+
+  def kmeans(s: SparkSession, dir: String, k: Int = K, iters: Int = Iters): DataFrame = {
+    import s.implicits._
+    assignments(s, dir, k, iters)
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_vecs"), rnd(xsum($"d2") / count(lit(1)), 4).as("mean_d2"))
       .orderBy($"cluster_id")
   }
 

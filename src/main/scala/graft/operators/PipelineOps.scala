@@ -700,4 +700,99 @@ object PipelineOps {
         rnd($"n_tokens".cast("double") / $"tot", 6).as("token_share"))
       .orderBy($"source", $"lang")
   }
+
+  // ---------------------------------------------------------------
+  // Character-distribution diversity (gibberish / repetition filter)
+  // ---------------------------------------------------------------
+
+  /** Per-document character-distribution stats — the cheap gibberish
+    * and keyboard-mash filter every crawl pipeline runs before the
+    * expensive passes: collision mass Σp² (the Rényi-2 / Simpson
+    * concentration of the char distribution), its inverse (effective
+    * alphabet size), and the single most frequent character's share.
+    * A doc of one repeated char scores collision_mass → 1 /
+    * eff_alphabet → 1; natural English sits near eff_alphabet ≈ 15-20.
+    *
+    * Σp² = Σc² / (Σc)² is chosen over Shannon entropy deliberately:
+    * it is all-integer until one final division, so both engines are
+    * bit-identical — log2 is libm-dependent and correctly rounded in
+    * neither JVM nor C (the same reason [[qMixTemperature]] fixes
+    * α = 0.5). Shape: explode chars → partial+final count on
+    * (doc_id, ch) — the per-doc alphabet bounds the shuffle at
+    * ~70 keys/doc regardless of doc length — then one tiny agg per
+    * doc. Linear in corpus bytes, no wide rows, no windows. */
+  val textCharDiversity: QueryFn = (s, dir) => {
+    import s.implicits._
+    val perChar = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(lower($"text"), "")).as("ch"))
+      .where(length($"ch") > 0)
+      .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+    perChar.groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum($"c" * $"c").as("sum_sq"),
+        max($"c").as("max_c"))
+      .select($"doc_id", $"n_chars", $"n_distinct_chars",
+        rnd($"sum_sq".cast("double") / ($"n_chars" * $"n_chars"), 6)
+          .as("collision_mass"),
+        rnd(($"n_chars" * $"n_chars").cast("double") / $"sum_sq", 4)
+          .as("eff_alphabet"),
+        rnd($"max_c".cast("double") / $"n_chars", 6).as("top_char_share"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // BM25 retrieval
+  // ---------------------------------------------------------------
+
+  /** Query terms for [[qBm25Search]] — fixed seed set, the "search the
+    * corpus" face of the retrieval stack ([[textSeedSim]] is the
+    * tf-idf twin). */
+  val Bm25Terms: Seq[String] = Seq("join", "scan", "filter")
+  val Bm25K1 = 1.2
+  val Bm25B  = 0.75
+
+  /** BM25 top-20 documents for a fixed term set (Robertson-Spärck
+    * Jones probabilistic retrieval; k1 = 1.2, b = 0.75). idf uses the
+    * RSJ odds ratio (N - df + 0.5)/(df + 0.5) directly rather than
+    * its log — monotone in df, and exact: every factor is a ratio of
+    * half-integers, so the whole score is reproducible bit-for-bit
+    * across engines (ln() is libm-territory; in production the log
+    * is a one-line swap and changes only inter-term weighting).
+    * Per-term scores accumulate through [[xsum]] so the 3-term sum
+    * cannot depend on aggregation order.
+    *
+    * Shape: doc lengths are one partial+final count; tf touches only
+    * seed-matching tokens (map-side filter BEFORE the shuffle — the
+    * posting list for 3 terms, not the corpus); df and avgdl are
+    * 1-row/3-row broadcasts; final top-20 is TakeOrderedAndProject
+    * (bounded heap per partition + driver merge of 20), never a
+    * global sort or single-partition window. */
+  val qBm25Search: QueryFn = (s, dir) => {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", normTokens($"text").as("tk"))
+      .where(size($"tk") > 0)
+    val dl = toks.select($"doc_id", size($"tk").cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_dl"))
+    val hits = toks
+      .select($"doc_id",
+        explode(filter($"tk", t => t.isInCollection(Bm25Terms))).as("term"))
+    val tf = hits.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val avgdl = $"tot_dl".cast("double") / $"n_docs"
+    val denom = $"tf" + lit(Bm25K1) *
+      (lit(1 - Bm25B) + lit(Bm25B) * $"dl" / avgdl)
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"dl",
+        (($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) *
+          ($"tf" * lit(Bm25K1 + 1)) / denom).as("term_score"))
+      .groupBy($"doc_id").agg(max($"dl").as("dl"),
+        rnd(xsum($"term_score"), 6).as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(20)
+      .select($"doc_id", $"dl", $"score")
+  }
 }
