@@ -134,9 +134,13 @@ object SparkEntry {
     "ann_pq_topk"                 -> AnnOps.annPqTopk,
     "ann_ivfpq_topk"              -> AnnOps.annIvfPqTopk,
     "emb_kmeans"                  -> operators.KMeansOps.embKmeans,
+    "emb_pca_power"               -> operators.PcaOps.embPcaPower,
     // §2.F multimodal stand-in
     "mm_media_stats"              -> TextOps.mmMediaStats,
     "mm_featurize"                -> TextOps.mmFeaturize,
+    "text_hash_lr"                -> operators.ModelOps.textHashLr,
+    "dedup_containment"           -> DedupOps.dedupContainment,
+    "q_attribution"               -> EventAnalytics.qAttribution,
     // r3 wave 2: retrieval, layout, partial-dup + semantic dedup
     "text_char_diversity"         -> PipelineOps.textCharDiversity,
     "q_bm25_search"               -> PipelineOps.qBm25Search,
@@ -1436,6 +1440,65 @@ object SparkEntry {
         |count(DISTINCT substring(text, 1, 1)) AS n_magics
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    "emb_pca_power" -> pcaOracle,
+
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]) AS shs
+        |  FROM toks WHERE len(tk) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)/len(a.shs) AS c
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+        |SELECT doc_a, doc_b, floor(c*10000 + 0.5)/10000 AS containment
+        |FROM p WHERE c >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_touch,
+        |    coalesce(last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'none') AS last_touch
+        |  FROM events),
+        |pu AS (SELECT * FROM t WHERE event_type = 'purchase'),
+        |ft AS (
+        |  SELECT 'first_touch' AS model, first_touch AS channel, count(*) AS n_conv,
+        |    CAST(sum(CAST(value AS DECIMAL(27,10))) AS DOUBLE) AS rev FROM pu GROUP BY 2),
+        |lt AS (
+        |  SELECT 'last_touch' AS model, last_touch AS channel, count(*) AS n_conv,
+        |    CAST(sum(CAST(value AS DECIMAL(27,10))) AS DOUBLE) AS rev FROM pu GROUP BY 2)
+        |SELECT model, channel, CAST(n_conv AS BIGINT) AS n_conv,
+        |  floor(rev*100 + 0.5)/100 AS revenue
+        |FROM (SELECT * FROM ft UNION ALL SELECT * FROM lt) u ORDER BY model, channel""".stripMargin,
+
+    "text_hash_lr" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |fe AS (
+        |  SELECT doc_id, list_concat(tk,
+        |    [tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk) - 1)]) AS feats
+        |  FROM toks WHERE len(tk) > 0),
+        |hw AS (
+        |  SELECT doc_id, ${fnvSql("u.f")} AS hu
+        |  FROM (SELECT doc_id, unnest(feats) AS f FROM fe) u),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST(((hu % 65536) * 2654435761) % 4294967296 AS DOUBLE)/2147483648 - 1 AS wt
+        |  FROM hw),
+        |ag AS (
+        |  SELECT doc_id, count(*) AS n_feats,
+        |    CAST(sum(CAST(wt AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS score
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+        |  floor(score*1000000 + 0.5)/1000000 AS score,
+        |  floor(score*1000000 + 0.5)/1000000 > 0 AS keep
+        |FROM ag ORDER BY doc_id""".stripMargin,
+
     "dedup_minhash_lsh" -> minhashLshOracle,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
@@ -1687,6 +1750,47 @@ object SparkEntry {
       |a3 AS (
       |  SELECT vec_id, cluster, d2,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d3)""".stripMargin
+
+  /** `emb_pca_power`'s 3-round power iteration replayed in SQL —
+    * decimal-exact mean, projections and update sums (order-free), the
+    * driver's left-to-right norm fold as `list_reduce(list(w*w ORDER
+    * BY dim))`, v₀ = the exact-binary 0.125, eigenvalue = final
+    * ‖w‖/(n−1). Same determinism discipline as `emb_kmeans`'s unroll,
+    * applied to the matrix-free power method. */
+  private lazy val pcaOracle: String = {
+    val rounds = (1 to operators.PcaOps.Iters).map { k =>
+      val prevV = if (k == 1) "CAST(0.125 AS DOUBLE)" else s"v${k - 1}.v"
+      val join = if (k == 1) "" else s" JOIN v${k - 1} USING (dim)"
+      s"""s$k AS (
+         |  SELECT ce.vec_id, CAST(sum(CAST(ce.c * $prevV AS DECIMAL(27,10))) AS DOUBLE) AS s
+         |  FROM ce$join GROUP BY ce.vec_id),
+         |w$k AS (
+         |  SELECT ce.dim, CAST(sum(CAST(s$k.s * ce.c AS DECIMAL(27,10))) AS DOUBLE) AS w
+         |  FROM ce JOIN s$k USING (vec_id) GROUP BY ce.dim),
+         |n$k AS (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(w*w ORDER BY dim)), (a, b) -> a + b)) AS nrm FROM w$k),
+         |v$k AS (SELECT dim, w / (SELECT nrm FROM n$k) AS v FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    val last = s"v${operators.PcaOps.Iters}"
+    val lastN = s"n${operators.PcaOps.Iters}"
+    s"""WITH e AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS val
+       |  FROM embeddings),
+       |cnt AS (SELECT count(*) AS n FROM embeddings),
+       |mu AS (
+       |  SELECT dim, CAST(sum(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / (SELECT n FROM cnt) AS mu
+       |  FROM e GROUP BY dim),
+       |ce AS (SELECT e.vec_id, e.dim, e.val - mu.mu AS c FROM e JOIN mu USING (dim)),
+       |$rounds,
+       |sc AS (
+       |  SELECT ce.vec_id, CAST(sum(CAST(ce.c * $last.v AS DECIMAL(27,10))) AS DOUBLE) AS raw
+       |  FROM ce JOIN $last USING (dim) GROUP BY ce.vec_id)
+       |SELECT vec_id, floor(raw*1000000 + 0.5)/1000000 AS score,
+       |  floor(abs(raw)*1000000 + 0.5)/1000000 AS abs_score,
+       |  floor(((SELECT nrm FROM $lastN) / ((SELECT n FROM cnt) - 1))*10000 + 0.5)/10000 AS eigenvalue
+       |FROM sc ORDER BY abs_score DESC, vec_id LIMIT ${operators.PcaOps.TopN}""".stripMargin
+  }
 
   /** FNV-1a 64 over a string SQL expression, as unsigned HUGEINT —
     * shared by the winnow/simhash/minhash/mm/PQ replays. */

@@ -183,6 +183,49 @@ object DedupOps {
   val dedupNgramJaccard: QueryFn = (s, dir) =>
     jaccardPairs(docShingles(s, dir).cache(), tau = 0.5)
 
+  /** EXACT shingle-containment pairs: C(a→b) = |A∩B| / |A| ≥ τ over
+    * ORDERED pairs — the asymmetric near-dup relation symmetric
+    * Jaccard misses (a short doc quoted wholesale inside a longer
+    * one scores high containment but low Jaccard). The prefix filter
+    * adapts losslessly to the asymmetric case: if C(a→b) ≥ τ then A
+    * and B share ≥ ⌈τ|A|⌉ shingles, so A's ⌈(1−τ)|A|⌉+1 globally
+    * rarest shingles (df-asc order) must hit one of them — A's
+    * PREFIX joins against B's FULL posting list (no prefix on the
+    * containing side, since only |A| bounds the intersection).
+    * df = 1 shingles still prune (a shared shingle has df ≥ 2 by
+    * definition; the length bound keeps using the original |A|), and
+    * C ≥ τ forces |B| ≥ τ|A|, the asymmetric length filter.
+    * Survivors verify with the exact set containment. */
+  private[operators] def containmentPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val ex = docs.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("key"))
+    val dfreq = ex.groupBy(col("key")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("key").asc)
+    val exDf = ex.join(dfreq, "key")
+    val prefix = exDf
+      .withColumn("rn", row_number().over(byRarity))
+      .where(col("rn") <= col("sz") - ceil(col("sz") * tau) + 1)
+      .select(col("key"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val full = exDf.select(col("key"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val cands = prefix.join(full, "key")
+      .where(col("doc_a") =!= col("doc_b") &&
+        col("sz_b") >= lit(tau) * col("sz_a"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")).cast("double"))
+      .where(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), rnd(col("containment"), 4).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupContainment: QueryFn = (s, dir) =>
+    containmentPairs(docShingles(s, dir).cache(), tau = 0.6)
+
   /** Incremental dedup: a NEW batch (doc_id % 5 == 4, ~20% of the
     * corpus — a deterministic stand-in for "today's partition")
     * deduped against the EXISTING corpus, the shape a daily-ingest

@@ -1,9 +1,10 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Cols.rnd
+import graft.functions.Cols.{rnd, xsum}
 
 /** Product-analytics operators over the events stream (SURVEY §2.B
   * cont.) — funnel and cohort-retention, the two staples of
@@ -185,5 +186,38 @@ object EventAnalytics {
         datediff($"d", $"d0").cast("long").as("day_offset"))
       .agg(count_distinct($"user_id").as("n_users"))
       .orderBy($"cohort", $"day_offset")
+  }
+
+  /** First-touch vs last-touch revenue attribution: every purchase's
+    * value credits (a) the event type of the user's FIRST event ever
+    * (first-touch) and (b) the type of the last non-purchase event
+    * strictly before it (last-touch; 'none' for a purchase with no
+    * prior touch). One shuffle on user_id serves both window passes —
+    * the running "last non-purchase type" is a frame-bounded
+    * last(ignoreNulls) carry, the as-of-join trick from [[AsOf]]
+    * without materializing a join. Deterministic: windows order by
+    * (ts, event_id), so same-timestamp events can't flip credit. */
+  val qAttribution: QueryFn = (s, dir) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ev = Tables.events(s, dir).select(
+      $"user_id", $"ts", $"event_id", $"event_type", $"value")
+    val touched = ev
+      .withColumn("first_touch", first($"event_type").over(byUser))
+      .withColumn("last_touch",
+        coalesce(
+          last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true)
+            .over(byUser.rowsBetween(Window.unboundedPreceding, -1)),
+          lit("none")))
+      .where($"event_type" === "purchase")
+    val ft = touched.groupBy($"first_touch".as("channel"))
+      .agg(count(lit(1)).as("n_conv"), xsum($"value").as("rev"))
+      .select(lit("first_touch").as("model"), $"channel", $"n_conv", $"rev")
+    val lt = touched.groupBy($"last_touch".as("channel"))
+      .agg(count(lit(1)).as("n_conv"), xsum($"value").as("rev"))
+      .select(lit("last_touch").as("model"), $"channel", $"n_conv", $"rev")
+    ft.unionAll(lt)
+      .select($"model", $"channel", $"n_conv", rnd($"rev", 2).as("revenue"))
+      .orderBy($"model", $"channel")
   }
 }

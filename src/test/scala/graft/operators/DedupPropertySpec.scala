@@ -97,4 +97,34 @@ class DedupPropertySpec extends SparkTestBase {
         s"seed=$seed docs=$docs missing=${expected.diff(got)} extra=${got.diff(expected)}")
     }
   }
+
+  // ---- lossless asymmetric containment filter vs brute force ----
+
+  private def bruteContainment(docs: Seq[String], tau: Double): Set[(Long, Long)] = {
+    val sets = docs.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .sliding(DedupOps.ShingleSize).filter(_.length == DedupOps.ShingleSize)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      c = sa.intersect(sb).size.toDouble / sa.size.toDouble
+      if c >= tau
+    } yield (a, b)).toSet
+  }
+
+  test("containmentPairs == brute-force all-ordered-pairs on 12 seeded random corpora") {
+    import spark.implicits._
+    (200L to 211L).foreach { seed =>
+      val docs = sample(corpusGen, seed)
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = DedupOps
+        .containmentPairs(DedupOps.shingled(df), tau = 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = bruteContainment(docs, 0.6)
+      assert(got == expected,
+        s"seed=$seed docs=$docs missing=${expected.diff(got)} extra=${got.diff(expected)}")
+    }
+  }
 }
