@@ -280,7 +280,43 @@ object PlanAudit {
         // must stay an equi-join, never a cartesian
         "no cartesian pairwise" -> (p => !p.contains("CartesianProduct")),
         "cluster-keyed equi-join" -> (p =>
-          "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(p).isDefined)))
+          "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(p).isDefined)),
+      "emb_pca_power" -> Map(
+        // the fitted model enters as literals: scoring the corpus must
+        // be a pure map (no join to a component table) and the top-k a
+        // bounded TakeOrdered, not a global sort
+        "model scored join-free" -> (p =>
+          !p.contains("Join") && !p.contains("CartesianProduct")),
+        "bounded top-k" -> (_.contains("TakeOrderedAndProject"))),
+      "text_hash_lr" -> Map(
+        // the hashing trick means NO vocabulary build: the whole
+        // classifier is one map pass — no join, no aggregation, and
+        // only the output-ordering sort's exchange
+        "no join (no vocab table)" -> (p =>
+          !p.contains("Join") && !p.contains("CartesianProduct")),
+        "no aggregation pass" -> (p => !p.contains("HashAggregate")),
+        "single exchange (output sort only)" -> (p =>
+          "Exchange".r.findAllIn(p).size <= 1),
+        "only doc_id+text read" -> (p => !p.contains("n_chars"))),
+      "dedup_containment" -> Map(
+        // one-sided prefix filter: A-prefix × B-full must stay an
+        // equi-join on the shingle key, never a cartesian
+        "no cartesian" -> (p => !p.contains("CartesianProduct")),
+        "semi/anti-free equi-join candidates" -> (p =>
+          "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(p).isDefined)),
+      "q_attribution" -> Map(
+        // both touch models ride ONE events scan and ONE user_id
+        // shuffle: the two frames (range for first, row for last)
+        // split into two Window operators but share the same sort —
+        // the unpivot/stack keeps the pipeline single-pass where a
+        // union of groupBys re-derived scan+shuffle per branch
+        "single events scan" -> (p =>
+          "FileScan parquet".r.findAllIn(p).size <= 1),
+        "one user_id shuffle for both touches" -> (p =>
+          "hashpartitioning\\(user_id".r.findAllIn(p).size == 1),
+        "windows share the sort (no inter-window sort)" -> (p =>
+          "\\bSort \\[".r.findAllIn(p).size <= 2),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

@@ -210,13 +210,14 @@ object EventAnalytics {
             .over(byUser.rowsBetween(Window.unboundedPreceding, -1)),
           lit("none")))
       .where($"event_type" === "purchase")
-    val ft = touched.groupBy($"first_touch".as("channel"))
+    // unpivot, don't union: a union of two groupBys re-derives the
+    // whole scan+window pipeline per branch (column pruning splits
+    // them) — stack keeps ONE scan, ONE user_id shuffle, ONE Window
+    touched
+      .select($"value", expr(
+        "stack(2, 'first_touch', first_touch, 'last_touch', last_touch) as (model, channel)"))
+      .groupBy($"model", $"channel")
       .agg(count(lit(1)).as("n_conv"), xsum($"value").as("rev"))
-      .select(lit("first_touch").as("model"), $"channel", $"n_conv", $"rev")
-    val lt = touched.groupBy($"last_touch".as("channel"))
-      .agg(count(lit(1)).as("n_conv"), xsum($"value").as("rev"))
-      .select(lit("last_touch").as("model"), $"channel", $"n_conv", $"rev")
-    ft.unionAll(lt)
       .select($"model", $"channel", $"n_conv", rnd($"rev", 2).as("revenue"))
       .orderBy($"model", $"channel")
   }

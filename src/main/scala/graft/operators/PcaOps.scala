@@ -82,8 +82,13 @@ object PcaOps {
     var eig = 0.0
     for (_ <- 1 to iters) {
       val ce = emb.select($"vec_id", centered($"emb", mu).as("c"))
-      // project (map-side, literal v) then update: one (dim) agg
-      val w = ce.select(decDot($"c", v).as("s"), posexplode($"c").as(Seq("dim", "cv")))
+      // project (map-side, literal v) then update: one (dim) agg.
+      // Two-step select on purpose: the dot product must materialize
+      // BEFORE the generate — fused into the posexplode select,
+      // Catalyst re-evaluates the (interpreted HOF) dot once per
+      // exploded row, a 64× blowup (measured 14 s → 3 s at sf0.1).
+      val scored = ce.select($"c", decDot($"c", v).as("s"))
+      val w = scored.select($"s", posexplode($"c").as(Seq("dim", "cv")))
         .groupBy($"dim")
         .agg(xsum($"s" * $"cv").as("w"))
         .collect()
