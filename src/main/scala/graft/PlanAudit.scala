@@ -316,6 +316,21 @@ object PlanAudit {
           "hashpartitioning\\(user_id".r.findAllIn(p).size == 1),
         "windows share the sort (no inter-window sort)" -> (p =>
           "\\bSort \\[".r.findAllIn(p).size <= 2),
+        "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      ),
+      "q_collocations" -> Map(
+        // the c_ab >= 5 Zipf-tail prune must happen in the aggregate
+        // (partial map-side) BEFORE the two vocabulary joins, and the
+        // corpus total enters as a literal, never a cross join
+        "partial agg before shuffle" -> (_.contains("partial_count")),
+        "no cartesian (total is a literal)" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "bounded top-k" -> (_.contains("TakeOrderedAndProject"))),
+      "q_merge_upsert" -> Map(
+        // MERGE compiles to ONE full-outer equi-join pass — all three
+        // change kinds resolve in it; no per-kind joins, no cartesian
+        "single full-outer equi-join" -> (p =>
+          "FullOuter".r.findAllIn(p).size == 1),
         "no cartesian" -> (p => !p.contains("CartesianProduct"))))
 
     var failures = 0

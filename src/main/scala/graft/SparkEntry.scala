@@ -141,6 +141,8 @@ object SparkEntry {
     "text_hash_lr"                -> operators.ModelOps.textHashLr,
     "dedup_containment"           -> DedupOps.dedupContainment,
     "q_attribution"               -> EventAnalytics.qAttribution,
+    "q_collocations"              -> PipelineOps.qCollocations,
+    "q_merge_upsert"              -> operators.CdcOps.qMergeUpsert,
     // r3 wave 2: retrieval, layout, partial-dup + semantic dedup
     "text_char_diversity"         -> PipelineOps.textCharDiversity,
     "q_bm25_search"               -> PipelineOps.qBm25Search,
@@ -1474,6 +1476,46 @@ object SparkEntry {
         |SELECT model, channel, CAST(n_conv AS BIGINT) AS n_conv,
         |  floor(rev*100 + 0.5)/100 AS revenue
         |FROM (SELECT * FROM ft UNION ALL SELECT * FROM lt) u ORDER BY model, channel""".stripMargin,
+
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |uni AS (SELECT unnest(tk) AS w FROM toks),
+        |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM uni),
+        |bg AS (
+        |  SELECT u.p['w1'] AS w1, u.p['w2'] AS w2
+        |  FROM (SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in generate_series(1, len(tk) - 1)]) AS p
+        |        FROM toks) u),
+        |bc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+        |j AS (
+        |  SELECT bc.w1, bc.w2, bc.c_ab,
+        |    (CAST(bc.c_ab AS DOUBLE) * (SELECT t FROM tot)) / (CAST(u1.c AS DOUBLE) * u2.c) AS lift
+        |  FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w)
+        |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+        |  floor(lift*10000 + 0.5)/10000 AS lift
+        |FROM j ORDER BY lift DESC, w1, w2 LIMIT 25""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey AS key, 'update' AS op, 'X' AS st, o_totalprice * 1.1 AS tp
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'delete', NULL, NULL FROM orders WHERE o_orderkey % 100 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'insert', 'N', o_totalprice * 0.5
+        |  FROM orders WHERE o_orderkey % 10 = 4),
+        |m AS (
+        |  SELECT
+        |    CASE WHEN c.op = 'delete' THEN NULL
+        |         WHEN c.op IS NOT NULL THEN c.st ELSE b.o_orderstatus END AS st,
+        |    CASE WHEN c.op = 'delete' THEN NULL
+        |         WHEN c.op IS NOT NULL THEN c.tp ELSE b.o_totalprice END AS tp
+        |  FROM orders b FULL OUTER JOIN ch c ON b.o_orderkey = c.key)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  floor(CAST(sum(CAST(tp AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS total_price
+        |FROM m WHERE st IS NOT NULL GROUP BY st ORDER BY o_orderstatus""".stripMargin,
 
     "text_hash_lr" ->
       s"""WITH toks AS (

@@ -28,6 +28,41 @@ object PipelineOps {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** Collocation mining: adjacent-bigram lift against independent
+    * unigram rates — lift(a,b) = c_ab · T / (c_a · c_b), the
+    * log-free monotone twin of PMI (libm log differs across engines
+    * in the last ulp; the plain ratio of exact integer counts does
+    * not — same reasoning as [[textLmScore]]). The phrase-mining
+    * pass a tokenizer-training pipeline runs to decide which word
+    * pairs deserve a merged token.
+    *
+    * Scale shape: one corpus scan explodes bigrams into a counted
+    * (w1,w2) table (partial agg map-side, c_ab ≥ 5 prunes the Zipf
+    * tail BEFORE the joins), unigram counts join by token key — a
+    * shuffle equi-join on both sides since a 100 TB corpus's vocab
+    * outgrows a broadcast — and T arrives as a collected literal, not
+    * a cross join. Bounded top-k lowers to TakeOrderedAndProject. */
+  val qCollocations: QueryFn = (s, dir) => {
+    import s.implicits._
+    val toks = Tables.documents(s, dir).select(normTokens($"text").as("tk"))
+    val totalTokens = toks.select(sum(size($"tk"))).head.getLong(0)
+    val uni = toks.select(explode($"tk").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val big = toks.select(explode(wordNgrams($"tk", 2)).as("ng"))
+      .groupBy($"ng").agg(count(lit(1)).as("c_ab"))
+      .where($"c_ab" >= 5)
+      .select(split($"ng", " ").getItem(0).as("w1"),
+        split($"ng", " ").getItem(1).as("w2"), $"c_ab")
+    big
+      .join(uni.select($"w".as("w1"), $"c".as("c_a")), "w1")
+      .join(uni.select($"w".as("w2"), $"c".as("c_b")), "w2")
+      .select($"w1", $"w2", $"c_ab",
+        rnd(($"c_ab" * lit(totalTokens)).cast("double") /
+          ($"c_a" * $"c_b").cast("double"), 4).as("lift"))
+      .orderBy($"lift".desc, $"w1".asc, $"w2".asc)
+      .limit(25)
+  }
+
   // ---------------------------------------------------------------
   // PII scan / redaction
   // ---------------------------------------------------------------

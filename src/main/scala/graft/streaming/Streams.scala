@@ -69,6 +69,32 @@ object Streams {
         col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"), col("approx_users"))
 
+  /** Progress-derived throughput/latency report for a streaming
+    * query — the numbers a capacity plan needs (can this topology
+    * keep up with the ingest rate, and what's the tail batch
+    * latency?). Sourced from [[org.apache.spark.sql.streaming
+    * .StreamingQueryProgress]], the engine's own per-trigger
+    * instrumentation, not wall-clock guesswork around the driver:
+    * the same counters a production job exports to its metrics
+    * sink via StreamingQueryListener. */
+  final case class RateReport(
+      nBatches: Long, totalRows: Long, rowsPerSec: Double,
+      p50BatchMs: Long, p95BatchMs: Long, maxBatchMs: Long)
+
+  def rateReport(q: org.apache.spark.sql.streaming.StreamingQuery): RateReport = {
+    val progs = q.recentProgress.filter(_.numInputRows > 0)
+    require(progs.nonEmpty, "no data-carrying batches recorded")
+    val durs = progs
+      .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
+      .sorted
+    val rows = progs.map(_.numInputRows).sum
+    val totalMs = math.max(durs.sum, 1L)
+    def pct(f: Double): Long =
+      durs(math.min(durs.length - 1, (f * durs.length).toInt))
+    RateReport(progs.length.toLong, rows, rows * 1000.0 / totalMs,
+      pct(0.5), pct(0.95), durs.last)
+  }
+
   /** Streaming dedup: first event per (user_id, event_type) wins;
     * state for a key is dropped once the watermark passes it —
     * bounded state, the streaming twin of `dedup_exact`. */

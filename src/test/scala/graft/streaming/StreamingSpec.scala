@@ -243,4 +243,30 @@ class StreamingSpec extends SparkTestBase {
       assert(perUser.getOrElse(u, 0L) == n - 1, s"user $u")
     }
   }
+
+  test("rate harness: progress-derived throughput/latency over MemoryStream batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, Long, String)]
+    val ev = mem.toDF().toDF("user_id", "value", "us", "event_type")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+    val q = Streams.windowedAgg(ev).writeStream
+      .format("memory").queryName("rate_out").outputMode("complete").start()
+    try {
+      var fed = 0L
+      (0 until 3).foreach { b =>
+        mem.addData((0 until 1000).map { i =>
+          (i.toLong % 50, 1.0, (b * 1000L + i) * 60L * 1000000L, "view")
+        })
+        fed += 1000
+        q.processAllAvailable()
+      }
+      val rep = Streams.rateReport(q)
+      assert(rep.totalRows == fed, s"rows counted: $rep")
+      assert(rep.nBatches >= 3)
+      assert(rep.rowsPerSec > 0)
+      assert(rep.p50BatchMs <= rep.p95BatchMs && rep.p95BatchMs <= rep.maxBatchMs)
+    } finally q.stop()
+  }
 }
