@@ -143,6 +143,7 @@ object SparkEntry {
     "q_attribution"               -> EventAnalytics.qAttribution,
     "q_collocations"              -> PipelineOps.qCollocations,
     "q_merge_upsert"              -> operators.CdcOps.qMergeUpsert,
+    "text_bpe_train"              -> operators.BpeOps.textBpeTrain,
     // r3 wave 2: retrieval, layout, partial-dup + semantic dedup
     "text_char_diversity"         -> PipelineOps.textCharDiversity,
     "q_bm25_search"               -> PipelineOps.qBm25Search,
@@ -1541,6 +1542,8 @@ object SparkEntry {
         |  floor(score*1000000 + 0.5)/1000000 > 0 AS keep
         |FROM ag ORDER BY doc_id""".stripMargin,
 
+    "text_bpe_train" -> bpeOracle,
+
     "dedup_minhash_lsh" -> minhashLshOracle,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
@@ -1832,6 +1835,46 @@ object SparkEntry {
        |  floor(abs(raw)*1000000 + 0.5)/1000000 AS abs_score,
        |  floor(((SELECT nrm FROM $lastN) / ((SELECT n FROM cnt) - 1))*10000 + 0.5)/10000 AS eigenvalue
        |FROM sc ORDER BY abs_score DESC, vec_id LIMIT ${operators.PcaOps.TopN}""".stripMargin
+  }
+
+  /** `text_bpe_train`'s 3 merge rounds replayed in SQL: the same
+    * vocab-table shape (pair counts weighted by word frequency), the
+    * same (count desc, pair asc) argmax, and the same greedy
+    * left-to-right rewrite — the oracle's `list_reduce` fold is the
+    * literal twin of the Scala merge UDF, so a just-merged symbol
+    * re-matches (or doesn't) identically in both engines. */
+  private lazy val bpeOracle: String = {
+    val rounds = (1 to operators.BpeOps.Rounds).map { r =>
+      s"""pc$r AS (
+         |  SELECT u.p['a'] AS a, u.p['b'] AS b, sum(u.cnt) AS pc
+         |  FROM (SELECT cnt, unnest([{'a': syms[i], 'b': syms[i+1]}
+         |          for i in generate_series(1, len(syms) - 1)]) AS p
+         |        FROM s${r - 1}) u
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, pc FROM pc$r ORDER BY pc DESC, a, b LIMIT 1),
+         |s$r AS (
+         |  SELECT list_reduce(
+         |      list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+         |      (acc, xl) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$r.a AND xl[1] = b$r.b
+         |        THEN list_append(acc[1:len(acc) - 1], b$r.a || b$r.b)
+         |        ELSE list_concat(acc, xl) END) AS syms,
+         |    cnt
+         |  FROM s${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to operators.BpeOps.Rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS rank, a AS lhs, b AS rhs,
+         |    a || b AS merged, CAST(pc AS BIGINT) AS pair_count FROM b$r""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH w AS (
+       |  SELECT u.t AS w, count(*) AS cnt
+       |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+       |        FROM documents) u
+       |  GROUP BY 1),
+       |s0 AS (SELECT string_split(w, '') AS syms, cnt FROM w),
+       |$rounds
+       |SELECT * FROM (
+       |  $out
+       |) ORDER BY rank""".stripMargin
   }
 
   /** FNV-1a 64 over a string SQL expression, as unsigned HUGEINT —
