@@ -253,6 +253,15 @@ object PlanAudit {
         "partial agg before shuffle" -> (_.contains("partial_")),
         "only custkey+orderdate read" -> (p =>
           p.contains("o_custkey") && !p.contains("o_totalprice"))),
+      "q_hilbert_layout" -> Map(
+        // the native Hilbert2DExpr must stay inside whole-stage
+        // codegen at scan time — same map-side discipline as Z-order
+        "no join, no window" -> (p =>
+          !p.contains("Join") && !"\\bWindow\\b".r.findFirstIn(p).isDefined),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "codegen scan stage" -> (_.contains("WholeStageCodegen subtree")),
+        "only custkey+orderdate read" -> (p =>
+          p.contains("o_custkey") && !p.contains("o_totalprice"))),
       "q_bm25_search" -> Map(
         // df (3 rows) and corpus stats (1 row) broadcast; the final
         // top-20 is a bounded heap, never a global sort

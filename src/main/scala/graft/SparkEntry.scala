@@ -148,6 +148,7 @@ object SparkEntry {
     "text_char_diversity"         -> PipelineOps.textCharDiversity,
     "q_bm25_search"               -> PipelineOps.qBm25Search,
     "q_zorder_layout"             -> operators.LayoutOps.qZorderLayout,
+    "q_hilbert_layout"            -> operators.LayoutOps.qHilbertLayout,
     "dedup_cdc_chunks"            -> DedupOps.dedupCdcChunks,
     "dedup_semantic"              -> DedupOps.dedupSemantic,
   )
@@ -1599,6 +1600,34 @@ object SparkEntry {
         |  min(yb) AS month_min, max(yb) AS month_max,
         |  (max(xb) - min(xb) + 1) * (max(yb) - min(yb) + 1) AS envelope_area
         |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
+    },
+
+    "q_hilbert_layout" -> {
+      // the 8-level xy→d transform unrolled: each SQL level computes
+      // (x, y, d) from the PREVIOUS level's columns — linear growth,
+      // where the composed Column form would be exponential
+      val levels = (0 until 8).map { k =>
+        val s = 128L >> k
+        val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+        val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+        s"""h${k + 1} AS (
+           |  SELECT xb, yb,
+           |    CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - y ELSE y END) ELSE x END AS x,
+           |    CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - x ELSE x END) ELSE y END AS y,
+           |    d + ${s * s} * xor(3 * $rx, $ry) AS d
+           |  FROM h$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (
+        |  SELECT CAST(o_custkey // ${operators.LayoutOps.CustDiv} AS BIGINT) & 255 AS xb,
+        |    CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT) & 255 AS yb
+        |  FROM orders),
+        |h0 AS (SELECT xb, yb, xb AS x, yb AS y, CAST(0 AS BIGINT) AS d FROM b),
+        |$levels
+        |SELECT (d >> 8) AS file_id, count(*) AS n_rows,
+        |  min(xb) AS cust_min, max(xb) AS cust_max,
+        |  min(yb) AS month_min, max(yb) AS month_max,
+        |  (max(xb) - min(xb) + 1) * (max(yb) - min(yb) + 1) AS envelope_area
+        |FROM h8 GROUP BY 1 ORDER BY file_id""".stripMargin
     },
 
     "dedup_cdc_chunks" ->

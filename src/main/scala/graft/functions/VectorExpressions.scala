@@ -267,6 +267,66 @@ object FnvShinglesExpr {
   }
 }
 
+/** Native codegen 2-D Hilbert index (8 bits per axis, a 256×256
+  * grid): the locality-preserving space-filling curve — unlike
+  * Z-order, consecutive Hilbert indices are always grid-adjacent, so
+  * files cut from a Hilbert sort get tighter min/max envelopes on
+  * BOTH dimensions (no Z-shape diagonal jumps). The standard xy→d
+  * bit transform is an 8-level loop with rotate/flip state — as a
+  * composed Column expression the per-level when-chains reference
+  * both prior coordinates and the tree grows exponentially, so this
+  * is exactly the "native Expression beats composition" case. The
+  * oracle replays the identical integer transform as 8 unrolled SQL
+  * CTE levels (each level materializes x/y/d columns — linear, not
+  * exponential, in SQL). */
+case class Hilbert2DExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hilbert_2d expects (bigint, bigint), got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Hilbert2DExpr.index(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Hilbert2DExpr.index($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Hilbert2DExpr {
+  /** Canonical xy→d transform on the 256×256 grid (public-domain
+    * construction; e.g. the Wikipedia "Hilbert curve" reference
+    * implementation), kept branch-for-branch identical to the SQL
+    * unroll in the oracle. */
+  def index(x0: Long, y0: Long): Long = {
+    var x = x0 & 255L
+    var y = y0 & 255L
+    var d = 0L
+    var s = 128L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -285,6 +345,10 @@ object VectorExpressions {
   /** Column-API face of [[FnvShinglesExpr]]. */
   def fnv_shingles(tokens: Column, n: Int): Column =
     column(FnvShinglesExpr(expression(tokens), n))
+
+  /** Column-API face of [[Hilbert2DExpr]]. */
+  def hilbert_2d(x: Column, y: Column): Column =
+    column(Hilbert2DExpr(expression(x), expression(y)))
 
   private val fnId = FunctionIdentifier("cosine_sim")
   private val info = new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim")
@@ -323,5 +387,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(0),
         // n must be a foldable int literal, e.g. fnv_shingles(tk, 3)
         exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("hilbert_2d"),
+      new ExpressionInfo(classOf[Hilbert2DExpr].getName, "hilbert_2d"),
+      (exprs: Seq[Expression]) => Hilbert2DExpr(exprs(0), exprs(1))))
   }
 }

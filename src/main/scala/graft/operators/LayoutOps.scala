@@ -68,4 +68,42 @@ object LayoutOps {
           .as("envelope_area"))
       .orderBy($"file_id")
   }
+
+  /** The same (customer, month) bucketing as [[qZorderLayout]]. */
+  private def bucketed(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.orders(s, dir).select(
+      ($"o_custkey" / CustDiv).cast("long").bitwiseAND(255).as("xb"),
+      ((year($"o_orderdate") - 1995) * 12 + month($"o_orderdate") - 1)
+        .cast("long").bitwiseAND(255).as("yb"))
+  }
+
+  /** Hilbert-curve layout plan over the same (customer, month) grid
+    * as [[qZorderLayout]] — the locality upgrade: consecutive Hilbert
+    * indices are always grid-ADJACENT (the Z-curve jumps across the
+    * grid at power-of-two seams), so 256-value file cuts get tighter
+    * two-dimensional envelopes and a range filter on either dimension
+    * skips at least as many files. The index is the native codegen
+    * [[graft.functions.Hilbert2DExpr]] — the 8-level rotate/flip
+    * transform would blow up exponentially as composed when-chains —
+    * and the oracle replays the identical integer transform as 8
+    * unrolled SQL levels. LayoutRetrievalSpec asserts the mean
+    * envelope area beats the Z-order layout's on the same data. */
+  val qHilbertLayout: QueryFn = (s, dir) => {
+    import s.implicits._
+    bucketed(s, dir)
+      .select($"xb", $"yb",
+        graft.functions.VectorExpressions.hilbert_2d($"xb", $"yb").as("h"))
+      .select($"xb", $"yb", shiftright($"h", 8).as("file_id"))
+      .groupBy($"file_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min($"xb").as("cust_min"), max($"xb").as("cust_max"),
+        min($"yb").as("month_min"), max($"yb").as("month_max"))
+      .select($"file_id", $"n_rows",
+        $"cust_min", $"cust_max", $"month_min", $"month_max",
+        (($"cust_max" - $"cust_min" + 1) * ($"month_max" - $"month_min" + 1))
+          .as("envelope_area"))
+      .orderBy($"file_id")
+  }
 }

@@ -112,4 +112,31 @@ class LayoutRetrievalSpec extends SparkTestBase {
         s"pair ($a,$b) cos ${r.getAs[Double]("cos")} vs brute $brute")
     }
   }
+
+  test("hilbert_2d: bijective on the 256x256 grid and unit-step adjacent") {
+    // the two defining properties of the Hilbert curve: every cell
+    // gets a unique index, and consecutive indices are grid neighbors
+    // (|dx|+|dy| == 1) — the locality Z-order lacks at seam crossings
+    val cells = for (x <- 0 until 256; y <- 0 until 256)
+      yield (graft.functions.Hilbert2DExpr.index(x, y), (x, y))
+    assert(cells.map(_._1).distinct.length == 65536)
+    val byD = cells.sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("q_hilbert_layout: tighter mean envelope than the Z-order layout") {
+    def meanArea(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.select("envelope_area", "n_rows").collect()
+      rows.map(r => r.getLong(0).toDouble * r.getLong(1)).sum /
+        rows.map(_.getLong(1)).sum
+    }
+    val hil = meanArea(LayoutOps.qHilbertLayout(spark, sfDir))
+    val zor = meanArea(LayoutOps.qZorderLayout(spark, sfDir))
+    // row-weighted mean bounding-box area: Hilbert's unit-step
+    // locality must not lose to the Z-curve's seam jumps
+    assert(hil <= zor, s"hilbert mean envelope $hil > zorder $zor")
+  }
 }
