@@ -144,6 +144,7 @@ object SparkEntry {
     "q_collocations"              -> PipelineOps.qCollocations,
     "q_merge_upsert"              -> operators.CdcOps.qMergeUpsert,
     "text_bpe_train"              -> operators.BpeOps.textBpeTrain,
+    "q_exp_smoothing"             -> EventAnalytics.qExpSmoothing,
     // r3 wave 2: retrieval, layout, partial-dup + semantic dedup
     "text_char_diversity"         -> PipelineOps.textCharDiversity,
     "q_bm25_search"               -> PipelineOps.qBm25Search,
@@ -1544,6 +1545,18 @@ object SparkEntry {
         |FROM ag ORDER BY doc_id""".stripMargin,
 
     "text_bpe_train" -> bpeOracle,
+
+    "q_exp_smoothing" ->
+      """WITH mo AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(27,10))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |ser AS (SELECT priority, list(rev ORDER BY m) AS revs FROM mo GROUP BY 1)
+        |SELECT priority, CAST(len(revs) AS BIGINT) AS n_months,
+        |  floor(list_reduce(revs, (acc, x) -> (x + acc)/2)*10000 + 0.5)/10000 AS level,
+        |  floor(revs[-1]*10000 + 0.5)/10000 AS last_rev
+        |FROM ser ORDER BY priority""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashLshOracle,
     "ann_lsh_topk" -> annLshOracle,

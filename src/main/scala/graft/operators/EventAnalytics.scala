@@ -188,6 +188,41 @@ object EventAnalytics {
       .orderBy($"cohort", $"day_offset")
   }
 
+  /** Exponentially-weighted level (Holt's simple smoothing) of each
+    * priority class's monthly revenue — the forecasting fold a
+    * capacity dashboard runs. α = 1/2 ON PURPOSE: every step is
+    * s ← (x + s)/2, exact binary halving, so the left-to-right fold
+    * is bit-identical in any IEEE engine and the oracle is a plain
+    * `list_reduce` (a generic α would still be deterministic but α=½
+    * removes even representation doubt — the √/α=0.5 lesson).
+    *
+    * Scale shape: the monthly rollup is one partial+final agg; the
+    * per-key series collect is bounded by the CALENDAR (≤ #months
+    * rows per key), not the fact table — the one case where
+    * collect_list is scale-safe. The fold itself is sequential by
+    * definition (s_t depends on s_{t-1}), so it runs inside the row,
+    * not across rows. */
+  val qExpSmoothing: QueryFn = (s, dir) => {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy($"o_orderpriority".as("priority"),
+        ((year($"o_orderdate") - 1995) * 12 + month($"o_orderdate") - 1)
+          .cast("long").as("m"))
+      .agg(xsum($"o_totalprice").as("rev"))
+    monthly
+      .groupBy($"priority")
+      .agg(array_sort(collect_list(struct($"m", $"rev"))).as("ser"))
+      .select($"priority", size($"ser").cast("long").as("n_months"),
+        rnd(aggregate(
+          // NOT Int.MaxValue: slice's start+length overflows int and
+          // silently yields [] — the fold would return its init
+          slice($"ser", lit(2), size($"ser")),
+          element_at($"ser", 1).getField("rev"),
+          (acc, x) => (x.getField("rev") + acc) / lit(2)), 4).as("level"),
+        rnd(element_at($"ser", -1).getField("rev"), 4).as("last_rev"))
+      .orderBy($"priority")
+  }
+
   /** First-touch vs last-touch revenue attribution: every purchase's
     * value credits (a) the event type of the user's FIRST event ever
     * (first-touch) and (b) the type of the last non-purchase event
