@@ -1382,10 +1382,14 @@ object SparkEntry {
         |  FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |vq AS (SELECT tok, df FROM (
+        |  SELECT tok, df, row_number() OVER (ORDER BY df, tok) AS r,
+        |         count(*) OVER () AS vn FROM df) z
+        |  WHERE r * 4 <= vn + 3),
         |t AS (SELECT count(*) AS n_docs FROM documents),
         |w AS (
         |  SELECT doc_id, tok, CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / df) AS w
-        |  FROM tf JOIN df USING (tok), t WHERE df * 10 <= n_docs),
+        |  FROM tf JOIN vq USING (tok), t),
         |nrm AS (SELECT doc_id,
         |  sqrt(CAST(sum(CAST((w*w) AS DECIMAL(27,10))) AS DOUBLE)) AS nrm
         |  FROM w GROUP BY 1),

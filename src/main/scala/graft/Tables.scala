@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Schema'd loaders for the driver-generated star schema (TESTDATA.md).
   *
@@ -25,14 +26,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy flag) and truncate
-    * to microseconds — the same truncation DuckDB applies — keeping
-    * the column a first-class TimestampType for window/watermark use. */
+  /** Normalize the events `ts` column to a first-class TimestampType
+    * (for window/watermark use) regardless of how the parquet surfaced
+    * it. The generator has shipped `ts` as TIMESTAMP(NANOS) (loads as
+    * raw Long under the legacy flag → truncate to µs, the same
+    * truncation DuckDB applies) and as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (loads as TIMESTAMP_NTZ under Spark 4's
+    * NTZ inference → reinterpret in the session TZ, which every graft
+    * session pins to UTC so the rendered instants match the oracle's
+    * naive timestamps bit-for-bit). Branching on the *loaded* dtype
+    * keeps one loader correct across generator/image versions. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType    => df
+    case other =>
+      throw new IllegalStateException(s"unsupported events.ts dtype: $other")
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
+    // harmless where ts is already µs; makes NANOS images load ts as Long
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -272,23 +272,31 @@ object PipelineOps {
     * [[textTfidfTop]] — no logs, so every weight, dot product
     * (decimal-accumulated) and norm is bit-identical cross-engine.
     *
-    * Vectors span DISCRIMINATIVE terms only (df·10 ≤ N — integer
-    * arithmetic, so the cutoff can't straddle an engine's rounding):
-    * stopword postings pair every probe with every document, turning
-    * the posting join quadratic for near-zero weight contribution
-    * (df ≈ N ⟹ idf ≈ 1, a ~1e-3 share of a norm dominated by
-    * df=1 terms at weight N). Measured 10.7 s → 1.7 s at sf0.1; the
-    * df cap is the textbook feature-selection step of sparse-vector
-    * retrieval, not an approximation knob bolted on. */
+    * Vectors span DISCRIMINATIVE terms only — the bottom quartile of
+    * the vocabulary by (df, tok) rank (integer rank arithmetic, so
+    * the cutoff can't straddle an engine's rounding — and unlike a
+    * fixed df·k ≤ N ratio it is never empty on ANY corpus, including
+    * this synthetic one whose ~31-token vocabulary is bimodal with
+    * df ∈ {25} ∪ [373, 402]): stopword postings pair every probe
+    * with every document, turning the posting join quadratic for
+    * near-zero weight contribution (df ≈ N ⟹ idf ≈ 1). On a Zipf
+    * vocabulary the bottom quartile IS the rare discriminative tail;
+    * the rank itself is a vocabulary-sized window (vocab ≪ corpus),
+    * the same feature-selection step of sparse-vector retrieval. */
   val textSeedSim: QueryFn = (s, dir) => {
     import s.implicits._
     val tf = Tables.documents(s, dir)
       .select($"doc_id", explode(normTokens($"text")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    // bottom-quartile vocabulary by (df, tok): r <= ceil(vn/4)
+    val vocab = df
+      .withColumn("r", row_number().over(Window.orderBy($"df".asc, $"tok".asc)))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("vn"))))
+      .where($"r" * 4 <= $"vn" + 3)
+      .select($"tok", $"df")
     val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    val w = tf.join(df, "tok").crossJoin(broadcast(total))
-      .where($"df" * 10 <= $"n_docs")
+    val w = tf.join(vocab, "tok").crossJoin(broadcast(total))
       .select($"doc_id", $"tok",
         ($"tf".cast("double") * ($"n_docs".cast("double") / $"df")).as("w"))
     val nrm = w.groupBy($"doc_id").agg(sqrt(xsum($"w" * $"w")).as("nrm"))

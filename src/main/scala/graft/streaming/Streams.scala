@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** The events parquet schema as the streaming source sees it
-    * (ts = raw NANOS int64; see graft.Tables.events). */
+  /** The events parquet schema as the streaming source sees it. `ts`
+    * is a placeholder — [[eventsStreamFrom]] substitutes the dtype the
+    * files actually carry (Long nanos on old generators, TIMESTAMP_NTZ
+    * micros on current ones; see [[graft.Tables.normalizeTs]]). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -46,10 +48,15 @@ object Streams {
     * micro-batch through this). */
   def eventsStreamFrom(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // The file source needs a user-supplied schema; probe the landing
+    // dir's actual ts dtype with a batch read (cheap: footer only) so
+    // the same code streams Long-nanos and NTZ-micros files alike. An
+    // empty landing dir defaults to the current generator's NTZ micros.
+    val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(TimestampNTZType: org.apache.spark.sql.types.DataType)
+    val schema = StructType(rawSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Hourly tumbling-window aggregate with a 1-hour watermark.

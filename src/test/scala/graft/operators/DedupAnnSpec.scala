@@ -245,9 +245,10 @@ class DedupAnnSpec extends SparkTestBase {
     info(s"ann_pq_topk recall@5 = $recall")
     // 16 subspaces × 16 codes on near-random vectors is the hardest
     // case for PQ, but the ADC-shortlist + exact re-rank stage only
-    // needs the true neighbor inside the top-50 ADC candidates —
-    // recall@5 ≥ 0.6 asserted (structured real embeddings do better)
-    assert(recall >= 0.6, s"pq recall too low: $recall")
+    // needs the true neighbor inside the top-50 ADC candidates.
+    // Bar = measured (0.92 in r3) − 0.1, so a regression can't hide
+    // under a slack threshold (r3 verdict item #8).
+    assert(recall >= 0.82, s"pq recall too low: $recall")
   }
 
   test("ann_ivfpq_topk: composed index (cell routing × PQ codes × re-rank) keeps recall") {
@@ -259,9 +260,8 @@ class DedupAnnSpec extends SparkTestBase {
     val recall = got.intersect(exact).size.toDouble / exact.size
     info(s"ann_ivfpq_topk recall@5 = $recall")
     // strictly harder than flat PQ (the probed cells bound what the
-    // shortlist can see) — the composed index must still clear the
-    // same bar the standalone approximations do
-    assert(recall >= 0.6, s"ivf-pq recall too low: $recall")
+    // shortlist can see). Bar = measured (0.78 in r3) − 0.1.
+    assert(recall >= 0.68, s"ivf-pq recall too low: $recall")
   }
 
   test("ann_lsh_topk and ann_ivf_topk: valid rankings with useful recall") {
@@ -281,8 +281,9 @@ class DedupAnnSpec extends SparkTestBase {
       val recall = got.intersect(exact).size.toDouble / exact.size
       info(s"$name recall@5 = $recall")
       // a real bar: tuned band/probe budgets (12×4-bit bands; 6 probe
-      // cells) hold ~0.8 recall on the near-random test embeddings
-      assert(recall >= 0.6, s"$name recall too low: $recall")
+      // cells) measured 0.84 on the near-random test embeddings in
+      // r3 — bar = measured − 0.1 so regressions can't hide
+      assert(recall >= 0.74, s"$name recall too low: $recall")
     }
   }
 
