@@ -340,7 +340,32 @@ object PlanAudit {
         // change kinds resolve in it; no per-kind joins, no cartesian
         "single full-outer equi-join" -> (p =>
           "FullOuter".r.findAllIn(p).size == 1),
-        "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "text_dsir_importance" -> Map(
+        // the bucket-stats/ratio table is B rows — it must come back
+        // to the gram stream as a BROADCAST, never a shuffle join,
+        // and gram bucketing is map-side partial-agg'd
+        "ratio table broadcast back" -> (_.contains("BroadcastHashJoin")),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no cartesian beyond 1-row totals" -> (p =>
+          !p.contains("CartesianProduct"))),
+      "text_bpe_encode" -> Map(
+        // the ENCODE pass is pure map: merges ride as literals in
+        // chained projections — no join anywhere, the only exchanges
+        // are the per-doc agg and the output sort
+        "no join (merge table is literal)" -> (p =>
+          !p.contains("Join") && !p.contains("CartesianProduct")),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "at most agg+sort exchanges" -> (p =>
+          "Exchange".r.findAllIn(p).size <= 2)),
+      "ann_ivfpq_residual_topk" -> Map(
+        // residual arithmetic must stay free: cell assignment +
+        // residual subtract + encode + reconstruct all map-side, the
+        // candidate join an equi-join on the probed cell
+        "no cartesian assignment" -> (p =>
+          !p.contains("CartesianProduct")),
+        "no per-vector window shuffle" -> (p =>
+          !p.contains("windowspecdefinition(vec_id"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

@@ -113,6 +113,8 @@ object SparkEntry {
     "text_ccnet_buckets"          -> PipelineOps.textCcnetBuckets,
     "text_repeated_ngrams"        -> PipelineOps.textRepeatedNgrams,
     "text_chunk_passages"         -> PipelineOps.textChunkPassages,
+    "text_dsir_importance"        -> PipelineOps.textDsirImportance,
+    "text_bpe_encode"             -> operators.BpeOps.textBpeEncode,
     "q_pack_shards"               -> PipelineOps.qPackShards,
     "q_histogram"                 -> EventAnalytics.qHistogram,
     "q_heavy_hitters"             -> EventAnalytics.qHeavyHittersCms,
@@ -133,6 +135,7 @@ object SparkEntry {
     "ann_sq8_topk"                -> AnnOps.annSq8Topk,
     "ann_pq_topk"                 -> AnnOps.annPqTopk,
     "ann_ivfpq_topk"              -> AnnOps.annIvfPqTopk,
+    "ann_ivfpq_residual_topk"     -> AnnOps.annIvfPqResidualTopk,
     "emb_kmeans"                  -> operators.KMeansOps.embKmeans,
     "emb_pca_power"               -> operators.PcaOps.embPcaPower,
     // §2.F multimodal stand-in
@@ -1549,6 +1552,34 @@ object SparkEntry {
         |FROM ag ORDER BY doc_id""".stripMargin,
 
     "text_bpe_train" -> bpeOracle,
+    "text_bpe_encode" -> bpeEncodeOracle,
+
+    "text_dsir_importance" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, doc_id % 10 = 9 AS is_target,
+        |    CAST(${fnvSql("gram")} % 256 AS BIGINT) AS bucket
+        |  FROM (SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+        |          for i in generate_series(1, len(tk) - 1)]) AS gram
+        |        FROM toks WHERE len(tk) >= 2) u),
+        |stats AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tb,
+        |    sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS sb
+        |  FROM g GROUP BY 1),
+        |tot AS (SELECT sum(tb) AS tt, sum(sb) AS st FROM stats),
+        |r AS (
+        |  SELECT bucket,
+        |    (CAST(tb + 1 AS DOUBLE) * CAST(st + 256 AS DOUBLE)) /
+        |    (CAST(sb + 1 AS DOUBLE) * CAST(tt + 256 AS DOUBLE)) AS ratio
+        |  FROM stats, tot)
+        |SELECT doc_id, n_grams, weight, weight >= 1.0 AS selected FROM (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    floor((CAST(sum(CAST(ratio AS DECIMAL(27,10))) AS DOUBLE) / count(*))*1000000 + 0.5)/1000000 AS weight
+        |  FROM g JOIN r USING (bucket) WHERE NOT is_target GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_exp_smoothing" ->
       """WITH mo AS (
@@ -1567,6 +1598,7 @@ object SparkEntry {
     "dedup_embedding" -> dedupEmbeddingOracle,
     "ann_pq_topk" -> annPqOracle,
     "ann_ivfpq_topk" -> annIvfPqOracle,
+    "ann_ivfpq_residual_topk" -> annIvfPqResidualOracle,
 
     "text_char_diversity" ->
       """WITH ch AS (
@@ -1923,6 +1955,55 @@ object SparkEntry {
        |) ORDER BY rank""".stripMargin
   }
 
+  /** `text_bpe_encode`'s oracle: the SAME 3-round training replay as
+    * [[bpeOracle]] (pc/b/s CTEs — the merges must come out identical
+    * before application even makes sense), then the learned merges
+    * applied per (doc, word) with the identical greedy list_reduce
+    * fold, aggregated to the per-doc token accounting. */
+  private lazy val bpeEncodeOracle: String = {
+    val rounds = (1 to operators.BpeOps.Rounds).map { r =>
+      s"""pc$r AS (
+         |  SELECT u.p['a'] AS a, u.p['b'] AS b, sum(u.cnt) AS pc
+         |  FROM (SELECT cnt, unnest([{'a': syms[i], 'b': syms[i+1]}
+         |          for i in generate_series(1, len(syms) - 1)]) AS p
+         |        FROM s${r - 1}) u
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, pc FROM pc$r ORDER BY pc DESC, a, b LIMIT 1),
+         |s$r AS (
+         |  SELECT list_reduce(
+         |      list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+         |      (acc, xl) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$r.a AND xl[1] = b$r.b
+         |        THEN list_append(acc[1:len(acc) - 1], b$r.a || b$r.b)
+         |        ELSE list_concat(acc, xl) END) AS syms,
+         |    cnt
+         |  FROM s${r - 1}, b$r),
+         |e$r AS (
+         |  SELECT doc_id, n_chars, list_reduce(
+         |      list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+         |      (acc, xl) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$r.a AND xl[1] = b$r.b
+         |        THEN list_append(acc[1:len(acc) - 1], b$r.a || b$r.b)
+         |        ELSE list_concat(acc, xl) END) AS syms
+         |  FROM e${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT u.t AS w, count(*) AS cnt
+       |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+       |        FROM documents) u
+       |  GROUP BY 1),
+       |s0 AS (SELECT string_split(w, '') AS syms, cnt FROM w),
+       |e0 AS (
+       |  SELECT doc_id, string_split(u.t, '') AS syms, CAST(len(u.t) AS BIGINT) AS n_chars
+       |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+       |        FROM documents) u),
+       |$rounds
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) - sum(len(syms)) AS BIGINT) AS n_merges,
+       |  floor((CAST(sum(len(syms)) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE))*1000000 + 0.5)/1000000 AS compression
+       |FROM e${operators.BpeOps.Rounds} GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** FNV-1a 64 over a string SQL expression, as unsigned HUGEINT —
     * shared by the winnow/simhash/minhash/mm/PQ replays. */
   private def fnvSql(strExpr: String): String =
@@ -1951,8 +2032,14 @@ object SparkEntry {
     * codes keeping their previous centroid), corpus encode, and
     * reconstruction. The same determinism discipline as
     * `emb_kmeans`'s 3-iteration unroll, lifted to 16 independent
-    * subspace quantizers. Shared by the flat-PQ and IVF-PQ oracles. */
-  private lazy val pqIndexCtes: String = {
+    * subspace quantizers. Shared by the flat-PQ, IVF-PQ, and
+    * residual-IVF-PQ oracles: `extra` injects CTEs between `ne` and
+    * the training chain, `vsrc` names the (vec_id, emb) CTE the
+    * quantizer trains on/encodes (`ne` = normalized vectors for the
+    * flat index, `res` = per-cell residuals for the residual one). */
+  private lazy val pqIndexCtes: String = pqIndexCtesOn("", "ne")
+
+  private def pqIndexCtesOn(extra: String, vsrc: String): String = {
     val lloydRounds = (1 to 3).map { r =>
       val prev = s"c${r - 1}"
       s"""d$r AS (
@@ -1984,10 +2071,10 @@ object SparkEntry {
        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(raw, x -> x*x)), (a, b) -> a + b)) AS nrm
        |  FROM e0),
-       |ne AS (SELECT vec_id, list_transform(raw, x -> x/nrm) AS emb FROM e1),
+       |ne AS (SELECT vec_id, list_transform(raw, x -> x/nrm) AS emb FROM e1),$extra
        |nv AS (
        |  SELECT vec_id, CAST((i - 1) // 4 AS INT) AS sub, CAST((i - 1) % 4 AS INT) AS pos, emb[i] AS v
-       |  FROM ne, (SELECT unnest(generate_series(1, 64)) AS i) ii),
+       |  FROM $vsrc, (SELECT unnest(generate_series(1, 64)) AS i) ii),
        |samp AS (SELECT vec_id FROM ne
        |  WHERE ${fnvSql("CAST(vec_id AS VARCHAR)")} % 4 = 0),
        |init AS (
@@ -2045,14 +2132,13 @@ object SparkEntry {
        |  FROM pr JOIN hat t ON t.vec_id <> pr.pid),
        |$pqServeTail""".stripMargin
 
-  /** `ann_ivfpq_topk`: the same PQ index CTEs, with the ADC scan
-    * restricted to each probe's top-6 IVF cells — decimal-exact cell
-    * centroids per label (the `ann_ivf_topk` discipline), cell
-    * scores rounded to 1e-6 before the argmax/top-6 exactly like the
-    * Spark `cellScores` expression. */
-  private lazy val annIvfPqOracle: String =
-    s"""WITH $pqIndexCtes,
-       |cr AS (
+  /** IVF coarse-quantizer CTEs shared by the IVF-PQ oracles:
+    * decimal-exact cell centroids per label (the `ann_ivf_topk`
+    * discipline), cell scores rounded to 1e-6 before the
+    * argmax/top-6 exactly like the Spark `cellScores` expression.
+    * Requires `e0` in scope. */
+  private lazy val ivfCellCtes: String =
+    s"""cr AS (
        |  SELECT label, i, CAST(sum(CAST(raw[i] AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
        |  FROM e0, (SELECT unnest(generate_series(1, 64)) AS i) ii
        |  GROUP BY 1, 2),
@@ -2064,11 +2150,20 @@ object SparkEntry {
        |assigned AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
-       |    FROM cdist) t WHERE rn = 1),
-       |pcells AS (
+       |    FROM cdist) t WHERE rn = 1)""".stripMargin
+
+  private lazy val ivfProbeCellsCte: String =
+    s"""pcells AS (
        |  SELECT vec_id AS pid, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
-       |    FROM cdist WHERE vec_id < 10) t WHERE rn <= 6),
+       |    FROM cdist WHERE vec_id < 10) t WHERE rn <= 6)""".stripMargin
+
+  /** `ann_ivfpq_topk`: the PQ index CTEs, with the ADC scan
+    * restricted to each probe's top-6 IVF cells. */
+  private lazy val annIvfPqOracle: String =
+    s"""WITH $pqIndexCtes,
+       |$ivfCellCtes,
+       |$ivfProbeCellsCte,
        |cands AS (
        |  SELECT DISTINCT p.pid, a.vec_id AS nid,
        |    ${cosSql("pr.pe", "h.h")} AS sim
@@ -2077,6 +2172,39 @@ object SparkEntry {
        |  JOIN pr ON pr.pid = p.pid
        |  JOIN hat h ON h.vec_id = a.vec_id),
        |$pqServeTail""".stripMargin
+
+  /** `ann_ivfpq_residual_topk`: the residual index replayed end to
+    * end — cell directions (normalized centroids), per-vector
+    * residuals, codebook TRAINING on the residuals (the same
+    * `pqIndexCtesOn` chain pointed at `res`), encode, reconstruction
+    * as cell direction + decoded residual, probed-cell ADC scan,
+    * shortlist and exact re-rank. */
+  private lazy val annIvfPqResidualOracle: String = {
+    val extra =
+      s"""
+         |$ivfCellCtes,
+         |cnl AS (
+         |  SELECT cell, list_transform(centroid, x -> x / sqrt(list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE), list_transform(centroid, y -> y*y)),
+         |    (a, b) -> a + b))) AS cn
+         |  FROM cent),
+         |res AS (
+         |  SELECT ne.vec_id, [ne.emb[i] - cnl.cn[i] for i in generate_series(1, 64)] AS emb
+         |  FROM ne JOIN assigned USING (vec_id) JOIN cnl ON cnl.cell = assigned.cell),""".stripMargin
+    s"""WITH ${pqIndexCtesOn(extra, "res")},
+       |$ivfProbeCellsCte,
+       |xh AS (
+       |  SELECT h.vec_id, [h.h[i] + cnl.cn[i] for i in generate_series(1, 64)] AS h
+       |  FROM hat h JOIN assigned USING (vec_id) JOIN cnl ON cnl.cell = assigned.cell),
+       |cands AS (
+       |  SELECT DISTINCT p.pid, a.vec_id AS nid,
+       |    ${cosSql("pr.pe", "h.h")} AS sim
+       |  FROM pcells p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.pid
+       |  JOIN pr ON pr.pid = p.pid
+       |  JOIN xh h ON h.vec_id = a.vec_id),
+       |$pqServeTail""".stripMargin
+  }
 
   /** `dedup_embedding` replayed the same way: 16 literal planes, two
     * 8-bit bands, canonical (a < b) candidate pairs, exact cosine,

@@ -203,15 +203,24 @@ object AnnOps {
   private val fnvOf = udf((x: String) => graft.functions.Hashes.fnv64(x))
 
   private def trainPq(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
-    pqCodebooks.computeIfAbsent(dir, _ => {
+    trainPqOn(s, dir, () => normalizedEmb(s, dir))
+
+  /** Codebook training over an arbitrary (vec_id, emb) frame —
+    * [[annPqTopk]] trains on normalized vectors, the residual index
+    * trains on (vector − cell direction) residuals; the sampling,
+    * init, and Lloyd discipline are identical. */
+  private def trainPqOn(s: SparkSession, key: String,
+      vecsF: () => DataFrame): Array[Array[Array[Double]]] =
+    pqCodebooks.computeIfAbsent(key, _ => {
       import s.implicits._
       val subDim = 64 / PqSubspaces
-      val quarter = normalizedEmb(s, dir)
+      val vecs = vecsF()
+      val quarter = vecs
         .where(fnvOf($"vec_id".cast("string")).bitwiseAND(lit(3L)) === 0)
       // tiny corpora (specs) train on everything; the sample path is
       // the one that matters at scale
       val sample =
-        (if (quarter.count() >= PqCodes * 2L) quarter else normalizedEmb(s, dir)).cache()
+        (if (quarter.count() >= PqCodes * 2L) quarter else vecs).cache()
       var cb: Array[Array[Array[Double]]] = sample
         .orderBy(fnvOf(concat(lit("i"), $"vec_id".cast("string")))
           .bitwiseAND(lit((1L << 20) - 1)), $"vec_id")
@@ -383,6 +392,66 @@ object AnnOps {
         pqEncode(cb, subDim)($"emb").as("codes"))
       .select($"vec_id", argmaxCell($"scored").as("cell"),
         pqDecode(cb, subDim)($"codes").as("emb_hat"))
+    val cands = probeCellsOf(s, dir, cellsLit).join(corpus, Seq("cell"))
+      .where($"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"emb_hat").as("sim"))
+    val shortlist = graft.plans.TopK.perKey(
+      cands.withColumn("sim_r", rnd($"sim", 6)),
+      keyCols = Seq("pid"),
+      orderCols = Seq("sim_r" -> false, "nid" -> true),
+      k = PqShortlist).select($"pid", $"nid")
+    val rerank = shortlist
+      .join(Tables.embeddings(s, dir).select($"vec_id".as("nid"), $"embedding".as("ne")), "nid")
+      .join(broadcast(probes(s, dir)), "pid")
+      .select($"pid", $"nid", cosine_sim($"pe", $"ne").as("sim"))
+    rankTopK(rerank, K)
+  }
+
+  /** Per-cell unit DIRECTION of each IVF centroid, as a map literal —
+    * the anchor the residual index encodes against. The norm is a
+    * left-to-right sum of squares, so the oracle's list_reduce
+    * reproduces every division bit-for-bit. */
+  private def cellDirLit(cells: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column =
+    typedLit(cells.map { case (c, v) =>
+      var ss = 0.0
+      v.foreach(x => ss += x * x)
+      val n = math.sqrt(ss)
+      c -> v.map(_ / n)
+    }.toMap)
+
+  /** Residual-encoded IVF-PQ (the Faiss `IVFxx,PQyy` layout, SURVEY §7
+    * r4 item): instead of PQ-coding the vector itself, code the
+    * RESIDUAL (normalized vector − its cell's unit direction). Within
+    * one cell the residuals span a far tighter cloud than the raw
+    * corpus, so the same 16×16 codebook budget quantizes with less
+    * error — on clustered real embeddings this is the difference
+    * between a usable and a wasted 8-byte code. Serve-side identical
+    * to [[annIvfPqTopk]]: probed-cell ADC scan (reconstruction =
+    * cell direction + decoded residual), 50-candidate shortlist
+    * through the native TopKPerKey, exact re-rank. Same plan shape,
+    * same shuffles — the residual subtraction/addition are free
+    * map-side arithmetic. Oracle: the ENTIRE index is replayed in
+    * DuckDB, residual codebook training included. */
+  val annIvfPqResidualTopk: QueryFn = (s, dir) => {
+    import s.implicits._
+    val subDim = 64 / PqSubspaces
+    val cells = ivfCentroids(s, dir)
+    val cellsLit = typedLit(cells)
+    val cnLit = cellDirLit(cells)
+    def residuals = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", asDouble($"embedding").as("raw"))
+      .select($"vec_id", $"embedding", $"raw", l2norm($"raw").as("nrm"))
+      .select($"vec_id", $"embedding", transform($"raw", x => x / $"nrm").as("emb0"))
+      .select($"vec_id", $"emb0", cellScores(cellsLit)($"embedding").as("scored"))
+      .select($"vec_id", $"emb0", argmaxCell($"scored").as("cell"))
+      .select($"vec_id", $"cell",
+        zip_with($"emb0", element_at(cnLit, $"cell"), (a, b) => a - b).as("emb"))
+    val cb = trainPqOn(s, dir + "#residual", () => residuals.select($"vec_id", $"emb"))
+    val corpus = residuals
+      .select($"vec_id", $"cell", pqEncode(cb, subDim)($"emb").as("codes"))
+      .select($"vec_id", $"cell",
+        zip_with(pqDecode(cb, subDim)($"codes"), element_at(cnLit, $"cell"),
+          (r, c) => r + c).as("emb_hat"))
     val cands = probeCellsOf(s, dir, cellsLit).join(corpus, Seq("cell"))
       .where($"vec_id" =!= $"pid")
       .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"emb_hat").as("sim"))

@@ -99,4 +99,45 @@ object BpeOps {
       .toDF("rank", "lhs", "rhs", "merged", "pair_count")
       .orderBy($"rank")
   }
+
+  /** BPE merge APPLICATION — the tokenizer's ENCODE pass, the other
+    * half of the BPE lifecycle (train once ↑, encode every corpus
+    * forever after). Each document's words are split to characters
+    * and the learned merges are replayed in rank order with the same
+    * greedy left-to-right fold as training; the output is the per-doc
+    * token accounting a pipeline bills by (chars in → BPE symbols
+    * out → how many merges fired → compression).
+    *
+    * Scale shape: training cost is the vocab-table loop above; the
+    * ENCODE is pure map — `Rounds` chained per-row projections over
+    * the corpus scan with zero shuffles before the final per-doc agg.
+    * At 100 TB this is the shape that matters: a real 30k-merge
+    * tokenizer compiles the merge table into one per-row automaton
+    * (same fold, one pass), and the merge TABLE broadcasts — the
+    * corpus never re-shuffles. Determinism is inherited from
+    * training: exact-integer argmaxes pick the merges, and the fold
+    * is replayed symbol-for-symbol by the oracle's list_reduce. */
+  val textBpeEncode: QueryFn = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val merges = trainMerges(docs)
+    val base = docs
+      .select($"doc_id", explode(normTokens($"text")).as("w"))
+      .select($"doc_id", split($"w", "").as("syms"))
+      .select($"doc_id", size($"syms").cast("long").as("n_chars"), $"syms")
+    val encoded = merges.foldLeft(base) { case (df, (_, a, b, _, _)) =>
+      df.select($"doc_id", $"n_chars", mergePair($"syms", lit(a), lit(b)).as("syms"))
+    }
+    encoded
+      .select($"doc_id", $"n_chars", size($"syms").cast("long").as("n_syms"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_chars").as("n_chars"),
+        sum($"n_syms").as("n_tokens"))
+      .select($"doc_id", $"n_words", $"n_chars", $"n_tokens",
+        ($"n_chars" - $"n_tokens").as("n_merges"),
+        graft.functions.Cols.rnd(
+          $"n_tokens".cast("double") / $"n_chars", 6).as("compression"))
+      .orderBy($"doc_id")
+  }
 }

@@ -838,4 +838,69 @@ object PipelineOps {
       .orderBy($"score".desc, $"doc_id").limit(20)
       .select($"doc_id", $"dl", $"score")
   }
+
+  // ---------------------------------------------------------------
+  // DSIR importance weighting
+  // ---------------------------------------------------------------
+
+  /** Hashed-feature bucket count for DSIR — 256 here so the synthetic
+    * corpus populates every bucket; 2^16 in production (Xie et al. use
+    * 10k-dim hashed n-grams). The bucket-stats table is B rows
+    * REGARDLESS of corpus size — always broadcastable. */
+  val DsirBuckets = 256L
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * raw-corpus document by how target-like its hashed-bigram
+    * distribution is — weight(d) = mean over d's bigram instances of
+    * p̂_target(bucket) / p̂_raw(bucket), with add-1-smoothed bucket
+    * probabilities. The standard selection pass that upsamples
+    * quality-matching data before training. Docs with doc_id%10==9
+    * stand in for the target corpus (same convention as
+    * [[textDecontaminate]]'s benchmark set).
+    *
+    * Log-free on purpose: DSIR's log-likelihood-ratio is replaced by
+    * the per-bucket probability RATIO of exact integer counts —
+    * monotone in the same direction, and every factor is a ratio of
+    * integers so both engines agree bit-for-bit (libm log differs in
+    * the last ulp; same reasoning as [[textLmScore]] /
+    * [[qCollocations]]). Bigrams hash through the same fused FNV-1a
+    * expression as the dedup shingles, so the DuckDB oracle replays
+    * bucket assignment exactly.
+    *
+    * Scale shape: one corpus scan explodes bigrams map-side into
+    * (doc, bucket); the 256-row bucket table (conditional partial
+    * aggs, one shuffle of B keys) and the 1-row totals broadcast
+    * back; the only corpus-sized shuffle is the final per-doc mean.
+    * At 100 TB: identical, with B=2^16 — the stats stay KB-sized. */
+  val textDsirImportance: QueryFn = (s, dir) => {
+    import s.implicits._
+    val b = lit(DsirBuckets)
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", normTokens($"text").as("tk"))
+      .where(size($"tk") >= 2)
+      .select($"doc_id",
+        explode(graft.functions.VectorExpressions.fnv_shingles($"tk", 2)).as("h"))
+      .select($"doc_id", ($"doc_id" % 10 === 9).as("is_target"),
+        $"h".bitwiseAND(b - 1).as("bucket"))
+    val stats = grams.groupBy($"bucket").agg(
+      sum(when($"is_target", 1L).otherwise(0L)).as("tb"),
+      sum(when(!$"is_target", 1L).otherwise(0L)).as("sb"))
+    val totals = stats.agg(sum($"tb").as("tt"), sum($"sb").as("st"))
+    // ratio_b = p̂_target(b) / p̂_raw(b) with add-1 smoothing; the
+    // int→double casts are exact (counts ≪ 2^53) and the single
+    // division is IEEE-deterministic, so the oracle reproduces it
+    val ratios = stats.crossJoin(broadcast(totals))
+      .select($"bucket",
+        ((($"tb" + 1).cast("double") * ($"st" + b).cast("double")) /
+         (($"sb" + 1).cast("double") * ($"tt" + b).cast("double"))).as("ratio"))
+    grams.where(!$"is_target")
+      .join(broadcast(ratios), "bucket")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        rnd(xsum($"ratio") / count(lit(1)), 6).as("weight"))
+      .select($"doc_id", $"n_grams", $"weight",
+        ($"weight" >= 1.0).as("selected"))
+      .orderBy($"doc_id")
+  }
 }

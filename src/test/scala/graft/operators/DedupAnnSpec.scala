@@ -264,6 +264,20 @@ class DedupAnnSpec extends SparkTestBase {
     assert(recall >= 0.68, s"ivf-pq recall too low: $recall")
   }
 
+  test("ann_ivfpq_residual_topk: residual coding keeps recall at the composed-index bar") {
+    import spark.implicits._
+    val exact = AnnOps.annBruteforceTopk(spark, sfDir)
+      .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+    val got = AnnOps.annIvfPqResidualTopk(spark, sfDir)
+      .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(s"ann_ivfpq_residual_topk recall@5 = $recall")
+    // same bar as the raw-vector composed index: residual coding is
+    // a precision upgrade on clustered data and must never cost
+    // recall on the near-random spec embeddings
+    assert(recall >= 0.68, s"residual ivf-pq recall too low: $recall")
+  }
+
   test("ann_lsh_topk and ann_ivf_topk: valid rankings with useful recall") {
     val exact = AnnOps.annBruteforceTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

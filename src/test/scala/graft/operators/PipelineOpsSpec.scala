@@ -351,6 +351,43 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("text_dsir_importance: replica of the hashed-bigram ratio model, selection consistent") {
+    import spark.implicits._
+    val B = PipelineOps.DsirBuckets
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def toks(t: String) = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val grams = docs.flatMap { case (id, t) =>
+      val tk = toks(t)
+      if (tk.length < 2) Nil
+      else tk.sliding(2).map(p =>
+        (id, id % 10 == 9, graft.functions.Hashes.fnv64(p.mkString(" ")) & (B - 1))).toSeq
+    }
+    val tb = grams.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val sb = grams.filterNot(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (tt, st) = (tb.values.sum, sb.values.sum)
+    def ratio(bk: Long): Double =
+      ((tb.getOrElse(bk, 0L) + 1).toDouble * (st + B).toDouble) /
+        ((sb.getOrElse(bk, 0L) + 1).toDouble * (tt + B).toDouble)
+    val expected = grams.filterNot(_._2).groupBy(_._1).view.mapValues { gs =>
+      gs.map(g => ratio(g._3)).sum / gs.size
+    }.toMap
+
+    val got = PipelineOps.textDsirImportance(spark, sfDir)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._1).toSet == expected.keySet, "one row per source doc with >= 1 bigram")
+    got.foreach { case (id, n, w, sel) =>
+      assert(id % 10 != 9, s"target doc $id leaked into the scored set")
+      assert(n >= 1 && w > 0.0)
+      assert(math.abs(w - expected(id)) < 1e-5, s"doc $id: $w vs replica ${expected(id)}")
+      assert(sel == (w >= 1.0), s"doc $id: selected flag inconsistent")
+    }
+    // the model must discriminate: not all-selected, not none-selected
+    val nSel = got.count(_._4)
+    assert(nSel > 0 && nSel < got.length, s"degenerate selection: $nSel of ${got.length}")
+  }
+
   test("q_domain_mix: token shares sum to 1 and totals match the corpus") {
     import spark.implicits._
     val rows = PipelineOps.qDomainMix(spark, sfDir)
