@@ -365,7 +365,23 @@ object PlanAudit {
         "no cartesian assignment" -> (p =>
           !p.contains("CartesianProduct")),
         "no per-vector window shuffle" -> (p =>
-          !p.contains("windowspecdefinition(vec_id"))))
+          !p.contains("windowspecdefinition(vec_id"))),
+      "dedup_span_coverage" -> Map(
+        // the dup-window filter is a hash-keyed count + equi-join —
+        // never pairwise; the window-hash count partial-aggs map-side
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct")),
+        // the only window fold is the per-doc sorted-gap pass
+        "single per-doc window" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size == 1)),
+      "q_domain_cap" -> Map(
+        // the kept set comes from bounded per-key heaps, not a full
+        // per-domain window sort over every row
+        "kept set via native TopKPerKey" -> (_.contains("TopKPerKey")),
+        "no window row_number scan" -> (p =>
+          !p.contains("windowspecdefinition")),
+        "summaries broadcast-joined" -> (_.contains("BroadcastHashJoin")),
+        "partial agg before shuffle" -> (_.contains("partial_"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

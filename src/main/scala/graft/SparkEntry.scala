@@ -155,6 +155,10 @@ object SparkEntry {
     "q_hilbert_layout"            -> operators.LayoutOps.qHilbertLayout,
     "dedup_cdc_chunks"            -> DedupOps.dedupCdcChunks,
     "dedup_semantic"              -> DedupOps.dedupSemantic,
+    // r4: curation selection passes
+    "dedup_span_coverage"         -> operators.CurationOps.dedupSpanCoverage,
+    "q_domain_cap"                -> operators.CurationOps.qDomainCap,
+    "q_mmr_select"                -> operators.CurationOps.qMmrSelect,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1109,6 +1113,48 @@ object SparkEntry {
         |min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
+    "dedup_span_coverage" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    u.s['i'] - 1 AS st, ${fnvSql("u.s['g']")} AS h
+        |  FROM (SELECT doc_id, tk,
+        |          unnest([{'i': i, 'g': array_to_string(tk[i:i+7], ' ')}
+        |                  for i in generate_series(1, len(tk) - 7)]) AS s
+        |        FROM toks WHERE len(tk) >= 8) u),
+        |d AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+        |g AS (
+        |  SELECT doc_id, n_tokens, st,
+        |    st - lag(st) OVER (PARTITION BY doc_id ORDER BY st) AS gap
+        |  FROM w JOIN d USING (h))
+        |SELECT doc_id, max(n_tokens) AS n_tokens,
+        |  count(*) AS n_dup_windows,
+        |  CAST(count(*) FILTER (WHERE gap > 8) + 1 AS BIGINT) AS n_spans,
+        |  CAST(sum(least(gap, 8)) AS BIGINT) AS covered,
+        |  floor((CAST(sum(least(gap, 8)) AS DOUBLE) / max(n_tokens))*1000000 + 0.5)/1000000 AS coverage
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_domain_cap" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |rk AS (
+        |  SELECT source, n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rk
+        |  FROM scored)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        |  CAST(count(*) FILTER (WHERE rk <= 15) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(n_tokens) FILTER (WHERE rk <= 15), 0) AS BIGINT) AS tokens_kept,
+        |  floor((CAST(coalesce(sum(n_tokens) FILTER (WHERE rk <= 15), 0) AS DOUBLE) /
+        |         CAST(sum(n_tokens) AS DOUBLE))*1000000 + 0.5)/1000000 AS kept_share
+        |FROM rk GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_mmr_select" -> mmrOracle,
+
     "ann_bruteforce_topk" ->
       """WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 10),
         |sims AS (SELECT pid, e.vec_id AS nid,
@@ -1953,6 +1999,39 @@ object SparkEntry {
        |SELECT * FROM (
        |  $out
        |) ORDER BY rank""".stripMargin
+  }
+
+  /** `q_mmr_select`'s oracle: the k-round greedy MMR unroll. Each
+    * round is a 1-row argmax CTE (`pN`) over the base relevance CTE
+    * cross-joined with every prior pick; scores use the identical
+    * 6 dp-rounded cosines and vec_id tiebreak as the Spark rounds, so
+    * the greedy trajectory is deterministic cross-engine. */
+  private lazy val mmrOracle: String = {
+    val k = operators.CurationOps.MmrK
+    def cosR(a: String, b: String) =
+      s"floor(list_cosine_similarity($a, $b)*1000000 + 0.5)/1000000"
+    val rounds = (2 to k).map { t =>
+      val prev = (1 until t).map(i => s"p$i")
+      val mx =
+        if (prev.size == 1) cosR("b.ve", s"${prev.head}.ve")
+        else "greatest(" + prev.map(p => cosR("b.ve", s"$p.ve")).mkString(", ") + ")"
+      val excl = prev.map(p => s"b.vec_id <> $p.vec_id").mkString(" AND ")
+      s"""c$t AS (
+         |  SELECT b.vec_id, b.ve, b.rel, b.rel/2 - ($mx)/2 AS score
+         |  FROM base b, ${prev.mkString(", ")} WHERE $excl),
+         |p$t AS (SELECT vec_id, ve, rel, score FROM c$t ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k).map(t => s"SELECT $t AS rank, vec_id, rel, score FROM p$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+       |base AS (
+       |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve,
+       |    ${cosR("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS rel
+       |  FROM embeddings e, q WHERE e.vec_id > 0),
+       |p1 AS (SELECT vec_id, ve, rel, rel/2 - 0.0/2 AS score FROM base ORDER BY score DESC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, score FROM (
+       |$sel) ORDER BY rank""".stripMargin
   }
 
   /** `text_bpe_encode`'s oracle: the SAME 3-round training replay as

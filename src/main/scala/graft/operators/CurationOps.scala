@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cols._
+import graft.functions.VectorExpressions.{cosine_sim, fnv_shingles}
+
+/** Corpus-curation operators beyond filtering/dedup: duplicated-span
+  * accounting, per-domain quota selection, and diverse subset
+  * selection — the passes that decide WHAT of the surviving corpus a
+  * training run actually consumes.
+  */
+object CurationOps {
+  import graft.SparkEntry.QueryFn
+
+  /** Duplicated-span window width (tokens). Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better") use
+    * 50-token substrings on real crawls; 8 matches the synthetic
+    * corpus's planted span lengths while keeping the same shape. */
+  val SpanW = 8
+
+  /** Duplicated-substring span coverage — the doc-level accounting of
+    * Lee et al.'s EXACTSUBSTR pass: every [[SpanW]]-token sliding
+    * window is hashed (the same fused FNV shingle expression the
+    * dedup suite uses), windows whose hash occurs ≥ 2× corpus-wide
+    * (cross-doc or self-repeat, both memorization risks) are kept,
+    * and per doc the overlapping hits are folded into disjoint spans
+    * via the sorted-gap trick: sorted by start, a window contributes
+    * `min(W, start − prev_start)` new covered tokens and opens a new
+    * span iff the gap exceeds W. Output per affected doc: how many
+    * windows duplicate, how many maximal spans they form, and the
+    * fraction of the doc covered — the number a pipeline thresholds
+    * to drop or trim documents.
+    *
+    * Scale shape: one corpus scan explodes windows map-side; one
+    * shuffle on the 64-bit window hash (partial-agg'd count, then the
+    * dup filter semi-joins hits on the same key — AQE re-plans the
+    * post-filter side, which is tiny: dup windows ≪ windows); one
+    * shuffle on doc_id for the per-doc sorted fold. Nothing is ever
+    * pairwise — this is why EXACTSUBSTR works on trillion-token
+    * corpora where suffix arrays need the whole corpus resident. */
+  val dedupSpanCoverage: QueryFn = (s, dir) => {
+    import s.implicits._
+    val wins = Tables.documents(s, dir)
+      .select($"doc_id", normTokens($"text").as("tk"))
+      .select($"doc_id", size($"tk").cast("long").as("n_tokens"),
+        fnv_shingles($"tk", SpanW).as("hs"))
+      .where(size($"hs") > 0)
+      .select($"doc_id", $"n_tokens", posexplode($"hs").as(Seq("st", "h")))
+    val dups = wins.groupBy($"h").agg(count(lit(1)).as("c"))
+      .where($"c" >= 2).select($"h")
+    val w = Window.partitionBy($"doc_id").orderBy($"st")
+    wins.join(dups, "h")
+      .withColumn("gap", $"st" - lag($"st", 1).over(w))
+      .groupBy($"doc_id")
+      .agg(
+        max($"n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_dup_windows"),
+        (sum(when($"gap" > SpanW, 1L).otherwise(0L)) + 1L)
+          .cast("long").as("n_spans"),
+        // least() SKIPS nulls (Spark and DuckDB alike), so the first
+        // window's null gap contributes least(null, W) = W — exactly
+        // its full span — and every later window adds min(W, gap)
+        sum(least($"gap", lit(SpanW))).cast("long").as("covered"))
+      .select($"doc_id", $"n_tokens", $"n_dup_windows", $"n_spans", $"covered",
+        rnd($"covered".cast("double") / $"n_tokens", 6).as("coverage"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-domain document quota. */
+  val DomainCap = 15
+
+  /** Per-domain quota selection — the Common-Crawl-style cap that
+    * stops one prolific domain from dominating the corpus: within
+    * each source, keep the [[DomainCap]] highest-token documents
+    * (doc_id tiebreak) and account for what the cap keeps vs drops.
+    *
+    * Deliberately NOT a window `row_number` over every row: the kept
+    * set comes from the native TopKPerKey operator (bounded per-key
+    * heaps, ≤ cap rows per (partition, source) ever shuffle), so a
+    * domain with 10⁹ documents costs its scan, not its sort. The
+    * totals side is a plain partial+final agg; the two 20-row
+    * summaries broadcast-join back together. */
+  val qDomainCap: QueryFn = (s, dir) => {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(normTokens($"text")).cast("long").as("n_tokens"))
+    val totals = scored.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"), sum($"n_tokens").as("tokens_total"))
+    val kept = graft.plans.TopK.perKey(
+        scored, Seq("source"), Seq("n_tokens" -> false, "doc_id" -> true),
+        DomainCap)
+      .groupBy($"source").agg(
+        count(lit(1)).as("n_kept"), sum($"n_tokens").as("tokens_kept"))
+    totals.join(broadcast(kept), "source")
+      .select($"source", $"n_docs", $"tokens_total", $"n_kept", $"tokens_kept",
+        rnd($"tokens_kept".cast("double") / $"tokens_total".cast("double"), 6)
+          .as("kept_share"))
+      .orderBy($"source")
+  }
+
+  /** Diverse-selection size. */
+  val MmrK = 5
+
+  /** Greedy MMR (maximal marginal relevance, Carbonell & Goldstein
+    * 1998) diverse top-k: pick [[MmrK]] corpus vectors maximizing
+    * `rel/2 − maxSimToSelected/2` (λ = 1/2 — exact in binary, the
+    * same fixed-constant discipline as q_mix_temperature's α) against
+    * the vec_id-0 query vector. The curation use: seed few-shot /
+    * eval pools with relevant-but-not-redundant examples instead of
+    * k near-identical nearest neighbours.
+    *
+    * Greedy MMR is inherently sequential in k — but each round is ONE
+    * map-side corpus pass (relevance and the ≤ k−1 selected-vector
+    * cosines all against broadcast literals, rounded at 6 dp exactly
+    * like the ANN ranking keys) feeding a TakeOrderedAndProject of a
+    * single row; the driver ever holds k×d floats. At 100 TB: k scans
+    * with zero shuffles — compose with an ANN shortlist first to cut
+    * the scan to candidates when k is large. Determinism: rounded
+    * scores, vec_id tiebreak, so DuckDB replays all k rounds. */
+  val qMmrSelect: QueryFn = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val qvec = emb.where($"vec_id" === 0).select($"embedding").head.getSeq[Float](0)
+    val base = emb.where($"vec_id" > 0)
+      .select($"vec_id", $"embedding",
+        rnd(cosine_sim(typedlit(qvec), $"embedding"), 6).as("rel"))
+    var picks = Vector.empty[(Long, Double, Double, Seq[Float])]
+    while (picks.size < MmrK) {
+      val maxSim: Column = picks.map(p =>
+          rnd(cosine_sim(typedlit(p._4), $"embedding"), 6)) match {
+        case Seq()  => lit(0.0)
+        case Seq(c) => c
+        case cs     => greatest(cs: _*)
+      }
+      val cand =
+        if (picks.isEmpty) base
+        else base.where(!$"vec_id".isin(picks.map(_._1): _*))
+      val row = cand
+        .select($"vec_id", $"embedding", $"rel",
+          ($"rel" / 2 - maxSim / 2).as("score"))
+        .orderBy($"score".desc, $"vec_id").limit(1).head
+      picks :+= ((row.getLong(0), row.getDouble(2), row.getDouble(3),
+        row.getSeq[Float](1)))
+    }
+    picks.zipWithIndex.map { case ((id, rel, sc, _), i) =>
+      (i + 1L, id, rel, sc)
+    }.toDF("rank", "vec_id", "rel", "score").orderBy($"rank")
+  }
+}

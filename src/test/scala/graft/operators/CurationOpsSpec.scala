@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{length, lit}
+
+import graft.{SparkTestBase, Tables}
+
+class CurationOpsSpec extends SparkTestBase {
+
+  test("dedup_span_coverage: planted spans fold to the right interval union") {
+    import spark.implicits._
+    // doc 0 and 1 share a 10-token run (3 dup windows of W=8 each,
+    // one span); doc 2 is clean filler long enough to window
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$shared alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, s"iota kappa lambda mu nu xi omicron pi $shared"),
+      (2L, (1 to 30).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val got = CurationOps.dedupSpanCoverage(spark, docsDir(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 10-token shared run = 3 sliding W=8 windows, union = 10 tokens
+    assert(got.toSeq == Seq(
+      (0L, 18L, 3L, 1L, 10L),
+      (1L, 18L, 3L, 1L, 10L)), s"got: ${got.toSeq}")
+  }
+
+  test("dedup_span_coverage: real corpus rows are self-consistent and non-vacuous") {
+    val rows = CurationOps.dedupSpanCoverage(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no duplicated spans found on the synthetic corpus")
+    val W = CurationOps.SpanW
+    rows.foreach { r =>
+      val (nTok, nWin, nSpans, covered) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nWin >= 1 && nSpans >= 1 && nSpans <= nWin)
+      // each span covers >= W tokens; union never exceeds the doc
+      assert(covered >= nSpans * W || nSpans == 1 && covered >= W,
+        s"doc ${r.getLong(0)}: covered $covered vs $nSpans spans")
+      assert(covered <= nTok)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("q_domain_cap: per-source heap selection matches a window replica") {
+    import spark.implicits._
+    val cap = CurationOps.DomainCap
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", graft.functions.Cols.normTokens($"text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).length.toLong))
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val kept = ds.sortBy(d => (-d._3, d._1)).take(cap)
+      (src, ds.length.toLong, ds.map(_._3).sum, kept.length.toLong, kept.map(_._3).sum)
+    }.toSet
+    val got = CurationOps.qDomainCap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("q_mmr_select: matches a driver-side greedy replica and actually diversifies") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val q = emb.find(_._1 == 0L).get._2
+    val pool = emb.filter(_._1 > 0L).map { case (id, e) => (id, e, rnd6(cos(q, e))) }
+    var sel = Vector.empty[(Long, Double, Double)]
+    var selEmb = Vector.empty[Seq[Float]]
+    while (sel.size < CurationOps.MmrK) {
+      val cands = pool.filterNot(p => sel.exists(_._1 == p._1)).map { case (id, e, rel) =>
+        val mx = if (selEmb.isEmpty) 0.0 else selEmb.map(se => rnd6(cos(se, e))).max
+        (id, rel, rel / 2 - mx / 2, e)
+      }
+      val best = cands.minBy(c => (-c._3, c._1))
+      sel :+= ((best._1, best._2, best._3)); selEmb :+= best._4
+    }
+    val got = CurationOps.qMmrSelect(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == sel, s"greedy trajectory diverged:\n$sel\nvs\n${got.toSeq}")
+    // diversification must have bitten: past rank 1 every score embeds
+    // a nonzero maxSim term (score != rel/2 — the penalty/bonus moved
+    // the objective away from pure relevance), and picks are distinct
+    assert(got.map(_._1).distinct.length == got.length)
+    got.drop(1).foreach { case (id, rel, score) =>
+      assert(score != rel / 2, s"pick $id: maxSim term had no effect")
+    }
+  }
+
+  /** Write a docs frame to a temp dir so dir-based query fns accept it. */
+  private def docsDir(docs: DataFrame): String = {
+    val d = java.nio.file.Files.createTempDirectory("curation-docs").toString
+    docs.withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(docs("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+}
