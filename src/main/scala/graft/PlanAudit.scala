@@ -381,7 +381,23 @@ object PlanAudit {
         "no window row_number scan" -> (p =>
           !p.contains("windowspecdefinition")),
         "summaries broadcast-joined" -> (_.contains("BroadcastHashJoin")),
-        "partial agg before shuffle" -> (_.contains("partial_"))))
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "ann_incremental_topk" -> Map(
+        // the whole point of the cell-partitioned persisted index:
+        // the probed-cell predicate must prune index partitions at
+        // the STATIC listing level, not via a runtime DPP subquery
+        "probed cells prune index partitions" -> (p =>
+          "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined),
+        "ranked through native TopKPerKey" -> (_.contains("TopKPerKey")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "q_kmv_distinct" -> Map(
+        // sketch build = distinct + bounded heaps; the k-row summary
+        // and the exact side must come back broadcast, and the
+        // distinct partial-aggregates map-side
+        "bottom-k via native TopKPerKey" -> (_.contains("TopKPerKey")),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "exact side broadcast" -> (_.contains("BroadcastHashJoin")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

@@ -136,6 +136,7 @@ object SparkEntry {
     "ann_pq_topk"                 -> AnnOps.annPqTopk,
     "ann_ivfpq_topk"              -> AnnOps.annIvfPqTopk,
     "ann_ivfpq_residual_topk"     -> AnnOps.annIvfPqResidualTopk,
+    "ann_incremental_topk"        -> AnnOps.annIncrementalTopk,
     "emb_kmeans"                  -> operators.KMeansOps.embKmeans,
     "emb_pca_power"               -> operators.PcaOps.embPcaPower,
     // §2.F multimodal stand-in
@@ -159,6 +160,7 @@ object SparkEntry {
     "dedup_span_coverage"         -> operators.CurationOps.dedupSpanCoverage,
     "q_domain_cap"                -> operators.CurationOps.qDomainCap,
     "q_mmr_select"                -> operators.CurationOps.qMmrSelect,
+    "q_kmv_distinct"              -> EventAnalytics.qKmvDistinct,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1155,6 +1157,28 @@ object SparkEntry {
 
     "q_mmr_select" -> mmrOracle,
 
+    "q_kmv_distinct" ->
+      s"""WITH h AS (
+        |  SELECT DISTINCT event_type, ${fnvSql("CAST(user_id AS VARCHAR)")} AS hu
+        |  FROM events),
+        |sk AS (
+        |  SELECT event_type, hu,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hu) AS rn
+        |  FROM h),
+        |agg AS (
+        |  SELECT event_type, max(hu) AS kth, count(*) AS n_sketch
+        |  FROM sk WHERE rn <= 8 GROUP BY event_type),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type),
+        |est AS (
+        |  SELECT a.event_type, ex.n_exact, CAST(a.n_sketch AS BIGINT) AS n_sketch,
+        |    CASE WHEN a.n_sketch < 8 THEN CAST(a.n_sketch AS DOUBLE)
+        |         ELSE 7.0 * 1.8446744073709552e19 / CAST(a.kth AS DOUBLE) END AS e
+        |  FROM agg a JOIN ex USING (event_type))
+        |SELECT event_type, n_exact, n_sketch,
+        |  floor(e*100 + 0.5)/100 AS est_distinct,
+        |  floor((abs(e - n_exact)/n_exact)*10000 + 0.5)/10000 AS rel_err
+        |FROM est ORDER BY event_type""".stripMargin,
+
     "ann_bruteforce_topk" ->
       """WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 10),
         |sims AS (SELECT pid, e.vec_id AS nid,
@@ -1203,6 +1227,41 @@ object SparkEntry {
         |  SELECT label, pos,
         |    CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
         |  FROM e GROUP BY label, pos),
+        |cent AS (SELECT CAST(label AS INTEGER) AS cell, list(m ORDER BY pos) AS centroid FROM c GROUP BY label),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT vec_id, cell,
+        |    floor((list_cosine_similarity(v, centroid))*1000000 + 0.5)/1000000 AS sim
+        |  FROM emb CROSS JOIN cent),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        |    FROM scored) t WHERE rn = 1),
+        |pcells AS (
+        |  SELECT vec_id AS pid, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        |    FROM scored WHERE vec_id < 10) t WHERE rn <= 6),
+        |probes AS (SELECT vec_id AS pid, v AS pe FROM emb WHERE vec_id < 10),
+        |cands AS (
+        |  SELECT p.pid, a.vec_id AS nid, list_cosine_similarity(pr.pe, ev.v) AS sim
+        |  FROM pcells p
+        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.pid
+        |  JOIN probes pr ON pr.pid = p.pid
+        |  JOIN emb ev ON ev.vec_id = a.vec_id),
+        |ranked AS (SELECT pid, nid, sim,
+        |  row_number() OVER (PARTITION BY pid ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM cands)
+        |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor((sim)*10000 + 0.5)/10000 AS sim
+        |FROM ranked WHERE rnk <= 5 ORDER BY pid, rnk""".stripMargin,
+
+    "ann_incremental_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
+        |  FROM e WHERE vec_id % 10 <> 0 GROUP BY label, pos),
         |cent AS (SELECT CAST(label AS INTEGER) AS cell, list(m ORDER BY pos) AS centroid FROM c GROUP BY label),
         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (

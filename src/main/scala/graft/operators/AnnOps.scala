@@ -466,4 +466,101 @@ object AnnOps {
       .select($"pid", $"nid", cosine_sim($"pe", $"ne").as("sim"))
     rankTopK(rerank, K)
   }
+
+  /** Persisted IVF index state for [[annIncrementalTopk]] — built once
+    * per corpus and kept on disk, exactly like the dedup suite's
+    * `IncrementalIndex`: the frozen coarse quantizer (k×d centroid
+    * rows, trained on the BASE corpus only with decimal-exact means)
+    * and the base vectors persisted CELL-PARTITIONED — the on-disk
+    * layout a production IVF index actually uses, so a probed-cell
+    * read prunes every unprobed partition at the parquet-listing
+    * level. Path keyed by a (name,size,mtime) fingerprint of the
+    * corpus files so a regenerated corpus can never serve stale
+    * state. */
+  private[operators] object IvfIndex {
+    private val Version = "v1"
+
+    def root(dir: String): String = {
+      val f = new java.io.File(dir, "embeddings.parquet")
+      val files =
+        if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
+      val fp = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+        .mkString(dir, "|", "")
+      "/tmp/graft-ivfidx-" + Version + "-" +
+        java.lang.Long.toHexString(graft.functions.Hashes.fnv64(fp))
+    }
+
+    def ensure(s: SparkSession, dir: String): String = synchronized {
+      val base = root(dir)
+      val marker = new java.io.File(base, "_READY")
+      if (!marker.exists()) {
+        val baseVecs = Tables.embeddings(s, dir).where(col("vec_id") % 10 =!= 0)
+        baseVecs
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(col("x").cast("decimal(27,10)")).cast("double") /
+            count(lit(1))).as("m"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("label").cast("int").as("cell"),
+            transform(col("pm"), p => p.getField("m")).as("centroid"))
+          .write.mode("overwrite").parquet(s"$base/cent")
+        val cellsLit = typedLit(centroids(s, base))
+        baseVecs
+          .select(col("vec_id"), col("embedding"),
+            cellScores(cellsLit)(col("embedding")).as("scored"))
+          .select(col("vec_id"), col("embedding"),
+            argmaxCell(col("scored")).as("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$base/vecs")
+        marker.createNewFile()
+      }
+      base
+    }
+
+    def centroids(s: SparkSession, base: String): Seq[(Int, Seq[Double])] =
+      s.read.parquet(s"$base/cent").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+  }
+
+  /** Incremental ANN serving — the index LIFECYCLE at scale: a
+    * billion-vector IVF index is trained once, persisted, and new
+    * arrivals are routed into existing cells WITHOUT retraining
+    * (Faiss `add` after `train`; periodic retrain only when cell
+    * occupancy drifts). Base corpus = `vec_id % 10 != 0`, persisted
+    * cell-partitioned by [[IvfIndex]]; the arriving batch
+    * (`vec_id % 10 == 0`) is assigned map-side with the FROZEN
+    * quantizer literals — zero shuffle for ingest, zero touch of the
+    * stored corpus — and the union serves the standard probe set over
+    * its top-6 cells. Measured cost on a warm index is batch routing
+    * + probed-cell reads, not an index rebuild (the
+    * `dedup_incremental` claim, for vectors). */
+  val annIncrementalTopk: QueryFn = (s, dir) => {
+    import s.implicits._
+    val idx = IvfIndex.ensure(s, dir)
+    val cellsLit = typedLit(IvfIndex.centroids(s, idx))
+    // the probed-cell routing table is probes×IvfProbeCells rows —
+    // collected so the cell predicate reaches the partitioned index
+    // read as a STATIC `cell IN (...)` partition filter (directory
+    // pruning at listing time, the point of the cell-partitioned
+    // layout; dynamic pruning would rediscover it at runtime cost)
+    val probeCells = probeCellsOf(s, dir, cellsLit)
+      .select($"pid", $"cell").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val cellSet = probeCells.map(_._2).distinct.toSeq
+    val batch = Tables.embeddings(s, dir).where($"vec_id" % 10 === 0)
+      .select($"vec_id", $"embedding",
+        cellScores(cellsLit)($"embedding").as("scored"))
+      .select($"vec_id", $"embedding", argmaxCell($"scored").as("cell"))
+      .where($"cell".isin(cellSet: _*))
+    val stored = s.read.parquet(s"$idx/vecs")
+      .where($"cell".isin(cellSet: _*))
+      .select($"vec_id", $"embedding", $"cell".cast("int").as("cell"))
+    val merged = stored.unionByName(batch)
+    val cands = probeCells.toSeq.toDF("pid", "cell")
+      .join(broadcast(probes(s, dir)), "pid")
+      .join(merged, Seq("cell"))
+      .where($"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id".as("nid"),
+        cosine_sim($"pe", $"embedding").as("sim"))
+    rankTopK(cands, K)
+  }
 }

@@ -256,4 +256,57 @@ object EventAnalytics {
       .select($"model", $"channel", $"n_conv", rnd($"rev", 2).as("revenue"))
       .orderBy($"model", $"channel")
   }
+
+  /** KMV sketch size (bottom-k hashes kept per group). Tiny on
+    * purpose so the estimator path engages even on the sf0.001
+    * corpus (15 distinct users/type); production uses k ≈ 1024 for
+    * ~3% error. */
+  val KmvK = 8
+
+  /** KMV (k-minimum-values / bottom-k) distinct-count sketch, per
+    * event type — the DETERMINISTIC mergeable cardinality sketch
+    * (Bar-Yossef et al. 2002): keep the k smallest distinct 64-bit
+    * hash values; estimate = (k−1)·2⁶⁴ / kth_min. Unlike
+    * `q_approx_stats`' HLL (whose register layout is
+    * implementation-defined — rows-only oracle), every step here is
+    * exact integer/IEEE arithmetic on the replayable FNV-1a hash, so
+    * a second engine reproduces the ESTIMATE bit-for-bit and this
+    * query is hash-verified — the sketch story upgraded from
+    * "plausible rows" to "provably identical".
+    *
+    * Scale shape: one distinct-shuffle on (type, hash) with map-side
+    * partial dedup, then the native TopKPerKey bounded heaps — the
+    * per-partition bottom-k + merge is EXACTLY how KMV sketches merge
+    * across a 1000-executor scan (the heap IS the sketch); the k-row
+    * summaries and the exact side (for the error report) join
+    * broadcast. The unsigned ordering rides a DECIMAL(20,0) bridge so
+    * Spark's signed longs and the oracle's HUGEINT agree. */
+  val qKmvDistinct: QueryFn = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+    val hashed = Tables.events(s, dir)
+      .select($"event_type",
+        element_at(graft.functions.VectorExpressions.fnv_shingles(
+          array($"user_id".cast("string")), 1), 1).as("h"))
+      .select($"event_type",
+        when($"h" < 0, $"h".cast(DecimalType(20, 0)) + two64)
+          .otherwise($"h".cast(DecimalType(20, 0))).as("hu"))
+      .distinct()
+    val sketch = graft.plans.TopK.perKey(
+        hashed, Seq("event_type"), Seq("hu" -> true), KmvK)
+      .groupBy($"event_type")
+      .agg(max($"hu").as("kth"), count(lit(1)).as("n_sketch"))
+    val exact = Tables.events(s, dir).groupBy($"event_type")
+      .agg(count_distinct($"user_id").as("n_exact"))
+    sketch.join(broadcast(exact), "event_type")
+      .select($"event_type", $"n_exact", $"n_sketch",
+        when($"n_sketch" < KmvK, $"n_sketch".cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(1.8446744073709552e19) /
+            $"kth".cast("double")).as("e"))
+      .select($"event_type", $"n_exact", $"n_sketch",
+        rnd($"e", 2).as("est_distinct"),
+        rnd(abs($"e" - $"n_exact") / $"n_exact", 4).as("rel_err"))
+      .orderBy($"event_type")
+  }
 }

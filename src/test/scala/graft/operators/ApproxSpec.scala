@@ -58,4 +58,33 @@ class ApproxSpec extends SparkTestBase {
     val r2 = fn(spark, sfDir).collect().toSeq
     assert(r1 == r2)
   }
+
+  test("q_kmv_distinct: matches a driver-side bottom-k replica, estimator engaged") {
+    import spark.implicits._
+    val k = EventAnalytics.KmvK
+    val rows = Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id").as[(String, Long)].collect()
+    def unsigned(h: Long): BigInt = BigInt(h) & ((BigInt(1) << 64) - 1)
+    val expected = rows.groupBy(_._1).map { case (et, es) =>
+      val users = es.map(_._2).distinct
+      val hs = users.map(u => unsigned(graft.functions.Hashes.fnv64(u.toString)))
+        .distinct.sorted.take(k)
+      val est =
+        if (hs.size < k) hs.size.toDouble
+        else (k - 1).toDouble * 1.8446744073709552e19 / hs.last.toDouble
+      (et, (users.length.toLong, hs.size.toLong, est))
+    }
+    val got = EventAnalytics.qKmvDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSet == expected.keySet && got.nonEmpty)
+    got.foreach { case (et, (nExact, nSketch, estR, relErr)) =>
+      val (expExact, expSketch, expEst) = expected(et)
+      assert(nExact == expExact && nSketch == expSketch, s"$et counts")
+      assert(nSketch == k, s"$et: estimator path not engaged (distinct <= k)")
+      assert(math.abs(estR - math.floor(expEst * 100 + 0.5) / 100) < 1e-9,
+        s"$et: est $estR vs replica $expEst")
+      // k=8 is a coarse sketch; still demand same order of magnitude
+      assert(relErr < 2.0, s"$et: rel_err $relErr out of range")
+    }
+  }
 }

@@ -278,6 +278,26 @@ class DedupAnnSpec extends SparkTestBase {
     assert(recall >= 0.68, s"residual ivf-pq recall too low: $recall")
   }
 
+  test("ann_incremental_topk: frozen-quantizer routing keeps IVF-level recall, index persists") {
+    import spark.implicits._
+    val exact = AnnOps.annBruteforceTopk(spark, sfDir)
+      .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+    val got = AnnOps.annIncrementalTopk(spark, sfDir)
+      .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(s"ann_incremental_topk recall@5 = $recall")
+    // same bar as ann_ivf_topk: centroids trained on 90% of the
+    // corpus barely move vs full-corpus training
+    assert(recall >= 0.74, s"incremental recall too low: $recall")
+    // the persisted index must exist and a warm re-run must serve
+    // the identical result from it (no rebuild, no drift)
+    val root = AnnOps.IvfIndex.root(sfDir)
+    assert(new java.io.File(root, "_READY").exists(), s"index not persisted at $root")
+    val again = AnnOps.annIncrementalTopk(spark, sfDir)
+      .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+    assert(again == got, "warm-index serve diverged from cold build")
+  }
+
   test("ann_lsh_topk and ann_ivf_topk: valid rankings with useful recall") {
     val exact = AnnOps.annBruteforceTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
