@@ -397,6 +397,18 @@ object PlanAudit {
         "bottom-k via native TopKPerKey" -> (_.contains("TopKPerKey")),
         "partial agg before shuffle" -> (_.contains("partial_")),
         "exact side broadcast" -> (_.contains("BroadcastHashJoin")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "q_priority_sample" -> Map(
+        // selection through bounded heaps; the rank/τ window and the
+        // τ join only ever see the ≤(k+1)-per-source survivors
+        "selection via native TopKPerKey" -> (_.contains("TopKPerKey")),
+        "tau joined broadcast" -> (_.contains("BroadcastHashJoin")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "q_negative_pairs" -> Map(
+        // both pair sides ride bounded heaps off the broadcast-probe
+        // scan; no per-candidate RNG, no full-corpus window sort
+        "shortlists via native TopKPerKey" -> (_.contains("TopKPerKey")),
+        "probe side broadcast" -> (_.contains("Broadcast")),
         "no cartesian" -> (p => !p.contains("CartesianProduct"))))
 
     var failures = 0

@@ -161,6 +161,8 @@ object SparkEntry {
     "q_domain_cap"                -> operators.CurationOps.qDomainCap,
     "q_mmr_select"                -> operators.CurationOps.qMmrSelect,
     "q_kmv_distinct"              -> EventAnalytics.qKmvDistinct,
+    "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
+    "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1156,6 +1158,42 @@ object SparkEntry {
         |FROM rk GROUP BY source ORDER BY source""".stripMargin,
 
     "q_mmr_select" -> mmrOracle,
+
+    "q_priority_sample" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS w,
+        |    ${fnvSql("CAST(doc_id AS VARCHAR)")} AS hu
+        |  FROM documents),
+        |pri AS (
+        |  SELECT doc_id, source, w,
+        |    CAST(w AS DOUBLE) * 1.8446744073709552e19 / CAST(hu + 1 AS DOUBLE) AS q
+        |  FROM scored),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk FROM pri),
+        |tau AS (SELECT source, q AS tau FROM rk WHERE rk = 11)
+        |SELECT source, doc_id, w,
+        |  floor(q*100 + 0.5)/100 AS priority,
+        |  floor(greatest(CAST(w AS DOUBLE), coalesce(tau, 0.0))*100 + 0.5)/100 AS est_w
+        |FROM rk LEFT JOIN tau USING (source)
+        |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
+
+    "q_negative_pairs" ->
+      s"""WITH pr AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 10),
+        |cands AS (
+        |  SELECT pid, e.vec_id AS nid,
+        |    floor(list_cosine_similarity(pe, CAST(e.embedding AS DOUBLE[]))*1000000 + 0.5)/1000000 AS sim
+        |  FROM pr JOIN embeddings e ON e.vec_id <> pid),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, nid) AS srk FROM cands),
+        |pos AS (SELECT pid, 'pos' AS kind, CAST(srk AS BIGINT) AS rk, nid, sim FROM rk WHERE srk <= 5),
+        |hneg AS (
+        |  SELECT pid, nid, sim,
+        |    ${fnvSql("CAST(pid AS VARCHAR) || ':' || CAST(nid AS VARCHAR)")} AS hu
+        |  FROM rk WHERE srk > 50),
+        |nrk AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY hu, nid) AS hrk FROM hneg),
+        |neg AS (SELECT pid, 'neg' AS kind, CAST(hrk AS BIGINT) AS rk, nid, sim FROM nrk WHERE hrk <= 5)
+        |SELECT pid, kind, rk, nid, sim FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+        |ORDER BY pid, kind, rk""".stripMargin,
 
     "q_kmv_distinct" ->
       s"""WITH h AS (

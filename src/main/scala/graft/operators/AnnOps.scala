@@ -534,6 +534,19 @@ object AnnOps {
     * its top-6 cells. Measured cost on a warm index is batch routing
     * + probed-cell reads, not an index rebuild (the
     * `dedup_incremental` claim, for vectors). */
+  /** Map-side cell routing with the persisted frozen quantizer — the
+    * ingest face of [[annIncrementalTopk]], public so the streaming
+    * module can route arriving vectors per micro-batch. A pure
+    * projection (centroid literals, fold argmax): works unchanged on
+    * a streaming DataFrame, shuffles nothing. */
+  def routeWithFrozenQuantizer(s: SparkSession, dir: String)(vecs: DataFrame): DataFrame = {
+    val cellsLit = typedLit(IvfIndex.centroids(s, IvfIndex.ensure(s, dir)))
+    vecs
+      .select(col("vec_id"), col("embedding"),
+        cellScores(cellsLit)(col("embedding")).as("scored"))
+      .select(col("vec_id"), col("embedding"), argmaxCell(col("scored")).as("cell"))
+  }
+
   val annIncrementalTopk: QueryFn = (s, dir) => {
     import s.implicits._
     val idx = IvfIndex.ensure(s, dir)

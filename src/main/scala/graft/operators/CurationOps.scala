@@ -151,4 +151,109 @@ object CurationOps {
       (i + 1L, id, rel, sc)
     }.toDF("rank", "vec_id", "rel", "score").orderBy($"rank")
   }
+
+  /** Weighted sample size per source. */
+  val PriK = 10
+
+  /** Deterministic weighted priority sampling per source (Duffield,
+    * Lund & Thorup 2007): priority qᵢ = wᵢ/uᵢ with wᵢ = token count
+    * and uᵢ = (hᵢ+1)/2⁶⁴ derived from the doc-id FNV hash — so the
+    * "uniform" is replayable and the whole sample is a pure function
+    * of the corpus. Keep the top [[PriK]] priorities per source;
+    * τ = (k+1)-th priority gives the Horvitz-Thompson estimator
+    * weight max(wᵢ, τ), which makes Σ est_w an unbiased estimate of
+    * the group's total token mass — the sampling pass a pipeline
+    * uses to build weight-faithful dev subsets (vs
+    * `q_stratified_sample`'s unweighted Bernoulli).
+    *
+    * Determinism discipline: qᵢ = (w·2⁶⁴)/(h+1) is ONE IEEE division
+    * of two exactly-converted integers (w·2⁶⁴ is an exponent shift,
+    * exact; h+1 ≤ 2⁶⁴ rounds identically in any engine), so the
+    * ranking needs no pre-rounding — ties broken on doc_id anyway.
+    * Scale shape: the heavy selection is native TopKPerKey bounded
+    * heaps at k+1 (never a per-source sort); the rank/τ window runs
+    * over the ≤(k+1)-per-source survivors only. */
+  val qPrioritySample: QueryFn = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(normTokens($"text")).cast("long").as("w"),
+        element_at(graft.functions.VectorExpressions.fnv_shingles(
+          array($"doc_id".cast("string")), 1), 1).as("h"))
+      .select($"doc_id", $"source", $"w",
+        when($"h" < 0, $"h".cast(DecimalType(20, 0)) + two64)
+          .otherwise($"h".cast(DecimalType(20, 0))).as("hu"))
+      .select($"doc_id", $"source", $"w",
+        ($"w".cast("double") * lit(1.8446744073709552e19) /
+          ($"hu" + 1).cast("double")).as("q"))
+    val top = graft.plans.TopK.perKey(
+      scored, Seq("source"), Seq("q" -> false, "doc_id" -> true), PriK + 1)
+    val w = Window.partitionBy($"source").orderBy($"q".desc, $"doc_id")
+    val ranked = top.withColumn("rk", row_number().over(w))
+    val tau = ranked.where($"rk" === PriK + 1)
+      .select($"source", $"q".as("tau"))
+    ranked.where($"rk" <= PriK)
+      .join(broadcast(tau), Seq("source"), "left")
+      .select($"source", $"doc_id", $"w",
+        rnd($"q", 2).as("priority"),
+        rnd(greatest($"w".cast("double"), coalesce($"tau", lit(0.0))), 2)
+          .as("est_w"))
+      .orderBy($"source", $"doc_id")
+  }
+
+  /** Positives / negatives per probe. */
+  val PairK = 5
+
+  /** Contrastive training-pair mining over the embeddings table: for
+    * each probe (vec_id < 10), emit its [[PairK]] nearest neighbours
+    * as positives and [[PairK]] hash-picked HARD-EXCLUDED negatives —
+    * drawn deterministically from outside the probe's top-50
+    * shortlist, so a near-positive can never be mislabelled negative
+    * (the standard in-batch-negatives hygiene for embedding /
+    * reranker training sets).
+    *
+    * Scale shape: positives ride the same broadcast-probe scan +
+    * native TopKPerKey as `ann_bruteforce_topk` (at real scale, swap
+    * the scan for the IVF/PQ shortlist — same tail); negatives are
+    * the top-[[PairK]] BY HASH of a per-(probe,candidate) FNV — again
+    * bounded heaps, no sort, no RNG. Everything is a pure function of
+    * the corpus, so the oracle replays both sides. */
+  val qNegativePairs: QueryFn = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val pr = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("pid"), $"embedding".as("pe"))
+    val cands = emb.join(broadcast(pr), $"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id".as("nid"),
+        rnd(cosine_sim($"pe", $"embedding"), 6).as("sim"))
+    val short = graft.plans.TopK.perKey(
+      cands, Seq("pid"), Seq("sim" -> false, "nid" -> true), 50)
+    val w = Window.partitionBy($"pid").orderBy($"sim".desc, $"nid")
+    val pos = graft.plans.TopK.perKey(
+        short, Seq("pid"), Seq("sim" -> false, "nid" -> true), PairK)
+      .withColumn("rk", row_number().over(w))
+      .select($"pid", lit("pos").as("kind"), $"rk".cast("long").as("rk"),
+        $"nid", $"sim")
+    // the pick hash rides the same unsigned DECIMAL(20,0) bridge as
+    // q_kmv_distinct so Spark's signed longs and the oracle's
+    // HUGEINT order identically
+    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+    val neg = cands
+      .join(short.select($"pid", $"nid"), Seq("pid", "nid"), "left_anti")
+      .select($"pid", $"nid", $"sim",
+        element_at(graft.functions.VectorExpressions.fnv_shingles(
+          array(concat_ws(":", $"pid", $"nid")), 1), 1).as("h"))
+      .select($"pid", $"nid", $"sim",
+        when($"h" < 0, $"h".cast(org.apache.spark.sql.types.DecimalType(20, 0)) + two64)
+          .otherwise($"h".cast(org.apache.spark.sql.types.DecimalType(20, 0))).as("hu"))
+    val nw = Window.partitionBy($"pid").orderBy($"hu".asc, $"nid")
+    val negK = graft.plans.TopK.perKey(
+        neg, Seq("pid"), Seq("hu" -> true, "nid" -> true), PairK)
+      .withColumn("rk", row_number().over(nw))
+      .select($"pid", lit("neg").as("kind"), $"rk".cast("long").as("rk"),
+        $"nid", $"sim")
+    pos.unionByName(negK).orderBy($"pid", $"kind", $"rk")
+  }
 }

@@ -313,4 +313,24 @@ object Streams {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Streaming vector ingest into the persisted IVF index — the
+    * continuous face of `ann_incremental_topk`'s batch add: vectors
+    * landing as parquet files are routed to their cell with the
+    * FROZEN quantizer (a pure projection over broadcast centroid
+    * literals — stateless, zero shuffle per micro-batch) and appended
+    * cell-partitioned, the same on-disk layout the batch index uses.
+    * With file-source + file-sink checkpointing this is exactly-once:
+    * a replayed micro-batch overwrites its own files, never
+    * double-counts a vector — StreamingSpec proves batch-parity
+    * routing and layout across two micro-batches + a restart. */
+  def ivfIngestStream(spark: SparkSession, sfDir: String, landingDir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val arrivals = spark.readStream.schema(schema).parquet(landingDir)
+    graft.operators.AnnOps.routeWithFrozenQuantizer(spark, sfDir)(arrivals)
+      .select(col("vec_id"), col("cell"))
+  }
 }

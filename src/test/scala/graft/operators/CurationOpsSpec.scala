@@ -94,6 +94,72 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_priority_sample: matches the deterministic Duffield replica, HT weights sane") {
+    import spark.implicits._
+    val k = CurationOps.PriK
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", graft.functions.Cols.normTokens($"text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).length.toLong))
+    def unsigned(h: Long): BigInt = BigInt(h) & ((BigInt(1) << 64) - 1)
+    val pri = docs.map { case (id, src, w) =>
+      val hu = unsigned(graft.functions.Hashes.fnv64(id.toString))
+      (src, id, w, w.toDouble * 1.8446744073709552e19 / (hu + 1).toDouble)
+    }
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    val expected = pri.groupBy(_._1).flatMap { case (src, ds) =>
+      val sorted = ds.sortBy(d => (-d._4, d._2))
+      val tau = if (sorted.length > k) sorted(k)._4 else 0.0
+      sorted.take(k).toSeq.map(d => (src, d._2, d._3, r2(d._4), r2(math.max(d._3.toDouble, tau))))
+    }.toSet
+    val got = CurationOps.qPrioritySample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == got.toSet.size && got.toSet == expected)
+    // HT estimator weights never shrink a kept doc's true weight
+    got.foreach { case (_, id, w, _, estW) =>
+      assert(estW >= w - 1e-9, s"doc $id: est_w $estW < w $w")
+    }
+  }
+
+  test("q_negative_pairs: positives are the exact top-5, negatives hash-picked outside top-50") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def unsigned(h: Long): BigInt = BigInt(h) & ((BigInt(1) << 64) - 1)
+    val k = CurationOps.PairK
+    val expected = emb.filter(_._1 < 10).flatMap { case (pid, pe) =>
+      val ranked = emb.filter(_._1 != pid)
+        .map { case (nid, ne) => (nid, rnd6(cos(pe, ne))) }
+        .sortBy(d => (-d._2, d._1))
+      val pos = ranked.take(k).zipWithIndex.map { case ((nid, sim), i) =>
+        (pid, "pos", i + 1L, nid, sim)
+      }
+      val neg = ranked.drop(50)
+        .map { case (nid, sim) => (nid, sim, unsigned(graft.functions.Hashes.fnv64(s"$pid:$nid"))) }
+        .sortBy(d => (d._3, d._1)).take(k).zipWithIndex
+        .map { case ((nid, sim, _), i) => (pid, "neg", i + 1L, nid, sim) }
+      pos ++ neg
+    }.toSet
+    val got = CurationOps.qNegativePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length == 10 * 2 * k, s"expected ${10 * 2 * k} rows, got ${got.length}")
+    assert(got.toSet == expected)
+    // hygiene: a nid never appears as both pos and neg for one probe
+    got.groupBy(_._1).foreach { case (pid, rows) =>
+      val pos = rows.filter(_._2 == "pos").map(_._4).toSet
+      val neg = rows.filter(_._2 == "neg").map(_._4).toSet
+      assert(pos.intersect(neg).isEmpty, s"probe $pid: pos/neg overlap")
+    }
+  }
+
   /** Write a docs frame to a temp dir so dir-based query fns accept it. */
   private def docsDir(docs: DataFrame): String = {
     val d = java.nio.file.Files.createTempDirectory("curation-docs").toString

@@ -269,4 +269,39 @@ class StreamingSpec extends SparkTestBase {
       assert(rep.p50BatchMs <= rep.p95BatchMs && rep.p95BatchMs <= rep.maxBatchMs)
     } finally q.stop()
   }
+
+  test("ivf ingest stream: frozen-quantizer routing == batch, cell-partitioned exactly-once sink") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("ivf-landing").toString
+    val outDir = Files.createTempDirectory("ivf-out").toString
+    val ckpt = Files.createTempDirectory("ivf-ckpt").toString
+    val arrivals = Tables.embeddings(spark, sfDir).where($"vec_id" % 10 === 0)
+
+    def run(): Unit = {
+      val q = Streams.ivfIngestStream(spark, sfDir, landing).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("cell").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // two arrival waves, each its own micro-batch set
+    arrivals.where($"vec_id" < 250).write.mode("append").parquet(landing)
+    run()
+    arrivals.where($"vec_id" >= 250).write.mode("append").parquet(landing)
+    run()
+    // a restart with nothing new must not re-ingest (offsets survive)
+    run()
+
+    val got = spark.read.parquet(outDir)
+      .select($"vec_id", $"cell".cast("int")).as[(Long, Int)].collect()
+    val expected = graft.operators.AnnOps.routeWithFrozenQuantizer(spark, sfDir)(arrivals)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(got.length == expected.size, s"exactly-once violated: ${got.length} vs ${expected.size}")
+    assert(got.toSet == expected, "stream routing diverged from the batch quantizer")
+    // the sink really is the index layout: one directory per cell
+    val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_ == "_spark_metadata")
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")), dirs.mkString(","))
+  }
 }
