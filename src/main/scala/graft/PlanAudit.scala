@@ -409,7 +409,27 @@ object PlanAudit {
         // scan; no per-candidate RNG, no full-corpus window sort
         "shortlists via native TopKPerKey" -> (_.contains("TopKPerKey")),
         "probe side broadcast" -> (_.contains("Broadcast")),
-        "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "q_pareto_docs" -> Map(
+        // the skyline is NOT the O(n²) NOT-EXISTS the oracle runs:
+        // one length-keyed partial agg, one window over the distinct
+        // lengths only, broadcast join back — corpus cost is one scan
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "frontier broadcast back" -> (_.contains("BroadcastHashJoin")),
+        "single distinct-length window" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size == 1),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "q_vocab_growth" -> Map(
+        // two stacked partial+final aggs, zero joins — the vocabulary
+        // shuffle is keyed by (source, token), never by document
+        "no join" -> (p => !p.contains("Join")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "mm_frame_sample" -> Map(
+        // metadata-driven explode is pure map: no join, no agg, the
+        // only exchange is the output sort
+        "no join" -> (p => !p.contains("Join")),
+        "map-only before sort" -> (p =>
+          "Exchange".r.findAllIn(p).size <= 1)))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

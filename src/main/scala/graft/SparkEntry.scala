@@ -142,6 +142,9 @@ object SparkEntry {
     // §2.F multimodal stand-in
     "mm_media_stats"              -> TextOps.mmMediaStats,
     "mm_featurize"                -> TextOps.mmFeaturize,
+    "mm_frame_sample"             -> TextOps.mmFrameSample,
+    "q_vocab_growth"              -> TextOps.qVocabGrowth,
+    "q_pareto_docs"               -> operators.CurationOps.qParetoDocs,
     "text_hash_lr"                -> operators.ModelOps.textHashLr,
     "dedup_containment"           -> DedupOps.dedupContainment,
     "q_attribution"               -> EventAnalytics.qAttribution,
@@ -1594,6 +1597,50 @@ object SparkEntry {
         |floor((avg(octet_length(CAST(text AS BLOB))))*100 + 0.5)/100 AS avg_bytes,
         |count(DISTINCT substring(text, 1, 1)) AS n_magics
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |    (CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) + 8) * 40 AS duration_ms
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |n AS (
+        |  SELECT media_id, duration_ms,
+        |    least(CAST(floor((duration_ms - 1001) / 2000.0) + 1 AS BIGINT), 8) AS n_frames
+        |  FROM v WHERE floor((duration_ms - 1001) / 2000.0) + 1 >= 1)
+        |SELECT media_id, duration_ms, n_frames,
+        |  i AS frame_idx, 1000 + (i - 1) * 2000 AS ts_ms
+        |FROM (SELECT media_id, duration_ms, n_frames,
+        |        unnest([CAST(x AS BIGINT) for x in generate_series(1, n_frames)]) AS i
+        |      FROM n) u
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_vocab_growth" ->
+      """WITH tc AS (
+        |  SELECT source, t AS tok, count(*) AS c
+        |  FROM (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+        |        FROM documents) u
+        |  GROUP BY source, t),
+        |ag AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |    CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+        |  FROM tc GROUP BY source)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  floor((CAST(n_types AS DOUBLE)/n_tokens)*1000000 + 0.5)/1000000 AS ttr,
+        |  floor((CAST(n_hapax AS DOUBLE)/n_types)*1000000 + 0.5)/1000000 AS hapax_share
+        |FROM ag ORDER BY source""".stripMargin,
+
+    "q_pareto_docs" ->
+      """WITH pts AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    floor((CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))*1000000 + 0.5)/1000000 AS ttr
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |        FROM documents)
+        |  WHERE len(tk) >= 1)
+        |SELECT doc_id, n_tokens, ttr FROM pts a
+        |WHERE NOT EXISTS (SELECT 1 FROM pts b
+        |  WHERE (b.n_tokens > a.n_tokens AND b.ttr >= a.ttr)
+        |     OR (b.n_tokens = a.n_tokens AND b.ttr > a.ttr))
+        |ORDER BY n_tokens DESC, doc_id""".stripMargin,
 
     "emb_pca_power" -> pcaOracle,
 

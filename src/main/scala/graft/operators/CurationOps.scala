@@ -256,4 +256,43 @@ object CurationOps {
         $"nid", $"sim")
     pos.unionByName(negK).orderBy($"pid", $"kind", $"rk")
   }
+
+  /** Pareto frontier (2D skyline) of the corpus in the
+    * (length, lexical-diversity) plane: a doc survives iff no other
+    * doc strictly dominates it — longer AND at-least-as-diverse, or
+    * same length AND strictly more diverse. The multi-criteria
+    * selection pass for "which docs are worth the tokens": anything
+    * off the frontier is beaten on both axes at once. Diversity =
+    * type-token ratio rounded at 6 dp BEFORE the dominance test, so
+    * the frontier itself is engine-portable.
+    *
+    * Scale shape: the naive skyline is an O(n²) NOT-EXISTS (the
+    * oracle runs exactly that — DuckDB affords it at test scale);
+    * the Spark plan exploits the 2D structure instead: collapse to
+    * one (x, maxy) row per distinct length (partial-agg'd — bounded
+    * by the length domain, not the corpus), a running strictly-prior
+    * max over that tiny frame, and a broadcast join back. Corpus
+    * cost: one scan + one length-keyed agg; the window never sees
+    * corpus-sized input. */
+  val qParetoDocs: QueryFn = (s, dir) => {
+    import s.implicits._
+    val pts = Tables.documents(s, dir)
+      .select($"doc_id", normTokens($"text").as("tk"))
+      .select($"doc_id", size($"tk").cast("long").as("n_tokens"),
+        size(array_distinct($"tk")).cast("long").as("n_types"))
+      .select($"doc_id", $"n_tokens",
+        rnd($"n_types".cast("double") / $"n_tokens", 6).as("ttr"))
+      .where($"n_tokens" >= 1)
+    val perX = pts.groupBy($"n_tokens".as("fx")).agg(max($"ttr").as("maxy"))
+    val w = Window.orderBy($"fx".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perX
+      .withColumn("prev_max", max($"maxy").over(w))
+      .where($"prev_max".isNull || $"prev_max" < $"maxy")
+      .select($"fx", $"maxy")
+    pts.join(broadcast(frontier),
+        $"n_tokens" === $"fx" && $"ttr" === $"maxy")
+      .select($"doc_id", $"n_tokens", $"ttr")
+      .orderBy($"n_tokens".desc, $"doc_id")
+  }
 }

@@ -348,6 +348,30 @@ object TextOps {
   /** Multimodal stand-in: treat text bytes as an opaque binary payload
     * with typed metadata; per-source size stats + first-byte "format
     * sniff" (see graft.multimodal for the full plumbing). */
+  /** Per-source vocabulary-growth / long-tail health: type count,
+    * hapax legomena (freq-1 tokens — the Zipf tail a healthy natural
+    * corpus keeps near half its vocabulary; synthetic or templated
+    * text collapses it), type-token ratio and hapax share. The
+    * corpus-health panel a curation run prints per ingest source.
+    * Shape: one (source, token) partial+final count (the only
+    * corpus-sized shuffle, keyed by vocabulary not documents), then a
+    * per-source fold — both levels partial-aggregatable. */
+  val qVocabGrowth: QueryFn = (s, dir) => {
+    import s.implicits._
+    val tokCounts = Tables.documents(s, dir)
+      .select($"source", explode(normTokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    tokCounts.groupBy($"source")
+      .agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select($"source", $"n_tokens", $"n_types", $"n_hapax",
+        rnd($"n_types".cast("double") / $"n_tokens", 6).as("ttr"),
+        rnd($"n_hapax".cast("double") / $"n_types", 6).as("hapax_share"))
+      .orderBy($"source")
+  }
+
   val mmMediaStats: QueryFn = (s, dir) => {
     import s.implicits._
     val payload = $"text".cast("binary")
@@ -383,5 +407,40 @@ object TextOps {
         max($"dim").cast("long").as("dim"),
         rnd(xavg($"f0"), 4).as("avg_f0"))
       .orderBy($"kind")
+  }
+
+  /** Video frame-sampling PLAN: for every video payload (the mp4
+    * magic-prefix residue class, doc_id%7==3), derive its duration
+    * from the payload size (40 ms/byte — the deterministic stand-in
+    * for container-header parsing; a real demuxer fills the same
+    * column) and emit the frames a decoder should fetch: one every
+    * 2 s starting at t=1 s, capped at 8 per video — the standard
+    * sparse-sampling schedule for video-understanding training data.
+    * This is the EXPLODE side of video processing: metadata-driven,
+    * map-only (sequence + posexplode inside the projection, zero
+    * shuffle before the output sort); the stubbed decode consumes
+    * (media_id, ts_ms) pairs exactly as a real frame extractor
+    * would. Frame count and timestamps are pure integer arithmetic,
+    * so the oracle replays the schedule exactly. */
+  val mmFrameSample: QueryFn = (s, dir) => {
+    import s.implicits._
+    val vids = Tables.documents(s, dir)
+      .where($"doc_id" % 7 === 3)
+      // payload = 8-byte mp4 magic prefix ++ text bytes (MediaPipeline)
+      .select($"doc_id".as("media_id"),
+        ((octet_length($"text".cast("binary")) + 8).cast("long") * 40)
+          .as("duration_ms"))
+      .select($"media_id", $"duration_ms",
+        (floor(($"duration_ms" - 1001) / 2000.0) + 1).cast("long").as("nf"))
+      .where($"nf" >= 1)
+      .select($"media_id", $"duration_ms",
+        least($"nf", lit(8L)).cast("int").as("n_frames"))
+    vids
+      .select($"media_id", $"duration_ms", $"n_frames".cast("long").as("n_frames"),
+        explode(sequence(lit(1), $"n_frames")).as("frame_idx"))
+      .select($"media_id", $"duration_ms", $"n_frames",
+        $"frame_idx".cast("long").as("frame_idx"),
+        (lit(1000L) + ($"frame_idx" - 1).cast("long") * 2000L).as("ts_ms"))
+      .orderBy($"media_id", $"frame_idx")
   }
 }

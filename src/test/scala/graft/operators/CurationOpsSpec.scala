@@ -160,6 +160,60 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_pareto_docs: kept set == brute-force skyline, nothing dominated survives") {
+    import spark.implicits._
+    val pts = Tables.documents(spark, sfDir)
+      .select($"doc_id", graft.functions.Cols.normTokens($"text").as("tk"))
+      .collect().map { r =>
+        val tk = r.getSeq[String](1)
+        (r.getLong(0), tk.length.toLong,
+          math.floor(tk.distinct.length.toDouble / tk.length * 1e6 + 0.5) / 1e6)
+      }.filter(_._2 >= 1)
+    def dominated(a: (Long, Long, Double)) = pts.exists(b =>
+      (b._2 > a._2 && b._3 >= a._3) || (b._2 == a._2 && b._3 > a._3))
+    val expected = pts.filterNot(dominated).map(p => (p._1, p._2, p._3)).toSet
+    val got = CurationOps.qParetoDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got == expected,
+      s"skyline mismatch: ${got.size} vs ${expected.size}")
+  }
+
+  test("mm_frame_sample: schedule arithmetic replica, caps and bounds hold") {
+    import spark.implicits._
+    val got = graft.operators.TextOps.mmFrameSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val expected = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter(_._1 % 7 == 3)
+      .flatMap { case (id, text) =>
+        val dur = (text.getBytes("ISO-8859-1").length + 8).toLong * 40
+        val nf = math.min(8L, ((dur - 1001) / 2000) + 1)
+        (1L to nf).map(i => (id, dur, nf, i, 1000L + (i - 1) * 2000L))
+      }.toSet
+    assert(got.toSet == expected)
+    got.foreach { case (_, dur, nf, idx, ts) =>
+      assert(nf >= 1 && nf <= 8 && idx >= 1 && idx <= nf)
+      assert(ts < dur, s"frame at $ts past end $dur")
+    }
+  }
+
+  test("q_vocab_growth: token conservation and tail invariants per source") {
+    import spark.implicits._
+    val got = graft.operators.TextOps.qVocabGrowth(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val tokTotals = Tables.documents(spark, sfDir)
+      .select($"source", graft.functions.Cols.normTokens($"text").as("tk"))
+      .as[(String, Seq[String])].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2.length.toLong).sum).toMap
+    got.foreach { case (src, nTok, nTypes, nHapax) =>
+      assert(nTok == tokTotals(src), s"$src: token mass not conserved")
+      assert(nTypes >= 1 && nTypes <= nTok)
+      assert(nHapax >= 0 && nHapax <= nTypes)
+    }
+  }
+
   /** Write a docs frame to a temp dir so dir-based query fns accept it. */
   private def docsDir(docs: DataFrame): String = {
     val d = java.nio.file.Files.createTempDirectory("curation-docs").toString
