@@ -429,7 +429,12 @@ object PlanAudit {
         // only exchange is the output sort
         "no join" -> (p => !p.contains("Join")),
         "map-only before sort" -> (p =>
-          "Exchange".r.findAllIn(p).size <= 1)))
+          "Exchange".r.findAllIn(p).size <= 1)),
+      "text_perceptron_train" -> Map(
+        // the trained 64-weight table rides as an array LITERAL: the
+        // scoring pass is join-free, one per-doc partial+final agg
+        "weights are literals (no join)" -> (p => !p.contains("Join")),
+        "partial agg before shuffle" -> (_.contains("partial_"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

@@ -146,6 +146,7 @@ object SparkEntry {
     "q_vocab_growth"              -> TextOps.qVocabGrowth,
     "q_pareto_docs"               -> operators.CurationOps.qParetoDocs,
     "text_hash_lr"                -> operators.ModelOps.textHashLr,
+    "text_perceptron_train"       -> operators.ModelOps.textPerceptronTrain,
     "dedup_containment"           -> DedupOps.dedupContainment,
     "q_attribution"               -> EventAnalytics.qAttribution,
     "q_collocations"              -> PipelineOps.qCollocations,
@@ -1161,6 +1162,7 @@ object SparkEntry {
         |FROM rk GROUP BY source ORDER BY source""".stripMargin,
 
     "q_mmr_select" -> mmrOracle,
+    "text_perceptron_train" -> perceptronOracle,
 
     "q_priority_sample" ->
       s"""WITH scored AS (
@@ -2143,6 +2145,41 @@ object SparkEntry {
        |SELECT * FROM (
        |  $out
        |) ORDER BY rank""".stripMargin
+  }
+
+  /** `text_perceptron_train`'s oracle: the FULL training unroll —
+    * round 1 is the cold start (w₀ = 0 ⇒ everyone misclassified ⇒
+    * w₁ = per-bucket Σy), each later round is a margin CTE, a
+    * misclassified-set CTE, and an integer weight update folded into
+    * the previous weight table. All 64-bit integer arithmetic: the
+    * replay is exact, no rounding anywhere. */
+  private lazy val perceptronOracle: String = {
+    val bkts = operators.ModelOps.PercBuckets
+    val nr = operators.ModelOps.PercRounds
+    val rounds = (2 to nr).map { t =>
+      s"""m$t AS (
+         |  SELECT f.doc_id, f.y, CAST(sum(w${t - 1}.w) AS BIGINT) AS margin
+         |  FROM f JOIN w${t - 1} USING (bucket) GROUP BY f.doc_id, f.y),
+         |d$t AS (
+         |  SELECT f.bucket, CAST(sum(f.y) AS BIGINT) AS d
+         |  FROM f JOIN (SELECT doc_id FROM m$t WHERE y * margin <= 0) mis USING (doc_id)
+         |  GROUP BY f.bucket),
+         |w$t AS (SELECT w${t - 1}.bucket, w${t - 1}.w + COALESCE(d$t.d, 0) AS w
+         |  FROM w${t - 1} LEFT JOIN d$t USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT DISTINCT doc_id,
+       |    CASE WHEN doc_id % 10 = 9 THEN 1 ELSE -1 END AS y,
+       |    CAST(${fnvSql("tok")} % $bkts AS BIGINT) AS bucket
+       |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+       |        FROM documents) u),
+       |w1 AS (SELECT bucket, CAST(sum(y) AS BIGINT) AS w FROM f GROUP BY bucket),
+       |$rounds
+       |SELECT doc_id, CAST(y AS BIGINT) AS y,
+       |  CAST(sum(w$nr.w) AS BIGINT) AS margin,
+       |  CAST(y AS BIGINT) * CAST(sum(w$nr.w) AS BIGINT) > 0 AS correct
+       |FROM f JOIN w$nr USING (bucket)
+       |GROUP BY doc_id, y ORDER BY doc_id""".stripMargin
   }
 
   /** `q_mmr_select`'s oracle: the k-round greedy MMR unroll. Each

@@ -51,6 +51,57 @@ object ModelOps {
       (acc, x) => (acc + x.cast(DecimalType(27, 10))).cast(DecimalType(38, 10)))
       .cast("double") / size(hashes)
 
+  /** Perceptron feature-space size (buckets) and training rounds. */
+  val PercBuckets = 64
+  val PercRounds = 3
+
+  /** IN-ENGINE classifier TRAINING — batch perceptron over hashed
+    * unigram presence features, every arithmetic step a 64-bit
+    * INTEGER, so the trained weights (and therefore every margin) are
+    * bit-identical in any engine: the DuckDB oracle replays the FULL
+    * training run, not a stand-in (the upgrade over [[textHashLr]]'s
+    * fixed pseudo-weights). Target class = doc_id%10==9 (the DSIR
+    * target convention); w₀ = 0; each round scores every doc
+    * (margin = Σ_{b∈doc} w[b]), takes the misclassified set
+    * (y·margin ≤ 0 — round 1 is everyone, the standard cold start),
+    * and adds the integer batch update Δ[b] = Σ_{misclassified ∋ b} y.
+    * Output: every doc's final margin and decision.
+    *
+    * Scale shape per round: one (doc)-keyed agg for margins (the
+    * 64-row weight table rides as an array LITERAL — broadcast-free
+    * map-side lookup) + one (bucket)-keyed agg for the update; the
+    * driver holds B ints per round (the k×d model-rows discipline).
+    * 100 TB trains in `PercRounds` × 2 aggregations — this is why
+    * hashed linear models are THE corpus-scale classifier family. */
+  val textPerceptronTrain: QueryFn = (s, dir) => {
+    import s.implicits._
+    val b = lit(PercBuckets - 1L)
+    val feats = Tables.documents(s, dir)
+      .select($"doc_id", when($"doc_id" % 10 === 9, 1L).otherwise(-1L).as("y"),
+        explode(fnv_shingles(normTokens($"text"), 1)).as("h"))
+      .select($"doc_id", $"y", $"h".bitwiseAND(b).as("bucket"))
+      .distinct()
+    var w = Array.fill(PercBuckets)(0L)
+    for (_ <- 1 to PercRounds) {
+      val wLit = typedlit(w.toSeq)
+      val margins = feats
+        .groupBy($"doc_id", $"y")
+        .agg(sum(element_at(wLit, ($"bucket" + 1).cast("int"))).as("margin"))
+      val delta = feats
+        .join(margins.where($"y" * $"margin" <= 0).select($"doc_id"), "doc_id")
+        .groupBy($"bucket").agg(sum($"y").as("d"))
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1)))
+      delta.foreach { case (bk, d) => w(bk) += d }
+    }
+    val wLit = typedlit(w.toSeq)
+    feats
+      .groupBy($"doc_id", $"y")
+      .agg(sum(element_at(wLit, ($"bucket" + 1).cast("int"))).as("margin"))
+      .select($"doc_id", $"y", $"margin",
+        ($"y" * $"margin" > 0).as("correct"))
+      .orderBy($"doc_id")
+  }
+
   /** (doc_id, n_feats, score, keep) for every document: hashed
     * unigram+bigram features scored against the bucket weight table,
     * kept when the mean weight is positive (the sigmoid is monotone,

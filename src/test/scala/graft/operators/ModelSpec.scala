@@ -41,4 +41,35 @@ class ModelSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
     a.foreach(r => assert(r.getDouble(2) >= -1.0 && r.getDouble(2) < 1.0))
   }
+
+  test("text_perceptron_train: integer training replica, learning reduces errors") {
+    import spark.implicits._
+    val B = ModelOps.PercBuckets
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val feats = docs.map { case (id, t) =>
+      val buckets = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .map(tok => (Hashes.fnv64(tok) & (B - 1)).toInt).distinct
+      (id, if (id % 10 == 9) 1L else -1L, buckets)
+    }
+    val w = Array.fill(B)(0L)
+    var lastErrors = feats.length + 1
+    for (r <- 1 to ModelOps.PercRounds) {
+      val mis = feats.filter { case (_, y, bs) => y * bs.map(w(_)).sum <= 0 }
+      if (r == 1) assert(mis.length == feats.length, "cold start must misclassify all")
+      lastErrors = mis.length
+      mis.foreach { case (_, y, bs) => bs.foreach(b => w(b) += y) }
+    }
+    val expected = feats.map { case (id, y, bs) =>
+      val m = bs.map(w(_)).sum
+      (id, y, m, y * m > 0)
+    }.toSet
+    val got = ModelOps.textPerceptronTrain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSet == expected, "trained margins diverged from the integer replica")
+    // training moved the model: the final pass classifies most docs
+    val nCorrect = got.count(_._4)
+    assert(nCorrect > feats.length / 2,
+      s"learning had no effect: $nCorrect/${feats.length} correct")
+  }
 }
