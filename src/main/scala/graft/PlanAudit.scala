@@ -434,7 +434,23 @@ object PlanAudit {
         // the trained 64-weight table rides as an array LITERAL: the
         // scoring pass is join-free, one per-doc partial+final agg
         "weights are literals (no join)" -> (p => !p.contains("Join")),
-        "partial agg before shuffle" -> (_.contains("partial_"))))
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "q_xcorr_lags" -> Map(
+        // corpus shuffle = ONE (type,hour) count; lag join and the
+        // per-lag fold run on the tiny hourly series with the lag
+        // spine broadcast
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "lag spine broadcast" -> (_.contains("Broadcast")),
+        "series join is equi" -> (_.contains("BroadcastHashJoin")),
+        "no cartesian beyond lag spine" -> (p =>
+          !p.contains("CartesianProduct"))),
+      "q_decayed_revenue" -> Map(
+        // 1-row max-date broadcast + one partial+final agg; dyadic
+        // weights are a projection, not a join or UDF
+        "max-date broadcast" -> (_.contains("Broadcast")),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no cartesian beyond the 1-row max" -> (p =>
+          "CartesianProduct".r.findAllIn(p).size <= 1)))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

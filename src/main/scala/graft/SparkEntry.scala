@@ -165,6 +165,8 @@ object SparkEntry {
     "q_domain_cap"                -> operators.CurationOps.qDomainCap,
     "q_mmr_select"                -> operators.CurationOps.qMmrSelect,
     "q_kmv_distinct"              -> EventAnalytics.qKmvDistinct,
+    "q_xcorr_lags"                -> EventAnalytics.qXcorrLags,
+    "q_decayed_revenue"           -> EventAnalytics.qDecayedRevenue,
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
   )
@@ -1163,6 +1165,38 @@ object SparkEntry {
 
     "q_mmr_select" -> mmrOracle,
     "text_perceptron_train" -> perceptronOracle,
+
+    "q_xcorr_lags" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(floor(epoch_us(ts)/3600000000) AS BIGINT) AS hr, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT hr AS ha, cnt AS x FROM c WHERE event_type = 'error'),
+        |b AS (SELECT hr AS hb, cnt AS y FROM c WHERE event_type = 'purchase'),
+        |l AS (SELECT CAST(unnest(generate_series(0, 6)) AS BIGINT) AS lag),
+        |j AS (SELECT l.lag, a.x, b.y FROM a CROSS JOIN l JOIN b ON b.hb = a.ha + l.lag),
+        |ag AS (
+        |  SELECT lag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM j GROUP BY lag)
+        |SELECT lag, n,
+        |  floor((CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0
+        |    THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+        |         sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE))
+        |    ELSE 0.0 END)*1000000 + 0.5)/1000000 AS r
+        |FROM ag ORDER BY lag""".stripMargin,
+
+    "q_decayed_revenue" ->
+      """WITH m AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+        |e AS (
+        |  SELECT event_type, value,
+        |    least(date_diff('day', CAST(ts AS DATE), maxd), 62) AS age
+        |  FROM events, m)
+        |SELECT event_type, count(*) AS n_events,
+        |  floor((CAST(sum(CAST((value) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS raw_rev,
+        |  floor((CAST(sum(CAST((value * (1.0 / (CAST(1 AS BIGINT) << age))) AS DECIMAL(27,10))) AS DOUBLE))*10000 + 0.5)/10000 AS decayed_rev
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_priority_sample" ->
       s"""WITH scored AS (

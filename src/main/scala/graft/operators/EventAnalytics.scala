@@ -257,6 +257,76 @@ object EventAnalytics {
       .orderBy($"model", $"channel")
   }
 
+  /** Max lag (hours) for the cross-correlation scan. */
+  val XcorrMaxLag = 6L
+
+  /** Lagged cross-correlation of two event streams — "does the error
+    * rate LEAD the purchase rate?": Pearson r between hourly error
+    * counts and purchase counts shifted 0..6 hours later, one row per
+    * lag. The ops/analytics staple for cause-precedes-effect scans.
+    *
+    * Determinism: r is computed from the five INTEGER power sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) — exact at any aggregation order —
+    * with one final sqrt+division (both correctly rounded IEEE ops),
+    * so the oracle reproduces r bit-for-bit; degenerate (constant)
+    * series guard to 0 on both engines. Scale shape: the corpus
+    * shuffle is ONE (type, hour) partial+final count; the hourly
+    * series is then days×24 rows — the lag cross-join and the
+    * per-lag fold run on that tiny frame. */
+  val qXcorrLags: QueryFn = (s, dir) => {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .select($"event_type",
+        floor(unix_micros($"ts") / 3600000000.0).cast("long").as("hr"))
+      .groupBy($"event_type", $"hr").agg(count(lit(1)).as("cnt"))
+    val a = counts.where($"event_type" === "error")
+      .select($"hr".as("ha"), $"cnt".as("x"))
+    val b = counts.where($"event_type" === "purchase")
+      .select($"hr".as("hb"), $"cnt".as("y"))
+    val lags = s.range(0, XcorrMaxLag + 1).select($"id".as("lag"))
+    a.crossJoin(broadcast(lags))
+      .join(b, $"hb" === $"ha" + $"lag")
+      .groupBy($"lag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      .select($"lag", $"n",
+        rnd(when(
+          ($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy") > 0,
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            sqrt((($"n" * $"sxx" - $"sx" * $"sx") *
+                  ($"n" * $"syy" - $"sy" * $"sy")).cast("double")))
+          .otherwise(0.0), 6).as("r"))
+      .orderBy($"lag")
+  }
+
+  /** Exact-dyadic time-decayed revenue per event type: weight =
+    * 2^(−age_days) relative to the corpus's last day — the freshness
+    * weighting a recency-sensitive mix uses. The decay factor is a
+    * POWER OF TWO on purpose (the q_mix_temperature α=1/2 trick, per
+    * day): 1.0/(1<<age) is exactly representable, so the per-row
+    * weighted value is bit-identical cross-engine and the sum is
+    * decimal-exact — no libm pow/exp anywhere. One 1-row max-date
+    * broadcast + one partial+final agg. */
+  val qDecayedRevenue: QueryFn = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", $"value", to_date($"ts").as("d"))
+    val maxd = ev.agg(max($"d").as("maxd"))
+    ev.crossJoin(broadcast(maxd))
+      .select($"event_type", $"value",
+        least(datediff($"maxd", $"d"), lit(62)).cast("int").as("age"))
+      .select($"event_type", $"value",
+        ($"value" * (lit(1.0) / expr("shiftleft(1L, age)"))).as("wv"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        rnd(xsum($"value"), 2).as("raw_rev"),
+        rnd(xsum($"wv"), 4).as("decayed_rev"))
+      .orderBy($"event_type")
+  }
+
   /** KMV sketch size (bottom-k hashes kept per group). Tiny on
     * purpose so the estimator path engages even on the sf0.001
     * corpus (15 distinct users/type); production uses k ≈ 1024 for

@@ -59,6 +59,42 @@ class ApproxSpec extends SparkTestBase {
     assert(r1 == r2)
   }
 
+  test("q_xcorr_lags: integer power-sum Pearson matches a driver replica") {
+    import spark.implicits._
+    val counts = Tables.events(spark, sfDir)
+      .select($"event_type", floor(unix_micros($"ts") / 3600000000.0).cast("long").as("hr"))
+      .groupBy($"event_type", $"hr").count()
+      .as[(String, Long, Long)].collect()
+    val a = counts.filter(_._1 == "error").map(c => c._2 -> c._3).toMap
+    val b = counts.filter(_._1 == "purchase").map(c => c._2 -> c._3).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = (0L to 6L).flatMap { lag =>
+      val pairs = a.toSeq.flatMap { case (h, x) => b.get(h + lag).map(y => (x, y)) }
+      if (pairs.isEmpty) None else {
+        val n = pairs.length.toLong
+        val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val (sxx, syy) = (pairs.map(p => p._1 * p._1).sum, pairs.map(p => p._2 * p._2).sum)
+        val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        val r = if (den > 0) (n * sxy - sx * sy).toDouble / math.sqrt(den.toDouble) else 0.0
+        Some((lag, n, r6(r)))
+      }
+    }.toSet
+    val got = EventAnalytics.qXcorrLags(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("q_decayed_revenue: decayed mass bounded by raw, fresh day dominates") {
+    val got = EventAnalytics.qDecayedRevenue(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (et, n, raw, dec) =>
+      assert(n > 0 && raw > 0)
+      assert(dec > 0 && dec < raw, s"$et: decayed $dec vs raw $raw")
+    }
+  }
+
   test("q_kmv_distinct: matches a driver-side bottom-k replica, estimator engaged") {
     import spark.implicits._
     val k = EventAnalytics.KmvK
