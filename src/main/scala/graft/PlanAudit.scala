@@ -450,7 +450,12 @@ object PlanAudit {
         "max-date broadcast" -> (_.contains("Broadcast")),
         "partial agg before shuffle" -> (_.contains("partial_")),
         "no cartesian beyond the 1-row max" -> (p =>
-          "CartesianProduct".r.findAllIn(p).size <= 1)))
+          "CartesianProduct".r.findAllIn(p).size <= 1)),
+      "dedup_minhash_calibration" -> Map(
+        // candidates come from the band-keyed equi-join, never
+        // all-pairs; the signature/shingle joins resolve per candidate
+        "no cartesian" -> (p => !p.contains("CartesianProduct")),
+        "band-keyed shuffle join" -> (_.contains("hashpartitioning"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

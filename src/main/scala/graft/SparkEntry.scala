@@ -162,6 +162,7 @@ object SparkEntry {
     "dedup_semantic"              -> DedupOps.dedupSemantic,
     // r4: curation selection passes
     "dedup_span_coverage"         -> operators.CurationOps.dedupSpanCoverage,
+    "dedup_minhash_calibration"   -> DedupOps.dedupMinhashCalibration,
     "q_domain_cap"                -> operators.CurationOps.qDomainCap,
     "q_mmr_select"                -> operators.CurationOps.qMmrSelect,
     "q_kmv_distinct"              -> EventAnalytics.qKmvDistinct,
@@ -1820,6 +1821,7 @@ object SparkEntry {
         |FROM ser ORDER BY priority""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_minhash_calibration" -> minhashCalibrationOracle,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
     "ann_pq_topk" -> annPqOracle,
@@ -2537,7 +2539,12 @@ object SparkEntry {
        |LIMIT ${operators.DedupOps.EmbTopN}""".stripMargin
   }
 
-  private lazy val minhashLshOracle: String = {
+  /** The minhash index chain shared by [[minhashLshOracle]] and the
+    * calibration oracle: shingles → FNV hashes → salted murmur
+    * finalizer → 64-perm signatures → band keys → candidate pairs →
+    * exact pair Jaccard (UNfiltered — the LSH oracle thresholds it,
+    * the calibration oracle keeps false positives on purpose). */
+  private lazy val minhashCoreCtes: String = {
     val salts = graft.functions.Hashes.minhashParams(DedupOps.NumPerms)
       .zipWithIndex
       .map { case (s, p) => s"($p, CAST(${java.lang.Long.toUnsignedString(s)} AS HUGEINT))" }
@@ -2549,7 +2556,7 @@ object SparkEntry {
     }
     val c1 = java.lang.Long.parseUnsignedLong("ff51afd7ed558ccd", 16)
     val c2 = java.lang.Long.parseUnsignedLong("c4ceb9fe1a85ec53", 16)
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
        |  FROM documents),
        |sh AS (
@@ -2585,8 +2592,30 @@ object SparkEntry {
        |  SELECT doc_a, doc_b,
        |    CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
        |      / len(list_distinct(list_concat(sa.shs, sb.shs))) AS jac
-       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)""".stripMargin
+  }
+
+  private lazy val minhashLshOracle: String =
+    s"""WITH $minhashCoreCtes
        |SELECT doc_a, doc_b, floor(jac*10000 + 0.5)/10000 AS jaccard
        |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** `dedup_minhash_calibration`: the same index chain, but instead
+    * of thresholding, every LSH candidate (false positives included —
+    * they're the interesting calibration region) gets its signature
+    * agreement fraction next to its exact Jaccard. */
+  private lazy val minhashCalibrationOracle: String = {
+    val np = DedupOps.NumPerms
+    s"""WITH $minhashCoreCtes,
+       |sigl AS (SELECT doc_id, list(sv ORDER BY p) AS sg FROM sig GROUP BY doc_id),
+       |est AS (
+       |  SELECT j.doc_a, j.doc_b, j.jac,
+       |    CAST(len([i for i in generate_series(1, $np) if sa.sg[i] = sb.sg[i]]) AS DOUBLE)/$np AS es
+       |  FROM j JOIN sigl sa ON sa.doc_id = j.doc_a JOIN sigl sb ON sb.doc_id = j.doc_b)
+       |SELECT doc_a, doc_b,
+       |  floor(es*10000 + 0.5)/10000 AS est_jaccard,
+       |  floor(jac*10000 + 0.5)/10000 AS exact_jaccard,
+       |  floor(abs(es - jac)*10000 + 0.5)/10000 AS abs_err
+       |FROM est ORDER BY doc_a, doc_b""".stripMargin
   }
 }

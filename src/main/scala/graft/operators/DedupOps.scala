@@ -109,6 +109,42 @@ object DedupOps {
     minhashPairs(docs, tau = 0.5)
   }
 
+  /** MinHash ESTIMATOR CALIBRATION — the tuning harness for the index
+    * above: every LSH candidate pair (false positives included —
+    * they're exactly the region band tuning cares about) reported
+    * with its signature-agreement estimate (#equal perms / 64) next
+    * to its exact shingle Jaccard and the absolute error. E[est] =
+    * J(A,B) is the minhash identity; this query MEASURES it on the
+    * live index so band/row counts are chosen from evidence, not the
+    * (1/B)^(1/r) rule of thumb alone. Same shuffle shape as
+    * `dedup_minhash_lsh` (band-keyed candidates), plus two map-side
+    * signature joins — nothing pairwise beyond the candidate set. */
+  val dedupMinhashCalibration: QueryFn = (s, dir) => {
+    import s.implicits._
+    val docs = docShingles(s, dir).cache()
+    val sigged = docs.select($"doc_id",
+      graft.functions.VectorExpressions
+        .minhash_sig($"sh", minhashParams(NumPerms)).as("sig"))
+    val keyed = sigged.select($"doc_id",
+      explode(bandKeys($"sig", Bands, RowsPerBand)).as("key"))
+    val pairs = pairsByKey(keyed)
+    val est = pairs
+      .join(sigged.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sigged.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        (size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y), v => v))
+          .cast("double") / NumPerms).as("es"),
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")).cast("double")).as("jac"))
+    est.select($"doc_a", $"doc_b",
+        rnd($"es", 4).as("est_jaccard"),
+        rnd($"jac", 4).as("exact_jaccard"),
+        rnd(abs($"es" - $"jac"), 4).as("abs_err"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** SimHash near-dup pairs: 64-bit signature, candidates share at
     * least one of four 16-bit chunks, verified at hamming <= 6. */
   val dedupSimhash: QueryFn = (s, dir) => {

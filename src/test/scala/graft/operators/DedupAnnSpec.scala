@@ -278,6 +278,23 @@ class DedupAnnSpec extends SparkTestBase {
     assert(recall >= 0.68, s"residual ivf-pq recall too low: $recall")
   }
 
+  test("dedup_minhash_calibration: estimator tracks exact jaccard within binomial error") {
+    val rows = DedupOps.dedupMinhashCalibration(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty, "no LSH candidates to calibrate on")
+    // 64 perms: sd(est) = sqrt(J(1-J)/64) <= 1/16; 4 sd = 0.25
+    rows.foreach { case (a, b, est, exact, err) =>
+      assert(est >= 0.0 && est <= 1.0 && exact >= 0.0 && exact <= 1.0)
+      // err is rounded from the RAW estimate/jaccard, est/exact are
+      // themselves rounded — compositions may differ by one ulp of
+      // the 1e-4 grid
+      assert(math.abs(err - math.abs(est - exact)) <= 2e-4)
+      assert(err <= 0.25, s"pair ($a,$b): estimator off by $err")
+    }
+    val meanErr = rows.map(_._5).sum / rows.length
+    assert(meanErr < 0.05, s"estimator biased: mean abs err $meanErr")
+  }
+
   test("ann_incremental_topk: frozen-quantizer routing keeps IVF-level recall, index persists") {
     import spark.implicits._
     val exact = AnnOps.annBruteforceTopk(spark, sfDir)
