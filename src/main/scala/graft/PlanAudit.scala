@@ -455,7 +455,13 @@ object PlanAudit {
         // candidates come from the band-keyed equi-join, never
         // all-pairs; the signature/shingle joins resolve per candidate
         "no cartesian" -> (p => !p.contains("CartesianProduct")),
-        "band-keyed shuffle join" -> (_.contains("hashpartitioning"))))
+        "band-keyed shuffle join" -> (_.contains("hashpartitioning"))),
+      "q_top_paths" -> Map(
+        // the path histogram ranks through bounded heaps, not a
+        // global sort; one user window + one path count, no joins
+        "top paths via native TopKPerKey" -> (_.contains("TopKPerKey")),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no join" -> (p => !p.contains("Join"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

@@ -167,6 +167,7 @@ object SparkEntry {
     "q_mmr_select"                -> operators.CurationOps.qMmrSelect,
     "q_kmv_distinct"              -> EventAnalytics.qKmvDistinct,
     "q_xcorr_lags"                -> EventAnalytics.qXcorrLags,
+    "q_top_paths"                 -> EventAnalytics.qTopPaths,
     "q_decayed_revenue"           -> EventAnalytics.qDecayedRevenue,
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
@@ -1166,6 +1167,18 @@ object SparkEntry {
 
     "q_mmr_select" -> mmrOracle,
     "text_perceptron_train" -> perceptronOracle,
+
+    "q_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, array_to_string(list(event_type ORDER BY rn), '>') AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id),
+        |c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path),
+        |t AS (SELECT path, n_users, row_number() OVER (ORDER BY n_users DESC, path) AS rk FROM c)
+        |SELECT path, n_users FROM t WHERE rk <= 20 ORDER BY n_users DESC, path""".stripMargin,
 
     "q_xcorr_lags" ->
       """WITH c AS (

@@ -257,6 +257,34 @@ object EventAnalytics {
       .orderBy($"model", $"channel")
   }
 
+  /** Path-mining prefix length. */
+  val PathLen = 5
+
+  /** Top user paths — the "what do users actually do" product
+    * analytics staple: each user's first [[PathLen]] events (by
+    * (ts, event_id) — the total order every event query here uses)
+    * concatenated into a path string, counted across users, top 20
+    * paths by frequency. One user-keyed window + one path-keyed
+    * partial+final count; ranking through the native TopKPerKey
+    * heaps (the full path histogram never sorts). */
+  val qTopPaths: QueryFn = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val paths = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= PathLen)
+      .groupBy($"user_id")
+      .agg(concat_ws(">", array_sort(collect_list(struct($"rn", $"event_type")))
+        .getField("event_type")).as("path"))
+    val counted = paths.groupBy($"path").agg(count(lit(1)).as("n_users"))
+    graft.plans.TopK.perKey(
+        counted.withColumn("g", lit(1)),
+        Seq("g"), Seq("n_users" -> false, "path" -> true), 20)
+      .select($"path", $"n_users")
+      .orderBy($"n_users".desc, $"path")
+  }
+
   /** Max lag (hours) for the cross-correlation scan. */
   val XcorrMaxLag = 6L
 

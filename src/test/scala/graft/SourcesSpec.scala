@@ -104,4 +104,44 @@ class SourcesSpec extends SparkTestBase {
       assert(a == b)
     }
   }
+
+  test("corrupt-record handling: permissive quarantine, dropmalformed, failfast") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // a landing dir where 2 of 6 JSON lines are malformed — the
+    // normal state of a crawl drop; the pipeline must quarantine,
+    // not crash and not silently drop
+    val dir = Files.createTempDirectory("graft-corrupt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part-0.json"),
+      """{"doc_id": 1, "text": "good one"}
+        |{"doc_id": 2 "text": "missing comma"}
+        |{"doc_id": 3, "text": "also fine"}
+        |not json at all
+        |{"doc_id": 4, "text": "ok"}
+        |{"doc_id": 5, "text": "fine too"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    val bad = permissive.where($"_corrupt_record".isNotNull)
+    val good = permissive.where($"_corrupt_record".isNull)
+    assert(permissive.count() == 6)
+    assert(bad.count() == 2, "quarantine must catch exactly the 2 malformed lines")
+    assert(good.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+    val dropped = spark.read
+      .schema(StructType(schema.fields.filterNot(_.name.startsWith("_"))))
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() == 4)
+    val failfast = intercept[org.apache.spark.SparkException] {
+      spark.read
+        .schema(StructType(schema.fields.filterNot(_.name.startsWith("_"))))
+        .option("mode", "FAILFAST").json(dir).count()
+    }
+    assert(failfast.getMessage.toLowerCase.contains("malformed")
+      || Option(failfast.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
 }
