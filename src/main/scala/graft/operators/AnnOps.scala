@@ -338,10 +338,11 @@ object AnnOps {
             x.getField("cell") < acc.getField("cell")), x)
         .otherwise(acc)).getField("cell")
 
-  /** Probes exploded to their top `IvfProbeCells` cells (sort the
-    * tiny scored array per row, slice, explode) — map-side. */
+  /** Probes exploded to their top `nprobe` cells (sort the tiny
+    * scored array per row, slice, explode) — map-side. */
   private def probeCellsOf(s: SparkSession, dir: String,
-      cellsLit: org.apache.spark.sql.Column): DataFrame = {
+      cellsLit: org.apache.spark.sql.Column,
+      nprobe: Int = IvfProbeCells): DataFrame = {
     import s.implicits._
     probes(s, dir)
       .select($"pid", $"pe", cellScores(cellsLit)($"pe").as("scored"))
@@ -350,21 +351,30 @@ object AnnOps {
           .when(l.getField("sim") < r.getField("sim"), 1)
           .when(l.getField("cell") < r.getField("cell"), -1)
           .when(l.getField("cell") > r.getField("cell"), 1)
-          .otherwise(0)), 1, IvfProbeCells)).as("sc"))
+          .otherwise(0)), 1, nprobe)).as("sc"))
       .select($"pid", $"pe", $"sc.cell".as("cell"))
   }
 
-  val annIvfTopk: QueryFn = (s, dir) => {
+  /** The IVF serve path at a caller-chosen probe width — the
+    * recall/cost dial every real deployment tunes (`nprobe` in
+    * Faiss): more probed cells = more of the corpus scanned = higher
+    * recall, linearly more ADC work. The gate query pins
+    * nprobe = [[IvfProbeCells]]; DedupAnnSpec sweeps the dial and
+    * asserts recall is monotone non-decreasing in nprobe and exact
+    * at nprobe = n_cells (full scan ⇒ brute-force parity). */
+  def ivfTopkWithProbes(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import s.implicits._
     val cellsLit = typedLit(ivfCentroids(s, dir))
     val assigned = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding", cellScores(cellsLit)($"embedding").as("scored"))
       .select($"vec_id", $"embedding", argmaxCell($"scored").as("cell"))
-    val cands = probeCellsOf(s, dir, cellsLit).join(assigned, Seq("cell"))
+    val cands = probeCellsOf(s, dir, cellsLit, nprobe).join(assigned, Seq("cell"))
       .where($"vec_id" =!= $"pid")
       .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"embedding").as("sim"))
     rankTopK(cands, K)
   }
+
+  val annIvfTopk: QueryFn = (s, dir) => ivfTopkWithProbes(s, dir, IvfProbeCells)
 
   /** IVF-PQ: the composed billion-vector index — coarse IVF routing
     * (map-side argmax over centroid literals) over PQ-compressed

@@ -314,6 +314,47 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class KmvEntry(event_type: String, n_sketch: Int, est_distinct: Double)
+
+  /** Continuous KMV distinct-count sketch per event type — the
+    * streaming face of the batch `q_kmv_distinct`: state per key IS
+    * the sketch (the k smallest distinct unsigned FNV hashes, O(k)
+    * per key), merged with each micro-batch's arrivals — the same
+    * bottom-k merge the batch operator's partial heaps perform per
+    * partition, which is the point: KMV is mergeable, so stream
+    * state, batch partials, and cross-day rollups are all the same
+    * k-hash object. Each batch re-emits the current estimate
+    * (Append-mode emission per batch; the latest row per key is the
+    * live cardinality estimate). Deterministic: same hash, same
+    * unsigned order, same (k−1)·2⁶⁴/kth estimator as the
+    * hash-verified batch query — StreamingSpec asserts the final
+    * emission equals a driver-side replica over the whole stream. */
+  def kmvStream(events: DataFrame, k: Int = 8): Dataset[KmvEntry] = {
+    import events.sparkSession.implicits._
+    import graft.functions.Hashes
+
+    def fn(key: String, rows: Iterator[(String, Long)],
+        state: GroupState[Seq[Long]]): Iterator[KmvEntry] = {
+      val merged = (state.getOption.getOrElse(Seq.empty) ++
+          rows.map(r => Hashes.fnv64(r._2.toString)))
+        .distinct
+        .sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0)
+        .take(k)
+      state.update(merged)
+      val est =
+        if (merged.size < k) merged.size.toDouble
+        else (k - 1).toDouble * 1.8446744073709552e19 /
+          BigInt(java.lang.Long.toUnsignedString(merged.last)).toDouble
+      Iterator.single(KmvEntry(key, merged.size, est))
+    }
+
+    events
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming vector ingest into the persisted IVF index — the
     * continuous face of `ann_incremental_topk`'s batch add: vectors
     * landing as parquet files are routed to their cell with the

@@ -315,6 +315,28 @@ class DedupAnnSpec extends SparkTestBase {
     assert(again == got, "warm-index serve diverged from cold build")
   }
 
+  test("ivf nprobe dial: recall monotone non-decreasing, full probe == brute force") {
+    import spark.implicits._
+    val exact = AnnOps.annBruteforceTopk(spark, sfDir)
+      .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+    val recalls = Seq(1, 3, 6, 10).map { np =>
+      val got = AnnOps.ivfTopkWithProbes(spark, sfDir, np)
+        .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+      val r = got.intersect(exact).size.toDouble / exact.size
+      info(s"nprobe=$np recall@5 = $r")
+      (np, r, got)
+    }
+    recalls.sliding(2).foreach { case Seq((n1, r1, _), (n2, r2, _)) =>
+      assert(r2 >= r1, s"recall regressed widening nprobe $n1→$n2: $r1 → $r2")
+    }
+    // probing every cell scans the whole corpus: exactly brute force
+    assert(recalls.last._3 == exact, "full-probe IVF must equal the exact ranking")
+    // near-random vectors scatter true neighbours across cells:
+    // 1-probe sees ~1/10 of the corpus, so anything clearly above
+    // zero proves same-cell routing works (measured 0.16)
+    assert(recalls.head._2 >= 0.1, "even 1-probe should find same-cell neighbours")
+  }
+
   test("ann_lsh_topk and ann_ivf_topk: valid rankings with useful recall") {
     val exact = AnnOps.annBruteforceTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

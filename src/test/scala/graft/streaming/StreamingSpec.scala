@@ -270,6 +270,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch: final emission == batch bottom-k replica over the full stream") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-kmv-in").toString
+    val ev = Tables.events(spark, sfDir).select($"event_type", $"user_id")
+    ev.where($"user_id" % 2 === 0).coalesce(1).write.mode("append").parquet(inDir)
+    ev.where($"user_id" % 2 =!= 0).coalesce(1).write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("event_type STRING, user_id LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = Streams.kmvStream(stream, k = 8)
+      .writeStream.format("memory").queryName("kmv_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // latest emission per key = the sketch over the whole stream
+    val emissions = spark.table("kmv_out").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val last = emissions.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    def unsigned(h: Long): BigInt = BigInt(h) & ((BigInt(1) << 64) - 1)
+    val expected = ev.as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues { es =>
+        val hs = es.map(e => unsigned(graft.functions.Hashes.fnv64(e._2.toString)))
+          .distinct.sorted.take(8)
+        val est =
+          if (hs.size < 8) hs.size.toDouble
+          else 7.0 * 1.8446744073709552e19 / hs.last.toDouble
+        (hs.size, est)
+      }.toMap
+    assert(last.keySet == expected.keySet && last.nonEmpty)
+    last.foreach { case (et, (_, n, est)) =>
+      val (en, eest) = expected(et)
+      assert(n == en && math.abs(est - eest) < 1e-9,
+        s"$et: stream sketch ($n, $est) vs batch replica ($en, $eest)")
+    }
+    // two emissions per key (one per micro-batch)
+    assert(emissions.length == 2 * expected.size, s"got ${emissions.length} emissions")
+  }
+
   test("ivf ingest stream: frozen-quantizer routing == batch, cell-partitioned exactly-once sink") {
     import spark.implicits._
     import java.nio.file.Files
