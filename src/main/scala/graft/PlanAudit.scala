@@ -461,6 +461,13 @@ object PlanAudit {
         // global sort; one user window + one path count, no joins
         "top paths via native TopKPerKey" -> (_.contains("TopKPerKey")),
         "partial agg before shuffle" -> (_.contains("partial_")),
+        "no join" -> (p => !p.contains("Join"))),
+      "q_rolling_revenue" -> Map(
+        // one customer-keyed RANGE window, global top-20 through
+        // bounded heaps — never a global sort of all rolling sums
+        "top windows via native TopKPerKey" -> (_.contains("TopKPerKey")),
+        "single range window" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size == 1),
         "no join" -> (p => !p.contains("Join"))))
 
     var failures = 0

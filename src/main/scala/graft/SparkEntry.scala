@@ -168,6 +168,7 @@ object SparkEntry {
     "q_kmv_distinct"              -> EventAnalytics.qKmvDistinct,
     "q_xcorr_lags"                -> EventAnalytics.qXcorrLags,
     "q_top_paths"                 -> EventAnalytics.qTopPaths,
+    "q_rolling_revenue"           -> RelationalExt.qRollingRevenue,
     "q_decayed_revenue"           -> EventAnalytics.qDecayedRevenue,
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
@@ -1167,6 +1168,23 @@ object SparkEntry {
 
     "q_mmr_select" -> mmrOracle,
     "text_perceptron_train" -> perceptronOracle,
+
+    "q_rolling_revenue" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dd
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_custkey, d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(27,10))) OVER (
+        |      PARTITION BY o_custkey ORDER BY dd
+        |      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll
+        |  FROM o),
+        |t AS (
+        |  SELECT *, row_number() OVER (ORDER BY roll DESC, o_custkey, d) AS rk FROM r)
+        |SELECT o_custkey, strftime(d, '%Y-%m-%d') AS day,
+        |  floor(roll*100 + 0.5)/100 AS rolling_rev
+        |FROM t WHERE rk <= 20 ORDER BY rolling_rev DESC, o_custkey, day""".stripMargin,
 
     "q_top_paths" ->
       """WITH r AS (

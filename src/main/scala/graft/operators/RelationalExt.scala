@@ -471,4 +471,30 @@ object RelationalExt {
         count(lit(1)).as("n_lines"))
       .orderBy($"o_orderpriority")
   }
+
+  /** Peak 30-day spend windows per customer — the RANGE-frame window
+    * class (value-based frame on days, not a row count: a customer
+    * with 3 orders in a month and one with 30 both get a true
+    * calendar window — `rowsBetween` can't express this). The frame
+    * accumulates in DECIMAL so the rolling sum is exact regardless
+    * of within-frame order (DuckDB's segment-tree window association
+    * differs from Spark's — doubles would drift in the last ulp);
+    * the global top 20 ranks through TopKPerKey bounded heaps. One
+    * customer-keyed window + bounded heaps: no global sort. */
+  val qRollingRevenue: QueryFn = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"o_custkey").orderBy($"dd").rangeBetween(-29, 0)
+    val rolled = Tables.orders(s, dir)
+      .select($"o_custkey", to_date($"o_orderdate").as("d"), $"o_totalprice")
+      .withColumn("dd", datediff($"d", lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("roll",
+        sum($"o_totalprice".cast(DecimalType(27, 10))).over(w).cast("double"))
+    graft.plans.TopK.perKey(
+        rolled.withColumn("g", lit(1)),
+        Seq("g"), Seq("roll" -> false, "o_custkey" -> true, "dd" -> true), 20)
+      .select($"o_custkey", date_format($"d", "yyyy-MM-dd").as("day"),
+        rnd($"roll", 2).as("rolling_rev"))
+      .orderBy($"rolling_rev".desc, $"o_custkey", $"day")
+  }
 }
