@@ -169,6 +169,7 @@ object SparkEntry {
     "q_xcorr_lags"                -> EventAnalytics.qXcorrLags,
     "q_top_paths"                 -> EventAnalytics.qTopPaths,
     "q_rolling_revenue"           -> RelationalExt.qRollingRevenue,
+    "q_sql_cosine_topk"           -> AnnOps.qSqlCosineTopk,
     "q_decayed_revenue"           -> EventAnalytics.qDecayedRevenue,
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
@@ -1288,15 +1289,10 @@ object SparkEntry {
         |  floor((abs(e - n_exact)/n_exact)*10000 + 0.5)/10000 AS rel_err
         |FROM est ORDER BY event_type""".stripMargin,
 
-    "ann_bruteforce_topk" ->
-      """WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 10),
-        |sims AS (SELECT pid, e.vec_id AS nid,
-        |  list_cosine_similarity(pe, CAST(e.embedding AS DOUBLE[])) AS sim
-        |  FROM probes, embeddings e WHERE e.vec_id <> pid),
-        |ranked AS (SELECT pid, nid, sim,
-        |  row_number() OVER (PARTITION BY pid ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM sims)
-        |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor((sim)*10000 + 0.5)/10000 AS sim
-        |FROM ranked WHERE rnk <= 5 ORDER BY pid, rnk""".stripMargin,
+    "ann_bruteforce_topk" -> bruteforceOracle,
+    // the SQL-front-door twin produces the identical result by
+    // construction — one oracle serves both
+    "q_sql_cosine_topk" -> bruteforceOracle,
 
     // the whole SQ8 index replayed in SQL: same per-dim affine bounds,
     // same rounded int8 codes, same reconstruction, same ranking —
@@ -2213,6 +2209,18 @@ object SparkEntry {
        |  $out
        |) ORDER BY rank""".stripMargin
   }
+
+  /** Shared by `ann_bruteforce_topk` and its SQL-front-door twin
+    * `q_sql_cosine_topk`. */
+  private lazy val bruteforceOracle: String =
+    """WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 10),
+      |sims AS (SELECT pid, e.vec_id AS nid,
+      |  list_cosine_similarity(pe, CAST(e.embedding AS DOUBLE[])) AS sim
+      |  FROM probes, embeddings e WHERE e.vec_id <> pid),
+      |ranked AS (SELECT pid, nid, sim,
+      |  row_number() OVER (PARTITION BY pid ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM sims)
+      |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor((sim)*10000 + 0.5)/10000 AS sim
+      |FROM ranked WHERE rnk <= 5 ORDER BY pid, rnk""".stripMargin
 
   /** `text_perceptron_train`'s oracle: the FULL training unroll —
     * round 1 is the cold start (w₀ = 0 ⇒ everyone misclassified ⇒

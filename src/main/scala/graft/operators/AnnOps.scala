@@ -376,6 +376,31 @@ object AnnOps {
 
   val annIvfTopk: QueryFn = (s, dir) => ivfTopkWithProbes(s, dir, IvfProbeCells)
 
+  /** The SAME exact top-k, but written as a SQL STRING against the
+    * registered custom expression — the API-surface proof that a
+    * `spark.sql` user gets the native codegen [[graft.functions
+    * .CosineSim]] without touching the Scala DSL (the
+    * `GraftExtensions` injection path, exercised imperatively so a
+    * plain gate session works). Shares `ann_bruteforce_topk`'s
+    * oracle verbatim: same plan class, same result, different
+    * front door. */
+  val qSqlCosineTopk: QueryFn = (s, dir) => {
+    graft.functions.VectorExpressions.register(s)
+    Tables.embeddings(s, dir).createOrReplaceTempView("emb_v")
+    s.sql(
+      s"""WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM emb_v WHERE vec_id < ${NumProbes}),
+         |cands AS (
+         |  SELECT pid, e.vec_id AS nid, cosine_sim(pe, e.embedding) AS sim
+         |  FROM probes JOIN emb_v e ON e.vec_id <> pid),
+         |rk AS (SELECT pid, nid, sim,
+         |  row_number() OVER (PARTITION BY pid
+         |    ORDER BY floor(sim*1000000 + 0.5)/1000000 DESC, nid) AS rnk
+         |  FROM cands)
+         |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid,
+         |  floor(sim*10000 + 0.5)/10000 AS sim
+         |FROM rk WHERE rnk <= $K ORDER BY pid, rnk""".stripMargin)
+  }
+
   /** IVF-PQ: the composed billion-vector index — coarse IVF routing
     * (map-side argmax over centroid literals) over PQ-compressed
     * vectors (8 B/vector), exactly the memory/scan layout a real
