@@ -170,6 +170,7 @@ object SparkEntry {
     "q_top_paths"                 -> EventAnalytics.qTopPaths,
     "q_rolling_revenue"           -> RelationalExt.qRollingRevenue,
     "q_sql_cosine_topk"           -> AnnOps.qSqlCosineTopk,
+    "q_funnel_ordered"            -> EventAnalytics.qFunnelOrdered,
     "q_decayed_revenue"           -> EventAnalytics.qDecayedRevenue,
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
@@ -1169,6 +1170,26 @@ object SparkEntry {
 
     "q_mmr_select" -> mmrOracle,
     "text_perceptron_train" -> perceptronOracle,
+
+    "q_funnel_ordered" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t1
+        |  FROM events e JOIN s0 ON s0.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s0.t0
+        |    AND epoch_us(e.ts) - epoch_us(s0.t0) <= 21600000000 GROUP BY e.user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        |    AND epoch_us(e.ts) - epoch_us(s1.t1) <= 21600000000 GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT count(*) FROM s0) AS n_signup,
+        |  (SELECT count(*) FROM s1) AS n_then_view,
+        |  (SELECT count(*) FROM s2) AS n_then_purchase,
+        |  floor((CAST((SELECT count(*) FROM s1) AS DOUBLE) / (SELECT count(*) FROM s0))*1000000 + 0.5)/1000000 AS step2_rate,
+        |  floor((CAST((SELECT count(*) FROM s2) AS DOUBLE) / (SELECT count(*) FROM s1))*1000000 + 0.5)/1000000 AS step3_rate""".stripMargin,
 
     "q_rolling_revenue" ->
       """WITH o AS (

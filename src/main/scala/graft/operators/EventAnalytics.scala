@@ -257,6 +257,43 @@ object EventAnalytics {
       .orderBy($"model", $"channel")
   }
 
+  /** Strict ORDERED 3-step funnel — signup → (later) view → (later
+    * still) purchase, each step anchored at the user's EARLIEST
+    * qualifying event after the previous step (the "first touch
+    * advances the funnel" semantics ragged multi-step funnels need;
+    * the 2-step `q_events_funnel` can't express the middle
+    * constraint). Three (user)-keyed min-aggs chained by equi-joins —
+    * every stage partial-aggregatable, the only shuffled width is
+    * (user_id, one timestamp); the three 1-row step counts
+    * cross-join broadcast into the single summary row. */
+  val qFunnelOrdered: QueryFn = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    // 6-hour step windows so the funnel DISCRIMINATES on the dense
+    // synthetic stream (unbounded steps convert every user — rates
+    // pinned at 1.0 prove nothing)
+    val stepUs = 6L * 3600L * 1000000L
+    val s0 = ev.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t0"))
+    val s1 = ev.where($"event_type" === "view")
+      .join(s0, "user_id")
+      .where($"ts" > $"t0" &&
+        unix_micros($"ts") - unix_micros($"t0") <= stepUs)
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.where($"event_type" === "purchase")
+      .join(s1, "user_id")
+      .where($"ts" > $"t1" &&
+        unix_micros($"ts") - unix_micros($"t1") <= stepUs)
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val c0 = s0.agg(count(lit(1)).as("n_signup"))
+    val c1 = s1.agg(count(lit(1)).as("n_then_view"))
+    val c2 = s2.agg(count(lit(1)).as("n_then_purchase"))
+    c0.crossJoin(broadcast(c1)).crossJoin(broadcast(c2))
+      .select($"n_signup", $"n_then_view", $"n_then_purchase",
+        rnd($"n_then_view".cast("double") / $"n_signup", 6).as("step2_rate"),
+        rnd($"n_then_purchase".cast("double") / $"n_then_view", 6).as("step3_rate"))
+  }
+
   /** Path-mining prefix length. */
   val PathLen = 5
 
