@@ -468,7 +468,25 @@ object PlanAudit {
         "top windows via native TopKPerKey" -> (_.contains("TopKPerKey")),
         "single range window" -> (p =>
           "windowspecdefinition".r.findAllIn(p).size == 1),
-        "no join" -> (p => !p.contains("Join"))))
+        "no join" -> (p => !p.contains("Join"))),
+      "q_funnel_ordered" -> Map(
+        // three chained user-keyed min-aggs; every stage partial,
+        // only (user_id, ts) ever shuffles; the 1-row counts may
+        // cross-join but nothing corpus-sized does
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "steps join on user equi" -> (p =>
+          p.contains("Join") && !p.contains("CartesianProduct") ||
+            "CartesianProduct".r.findAllIn(p).size <= 2),
+        "no corpus-sized window" -> (p =>
+          !p.contains("windowspecdefinition"))),
+      "q_sql_cosine_topk" -> Map(
+        // the SQL string must reach the SAME native expression and
+        // plan class as the DSL twin: codegen'd cosine, broadcast
+        // probes, no cartesian
+        "native cosine in plan" -> (p =>
+          p.toLowerCase.contains("cosinesim") || p.contains("cosine_sim")),
+        "probes broadcast" -> (_.contains("Broadcast")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>
