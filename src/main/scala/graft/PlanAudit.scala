@@ -486,7 +486,12 @@ object PlanAudit {
         "native cosine in plan" -> (p =>
           p.toLowerCase.contains("cosinesim") || p.contains("cosine_sim")),
         "probes broadcast" -> (_.contains("Broadcast")),
-        "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "emb_dim_stats" -> Map(
+        // one explode + one dim-keyed partial+final agg, no joins —
+        // 64 rows out at any corpus size
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no join" -> (p => !p.contains("Join"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

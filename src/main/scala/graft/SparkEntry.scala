@@ -171,6 +171,7 @@ object SparkEntry {
     "q_rolling_revenue"           -> RelationalExt.qRollingRevenue,
     "q_sql_cosine_topk"           -> AnnOps.qSqlCosineTopk,
     "q_funnel_ordered"            -> EventAnalytics.qFunnelOrdered,
+    "emb_dim_stats"               -> AnnOps.embDimStats,
     "q_decayed_revenue"           -> EventAnalytics.qDecayedRevenue,
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
@@ -1170,6 +1171,24 @@ object SparkEntry {
 
     "q_mmr_select" -> mmrOracle,
     "text_perceptron_train" -> perceptronOracle,
+
+    "emb_dim_stats" ->
+      """WITH e AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |ag AS (
+        |  SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
+        |    CAST(sum(CAST((x) AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST((x*x) AS DECIMAL(27,10))) AS DOUBLE) AS sxx,
+        |    min(x) AS mn, max(x) AS mx
+        |  FROM e GROUP BY pos)
+        |SELECT pos, n,
+        |  floor((sx/n)*1000000 + 0.5)/1000000 AS mean,
+        |  floor((sxx/n - (sx/n)*(sx/n))*1000000000 + 0.5)/1000000000 AS variance,
+        |  floor(mn*1000000 + 0.5)/1000000 AS min_x,
+        |  floor(mx*1000000 + 0.5)/1000000 AS max_x
+        |FROM ag ORDER BY pos""".stripMargin,
 
     "q_funnel_ordered" ->
       """WITH s0 AS (

@@ -502,6 +502,31 @@ object AnnOps {
     rankTopK(rerank, K)
   }
 
+  /** Per-dimension embedding-corpus QA panel — the health check run
+    * BEFORE any index build: per dim, mean / variance / range over
+    * the whole corpus (dead dims → variance ≈ 0 kill PQ subspaces;
+    * scale-skewed dims distort SQ8 bounds; range blowouts flag
+    * ingestion bugs). Shape: one posexplode + one (dim)-keyed
+    * partial+final agg — 64 output rows at any corpus size.
+    * Determinism: decimal-exact Σx and Σx², variance derived as
+    * Σx²/n − (Σx/n)² from those exact sums with identical IEEE steps
+    * both engines; min/max are exact. */
+  val embDimStats: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select(posexplode($"embedding").as(Seq("pos", "xf")))
+      .select($"pos".cast("long").as("pos"), $"xf".cast("double").as("x"))
+      .groupBy($"pos")
+      .agg(count(lit(1)).as("n"),
+        xsum($"x").as("sx"), xsum($"x" * $"x").as("sxx"),
+        min($"x").as("mn"), max($"x").as("mx"))
+      .select($"pos", $"n",
+        rnd($"sx" / $"n", 6).as("mean"),
+        rnd($"sxx" / $"n" - ($"sx" / $"n") * ($"sx" / $"n"), 9).as("variance"),
+        rnd($"mn", 6).as("min_x"), rnd($"mx", 6).as("max_x"))
+      .orderBy($"pos")
+  }
+
   /** Persisted IVF index state for [[annIncrementalTopk]] — built once
     * per corpus and kept on disk, exactly like the dedup suite's
     * `IncrementalIndex`: the frozen coarse quantizer (k×d centroid

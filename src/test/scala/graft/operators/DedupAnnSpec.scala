@@ -315,6 +315,24 @@ class DedupAnnSpec extends SparkTestBase {
     assert(again == got, "warm-index serve diverged from cold build")
   }
 
+  test("emb_dim_stats: one row per dimension, variance bounds, count conservation") {
+    import spark.implicits._
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    val rows = AnnOps.embDimStats(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 64 && rows.map(_._1).toSeq == (0L until 64L))
+    rows.foreach { case (pos, n, mean, variance, mn, mx) =>
+      assert(n == nVecs, s"dim $pos: count $n != corpus $nVecs")
+      assert(variance >= 0.0, s"dim $pos: negative variance $variance")
+      assert(mn <= mean + 1e-6 && mean <= mx + 1e-6, s"dim $pos: mean outside range")
+      // (max-min)^2/4 bounds the variance of any distribution on [min,max]
+      assert(variance <= (mx - mn) * (mx - mn) / 4 + 1e-9, s"dim $pos: variance impossible")
+    }
+    // the QA must see live dimensions: none dead on the test vectors
+    assert(rows.forall(_._4 > 0.0), "a dead dimension on random embeddings is a bug")
+  }
+
   test("ivf nprobe dial: recall monotone non-decreasing, full probe == brute force") {
     import spark.implicits._
     val exact = AnnOps.annBruteforceTopk(spark, sfDir)
