@@ -491,7 +491,21 @@ object PlanAudit {
         // one explode + one dim-keyed partial+final agg, no joins —
         // 64 rows out at any corpus size
         "partial agg before shuffle" -> (_.contains("partial_")),
-        "no join" -> (p => !p.contains("Join"))))
+        "no join" -> (p => !p.contains("Join"))),
+      "q_abandoned_views" -> Map(
+        // the temporal NOT-EXISTS rides one user-keyed equi-join
+        // with the range predicate in the condition — never a
+        // cartesian, and both aggs partial map-side
+        "user-keyed equi-join" -> (p =>
+          !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "q_robust_outliers" -> Map(
+        // the 5-row median/MAD summaries come back BROADCAST; the
+        // corpus is scanned, never shuffled on anything but type
+        "summaries broadcast back" -> (_.contains("BroadcastHashJoin")),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

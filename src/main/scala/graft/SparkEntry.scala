@@ -172,6 +172,8 @@ object SparkEntry {
     "q_sql_cosine_topk"           -> AnnOps.qSqlCosineTopk,
     "q_funnel_ordered"            -> EventAnalytics.qFunnelOrdered,
     "emb_dim_stats"               -> AnnOps.embDimStats,
+    "q_abandoned_views"           -> EventAnalytics.qAbandonedViews,
+    "q_robust_outliers"           -> EventAnalytics.qRobustOutliers,
     "q_decayed_revenue"           -> EventAnalytics.qDecayedRevenue,
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
@@ -1189,6 +1191,31 @@ object SparkEntry {
         |  floor(mn*1000000 + 0.5)/1000000 AS min_x,
         |  floor(mx*1000000 + 0.5)/1000000 AS max_x
         |FROM ag ORDER BY pos""".stripMargin,
+
+    "q_abandoned_views" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT v.user_id, v.view_id, max(p.pus IS NOT NULL) AS converted
+        |  FROM v LEFT JOIN p ON p.p_user = v.user_id AND p.pus > v.vus
+        |    AND p.pus - v.vus <= 21600000000
+        |  GROUP BY v.user_id, v.view_id)
+        |SELECT user_id, count(*) AS n_views,
+        |  CAST(count(*) FILTER (WHERE NOT converted) AS BIGINT) AS n_abandoned,
+        |  floor((CAST(count(*) FILTER (WHERE NOT converted) AS DOUBLE)/count(*))*1000000 + 0.5)/1000000 AS abandon_rate
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_robust_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type),
+        |d AS (SELECT e.event_type, e.value, med.med, abs(e.value - med.med) AS dev
+        |      FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS md FROM d GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n,
+        |  floor(max(d.med)*10000 + 0.5)/10000 AS median,
+        |  floor(max(mad.md)*10000 + 0.5)/10000 AS mad,
+        |  CAST(count(*) FILTER (WHERE d.dev > 3.0 * 1.4826 * mad.md) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "q_funnel_ordered" ->
       """WITH s0 AS (

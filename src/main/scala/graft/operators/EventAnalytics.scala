@@ -294,6 +294,68 @@ object EventAnalytics {
         rnd($"n_then_purchase".cast("double") / $"n_then_view", 6).as("step3_rate"))
   }
 
+  /** Abandoned intent — views with NO purchase by the same user
+    * within the following 6 hours: the TEMPORAL NOT-EXISTS pattern
+    * (the funnel family's negative space — `q_funnel_ordered` counts
+    * who converted, this counts who didn't and when). Per user:
+    * views, abandoned views, abandonment rate.
+    *
+    * Shape: views LEFT-join purchases on user with the range
+    * predicate in the join condition, then "no match" = the NULL
+    * side — one user-keyed shuffle; per-user event counts bound the
+    * pair fan-out, and a real deployment salts the one power user
+    * (the Skew utilities). Exact integer counts + one rounded
+    * division: fully hash-verified. */
+  val qAbandonedViews: QueryFn = (s, dir) => {
+    import s.implicits._
+    val windowUs = 6L * 3600L * 1000000L
+    val ev = Tables.events(s, dir)
+    val views = ev.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), unix_micros($"ts").as("vus"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), unix_micros($"ts").as("pus"))
+    val matched = views.join(purchases,
+        $"user_id" === $"p_user" && $"pus" > $"vus" &&
+          $"pus" - $"vus" <= windowUs,
+        "left")
+      .groupBy($"user_id", $"view_id")
+      .agg(max($"pus".isNotNull).as("converted"))
+    matched.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_views"),
+        sum(when(!$"converted", 1L).otherwise(0L)).as("n_abandoned"))
+      .select($"user_id", $"n_views", $"n_abandoned",
+        rnd($"n_abandoned".cast("double") / $"n_views", 6).as("abandon_rate"))
+      .orderBy($"user_id")
+  }
+
+  /** Robust per-type outlier panel — median/MAD instead of mean/σ
+    * (one fat-finger value drags a mean; the median doesn't move):
+    * MAD = median(|x − median|), outliers = |x − median| >
+    * 3·1.4826·MAD (1.4826 ≈ the σ-consistency constant, an exact
+    * decimal literal both engines parse identically). Exact
+    * interpolated percentiles (`percentile` / `quantile_cont` agree —
+    * the q_value_percentiles precedent); two grouped passes joined
+    * back broadcast, counts exact integers. */
+  val qRobustOutliers: QueryFn = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val withDev = ev.join(broadcast(med), "event_type")
+      .select($"event_type", $"value", $"med",
+        abs($"value" - $"med").as("dev"))
+    val mad = withDev.groupBy($"event_type")
+      .agg(percentile($"dev", lit(0.5)).as("mad"))
+    withDev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        rnd(max($"med"), 4).as("median"),
+        rnd(max($"mad"), 4).as("mad"),
+        sum(when($"dev" > lit(3.0) * lit(1.4826) * $"mad", 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
   /** Path-mining prefix length. */
   val PathLen = 5
 
