@@ -505,6 +505,14 @@ object PlanAudit {
         // corpus is scanned, never shuffled on anything but type
         "summaries broadcast back" -> (_.contains("BroadcastHashJoin")),
         "partial agg before shuffle" -> (_.contains("partial_")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "q_cohort_ltv" -> Map(
+        // cohort sizes broadcast; the cumulative window runs over
+        // (cohort, age) aggregates — days × cohorts rows, not events
+        "cohort sizes broadcast" -> (_.contains("BroadcastHashJoin")),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "single cum window" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size == 1),
         "no cartesian" -> (p => !p.contains("CartesianProduct"))))
 
     var failures = 0

@@ -174,6 +174,7 @@ object SparkEntry {
     "emb_dim_stats"               -> AnnOps.embDimStats,
     "q_abandoned_views"           -> EventAnalytics.qAbandonedViews,
     "q_robust_outliers"           -> EventAnalytics.qRobustOutliers,
+    "q_cohort_ltv"                -> EventAnalytics.qCohortLtv,
     "q_decayed_revenue"           -> EventAnalytics.qDecayedRevenue,
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
@@ -1191,6 +1192,25 @@ object SparkEntry {
         |  floor(mn*1000000 + 0.5)/1000000 AS min_x,
         |  floor(mx*1000000 + 0.5)/1000000 AS max_x
         |FROM ag ORDER BY pos""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, date_trunc('day', ts) AS d, value FROM events),
+        |f AS (SELECT user_id, min(d) AS d0 FROM e GROUP BY user_id),
+        |sz AS (SELECT d0, count(*) AS n_users FROM f GROUP BY d0),
+        |daily AS (
+        |  SELECT f.d0, date_diff('day', f.d0, e.d) AS age,
+        |    sum(CAST(e.value AS DECIMAL(27,10))) AS rev
+        |  FROM e JOIN f USING (user_id) GROUP BY f.d0, age),
+        |cum AS (
+        |  SELECT d0, age,
+        |    CAST(sum(rev) OVER (PARTITION BY d0 ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+        |  FROM daily)
+        |SELECT strftime(cum.d0, '%Y-%m-%d') AS cohort, CAST(age AS BIGINT) AS age, n_users,
+        |  floor(cum*100 + 0.5)/100 AS cum_rev,
+        |  floor((cum/n_users)*10000 + 0.5)/10000 AS ltv_per_user
+        |FROM cum JOIN sz USING (d0)
+        |ORDER BY cohort, age""".stripMargin,
 
     "q_abandoned_views" ->
       """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus FROM events WHERE event_type = 'view'),

@@ -356,6 +356,35 @@ object EventAnalytics {
       .orderBy($"event_type")
   }
 
+  /** Cohort LTV curves — cumulative revenue per signup-day cohort by
+    * day offset, divided by cohort size: the lifetime-value panel
+    * that sits next to [[qEventsRetention]]'s user counts. The
+    * cumulative sum stays DECIMAL through the window (the
+    * q_rolling_revenue lesson: double window accumulation associates
+    * differently across engines) and is cast out once at the end;
+    * cohort sizes ride a broadcast join. One user-keyed min-agg, one
+    * (cohort, age) agg, one tiny per-cohort window. */
+  val qCohortLtv: QueryFn = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(s, dir)
+      .select($"user_id", date_trunc("day", $"ts").as("d"), $"value")
+    val first = ev.groupBy($"user_id").agg(min($"d").as("d0"))
+    val sizes = first.groupBy($"d0").agg(count(lit(1)).as("n_users"))
+    val daily = ev.join(first, "user_id")
+      .groupBy($"d0", datediff($"d", $"d0").cast("long").as("age"))
+      .agg(sum($"value".cast(DecimalType(27, 10))).as("rev"))
+    val w = Window.partitionBy($"d0").orderBy($"age")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("cum", sum($"rev").over(w).cast("double"))
+      .join(broadcast(sizes), "d0")
+      .select(date_format($"d0", "yyyy-MM-dd").as("cohort"), $"age", $"n_users",
+        rnd($"cum", 2).as("cum_rev"),
+        rnd($"cum" / $"n_users", 4).as("ltv_per_user"))
+      .orderBy($"cohort", $"age")
+  }
+
   /** Path-mining prefix length. */
   val PathLen = 5
 
