@@ -513,6 +513,14 @@ object PlanAudit {
         "partial agg before shuffle" -> (_.contains("partial_")),
         "single cum window" -> (p =>
           "windowspecdefinition".r.findAllIn(p).size == 1),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "q_link_prediction" -> Map(
+        // wedges join on the middle vertex (equi, never all-pairs),
+        // known edges leave via LEFT ANTI, degrees broadcast, top 20
+        // through bounded heaps
+        "anti-join removes known edges" -> (_.contains("LeftAnti")),
+        "degrees broadcast" -> (_.contains("BroadcastHashJoin")),
+        "top links via native TopKPerKey" -> (_.contains("TopKPerKey")),
         "no cartesian" -> (p => !p.contains("CartesianProduct"))))
 
     var failures = 0

@@ -175,6 +175,7 @@ object SparkEntry {
     "q_abandoned_views"           -> EventAnalytics.qAbandonedViews,
     "q_robust_outliers"           -> EventAnalytics.qRobustOutliers,
     "q_cohort_ltv"                -> EventAnalytics.qCohortLtv,
+    "q_link_prediction"           -> operators.GraphOps.qLinkPrediction,
     "q_decayed_revenue"           -> EventAnalytics.qDecayedRevenue,
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
@@ -1192,6 +1193,30 @@ object SparkEntry {
         |  floor(mn*1000000 + 0.5)/1000000 AS min_x,
         |  floor(mx*1000000 + 0.5)/1000000 AS max_x
         |FROM ag ORDER BY pos""".stripMargin,
+
+    "q_link_prediction" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |u AS (SELECT pa, pb FROM e UNION ALL SELECT pb, pa FROM e),
+        |deg AS (SELECT pa, count(*) AS deg FROM u GROUP BY pa),
+        |w AS (
+        |  SELECT x.pb AS u2, y.pb AS v2, count(*) AS common
+        |  FROM u x JOIN u y ON x.pa = y.pa AND x.pb < y.pb
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT w.u2 AS part_a, w.v2 AS part_b, w.common, da.deg AS deg_a, db.deg AS deg_b,
+        |    floor((CAST(w.common AS DOUBLE) / (da.deg + db.deg - w.common))*1000000 + 0.5)/1000000 AS jaccard
+        |  FROM w
+        |  LEFT JOIN e ON e.pa = w.u2 AND e.pb = w.v2
+        |  JOIN deg da ON da.pa = w.u2
+        |  JOIN deg db ON db.pa = w.v2
+        |  WHERE e.pa IS NULL),
+        |t AS (SELECT *, row_number() OVER (ORDER BY common DESC, part_a, part_b) AS rk FROM cand)
+        |SELECT part_a, part_b, common, CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b, jaccard
+        |FROM t WHERE rk <= 20 ORDER BY common DESC, part_a, part_b""".stripMargin,
 
     "q_cohort_ltv" ->
       """WITH e AS (SELECT user_id, date_trunc('day', ts) AS d, value FROM events),

@@ -265,4 +265,52 @@ object GraphOps {
         rnd($"n".cast("double") / $"tn".cast("double"), 6).as("p"))
       .orderBy($"src", $"dst")
   }
+
+  /** Link prediction on the co-purchase graph — common-neighbor
+    * scoring (Liben-Nowell & Kleinberg 2003): for every NON-edge at
+    * distance 2, count shared neighbors and the Jaccard of the two
+    * neighborhoods; top 20 predicted links. The "customers who bought
+    * X also bought Y — next" recommender primitive, and the graph
+    * family's missing completion (PageRank ranks, triangles close,
+    * BFS reaches — this PREDICTS).
+    *
+    * Scale shape: the support-thresholded edge set (same graph as
+    * `q_copurchase_pairs` but at support ≥ 2 — prediction wants the
+    * denser graph; the recommender threshold is a quality dial, the
+    * prediction threshold a coverage one) wedge-joins on the MIDDLE
+    * vertex — the
+    * triangle-counting shuffle, bounded by Σdeg², never all-pairs;
+    * existing edges leave via LEFT ANTI; degrees broadcast back; the
+    * top 20 ranks through TopKPerKey bounded heaps. Jaccard =
+    * cn/(deg_a+deg_b−cn) is one division of exact integers. */
+  val qLinkPrediction: QueryFn = (s, dir) => {
+    import s.implicits._
+    val op = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val edges = op.select($"l_orderkey", $"l_partkey".as("pa"))
+      .join(op.select($"l_orderkey", $"l_partkey".as("pb")), Seq("l_orderkey"))
+      .where($"pa" < $"pb")
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("no"))
+      .where($"no" >= 2)
+      .select($"pa", $"pb")
+    val und = edges.unionByName(
+      edges.select($"pb".as("pa"), $"pa".as("pb")))
+    val deg = und.groupBy($"pa").agg(count(lit(1)).as("deg"))
+    val wedges = und.select($"pa".as("u"), $"pb".as("x"))
+      .join(und.select($"pa".as("x"), $"pb".as("v")), Seq("x"))
+      .where($"u" < $"v")
+      .groupBy($"u", $"v").agg(count(lit(1)).as("common"))
+    val cands = wedges.join(edges,
+        wedges("u") === edges("pa") && wedges("v") === edges("pb"), "left_anti")
+      .join(broadcast(deg.select($"pa".as("u"), $"deg".as("deg_a"))), "u")
+      .join(broadcast(deg.select($"pa".as("v"), $"deg".as("deg_b"))), "v")
+      .select($"u".as("part_a"), $"v".as("part_b"), $"common", $"deg_a", $"deg_b",
+        rnd($"common".cast("double") /
+          ($"deg_a" + $"deg_b" - $"common").cast("double"), 6).as("jaccard"))
+    graft.plans.TopK.perKey(
+        cands.withColumn("g", lit(1)),
+        Seq("g"), Seq("common" -> false, "part_a" -> true, "part_b" -> true), 20)
+      .select($"part_a", $"part_b", $"common", $"deg_a", $"deg_b", $"jaccard")
+      .orderBy($"common".desc, $"part_a", $"part_b")
+  }
 }
