@@ -521,7 +521,19 @@ object PlanAudit {
         "anti-join removes known edges" -> (_.contains("LeftAnti")),
         "degrees broadcast" -> (_.contains("BroadcastHashJoin")),
         "top links via native TopKPerKey" -> (_.contains("TopKPerKey")),
-        "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "q_seasonality" -> Map(
+        // one partial+final count; the 5-row totals broadcast back
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "totals broadcast" -> (_.contains("BroadcastHashJoin")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "q_skew_gini" -> Map(
+        // the rank window runs over the per-USER aggregate (n_users
+        // rows), never raw events; counts partial-agg map-side
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "single per-user rank window" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size == 1),
+        "no join" -> (p => !p.contains("Join"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

@@ -176,6 +176,8 @@ object SparkEntry {
     "q_robust_outliers"           -> EventAnalytics.qRobustOutliers,
     "q_cohort_ltv"                -> EventAnalytics.qCohortLtv,
     "q_link_prediction"           -> operators.GraphOps.qLinkPrediction,
+    "q_seasonality"               -> EventAnalytics.qSeasonality,
+    "q_skew_gini"                 -> EventAnalytics.qSkewGini,
     "q_decayed_revenue"           -> EventAnalytics.qDecayedRevenue,
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
@@ -1217,6 +1219,26 @@ object SparkEntry {
         |t AS (SELECT *, row_number() OVER (ORDER BY common DESC, part_a, part_b) AS rk FROM cand)
         |SELECT part_a, part_b, common, CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b, jaccard
         |FROM t WHERE rk <= 20 ORDER BY common DESC, part_a, part_b""".stripMargin,
+
+    "q_seasonality" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT event_type, dow, n,
+        |  floor((CAST(n AS DOUBLE)/CAST(tot AS DOUBLE))*1000000 + 0.5)/1000000 AS share
+        |FROM c JOIN t USING (event_type) ORDER BY event_type, dow""".stripMargin,
+
+    "q_skew_gini" ->
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM c),
+        |a AS (SELECT count(*) AS n_users, CAST(sum(c) AS BIGINT) AS n_events,
+        |        CAST(sum(i * c) AS BIGINT) AS sic, CAST(max(c) AS BIGINT) AS max_c FROM r)
+        |SELECT n_users, n_events, max_c,
+        |  floor((2.0 * CAST(sic AS DOUBLE) / (CAST(n_users AS DOUBLE) * CAST(n_events AS DOUBLE)) -
+        |         CAST(n_users + 1 AS DOUBLE)/CAST(n_users AS DOUBLE))*1000000 + 0.5)/1000000 AS gini,
+        |  floor((CAST(max_c AS DOUBLE)/CAST(n_events AS DOUBLE))*1000000 + 0.5)/1000000 AS top1_share
+        |FROM a""".stripMargin,
 
     "q_cohort_ltv" ->
       """WITH e AS (SELECT user_id, date_trunc('day', ts) AS d, value FROM events),

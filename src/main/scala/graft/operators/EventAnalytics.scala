@@ -385,6 +385,51 @@ object EventAnalytics {
       .orderBy($"cohort", $"age")
   }
 
+  /** Day-of-week seasonality profile per event type — counts and
+    * within-type share by ISO weekday: the load-shaping panel behind
+    * capacity planning and the sanity check that a "daily" pipeline
+    * actually sees a weekly cycle. Exact integer counts + one rounded
+    * division; one partial+final agg. */
+  val qSeasonality: QueryFn = (s, dir) => {
+    import s.implicits._
+    val counted = Tables.events(s, dir)
+      .groupBy($"event_type", dayofweek($"ts").cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counted.groupBy($"event_type").agg(sum($"n").as("tot"))
+    counted.join(broadcast(totals), "event_type")
+      .select($"event_type", $"dow", $"n",
+        rnd($"n".cast("double") / $"tot".cast("double"), 6).as("share"))
+      .orderBy($"event_type", $"dow")
+  }
+
+  /** Key-skew diagnostics — the Gini coefficient of per-user event
+    * counts plus the head concentration (top-1% share): the panel
+    * that tells a pipeline WHETHER it needs the Skew utilities
+    * before a hot key melts an executor. Gini via the sorted-rank
+    * identity G = (2·Σᵢ i·cᵢ)/(n·Σcᵢ) − (n+1)/n over counts sorted
+    * ascending — all integer sums (exact at any aggregation order)
+    * and two final divisions; the rank window runs over USERS (the
+    * aggregated frame), never events. */
+  val qSkewGini: QueryFn = (s, dir) => {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy($"c".asc, $"user_id".asc)
+    val ranked = counts.withColumn("i", row_number().over(w).cast("long"))
+    ranked.agg(
+        count(lit(1)).as("n_users"),
+        sum($"c").as("n_events"),
+        sum($"i" * $"c").as("sic"),
+        max($"c").as("max_c"))
+      .select($"n_users", $"n_events", $"max_c",
+        rnd(lit(2.0) * $"sic".cast("double") /
+            ($"n_users".cast("double") * $"n_events".cast("double")) -
+          ($"n_users" + 1).cast("double") / $"n_users".cast("double"), 6)
+          .as("gini"),
+        rnd($"max_c".cast("double") / $"n_events".cast("double"), 6)
+          .as("top1_share"))
+  }
+
   /** Path-mining prefix length. */
   val PathLen = 5
 
