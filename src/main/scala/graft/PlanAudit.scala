@@ -533,7 +533,13 @@ object PlanAudit {
         "partial agg before shuffle" -> (_.contains("partial_")),
         "single per-user rank window" -> (p =>
           "windowspecdefinition".r.findAllIn(p).size == 1),
-        "no join" -> (p => !p.contains("Join"))))
+        "no join" -> (p => !p.contains("Join"))),
+      "text_ngram_novelty" -> Map(
+        // first-occurrence via a gram-keyed min-agg joined back on
+        // the same key — never a window over the corpus timeline
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no timeline window" -> (p => !p.contains("windowspecdefinition")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

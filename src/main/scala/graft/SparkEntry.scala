@@ -114,6 +114,7 @@ object SparkEntry {
     "text_repeated_ngrams"        -> PipelineOps.textRepeatedNgrams,
     "text_chunk_passages"         -> PipelineOps.textChunkPassages,
     "text_dsir_importance"        -> PipelineOps.textDsirImportance,
+    "text_ngram_novelty"          -> PipelineOps.textNgramNovelty,
     "text_bpe_encode"             -> operators.BpeOps.textBpeEncode,
     "q_pack_shards"               -> PipelineOps.qPackShards,
     "q_histogram"                 -> EventAnalytics.qHistogram,
@@ -1940,6 +1941,22 @@ object SparkEntry {
         |FROM ag ORDER BY doc_id""".stripMargin,
 
     "text_bpe_train" -> bpeOracle,
+
+    "text_ngram_novelty" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, ${fnvSql("gram")} AS h
+        |  FROM (SELECT doc_id, unnest([array_to_string(tk[i:i+2], ' ')
+        |          for i in generate_series(1, len(tk) - 2)]) AS gram
+        |        FROM toks WHERE len(tk) >= 3) u),
+        |f AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE doc_id = first_doc) AS BIGINT) AS n_novel,
+        |  floor((CAST(count(*) FILTER (WHERE doc_id = first_doc) AS DOUBLE)/count(*))*1000000 + 0.5)/1000000 AS novelty
+        |FROM g JOIN f USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_bpe_encode" -> bpeEncodeOracle,
 
     "text_dsir_importance" ->

@@ -873,6 +873,35 @@ object PipelineOps {
     * aggs, one shuffle of B keys) and the 1-row totals broadcast
     * back; the only corpus-sized shuffle is the final per-doc mean.
     * At 100 TB: identical, with B=2^16 — the stats stay KB-sized. */
+  /** Marginal-novelty curve — per document (in doc_id ingest order):
+    * how many of its 3-gram shingles appear here FIRST vs already
+    * seen earlier in the corpus. The diminishing-returns panel of
+    * data collection ("the next TB adds how much new content?") and
+    * the corpus-order twin of [[DedupOps]]' pairwise measures: a
+    * novelty collapse marks the point where further ingest mostly
+    * re-buys what dedup will throw away.
+    *
+    * Shape: one shingle explode; the first-occurrence owner of every
+    * gram is ONE (gram)-keyed min-agg (partial map-side — never a
+    * window over the corpus timeline); novelty = semi-join share,
+    * computed as exact integer counts per doc. */
+  val textNgramNovelty: QueryFn = (s, dir) => {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", normTokens($"text").as("tk"))
+      .where(size($"tk") >= 3)
+      .select($"doc_id", explode(array_distinct(
+        graft.functions.VectorExpressions.fnv_shingles($"tk", 3))).as("h"))
+    val firstOwner = grams.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+    grams.join(firstOwner, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"doc_id" === $"first_doc", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        rnd($"n_novel".cast("double") / $"n_grams", 6).as("novelty"))
+      .orderBy($"doc_id")
+  }
+
   val textDsirImportance: QueryFn = (s, dir) => {
     import s.implicits._
     val b = lit(DsirBuckets)
