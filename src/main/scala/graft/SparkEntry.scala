@@ -179,6 +179,7 @@ object SparkEntry {
     "q_link_prediction"           -> operators.GraphOps.qLinkPrediction,
     "q_seasonality"               -> EventAnalytics.qSeasonality,
     "q_skew_gini"                 -> EventAnalytics.qSkewGini,
+    "q_bisect_median"             -> EventAnalytics.qBisectMedian,
     "q_decayed_revenue"           -> EventAnalytics.qDecayedRevenue,
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
@@ -1220,6 +1221,12 @@ object SparkEntry {
         |t AS (SELECT *, row_number() OVER (ORDER BY common DESC, part_a, part_b) AS rk FROM cand)
         |SELECT part_a, part_b, common, CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b, jaccard
         |FROM t WHERE rk <= 20 ORDER BY common DESC, part_a, part_b""".stripMargin,
+
+    "q_bisect_median" ->
+      """WITH c AS (SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  floor((quantile_cont(c, 0.5)/100)*10000 + 0.5)/10000 AS median
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_seasonality" ->
       """WITH c AS (

@@ -430,6 +430,60 @@ object EventAnalytics {
           .as("top1_share"))
   }
 
+  /** Exact distributed median WITHOUT sorting — per-group bisection
+    * on integer cents: each round ONE filtered count-aggregation
+    * over the corpus against the (groups × [lo, hi, k]) state
+    * broadcast from the driver, halving every group's range until
+    * the k-th and (k+1)-th order statistics are pinned — O(log
+    * valueRange) scans, ZERO sorts, state = a few rows per group.
+    * This is how you take an EXACT median of 100 TB: Spark's
+    * `percentile` materializes every group's values in executor
+    * memory, a global sort shuffles the corpus; bisection touches
+    * nothing but counters. (Same driver-loop discipline as BFS/CC:
+    * few synchronous rounds, tiny state.) Median = midpoint of the
+    * two middle order statistics on the cent grid — the oracle
+    * computes `quantile_cont` on the SAME grid, so the result is
+    * bit-exact, not approximately-equal. */
+  val qBisectMedian: QueryFn = (s, dir) => {
+    import s.implicits._
+    val cents = Tables.events(s, dir)
+      .select($"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("c"))
+      .localCheckpoint(true)
+    val bounds = cents.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"c").as("lo"), max($"c").as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // kth smallest cent value per (group, k) by parallel bisection:
+    // invariant count(<= lo-1) < k <= count(<= hi)
+    def kth(ks: Map[String, Long]): Map[String, Long] = {
+      var state = bounds.map { case (g, _, lo, hi) => (g, (lo, hi)) }.toMap
+      while (state.values.exists { case (lo, hi) => lo < hi }) {
+        val mids = state.map { case (g, (lo, hi)) => (g, lo + (hi - lo) / 2) }
+        val midDf = mids.toSeq.toDF("event_type", "mid")
+        val counts = cents.join(broadcast(midDf), "event_type")
+          .groupBy($"event_type")
+          .agg(sum(when($"c" <= $"mid", 1L).otherwise(0L)).as("le"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        state = state.map { case (g, (lo, hi)) =>
+          if (lo >= hi) (g, (lo, hi))
+          else if (counts(g) >= ks(g)) (g, (lo, mids(g)))
+          else (g, (mids(g) + 1, hi))
+        }
+      }
+      state.map { case (g, (lo, _)) => (g, lo) }
+    }
+
+    val k1 = bounds.map { case (g, n, _, _) => (g, (n + 1) / 2) }.toMap
+    val k2 = bounds.map { case (g, n, _, _) => (g, n / 2 + 1) }.toMap
+    val m1 = kth(k1); val m2 = kth(k2)
+    bounds.map { case (g, n, _, _) =>
+      val med = (m1(g) + m2(g)).toDouble / 2.0 / 100.0
+      (g, n, math.floor(med * 10000 + 0.5) / 10000)
+    }.toSeq.toDF("event_type", "n", "median")
+      .orderBy($"event_type")
+  }
+
   /** Path-mining prefix length. */
   val PathLen = 5
 

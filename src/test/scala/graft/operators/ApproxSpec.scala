@@ -95,6 +95,24 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("q_bisect_median: sort-free bisection agrees with Spark's exact percentile") {
+    import spark.implicits._
+    val got = EventAnalytics.qBisectMedian(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), percentile($"value", lit(0.5)).as("med"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    got.foreach { case (g, (n, med)) =>
+      val (en, emed) = exact(g)
+      assert(n == en)
+      // bisection runs on the cent grid; Spark interpolates raw
+      // doubles — they agree to within half a cent + rounding
+      assert(math.abs(med - emed) <= 0.0051, s"$g: bisect $med vs percentile $emed")
+    }
+  }
+
   test("q_kmv_distinct: matches a driver-side bottom-k replica, estimator engaged") {
     import spark.implicits._
     val k = EventAnalytics.KmvK
