@@ -539,7 +539,14 @@ object PlanAudit {
         // the same key — never a window over the corpus timeline
         "partial agg before shuffle" -> (_.contains("partial_")),
         "no timeline window" -> (p => !p.contains("windowspecdefinition")),
-        "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "q_chi2_terms" -> Map(
+        // presence counts shuffle by vocab, the 1-row totals ride a
+        // broadcast, ranking through bounded heaps
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "top terms via native TopKPerKey" -> (_.contains("TopKPerKey")),
+        "no cartesian beyond 1-row totals" -> (p =>
+          "CartesianProduct".r.findAllIn(p).size <= 1)))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

@@ -115,6 +115,7 @@ object SparkEntry {
     "text_chunk_passages"         -> PipelineOps.textChunkPassages,
     "text_dsir_importance"        -> PipelineOps.textDsirImportance,
     "text_ngram_novelty"          -> PipelineOps.textNgramNovelty,
+    "q_chi2_terms"                -> operators.ModelOps.qChi2Terms,
     "text_bpe_encode"             -> operators.BpeOps.textBpeEncode,
     "q_pack_shards"               -> PipelineOps.qPackShards,
     "q_histogram"                 -> EventAnalytics.qHistogram,
@@ -1221,6 +1222,31 @@ object SparkEntry {
         |t AS (SELECT *, row_number() OVER (ORDER BY common DESC, part_a, part_b) AS rk FROM cand)
         |SELECT part_a, part_b, common, CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b, jaccard
         |FROM t WHERE rk <= 20 ORDER BY common DESC, part_a, part_b""".stripMargin,
+
+    "q_chi2_terms" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 10 = 9 AS is_target,
+        |    list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tk
+        |  FROM documents),
+        |tot AS (
+        |  SELECT CAST(count(*) FILTER (WHERE is_target) AS BIGINT) AS n1,
+        |    CAST(count(*) FILTER (WHERE NOT is_target) AS BIGINT) AS n0
+        |  FROM d),
+        |p AS (
+        |  SELECT u.t AS tok,
+        |    CAST(count(*) FILTER (WHERE is_target) AS BIGINT) AS a,
+        |    CAST(count(*) FILTER (WHERE NOT is_target) AS BIGINT) AS b
+        |  FROM (SELECT is_target, unnest(tk) AS t FROM d) u
+        |  GROUP BY u.t),
+        |sc AS (
+        |  SELECT tok, a, b,
+        |    floor((CAST((n1 + n0) * (a*(n0 - b) - b*(n1 - a)) * (a*(n0 - b) - b*(n1 - a)) AS DOUBLE) /
+        |           CAST((a + b) * ((n1 - a) + (n0 - b)) * (a + (n1 - a)) * (b + (n0 - b)) AS DOUBLE))*10000 + 0.5)/10000 AS chi2
+        |  FROM p, tot
+        |  WHERE (n1 - a) + (n0 - b) > 0),
+        |t AS (SELECT *, row_number() OVER (ORDER BY chi2 DESC, tok) AS rk FROM sc)
+        |SELECT tok, a AS target_df, b AS other_df, chi2
+        |FROM t WHERE rk <= 20 ORDER BY chi2 DESC, tok""".stripMargin,
 
     "q_bisect_median" ->
       """WITH c AS (SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events)

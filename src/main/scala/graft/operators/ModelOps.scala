@@ -51,6 +51,52 @@ object ModelOps {
       (acc, x) => (acc + x.cast(DecimalType(27, 10))).cast(DecimalType(38, 10)))
       .cast("double") / size(hashes)
 
+  /** χ² feature selection — the top discriminative terms for the
+    * target class (doc_id%10==9, the corpus the DSIR/perceptron ops
+    * model): per token, the 2×2 presence contingency (target/other ×
+    * contains/doesn't) scored χ² = n·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)).
+    * χ² is chosen over mutual information DELIBERATELY: MI needs
+    * logs (libm drift), χ² is integer arithmetic up to ONE final
+    * division — doc counts bound every intermediate under 2⁶³ — so
+    * the ranking replays bit-for-bit. The vocabulary-build pass that
+    * feeds a non-hashed classifier or a keyword auditor.
+    *
+    * Shape: one (token)-keyed presence count with conditional
+    * partial aggs (the only corpus-sized shuffle — keyed by vocab,
+    * not docs), 1-row doc totals broadcast, top 20 through
+    * TopKPerKey bounded heaps. */
+  val qChi2Terms: QueryFn = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", ($"doc_id" % 10 === 9).as("is_target"),
+        array_distinct(normTokens($"text")).as("tk"))
+    val totals = docs.agg(
+      sum(when($"is_target", 1L).otherwise(0L)).as("n1"),
+      sum(when(!$"is_target", 1L).otherwise(0L)).as("n0"))
+    val presence = docs
+      .select($"is_target", explode($"tk").as("tok"))
+      .groupBy($"tok")
+      .agg(sum(when($"is_target", 1L).otherwise(0L)).as("a"),
+        sum(when(!$"is_target", 1L).otherwise(0L)).as("b"))
+    val scored = presence.crossJoin(broadcast(totals))
+      .select($"tok", $"a", $"b",
+        (($"n1" - $"a")).as("c"), (($"n0" - $"b")).as("d"),
+        ($"n1" + $"n0").as("n"))
+      // a token present in EVERY doc has an empty "absent" margin —
+      // χ² undefined (0 denominator) and uninformative anyway
+      .where($"c" + $"d" > 0)
+      .select($"tok", $"a", $"b",
+        rnd(($"n" * ($"a" * $"d" - $"b" * $"c") * ($"a" * $"d" - $"b" * $"c"))
+          .cast("double") /
+          ((($"a" + $"b") * ($"c" + $"d") * ($"a" + $"c") * ($"b" + $"d"))
+            .cast("double")), 4).as("chi2"))
+    graft.plans.TopK.perKey(
+        scored.withColumn("g", lit(1)),
+        Seq("g"), Seq("chi2" -> false, "tok" -> true), 20)
+      .select($"tok", $"a".as("target_df"), $"b".as("other_df"), $"chi2")
+      .orderBy($"chi2".desc, $"tok")
+  }
+
   /** Perceptron feature-space size (buckets) and training rounds. */
   val PercBuckets = 64
   val PercRounds = 3
