@@ -546,7 +546,20 @@ object PlanAudit {
         "partial agg before shuffle" -> (_.contains("partial_")),
         "top terms via native TopKPerKey" -> (_.contains("TopKPerKey")),
         "no cartesian beyond 1-row totals" -> (p =>
-          "CartesianProduct".r.findAllIn(p).size <= 1)))
+          "CartesianProduct".r.findAllIn(p).size <= 1)),
+      "q_basket_rules" -> Map(
+        // supports broadcast onto the rule stream, ranking through
+        // bounded heaps, order-pair scan is an equi-join
+        "supports broadcast" -> (_.contains("BroadcastHashJoin")),
+        "top rules via native TopKPerKey" -> (_.contains("TopKPerKey")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "q_dormancy_gaps" -> Map(
+        // one user-keyed lead window; the gap argmax is a struct max
+        // inside the agg — no second window, no join
+        "single user window" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size == 1),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no join" -> (p => !p.contains("Join"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

@@ -181,6 +181,8 @@ object SparkEntry {
     "q_seasonality"               -> EventAnalytics.qSeasonality,
     "q_skew_gini"                 -> EventAnalytics.qSkewGini,
     "q_bisect_median"             -> EventAnalytics.qBisectMedian,
+    "q_basket_rules"              -> operators.SupplyOps.qBasketRules,
+    "q_dormancy_gaps"             -> EventAnalytics.qDormancyGaps,
     "q_decayed_revenue"           -> EventAnalytics.qDecayedRevenue,
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
@@ -1222,6 +1224,37 @@ object SparkEntry {
         |t AS (SELECT *, row_number() OVER (ORDER BY common DESC, part_a, part_b) AS rk FROM cand)
         |SELECT part_a, part_b, common, CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b, jaccard
         |FROM t WHERE rk <= 20 ORDER BY common DESC, part_a, part_b""".stripMargin,
+
+    "q_basket_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |no AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+        |sup AS (SELECT l_partkey AS item, count(*) AS sup FROM op GROUP BY 1),
+        |ps AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS sup_ab
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |r AS (
+        |  SELECT pa AS ante, pb AS cons, sup_ab FROM ps
+        |  UNION ALL SELECT pb, pa, sup_ab FROM ps),
+        |sc AS (
+        |  SELECT r.ante, r.cons, CAST(r.sup_ab AS BIGINT) AS sup_ab,
+        |    floor((CAST(r.sup_ab AS DOUBLE) / sa.sup)*1000000 + 0.5)/1000000 AS confidence,
+        |    floor(((CAST(r.sup_ab AS DOUBLE) * no.n) / (CAST(sa.sup AS DOUBLE) * CAST(sc2.sup AS DOUBLE)))*10000 + 0.5)/10000 AS lift
+        |  FROM r JOIN sup sa ON sa.item = r.ante JOIN sup sc2 ON sc2.item = r.cons, no),
+        |t AS (SELECT *, row_number() OVER (ORDER BY lift DESC, confidence DESC, ante, cons) AS rk FROM sc)
+        |SELECT ante, cons, sup_ab, confidence, lift
+        |FROM t WHERE rk <= 20 ORDER BY lift DESC, confidence DESC, ante, cons""".stripMargin,
+
+    "q_dormancy_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor((lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - epoch_us(ts)) / 3600000000.0) AS BIGINT) AS gap_h
+        |  FROM events QUALIFY gap_h IS NOT NULL)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  max(struct_pack(gap_h := gap_h, event_id := event_id, event_type := event_type))['gap_h'] AS longest_gap_h,
+        |  max(struct_pack(gap_h := gap_h, event_id := event_id, event_type := event_type))['event_type'] AS before_gap
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_chi2_terms" ->
       """WITH d AS (

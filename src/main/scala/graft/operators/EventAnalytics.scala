@@ -484,6 +484,34 @@ object EventAnalytics {
       .orderBy($"event_type")
   }
 
+  /** Dormancy panel — per user, the LONGEST quiet gap between
+    * consecutive events (hours, integer from epoch-micros division)
+    * and what the user was doing when they went quiet: the
+    * re-engagement targeting query (a hard churn cutoff is vacuous
+    * on this dense synthetic stream — every user is active within
+    * 2 days of the horizon — so the panel reports the gap
+    * DISTRIBUTION instead). The gap argmax rides
+    * `max(struct(gap, event_id, type))` — no second window, ties
+    * broken by event_id inside the struct order. One user window +
+    * one user agg, all integer until the output. */
+  val qDormancyGaps: QueryFn = (s, dir) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gaps = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_us", lead(unix_micros($"ts"), 1).over(byUser))
+      .where($"next_us".isNotNull)
+      .select($"user_id", $"event_id", $"event_type",
+        floor(($"next_us" - unix_micros($"ts")) / 3600000000.0)
+          .cast("long").as("gap_h"))
+    gaps.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        max(struct($"gap_h", $"event_id", $"event_type")).as("m"))
+      .select($"user_id", $"n_gaps", $"m.gap_h".as("longest_gap_h"),
+        $"m.event_type".as("before_gap"))
+      .orderBy($"user_id")
+  }
+
   /** Path-mining prefix length. */
   val PathLen = 5
 

@@ -67,6 +67,43 @@ object SupplyOps {
     * is the distinct + the pair groupBy, both partial-aggregated; an
     * order with millions of items would need a per-order cap, which
     * real basket data never hits). */
+  /** Association rules from the co-purchase supports — the
+    * market-basket step AFTER pair mining: every supported pair
+    * emits both directed rules a→b and b→a with confidence
+    * support(ab)/support(a) and lift confidence/P(b); top 20 rules
+    * by (lift, confidence). All ratios are single divisions of exact
+    * integer counts (no logs — the q_collocations discipline), so
+    * the ranking replays bit-for-bit. Shape: the per-order itemset
+    * pair scan (one groupBy shuffle), item supports as one agg
+    * broadcast back, TopKPerKey heaps for the ranking. */
+  val qBasketRules: QueryFn = (s, dir) => {
+    import s.implicits._
+    val op = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val nOrders = op.select($"l_orderkey").distinct().count()
+    val itemSup = op.groupBy($"l_partkey".as("item")).agg(count(lit(1)).as("sup"))
+    val pairSup = op.select($"l_orderkey", $"l_partkey".as("pa"))
+      .join(op.select($"l_orderkey", $"l_partkey".as("pb")), Seq("l_orderkey"))
+      .where($"pa" < $"pb")
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("sup_ab"))
+      .where($"sup_ab" >= 3)
+    val rules = pairSup
+      .select($"pa".as("ante"), $"pb".as("cons"), $"sup_ab")
+      .unionByName(pairSup.select($"pb".as("ante"), $"pa".as("cons"), $"sup_ab"))
+      .join(broadcast(itemSup.select($"item".as("ante"), $"sup".as("sup_a"))), "ante")
+      .join(broadcast(itemSup.select($"item".as("cons"), $"sup".as("sup_c"))), "cons")
+      .select($"ante", $"cons", $"sup_ab", $"sup_a", $"sup_c",
+        rnd($"sup_ab".cast("double") / $"sup_a", 6).as("confidence"),
+        rnd(($"sup_ab".cast("double") * nOrders) /
+          ($"sup_a".cast("double") * $"sup_c".cast("double")), 4).as("lift"))
+    graft.plans.TopK.perKey(
+        rules.withColumn("g", lit(1)),
+        Seq("g"), Seq("lift" -> false, "confidence" -> false,
+          "ante" -> true, "cons" -> true), 20)
+      .select($"ante", $"cons", $"sup_ab", $"confidence", $"lift")
+      .orderBy($"lift".desc, $"confidence".desc, $"ante", $"cons")
+  }
+
   val qCopurchasePairs: QueryFn = (s, dir) => {
     import s.implicits._
     val op = Tables.lineitem(s, dir)
