@@ -559,7 +559,23 @@ object PlanAudit {
         "single user window" -> (p =>
           "windowspecdefinition".r.findAllIn(p).size == 1),
         "partial agg before shuffle" -> (_.contains("partial_")),
-        "no join" -> (p => !p.contains("Join"))))
+        "no join" -> (p => !p.contains("Join"))),
+      "q_ab_ztest" -> Map(
+        // signup mins fold before the user-keyed equi-join; the final
+        // z computes on a 1-row frame — no window, no cartesian
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "user equi-join, no cartesian" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_rfm_segments" -> Map(
+        // orders fold to per-customer rows FIRST; the three quintile
+        // windows run over that aggregate (the corpus never sorts),
+        // and the as-of date rides a 1-row broadcast
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "rank windows over the aggregate" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size == 3),
+        "1-row as-of broadcast only" -> (p =>
+          "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size <= 1)))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

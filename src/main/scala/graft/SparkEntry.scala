@@ -186,6 +186,8 @@ object SparkEntry {
     "q_decayed_revenue"           -> EventAnalytics.qDecayedRevenue,
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
+    "q_ab_ztest"                  -> EventAnalytics.qAbZtest,
+    "q_rfm_segments"              -> RelationalExt.qRfmSegments,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1489,6 +1491,51 @@ object SparkEntry {
         |  floor(e*100 + 0.5)/100 AS est_distinct,
         |  floor((abs(e - n_exact)/n_exact)*10000 + 0.5)/10000 AS rel_err
         |FROM est ORDER BY event_type""".stripMargin,
+
+    "q_ab_ztest" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS s0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |cv AS (
+        |  SELECT s0.user_id,
+        |    max(CASE WHEN e.event_type = 'purchase' AND e.ts > s0.s0
+        |              AND e.ts <= s0.s0 + INTERVAL 6 HOUR THEN 1 ELSE 0 END) AS conv
+        |  FROM s0 JOIN events e USING (user_id) GROUP BY s0.user_id),
+        |arms AS (
+        |  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        |  FROM cv),
+        |p AS (
+        |  SELECT n_a, x_a, n_b, x_b,
+        |    CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE) AS pa,
+        |    CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE) AS pb,
+        |    CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE) AS pp
+        |  FROM arms)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  floor(pa*1000000 + 0.5)/1000000 AS rate_a,
+        |  floor(pb*1000000 + 0.5)/1000000 AS rate_b,
+        |  floor(((pa - pb)/sqrt((pp*(1.0 - pp))*(1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))))*1000000 + 0.5)/1000000 AS z
+        |FROM p""".stripMargin,
+
+    "q_rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    count(*) AS freq, sum(CAST(o_totalprice AS DECIMAL(27,10))) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |a AS (SELECT max(last_d) AS asof, count(*) AS n FROM pc),
+        |sc AS (
+        |  SELECT o_custkey, monetary,
+        |    6 - CAST(floor(CAST(row_number() OVER (ORDER BY date_diff('day', last_d, a.asof), o_custkey)*5 + a.n - 1 AS DOUBLE)/a.n) AS BIGINT) AS r_score,
+        |    6 - CAST(floor(CAST(row_number() OVER (ORDER BY freq DESC, o_custkey)*5 + a.n - 1 AS DOUBLE)/a.n) AS BIGINT) AS f_score,
+        |    6 - CAST(floor(CAST(row_number() OVER (ORDER BY monetary DESC, o_custkey)*5 + a.n - 1 AS DOUBLE)/a.n) AS BIGINT) AS m_score
+        |  FROM pc, a)
+        |SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment,
+        |  CAST(r_score AS INTEGER) AS r_score, CAST(f_score AS INTEGER) AS f_score,
+        |  CAST(m_score AS INTEGER) AS m_score,
+        |  count(*) AS n_cust,
+        |  floor(CAST(sum(monetary)/count(*) AS DOUBLE)*100 + 0.5)/100 AS avg_monetary
+        |FROM sc GROUP BY r_score, f_score, m_score
+        |ORDER BY segment""".stripMargin,
 
     "ann_bruteforce_topk" -> bruteforceOracle,
     // the SQL-front-door twin produces the identical result by

@@ -662,4 +662,49 @@ object EventAnalytics {
         rnd(abs($"e" - $"n_exact") / $"n_exact", 4).as("rel_err"))
       .orderBy($"event_type")
   }
+
+  /** Two-proportion A/B z-test — the experimentation primitive every
+    * product pipeline ends in: split users into arms by `user_id % 2`
+    * (the deterministic stand-in for an assignment column), define
+    * conversion as "purchased within 6 h of first signup" (checked
+    * discriminating on the synthetic stream — an any-purchase
+    * definition converts 100% of users and the test degenerates to
+    * 0/0), and report z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))
+    * under the pooled null.
+    *
+    * Exactness: every input to the float stage is an exact integer
+    * count; division and sqrt are IEEE-correctly-rounded, and both
+    * engines evaluate the identical expression tree left-to-right —
+    * so z is bit-identical cross-engine (the q_xcorr_lags discipline)
+    * and this statistical test is hash-verified, not approximately so.
+    *
+    * Scale shape: one signup min-agg + one user-keyed equi-join with
+    * the 6 h range predicate in the condition, folded to per-arm
+    * (n, x) counts — partial-aggregatable everywhere, 2 rows after
+    * the fold, 1 row out. No windows, no sort. */
+  val qAbZtest: QueryFn = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val s0 = ev.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("s0"))
+    val conv = s0.join(ev, Seq("user_id"))
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" && $"ts" > $"s0" &&
+        $"ts" <= $"s0" + expr("INTERVAL 6 HOURS"), 1).otherwise(0)).as("conv"))
+    val arms = conv.agg(
+      sum(when($"user_id" % 2 === 0, 1).otherwise(0)).as("n_a"),
+      sum(when($"user_id" % 2 === 0, $"conv").otherwise(0)).as("x_a"),
+      sum(when($"user_id" % 2 === 1, 1).otherwise(0)).as("n_b"),
+      sum(when($"user_id" % 2 === 1, $"conv").otherwise(0)).as("x_b"))
+    arms.select($"n_a", $"x_a", $"n_b", $"x_b",
+        ($"x_a".cast("double") / $"n_a".cast("double")).as("pa"),
+        ($"x_b".cast("double") / $"n_b".cast("double")).as("pb"),
+        (($"x_a" + $"x_b").cast("double") / ($"n_a" + $"n_b").cast("double")).as("pp"))
+      .select($"n_a", $"x_a", $"n_b", $"x_b",
+        rnd($"pa", 6).as("rate_a"), rnd($"pb", 6).as("rate_b"),
+        rnd(($"pa" - $"pb") /
+          sqrt($"pp" * (lit(1.0) - $"pp") *
+            (lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double"))),
+          6).as("z"))
+  }
 }

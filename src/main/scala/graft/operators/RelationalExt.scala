@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -496,5 +497,52 @@ object RelationalExt {
       .select($"o_custkey", date_format($"d", "yyyy-MM-dd").as("day"),
         rnd($"roll", 2).as("rolling_rev"))
       .orderBy($"rolling_rev".desc, $"o_custkey", $"day")
+  }
+
+  /** RFM customer segmentation — recency / frequency / monetary
+    * quintile scores, the classic CRM panel (Hughes 1994). Scores
+    * come from an EXPLICIT integer quintile formula,
+    * `6 − ⌈rank·5/n⌉` with a (metric, custkey) total order — NOT
+    * `ntile`, whose remainder-distribution rule is
+    * implementation-defined enough that two engines can disagree on
+    * bucket edges; integer ceil-division agrees everywhere
+    * (`(rank*5 + n − 1) div n`).
+    *
+    * Scale shape: orders fold to one row per customer FIRST; the
+    * three rank windows and everything after run over that aggregate
+    * (1000× smaller than the fact table — the q_skew_gini
+    * discipline). Monetary accumulates in DECIMAL so per-customer
+    * sums are association-exact. Output is the ≤125-cell segment
+    * grid, not per-customer rows. */
+  val qRfmSegments: QueryFn = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.orders(s, dir)
+    val asof = o.agg(max(to_date($"o_orderdate")).as("asof"))
+    val perCust = o.groupBy($"o_custkey")
+      .agg(max(to_date($"o_orderdate")).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum($"o_totalprice".cast(DecimalType(27, 10))).as("monetary"))
+      .crossJoin(broadcast(asof))
+      .withColumn("recency", datediff($"asof", $"last_d").cast("long"))
+    val n = lit(perCust.count())
+    // ⌈rn·5/n⌉ as floor((rn·5 + n − 1)/n): the double division is exact
+    // for any n < 2^50 and both engines floor the same IEEE value.
+    def quintile(rn: Column): Column =
+      lit(6L) - floor((rn * 5 + n - lit(1)).cast("double") / n.cast("double")).cast("long")
+    val scored = perCust
+      .withColumn("r_score", quintile(row_number().over(
+        Window.orderBy($"recency", $"o_custkey"))))
+      .withColumn("f_score", quintile(row_number().over(
+        Window.orderBy($"freq".desc, $"o_custkey"))))
+      .withColumn("m_score", quintile(row_number().over(
+        Window.orderBy($"monetary".desc, $"o_custkey"))))
+    scored.groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_cust"),
+        rnd((sum($"monetary") / count(lit(1))).cast("double"), 2).as("avg_monetary"))
+      .select(concat($"r_score", $"f_score", $"m_score").as("segment"),
+        $"r_score".cast("int").as("r_score"), $"f_score".cast("int").as("f_score"),
+        $"m_score".cast("int").as("m_score"), $"n_cust", $"avg_monetary")
+      .orderBy($"segment")
   }
 }

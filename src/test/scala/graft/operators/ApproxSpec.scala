@@ -141,4 +141,41 @@ class ApproxSpec extends SparkTestBase {
       assert(relErr < 2.0, s"$et: rel_err $relErr out of range")
     }
   }
+
+  test("q_ab_ztest: arms partition signup users; z matches a driver replica") {
+    import spark.implicits._
+    val r = EventAnalytics.qAbZtest(spark, sfDir).collect().head
+    val (na, xa, nb, xb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val nSignup = Tables.events(spark, sfDir)
+      .where($"event_type" === "signup")
+      .select($"user_id").distinct().count()
+    assert(na + nb == nSignup, "arms must partition the signup users")
+    assert(xa <= na && xb <= nb && na > 0 && nb > 0)
+    // independent replica of the pooled two-proportion z statistic
+    val pa = xa.toDouble / na.toDouble
+    val pb = xb.toDouble / nb.toDouble
+    val pp = (xa + xb).toDouble / (na + nb).toDouble
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getDouble(6) - math.floor(z * 1e6 + 0.5) / 1e6) < 1e-9,
+      s"z ${r.getDouble(6)} vs replica $z")
+  }
+
+  test("q_rfm_segments: scores in 1..5, marginals balanced, customers conserved") {
+    import spark.implicits._
+    val seg = graft.operators.RelationalExt.qRfmSegments(spark, sfDir).collect()
+    assert(seg.nonEmpty)
+    val nCust = Tables.orders(spark, sfDir).select($"o_custkey").distinct().count()
+    assert(seg.map(_.getLong(4)).sum == nCust, "segment grid must cover every customer")
+    seg.foreach { r =>
+      Seq(r.getInt(1), r.getInt(2), r.getInt(3)).foreach(sc => assert(sc >= 1 && sc <= 5))
+      assert(r.getString(0) == s"${r.getInt(1)}${r.getInt(2)}${r.getInt(3)}")
+    }
+    // each dimension's quintile marginal is ⌈n/5⌉-balanced: with the
+    // explicit ceil formula bucket sizes differ by at most 1
+    Seq(1, 2, 3).foreach { dim =>
+      val marginal = seg.groupBy(_.getInt(dim)).view.mapValues(_.map(_.getLong(4)).sum)
+      assert(marginal.values.max - marginal.values.min <= 1,
+        s"dim $dim marginal unbalanced: $marginal")
+    }
+  }
 }
