@@ -567,6 +567,18 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_scd2_history" -> Map(
+        // both windows share the user partition key: the corpus
+        // shuffles ONCE on user_id, both sorts ride that exchange
+        "single user-key exchange" -> (p =>
+          "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1),
+        "no join" -> (p => !p.contains("Join"))),
+      "q_record_linkage" -> Map(
+        // candidates come only from the blocking-key equi-join —
+        // never an all-pairs product; summary partial-aggs map-side
+        "blocking equi-join, no cartesian" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
       "q_rfm_segments" -> Map(
         // orders fold to per-customer rows FIRST; the three quintile
         // windows run over that aggregate (the corpus never sorts),

@@ -188,6 +188,8 @@ object SparkEntry {
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
     "q_ab_ztest"                  -> EventAnalytics.qAbZtest,
     "q_rfm_segments"              -> RelationalExt.qRfmSegments,
+    "q_scd2_history"              -> operators.CdcOps.qScd2History,
+    "q_record_linkage"            -> operators.LinkageOps.qRecordLinkage,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1536,6 +1538,46 @@ object SparkEntry {
         |  floor(CAST(sum(monetary)/count(*) AS DOUBLE)*100 + 0.5)/100 AS avg_monetary
         |FROM sc GROUP BY r_score, f_score, m_score
         |ORDER BY segment""".stripMargin,
+
+    "q_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT * FROM e WHERE prev IS NULL OR prev <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type AS attr, epoch_us(ts) AS valid_from_us,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+        |  FROM c)
+        |SELECT user_id, version, attr, valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    "q_record_linkage" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS d_key, c_nationkey AS d_nat,
+        |    CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, 5) || substr(c_name, 7)
+        |         WHEN c_custkey % 3 = 1 THEN c_name || ' '
+        |         ELSE replace(c_name, '#', '=') END AS d_name
+        |  FROM customer WHERE c_custkey % 7 = 3),
+        |clean AS (
+        |  SELECT c_custkey AS c_key, c_name,
+        |    CAST(c_nationkey AS VARCHAR) || '|' || right(replace(c_name, ' ', ''), 2) AS bk
+        |  FROM customer),
+        |cand AS (
+        |  SELECT c.c_key, d.d_key, levenshtein(c.c_name, d.d_name) AS lev
+        |  FROM clean c JOIN (
+        |    SELECT *, CAST(d_nat AS VARCHAR) || '|' || right(replace(d_name, ' ', ''), 2) AS bk
+        |    FROM dirty) d USING (bk))
+        |SELECT d_key % 3 AS kind, count(*) AS n_candidates,
+        |  CAST(sum(CASE WHEN lev <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN lev <= 2 AND c_key = d_key THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  floor((CAST(sum(CASE WHEN lev <= 2 AND c_key = d_key THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CASE WHEN lev <= 2 THEN 1 ELSE 0 END) AS DOUBLE))*1000000 + 0.5)/1000000 AS precision,
+        |  floor((CAST(sum(CASE WHEN lev <= 2 AND c_key = d_key THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CASE WHEN c_key = d_key THEN 1 ELSE 0 END) AS DOUBLE))*1000000 + 0.5)/1000000 AS recall
+        |FROM cand GROUP BY kind ORDER BY kind""".stripMargin,
 
     "ann_bruteforce_topk" -> bruteforceOracle,
     // the SQL-front-door twin produces the identical result by

@@ -68,4 +68,38 @@ object CdcOps {
       .groupBy(col("st").as("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows"), rnd(xsum(col("tp")), 2).as("total_price"))
       .orderBy(col("o_orderstatus"))
+
+  /** Slowly-changing-dimension type-2 build — the OTHER half of the
+    * CDC story: `q_merge_upsert` maintains the CURRENT snapshot;
+    * this builds the full HISTORY table (versioned validity
+    * intervals) from the same change stream. Each user's event_type
+    * is treated as the tracked attribute: consecutive duplicates
+    * collapse (no-op changes produce no version), and each surviving
+    * change opens an interval [valid_from, valid_to) closed by the
+    * next change — the open interval (valid_to null) is the current
+    * row, exactly the shape a warehouse dimension join expects.
+    *
+    * Spark shape: two user-keyed windows over the same (ts,
+    * event_id) total order — a lag to collapse no-ops, then
+    * lead + row_number over the collapsed set for interval close and
+    * version number. Both windows share the user partition key, so
+    * the corpus shuffles ONCE on user_id and both sorts ride the
+    * same exchange. Validity bounds are epoch-microsecond BIGINTs —
+    * exact, engine-neutral, and what a downstream range join wants. */
+  val qScd2History: QueryFn = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val collapsed = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("event_type"))
+    collapsed
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type").as("attr"),
+        unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+/** Invariant specs for the CDC-history and record-linkage operators
+  * (both are also hash-verified against the SQL oracle — these pin
+  * the semantic properties a value compare can't express). */
+class CdcLinkageSpec extends SparkTestBase {
+
+  test("q_scd2_history: intervals tile, one current row per user, no no-op versions") {
+    val h = CdcOps.qScd2History(spark, sfDir).collect()
+    assert(h.nonEmpty)
+    val byUser = h.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // versions are 1..k dense
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq, s"user $u versions")
+      // exactly one open (current) interval, and it is the last version
+      val current = sorted.filter(_.getBoolean(5))
+      assert(current.length == 1 && current.head.getLong(1) == sorted.length, s"user $u current")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // consecutive intervals tile exactly: valid_to == next valid_from
+          assert(a.getLong(4) == b.getLong(3), s"user $u gap between v${a.getLong(1)} and v${b.getLong(1)}")
+          // collapse worked: adjacent versions never carry the same attr
+          assert(a.getString(2) != b.getString(2), s"user $u no-op version survived")
+        case _ =>
+      }
+    }
+    // every event user appears
+    val nUsers = Tables.events(spark, sfDir).select(col("user_id")).distinct().count()
+    assert(byUser.size.toLong == nUsers)
+  }
+
+  test("q_record_linkage: blocking never loses the true pair; counts consistent") {
+    import spark.implicits._
+    val rows = LinkageOps.qRecordLinkage(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+    // per-kind ground truth straight from the residue classes
+    val truth = Tables.customer(spark, sfDir)
+      .where($"c_custkey" % 7 === 3)
+      .groupBy(($"c_custkey" % 3).as("kind")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (kind, nCand, nMatched, nTrue) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nTrue <= nMatched && nMatched <= nCand, s"kind $kind ordering")
+      // the blocking key survives every perturbation kind AND every
+      // true pair scores within the threshold → recall is exactly 1
+      assert(nTrue == truth(kind), s"kind $kind lost true pairs: $nTrue vs ${truth(kind)}")
+      assert(r.getDouble(5) == 1.0, s"kind $kind recall")
+    }
+  }
+}
