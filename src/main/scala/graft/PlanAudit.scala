@@ -567,6 +567,21 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_label_propagation" -> Map(
+        // each LPA round is an edge⋈labels equi-join + struct-argmax
+        // fold — no window anywhere, no cartesian
+        "no window (argmax is a struct max)" -> (p =>
+          !p.contains("windowspecdefinition")),
+        "no cartesian" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "q_model_gains" -> Map(
+        // corpus-scale work is the per-doc margin agg; the decile
+        // window runs AFTER ranking and the cum-window after the
+        // 10-row fold; totals ride a 1-row broadcast
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "1-row totals broadcast only" -> (p =>
+          "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size <= 1)),
       "q_scd2_history" -> Map(
         // both windows share the user partition key: the corpus
         // shuffles ONCE on user_id, both sorts ride that exchange

@@ -190,6 +190,8 @@ object SparkEntry {
     "q_rfm_segments"              -> RelationalExt.qRfmSegments,
     "q_scd2_history"              -> operators.CdcOps.qScd2History,
     "q_record_linkage"            -> operators.LinkageOps.qRecordLinkage,
+    "q_label_propagation"         -> operators.GraphOps.qLabelPropagation,
+    "q_model_gains"               -> operators.ModelOps.qModelGains,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1539,6 +1541,35 @@ object SparkEntry {
         |FROM sc GROUP BY r_score, f_score, m_score
         |ORDER BY segment""".stripMargin,
 
+    "q_model_gains" -> perceptronGainsOracle,
+
+    // synchronous LPA with a deterministic (count desc, label asc)
+    // argmax, 3 rounds unrolled — every step integer, so the final
+    // community partition matches bit-for-bit
+    "q_label_propagation" -> {
+      val rounds = (1 to operators.GraphOps.LpaRounds).map { t =>
+        s"""l$t AS (
+           |  SELECT u AS node, lbl FROM (
+           |    SELECT s.u, l.lbl,
+           |      row_number() OVER (PARTITION BY s.u ORDER BY count(*) DESC, l.lbl ASC) AS rk
+           |    FROM sym s JOIN l${t - 1} l ON l.node = s.v
+           |    GROUP BY s.u, l.lbl) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+         |$rounds
+         |SELECT lbl AS community, count(*) AS n_nodes,
+         |  min(node) AS min_node, max(node) AS max_node
+         |FROM l${operators.GraphOps.LpaRounds}
+         |GROUP BY lbl HAVING count(*) >= 2 ORDER BY community""".stripMargin
+    },
+
     "q_scd2_history" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, event_type,
@@ -2534,7 +2565,11 @@ object SparkEntry {
     * misclassified-set CTE, and an integer weight update folded into
     * the previous weight table. All 64-bit integer arithmetic: the
     * replay is exact, no rounding anywhere. */
-  private lazy val perceptronOracle: String = {
+  /** The perceptron training unroll's CTE chain (`f`, `w1` … `w$nr`)
+    * — shared by [[perceptronOracle]] and [[perceptronGainsOracle]]
+    * so the evaluation panel provably scores the SAME trained
+    * weights as the training proof. */
+  private lazy val perceptronCoreCtes: String = {
     val bkts = operators.ModelOps.PercBuckets
     val nr = operators.ModelOps.PercRounds
     val rounds = (2 to nr).map { t =>
@@ -2548,19 +2583,51 @@ object SparkEntry {
          |w$t AS (SELECT w${t - 1}.bucket, w${t - 1}.w + COALESCE(d$t.d, 0) AS w
          |  FROM w${t - 1} LEFT JOIN d$t USING (bucket))""".stripMargin
     }.mkString(",\n")
-    s"""WITH f AS (
+    s"""f AS (
        |  SELECT DISTINCT doc_id,
        |    CASE WHEN doc_id % 10 = 9 THEN 1 ELSE -1 END AS y,
        |    CAST(${fnvSql("tok")} % $bkts AS BIGINT) AS bucket
        |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
        |        FROM documents) u),
        |w1 AS (SELECT bucket, CAST(sum(y) AS BIGINT) AS w FROM f GROUP BY bucket),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val perceptronOracle: String = {
+    val nr = operators.ModelOps.PercRounds
+    s"""WITH $perceptronCoreCtes
        |SELECT doc_id, CAST(y AS BIGINT) AS y,
        |  CAST(sum(w$nr.w) AS BIGINT) AS margin,
        |  CAST(y AS BIGINT) * CAST(sum(w$nr.w) AS BIGINT) > 0 AS correct
        |FROM f JOIN w$nr USING (bucket)
        |GROUP BY doc_id, y ORDER BY doc_id""".stripMargin
+  }
+
+  /** `q_model_gains`: the same trained weights, folded into the
+    * decile gains/lift panel — ranking and deciles use the explicit
+    * ceil-division formula so both engines cut identical buckets. */
+  private lazy val perceptronGainsOracle: String = {
+    val nr = operators.ModelOps.PercRounds
+    s"""WITH $perceptronCoreCtes,
+       |mar AS (
+       |  SELECT doc_id, CAST(y AS BIGINT) AS y, CAST(sum(w$nr.w) AS BIGINT) AS margin
+       |  FROM f JOIN w$nr USING (bucket) GROUP BY doc_id, y),
+       |rk AS (SELECT y, row_number() OVER (ORDER BY margin DESC, doc_id) AS rn,
+       |         count(*) OVER () AS nn FROM mar),
+       |dec AS (SELECT CAST(floor(CAST(rn*10 + nn - 1 AS DOUBLE)/nn) AS BIGINT) AS decile, y FROM rk),
+       |byd AS (SELECT decile, count(*) AS n,
+       |          CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |        FROM dec GROUP BY decile),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(n_pos) AS BIGINT) AS pt FROM byd),
+       |cum AS (SELECT decile, n, n_pos,
+       |          CAST(sum(n_pos) OVER (ORDER BY decile
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+       |        FROM byd)
+       |SELECT decile, n, n_pos,
+       |  floor((CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE))*1000000 + 0.5)/1000000 AS pos_rate,
+       |  floor((CAST(cum_pos AS DOUBLE)/CAST(pt AS DOUBLE))*1000000 + 0.5)/1000000 AS cum_capture,
+       |  floor(((CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE))/(CAST(pt AS DOUBLE)/CAST(nt AS DOUBLE)))*10000 + 0.5)/10000 AS lift
+       |FROM cum, tot ORDER BY decile""".stripMargin
   }
 
   /** `q_mmr_select`'s oracle: the k-round greedy MMR unroll. Each

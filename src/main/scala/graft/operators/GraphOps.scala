@@ -313,4 +313,60 @@ object GraphOps {
       .select($"part_a", $"part_b", $"common", $"deg_a", $"deg_b", $"jaccard")
       .orderBy($"common".desc, $"part_a", $"part_b")
   }
+
+  /** LPA round count — fixed, part of the operator's semantics (the
+    * BfsMaxHops discipline): the plan is the same DAG at any scale
+    * and the SQL unroll matches by construction. */
+  val LpaRounds = 3
+
+  /** Label-propagation community detection (Raghavan et al. 2007)
+    * over the co-purchase graph — the graph family's COMMUNITY
+    * completion (PageRank ranks, triangles close, BFS reaches, link
+    * prediction predicts; this PARTITIONS). Synchronous LPA with a
+    * deterministic argmax: each round every node adopts its
+    * neighborhood's most frequent label, ties broken toward the
+    * SMALLEST label — so the trajectory is a pure function of the
+    * edge set and both engines agree bit-for-bit (no float, no
+    * random tie-break, the published algorithm's one source of
+    * nondeterminism removed).
+    *
+    * Shape per round: one edge⋈labels equi-join shuffled on the
+    * node key, a (node, label) partial+final count, and a
+    * struct-argmax fold (max of (count, −label) — no window, the
+    * q_dormancy_gaps trick). `localCheckpoint` per round keeps
+    * lineage O(1). At a billion edges this is the Pregel
+    * label-exchange round with combiner, the shape GraphX/Giraph
+    * LPA compiles to; rounds are driver-synchronous like the CC
+    * loop, mitigated to a fixed count. */
+  val qLabelPropagation: QueryFn = (s, dir) => {
+    import s.implicits._
+    val e = copurchaseEdges(s, dir)
+    val sym = e.unionByName(e.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint(true)
+    lpaLabels(sym, LpaRounds)
+      .groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min($"node").as("min_node"), max($"node").as("max_node"))
+      .where($"n_nodes" >= 2)
+      .orderBy($"community")
+  }
+
+  /** The synchronous LPA core behind [[qLabelPropagation]] — factored
+    * out so specs can feed hand graphs. `symBoth` must carry both
+    * directions of every edge as (u, v) longs; returns (node, lbl)
+    * after `rounds` deterministic-argmax rounds. */
+  private[operators] def lpaLabels(
+      symBoth: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
+    var labels = symBoth.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      labels = symBoth.join(labels, symBoth("v") === labels("node"))
+        .select(symBoth("u"), col("lbl"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u")).agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -121,6 +121,19 @@ object ModelOps {
     * hashed linear models are THE corpus-scale classifier family. */
   val textPerceptronTrain: QueryFn = (s, dir) => {
     import s.implicits._
+    perceptronScores(s, dir)
+      .select($"doc_id", $"y", $"margin",
+        ($"y" * $"margin" > 0).as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  /** The trained perceptron's per-doc (doc_id, y, margin) — the
+    * training loop factored out so [[textPerceptronTrain]] (the
+    * training proof) and [[qModelGains]] (the evaluation panel)
+    * score against the SAME weights. */
+  private[operators] def perceptronScores(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
     val b = lit(PercBuckets - 1L)
     val feats = Tables.documents(s, dir)
       .select($"doc_id", when($"doc_id" % 10 === 9, 1L).otherwise(-1L).as("y"),
@@ -143,9 +156,44 @@ object ModelOps {
     feats
       .groupBy($"doc_id", $"y")
       .agg(sum(element_at(wLit, ($"bucket" + 1).cast("int"))).as("margin"))
-      .select($"doc_id", $"y", $"margin",
-        ($"y" * $"margin" > 0).as("correct"))
-      .orderBy($"doc_id")
+  }
+
+  /** Decile gains/lift panel for the trained perceptron — the
+    * evaluation half the training ops were missing (a model you
+    * can't rank-evaluate isn't a model): docs rank by (margin desc,
+    * doc_id), split into 10 explicit ceil-division deciles (the
+    * q_rfm_segments formula — never `ntile`), and each decile
+    * reports its positive rate, cumulative capture of all positives,
+    * and lift over the base rate. All counts exact integers; rates
+    * are single divisions — hash-verified despite being "statistics".
+    *
+    * Scale note: the global rank orders the SCORED set. Evaluation
+    * panels run on a held-out sample at 100 TB (the per-doc margin
+    * agg is the corpus-scale part and it partial-aggs map-side);
+    * the decile window itself is a 10-row fold after aggregation. */
+  val qModelGains: QueryFn = (s, dir) => {
+    import s.implicits._
+    val m = perceptronScores(s, dir)
+    val n = lit(m.count())
+    val ranked = m.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy($"margin".desc, $"doc_id")))
+    val byDec = ranked
+      .withColumn("decile",
+        floor(($"rn" * 10 + n - lit(1)).cast("double") / n.cast("double")).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"y" === 1L, 1L).otherwise(0L)).as("n_pos"))
+    val totals = byDec.agg(sum($"n").as("nt"), sum($"n_pos").as("pt"))
+    val cum = org.apache.spark.sql.expressions.Window.orderBy($"decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byDec.crossJoin(broadcast(totals))
+      .withColumn("cum_pos", sum($"n_pos").over(cum))
+      .select($"decile", $"n", $"n_pos",
+        rnd($"n_pos".cast("double") / $"n".cast("double"), 6).as("pos_rate"),
+        rnd($"cum_pos".cast("double") / $"pt".cast("double"), 6).as("cum_capture"),
+        rnd(($"n_pos".cast("double") / $"n".cast("double")) /
+          ($"pt".cast("double") / $"nt".cast("double")), 4).as("lift"))
+      .orderBy($"decile")
   }
 
   /** (doc_id, n_feats, score, keep) for every document: hashed

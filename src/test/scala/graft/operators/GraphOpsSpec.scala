@@ -66,6 +66,44 @@ class GraphOpsSpec extends SparkTestBase {
     assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"pendant graph gave $t")
   }
 
+  test("lpaLabels: two cliques with a bridge resolve to two communities") {
+    // K4 on {1..4} and K4 on {11..14}, bridged by (4, 11): LPA with
+    // min-label tie-break floods each clique from its smallest node
+    def lpa(es: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val e = es.toDF("u", "v")
+      val sym = e.unionByName(e.select($"v".as("u"), $"u".as("v")))
+      GraphOps.lpaLabels(sym, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val cliques = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (11L,12L),(11L,13L),(11L,14L),(12L,13L),(12L,14L),(13L,14L),
+      (4L,11L))
+    val got = lpa(cliques, 3)
+    val c1 = Set(1L,2L,3L,4L).map(got)
+    val c2 = Set(11L,12L,13L,14L).map(got)
+    assert(c1.size == 1, s"clique 1 split: $got")
+    assert(c2.size == 1, s"clique 2 split: $got")
+    assert(c1 != c2, s"bridge merged the cliques: $got")
+    // a triangle floods to its min label
+    val tri = lpa(Seq((5L,6L),(5L,7L),(6L,7L)), 3)
+    assert(tri.values.toSet.size == 1, s"triangle not uniform: $tri")
+  }
+
+  test("q_label_propagation: communities partition the node set") {
+    val e = GraphOps.copurchaseEdges(spark, sfDir)
+    val nNodes = e.select($"u".as("n")).unionByName(e.select($"v".as("n")))
+      .distinct().count()
+    val com = GraphOps.qLabelPropagation(spark, sfDir).collect()
+    assert(com.nonEmpty)
+    // communities of size >= 2 cover at most all nodes; sizes consistent
+    val covered = com.map(_.getLong(1)).sum
+    assert(covered <= nNodes && covered >= 2)
+    com.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "min_node <= max_node")
+      assert(r.getLong(1) >= 2)
+    }
+  }
+
   test("bfsDistances: chain + branch hand graph, hop cap, unreachable excluded") {
     // 0-1-2-3-4-5-6 chain with a branch 2-10, plus disconnected 99-100
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),

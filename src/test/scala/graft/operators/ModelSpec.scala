@@ -72,4 +72,20 @@ class ModelSpec extends SparkTestBase {
     assert(nCorrect > feats.length / 2,
       s"learning had no effect: $nCorrect/${feats.length} correct")
   }
+
+  test("q_model_gains: deciles conserve counts, capture is monotone to 1.0") {
+    val rows = ModelOps.qModelGains(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L), "deciles must be 1..10")
+    val scored = ModelOps.textPerceptronTrain(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum == scored.length, "decile sizes must cover every scored doc")
+    assert(rows.map(_.getLong(2)).sum == scored.count(_.getLong(1) == 1L),
+      "decile positives must sum to the class total")
+    // cumulative capture is nondecreasing and ends at exactly 1
+    val caps = rows.sortBy(_.getLong(0)).map(_.getDouble(4))
+    assert(caps.zip(caps.tail).forall { case (a, b) => b >= a }, "capture must be monotone")
+    assert(caps.last == 1.0, s"final capture ${caps.last}")
+    // balanced deciles: sizes differ by at most 1 (explicit ceil cut)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"unbalanced deciles: ${sizes.toSeq}")
+  }
 }
