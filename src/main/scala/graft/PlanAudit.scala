@@ -567,6 +567,20 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "ann_radius_search" -> Map(
+        // candidates come only from the band equi-join (the LSH
+        // index), threshold is a filter — no top-k machinery, no
+        // window, no cartesian
+        "band equi-join, no cartesian" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "no window, no heap (pure filter serve path)" -> (p =>
+          !p.contains("windowspecdefinition") && !p.contains("TopKPerKey"))),
+      "text_rake_keywords" -> Map(
+        // word and phrase stats are partial+final aggs on vocab-sized
+        // keys; the top 20 ranks through bounded heaps
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "top phrases via native TopKPerKey" -> (_.contains("TopKPerKey")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
       "q_label_propagation" -> Map(
         // each LPA round is an edge⋈labels equi-join + struct-argmax
         // fold — no window anywhere, no cartesian

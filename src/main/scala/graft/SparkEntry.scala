@@ -192,6 +192,8 @@ object SparkEntry {
     "q_record_linkage"            -> operators.LinkageOps.qRecordLinkage,
     "q_label_propagation"         -> operators.GraphOps.qLabelPropagation,
     "q_model_gains"               -> operators.ModelOps.qModelGains,
+    "ann_radius_search"           -> AnnOps.annRadiusSearch,
+    "text_rake_keywords"          -> PipelineOps.textRakeKeywords,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1543,6 +1545,35 @@ object SparkEntry {
 
     "q_model_gains" -> perceptronGainsOracle,
 
+    "ann_radius_search" -> annRadiusOracle,
+
+    "text_rake_keywords" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', '|', 'g'),
+        |      '\\b(${operators.PipelineOps.RakeStops})\\b', '|', 'g') AS s
+        |  FROM documents),
+        |ph4 AS (
+        |  SELECT phrase, CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen FROM (
+        |    SELECT trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
+        |    FROM (SELECT unnest(string_split(s, '|')) AS p FROM t))
+        |  WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= 4),
+        |w AS (SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS word FROM ph4),
+        |ws AS (SELECT word, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg FROM w GROUP BY word),
+        |psc AS (SELECT phrase, count(*) AS n_occur FROM ph4 GROUP BY phrase),
+        |sc AS (
+        |  SELECT pw.phrase, CAST(sum(ws.deg) AS BIGINT) AS sum_deg,
+        |    CAST(sum(ws.freq) AS BIGINT) AS sum_freq
+        |  FROM (SELECT DISTINCT phrase, word FROM w) pw JOIN ws USING (word)
+        |  GROUP BY pw.phrase),
+        |f AS (
+        |  SELECT sc.phrase, psc.n_occur, sum_deg, sum_freq,
+        |    floor((CAST(sum_deg AS DOUBLE)/CAST(sum_freq AS DOUBLE))*10000 + 0.5)/10000 AS score
+        |  FROM sc JOIN psc USING (phrase)),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, phrase) AS r FROM f)
+        |SELECT phrase, n_occur, sum_deg, sum_freq, score
+        |FROM rk WHERE r <= 20 ORDER BY score DESC, phrase""".stripMargin,
+
     // synchronous LPA with a deterministic (count desc, label asc)
     // argmax, 3 rounds unrolled — every step integer, so the final
     // community partition matches bit-for-bit
@@ -2388,8 +2419,12 @@ object SparkEntry {
     * cosine re-scoring, rank by (rounded sim, nid). The cosine is the
     * same three left-to-right double accumulations as the native
     * CosineSim expression, so similarity values match bit for bit. */
-  private lazy val annLshOracle: String = {
-    s"""WITH pl AS (SELECT ${planesLiteral(operators.AnnOps.LshPlanes)} AS w),
+  /** The banded-LSH index replay through exact candidate cosines
+    * (CTE `cos`) — shared by [[annLshOracle]] (top-k serve path) and
+    * the `ann_radius_search` oracle (threshold serve path): one
+    * index, two APIs, provably the same candidates. */
+  private lazy val lshCosCtes: String = {
+    s"""pl AS (SELECT ${planesLiteral(operators.AnnOps.LshPlanes)} AS w),
        |e AS (SELECT vec_id, embedding FROM embeddings),
        |d AS (
        |  SELECT vec_id, p,
@@ -2416,7 +2451,11 @@ object SparkEntry {
        |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |        [CAST(bb.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
        |        (x, y) -> x + y))) AS sim
-       |  FROM cand JOIN e a ON a.vec_id = cand.pid JOIN e bb ON bb.vec_id = cand.nid),
+       |  FROM cand JOIN e a ON a.vec_id = cand.pid JOIN e bb ON bb.vec_id = cand.nid)""".stripMargin
+  }
+
+  private lazy val annLshOracle: String =
+    s"""WITH $lshCosCtes,
        |rk AS (
        |  SELECT pid, nid, sim,
        |    row_number() OVER (PARTITION BY pid
@@ -2424,7 +2463,14 @@ object SparkEntry {
        |  FROM cos)
        |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor(sim*10000 + 0.5)/10000 AS sim
        |FROM rk WHERE rnk <= ${operators.AnnOps.K} ORDER BY pid, rnk""".stripMargin
-  }
+
+  /** `ann_radius_search`: the same replayed index, thresholded
+    * instead of ranked. */
+  private lazy val annRadiusOracle: String =
+    s"""WITH $lshCosCtes
+       |SELECT pid, nid, floor(sim*10000 + 0.5)/10000 AS sim
+       |FROM cos WHERE sim >= ${operators.AnnOps.RadiusTau}
+       |ORDER BY pid, nid""".stripMargin
 
   /** The 3-iteration exact Lloyd's assignment replay (init =
     * vec_id < 8, decimal-exact distances and means, ties to the lower

@@ -72,6 +72,15 @@ object AnnOps {
     * better recall at the same band budget. */
   val annLshTopk: QueryFn = (s, dir) => {
     import s.implicits._
+    rankTopK(lshCandidates(s, dir)
+      .select($"pid", $"nid", cosine_sim($"pe", $"embedding").as("sim")), K)
+  }
+
+  /** The banded LSH candidate pairs (pid, nid, pe, embedding) behind
+    * [[annLshTopk]] and [[annRadiusSearch]] — candidates share ≥ 1 of
+    * twelve 4-bit bands of the 48-plane sign signature. */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val planes = hyperplanes(LshPlanes, 64)
     val sig = hyperplaneSig(planes)
     val corpus = Tables.embeddings(s, dir)
@@ -83,11 +92,34 @@ object AnnOps {
       .select(col(idCol), col(embCol), explode(array(bandCols: _*)).as("key"))
     val p = banded(probes(s, dir).withColumn("sig", sig($"pe")), "pid", "pe")
     val c = banded(corpus, "vec_id", "embedding")
-    val cands = p.join(c, Seq("key"))
+    p.join(c, Seq("key"))
       .where($"vec_id" =!= $"pid")
       .select($"pid", $"vec_id".as("nid"), $"pe", $"embedding").distinct()
+  }
+
+  /** Radius threshold for [[annRadiusSearch]] — chosen so the report
+    * is non-vacuous on the near-random test embeddings (a few dozen
+    * pairs at every SF); real corpora tune this per modality. */
+  val RadiusTau = 0.3
+
+  /** Radius (range) search — ALL neighbors within cosine ≥ τ of each
+    * probe, the other half of the ANN serving API (Faiss
+    * `range_search` next to `search`): dedup wants "everything closer
+    * than τ", not "the 5 closest". Same banded-LSH candidate
+    * generation as [[annLshTopk]] — the scale path is identical
+    * (candidates per probe ≈ corpus × collision rate, never the
+    * corpus) — then an exact cosine filter. No top-k heap at all: the
+    * output is the filtered set itself, so the only shuffle after the
+    * band join is the final order. The oracle replays the same index,
+    * so the report is hash-verified; recall vs the brute-force radius
+    * is the spec's job (the LSH recall dial, as in ann_lsh_topk). */
+  val annRadiusSearch: QueryFn = (s, dir) => {
+    import s.implicits._
+    lshCandidates(s, dir)
       .select($"pid", $"nid", cosine_sim($"pe", $"embedding").as("sim"))
-    rankTopK(cands, K)
+      .where($"sim" >= RadiusTau)
+      .select($"pid", $"nid", rnd($"sim", 4).as("sim"))
+      .orderBy($"pid", $"nid")
   }
 
   /** SQ8 top-k: the corpus is scalar-quantized to 8 bits per dimension

@@ -932,4 +932,53 @@ object PipelineOps {
         ($"weight" >= 1.0).as("selected"))
       .orderBy($"doc_id")
   }
+
+  /** RAKE stopword delimiters (Rose et al. 2010): candidate phrases
+    * are maximal token runs between stopwords/punctuation. */
+  val RakeStops = "the|a|an|and|of|to|in|is|for|on|with|as|by|at|or"
+
+  /** RAKE keyword extraction — corpus-level rapid automatic keyword
+    * extraction: phrases scored by member-word degree/frequency
+    * statistics, the unsupervised keyword pass next to tf-idf
+    * (tf-idf ranks TOKENS per doc; RAKE ranks PHRASES corpus-wide).
+    * Scoring uses the summed-ratio variant score(p) =
+    * Σ_{w∈p} deg(w) / Σ_{w∈p} freq(w) over DISTINCT member words —
+    * ONE division of exact integer sums, so the ranking is
+    * hash-verified (the per-word-ratio original sums doubles and
+    * would drift in association).
+    *
+    * Scale shape: phrase extraction is map-only regex work; the
+    * shuffles are (word) and (phrase) partial+final aggs — key
+    * cardinality is vocabulary/phrase-form bounded, never corpus
+    * bounded; the top 20 ranks through TopKPerKey bounded heaps.
+    * Phrases cap at 4 words (keyword-like; also bounds the
+    * word-explode fan-out). */
+  val textRakeKeywords: QueryFn = (s, dir) => {
+    import s.implicits._
+    val t = Tables.documents(s, dir).select($"doc_id",
+      regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]+", "|"),
+        s"\\b($RakeStops)\\b", "|").as("s"))
+    val ph4 = t.select(explode(split($"s", "\\|")).as("p"))
+      .select(trim(regexp_replace($"p", " +", " ")).as("phrase"))
+      .where($"phrase" =!= "")
+      .withColumn("plen", size(split($"phrase", " ")).cast("long"))
+      .where($"plen" <= 4)
+    val w = ph4.select($"phrase", $"plen", explode(split($"phrase", " ")).as("word"))
+    val ws = w.groupBy($"word")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+    val psc = ph4.groupBy($"phrase").agg(count(lit(1)).as("n_occur"))
+    val scored = w.select($"phrase", $"word").distinct()
+      .join(ws, "word")
+      .groupBy($"phrase")
+      .agg(sum($"deg").as("sum_deg"), sum($"freq").as("sum_freq"))
+      .join(psc, "phrase")
+      .select($"phrase", $"n_occur", $"sum_deg", $"sum_freq",
+        rnd($"sum_deg".cast("double") / $"sum_freq".cast("double"), 4).as("score"))
+    graft.plans.TopK.perKey(
+        scored.withColumn("g", lit(1)),
+        Seq("g"), Seq("score" -> false, "phrase" -> true), 20)
+      .select($"phrase", $"n_occur", $"sum_deg", $"sum_freq", $"score")
+      .orderBy($"score".desc, $"phrase")
+  }
 }

@@ -388,6 +388,31 @@ class DedupAnnSpec extends SparkTestBase {
     assert(byId.values.forall(_._1 > 0), "every non-trivial doc fingerprinted")
   }
 
+  test("ann_radius_search: subset of the brute-force radius with useful recall") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tau = AnnOps.RadiusTau
+    // brute-force ground truth: every pair with cosine >= tau
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val exact = e.where($"vec_id" < 10)
+      .select($"vec_id".as("pid"), $"embedding".as("pe"))
+      .crossJoin(e.select($"vec_id".as("nid"), $"embedding"))
+      .where($"nid" =!= $"pid")
+      .select($"pid", $"nid",
+        graft.functions.VectorExpressions.cosine_sim($"pe", $"embedding").as("sim"))
+      .where($"sim" >= tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = AnnOps.annRadiusSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "radius report must be non-vacuous")
+    assert(got.subsetOf(exact), "LSH radius must never report a pair below tau")
+    val recall = got.size.toDouble / exact.size
+    info(s"ann_radius_search recall = $recall (${got.size}/${exact.size})")
+    // same index as ann_lsh_topk (bar = measured 0.89 − slack)
+    assert(recall >= 0.7, s"radius recall too low: $recall")
+  }
+
   test("queries are deterministic across runs (rows-only gate safety)") {
     for (name <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
                      "ann_lsh_topk", "ann_ivf_topk")) {

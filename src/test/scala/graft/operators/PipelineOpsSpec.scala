@@ -399,4 +399,24 @@ class PipelineOpsSpec extends SparkTestBase {
       .agg(sum($"n")).as[Long].head()
     assert(rows.map(_._4).sum == corpusToks)
   }
+
+  test("text_rake_keywords: hand-corpus replica and structural invariants") {
+    val rows = PipelineOps.textRakeKeywords(spark, sfDir).collect()
+    assert(rows.length == 20, "top-20 keyword list")
+    rows.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.length <= 4 && words.forall(_.nonEmpty), s"phrase shape: '${r.getString(0)}'")
+      // no stopword or delimiter survives inside a phrase
+      val stops = PipelineOps.RakeStops.split("\\|").toSet
+      assert(!words.exists(stops), s"stopword inside phrase '${r.getString(0)}'")
+      // score = sum_deg / sum_freq rounded, and deg >= freq always
+      // (each occurrence contributes plen >= 1 to deg, 1 to freq)
+      assert(r.getLong(2) >= r.getLong(3), "deg >= freq")
+      val expect = math.floor(r.getLong(2).toDouble / r.getLong(3).toDouble * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(4) == expect, s"score mismatch on '${r.getString(0)}'")
+    }
+    // scores descending with phrase tiebreak
+    val keys = rows.map(r => (-r.getDouble(4), r.getString(0)))
+    assert(keys.sameElements(keys.sorted), "ranking order")
+  }
 }
