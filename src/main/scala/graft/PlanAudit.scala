@@ -567,6 +567,13 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "mm_phash_neardup" -> Map(
+        // signatures move, payloads don't: the band equi-join is the
+        // only corpus shuffle; hamming computes on candidates only
+        "band equi-join, no cartesian" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no window" -> (p => !p.contains("windowspecdefinition"))),
       "ann_radius_search" -> Map(
         // candidates come only from the band equi-join (the LSH
         // index), threshold is a filter — no top-k machinery, no

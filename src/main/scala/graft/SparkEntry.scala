@@ -194,6 +194,8 @@ object SparkEntry {
     "q_model_gains"               -> operators.ModelOps.qModelGains,
     "ann_radius_search"           -> AnnOps.annRadiusSearch,
     "text_rake_keywords"          -> PipelineOps.textRakeKeywords,
+    "q_weighted_median"           -> EventAnalytics.qWeightedMedian,
+    "mm_phash_neardup"            -> TextOps.mmPhashNeardup,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1546,6 +1548,60 @@ object SparkEntry {
     "q_model_gains" -> perceptronGainsOracle,
 
     "ann_radius_search" -> annRadiusOracle,
+
+    // lower weighted median on the cent grid: the oracle sorts
+    // (cumulative window), the engine bisects — same integer
+    // threshold definition, exact agreement
+    "q_weighted_median" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS w
+        |  FROM lineitem),
+        |t AS (SELECT l_returnflag, count(*) AS n_lines, CAST(sum(w) AS BIGINT) AS tw FROM c GROUP BY 1),
+        |byq AS (SELECT l_returnflag, q, CAST(sum(w) AS BIGINT) AS wq FROM c GROUP BY 1, 2),
+        |cw AS (SELECT l_returnflag, q,
+        |         CAST(sum(wq) OVER (PARTITION BY l_returnflag ORDER BY q) AS BIGINT) AS cum
+        |       FROM byq),
+        |m AS (SELECT cw.l_returnflag, min(q) AS mq
+        |      FROM cw JOIN t USING (l_returnflag)
+        |      WHERE cum >= (tw + 1) // 2 GROUP BY 1)
+        |SELECT t.l_returnflag, n_lines, tw AS total_weight,
+        |  floor((CAST(mq AS DOUBLE)/100)*10000 + 0.5)/10000 AS w_median
+        |FROM m JOIN t USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+
+    "mm_phash_neardup" ->
+      s"""WITH reg AS (
+        |  SELECT doc_id AS media_id, text AS t FROM documents WHERE length(text) >= 64
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    upper(substr(text, 1, 10)) || substr(text, 11, length(text)-20) ||
+        |    upper(substr(text, length(text)-9, 10))
+        |  FROM documents WHERE length(text) >= 64 AND doc_id % 11 = 5),
+        |m AS (SELECT media_id, t, length(t) AS L FROM reg),
+        |ch AS (
+        |  SELECT media_id, unnest([{'pos': i,
+        |      'c': substr(t, CAST(floor((i-1)*L/64.0) AS INTEGER)+1,
+        |             CAST(floor(i*L/64.0) AS INTEGER)-CAST(floor((i-1)*L/64.0) AS INTEGER))}
+        |    for i in generate_series(1, 64)]) AS u
+        |  FROM m),
+        |bits AS (SELECT media_id, u['pos'] AS pos,
+        |    CAST(${fnvSql("u['c']")} % 2 AS BIGINT) AS bit FROM ch),
+        |bands AS (
+        |  SELECT media_id, (pos-1)//16 AS band,
+        |    CAST(sum(bit << ((pos-1)%16)) AS BIGINT) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |sig AS (SELECT media_id, list(bv ORDER BY band) AS sg FROM bands GROUP BY media_id),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id),
+        |h AS (
+        |  SELECT ma, mb,
+        |    CAST(bit_count(xor(sa.sg[1], sb.sg[1])) + bit_count(xor(sa.sg[2], sb.sg[2]))
+        |       + bit_count(xor(sa.sg[3], sb.sg[3])) + bit_count(xor(sa.sg[4], sb.sg[4])) AS BIGINT) AS hamming
+        |  FROM cand JOIN sig sa ON sa.media_id = ma JOIN sig sb ON sb.media_id = mb)
+        |SELECT ma AS media_a, mb AS media_b, hamming
+        |FROM h WHERE hamming <= ${operators.TextOps.PhashTau}
+        |ORDER BY media_a, media_b""".stripMargin,
 
     "text_rake_keywords" ->
       s"""WITH t AS (

@@ -484,6 +484,51 @@ object EventAnalytics {
       .orderBy($"event_type")
   }
 
+  /** WEIGHTED median by the same sort-free bisection — the revenue-
+    * weighted quantity midpoint per return flag ("half the money is
+    * on orders of ≤ this size"), the skew-robust centre the plain
+    * median can't see when line values differ by 100×. Semantics:
+    * the lower weighted median — the smallest cent-grid value q with
+    * cumweight(≤ q) ≥ ⌈W/2⌉, weights = price cents (exact integers).
+    * The oracle computes the SAME definition with a cumulative
+    * window over the sorted grid — the engine bisects (O(log range)
+    * filtered weight-sums, zero sorts, the q_bisect_median shape
+    * that survives 100 TB), the oracle sorts; agreement is exact
+    * because both sides are pure integer threshold tests. */
+  val qWeightedMedian: QueryFn = (s, dir) => {
+    import s.implicits._
+    val cents = Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        floor($"l_quantity" * 100 + 0.5).cast("long").as("q"),
+        floor($"l_extendedprice" * 100 + 0.5).cast("long").as("w"))
+      .localCheckpoint(true)
+    val bounds = cents.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"w").as("tw"),
+        min($"q").as("lo"), max($"q").as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val target = bounds.map { case (g, _, tw, _, _) => (g, (tw + 1) / 2) }.toMap
+    var state = bounds.map { case (g, _, _, lo, hi) => (g, (lo, hi)) }.toMap
+    while (state.values.exists { case (lo, hi) => lo < hi }) {
+      val mids = state.map { case (g, (lo, hi)) => (g, lo + (hi - lo) / 2) }
+      val midDf = mids.toSeq.toDF("l_returnflag", "mid")
+      val wle = cents.join(broadcast(midDf), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(sum(when($"q" <= $"mid", $"w").otherwise(0L)).as("wle"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      state = state.map { case (g, (lo, hi)) =>
+        if (lo >= hi) (g, (lo, hi))
+        else if (wle(g) >= target(g)) (g, (lo, mids(g)))
+        else (g, (mids(g) + 1, hi))
+      }
+    }
+    bounds.map { case (g, n, tw, _, _) =>
+      val med = state(g)._1.toDouble / 100.0
+      (g, n, tw, math.floor(med * 10000 + 0.5) / 10000)
+    }.toSeq.toDF("l_returnflag", "n_lines", "total_weight", "w_median")
+      .orderBy($"l_returnflag")
+  }
+
   /** Dormancy panel — per user, the LONGEST quiet gap between
     * consecutive events (hours, integer from epoch-micros division)
     * and what the user was doing when they went quiet: the

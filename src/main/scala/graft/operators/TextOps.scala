@@ -443,4 +443,69 @@ object TextOps {
         (lit(1000L) + ($"frame_idx" - 1).cast("long") * 2000L).as("ts_ms"))
       .orderBy($"media_id", $"frame_idx")
   }
+
+  /** Hamming threshold for [[mmPhashNeardup]]: re-encoded copies
+    * flip ≤ 4 of 64 blocks (≤ 4 bits expected ~2); random pairs sit
+    * near 32. 12 splits the two populations with wide margin. */
+  val PhashTau = 12L
+
+  /** Perceptual-hash near-duplicate detection over media payloads —
+    * the IMAGE dedup pass next to the text stack (minhash/simhash
+    * find shared TOKENS; this finds shared BYTES): a 64-bit blockwise
+    * hash (payload split into 64 equal slices — the 8×8 grid of a
+    * real aHash; bit = slice-digest parity, so two payloads agree on
+    * a bit exactly where the slice bytes agree — a real decoder's
+    * per-cell luminance drops into the same column), banded into
+    * four 16-bit keys for candidate generation (the simhash
+    * pigeonhole: ≤ 15 flipped bits guarantee a shared band), then
+    * exact Hamming distance on candidates only.
+    *
+    * The registry carries DERIVED "re-encoded" copies (deterministic
+    * head/tail perturbation of every 11th payload — the CdcOps
+    * discipline): detection is the real machinery, the plant is the
+    * ground truth, and the spec asserts recall 1.0 on it.
+    *
+    * Scale shape: hashing is map-only; the band join is the only
+    * corpus shuffle (4 keys/media); Hamming runs on candidates, not
+    * pairs. The multimodal story at 100 TB: payloads never move —
+    * 8-byte signatures do. */
+  val mmPhashNeardup: QueryFn = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).where(length($"text") >= 64)
+    val base = docs.select($"doc_id".as("media_id"), $"text".as("t"))
+    val dirty = docs.where($"doc_id" % 11 === 5)
+      .select(($"doc_id" + 10000000L).as("media_id"),
+        concat(upper(substring($"text", 1, 10)),
+          $"text".substr(lit(11), length($"text") - 20),
+          upper($"text".substr(length($"text") - 9, lit(10)))).as("t"))
+    val m = base.unionByName(dirty).withColumn("L", length($"t").cast("long"))
+    val bits = m
+      .select($"media_id", graft.functions.VectorExpressions.fnv_shingles(
+        transform(sequence(lit(1), lit(64)), i => {
+          val st = floor((i - 1).cast("long") * $"L" / 64.0).cast("int")
+          val en = floor(i.cast("long") * $"L" / 64.0).cast("int")
+          $"t".substr(st + 1, en - st)
+        }), 1).as("hs"))
+      .select($"media_id", posexplode(transform($"hs", h => h.bitwiseAND(1L))))
+      .withColumnRenamed("col", "bit")
+    val bands = bits
+      .groupBy($"media_id", ($"pos" / 16).cast("long").as("band"))
+      .agg(sum($"bit" * expr("shiftleft(1L, pos % 16)")).as("bv"))
+      .localCheckpoint(true)
+    val sig = bands.groupBy($"media_id")
+      .agg(sort_array(collect_list(struct($"band", $"bv"))).as("sgs"))
+      .select($"media_id", expr("transform(sgs, x -> x.bv)").as("sg"))
+    val cand = bands.select($"media_id".as("ma"), $"band", $"bv")
+      .join(bands.select($"media_id".as("mb"), $"band", $"bv"), Seq("band", "bv"))
+      .where($"ma" < $"mb")
+      .select($"ma", $"mb").distinct()
+    cand
+      .join(sig.select($"media_id".as("ma"), $"sg".as("sa")), "ma")
+      .join(sig.select($"media_id".as("mb"), $"sg".as("sb")), "mb")
+      .select($"ma".as("media_a"), $"mb".as("media_b"),
+        expr("aggregate(zip_with(sa, sb, (x, y) -> cast(bit_count(x ^ y) as bigint)), 0L, (acc, v) -> acc + v)")
+          .as("hamming"))
+      .where($"hamming" <= PhashTau)
+      .orderBy($"media_a", $"media_b")
+  }
 }

@@ -142,6 +142,27 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("q_weighted_median: bisection agrees with a sort-based driver replica") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag",
+        floor($"l_quantity" * 100 + 0.5).cast("long"),
+        floor($"l_extendedprice" * 100 + 0.5).cast("long"))
+      .as[(String, Long, Long)].collect()
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val tw = rs.map(_._3).sum
+      val target = (tw + 1) / 2
+      // lower weighted median: smallest q with cumweight >= ceil(W/2)
+      var cum = 0L
+      val mq = rs.sortBy(_._2).find { r => cum += r._3; cum >= target }.get._2
+      (g, (rs.length.toLong, tw, math.floor(mq.toDouble / 100 * 1e4 + 0.5) / 1e4))
+    }
+    val got = EventAnalytics.qWeightedMedian(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    expected.foreach { case (g, e) => assert(got(g) == e, s"$g: ${got(g)} vs $e") }
+  }
+
   test("q_ab_ztest: arms partition signup users; z matches a driver replica") {
     import spark.implicits._
     val r = EventAnalytics.qAbZtest(spark, sfDir).collect().head
