@@ -567,6 +567,13 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_graph_modularity" -> Map(
+        // L_c and d_c are equi-joins + partial aggs; m is a 1-row
+        // broadcast; no window anywhere
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "1-row m broadcast only" -> (p =>
+          "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size <= 1),
+        "no window" -> (p => !p.contains("windowspecdefinition"))),
       "mm_phash_neardup" -> Map(
         // signatures move, payloads don't: the band equi-join is the
         // only corpus shuffle; hamming computes on candidates only

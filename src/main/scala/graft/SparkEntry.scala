@@ -196,6 +196,7 @@ object SparkEntry {
     "text_rake_keywords"          -> PipelineOps.textRakeKeywords,
     "q_weighted_median"           -> EventAnalytics.qWeightedMedian,
     "mm_phash_neardup"            -> TextOps.mmPhashNeardup,
+    "q_graph_modularity"          -> operators.GraphOps.qGraphModularity,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1633,29 +1634,36 @@ object SparkEntry {
     // synchronous LPA with a deterministic (count desc, label asc)
     // argmax, 3 rounds unrolled — every step integer, so the final
     // community partition matches bit-for-bit
-    "q_label_propagation" -> {
-      val rounds = (1 to operators.GraphOps.LpaRounds).map { t =>
-        s"""l$t AS (
-           |  SELECT u AS node, lbl FROM (
-           |    SELECT s.u, l.lbl,
-           |      row_number() OVER (PARTITION BY s.u ORDER BY count(*) DESC, l.lbl ASC) AS rk
-           |    FROM sym s JOIN l${t - 1} l ON l.node = s.v
-           |    GROUP BY s.u, l.lbl) WHERE rk = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |e AS (
-         |  SELECT a.l_partkey AS u, b.l_partkey AS v
-         |  FROM li a JOIN li b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
-         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
-         |$rounds
+    "q_label_propagation" ->
+      s"""WITH $lpaCtes
          |SELECT lbl AS community, count(*) AS n_nodes,
          |  min(node) AS min_node, max(node) AS max_node
          |FROM l${operators.GraphOps.LpaRounds}
-         |GROUP BY lbl HAVING count(*) >= 2 ORDER BY community""".stripMargin
-    },
+         |GROUP BY lbl HAVING count(*) >= 2 ORDER BY community""".stripMargin,
+
+    // the same replayed partition, scored: per-community internal
+    // edge and degree mass, and the community's modularity
+    // contribution L_c/m − (d_c/2m)² — exact integers into two
+    // IEEE divisions, so even the quality METRIC hash-verifies
+    "q_graph_modularity" ->
+      s"""WITH $lpaCtes,
+         |fin AS (SELECT node, lbl FROM l${operators.GraphOps.LpaRounds}),
+         |m AS (SELECT count(*) AS me FROM e),
+         |internal AS (
+         |  SELECT la.lbl AS community, count(*) AS l_c
+         |  FROM e JOIN fin la ON la.node = e.u JOIN fin lb ON lb.node = e.v
+         |  WHERE la.lbl = lb.lbl GROUP BY 1),
+         |deg AS (SELECT node, count(*) AS d FROM (
+         |  SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY 1),
+         |dsum AS (
+         |  SELECT fin.lbl AS community, count(*) AS n_nodes, CAST(sum(deg.d) AS BIGINT) AS d_c
+         |  FROM fin JOIN deg USING (node) GROUP BY 1)
+         |SELECT ds.community, ds.n_nodes,
+         |  CAST(COALESCE(i.l_c, 0) AS BIGINT) AS internal_edges, ds.d_c AS degree_sum,
+         |  floor((CAST(COALESCE(i.l_c, 0) AS DOUBLE)/CAST(me AS DOUBLE)
+         |    - (CAST(ds.d_c AS DOUBLE)/CAST(2*me AS DOUBLE))*(CAST(ds.d_c AS DOUBLE)/CAST(2*me AS DOUBLE)))*1000000 + 0.5)/1000000 AS contribution
+         |FROM dsum ds LEFT JOIN internal i USING (community), m
+         |ORDER BY ds.community""".stripMargin,
 
     "q_scd2_history" ->
       """WITH e AS (
@@ -2667,6 +2675,30 @@ object SparkEntry {
     * misclassified-set CTE, and an integer weight update folded into
     * the previous weight table. All 64-bit integer arithmetic: the
     * replay is exact, no rounding anywhere. */
+  /** The 3-round LPA unroll over the support-≥2 co-purchase graph
+    * (CTEs `e`, `sym`, `l0` … `l$R`) — shared by the
+    * `q_label_propagation` oracle and `q_graph_modularity` (which
+    * scores the SAME partition). */
+  private lazy val lpaCtes: String = {
+    val rounds = (1 to operators.GraphOps.LpaRounds).map { t =>
+      s"""l$t AS (
+         |  SELECT u AS node, lbl FROM (
+         |    SELECT s.u, l.lbl,
+         |      row_number() OVER (PARTITION BY s.u ORDER BY count(*) DESC, l.lbl ASC) AS rk
+         |    FROM sym s JOIN l${t - 1} l ON l.node = s.v
+         |    GROUP BY s.u, l.lbl) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+       |$rounds""".stripMargin
+  }
+
   /** The perceptron training unroll's CTE chain (`f`, `w1` … `w$nr`)
     * — shared by [[perceptronOracle]] and [[perceptronGainsOracle]]
     * so the evaluation panel provably scores the SAME trained

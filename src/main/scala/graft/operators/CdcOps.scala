@@ -31,7 +31,7 @@ object CdcOps {
     * provably miss the base key range, status 'N', price ×0.5). The
     * residue classes are disjoint (3 vs 7 mod 10-vs-100) so each key
     * appears at most once — a well-formed CDC batch. */
-  private def changeBatch(base: DataFrame): DataFrame = {
+  private[graft] def changeBatch(base: DataFrame): DataFrame = {
     val upd = base.where(col("o_orderkey") % 10 === 3)
       .select(col("o_orderkey").as("key"), lit("update").as("op"),
         lit("X").as("st"), (col("o_totalprice") * 1.1).as("tp"))
@@ -45,7 +45,7 @@ object CdcOps {
   }
 
   /** The merged snapshot: (key, st, tp) after applying the batch. */
-  private[operators] def merged(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def merged(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     base.join(changeBatch(base), base("o_orderkey") === col("key"), "full_outer")

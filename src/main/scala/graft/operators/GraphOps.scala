@@ -351,6 +351,46 @@ object GraphOps {
       .orderBy($"community")
   }
 
+  /** Modularity scoring of the LPA partition (Newman & Girvan 2004)
+    * — the quality metric that says whether [[qLabelPropagation]]'s
+    * communities are REAL structure or noise: per community c,
+    * contribution = L_c/m − (d_c/2m)², where L_c = internal edges,
+    * d_c = degree mass, m = |edges|; Q = Σ contributions (the spec
+    * sums and range-checks it). Detection without evaluation is the
+    * model-without-gains gap all over again — this closes it for the
+    * graph family.
+    *
+    * Every count is an exact integer; the two divisions are IEEE —
+    * so the metric itself hash-verifies (rare for graph quality
+    * scores). Shape: the partition replays (same fixed-round LPA),
+    * then ONE edges⋈labels⋈labels equi-join for L_c and one
+    * node-keyed join for d_c; m rides a 1-row broadcast. */
+  val qGraphModularity: QueryFn = (s, dir) => {
+    import s.implicits._
+    val e = copurchaseEdges(s, dir).localCheckpoint(true)
+    val sym = e.unionByName(e.select($"v".as("u"), $"u".as("v")))
+    val fin = lpaLabels(sym, LpaRounds)
+    val m = e.agg(count(lit(1)).as("me"))
+    val internal = e
+      .join(fin.select($"node".as("u"), $"lbl".as("la")), "u")
+      .join(fin.select($"node".as("v"), $"lbl".as("lb")), "v")
+      .where($"la" === $"lb")
+      .groupBy($"la".as("community")).agg(count(lit(1)).as("l_c"))
+    val deg = e.select($"u".as("node")).unionByName(e.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val dsum = fin.join(deg, "node")
+      .groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"d").as("d_c"))
+    dsum.join(internal, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select($"community", $"n_nodes",
+        coalesce($"l_c", lit(0L)).as("internal_edges"), $"d_c".as("degree_sum"),
+        rnd(coalesce($"l_c", lit(0L)).cast("double") / $"me".cast("double") -
+          ($"d_c".cast("double") / ($"me" * 2).cast("double")) *
+          ($"d_c".cast("double") / ($"me" * 2).cast("double")), 6).as("contribution"))
+      .orderBy($"community")
+  }
+
   /** The synchronous LPA core behind [[qLabelPropagation]] — factored
     * out so specs can feed hand graphs. `symBoth` must carry both
     * directions of every edge as (u, v) longs; returns (node, lbl)

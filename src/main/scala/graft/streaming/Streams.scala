@@ -374,4 +374,48 @@ object Streams {
     graft.operators.AnnOps.routeWithFrozenQuantizer(spark, sfDir)(arrivals)
       .select(col("vec_id"), col("cell"))
   }
+
+  // ---- streaming CDC apply (continuous MERGE) ----
+
+  final case class CdcRow(key: Long, ver: Long, st: String, tp: Double, alive: Boolean)
+
+  /** Streaming MERGE apply — the continuous face of the batch
+    * [[graft.operators.CdcOps]] upsert: a keyed change stream
+    * (insert / update / delete tombstone, ordered by a `seq` column —
+    * the stand-in for a CDC log's LSN) folds into per-key current
+    * state via `mapGroupsWithState`; after every micro-batch each
+    * touched key emits its post-image (Update-mode semantics — the
+    * latest emission per key IS the current snapshot row, dead keys
+    * emit alive=false). State per key is one row — the table itself
+    * IS the state store, which is exactly how a streaming MERGE sink
+    * (Delta/Hudi streaming write) holds its copy-on-write head.
+    * StreamingSpec proves the stream's final snapshot equals the
+    * batch full-outer MERGE on the same change set across 2
+    * micro-batches. */
+  def cdcApply(changes: DataFrame): Dataset[CdcRow] = {
+    import changes.sparkSession.implicits._
+
+    // state = (version, st, tp, alive); `version` counts state
+    // updates per key so a reader can pick each key's LATEST
+    // emission without relying on sink row order
+    def fn(key: Long, rows: Iterator[(Long, Long, String, String, Double)],
+        state: GroupState[(Long, String, Double, Boolean)]): CdcRow = {
+      var cur = state.getOption.getOrElse((0L, "", 0.0, false))
+      rows.toSeq.sortBy(_._1).foreach { case (_, _, op, st, tp) =>
+        cur = if (op == "delete") (cur._1, "", 0.0, false)
+              else (cur._1, st, tp, true)
+      }
+      cur = (cur._1 + 1, cur._2, cur._3, cur._4)
+      state.update(cur)
+      CdcRow(key, cur._1, cur._2, cur._3, cur._4)
+    }
+
+    changes
+      .select(col("seq"), col("key"), col("op"),
+        coalesce(col("st"), lit("")).as("st"),
+        coalesce(col("tp"), lit(0.0)).as("tp"))
+      .as[(Long, Long, String, String, Double)]
+      .groupByKey(_._2)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -89,6 +89,36 @@ class GraphOpsSpec extends SparkTestBase {
     assert(tri.values.toSet.size == 1, s"triangle not uniform: $tri")
   }
 
+  test("q_graph_modularity: contributions match a driver replica; Q bounded") {
+    val e = GraphOps.copurchaseEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = e ++ e.map(_.swap)
+    // driver LPA replica: 3 synchronous rounds, (count desc, min lbl)
+    var lbl = sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to GraphOps.LpaRounds) {
+      lbl = sym.groupBy(_._1).map { case (u, es) =>
+        val counts = es.map(x => lbl(x._2)).groupBy(identity).view.mapValues(_.size)
+        u -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val m = e.length.toDouble
+    val expected = lbl.groupBy(_._2).map { case (c, ns) =>
+      val nodes = ns.keySet
+      val lc = e.count { case (u, v) => nodes(u) && nodes(v) }
+      val dc = sym.count { case (u, _) => nodes(u) }
+      val contrib = lc / m - (dc / (2 * m)) * (dc / (2 * m))
+      c -> (nodes.size.toLong, lc.toLong, dc.toLong,
+        math.floor(contrib * 1e6 + 0.5) / 1e6)
+    }
+    val got = GraphOps.qGraphModularity(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    expected.foreach { case (c, exp) => assert(got(c) == exp, s"community $c: ${got(c)} vs $exp") }
+    val q = got.values.map(_._4).sum
+    assert(q >= -0.5 && q <= 1.0, s"Q out of range: $q")
+  }
+
   test("q_label_propagation: communities partition the node set") {
     val e = GraphOps.copurchaseEdges(spark, sfDir)
     val nNodes = e.select($"u".as("n")).unionByName(e.select($"v".as("n")))

@@ -345,4 +345,40 @@ class StreamingSpec extends SparkTestBase {
       .map(_.getName).filterNot(_ == "_spark_metadata")
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")), dirs.mkString(","))
   }
+
+  test("streaming CDC apply: final state == batch full-outer MERGE across 2 micro-batches") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-cdc-in").toString
+
+    // micro-batch 1: the base snapshot as seq-0 inserts;
+    // micro-batch 2: the derived change batch at seq 1
+    val base = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    base.select(lit(0L).as("seq"), $"o_orderkey".as("key"),
+        lit("insert").as("op"), $"o_orderstatus".as("st"), $"o_totalprice".as("tp"))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    graft.operators.CdcOps.changeBatch(base)
+      .select(lit(1L).as("seq"), $"key", $"op", $"st", $"tp")
+      .coalesce(1).write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("seq LONG, key LONG, op STRING, st STRING, tp DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = Streams.cdcApply(stream)
+      .writeStream.format("memory").queryName("cdc_out").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // each key's LATEST emission (max ver) is its current row
+    val live = spark.table("cdc_out")
+      .as[(Long, Long, String, Double, Boolean)].collect()
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+      .filter(_._5).map(r => (r._1, r._3, r._4)).toSet
+    val expected = graft.operators.CdcOps.merged(spark, sfDir)
+      .as[(Long, String, Double)].collect().toSet
+    assert(expected.nonEmpty)
+    assert(live == expected,
+      s"stream snapshot != batch merge: missing=${(expected -- live).take(3)} extra=${(live -- expected).take(3)}")
+  }
 }
