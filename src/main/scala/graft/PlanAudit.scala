@@ -567,6 +567,20 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_entity_clusters" -> Map(
+        // matching is the blocking equi-join; CC is star contraction
+        // (joins + aggs, no window); summary partial-aggs map-side
+        "no cartesian" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "no window" -> (p => !p.contains("windowspecdefinition")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "q_equidepth_hist" -> Map(
+        // after the driver-side bisection, bucketing is ONE pass with
+        // broadcast bounds — no sort, no window, no ntile
+        "no sort-based quantile (no window)" -> (p =>
+          !p.contains("windowspecdefinition")),
+        "bounds broadcast" -> (_.contains("BroadcastHashJoin")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
       "q_graph_modularity" -> Map(
         // L_c and d_c are equi-joins + partial aggs; m is a 1-row
         // broadcast; no window anywhere

@@ -197,6 +197,10 @@ object SparkEntry {
     "q_weighted_median"           -> EventAnalytics.qWeightedMedian,
     "mm_phash_neardup"            -> TextOps.mmPhashNeardup,
     "q_graph_modularity"          -> operators.GraphOps.qGraphModularity,
+    "q_entity_clusters"           -> operators.LinkageOps.qEntityClusters,
+    "q_equidepth_hist"            -> EventAnalytics.qEquidepthHist,
+    "dedup_source_matrix"         -> DedupOps.dedupSourceMatrix,
+    "emb_drift_check"             -> AnnOps.embDriftCheck,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1705,6 +1709,67 @@ object SparkEntry {
         |    / CAST(sum(CASE WHEN c_key = d_key THEN 1 ELSE 0 END) AS DOUBLE))*1000000 + 0.5)/1000000 AS recall
         |FROM cand GROUP BY kind ORDER BY kind""".stripMargin,
 
+    // end-to-end ER: the linkage match set closed by recursive-CTE
+    // reachability — the oracle twin of the star-contraction CC
+    "q_entity_clusters" ->
+      """WITH RECURSIVE dirty AS (
+        |  SELECT c_custkey AS d_key, c_nationkey AS d_nat,
+        |    CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, 5) || substr(c_name, 7)
+        |         WHEN c_custkey % 3 = 1 THEN c_name || ' '
+        |         ELSE replace(c_name, '#', '=') END AS d_name
+        |  FROM customer WHERE c_custkey % 7 = 3),
+        |clean AS (
+        |  SELECT c_custkey AS c_key, c_name,
+        |    CAST(c_nationkey AS VARCHAR) || '|' || right(replace(c_name, ' ', ''), 2) AS bk
+        |  FROM customer),
+        |mp AS (
+        |  SELECT c.c_key AS u, d.d_key + 10000000 AS v
+        |  FROM clean c JOIN (
+        |    SELECT *, CAST(d_nat AS VARCHAR) || '|' || right(replace(d_name, ' ', ''), 2) AS bk
+        |    FROM dirty) d USING (bk)
+        |  WHERE levenshtein(c.c_name, d.d_name) <= 2),
+        |e AS (SELECT u, v FROM mp UNION SELECT v, u FROM mp),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |rep AS (SELECT u AS id, least(min(v), u) AS rp FROM reach GROUP BY u)
+        |SELECT rp AS entity, count(*) AS n_records,
+        |  CAST(sum(CASE WHEN id < 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty,
+        |  max(id) AS max_member
+        |FROM rep GROUP BY rp HAVING count(*) >= 2 ORDER BY entity""".stripMargin,
+
+    // equi-depth quartiles: the oracle finds each ceil(i*n/4)-th
+    // order statistic with a cumulative window — the sort the
+    // engine's bisection avoids — then buckets identically
+    "q_equidepth_hist" ->
+      """WITH c AS (SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events),
+        |t AS (SELECT event_type, count(*) AS n FROM c GROUP BY 1),
+        |byc AS (SELECT event_type, c, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |cw AS (SELECT event_type, c,
+        |         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS cum
+        |       FROM byc),
+        |qs AS (
+        |  SELECT cw.event_type,
+        |    min(CASE WHEN cum >= (1*n + 3) // 4 THEN c END) AS q1c,
+        |    min(CASE WHEN cum >= (2*n + 3) // 4 THEN c END) AS q2c,
+        |    min(CASE WHEN cum >= (3*n + 3) // 4 THEN c END) AS q3c
+        |  FROM cw JOIN t USING (event_type) GROUP BY 1),
+        |b AS (
+        |  SELECT c.event_type,
+        |    CASE WHEN c.c <= q1c THEN 1 WHEN c.c <= q2c THEN 2
+        |         WHEN c.c <= q3c THEN 3 ELSE 4 END AS bucket,
+        |    q1c, q2c, q3c
+        |  FROM c JOIN qs USING (event_type))
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |  floor((CAST(q1c AS DOUBLE)/100)*10000 + 0.5)/10000 AS q1,
+        |  floor((CAST(q2c AS DOUBLE)/100)*10000 + 0.5)/10000 AS q2,
+        |  floor((CAST(q3c AS DOUBLE)/100)*10000 + 0.5)/10000 AS q3,
+        |  count(*) AS n_rows
+        |FROM b GROUP BY event_type, bucket, q1c, q2c, q3c
+        |ORDER BY event_type, bucket""".stripMargin,
+
     "ann_bruteforce_topk" -> bruteforceOracle,
     // the SQL-front-door twin produces the identical result by
     // construction — one oracle serves both
@@ -2280,6 +2345,45 @@ object SparkEntry {
         |FROM ser ORDER BY priority""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashLshOracle,
+
+    // the same replayed LSH index, folded to the per-source-pair
+    // governance matrix
+    "dedup_source_matrix" -> {
+      s"""WITH $minhashCoreCtes,
+         |mp AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+         |src AS (SELECT doc_id, source FROM documents),
+         |cnt AS (SELECT source, count(*) AS nd FROM documents GROUP BY source),
+         |lab AS (
+         |  SELECT least(sa.source, sb.source) AS source_a,
+         |    greatest(sa.source, sb.source) AS source_b
+         |  FROM mp JOIN src sa ON sa.doc_id = mp.doc_a JOIN src sb ON sb.doc_id = mp.doc_b),
+         |agg AS (SELECT source_a, source_b, count(*) AS n_pairs FROM lab GROUP BY 1, 2)
+         |SELECT agg.source_a, agg.source_b, agg.n_pairs,
+         |  floor((CAST(agg.n_pairs AS DOUBLE) /
+         |    (CASE WHEN agg.source_a = agg.source_b
+         |          THEN CAST(ca.nd * (ca.nd - 1) AS DOUBLE)/2
+         |          ELSE CAST(ca.nd * cb.nd AS DOUBLE) END))*100000000 + 0.5)/100000000 AS dup_rate
+         |FROM agg JOIN cnt ca ON ca.source = agg.source_a
+         |        JOIN cnt cb ON cb.source = agg.source_b
+         |ORDER BY agg.source_a, agg.source_b""".stripMargin
+    },
+
+    "emb_drift_check" ->
+      """WITH e AS (
+        |  SELECT vec_id % 2 = 0 AS even,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |h AS (
+        |  SELECT CAST(pos AS BIGINT) AS pos, even, count(*) AS n,
+        |    CAST(sum(CAST((x) AS DECIMAL(27,10))) AS DOUBLE) AS sx
+        |  FROM e GROUP BY pos, even)
+        |SELECT a.pos, a.n AS n_a, b.n AS n_b,
+        |  floor((a.sx/a.n)*1000000 + 0.5)/1000000 AS mean_even,
+        |  floor((b.sx/b.n)*1000000 + 0.5)/1000000 AS mean_odd,
+        |  floor(abs(a.sx/a.n - b.sx/b.n)*1000000 + 0.5)/1000000 AS abs_drift
+        |FROM h a JOIN h b ON a.pos = b.pos AND a.even AND NOT b.even
+        |ORDER BY a.pos""".stripMargin,
     "dedup_minhash_calibration" -> minhashCalibrationOracle,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,

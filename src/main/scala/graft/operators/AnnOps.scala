@@ -559,6 +559,38 @@ object AnnOps {
       .orderBy($"pos")
   }
 
+  /** Embedding-distribution DRIFT check — the monitoring panel that
+    * says whether yesterday's index still fits today's corpus: the
+    * corpus splits into two deterministic halves (vec_id parity —
+    * the stand-in for a batch/date column) and every dimension
+    * reports its per-half mean plus the absolute drift. An encoder
+    * change, a normalization bug, or a domain shift shows up here
+    * BEFORE it silently degrades PQ codebooks and SQ8 bounds
+    * (trained on the old distribution). Same exact-moment discipline
+    * as [[embDimStats]]: decimal sums, one IEEE division per mean,
+    * so the drift panel hash-verifies.
+    *
+    * Scale shape: one explode + one (dim, half) partial+final agg —
+    * 128 rows out of any corpus, join-free until the 64-row pivot. */
+  val embDriftCheck: QueryFn = (s, dir) => {
+    import s.implicits._
+    val halves = Tables.embeddings(s, dir)
+      .select(($"vec_id" % 2 === 0).as("even"),
+        posexplode($"embedding").as(Seq("pos", "xf")))
+      .select($"even", $"pos".cast("long").as("pos"), $"xf".cast("double").as("x"))
+      .groupBy($"pos", $"even")
+      .agg(count(lit(1)).as("n"), xsum($"x").as("sx"))
+    val a = halves.where($"even")
+      .select($"pos", $"n".as("n_a"), ($"sx" / $"n").as("ma"))
+    val b = halves.where(!$"even")
+      .select($"pos", $"n".as("n_b"), ($"sx" / $"n").as("mb"))
+    a.join(b, "pos")
+      .select($"pos", $"n_a", $"n_b",
+        rnd($"ma", 6).as("mean_even"), rnd($"mb", 6).as("mean_odd"),
+        rnd(abs($"ma" - $"mb"), 6).as("abs_drift"))
+      .orderBy($"pos")
+  }
+
   /** Persisted IVF index state for [[annIncrementalTopk]] — built once
     * per corpus and kept on disk, exactly like the dedup suite's
     * `IncrementalIndex`: the frozen coarse quantizer (k×d centroid

@@ -109,6 +109,40 @@ object DedupOps {
     minhashPairs(docs, tau = 0.5)
   }
 
+  /** Cross-source duplication matrix — the data-governance panel
+    * over the SAME minhash-LSH index: near-dup pairs labeled with
+    * their (source_a, source_b) origin and folded to per-source-pair
+    * counts and rates. This answers "which feeds copy which" — the
+    * question that decides crawl priorities and licensing exposure —
+    * for the price of one dim join on the pairs the index already
+    * found. Rate = pairs / possible-pairs (n_a·n_b cross-source,
+    * n·(n−1)/2 within) — exact integers into one division.
+    *
+    * Scale shape: everything corpus-sized already happened in the
+    * index; this adds two broadcast-able doc→source joins on the
+    * PAIR set and a ≤|sources|² agg. */
+  val dedupSourceMatrix: QueryFn = (s, dir) => {
+    val docs = docShingles(s, dir).cache()
+    val pairs = minhashPairs(docs, tau = 0.5)
+    val src = graft.Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val counts = src.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(broadcast(counts.select(col("source").as("source_a"), col("nd").as("na"))), "source_a")
+      .join(broadcast(counts.select(col("source").as("source_b"), col("nd").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        graft.functions.Cols.rnd(col("n_pairs").cast("double") /
+          when(col("source_a") === col("source_b"),
+            (col("na") * (col("na") - 1) / 2).cast("double"))
+            .otherwise((col("na") * col("nb")).cast("double")), 8).as("dup_rate"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** MinHash ESTIMATOR CALIBRATION — the tuning harness for the index
     * above: every LSH candidate pair (false positives included —
     * they're exactly the region band tuning cares about) reported

@@ -484,6 +484,62 @@ object EventAnalytics {
       .orderBy($"event_type")
   }
 
+  /** Equi-DEPTH histogram without sorting — the complement of
+    * [[qHistogram]]'s equi-width buckets: per event type, quartile
+    * BOUNDARIES found by the same parallel bisection as
+    * [[qBisectMedian]] (each boundary is the ⌈i·n/4⌉-th order
+    * statistic on the cent grid — 3 boundaries × groups bisect
+    * together, one filtered count-agg per round), then ONE corpus
+    * pass buckets every row against the broadcast bounds. This is
+    * how you equi-depth-partition 100 TB: `ntile` needs a per-group
+    * global sort; bisection needs O(log range) scans and carries
+    * rows-per-group state only. Oracle: the same order statistics
+    * via a cumulative-count window (the sort the engine avoids). */
+  val qEquidepthHist: QueryFn = (s, dir) => {
+    import s.implicits._
+    val cents = Tables.events(s, dir)
+      .select($"event_type", floor($"value" * 100 + 0.5).cast("long").as("c"))
+      .localCheckpoint(true)
+    val bounds = cents.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"c").as("lo"), max($"c").as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // state keyed by (group, boundary index i=1..3), k = ceil(i*n/4)
+    val keys = bounds.flatMap { case (g, n, lo, hi) =>
+      (1 to 3).map(i => ((g, i), ((i * n + 3) / 4, lo, hi)))
+    }.toMap
+    var state = keys.view.mapValues { case (_, lo, hi) => (lo, hi) }.toMap
+    while (state.values.exists { case (lo, hi) => lo < hi }) {
+      val mids = state.map { case (k, (lo, hi)) => (k, lo + (hi - lo) / 2) }
+      val midDf = mids.toSeq.map { case ((g, i), m) => (g, i, m) }
+        .toDF("event_type", "bi", "mid")
+      val counts = cents.join(broadcast(midDf), "event_type")
+        .groupBy($"event_type", $"bi")
+        .agg(sum(when($"c" <= $"mid", 1L).otherwise(0L)).as("le"))
+        .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+      state = state.map { case (k, (lo, hi)) =>
+        if (lo >= hi) (k, (lo, hi))
+        else if (counts(k) >= keys(k)._1) (k, (lo, mids(k)))
+        else (k, (mids(k) + 1, hi))
+      }
+    }
+    // bucket every row against the three boundaries in one pass
+    val bDf = bounds.map { case (g, _, _, _) =>
+      (g, state((g, 1))._1, state((g, 2))._1, state((g, 3))._1)
+    }.toSeq.toDF("event_type", "q1", "q2", "q3")
+    cents.join(broadcast(bDf), "event_type")
+      .select($"event_type",
+        when($"c" <= $"q1", 1L).when($"c" <= $"q2", 2L)
+          .when($"c" <= $"q3", 3L).otherwise(4L).as("bucket"),
+        $"q1", $"q2", $"q3")
+      .groupBy($"event_type", $"bucket", $"q1", $"q2", $"q3")
+      .agg(count(lit(1)).as("n_rows"))
+      .select($"event_type", $"bucket",
+        rnd($"q1".cast("double") / 100, 4).as("q1"),
+        rnd($"q2".cast("double") / 100, 4).as("q2"),
+        rnd($"q3".cast("double") / 100, 4).as("q3"), $"n_rows")
+      .orderBy($"event_type", $"bucket")
+  }
+
   /** WEIGHTED median by the same sort-free bisection — the revenue-
     * weighted quantity midpoint per return flag ("half the money is
     * on orders of ≤ this size"), the skew-robust centre the plain

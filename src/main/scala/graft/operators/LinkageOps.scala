@@ -32,7 +32,11 @@ import graft.functions.Cols.rnd
 object LinkageOps {
   import graft.SparkEntry.QueryFn
 
-  val qRecordLinkage: QueryFn = (s, dir) => {
+  /** Scored candidate pairs (c_key, d_key, lev) from the blocking
+    * join — shared by the per-kind quality panel and the entity
+    * clustering pass. */
+  private[operators] def scoredCandidates(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val c = Tables.customer(s, dir)
     // deterministic dirty copies of every 7th record, kind = key mod 3
@@ -48,9 +52,14 @@ object LinkageOps {
         substring(regexp_replace(name, " ", ""), -2, 2))
     val clean = c.select($"c_custkey".as("c_key"), $"c_name",
       blockKey($"c_name", $"c_nationkey").as("bk"))
-    val cand = clean
+    clean
       .join(dirty.withColumn("bk", blockKey($"d_name", $"d_nat")), "bk")
       .withColumn("lev", levenshtein($"c_name", $"d_name"))
+  }
+
+  val qRecordLinkage: QueryFn = (s, dir) => {
+    import s.implicits._
+    val cand = scoredCandidates(s, dir)
     cand.groupBy(($"d_key" % 3).as("kind"))
       .agg(count(lit(1)).as("n_candidates"),
         sum(when($"lev" <= 2, 1L).otherwise(0L)).as("n_matched"),
@@ -60,5 +69,37 @@ object LinkageOps {
         rnd($"n_true".cast("double") / $"n_matched".cast("double"), 6).as("precision"),
         rnd($"n_true".cast("double") / $"n_pairs_truth".cast("double"), 6).as("recall"))
       .orderBy($"kind")
+  }
+
+  /** End-to-end entity resolution: the [[qRecordLinkage]] match set
+    * (threshold lev ≤ 2 — false positives INCLUDED, deliberately)
+    * closed into entities by connected components. This surfaces the
+    * classic ER transitive-closure hazard: one over-match chains two
+    * real entities into a single cluster — the n_clean > 1 rows in
+    * the output are exactly those merges, which is what an ER review
+    * queue triages. Dirty record ids live at key+10⁷ (the registry
+    * id space), so membership mix is visible per entity.
+    *
+    * Scale shape: matching is the blocking equi-join; clustering is
+    * the same alternating star-contraction CC as dedup_clusters
+    * (O(log d) rounds, asserted fixpoint, only edge-touching nodes
+    * iterate); the summary is one partial+final agg over members.
+    * Oracle: recursive-CTE reachability over the identical match
+    * set. */
+  val qEntityClusters: QueryFn = (s, dir) => {
+    import s.implicits._
+    val pairs = scoredCandidates(s, dir)
+      .where($"lev" <= 2)
+      .select($"c_key".as("doc_a"), ($"d_key" + 10000000L).as("doc_b"))
+    val universe = pairs.select($"doc_a".as("doc_id"))
+      .unionByName(pairs.select($"doc_b".as("doc_id"))).distinct()
+    DedupOps.connectedComponents(pairs, universe)
+      .groupBy($"rep".as("entity"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(when($"doc_id" < 10000000L, 1L).otherwise(0L)).as("n_clean"),
+        sum(when($"doc_id" >= 10000000L, 1L).otherwise(0L)).as("n_dirty"),
+        max($"doc_id").as("max_member"))
+      .where($"n_records" >= 2)
+      .orderBy($"entity")
   }
 }

@@ -142,6 +142,38 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("q_equidepth_hist: boundaries are exact order statistics, mass conserved") {
+    import spark.implicits._
+    val cents = Tables.events(spark, sfDir)
+      .select($"event_type", floor($"value" * 100 + 0.5).cast("long"))
+      .as[(String, Long)].collect()
+    val expected = cents.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.length
+      def kth(i: Int): Long = sorted(((i * n.toLong + 3) / 4).toInt - 1)
+      val qs = (1 to 3).map(kth)
+      val counts = (1 to 4).map { b =>
+        sorted.count { c =>
+          val bucket = if (c <= qs(0)) 1 else if (c <= qs(1)) 2 else if (c <= qs(2)) 3 else 4
+          bucket == b
+        }.toLong
+      }
+      g -> (qs.map(q => math.floor(q.toDouble / 100 * 1e4 + 0.5) / 1e4), counts)
+    }
+    val got = EventAnalytics.qEquidepthHist(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    expected.foreach { case (g, (qs, counts)) =>
+      val rows = got(g).sortBy(_.getLong(1))
+      assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L), s"$g buckets")
+      rows.foreach { r =>
+        assert(Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4)) == qs, s"$g boundaries")
+      }
+      assert(rows.map(_.getLong(5)).toSeq == counts, s"$g counts")
+      assert(counts.sum == cents.count(_._1 == g), s"$g mass")
+    }
+  }
+
   test("q_weighted_median: bisection agrees with a sort-based driver replica") {
     import spark.implicits._
     val rows = Tables.lineitem(spark, sfDir)

@@ -34,6 +34,39 @@ class CdcLinkageSpec extends SparkTestBase {
     assert(byUser.size.toLong == nUsers)
   }
 
+  test("q_entity_clusters: matches a driver union-find over the same match set") {
+    import spark.implicits._
+    val pairs = LinkageOps.scoredCandidates(spark, sfDir)
+      .where($"lev" <= 2)
+      .select($"c_key", $"d_key" + 10000000L)
+      .as[(Long, Long)].collect()
+    // driver union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = parent.keys.toSeq.map(x => find(x) -> x).groupBy(_._1)
+    val expected = members.collect { case (rep, ms) if ms.size >= 2 =>
+      val ids = ms.map(_._2)
+      rep -> (ids.size.toLong, ids.count(_ < 10000000L).toLong,
+        ids.count(_ >= 10000000L).toLong, ids.max)
+    }.toMap
+    val got = LinkageOps.qEntityClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected && got.nonEmpty, s"got ${got.size} vs expected ${expected.size}")
+    // every entity carries at least one clean and one dirty record
+    // (dirty records only ever match through a clean neighbor)
+    got.values.foreach { case (n, nc, nd, _) =>
+      assert(n == nc + nd && nc >= 1 && nd >= 1)
+    }
+  }
+
   test("q_record_linkage: blocking never loses the true pair; counts consistent") {
     import spark.implicits._
     val rows = LinkageOps.qRecordLinkage(spark, sfDir).collect()
