@@ -567,6 +567,20 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_ivm_maintain" -> Map(
+        // the delta path must never rescan the base beyond the ONE
+        // pre-image equi-join; everything partial-aggs map-side
+        "no cartesian" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_seasonal_decompose" -> Map(
+        // the MA window runs over the (type, day) aggregate — the
+        // corpus folds first; one partition-keyed window only
+        "single trend window" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).toSeq.distinct.size <= 2),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no join" -> (p => !p.contains("Join"))),
       "q_entity_clusters" -> Map(
         // matching is the blocking equi-join; CC is star contraction
         // (joins + aggs, no window); summary partial-aggs map-side

@@ -201,6 +201,9 @@ object SparkEntry {
     "q_equidepth_hist"            -> EventAnalytics.qEquidepthHist,
     "dedup_source_matrix"         -> DedupOps.dedupSourceMatrix,
     "emb_drift_check"             -> AnnOps.embDriftCheck,
+    "q_ppr"                       -> operators.GraphOps.qPersonalizedPagerank,
+    "q_ivm_maintain"              -> operators.CdcOps.qIvmMaintain,
+    "q_seasonal_decompose"        -> EventAnalytics.qSeasonalDecompose,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1976,6 +1979,60 @@ object SparkEntry {
         |FROM r5 JOIN nation ON r5.node = CAST(n_nationkey AS BIGINT)
         |ORDER BY pr DESC, nation""".stripMargin),
 
+    // personalized variant: same transition chain, teleport mass
+    // pinned to the smallest node; 5 rounds unrolled
+    "q_ppr" ->
+      ("""WITH rev AS (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS u, CAST(c_nationkey AS BIGINT) AS v,
+        |    CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(27,10))) AS DOUBLE) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |dir_ AS (SELECT u, v, rev FROM rev WHERE u <> v
+        |         UNION ALL SELECT v AS u, u AS v, rev FROM rev WHERE u <> v),
+        |sym AS (SELECT u, v, CAST(sum(CAST(rev AS DECIMAL(27,10))) AS DOUBLE) AS w
+        |        FROM dir_ GROUP BY 1, 2),
+        |ow AS (SELECT u, CAST(sum(CAST(w AS DECIMAL(27,10))) AS DOUBLE) AS wout
+        |       FROM sym GROUP BY 1),
+        |p AS (SELECT sym.u, sym.v, sym.w / ow.wout AS p FROM sym JOIN ow ON sym.u = ow.u),
+        |sd AS (SELECT min(u) AS s FROM p),
+        |r0 AS (SELECT DISTINCT u AS node,
+        |  CASE WHEN u = (SELECT s FROM sd) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS r
+        |  FROM p),
+        |""".stripMargin +
+        (1 to 5).map { i =>
+          s"""r$i AS (SELECT p.v AS node,
+             |  CASE WHEN p.v = (SELECT s FROM sd) THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             |    + CAST(0.85 AS DOUBLE) *
+             |    CAST(sum(CAST((p.p * r${i - 1}.r) AS DECIMAL(27,10))) AS DOUBLE) AS r
+             |  FROM p JOIN r${i - 1} ON p.u = r${i - 1}.node GROUP BY p.v)""".stripMargin
+        }.mkString(",\n") +
+        """
+        |SELECT n_name AS nation, floor((r)*1000000 + 0.5)/1000000 AS ppr
+        |FROM r5 JOIN nation ON r5.node = CAST(n_nationkey AS BIGINT)
+        |ORDER BY ppr DESC, nation""".stripMargin),
+
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, d, n,
+        |    count(*) OVER w AS wn,
+        |    CAST(sum(n) OVER w AS DOUBLE) / 7.0 AS trend
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT event_type, CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        |    CAST(n AS DOUBLE) - trend AS det
+        |  FROM tr WHERE wn = 7)
+        |SELECT event_type, dow, count(*) AS n_days,
+        |  floor((CAST(sum(CAST((det) AS DECIMAL(27,10))) AS DOUBLE)/count(*))*1000000 + 0.5)/1000000 AS seasonal
+        |FROM det GROUP BY event_type, dow
+        |ORDER BY event_type, dow""".stripMargin,
+
     "q_triangle_count" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (
@@ -2242,25 +2299,13 @@ object SparkEntry {
         |  floor(lift*10000 + 0.5)/10000 AS lift
         |FROM j ORDER BY lift DESC, w1, w2 LIMIT 25""".stripMargin,
 
-    "q_merge_upsert" ->
-      """WITH ch AS (
-        |  SELECT o_orderkey AS key, 'update' AS op, 'X' AS st, o_totalprice * 1.1 AS tp
-        |  FROM orders WHERE o_orderkey % 10 = 3
-        |  UNION ALL
-        |  SELECT o_orderkey, 'delete', NULL, NULL FROM orders WHERE o_orderkey % 100 = 7
-        |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'insert', 'N', o_totalprice * 0.5
-        |  FROM orders WHERE o_orderkey % 10 = 4),
-        |m AS (
-        |  SELECT
-        |    CASE WHEN c.op = 'delete' THEN NULL
-        |         WHEN c.op IS NOT NULL THEN c.st ELSE b.o_orderstatus END AS st,
-        |    CASE WHEN c.op = 'delete' THEN NULL
-        |         WHEN c.op IS NOT NULL THEN c.tp ELSE b.o_totalprice END AS tp
-        |  FROM orders b FULL OUTER JOIN ch c ON b.o_orderkey = c.key)
-        |SELECT st AS o_orderstatus, count(*) AS n_rows,
-        |  floor(CAST(sum(CAST(tp AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS total_price
-        |FROM m WHERE st IS NOT NULL GROUP BY st ORDER BY o_orderstatus""".stripMargin,
+    "q_merge_upsert" -> mergeViewOracle,
+
+    // IVM correctness theorem as a hash check: the ENGINE maintains
+    // the per-status view from the delta batch alone (never rescans
+    // the base); the ORACLE recomputes it from the fully merged
+    // snapshot. Same oracle as q_merge_upsert by design.
+    "q_ivm_maintain" -> mergeViewOracle,
 
     "text_hash_lr" ->
       s"""WITH toks AS (
@@ -2779,6 +2824,31 @@ object SparkEntry {
     * misclassified-set CTE, and an integer weight update folded into
     * the previous weight table. All 64-bit integer arithmetic: the
     * replay is exact, no rounding anywhere. */
+  /** The per-status (count, total) view recomputed from the fully
+    * merged snapshot — serves `q_merge_upsert` (which merges then
+    * aggregates) and `q_ivm_maintain` (which maintains the same view
+    * incrementally from deltas; equality against this recompute is
+    * the IVM correctness statement). */
+  private lazy val mergeViewOracle: String =
+    """WITH ch AS (
+      |  SELECT o_orderkey AS key, 'update' AS op, 'X' AS st, o_totalprice * 1.1 AS tp
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, 'delete', NULL, NULL FROM orders WHERE o_orderkey % 100 = 7
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 'insert', 'N', o_totalprice * 0.5
+      |  FROM orders WHERE o_orderkey % 10 = 4),
+      |m AS (
+      |  SELECT
+      |    CASE WHEN c.op = 'delete' THEN NULL
+      |         WHEN c.op IS NOT NULL THEN c.st ELSE b.o_orderstatus END AS st,
+      |    CASE WHEN c.op = 'delete' THEN NULL
+      |         WHEN c.op IS NOT NULL THEN c.tp ELSE b.o_totalprice END AS tp
+      |  FROM orders b FULL OUTER JOIN ch c ON b.o_orderkey = c.key)
+      |SELECT st AS o_orderstatus, count(*) AS n_rows,
+      |  floor(CAST(sum(CAST(tp AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS total_price
+      |FROM m WHERE st IS NOT NULL GROUP BY st ORDER BY o_orderstatus""".stripMargin
+
   /** The 3-round LPA unroll over the support-≥2 co-purchase graph
     * (CTEs `e`, `sym`, `l0` … `l$R`) — shared by the
     * `q_label_propagation` oracle and `q_graph_modularity` (which

@@ -484,6 +484,43 @@ object EventAnalytics {
       .orderBy($"event_type")
   }
 
+  /** Classical seasonal decomposition (additive, the STL-lite
+    * moving-average form): daily event counts split into
+    * trend (centered 7-day MA) + day-of-week seasonal index +
+    * residual — the panel behind "is Monday really slower, or is
+    * that the trend?". [[qSeasonality]] reports raw dow shares;
+    * this REMOVES the trend first, so a growing stream doesn't
+    * masquerade as seasonality.
+    *
+    * Exactness: trend = (7-day integer window sum)/7.0 — one IEEE
+    * division of an exact integer; detrended values are then doubles
+    * identical in both engines, and the per-dow seasonal mean
+    * accumulates in DECIMAL ([[xsum]]) so partial-agg order can't
+    * leak. Edge days without a full 7-day window are excluded (the
+    * count-over-window guard), exactly as the oracle does.
+    *
+    * Scale shape: the corpus folds to (type, day) counts FIRST —
+    * the window and everything after run over ≤ types×days rows. */
+  val qSeasonalDecompose: QueryFn = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(-3, 3)
+    val detr = daily
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("trend", sum($"n").over(w).cast("double") / 7.0)
+      .where($"wn" === 7)
+      .select($"event_type",
+        dayofweek($"d").cast("long").as("dow"),
+        ($"n".cast("double") - $"trend").as("det"))
+    detr.groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("n_days"),
+        rnd(xsum($"det") / count(lit(1)), 6).as("seasonal"))
+      .orderBy($"event_type", $"dow")
+  }
+
   /** Equi-DEPTH histogram without sorting — the complement of
     * [[qHistogram]]'s equi-width buckets: per event type, quartile
     * BOUNDARIES found by the same parallel bisection as

@@ -48,7 +48,11 @@ object GraphOps {
     * per-term product is a double, bit-identical in both engines), so
     * ranks are bit-identical at every round. Symmetrization means
     * every node has out-edges — no dangling-mass term. */
-  val qPagerank: QueryFn = (s, dir) => {
+  /** The row-normalized trade transition frame (u, v, p) behind
+    * [[qPagerank]] and [[qPersonalizedPagerank]] — derived at fact
+    * scale, checkpointed so the rank loops iterate a tiny frame. */
+  private def tradeTransitions(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val rev = Tables.lineitem(s, dir)
       .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
@@ -64,9 +68,14 @@ object GraphOps {
     // localCheckpoint: the iteration self-joins ranks (derived from p)
     // against p — breaking lineage here avoids 5 rounds of ambiguous-
     // attribute self-join resolution and re-derivation of the edge agg
-    val p = sym.join(out, "u")
+    sym.join(out, "u")
       .select($"u", $"v", ($"w" / $"wout").as("p"))
       .localCheckpoint(true)
+  }
+
+  val qPagerank: QueryFn = (s, dir) => {
+    import s.implicits._
+    val p = tradeTransitions(s, dir)
     val n = p.select($"u").distinct().count()
     var ranks = p.select($"u".as("node")).distinct()
       .withColumn("r", lit(1.0) / lit(n.toDouble))
@@ -80,6 +89,38 @@ object GraphOps {
     ranks.join(Tables.nation(s, dir), $"node" === $"n_nationkey".cast("long"))
       .select($"n_name".as("nation"), rnd($"r", 6).as("pr"))
       .orderBy($"pr".desc, $"nation")
+  }
+
+  /** PERSONALIZED PageRank — the same damped walk, but all teleport
+    * mass returns to a single seed (the smallest node in the edge
+    * set — the deterministic stand-in for "this user/product"):
+    * r = 0.15·𝟙[seed] + 0.85·Pᵀr. Where global PageRank answers
+    * "what is important", PPR answers "what is important NEAR the
+    * seed" — the similar-items / who-to-follow primitive
+    * (Jeh & Widom 2003). Mass concentrates around the seed's trade
+    * neighborhood instead of spreading to the global stationary
+    * distribution.
+    *
+    * Identical scale shape and determinism argument as
+    * [[qPagerank]] (shared transition frame; decimal-exact inbound
+    * accumulation per round; fixed 5 iterations, SQL-unrolled in the
+    * oracle). */
+  val qPersonalizedPagerank: QueryFn = (s, dir) => {
+    import s.implicits._
+    val p = tradeTransitions(s, dir)
+    val seed = p.agg(min($"u")).head().getLong(0)
+    var ranks = p.select($"u".as("node")).distinct()
+      .withColumn("r", when($"node" === seed, lit(1.0)).otherwise(lit(0.0)))
+    for (_ <- 1 to PrIters) {
+      ranks = p.join(ranks, p("u") === ranks("node"))
+        .groupBy(p("v"))
+        .agg((when(p("v") === seed, lit(Teleport)).otherwise(lit(0.0)) +
+          lit(Damping) * xsum(p("p") * ranks("r"))).as("r"))
+        .select(col("v").as("node"), col("r"))
+    }
+    ranks.join(Tables.nation(s, dir), $"node" === $"n_nationkey".cast("long"))
+      .select($"n_name".as("nation"), rnd($"r", 6).as("ppr"))
+      .orderBy($"ppr".desc, $"nation")
   }
 
   /** Triangle participation counts over the co-purchase part graph

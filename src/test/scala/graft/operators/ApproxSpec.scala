@@ -142,6 +142,36 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("q_seasonal_decompose: matches a driver moving-average replica") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val expected = daily.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(_._2.getTime)
+      val det = sorted.indices.collect {
+        case i if i >= 3 && i < sorted.length - 3 =>
+          val trend = (i - 3 to i + 3).map(sorted(_)._3).sum.toDouble / 7.0
+          // ISO Mon=1..Sun=7 → Spark's dayofweek Sun=1..Sat=7
+          val dow = (sorted(i)._2.toLocalDate.getDayOfWeek.getValue % 7 + 1).toLong
+          (dow, sorted(i)._3.toDouble - trend)
+      }
+      det.groupBy(_._1).map { case (dow, ds) =>
+        (g, dow) -> (ds.length.toLong,
+          math.floor(ds.map(_._2).sum / ds.length * 1e6 + 0.5) / 1e6)
+      }
+    }
+    val got = EventAnalytics.qSeasonalDecompose(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    expected.foreach { case (k, (n, s)) =>
+      val (gn, gs) = got(k)
+      assert(gn == n, s"$k n_days")
+      assert(math.abs(gs - s) < 1e-6, s"$k seasonal $gs vs $s")
+    }
+  }
+
   test("q_equidepth_hist: boundaries are exact order statistics, mass conserved") {
     import spark.implicits._
     val cents = Tables.events(spark, sfDir)

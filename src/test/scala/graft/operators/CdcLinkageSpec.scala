@@ -67,6 +67,21 @@ class CdcLinkageSpec extends SparkTestBase {
     }
   }
 
+  test("q_ivm_maintain: delta-maintained view == full recompute, bit for bit") {
+    // the engine-side IVM theorem (the oracle proves it cross-engine;
+    // this proves it in-engine): maintaining from deltas alone must
+    // equal q_merge_upsert's recompute over the merged snapshot
+    val maintained = CdcOps.qIvmMaintain(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val recomputed = CdcOps.qMergeUpsert(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(maintained == recomputed && maintained.nonEmpty,
+      s"IVM drift: missing=${(recomputed -- maintained).take(3)} extra=${(maintained -- recomputed).take(3)}")
+    // the batch genuinely exercised all three change kinds
+    val statuses = maintained.map(_._1)
+    assert(statuses.contains("X") && statuses.contains("N"), s"got $statuses")
+  }
+
   test("q_record_linkage: blocking never loses the true pair; counts consistent") {
     import spark.implicits._
     val rows = LinkageOps.qRecordLinkage(spark, sfDir).collect()

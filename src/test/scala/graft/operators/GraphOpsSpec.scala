@@ -89,6 +89,22 @@ class GraphOpsSpec extends SparkTestBase {
     assert(tri.values.toSet.size == 1, s"triangle not uniform: $tri")
   }
 
+  test("q_ppr: mass conserved, seed dominates, locality vs global PageRank") {
+    val ppr = GraphOps.qPersonalizedPagerank(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pr = GraphOps.qPagerank(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ppr.keySet == pr.keySet && ppr.nonEmpty)
+    // a damped walk conserves mass (symmetrized graph: no dangling)
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-3, s"mass ${ppr.values.sum}")
+    // teleport pins the seed on top, strictly above its global rank
+    val seed = ppr.maxBy(_._2)._1
+    assert(ppr(seed) > pr(seed) + 0.05,
+      s"seed $seed not personalized: ppr ${ppr(seed)} vs pr ${pr(seed)}")
+    // personalization concentrates: top-1 share beats global top-1
+    assert(ppr.values.max > pr.values.max)
+  }
+
   test("q_graph_modularity: contributions match a driver replica; Q bounded") {
     val e = GraphOps.copurchaseEdges(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
