@@ -567,6 +567,27 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_snapshot_diff" -> Map(
+        // one key-shuffled full-outer join + a 4-row fold
+        "single outer join, no cartesian" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "q_events_hopping" -> Map(
+        // the 3-pane assignment explodes map-side; one (window, type)
+        // partial+final fold — no join at all
+        "no join" -> (p => !p.contains("Join")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "q_bloom_semijoin" -> Map(
+        // the bloom filter prunes at the scan (a Filter above the
+        // lineitem relation BEFORE the join); the exact semi-join
+        // finishes correctness
+        "semi join present" -> (_.contains("LeftSemi")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "mm_audio_segments" -> Map(
+        // framing and gating are map-only; the islands fold is one
+        // media-keyed window + one agg
+        "no join" -> (p => !p.contains("Join")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
       "q_ivm_maintain" -> Map(
         // the delta path must never rescan the base beyond the ONE
         // pre-image equi-join; everything partial-aggs map-side

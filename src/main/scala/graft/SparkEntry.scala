@@ -204,6 +204,10 @@ object SparkEntry {
     "q_ppr"                       -> operators.GraphOps.qPersonalizedPagerank,
     "q_ivm_maintain"              -> operators.CdcOps.qIvmMaintain,
     "q_seasonal_decompose"        -> EventAnalytics.qSeasonalDecompose,
+    "q_snapshot_diff"             -> operators.CdcOps.qSnapshotDiff,
+    "q_events_hopping"            -> RelationalExt.qEventsHopping,
+    "q_bloom_semijoin"            -> RelationalExt.qBloomSemijoin,
+    "mm_audio_segments"           -> TextOps.mmAudioSegments,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1577,6 +1581,30 @@ object SparkEntry {
         |  floor((CAST(mq AS DOUBLE)/100)*10000 + 0.5)/10000 AS w_median
         |FROM m JOIN t USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
 
+    "mm_audio_segments" ->
+      s"""WITH a AS (
+        |  SELECT doc_id AS media_id, text AS t, length(text) AS len
+        |  FROM documents WHERE doc_id % 7 = 2 AND length(text) >= 64),
+        |fr AS (
+        |  SELECT media_id, unnest([{'fi': i + 1,
+        |      'c': substr(t, i*64 + 1, 64)} for i in generate_series(0, (len-1)//64)]) AS u
+        |  FROM a),
+        |voiced AS (
+        |  SELECT media_id, u['fi'] AS fi
+        |  FROM fr WHERE ${fnvSql("u['c']")} % 8 <> 0),
+        |isl AS (
+        |  SELECT media_id,
+        |    fi - row_number() OVER (PARTITION BY media_id ORDER BY fi) AS grp, fi
+        |  FROM voiced),
+        |seg AS (
+        |  SELECT media_id, min(fi) AS f0, max(fi) AS f1, count(*) AS n_frames
+        |  FROM isl GROUP BY media_id, grp)
+        |SELECT media_id,
+        |  CAST(row_number() OVER (PARTITION BY media_id ORDER BY f0) AS BIGINT) AS seg,
+        |  CAST((f0 - 1) * 20 AS BIGINT) AS start_ms, CAST(f1 * 20 AS BIGINT) AS end_ms,
+        |  n_frames
+        |FROM seg ORDER BY media_id, seg""".stripMargin,
+
     "mm_phash_neardup" ->
       s"""WITH reg AS (
         |  SELECT doc_id AS media_id, text AS t FROM documents WHERE length(text) >= 64
@@ -2300,6 +2328,63 @@ object SparkEntry {
         |FROM j ORDER BY lift DESC, w1, w2 LIMIT 25""".stripMargin,
 
     "q_merge_upsert" -> mergeViewOracle,
+
+    // base vs merged snapshot, classified row by row; the merge
+    // replay is the mergeViewOracle's ch/m chain inlined with keys
+    "q_snapshot_diff" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey AS key, 'update' AS op, 'X' AS st, o_totalprice * 1.1 AS tp
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'delete', NULL, NULL FROM orders WHERE o_orderkey % 100 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'insert', 'N', o_totalprice * 0.5
+        |  FROM orders WHERE o_orderkey % 10 = 4),
+        |m AS (
+        |  SELECT coalesce(c.key, b.o_orderkey) AS key,
+        |    CASE WHEN c.op = 'delete' THEN NULL
+        |         WHEN c.op IS NOT NULL THEN c.st ELSE b.o_orderstatus END AS st,
+        |    CASE WHEN c.op = 'delete' THEN NULL
+        |         WHEN c.op IS NOT NULL THEN c.tp ELSE b.o_totalprice END AS tp
+        |  FROM orders b FULL OUTER JOIN ch c ON b.o_orderkey = c.key),
+        |nx AS (SELECT key, st AS n_st, tp AS n_tp FROM m WHERE st IS NOT NULL),
+        |d AS (
+        |  SELECT
+        |    CASE WHEN b.o_orderstatus IS NULL THEN 'inserted'
+        |         WHEN nx.n_st IS NULL THEN 'deleted'
+        |         WHEN b.o_orderstatus <> nx.n_st OR b.o_totalprice <> nx.n_tp THEN 'updated'
+        |         ELSE 'unchanged' END AS change,
+        |    CASE WHEN b.o_orderstatus <> nx.n_st THEN 1 ELSE 0 END AS st_chg,
+        |    CASE WHEN b.o_totalprice <> nx.n_tp THEN 1 ELSE 0 END AS tp_chg
+        |  FROM orders b FULL OUTER JOIN nx ON b.o_orderkey = nx.key)
+        |SELECT change, count(*) AS n_rows,
+        |  CAST(sum(st_chg) AS BIGINT) AS n_status_changed,
+        |  CAST(sum(tp_chg) AS BIGINT) AS n_price_changed
+        |FROM d GROUP BY change ORDER BY change""".stripMargin,
+
+    // hopping 6h/2h panes: each event's 3 aligned starts derived
+    // with integer epoch-microsecond arithmetic
+    "q_events_hopping" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        |hop AS (
+        |  SELECT event_type, value,
+        |    (us // 7200000000) * 7200000000 - k * 7200000000 AS ws
+        |  FROM e, (SELECT unnest([0, 1, 2]) AS k))
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n_events,
+        |  floor(CAST(sum(CAST((value) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS sum_value
+        |FROM hop GROUP BY ws, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    // the bloom is scan-side pruning only — false positives never
+    // reach the output, so the oracle is the plain semi-join
+    "q_bloom_semijoin" ->
+      """WITH hi AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |SELECT l_returnflag, count(*) AS n_lines,
+        |  floor(CAST(sum(CAST((l_quantity) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS sum_qty,
+        |  floor(CAST(sum(CAST((l_extendedprice) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS sum_price
+        |FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM hi)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // IVM correctness theorem as a hash check: the ENGINE maintains
     // the per-status view from the delta batch alone (never rescans

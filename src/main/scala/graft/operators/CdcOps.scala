@@ -111,6 +111,39 @@ object CdcOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Snapshot DIFF — the data-diff op every migration/backfill review
+    * runs before swapping tables: base vs merged snapshot full-outer
+    * joined on the key, every row classified
+    * inserted/deleted/updated/unchanged, with per-column change
+    * counts for the updated class (which column moved — the "what
+    * did this backfill actually touch" answer). One equi-join + one
+    * 4-row fold; at 100 TB both sides shuffle on the key once, AQE
+    * handles the skew, and nothing else moves.
+    *
+    * Exactness: update detection compares the exact doubles the
+    * derivation produced — bit-identical cross-engine, so even the
+    * changed-column counts hash-verify. */
+  val qSnapshotDiff: QueryFn = (s, dir) => {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("b_st"), col("o_totalprice").as("b_tp"))
+    val next = merged(s, dir)
+      .select(col("key"), col("st").as("n_st"), col("tp").as("n_tp"))
+    base.join(next, Seq("key"), "full_outer")
+      .select(
+        when(col("b_st").isNull, "inserted")
+          .when(col("n_st").isNull, "deleted")
+          .when(col("b_st") =!= col("n_st") || col("b_tp") =!= col("n_tp"), "updated")
+          .otherwise("unchanged").as("change"),
+        when(col("b_st") =!= col("n_st"), 1L).otherwise(0L).as("st_chg"),
+        when(col("b_tp") =!= col("n_tp"), 1L).otherwise(0L).as("tp_chg"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("st_chg")).as("n_status_changed"),
+        sum(col("tp_chg")).as("n_price_changed"))
+      .orderBy(col("change"))
+  }
+
   /** Slowly-changing-dimension type-2 build — the OTHER half of the
     * CDC story: `q_merge_upsert` maintains the CURRENT snapshot;
     * this builds the full HISTORY table (versioned validity

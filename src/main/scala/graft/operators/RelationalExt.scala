@@ -499,6 +499,61 @@ object RelationalExt {
       .orderBy($"rolling_rev".desc, $"o_custkey", $"day")
   }
 
+  /** HOPPING (sliding) windows — the overlapping-window class
+    * `q_events_windowed`'s tumbling buckets can't express: 6-hour
+    * windows advancing every 2 hours, so each event lands in exactly
+    * 3 windows and a burst shows in every pane it overlaps (the
+    * smooth-trend view dashboards actually plot). Spark's native
+    * `window(ts, '6 hours', '2 hours')` explodes the assignment
+    * map-side; the aggregation stays one partial+final (window,
+    * type) fold. The oracle derives the same 3 aligned starts with
+    * epoch-microsecond integer arithmetic — the alignment origin
+    * (1970-01-01 UTC) is part of the semantics, so both engines cut
+    * identical panes. */
+  val qEventsHopping: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "6 hours", "2 hours").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), rnd(xsum($"value"), 2).as("sum_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  /** Bloom-filter semi-join — the runtime-filter technique that makes
+    * selective fact⋈dim joins survive 100 TB: the small side's keys
+    * fold into a Bloom sketch (`bloom_filter_agg`, a few KB), the
+    * fact scan drops non-members map-side (`might_contain` — no
+    * shuffle spent on rows that can't join), and the exact semi-join
+    * afterwards removes the false positives. The RESULT is therefore
+    * exactly the plain semi-join's (what the oracle runs — false
+    * positives never reach the output), which is the point: the
+    * sketch buys scan-side pruning without costing correctness.
+    * Spark injects this automatically under
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled`; doing it
+    * explicitly makes the technique testable (spec asserts the
+    * bloom pass is a superset of the true match set). */
+  val qBloomSemijoin: QueryFn = (s, dir) => {
+    import s.implicits._
+    val hi = Tables.orders(s, dir)
+      .where($"o_totalprice" > 400000.0)
+      .select($"o_orderkey")
+    // the runtime filter: a KB-sized sketch of the build side's keys,
+    // broadcast to every scan task (`stat.bloomFilter` is the public
+    // face of the BloomFilterAggregate Spark's optimizer injects)
+    val bf = hi.stat.bloomFilter("o_orderkey", 100000L, 0.001)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    Tables.lineitem(s, dir)
+      .where(mightContain($"l_orderkey"))
+      .join(hi.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"), "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        rnd(xsum($"l_quantity"), 2).as("sum_qty"),
+        rnd(xsum($"l_extendedprice"), 2).as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** RFM customer segmentation — recency / frequency / monetary
     * quintile scores, the classic CRM panel (Hughes 1994). Scores
     * come from an EXPLICIT integer quintile formula,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -442,6 +443,48 @@ object TextOps {
         $"frame_idx".cast("long").as("frame_idx"),
         (lit(1000L) + ($"frame_idx" - 1).cast("long") * 2000L).as("ts_ms"))
       .orderBy($"media_id", $"frame_idx")
+  }
+
+  /** VAD-style audio segmentation PLAN — the audio twin of
+    * [[mmFrameSample]]'s video schedule: each audio payload (the
+    * RIFF residue class, doc_id%7==2) splits into 20 ms frames, a
+    * deterministic per-frame "energy" gate marks silence (frame
+    * digest ≡ 0 mod 8 — a real VAD's energy threshold drops into
+    * the same column), and maximal runs of voiced frames become the
+    * segments a transcription pipeline would dispatch. The run
+    * detection is the SQL islands pattern: group = frame_idx −
+    * row_number over voiced frames — gaps break the arithmetic
+    * progression, so each island gets a distinct group key with no
+    * iteration.
+    *
+    * Map-only until the (media, island) fold; windows run per media
+    * over frame counts, never payload bytes. Frame digests replay in
+    * SQL (FNV), so the whole schedule hash-verifies. */
+  val mmAudioSegments: QueryFn = (s, dir) => {
+    import s.implicits._
+    val audio = Tables.documents(s, dir)
+      .where($"doc_id" % 7 === 2 && length($"text") >= 64)
+      .select($"doc_id".as("media_id"), $"text".as("t"),
+        length($"text").cast("long").as("len"))
+    val frames = audio
+      .select($"media_id",
+        posexplode(graft.functions.VectorExpressions.fnv_shingles(
+          transform(sequence(lit(0), (($"len" - 1) / 64).cast("int")),
+            i => $"t".substr(i * 64 + 1, lit(64))), 1)))
+      .select($"media_id", ($"pos" + 1).as("fi"),
+        (pmod($"col", lit(8L)) === 0).as("silent"))
+    val w = Window.partitionBy($"media_id").orderBy($"fi")
+    val islands = frames.where(!$"silent")
+      .withColumn("grp", $"fi" - row_number().over(w))
+      .groupBy($"media_id", $"grp")
+      .agg(min($"fi").as("f0"), max($"fi").as("f1"), count(lit(1)).as("n_frames"))
+    islands
+      .withColumn("seg", row_number().over(
+        Window.partitionBy($"media_id").orderBy($"f0")).cast("long"))
+      .select($"media_id", $"seg",
+        (($"f0" - 1) * 20).cast("long").as("start_ms"),
+        ($"f1" * 20).cast("long").as("end_ms"), $"n_frames")
+      .orderBy($"media_id", $"seg")
   }
 
   /** Hamming threshold for [[mmPhashNeardup]]: re-encoded copies

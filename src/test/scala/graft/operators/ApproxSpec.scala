@@ -142,6 +142,19 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("q_events_hopping: every event lands in exactly 3 panes") {
+    val rows = graft.operators.RelationalExt.qEventsHopping(spark, sfDir).collect()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == 3 * nEvents,
+      "6h/2h hopping must assign each event to exactly 3 windows")
+    // pane starts are 2h-aligned
+    rows.foreach { r =>
+      val mins = r.getString(0).substring(14, 16)
+      val hrs = r.getString(0).substring(11, 13).toInt
+      assert(mins == "00" && hrs % 2 == 0, s"unaligned pane ${r.getString(0)}")
+    }
+  }
+
   test("q_seasonal_decompose: matches a driver moving-average replica") {
     import spark.implicits._
     val daily = Tables.events(spark, sfDir)

@@ -82,6 +82,44 @@ class CdcLinkageSpec extends SparkTestBase {
     assert(statuses.contains("X") && statuses.contains("N"), s"got $statuses")
   }
 
+  test("q_snapshot_diff: classes conserve mass and match the batch residues") {
+    import spark.implicits._
+    val d = CdcOps.qSnapshotDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(d.keySet == Set("inserted", "deleted", "updated", "unchanged"))
+    val nBase = Tables.orders(spark, sfDir).count()
+    val nMerged = CdcOps.merged(spark, sfDir).count()
+    // merged = base + inserted - deleted
+    assert(nBase + d("inserted")._1 - d("deleted")._1 == nMerged)
+    assert(d("unchanged")._1 + d("updated")._1 + d("deleted")._1 == nBase)
+    // updates touch BOTH columns by construction (status X, price x1.1)
+    assert(d("updated")._2 == d("updated")._1 && d("updated")._3 == d("updated")._1)
+    assert(d("inserted")._2 == 0 && d("deleted")._2 == 0)
+  }
+
+  test("q_bloom_semijoin: bloom pass is a superset; result equals the plain semi-join") {
+    import spark.implicits._
+    val hi = Tables.orders(spark, sfDir)
+      .where($"o_totalprice" > 400000.0).select($"o_orderkey")
+    val bf = hi.stat.bloomFilter("o_orderkey", 100000L, 0.001)
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey")
+    val exactKeys = li.join(hi.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi").count()
+    val bloomPass = li.collect().count(r => bf.mightContain(r.getLong(0)))
+    assert(bloomPass >= exactKeys, "bloom must never drop a true match")
+    // correctness: the operator's result == the plain semi-join agg
+    val got = RelationalExt.qBloomSemijoin(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(hi.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"), "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Cols.rnd(graft.functions.Cols.xsum($"l_quantity"), 2),
+        graft.functions.Cols.rnd(graft.functions.Cols.xsum($"l_extendedprice"), 2))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == plain && got.nonEmpty)
+  }
+
   test("q_record_linkage: blocking never loses the true pair; counts consistent") {
     import spark.implicits._
     val rows = LinkageOps.qRecordLinkage(spark, sfDir).collect()
