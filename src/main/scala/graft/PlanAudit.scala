@@ -567,6 +567,19 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_ab_cuped" -> Map(
+        // two user-keyed conditional aggs + a 1-row moment fold;
+        // t0 rides a 1-row broadcast
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "1-row t0 broadcast only" -> (p =>
+          "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size <= 1),
+        "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_attribution_decay" -> Map(
+        // the purchase⋈touch join is user-keyed (bounded by per-user
+        // activity); rank + mass windows share the pid partition
+        "user equi-join, no cartesian" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
       "q_snapshot_diff" -> Map(
         // one key-shuffled full-outer join + a 4-row fold
         "single outer join, no cartesian" -> (p =>

@@ -208,6 +208,8 @@ object SparkEntry {
     "q_events_hopping"            -> RelationalExt.qEventsHopping,
     "q_bloom_semijoin"            -> RelationalExt.qBloomSemijoin,
     "mm_audio_segments"           -> TextOps.mmAudioSegments,
+    "q_ab_cuped"                  -> EventAnalytics.qAbCuped,
+    "q_attribution_decay"         -> EventAnalytics.qAttributionDecay,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -2375,6 +2377,65 @@ object SparkEntry {
         |  floor(CAST(sum(CAST((value) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS sum_value
         |FROM hop GROUP BY ws, event_type
         |ORDER BY win_start, event_type""".stripMargin,
+
+    // CUPED: every moment accumulates exactly, then one fixed IEEE
+    // expression tree — the variance-reduction panel hash-verifies
+    "q_ab_cuped" ->
+      """WITH t0 AS (SELECT min(ts) AS t0 FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < t0 + INTERVAL 15 DAY AND event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+        |    CAST(sum(CAST((CASE WHEN NOT (ts < t0 + INTERVAL 15 DAY) AND event_type = 'purchase' THEN value ELSE 0.0 END) AS DECIMAL(27,10))) AS DOUBLE) AS y
+        |  FROM events, t0 GROUP BY user_id),
+        |m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST((x) AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST((y) AS DECIMAL(27,10))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST((x*x) AS DECIMAL(27,10))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST((y*y) AS DECIMAL(27,10))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST((x*y) AS DECIMAL(27,10))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+        |    CAST(sum(CAST((CASE WHEN user_id % 2 = 0 THEN x ELSE 0.0 END) AS DECIMAL(27,10))) AS DOUBLE) AS sxa,
+        |    CAST(sum(CAST((CASE WHEN user_id % 2 = 0 THEN y ELSE 0.0 END) AS DECIMAL(27,10))) AS DOUBLE) AS sya,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+        |    CAST(sum(CAST((CASE WHEN user_id % 2 = 1 THEN x ELSE 0.0 END) AS DECIMAL(27,10))) AS DOUBLE) AS sxb,
+        |    CAST(sum(CAST((CASE WHEN user_id % 2 = 1 THEN y ELSE 0.0 END) AS DECIMAL(27,10))) AS DOUBLE) AS syb
+        |  FROM pu),
+        |d AS (
+        |  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |    sx/n AS xbar,
+        |    (sxy/n) - (sx/n)*(sy/n) AS covxy,
+        |    (sxx/n) - (sx/n)*(sx/n) AS varx,
+        |    (syy/n) - (sy/n)*(sy/n) AS vary,
+        |    sya/na AS ya, sxa/na AS xa, syb/nb AS yb, sxb/nb AS xb
+        |  FROM m)
+        |SELECT n_a, n_b,
+        |  floor(ya*10000 + 0.5)/10000 AS mean_a,
+        |  floor(yb*10000 + 0.5)/10000 AS mean_b,
+        |  floor((covxy/varx)*1000000 + 0.5)/1000000 AS theta,
+        |  floor((ya - (covxy/varx)*(xa - xbar))*10000 + 0.5)/10000 AS adj_mean_a,
+        |  floor((yb - (covxy/varx)*(xb - xbar))*10000 + 0.5)/10000 AS adj_mean_b,
+        |  floor(((covxy/varx)*(covxy/varx)*varx/vary)*1000000 + 0.5)/1000000 AS var_reduction
+        |FROM d""".stripMargin,
+
+    // time-decay multi-touch: halving integer weights over the 8
+    // most recent touches, exact geometric mass in the denominator
+    "q_attribution_decay" ->
+      """WITH p AS (SELECT user_id, ts AS pts, event_id AS pid, value FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts AS tts, event_id AS tid, event_type AS channel FROM events WHERE event_type <> 'purchase'),
+        |rk AS (
+        |  SELECT p.pid, p.value, t.channel,
+        |    row_number() OVER (PARTITION BY p.pid ORDER BY t.tts DESC, t.tid DESC) AS k
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND (t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid))),
+        |c AS (SELECT pid, value, channel, k, count(*) OVER (PARTITION BY pid) AS m
+        |      FROM rk WHERE k <= 8),
+        |cr AS (SELECT channel,
+        |    value * CAST(1 << (8 - k) AS DOUBLE) / CAST((1 << 8) - (1 << (8 - m)) AS DOUBLE) AS credit
+        |  FROM c)
+        |SELECT channel, count(*) AS n_credits,
+        |  floor(CAST(sum(CAST((credit) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS credited_revenue
+        |FROM cr GROUP BY channel ORDER BY channel""".stripMargin,
 
     // the bloom is scan-side pruning only — false positives never
     // reach the output, so the oracle is the plain semi-join

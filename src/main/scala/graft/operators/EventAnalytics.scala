@@ -484,6 +484,111 @@ object EventAnalytics {
       .orderBy($"event_type")
   }
 
+  /** CUPED variance reduction (Deng et al. 2013) — the standard
+    * upgrade over [[qAbZtest]]'s raw comparison: each user's outcome
+    * (post-period purchase revenue) is adjusted by their PRE-period
+    * activity (first-15-day click count),
+    * adj = ȳ_arm − θ(x̄_arm − x̄), θ = cov(x,y)/var(x) pooled —
+    * removing the between-user variance the experiment didn't cause.
+    * The panel reports raw vs adjusted arm means, θ, and the
+    * variance-reduction fraction θ²·var(x)/var(y).
+    *
+    * Exactness: the xcorr discipline — every moment (Σx, Σy, Σxy,
+    * Σx², Σy²) accumulates exactly (integer counts; per-user revenue
+    * is a DECIMAL sum cast once; cross-products are exact per-row
+    * doubles summed in DECIMAL), then a fixed expression tree of
+    * IEEE divisions — bit-identical cross-engine, so a variance-
+    * reduction statistic hash-verifies. Shape: two user-keyed
+    * conditional aggs + a 1-row moment fold. */
+  val qAbCuped: QueryFn = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val t0 = ev.agg(min($"ts").as("t0"))
+    val perUser = ev.crossJoin(broadcast(t0))
+      .withColumn("pre", $"ts" < $"t0" + expr("INTERVAL 15 DAYS"))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"pre" && $"event_type" === "click", 1L).otherwise(0L))
+          .cast("double").as("x"),
+        xsum(when(!$"pre" && $"event_type" === "purchase", $"value")
+          .otherwise(lit(0.0))).as("y"))
+      .withColumn("grp", ($"user_id" % 2).cast("int"))
+    val m = perUser.agg(
+      count(lit(1)).as("n"),
+      xsum($"x").as("sx"), xsum($"y").as("sy"),
+      xsum($"x" * $"x").as("sxx"), xsum($"y" * $"y").as("syy"),
+      xsum($"x" * $"y").as("sxy"),
+      sum(when($"grp" === 0, 1L).otherwise(0L)).as("na"),
+      xsum(when($"grp" === 0, $"x").otherwise(0.0)).as("sxa"),
+      xsum(when($"grp" === 0, $"y").otherwise(0.0)).as("sya"),
+      sum(when($"grp" === 1, 1L).otherwise(0L)).as("nb"),
+      xsum(when($"grp" === 1, $"x").otherwise(0.0)).as("sxb"),
+      xsum(when($"grp" === 1, $"y").otherwise(0.0)).as("syb"))
+    m.select($"n".cast("double").as("n"), $"sx", $"sy", $"sxx", $"syy", $"sxy",
+        $"na".cast("double").as("na"), $"sxa", $"sya",
+        $"nb".cast("double").as("nb"), $"sxb", $"syb")
+      .select($"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+        ($"sx" / $"n").as("xbar"),
+        (($"sxy" / $"n") - ($"sx" / $"n") * ($"sy" / $"n")).as("covxy"),
+        (($"sxx" / $"n") - ($"sx" / $"n") * ($"sx" / $"n")).as("varx"),
+        (($"syy" / $"n") - ($"sy" / $"n") * ($"sy" / $"n")).as("vary"),
+        ($"sya" / $"na").as("ya"), ($"sxa" / $"na").as("xa"),
+        ($"syb" / $"nb").as("yb"), ($"sxb" / $"nb").as("xb"))
+      .select($"n_a", $"n_b",
+        rnd($"ya", 4).as("mean_a"), rnd($"yb", 4).as("mean_b"),
+        rnd($"covxy" / $"varx", 6).as("theta"),
+        rnd($"ya" - ($"covxy" / $"varx") * ($"xa" - $"xbar"), 4).as("adj_mean_a"),
+        rnd($"yb" - ($"covxy" / $"varx") * ($"xb" - $"xbar"), 4).as("adj_mean_b"),
+        rnd(($"covxy" / $"varx") * ($"covxy" / $"varx") * $"varx" / $"vary", 6)
+          .as("var_reduction"))
+  }
+
+  /** Lookback cap for [[qAttributionDecay]]: credit reaches the 8
+    * most recent touches, weights halving per step — so the integer
+    * weight mass 2⁸−2^(8−m) is exact and the credit shares are
+    * single IEEE divisions of exact values. */
+  val DecayLookback = 8
+
+  /** Time-decay MULTI-touch attribution — the model between
+    * [[qAttribution]]'s two single-touch extremes: every purchase
+    * splits its value across its user's preceding non-purchase
+    * touches, most recent first, weight halving per step (the
+    * standard time-decay model), capped at [[DecayLookback]]
+    * touches. Weight of the k-th most recent = 2^(8−k); the per-
+    * conversion mass 2⁸ − 2^(8−m) (m = credited touches) is exact
+    * integer arithmetic, so each credit is value·w/mass — one IEEE
+    * multiply-divide of exact inputs, and the channel totals
+    * accumulate in DECIMAL.
+    *
+    * Shape: a user-keyed purchase⋈touch join bounded by per-user
+    * activity (the sessionize partitioning), a per-purchase recency
+    * rank over at most that fan-in, then a channel fold. */
+  val qAttributionDecay: QueryFn = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pts"), $"event_id".as("pid"), $"value")
+    val touches = ev.where($"event_type" =!= "purchase")
+      .select($"user_id", $"ts".as("tts"), $"event_id".as("tid"),
+        $"event_type".as("channel"))
+    val ranked = purchases.join(touches, Seq("user_id"))
+      .where($"tts" < $"pts" || ($"tts" === $"pts" && $"tid" < $"pid"))
+      .withColumn("k", row_number().over(
+        Window.partitionBy($"pid").orderBy($"tts".desc, $"tid".desc)))
+      .where($"k" <= DecayLookback)
+    val withMass = ranked
+      .withColumn("m", count(lit(1)).over(Window.partitionBy($"pid")))
+      .withColumn("credit", $"value" *
+        expr(s"shiftleft(1L, $DecayLookback - k)").cast("double") /
+        expr(s"shiftleft(1L, $DecayLookback) - shiftleft(1L, $DecayLookback - m)")
+          .cast("double"))
+    withMass.groupBy($"channel")
+      .agg(count(lit(1)).as("n_credits"),
+        rnd(xsum($"credit"), 2).as("credited_revenue"))
+      .orderBy($"channel")
+  }
+
   /** Classical seasonal decomposition (additive, the STL-lite
     * moving-average form): daily event counts split into
     * trend (centered 7-day MA) + day-of-week seasonal index +

@@ -142,6 +142,56 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("q_ab_cuped: matches a driver moment replica; reduction bounded") {
+    import spark.implicits._
+    val r = EventAnalytics.qAbCuped(spark, sfDir).collect().head
+    // independent replica from per-user (x, y)
+    val t0 = Tables.events(spark, sfDir).agg(min($"ts")).head().getTimestamp(0)
+    val cut = new java.sql.Timestamp(t0.getTime + 15L * 86400 * 1000)
+    val pu = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"ts" < lit(cut) && $"event_type" === "click", 1L).otherwise(0L))
+          .cast("double").as("x"),
+        graft.functions.Cols.xsum(
+          when($"ts" >= lit(cut) && $"event_type" === "purchase", $"value")
+            .otherwise(lit(0.0))).as("y"))
+      .as[(Long, Double, Double)].collect()
+    val n = pu.length.toDouble
+    val (sx, sy) = (pu.map(_._2).sum, pu.map(_._3).sum)
+    val (sxx, syy, sxy) =
+      (pu.map(u => u._2 * u._2).sum, pu.map(u => u._3 * u._3).sum, pu.map(u => u._2 * u._3).sum)
+    val theta = (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n))
+    assert(math.abs(r.getDouble(4) - theta) < 1e-4, s"theta ${r.getDouble(4)} vs $theta")
+    val vr = r.getDouble(7)
+    assert(vr >= 0.0 && vr <= 1.0, s"var_reduction $vr")
+    // CUPED preserves the pooled mean: weighted adj means == raw pooled mean
+    val pooled = sy / n
+    val wAdj = (r.getLong(0) * r.getDouble(5) + r.getLong(1) * r.getDouble(6)) / n
+    assert(math.abs(wAdj - pooled) < 0.01, s"pooled mean moved: $wAdj vs $pooled")
+  }
+
+  test("q_attribution_decay: credit mass equals attributable purchase revenue") {
+    import spark.implicits._
+    val rows = EventAnalytics.qAttributionDecay(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) > 0))
+    // every purchase with >=1 preceding touch distributes exactly its
+    // value (weights are a normalized geometric series)
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value").collect()
+    val byUser = ev.groupBy(_.getLong(0))
+    val attributable = byUser.values.flatMap { es =>
+      val sorted = es.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+      sorted.zipWithIndex.collect {
+        case (r, i) if r.getString(3) == "purchase" && i > 0 &&
+          sorted.take(i).exists(_.getString(3) != "purchase") => r.getDouble(4)
+      }
+    }.sum
+    val credited = rows.map(_.getDouble(2)).sum
+    assert(math.abs(credited - attributable) < 0.05 * rows.length,
+      s"credit mass $credited vs purchase mass $attributable")
+  }
+
   test("q_events_hopping: every event lands in exactly 3 panes") {
     val rows = graft.operators.RelationalExt.qEventsHopping(spark, sfDir).collect()
     val nEvents = Tables.events(spark, sfDir).count()
