@@ -567,6 +567,29 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "mm_cdc_chunks" -> Map(
+        // windows/boundaries map-only; the chunk groupBy is the only
+        // corpus shuffle; boundary lists fold per media row
+        "no cartesian" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_markov_accuracy" -> Map(
+        // model + mode ride broadcasts onto the test stream; the only
+        // corpus-keyed work is the user-partitioned lead window
+        "model broadcast" -> (_.contains("BroadcastHashJoin")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "q_profile_table" -> Map(
+        // ONE scan feeds all four column profiles (stack-unpivot)
+        "single lineitem scan" -> (p =>
+          "Scan parquet".r.findAllIn(p).size <= 1),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "q_uplift_quintiles" -> Map(
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "quintile window over the per-user aggregate" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size == 1),
+        "1-row t0 broadcast only" -> (p =>
+          "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size <= 1)),
       "q_ab_cuped" -> Map(
         // two user-keyed conditional aggs + a 1-row moment fold;
         // t0 rides a 1-row broadcast

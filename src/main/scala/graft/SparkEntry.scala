@@ -210,6 +210,10 @@ object SparkEntry {
     "mm_audio_segments"           -> TextOps.mmAudioSegments,
     "q_ab_cuped"                  -> EventAnalytics.qAbCuped,
     "q_attribution_decay"         -> EventAnalytics.qAttributionDecay,
+    "mm_cdc_chunks"               -> TextOps.mmCdcChunks,
+    "q_markov_accuracy"           -> operators.GraphOps.qMarkovAccuracy,
+    "q_profile_table"             -> RelationalExt.qProfileTable,
+    "q_uplift_quintiles"          -> EventAnalytics.qUpliftQuintiles,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1583,6 +1587,38 @@ object SparkEntry {
         |  floor((CAST(mq AS DOUBLE)/100)*10000 + 0.5)/10000 AS w_median
         |FROM m JOIN t USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
 
+    "mm_cdc_chunks" ->
+      s"""WITH reg AS (
+        |  SELECT doc_id AS media_id, text AS t FROM documents WHERE length(text) >= 64
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    upper(substr(text, 1, 10)) || substr(text, 11, length(text)-20) ||
+        |    upper(substr(text, length(text)-9, 10))
+        |  FROM documents WHERE length(text) >= 64 AND doc_id % 11 = 5),
+        |m AS (SELECT media_id, t, CAST(length(t) AS BIGINT) AS len FROM reg),
+        |w AS (
+        |  SELECT media_id, unnest([{'p': CAST(i AS BIGINT),
+        |      'c': substr(t, i, 8)} for i in generate_series(1, CAST(len - 7 AS INTEGER))]) AS u
+        |  FROM m),
+        |bp AS (
+        |  SELECT media_id, list(u['p'] ORDER BY u['p']) AS bs
+        |  FROM w WHERE ${fnvSql("u['c']")} % 32 = 0 GROUP BY media_id),
+        |ed AS (
+        |  SELECT m.media_id, m.t,
+        |    list_concat(list_concat([CAST(1 AS BIGINT)], coalesce(bp.bs, [])), [m.len + 1]) AS edges
+        |  FROM m LEFT JOIN bp USING (media_id)),
+        |ch AS (
+        |  SELECT media_id, unnest([substr(t, CAST(edges[i] AS INTEGER),
+        |      CAST(edges[i+1] - edges[i] AS INTEGER))
+        |    for i in generate_series(1, len(edges) - 1)]) AS chunk
+        |  FROM ed)
+        |SELECT chunk, CAST(length(chunk) AS BIGINT) AS n_bytes,
+        |  count(DISTINCT media_id) AS n_media, count(*) AS n_occ,
+        |  min(media_id) AS first_media
+        |FROM ch WHERE length(chunk) >= ${operators.TextOps.ByteCdcMinLen}
+        |GROUP BY chunk HAVING count(DISTINCT media_id) >= 2
+        |ORDER BY chunk""".stripMargin,
+
     "mm_audio_segments" ->
       s"""WITH a AS (
         |  SELECT doc_id AS media_id, text AS t, length(text) AS len
@@ -2377,6 +2413,65 @@ object SparkEntry {
         |  floor(CAST(sum(CAST((value) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS sum_value
         |FROM hop GROUP BY ws, event_type
         |ORDER BY win_start, event_type""".stripMargin,
+
+    // cross-user Markov evaluation: argmax model trained on even
+    // users, integer accuracy vs the global-mode baseline on odd
+    "q_markov_accuracy" ->
+      """WITH tr AS (
+        |  SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events QUALIFY dst IS NOT NULL),
+        |train AS (SELECT src, dst, count(*) AS n FROM tr WHERE user_id % 2 = 0 GROUP BY 1, 2),
+        |model AS (
+        |  SELECT src, dst AS pred FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY n DESC, dst ASC) AS rk
+        |    FROM train) WHERE rk = 1),
+        |md AS (SELECT dst AS mode_dst FROM (
+        |    SELECT dst, CAST(sum(n) AS BIGINT) AS n FROM train GROUP BY dst
+        |    ORDER BY n DESC, dst ASC LIMIT 1))
+        |SELECT t.src, count(*) AS n_test,
+        |  CAST(sum(CASE WHEN t.dst = model.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  floor((CAST(sum(CASE WHEN t.dst = model.pred THEN 1 ELSE 0 END) AS DOUBLE)/count(*))*1000000 + 0.5)/1000000 AS accuracy,
+        |  floor((CAST(sum(CASE WHEN t.dst = md.mode_dst THEN 1 ELSE 0 END) AS DOUBLE)/count(*))*1000000 + 0.5)/1000000 AS baseline
+        |FROM tr t JOIN model USING (src), md
+        |WHERE t.user_id % 2 = 1
+        |GROUP BY t.src, md.mode_dst ORDER BY t.src""".stripMargin,
+
+    "q_profile_table" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT col_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT v) AS n_distinct,
+        |  floor(min(v)*10000 + 0.5)/10000 AS v_min,
+        |  floor(max(v)*10000 + 0.5)/10000 AS v_max,
+        |  floor((CAST(sum(CAST((v) AS DECIMAL(27,10))) AS DOUBLE)/count(v))*1000000 + 0.5)/1000000 AS v_mean
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    "q_uplift_quintiles" ->
+      """WITH t0 AS (SELECT min(ts) AS t0 FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < t0 + INTERVAL 15 DAY AND event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(max(CASE WHEN ts >= t0 + INTERVAL 15 DAY AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |  FROM events, t0 GROUP BY user_id),
+        |nn AS (SELECT count(*) AS n FROM pu),
+        |q AS (
+        |  SELECT user_id, conv,
+        |    CAST(floor(CAST(row_number() OVER (ORDER BY x DESC, user_id)*5 + nn.n - 1 AS DOUBLE)/nn.n) AS BIGINT) AS quintile
+        |  FROM pu, nn)
+        |SELECT quintile,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b,
+        |  CASE WHEN sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) > 0 THEN floor((CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS DOUBLE)/CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE))*1000000 + 0.5)/1000000 END AS rate_a,
+        |  CASE WHEN sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) > 0 THEN floor((CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS DOUBLE)/CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE))*1000000 + 0.5)/1000000 END AS rate_b,
+        |  CASE WHEN sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) > 0 AND sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) > 0 THEN floor((CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS DOUBLE)/CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) - CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS DOUBLE)/CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE))*1000000 + 0.5)/1000000 END AS uplift
+        |FROM q GROUP BY quintile ORDER BY quintile""".stripMargin,
 
     // CUPED: every moment accumulates exactly, then one fixed IEEE
     // expression tree — the variance-reduction panel hash-verifies

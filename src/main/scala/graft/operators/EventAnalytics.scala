@@ -543,6 +543,50 @@ object EventAnalytics {
           .as("var_reduction"))
   }
 
+  /** Uplift by activity quintile — the heterogeneous-treatment-
+    * effect panel next to [[qAbCuped]]'s average effect: users
+    * bucket into pre-period-activity quintiles (the explicit
+    * ceil-division cut over (clicks desc, user_id) — the RFM
+    * formula), and each quintile reports conversion-rate uplift
+    * rate_A − rate_B. "Who does the treatment actually move" is the
+    * question segment-level rollouts decide on. Exact integer
+    * counts into two divisions; the quintile window runs over the
+    * per-USER aggregate. */
+  val qUpliftQuintiles: QueryFn = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val t0 = ev.agg(min($"ts").as("t0"))
+    val perUser = ev.crossJoin(broadcast(t0))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"ts" < $"t0" + expr("INTERVAL 15 DAYS") &&
+          $"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        max(when($"ts" >= $"t0" + expr("INTERVAL 15 DAYS") &&
+          $"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+    val n = lit(perUser.count())
+    val q = perUser.withColumn("rn", row_number().over(
+        Window.orderBy($"x".desc, $"user_id")))
+      .withColumn("quintile",
+        floor(($"rn" * 5 + n - lit(1)).cast("double") / n.cast("double")).cast("long"))
+    q.groupBy($"quintile")
+      .agg(
+        sum(when($"user_id" % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"user_id" % 2 === 0, $"conv").otherwise(0L)).as("x_a"),
+        sum(when($"user_id" % 2 === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"user_id" % 2 === 1, $"conv").otherwise(0L)).as("x_b"))
+      .select($"quintile", $"n_a", $"x_a", $"n_b", $"x_b",
+        // tiny corpora can leave an arm empty in a quintile — NULL
+        // rate, not a 0/0 (ANSI throws; the oracle mirrors the guard)
+        when($"n_a" > 0,
+          rnd($"x_a".cast("double") / $"n_a".cast("double"), 6)).as("rate_a"),
+        when($"n_b" > 0,
+          rnd($"x_b".cast("double") / $"n_b".cast("double"), 6)).as("rate_b"),
+        when($"n_a" > 0 && $"n_b" > 0,
+          rnd($"x_a".cast("double") / $"n_a".cast("double") -
+            $"x_b".cast("double") / $"n_b".cast("double"), 6)).as("uplift"))
+      .orderBy($"quintile")
+  }
+
   /** Lookback cap for [[qAttributionDecay]]: credit reaches the 8
     * most recent touches, weights halving per step — so the integer
     * weight mass 2⁸−2^(8−m) is exact and the credit shares are

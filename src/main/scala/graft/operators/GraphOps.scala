@@ -355,6 +355,53 @@ object GraphOps {
       .orderBy($"common".desc, $"part_a", $"part_b")
   }
 
+  /** Next-event prediction accuracy for the Markov model — the
+    * evaluation half `q_markov_transitions` was missing (the
+    * q_model_gains discipline, applied to the sequence model):
+    * transition counts TRAIN on even users, the argmax-next-type
+    * predictor is evaluated on odd users' transitions — cross-USER
+    * generalization, not memorization. Per-source accuracy =
+    * hits/n (exact integer ratio) next to the majority-class
+    * baseline P(most common next type overall), so the panel shows
+    * whether conditioning on the current type beats predicting the
+    * global mode.
+    *
+    * Shape: two user-keyed lead windows (train/test partitions of
+    * the same shuffle), a ≤|types|² model fold, argmax via a
+    * row_number over ≤|types| rows per src, evaluation a broadcast
+    * model join + integer fold. */
+  val qMarkovAccuracy: QueryFn = (s, dir) => {
+    import s.implicits._
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val trans = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type".as("src"))
+      .withColumn("dst", lead($"src", 1).over(byUser))
+      .where($"dst".isNotNull)
+    val train = trans.where($"user_id" % 2 === 0)
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+    val model = train
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"src").orderBy($"n".desc, $"dst".asc)))
+      .where($"rk" === 1)
+      .select($"src", $"dst".as("pred"))
+    val test = trans.where($"user_id" % 2 === 1)
+    val overallMode = train.groupBy($"dst").agg(sum($"n").as("n"))
+      .orderBy($"n".desc, $"dst".asc).limit(1)
+      .select($"dst".as("mode_dst"))
+    test.join(broadcast(model), "src")
+      .crossJoin(broadcast(overallMode))
+      .groupBy($"src")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when($"dst" === $"pred", 1L).otherwise(0L)).as("n_hit"),
+        sum(when($"dst" === $"mode_dst", 1L).otherwise(0L)).as("n_mode_hit"))
+      .select($"src", $"n_test", $"n_hit",
+        rnd($"n_hit".cast("double") / $"n_test".cast("double"), 6).as("accuracy"),
+        rnd($"n_mode_hit".cast("double") / $"n_test".cast("double"), 6).as("baseline"))
+      .orderBy($"src")
+  }
+
   /** LPA round count — fixed, part of the operator's semantics (the
     * BfsMaxHops discipline): the plan is the same DAG at any scale
     * and the SQL unroll matches by construction. */

@@ -499,6 +499,32 @@ object RelationalExt {
       .orderBy($"rolling_rev".desc, $"o_custkey", $"day")
   }
 
+  /** Column profile — the data-quality panel every engine ships
+    * (`DESCRIBE`/profiling): per numeric lineitem column, row/null/
+    * distinct counts and min/max/mean in ONE corpus pass (stack-
+    * unpivot inside the scan, the q_attribution lesson: a union of
+    * per-column aggs re-reads the table per column). Distinct counts
+    * are exact (the profile is the input to decisions like "can this
+    * broadcast" — an HLL profile answers a different question).
+    * Means decimal-accumulate. ≤#columns rows out of any corpus. */
+  val qProfileTable: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select(expr(
+        """stack(4,
+          |  'l_quantity', l_quantity,
+          |  'l_extendedprice', l_extendedprice,
+          |  'l_discount', l_discount,
+          |  'l_tax', l_tax) as (col_name, v)""".stripMargin))
+      .groupBy($"col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"v".isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct($"v").as("n_distinct"),
+        rnd(min($"v"), 4).as("v_min"), rnd(max($"v"), 4).as("v_max"),
+        rnd(xsum($"v") / count($"v"), 6).as("v_mean"))
+      .orderBy($"col_name")
+  }
+
   /** HOPPING (sliding) windows — the overlapping-window class
     * `q_events_windowed`'s tumbling buckets can't express: 6-hour
     * windows advancing every 2 hours, so each event lands in exactly

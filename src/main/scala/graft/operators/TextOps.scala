@@ -487,6 +487,67 @@ object TextOps {
       .orderBy($"media_id", $"seg")
   }
 
+  /** Byte-grain CDC boundary mask (low 5 bits ⇒ ~32-byte average
+    * chunks) and minimum reported chunk size. */
+  val ByteCdcMask = 31L
+  val ByteCdcMinLen = 16
+
+  /** Byte-level content-defined chunking over media payloads — the
+    * SURVEY r5 candidate landed: `dedup_cdc_chunks` cuts at TOKEN
+    * grain (text semantics); this cuts raw payload BYTES with a
+    * rolling 8-byte window digest (the rsync/LBFS/restic trick), so
+    * it works on opaque media where no tokenizer exists. Shared
+    * ≥2-media chunks expose PARTIAL duplication — embedded assets,
+    * common headers, re-encoded middles — that whole-payload hashing
+    * (mm_phash_neardup's aHash) summarizes but can't localize. The
+    * registry reuses the deterministic re-encoded copies, whose
+    * heads/tails differ but middles are identical: boundary
+    * RESYNCHRONIZATION after the head edit is exactly the property
+    * CDC exists for, and the spec asserts it.
+    *
+    * Scale shape: windows and boundary flags are map-only; the only
+    * corpus shuffle is the chunk groupBy (volume ≈ bytes/32); the
+    * per-media boundary list is L/32 ints, collected per MEDIA ROW
+    * (not driver-side). */
+  val mmCdcChunks: QueryFn = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).where(length($"text") >= 64)
+    val base = docs.select($"doc_id".as("media_id"), $"text".as("t"))
+    val dirty = docs.where($"doc_id" % 11 === 5)
+      .select(($"doc_id" + 10000000L).as("media_id"),
+        concat(upper(substring($"text", 1, 10)),
+          $"text".substr(lit(11), length($"text") - 20),
+          upper($"text".substr(length($"text") - 9, lit(10)))).as("t"))
+    val m = base.unionByName(dirty)
+      .withColumn("len", length($"t").cast("long"))
+    val wins = m.select($"media_id",
+        posexplode(graft.functions.VectorExpressions.fnv_shingles(
+          transform(sequence(lit(1), ($"len" - 7).cast("int")),
+            i => $"t".substr(i, lit(8))), 1)))
+      .select($"media_id", ($"pos" + 1).cast("long").as("p"),
+        ($"col".bitwiseAND(ByteCdcMask) === 0).as("b"))
+    val bpos = wins.where($"b")
+      .groupBy($"media_id").agg(sort_array(collect_list($"p")).as("bs"))
+    val chunks = m.join(bpos, Seq("media_id"), "left")
+      .withColumn("edges", concat(array(lit(1L)),
+        coalesce($"bs", array().cast("array<long>")), array($"len" + 1)))
+      .select($"media_id",
+        explode(expr(
+          """transform(sequence(1, size(edges) - 1),
+            |  i -> substr(t, cast(element_at(edges, i) as int),
+            |       cast(element_at(edges, i + 1) - element_at(edges, i) as int)))"""
+            .stripMargin)).as("chunk"))
+      .where(length($"chunk") >= ByteCdcMinLen)
+    chunks.groupBy($"chunk")
+      .agg(countDistinct($"media_id").as("n_media"),
+        count(lit(1)).as("n_occ"),
+        min($"media_id").as("first_media"))
+      .where($"n_media" >= 2)
+      .select($"chunk", length($"chunk").cast("long").as("n_bytes"),
+        $"n_media", $"n_occ", $"first_media")
+      .orderBy($"chunk")
+  }
+
   /** Hamming threshold for [[mmPhashNeardup]]: re-encoded copies
     * flip ≤ 4 of 64 blocks (≤ 4 bits expected ~2); random pairs sit
     * near 32. 12 splits the two populations with wide margin. */

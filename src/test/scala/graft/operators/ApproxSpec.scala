@@ -142,6 +142,38 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("q_profile_table: one-pass profile matches per-column aggregates") {
+    import spark.implicits._
+    val rows = RelationalExt.qProfileTable(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rows.keySet == Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val n = Tables.lineitem(spark, sfDir).count()
+    rows.foreach { case (c, (nr, nn, nd, mn, mx)) =>
+      assert(nr == n, s"$c row count")
+      assert(nn == 0, s"$c nulls")
+      assert(nd >= 1 && nd <= n && mn <= mx, s"$c stats")
+    }
+    val dq = Tables.lineitem(spark, sfDir)
+      .select(count_distinct($"l_quantity")).as[Long].head()
+    assert(rows("l_quantity")._3 == dq, "distinct count matches direct agg")
+  }
+
+  test("q_uplift_quintiles: users conserved, quintiles balanced") {
+    val rows = EventAnalytics.qUpliftQuintiles(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to 5L))
+    val nUsers = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(3)).sum == nUsers)
+    val sizes = rows.map(r => r.getLong(1) + r.getLong(3))
+    assert(sizes.max - sizes.min <= 1, s"unbalanced quintiles: ${sizes.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(4) <= r.getLong(3))
+      if (!r.isNullAt(7))
+        assert(r.getDouble(7) >= -1.0 && r.getDouble(7) <= 1.0)
+    }
+  }
+
   test("q_ab_cuped: matches a driver moment replica; reduction bounded") {
     import spark.implicits._
     val r = EventAnalytics.qAbCuped(spark, sfDir).collect().head

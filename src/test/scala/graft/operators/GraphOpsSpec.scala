@@ -89,6 +89,28 @@ class GraphOpsSpec extends SparkTestBase {
     assert(tri.values.toSet.size == 1, s"triangle not uniform: $tri")
   }
 
+  test("q_markov_accuracy: rates bounded, test mass = odd-user transitions") {
+    val rows = GraphOps.qMarkovAccuracy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "hits <= tests")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val oddTrans = graft.Tables.events(spark, sfDir)
+      .withColumn("dst", lead($"event_type", 1).over(w))
+      .where($"dst".isNotNull && $"user_id" % 2 === 1)
+      .count()
+    assert(rows.map(_.getLong(1)).sum == oddTrans, "test transitions conserved")
+    // conditioning must beat the global mode somewhere (else the
+    // model panel is vacuous on this stream)
+    assert(rows.exists(r => r.getDouble(3) > r.getDouble(4)),
+      "model never beats baseline — check the stream")
+  }
+
   test("q_ppr: mass conserved, seed dominates, locality vs global PageRank") {
     val ppr = GraphOps.qPersonalizedPagerank(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
