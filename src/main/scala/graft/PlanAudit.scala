@@ -567,6 +567,23 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "ann_filtered_topk" -> Map(
+        // the filter must reach the parquet scan — pre-filtering is
+        // the whole point vs post-filtering a global shortlist
+        "label filter pushed to scan" -> (p =>
+          "PushedFilters: \\[[^\\]]*EqualTo\\(label".r.findFirstIn(p).isDefined),
+        "probes broadcast" -> (_.contains("BroadcastNestedLoopJoin"))),
+      "q_frequent_triples" -> Map(
+        // candidates come from the frequent-pair self-join, never a
+        // raw cartesian; the semi-join prunes before counting
+        "semi-join prune" -> (_.contains("LeftSemi")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "q_concurrent_sessions" -> Map(
+        // the sweep runs over session-grain deltas; only the session
+        // fold touches event grain (user-keyed windows)
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no join" -> (p => !p.contains("Join"))),
       "mm_cdc_chunks" -> Map(
         // windows/boundaries map-only; the chunk groupBy is the only
         // corpus shuffle; boundary lists fold per media row

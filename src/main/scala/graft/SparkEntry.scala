@@ -214,6 +214,9 @@ object SparkEntry {
     "q_markov_accuracy"           -> operators.GraphOps.qMarkovAccuracy,
     "q_profile_table"             -> RelationalExt.qProfileTable,
     "q_uplift_quintiles"          -> EventAnalytics.qUpliftQuintiles,
+    "q_frequent_triples"          -> operators.SupplyOps.qFrequentTriples,
+    "ann_filtered_topk"           -> AnnOps.annFilteredTopk,
+    "q_concurrent_sessions"       -> EventAnalytics.qConcurrentSessions,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1843,6 +1846,70 @@ object SparkEntry {
     // the SQL-front-door twin produces the identical result by
     // construction — one oracle serves both
     "q_sql_cosine_topk" -> bruteforceOracle,
+
+    // metadata-filtered exact search: same ranking, corpus
+    // restricted to the filter label before scoring
+    "ann_filtered_topk" ->
+      s"""WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 10),
+        |sims AS (SELECT pid, e.vec_id AS nid,
+        |  list_cosine_similarity(pe, CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM probes, embeddings e
+        |  WHERE e.vec_id <> pid AND e.label = ${operators.AnnOps.FilterLabel}),
+        |ranked AS (SELECT pid, nid, sim,
+        |  row_number() OVER (PARTITION BY pid ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM sims)
+        |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor((sim)*10000 + 0.5)/10000 AS sim
+        |FROM ranked WHERE rnk <= 5 ORDER BY pid, rnk""".stripMargin,
+
+    // A-priori triples: candidates only from prefix-sharing frequent
+    // pairs with full downward closure, counted over order itemsets
+    "q_frequent_triples" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |cand AS (
+        |  SELECT p1.a, p1.b, p2.b AS c
+        |  FROM p p1 JOIN p p2 ON p1.a = p2.a AND p1.b < p2.b
+        |  WHERE EXISTS (SELECT 1 FROM p WHERE p.a = p1.b AND p.b = p2.b)),
+        |t AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b, z.l_partkey AS c, count(*) AS support
+        |  FROM op x
+        |  JOIN op y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  JOIN op z ON x.l_orderkey = z.l_orderkey AND y.l_partkey < z.l_partkey
+        |  WHERE EXISTS (SELECT 1 FROM cand
+        |    WHERE cand.a = x.l_partkey AND cand.b = y.l_partkey AND cand.c = z.l_partkey)
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT a, b, c, support FROM t ORDER BY support DESC, a, b, c""".stripMargin,
+
+    // sweep-line concurrency: +1/-1 deltas over the session set,
+    // running sum in (instant, +1-first) order, per-day max
+    "q_concurrent_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |              IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |              > 30*60*1000000 THEN 1 ELSE 0 END AS news
+        |  FROM events),
+        |sid AS (
+        |  SELECT user_id, us,
+        |    sum(news) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e),
+        |sess AS (SELECT user_id, sid, min(us) AS s0, max(us) AS s1 FROM sid GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT s0 AS us, CAST(1 AS BIGINT) AS d FROM sess
+        |  UNION ALL SELECT s1, CAST(-1 AS BIGINT) FROM sess),
+        |curve AS (
+        |  SELECT us, d,
+        |    CAST(sum(d) OVER (ORDER BY us, d DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+        |  FROM deltas)
+        |SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+        |  max(conc) AS peak_concurrent,
+        |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions_started
+        |FROM curve GROUP BY 1 ORDER BY day""".stripMargin,
 
     // the whole SQ8 index replayed in SQL: same per-dim affine bounds,
     // same rounded int8 codes, same reconstruction, same ranking —

@@ -559,6 +559,31 @@ object AnnOps {
       .orderBy($"pos")
   }
 
+  /** Filter label for [[annFilteredTopk]]. */
+  val FilterLabel = 3
+
+  /** METADATA-FILTERED similarity search — the serving problem plain
+    * top-k ignores ("nearest products IN THIS CATEGORY", "nearest
+    * docs the user may access"): top-k restricted to
+    * label = [[FilterLabel]] vectors. This exact path PRE-filters —
+    * the predicate reaches the parquet scan (plan-audited
+    * PushedFilters), so only ~1/|labels| of the corpus is even
+    * scored: with a selective filter, brute force over the filtered
+    * set is the RIGHT plan, and the spec quantifies why the naive
+    * alternative (post-filtering an unfiltered top-k) is broken —
+    * it returns fewer than k when the filter eats the shortlist.
+    * At billion scale the same query runs over label-partitioned
+    * storage (the `ann_incremental_topk` layout keyed by label
+    * instead of cell) with identical semantics. */
+  val annFilteredTopk: QueryFn = (s, dir) => {
+    import s.implicits._
+    val cands = Tables.embeddings(s, dir)
+      .where($"label" === FilterLabel)
+      .join(broadcast(probes(s, dir)), $"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"embedding").as("sim"))
+    rankTopK(cands, K)
+  }
+
   /** Embedding-distribution DRIFT check — the monitoring panel that
     * says whether yesterday's index still fits today's corpus: the
     * corpus splits into two deterministic halves (vec_id parity —

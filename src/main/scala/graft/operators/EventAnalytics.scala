@@ -543,6 +543,47 @@ object EventAnalytics {
           .as("var_reduction"))
   }
 
+  /** Peak concurrent sessions per day — the SWEEP-LINE interval
+    * class (`q_events_session_window` builds sessions; this asks how
+    * many OVERLAP — the capacity-planning number sizing connection
+    * pools and autoscaling floors): every session contributes a +1
+    * at start and a −1 at end, the running delta sum over the
+    * global (instant, delta) order IS the concurrency curve, and
+    * its per-day max is the answer. Ties order +1 before −1 (a
+    * session ending the instant another starts counts as overlap).
+    *
+    * Scale shape: the corpus folds to sessions FIRST (user-keyed
+    * gap windows — the sessionize partitioning); the sweep runs
+    * over 2×sessions delta rows, session-grain not event-grain.
+    * The global running sum is the one inherently sequential step —
+    * at extreme scale it ranges-partitions by time with per-range
+    * offsets (the prefix-sum trick); here the aggregate frame makes
+    * a single sort cheap. All integers; exact cross-engine. */
+  val qConcurrentSessions: QueryFn = (s, dir) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val sess = Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("gap", $"us" - lag($"us", 1).over(byUser))
+      .withColumn("news",
+        when($"gap".isNull || $"gap" > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("sid", sum($"news").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("s0"), max($"us").as("s1"))
+    val deltas = sess.select($"s0".as("us"), lit(1L).as("d"))
+      .unionByName(sess.select($"s1".as("us"), lit(-1L).as("d")))
+    val curve = deltas
+      .withColumn("conc", sum($"d").over(
+        Window.orderBy($"us", $"d".desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    curve
+      .groupBy(date_format(timestamp_micros($"us").cast("date"), "yyyy-MM-dd").as("day"))
+      .agg(max($"conc").as("peak_concurrent"),
+        sum(when($"d" === 1L, 1L).otherwise(0L)).as("n_sessions_started"))
+      .orderBy($"day")
+  }
+
   /** Uplift by activity quintile — the heterogeneous-treatment-
     * effect panel next to [[qAbCuped]]'s average effect: users
     * bucket into pre-period-activity quintiles (the explicit

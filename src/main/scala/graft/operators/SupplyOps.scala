@@ -104,6 +104,42 @@ object SupplyOps {
       .orderBy($"lift".desc, $"confidence".desc, $"ante", $"cons")
   }
 
+  /** Frequent 3-itemsets with A-priori pruning (Agrawal & Srikant
+    * 1994) — market-basket depth beyond [[qCopurchasePairs]]'s
+    * pairs: candidate triples are generated ONLY from frequent
+    * pairs sharing a prefix (the downward-closure property: a
+    * frequent {a,b,c} requires frequent {a,b}, {a,c}, {b,c}), then
+    * counted in one pass over per-order itemsets. The prune is the
+    * scale story: the raw triple space is Σ width³/6 per order;
+    * candidates from frequent-pair joins are support-bounded, which
+    * is why A-priori (and its SON/partitioned descendants) run at
+    * warehouse scale. Every count exact; support ≥ 2 on orders. */
+  val qFrequentTriples: QueryFn = (s, dir) => {
+    import s.implicits._
+    val op = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val pairs = op.select($"l_orderkey", $"l_partkey".as("a"))
+      .join(op.select($"l_orderkey", $"l_partkey".as("b")), Seq("l_orderkey"))
+      .where($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("sup"))
+      .where($"sup" >= 2)
+      .select($"a", $"b").localCheckpoint(true)
+    // candidate {a,b,c}: frequent {a,b} + frequent {a,c} (b < c),
+    // kept only if {b,c} is frequent too (full downward closure)
+    val cands = pairs.as("p1")
+      .join(pairs.as("p2"), $"p1.a" === $"p2.a" && $"p1.b" < $"p2.b")
+      .select($"p1.a".as("a"), $"p1.b".as("b"), $"p2.b".as("c"))
+      .join(pairs.select($"a".as("b"), $"b".as("c")), Seq("b", "c"), "left_semi")
+    val triples = op.select($"l_orderkey", $"l_partkey".as("a"))
+      .join(op.select($"l_orderkey", $"l_partkey".as("b")), Seq("l_orderkey"))
+      .join(op.select($"l_orderkey", $"l_partkey".as("c")), Seq("l_orderkey"))
+      .where($"a" < $"b" && $"b" < $"c")
+      .join(cands, Seq("a", "b", "c"), "left_semi")
+      .groupBy($"a", $"b", $"c").agg(count(lit(1)).as("support"))
+      .where($"support" >= 2)
+    triples.orderBy($"support".desc, $"a", $"b", $"c")
+  }
+
   val qCopurchasePairs: QueryFn = (s, dir) => {
     import s.implicits._
     val op = Tables.lineitem(s, dir)

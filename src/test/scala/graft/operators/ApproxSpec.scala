@@ -142,6 +142,40 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("q_concurrent_sessions: peak matches a driver sweep over the same sessions") {
+    import spark.implicits._
+    val got = EventAnalytics.qConcurrentSessions(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    // driver replica: sessionize then sweep
+    val evs = Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+    val sessions = evs.groupBy(_._1).values.flatMap { us =>
+      val sorted = us.map(u => (u._2, u._3)).sortBy(identity)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var (s0, last) = (sorted.head._1, sorted.head._1)
+      sorted.tail.foreach { case (t, _) =>
+        if (t - last > 30L * 60 * 1000000) { buf += ((s0, last)); s0 = t }
+        last = t
+      }
+      buf += ((s0, last)); buf
+    }.toSeq
+    val deltas = sessions.flatMap { case (a, b) => Seq((a, 1L), (b, -1L)) }
+      .sortBy { case (u, d) => (u, -d) }
+    var conc = 0L
+    val byDay = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    deltas.foreach { case (u, d) =>
+      conc += d
+      val day = fmt.format(java.time.Instant.ofEpochMilli(u / 1000))
+      val (pk, st) = byDay.getOrElse(day, (0L, 0L))
+      byDay(day) = (math.max(pk, conc), st + (if (d == 1) 1 else 0))
+    }
+    assert(got == byDay.toMap, s"diff: ${(byDay.toSet -- got.toSet).take(3)}")
+  }
+
   test("q_profile_table: one-pass profile matches per-column aggregates") {
     import spark.implicits._
     val rows = RelationalExt.qProfileTable(spark, sfDir).collect()

@@ -388,6 +388,28 @@ class DedupAnnSpec extends SparkTestBase {
     assert(byId.values.forall(_._1 > 0), "every non-trivial doc fingerprinted")
   }
 
+  test("ann_filtered_topk: label-pure results; post-filtering the global top-k is broken") {
+    import spark.implicits._
+    val lbl = AnnOps.FilterLabel
+    val rows = AnnOps.annFilteredTopk(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(labels(r.getLong(2)) == lbl, s"impure result ${r.getLong(2)}"))
+    // every probe gets a full k (the filtered corpus is large enough)
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until 10L).toSet)
+    byProbe.values.foreach(rs => assert(rs.length == AnnOps.K))
+    // the naive alternative — post-filter the UNfiltered top-k —
+    // underfills: selectivity ~1/10 leaves <k matches in a 5-list
+    val global = AnnOps.annBruteforceTopk(spark, sfDir).collect()
+    val postFiltered = global.filter(r => labels(r.getLong(2)) == lbl)
+      .groupBy(_.getLong(0)).view.mapValues(_.length)
+    val underfilled = (0L until 10L).count(p => postFiltered.getOrElse(p, 0) < AnnOps.K)
+    assert(underfilled >= 8, s"post-filter should underfill most probes, got $underfilled/10")
+  }
+
   test("ann_radius_search: subset of the brute-force radius with useful recall") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -89,6 +89,32 @@ class GraphOpsSpec extends SparkTestBase {
     assert(tri.values.toSet.size == 1, s"triangle not uniform: $tri")
   }
 
+  test("q_frequent_triples: downward closure holds; matches brute force") {
+    import spark.implicits._
+    val triples = graft.operators.SupplyOps.qFrequentTriples(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(triples.nonEmpty)
+    // brute-force replica over collected per-order itemsets
+    val orders = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().groupBy(_._1).values
+      .map(_.map(_._2).distinct.sorted).toSeq
+    val expected = orders.flatMap { items =>
+      for { i <- items.indices; j <- i + 1 until items.length; k <- j + 1 until items.length }
+        yield (items(i), items(j), items(k))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2).toMap
+    assert(triples == expected,
+      s"missing=${(expected.keySet -- triples.keySet).take(3)} extra=${(triples.keySet -- expected.keySet).take(3)}")
+    // downward closure: every sub-pair of a frequent triple is frequent
+    val pairSup = orders.flatMap { items =>
+      for { i <- items.indices; j <- i + 1 until items.length } yield (items(i), items(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    triples.keys.foreach { case (a, b, c) =>
+      Seq((a, b), (a, c), (b, c)).foreach(p =>
+        assert(pairSup(p) >= 2, s"closure violated for $p in ($a,$b,$c)"))
+    }
+  }
+
   test("q_markov_accuracy: rates bounded, test mass = odd-user transitions") {
     val rows = GraphOps.qMarkovAccuracy(spark, sfDir).collect()
     assert(rows.nonEmpty)
