@@ -567,6 +567,13 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_time_to_convert" -> Map(
+        // the bisection ran during construction (driver loop over a
+        // users-sized aggregate); the result is a 1-row local
+        // relation — no sort, no window ever materialized
+        "no window (bisection, not sort)" -> (p =>
+          !p.contains("windowspecdefinition")),
+        "1-row local result" -> (_.contains("LocalTableScan"))),
       "ann_filtered_topk" -> Map(
         // the filter must reach the parquet scan — pre-filtering is
         // the whole point vs post-filtering a global shortlist

@@ -217,6 +217,7 @@ object SparkEntry {
     "q_frequent_triples"          -> operators.SupplyOps.qFrequentTriples,
     "ann_filtered_topk"           -> AnnOps.annFilteredTopk,
     "q_concurrent_sessions"       -> EventAnalytics.qConcurrentSessions,
+    "q_time_to_convert"           -> EventAnalytics.qTimeToConvert,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1881,6 +1882,23 @@ object SparkEntry {
         |    WHERE cand.a = x.l_partkey AND cand.b = y.l_partkey AND cand.c = z.l_partkey)
         |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
         |SELECT a, b, c, support FROM t ORDER BY support DESC, a, b, c""".stripMargin,
+
+    // funnel latency quantiles: kth-smallest minute values via a
+    // cumulative window (the engine bisects instead)
+    "q_time_to_convert" ->
+      """WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS s0 FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |lat AS (
+        |  SELECT s0.user_id,
+        |    CAST(floor(CAST(min(e.p - s0.s0) AS DOUBLE) / 60000000) AS BIGINT) AS m
+        |  FROM s0 JOIN (SELECT user_id, epoch_us(ts) AS p FROM events WHERE event_type = 'purchase') e
+        |    USING (user_id)
+        |  WHERE e.p > s0.s0 GROUP BY s0.user_id),
+        |nn AS (SELECT count(*) AS n FROM lat),
+        |cw AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM lat)
+        |SELECT nn.n AS n_converted,
+        |  (SELECT m FROM cw, nn WHERE rn = (nn.n + 1) // 2) AS median_min,
+        |  (SELECT m FROM cw, nn WHERE rn = (9*nn.n + 9) // 10) AS p90_min
+        |FROM nn""".stripMargin,
 
     // sweep-line concurrency: +1/-1 deltas over the session set,
     // running sum in (instant, +1-first) order, per-day max

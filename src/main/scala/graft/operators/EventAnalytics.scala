@@ -543,6 +543,46 @@ object EventAnalytics {
           .as("var_reduction"))
   }
 
+  /** Time-to-convert latency panel — median and p90 minutes from
+    * first signup to the first LATER purchase, per user: the funnel
+    * family's LATENCY face ([[qFunnelOrdered]] counts who converts;
+    * this says how long conversion takes — the number SLA and
+    * nurture-campaign timing decide on). Quantiles by the same
+    * sort-free bisection as [[qBisectMedian]], on the MINUTE grid
+    * over the per-user latency aggregate (users-sized, so each
+    * bisection round is a trivial agg; the grid keeps rounds at
+    * O(log minutes) ≈ 16). The oracle sorts with a cumulative
+    * window — identical integer threshold definition. */
+  val qTimeToConvert: QueryFn = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val s0 = ev.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min(unix_micros($"ts")).as("s0"))
+    val lat = s0.join(ev.where($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("p")), Seq("user_id"))
+      .where($"p" > $"s0")
+      .groupBy($"user_id").agg(min($"p" - $"s0").as("gap_us"))
+      .select($"user_id", floor($"gap_us" / lit(60000000L)).cast("long").as("m"))
+      .localCheckpoint(true)
+    val stats = lat.agg(count(lit(1)).as("n"), min($"m").as("lo"), max($"m").as("hi"))
+      .head()
+    val (n, lo0, hi0) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    // kth smallest minute value via bisection (ks: median lower rank
+    // and the p90 lower rank — ceil semantics match the oracle)
+    def kth(k: Long): Long = {
+      var (lo, hi) = (lo0, hi0)
+      while (lo < hi) {
+        val mid = lo + (hi - lo) / 2
+        val le = lat.agg(sum(when($"m" <= mid, 1L).otherwise(0L))).head().getLong(0)
+        if (le >= k) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    val med = kth((n + 1) / 2)
+    val p90 = kth((9 * n + 9) / 10)
+    Seq((n, med, p90)).toDF("n_converted", "median_min", "p90_min")
+  }
+
   /** Peak concurrent sessions per day — the SWEEP-LINE interval
     * class (`q_events_session_window` builds sessions; this asks how
     * many OVERLAP — the capacity-planning number sizing connection

@@ -76,6 +76,20 @@ object Streams {
         col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"), col("approx_users"))
 
+  /** HOPPING-window aggregate (6 h panes sliding 2 h) with a 1-hour
+    * watermark — the streaming twin of the batch `q_events_hopping`:
+    * the multi-assignment (each event → 3 panes) happens map-side
+    * inside the stateful agg, and a pane finalizes when the
+    * watermark passes its END — late data within the watermark
+    * amends the open panes it overlaps. StreamingSpec proves
+    * batch/stream pane parity on the finite stream. */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "2 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+
   /** Progress-derived throughput/latency report for a streaming
     * query — the numbers a capacity plan needs (can this topology
     * keep up with the ingest rate, and what's the tail batch

@@ -142,6 +142,28 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("q_time_to_convert: bisected quantiles equal sorted-list order statistics") {
+    import spark.implicits._
+    val r = EventAnalytics.qTimeToConvert(spark, sfDir).collect().head
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", unix_micros($"ts"))
+      .as[(Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val lats = byUser.values.flatMap { es =>
+      val signups = es.filter(_._2 == "signup").map(_._3)
+      if (signups.isEmpty) None
+      else {
+        val s0 = signups.min
+        val ps = es.filter(e => e._2 == "purchase" && e._3 > s0).map(_._3)
+        if (ps.isEmpty) None else Some((ps.min - s0) / 60000000L)
+      }
+    }.toSeq.sorted
+    assert(r.getLong(0) == lats.length)
+    assert(r.getLong(1) == lats(((lats.length + 1) / 2 - 1).toInt), "median")
+    assert(r.getLong(2) == lats(((9 * lats.length + 9) / 10 - 1).toInt), "p90")
+    assert(r.getLong(1) <= r.getLong(2))
+  }
+
   test("q_concurrent_sessions: peak matches a driver sweep over the same sessions") {
     import spark.implicits._
     val got = EventAnalytics.qConcurrentSessions(spark, sfDir).collect()

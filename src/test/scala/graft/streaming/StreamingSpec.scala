@@ -29,6 +29,25 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("streaming hopping agg == batch panes (each event in 3 overlapping windows)") {
+    import spark.implicits._
+    val stream = Streams.hoppingAgg(Streams.eventsStream(spark, sfDir))
+    val q = stream.writeStream
+      .format("memory").queryName("hop_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hop_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "6 hours", "2 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start", $"event_type", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got == batch)
+    // 3× multi-assignment conservation
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(got.values.sum == 3 * nEvents)
+  }
+
   test("streaming dedup: one survivor per (user, type) key") {
     import spark.implicits._
     val deduped = Streams.streamingDedup(Streams.eventsStream(spark, sfDir))
