@@ -567,6 +567,13 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_growth_accounting" -> Map(
+        // the (day,user) dedup is the only event-grain shuffle;
+        // classification joins run at activity grain
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no cartesian" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "no window" -> (p => !p.contains("windowspecdefinition"))),
       "q_time_to_convert" -> Map(
         // the bisection ran during construction (driver loop over a
         // users-sized aggregate); the result is a 1-row local

@@ -218,6 +218,8 @@ object SparkEntry {
     "ann_filtered_topk"           -> AnnOps.annFilteredTopk,
     "q_concurrent_sessions"       -> EventAnalytics.qConcurrentSessions,
     "q_time_to_convert"           -> EventAnalytics.qTimeToConvert,
+    "q_growth_accounting"         -> EventAnalytics.qGrowthAccounting,
+    "ann_recall_panel"            -> AnnOps.annRecallPanel,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1883,6 +1885,30 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
         |SELECT a, b, c, support FROM t ORDER BY support DESC, a, b, c""".stripMargin,
 
+    // growth accounting: DAU_t = new + retained + resurrected;
+    // churned_t = DAU_{t-1} − retained_t — all from the deduped
+    // (day, user) activity frame
+    "q_growth_accounting" ->
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+        |fd AS (SELECT user_id, min(d) AS d0 FROM du GROUP BY user_id),
+        |cls AS (
+        |  SELECT du.d AS day, du.user_id,
+        |    CASE WHEN fd.d0 = du.d THEN 'new'
+        |         WHEN y.user_id IS NOT NULL THEN 'retained'
+        |         ELSE 'resurrected' END AS cls
+        |  FROM du JOIN fd USING (user_id)
+        |  LEFT JOIN du y ON y.user_id = du.user_id AND y.d + INTERVAL 1 DAY = du.d),
+        |cnt AS (
+        |  SELECT day, count(*) AS dau,
+        |    CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM cls GROUP BY day)
+        |SELECT strftime(c.day, '%Y-%m-%d') AS day, c.dau, c.n_new, c.n_retained, c.n_resurrected,
+        |  coalesce(p.dau, 0) - c.n_retained AS n_churned
+        |FROM cnt c LEFT JOIN cnt p ON p.day + INTERVAL 1 DAY = c.day
+        |ORDER BY day""".stripMargin,
+
     // funnel latency quantiles: kth-smallest minute values via a
     // cumulative window (the engine bisects instead)
     "q_time_to_convert" ->
@@ -1959,39 +1985,29 @@ object SparkEntry {
     // cell assignment at 1e-6-rounded cosine (ties to lower cell),
     // 6 probe cells, exact cosine within candidate cells
     "ann_ivf_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT label, pos,
-        |    CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
-        |  FROM e GROUP BY label, pos),
-        |cent AS (SELECT CAST(label AS INTEGER) AS cell, list(m ORDER BY pos) AS centroid FROM c GROUP BY label),
-        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |scored AS (
-        |  SELECT vec_id, cell,
-        |    floor((list_cosine_similarity(v, centroid))*1000000 + 0.5)/1000000 AS sim
-        |  FROM emb CROSS JOIN cent),
-        |assigned AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
-        |    FROM scored) t WHERE rn = 1),
-        |pcells AS (
-        |  SELECT vec_id AS pid, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
-        |    FROM scored WHERE vec_id < 10) t WHERE rn <= 6),
-        |probes AS (SELECT vec_id AS pid, v AS pe FROM emb WHERE vec_id < 10),
-        |cands AS (
-        |  SELECT p.pid, a.vec_id AS nid, list_cosine_similarity(pr.pe, ev.v) AS sim
-        |  FROM pcells p
-        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.pid
-        |  JOIN probes pr ON pr.pid = p.pid
-        |  JOIN emb ev ON ev.vec_id = a.vec_id),
-        |ranked AS (SELECT pid, nid, sim,
-        |  row_number() OVER (PARTITION BY pid ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM cands)
+      s"""WITH $ivfRankedCtes
         |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor((sim)*10000 + 0.5)/10000 AS sim
         |FROM ranked WHERE rnk <= 5 ORDER BY pid, rnk""".stripMargin,
+
+    // the whole recall@k curve as a query: IVF ranking ∩ exact
+    // ranking per cutoff — both deterministic, so the EVAL artifact
+    // hash-verifies
+    "ann_recall_panel" ->
+      s"""WITH $ivfRankedCtes,
+        |iv AS (SELECT pid, nid, rnk AS ri FROM ranked WHERE rnk <= 10),
+        |exr AS (
+        |  SELECT pid, nid, row_number() OVER (PARTITION BY pid
+        |      ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS re
+        |  FROM (SELECT pr.pid, ev.vec_id AS nid, list_cosine_similarity(pr.pe, ev.v) AS sim
+        |        FROM probes pr JOIN emb ev ON ev.vec_id <> pr.pid)),
+        |ex AS (SELECT pid, nid, re FROM exr WHERE re <= 10),
+        |j AS (SELECT iv.pid, iv.ri, ex.re FROM iv JOIN ex USING (pid, nid)),
+        |ks AS (SELECT unnest(generate_series(1, 10)) AS k)
+        |SELECT CAST(ks.k AS BIGINT) AS k,
+        |  CAST(sum(CASE WHEN j.ri <= ks.k AND j.re <= ks.k THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  floor((CAST(sum(CASE WHEN j.ri <= ks.k AND j.re <= ks.k THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(ks.k * 10 AS DOUBLE))*1000000 + 0.5)/1000000 AS recall
+        |FROM ks CROSS JOIN j GROUP BY ks.k ORDER BY k""".stripMargin,
 
     "ann_incremental_topk" ->
       """WITH e AS (
@@ -3134,6 +3150,42 @@ object SparkEntry {
 
   /** Shared by `ann_bruteforce_topk` and its SQL-front-door twin
     * `q_sql_cosine_topk`. */
+  /** The IVF index replay through the probe-cell ranking (CTE
+    * `ranked`, plus `probes`/`emb` for reuse) — shared by
+    * `ann_ivf_topk` and `ann_recall_panel`. */
+  private lazy val ivfRankedCtes: String =
+    """e AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT label, pos,
+      |    CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
+      |  FROM e GROUP BY label, pos),
+      |cent AS (SELECT CAST(label AS INTEGER) AS cell, list(m ORDER BY pos) AS centroid FROM c GROUP BY label),
+      |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT vec_id, cell,
+      |    floor((list_cosine_similarity(v, centroid))*1000000 + 0.5)/1000000 AS sim
+      |  FROM emb CROSS JOIN cent),
+      |assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+      |    FROM scored) t WHERE rn = 1),
+      |pcells AS (
+      |  SELECT vec_id AS pid, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+      |    FROM scored WHERE vec_id < 10) t WHERE rn <= 6),
+      |probes AS (SELECT vec_id AS pid, v AS pe FROM emb WHERE vec_id < 10),
+      |cands AS (
+      |  SELECT p.pid, a.vec_id AS nid, list_cosine_similarity(pr.pe, ev.v) AS sim
+      |  FROM pcells p
+      |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.pid
+      |  JOIN probes pr ON pr.pid = p.pid
+      |  JOIN emb ev ON ev.vec_id = a.vec_id),
+      |ranked AS (SELECT pid, nid, sim,
+      |  row_number() OVER (PARTITION BY pid ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM cands)""".stripMargin
+
   private lazy val bruteforceOracle: String =
     """WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 10),
       |sims AS (SELECT pid, e.vec_id AS nid,

@@ -394,19 +394,57 @@ object AnnOps {
     * nprobe = [[IvfProbeCells]]; DedupAnnSpec sweeps the dial and
     * asserts recall is monotone non-decreasing in nprobe and exact
     * at nprobe = n_cells (full scan ⇒ brute-force parity). */
-  def ivfTopkWithProbes(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  /** The IVF candidate stream (pid, nid, sim) for a probe budget —
+    * shared by the top-k serve path and [[annRecallPanel]]. */
+  private def ivfCandidates(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import s.implicits._
     val cellsLit = typedLit(ivfCentroids(s, dir))
     val assigned = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding", cellScores(cellsLit)($"embedding").as("scored"))
       .select($"vec_id", $"embedding", argmaxCell($"scored").as("cell"))
-    val cands = probeCellsOf(s, dir, cellsLit, nprobe).join(assigned, Seq("cell"))
+    probeCellsOf(s, dir, cellsLit, nprobe).join(assigned, Seq("cell"))
       .where($"vec_id" =!= $"pid")
       .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"embedding").as("sim"))
-    rankTopK(cands, K)
   }
 
+  def ivfTopkWithProbes(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    rankTopK(ivfCandidates(s, dir, nprobe), K)
+
   val annIvfTopk: QueryFn = (s, dir) => ivfTopkWithProbes(s, dir, IvfProbeCells)
+
+  /** Recall@k curve depth. */
+  val RecallPanelK = 10
+
+  /** ANN recall@k EVALUATION panel — the index what q_model_gains is
+    * to the classifier: for every k ≤ [[RecallPanelK]], the IVF
+    * serve path's recall against the exact ranking, as a QUERY (the
+    * recall specs assert single points; this materializes the whole
+    * curve, which is what an index tuning review reads). Both
+    * rankings are deterministic (rounded-sim, nid tiebreak), their
+    * intersection is exact integer counting, and recall is one
+    * division — the curve hash-verifies, unusual for an eval
+    * artifact. The k-fold runs on the ≤k·probes matched pairs — the
+    * corpus work is the two candidate streams it already shares
+    * with the serve paths. */
+  val annRecallPanel: QueryFn = (s, dir) => {
+    import s.implicits._
+    val iv = rankTopK(ivfCandidates(s, dir, IvfProbeCells), RecallPanelK)
+      .select($"pid", $"nid", $"rnk".as("ri"))
+    val ex = rankTopK(
+      Tables.embeddings(s, dir)
+        .join(broadcast(probes(s, dir)), $"vec_id" =!= $"pid")
+        .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"embedding").as("sim")),
+      RecallPanelK)
+      .select($"pid", $"nid", $"rnk".as("re"))
+    val matched = iv.join(ex, Seq("pid", "nid")).localCheckpoint(true)
+    val ks = (1 to RecallPanelK).toDF("k")
+    ks.crossJoin(matched)
+      .groupBy($"k")
+      .agg(sum(when($"ri" <= $"k" && $"re" <= $"k", 1L).otherwise(0L)).as("n_hits"))
+      .select($"k".cast("long").as("k"), $"n_hits",
+        rnd($"n_hits".cast("double") / ($"k" * NumProbes).cast("double"), 6).as("recall"))
+      .orderBy($"k")
+  }
 
   /** The SAME exact top-k, but written as a SQL STRING against the
     * registered custom expression — the API-surface proof that a

@@ -543,6 +543,47 @@ object EventAnalytics {
           .as("var_reduction"))
   }
 
+  /** Growth accounting — DAU decomposed into NEW + RETAINED +
+    * RESURRECTED, with CHURNED as the negative term (Social
+    * Capital's growth-accounting identity: DAU_t = new_t +
+    * retained_t + resurrected_t; DAU_{t-1} = retained_t +
+    * churned_t): the panel that says whether growth is acquisition
+    * or re-engagement, and what churn eats. Classification per
+    * (day, user): first-ever day → new; active yesterday →
+    * retained; else resurrected. All from the deduped (day, user)
+    * frame — two self-joins on (user, day−1) and a first-day min —
+    * exact integer counts, identity spec-asserted per day.
+    *
+    * Scale: the (day,user) dedup is the only event-grain shuffle;
+    * everything after is activity-grain. */
+  val qGrowthAccounting: QueryFn = (s, dir) => {
+    import s.implicits._
+    val du = Tables.events(s, dir)
+      .select(to_date($"ts").as("d"), $"user_id").distinct()
+      .localCheckpoint(true)
+    val firstDay = du.groupBy($"user_id").agg(min($"d").as("d0"))
+    val today = du.join(firstDay, "user_id")
+    val yesterday = du.select(date_add($"d", 1).as("d"), $"user_id".as("y_uid"))
+    val classified = today
+      .join(yesterday, today("d") === yesterday("d") && $"user_id" === $"y_uid", "left")
+      .select(today("d").as("day"), $"user_id",
+        when($"d0" === today("d"), "new")
+          .when($"y_uid".isNotNull, "retained")
+          .otherwise("resurrected").as("cls"))
+    val counts = classified.groupBy($"day")
+      .agg(count(lit(1)).as("dau"),
+        sum(when($"cls" === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when($"cls" === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when($"cls" === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    // churned_t = DAU_{t-1} − retained_t (the identity's other half)
+    val prev = counts.select(date_add($"day", 1).as("day"), $"dau".as("prev_dau"))
+    counts.join(prev, Seq("day"), "left")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"dau", $"n_new", $"n_retained", $"n_resurrected",
+        (coalesce($"prev_dau", lit(0L)) - $"n_retained").as("n_churned"))
+      .orderBy($"day")
+  }
+
   /** Time-to-convert latency panel — median and p90 minutes from
     * first signup to the first LATER purchase, per user: the funnel
     * family's LATENCY face ([[qFunnelOrdered]] counts who converts;

@@ -142,6 +142,27 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("q_growth_accounting: the accounting identity holds every day") {
+    val rows = EventAnalytics.qGrowthAccounting(spark, sfDir).collect()
+      .sortBy(_.getString(0))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"${r.getString(0)}: DAU != new + retained + resurrected")
+    }
+    rows.sliding(2).foreach {
+      case Array(prev, cur) =>
+        // DAU_{t-1} = retained_t + churned_t
+        assert(prev.getLong(1) == cur.getLong(3) + cur.getLong(5),
+          s"${cur.getString(0)}: yesterday's DAU != retained + churned")
+      case _ =>
+    }
+    // every user is new exactly once
+    val nUsers = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nUsers)
+  }
+
   test("q_time_to_convert: bisected quantiles equal sorted-list order statistics") {
     import spark.implicits._
     val r = EventAnalytics.qTimeToConvert(spark, sfDir).collect().head

@@ -388,6 +388,27 @@ class DedupAnnSpec extends SparkTestBase {
     assert(byId.values.forall(_._1 > 0), "every non-trivial doc fingerprinted")
   }
 
+  test("ann_recall_panel: curve consistent with the single-point recall measurements") {
+    val rows = AnnOps.annRecallPanel(spark, sfDir).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (1L to AnnOps.RecallPanelK))
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getLong(1) <= r.getLong(0) * 10, "hits bounded by k x probes")
+    }
+    // hits are monotone in k (a pair in both top-k sets stays in top-k')
+    val hits = rows.map(_.getLong(1))
+    assert(hits.zip(hits.tail).forall { case (a, b) => b >= a }, "hits monotone")
+    // the k=5 point must agree with the independent recall
+    // measurement DedupAnnSpec makes from the two rankings
+    val exact = AnnOps.annBruteforceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = AnnOps.annIvfTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val point = ivf.intersect(exact).size
+    assert(rows(4).getLong(1) == point.toLong,
+      s"recall@5 hits ${rows(4).getLong(1)} vs measured $point")
+  }
+
   test("ann_filtered_topk: label-pure results; post-filtering the global top-k is broken") {
     import spark.implicits._
     val lbl = AnnOps.FilterLabel
