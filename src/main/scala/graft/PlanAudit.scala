@@ -567,6 +567,18 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_pit_join" -> Map(
+        // interval containment is a RESIDUAL on the user equi-join —
+        // never a global inequality join
+        "user equi-join, no cartesian" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "q_lorenz_revenue" -> Map(
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "rank window over the per-customer aggregate" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).toSeq.distinct.size <= 2),
+        "1-row total broadcast only" -> (p =>
+          "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size <= 1)),
       "q_growth_accounting" -> Map(
         // the (day,user) dedup is the only event-grain shuffle;
         // classification joins run at activity grain

@@ -220,6 +220,8 @@ object SparkEntry {
     "q_time_to_convert"           -> EventAnalytics.qTimeToConvert,
     "q_growth_accounting"         -> EventAnalytics.qGrowthAccounting,
     "ann_recall_panel"            -> AnnOps.annRecallPanel,
+    "q_pit_join"                  -> operators.CdcOps.qPitJoin,
+    "q_lorenz_revenue"            -> RelationalExt.qLorenzRevenue,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1884,6 +1886,48 @@ object SparkEntry {
         |    WHERE cand.a = x.l_partkey AND cand.b = y.l_partkey AND cand.c = z.l_partkey)
         |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
         |SELECT a, b, c, support FROM t ORDER BY support DESC, a, b, c""".stripMargin,
+
+    // PIT join: each purchase resolved against the SCD2 interval
+    // covering its instant — the two CTEs are q_scd2_history's chain
+    "q_pit_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT * FROM e WHERE prev IS NULL OR prev <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type AS attr, epoch_us(ts) AS valid_from_us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+        |  FROM c),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus, value FROM events WHERE event_type = 'purchase')
+        |SELECT v.attr AS state_at_purchase, count(*) AS n_purchases,
+        |  floor(CAST(sum(CAST((p.value) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS revenue
+        |FROM p JOIN v ON v.user_id = p.user_id
+        |  AND v.valid_from_us <= p.pus
+        |  AND (v.valid_to_us IS NULL OR p.pus < v.valid_to_us)
+        |GROUP BY v.attr ORDER BY state_at_purchase""".stripMargin,
+
+    // Lorenz curve: explicit ceil-division deciles over per-customer
+    // decimal revenue, shares as single IEEE divisions
+    "q_lorenz_revenue" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(27,10))) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |nn AS (SELECT count(*) AS n FROM pc),
+        |d AS (
+        |  SELECT o_custkey, rev,
+        |    CAST(floor(CAST(row_number() OVER (ORDER BY rev DESC, o_custkey)*10 + nn.n - 1 AS DOUBLE)/nn.n) AS BIGINT) AS decile
+        |  FROM pc, nn),
+        |byd AS (SELECT decile, count(*) AS n_cust, sum(rev) AS rev FROM d GROUP BY decile),
+        |tot AS (SELECT sum(rev) AS tot FROM byd),
+        |cum AS (SELECT decile, n_cust, rev,
+        |          sum(rev) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |        FROM byd)
+        |SELECT decile, n_cust,
+        |  floor(CAST(rev AS DOUBLE)*100 + 0.5)/100 AS revenue,
+        |  floor((CAST(rev AS DOUBLE)/CAST(tot.tot AS DOUBLE))*1000000 + 0.5)/1000000 AS share,
+        |  floor((CAST(cum_rev AS DOUBLE)/CAST(tot.tot AS DOUBLE))*1000000 + 0.5)/1000000 AS cum_share
+        |FROM cum, tot ORDER BY decile""".stripMargin,
 
     // growth accounting: DAU_t = new + retained + resurrected;
     // churned_t = DAU_{t-1} − retained_t — all from the deduped

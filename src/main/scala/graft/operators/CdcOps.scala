@@ -111,6 +111,38 @@ object CdcOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Point-in-time (AS OF) join against the SCD2 history — the query
+    * the history table EXISTS for: each purchase event looks up the
+    * attribute interval covering its timestamp ("what state was the
+    * user in when they bought"), then folds to per-attribute
+    * conversion counts and revenue. This is the warehouse PIT-join
+    * pattern (fact ⋈ dimension FOR SYSTEM_TIME AS OF), composed
+    * directly on [[qScd2History]]'s intervals so the two operators
+    * provably share semantics.
+    *
+    * Shape: a user-keyed equi-join with the interval containment as
+    * a residual predicate — fan-in bounded by per-user intervals ×
+    * per-user purchases (the range-join discipline: never a global
+    * inequality join); revenue decimal-accumulates. Every purchase
+    * matches exactly ONE interval (they tile — spec-proven), which
+    * the conservation check asserts. */
+  val qPitJoin: QueryFn = (s, dir) => {
+    import graft.functions.Cols.{rnd => rnd2}
+    val hist = qScd2History(s, dir)
+      .select(col("user_id"), col("attr"), col("valid_from_us"), col("valid_to_us"))
+    val purchases = Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"), col("value"))
+    purchases.join(hist,
+        purchases("user_id") === hist("user_id") &&
+          col("valid_from_us") <= col("pus") &&
+          (col("valid_to_us").isNull || col("pus") < col("valid_to_us")))
+      .groupBy(col("attr").as("state_at_purchase"))
+      .agg(count(lit(1)).as("n_purchases"),
+        rnd2(xsum(col("value")), 2).as("revenue"))
+      .orderBy(col("state_at_purchase"))
+  }
+
   /** Snapshot DIFF — the data-diff op every migration/backfill review
     * runs before swapping tables: base vs merged snapshot full-outer
     * joined on the key, every row classified

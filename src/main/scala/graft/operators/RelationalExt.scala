@@ -499,6 +499,46 @@ object RelationalExt {
       .orderBy($"rolling_rev".desc, $"o_custkey", $"day")
   }
 
+  /** Lorenz revenue-concentration curve — "the top decile of
+    * customers carries X% of revenue", the table behind every
+    * pareto/whale chart (q_skew_gini reduces the same shape to one
+    * Gini number over EVENT counts; this materializes the whole
+    * curve over REVENUE, which is what account-tier decisions read).
+    * Customers rank by spend descending into explicit ceil-division
+    * deciles (the RFM formula); each row reports the decile's
+    * revenue share and the cumulative share. DECIMAL revenue sums;
+    * shares are single divisions of exact values.
+    *
+    * Scale: orders fold per-customer first; the rank window and the
+    * 10-row cumulative fold run over the aggregate. */
+  val qLorenzRevenue: QueryFn = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val perCust = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(DecimalType(27, 10))).as("rev"))
+    val n = lit(perCust.count())
+    val byDec = perCust
+      .withColumn("rn", row_number().over(Window.orderBy($"rev".desc, $"o_custkey")))
+      .withColumn("decile",
+        floor(($"rn" * 10 + n - lit(1)).cast("double") / n.cast("double")).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_cust"), sum($"rev").as("rev"))
+    val total = byDec.agg(sum($"rev").as("tot"))
+    val cum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDec.crossJoin(broadcast(total))
+      .withColumn("cum_rev", sum($"rev").over(cum))
+      .select($"decile", $"n_cust",
+        rnd($"rev".cast("double"), 2).as("revenue"),
+        // divide as doubles: decimal-division scale rules are
+        // engine-specific; the DECIMAL sums cast exactly, then one
+        // IEEE division matches bit-for-bit
+        rnd($"rev".cast("double") / $"tot".cast("double"), 6).as("share"),
+        rnd($"cum_rev".cast("double") / $"tot".cast("double"), 6).as("cum_share"))
+      .orderBy($"decile")
+  }
+
   /** Column profile — the data-quality panel every engine ships
     * (`DESCRIBE`/profiling): per numeric lineitem column, row/null/
     * distinct counts and min/max/mean in ONE corpus pass (stack-

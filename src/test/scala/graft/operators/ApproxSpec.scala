@@ -142,6 +142,22 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("q_lorenz_revenue: shares sum to 1, curve concave, customers conserved") {
+    import spark.implicits._
+    val rows = RelationalExt.qLorenzRevenue(spark, sfDir).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val nCust = Tables.orders(spark, sfDir).select($"o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4, "shares sum to 1")
+    assert(math.abs(rows.last.getDouble(4) - 1.0) < 1e-6, "cumulative ends at 1")
+    // descending-rank deciles ⇒ per-decile shares are non-increasing
+    val shares = rows.map(_.getDouble(3))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"shares not monotone: ${shares.toSeq}")
+    // the top decile must out-earn the uniform share (real skew)
+    assert(shares.head > 0.1, s"no concentration: top share ${shares.head}")
+  }
+
   test("q_growth_accounting: the accounting identity holds every day") {
     val rows = EventAnalytics.qGrowthAccounting(spark, sfDir).collect()
       .sortBy(_.getString(0))

@@ -82,6 +82,23 @@ class CdcLinkageSpec extends SparkTestBase {
     assert(statuses.contains("X") && statuses.contains("N"), s"got $statuses")
   }
 
+  test("q_pit_join: every purchase resolves to exactly one interval") {
+    import spark.implicits._
+    val rows = CdcOps.qPitJoin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // conservation: SCD2 intervals tile each user's [first, inf), so
+    // the PIT lookup matches every purchase exactly once
+    val nPurch = Tables.events(spark, sfDir)
+      .where($"event_type" === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum == nPurch,
+      s"${rows.map(_.getLong(1)).sum} matched vs $nPurch purchases")
+    // a purchase's covering interval is the one its own event opened
+    // or an earlier run — the state must be a real event type
+    val types = Tables.events(spark, sfDir)
+      .select($"event_type").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach(r => assert(types(r.getString(0))))
+  }
+
   test("q_snapshot_diff: classes conserve mass and match the batch residues") {
     import spark.implicits._
     val d = CdcOps.qSnapshotDiff(spark, sfDir).collect()
