@@ -567,6 +567,23 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_data_split" -> Map(
+        // map-only hash routing + one (source, split) fold; totals
+        // broadcast back
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "totals broadcast" -> (_.contains("BroadcastHashJoin")),
+        "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_gap_fill_interpolate" -> Map(
+        // both carry windows run over the calendar SPINE, and they
+        // share one global order = one sort
+        "spine-sized windows only" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).toSeq.distinct.size <= 2),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "q_window_ranks" -> Map(
+        // all four rank functions share one (partition, order) spec
+        "one window operator for four functions" -> (p =>
+          "\\bWindow\\b".r.findAllIn(p).size <= 1),
+        "partial agg at most trivial" -> (p => !p.contains("CartesianProduct"))),
       "q_pit_join" -> Map(
         // interval containment is a RESIDUAL on the user equi-join —
         // never a global inequality join

@@ -222,6 +222,9 @@ object SparkEntry {
     "ann_recall_panel"            -> AnnOps.annRecallPanel,
     "q_pit_join"                  -> operators.CdcOps.qPitJoin,
     "q_lorenz_revenue"            -> RelationalExt.qLorenzRevenue,
+    "q_data_split"                -> PipelineOps.qDataSplit,
+    "q_gap_fill_interpolate"      -> RelationalExt.qGapFillInterpolate,
+    "q_window_ranks"              -> RelationalExt.qWindowRanks,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1886,6 +1889,70 @@ object SparkEntry {
         |    WHERE cand.a = x.l_partkey AND cand.b = y.l_partkey AND cand.c = z.l_partkey)
         |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
         |SELECT a, b, c, support FROM t ORDER BY support DESC, a, b, c""".stripMargin,
+
+    // hash-banded 90/5/5 split audit: membership a pure function of
+    // doc_id via FNV, per-source stratification fractions
+    "q_data_split" ->
+      s"""WITH h AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_toks,
+        |    ${fnvSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS band
+        |  FROM documents),
+        |sp AS (
+        |  SELECT source, n_toks,
+        |    CASE WHEN band < 90 THEN 'train' WHEN band < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM h),
+        |bs AS (SELECT source, split, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |       FROM sp GROUP BY 1, 2),
+        |tt AS (SELECT source, count(*) AS src_docs FROM sp GROUP BY 1)
+        |SELECT bs.source, bs.split, bs.n_docs, bs.n_tokens,
+        |  floor((CAST(bs.n_docs AS DOUBLE)/CAST(tt.src_docs AS DOUBLE))*10000 + 0.5)/10000 AS fraction
+        |FROM bs JOIN tt USING (source)
+        |ORDER BY source, split""".stripMargin,
+
+    // spine + linear interpolation between nearest observations
+    "q_gap_fill_interpolate" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(27,10))) AS DOUBLE) AS rev
+        |  FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) <= 2
+        |  GROUP BY 1),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM b),
+        |j AS (
+        |  SELECT spine.d, daily.rev,
+        |    CAST(date_diff('day', TIMESTAMP '1970-01-01', spine.d) AS BIGINT) AS dd
+        |  FROM spine LEFT JOIN daily USING (d)),
+        |f AS (
+        |  SELECT d, rev, dd,
+        |    last_value(CASE WHEN rev IS NOT NULL THEN {'pd': dd, 'prev': rev} END IGNORE NULLS)
+        |      OVER (ORDER BY dd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    first_value(CASE WHEN rev IS NOT NULL THEN {'nd': dd, 'next': rev} END IGNORE NULLS)
+        |      OVER (ORDER BY dd ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        |  FROM j)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, rev IS NOT NULL AS observed,
+        |  floor(coalesce(rev,
+        |    pv['prev'] + (nx['next'] - pv['prev']) *
+        |      (CAST(dd - pv['pd'] AS DOUBLE)/CAST(nx['nd'] - pv['pd'] AS DOUBLE)))*100 + 0.5)/100 AS revenue
+        |FROM f ORDER BY day""".stripMargin,
+
+    // rank-function panel over a unique-tiebreak total order:
+    // percent_rank/cume_dist are divisions of exact integers
+    "q_window_ranks" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER w AS rn,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd,
+        |    dense_rank() OVER w AS dr
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id))
+        |SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id,
+        |  floor(value*10000 + 0.5)/10000 AS value,
+        |  floor(pr*100000000 + 0.5)/100000000 AS pct_rank,
+        |  floor(cd*100000000 + 0.5)/100000000 AS cume_dist,
+        |  CAST(dr AS BIGINT) AS dense_rk
+        |FROM r WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
 
     // PIT join: each purchase resolved against the SCD2 interval
     // covering its instant — the two CTEs are q_scd2_history's chain

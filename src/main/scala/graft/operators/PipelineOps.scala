@@ -933,6 +933,42 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic train/val/test split audit — the dataset-
+    * versioning op every training run starts from: docs route to
+    * splits by FNV hash (90/5/5 via unsigned mod-100 bands — a pure
+    * corpus function, so the split is reproducible forever and
+    * leakage-free BY CONSTRUCTION: membership depends only on
+    * doc_id, never on ordering or partitioning), and the audit
+    * reports per-(source, split) counts, token mass, and the
+    * realized fraction vs target. Stratification quality — does
+    * every source land near 90/5/5? — is exactly what this panel
+    * answers before anyone trains on the split.
+    *
+    * Map-only hash + one (source, split) partial+final agg. */
+  val qDataSplit: QueryFn = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+    val hashed = Tables.documents(s, dir)
+      .select($"source", size(normTokens($"text")).cast("long").as("n_toks"),
+        element_at(graft.functions.VectorExpressions.fnv_shingles(
+          array(concat(lit("split:"), $"doc_id".cast("string"))), 1), 1).as("h"))
+      // unsigned mod-100 over the DECIMAL(20,0) bridge (2^64 % 100 ≠ 0,
+      // so a signed pmod would route differently than the oracle)
+      .withColumn("band",
+        (when($"h" < 0, $"h".cast(DecimalType(20, 0)) + two64)
+          .otherwise($"h".cast(DecimalType(20, 0))) % 100).cast("long"))
+      .withColumn("split",
+        when($"band" < 90, "train").when($"band" < 95, "val").otherwise("test"))
+    val bySrc = hashed.groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+    val tot = hashed.groupBy($"source").agg(count(lit(1)).as("src_docs"))
+    bySrc.join(broadcast(tot), "source")
+      .select($"source", $"split", $"n_docs", $"n_tokens",
+        rnd($"n_docs".cast("double") / $"src_docs".cast("double"), 4).as("fraction"))
+      .orderBy($"source", $"split")
+  }
+
   /** RAKE stopword delimiters (Rose et al. 2010): candidate phrases
     * are maximal token runs between stopwords/punctuation. */
   val RakeStops = "the|a|an|and|of|to|in|is|for|on|with|as|by|at|or"

@@ -499,6 +499,69 @@ object RelationalExt {
       .orderBy($"rolling_rev".desc, $"o_custkey", $"day")
   }
 
+  /** Rank-function completion — percent_rank, cume_dist, and
+    * dense_rank per event type over (value desc, event_id), the
+    * distribution-position functions `q_window_funcs` (row_number/
+    * ntile/lag/running-sum) doesn't exercise. The unique-event_id
+    * tiebreak makes the order total, so percent_rank =
+    * (rank−1)/(n−1) and cume_dist = rank/n are single IEEE
+    * divisions of exact integers — deterministic cross-engine, top-3
+    * rows per type reported. One partition-keyed window, all four
+    * functions on the same (partition, order) spec = one sort. */
+  val qWindowRanks: QueryFn = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id")
+    Tables.events(s, dir)
+      .select($"event_type", $"event_id", $"value")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("dr", dense_rank().over(w).cast("long"))
+      .where($"rn" <= 3)
+      .select($"event_type", $"rn", $"event_id", rnd($"value", 4).as("value"),
+        rnd($"pr", 8).as("pct_rank"), rnd($"cd", 8).as("cume_dist"), $"dr".as("dense_rk"))
+      .orderBy($"event_type", $"rn")
+  }
+
+  /** Calendar gap-fill with LINEAR INTERPOLATION — the time-series
+    * regularization every forecasting/plotting pipeline needs: the
+    * full day spine between the series' min and max (a `sequence`
+    * explode — never a driver loop), daily 1996 revenue joined on,
+    * and missing days filled as prev + (next−prev)·(pos/gap) from
+    * the nearest real observations on either side (frame-bounded
+    * `last(ignoreNulls)`/`first(ignoreNulls)` carries — two window
+    * passes over the SPINE, which is calendar-sized, not
+    * fact-sized). Exactness: carried values are DECIMAL sums cast
+    * once; the interpolation is a fixed IEEE expression of exact
+    * inputs and integer day offsets. */
+  val qGapFillInterpolate: QueryFn = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.orders(s, dir)
+      .where(year($"o_orderdate") === 1996 && month($"o_orderdate") <= 2)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum($"o_totalprice".cast(DecimalType(27, 10))).cast("double").as("rev"))
+    val bounds = daily.agg(min($"d").as("lo"), max($"d").as("hi"))
+    val spine = bounds.select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+    val joined = spine.join(daily, Seq("d"), "left")
+      .withColumn("dd", datediff($"d", lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy($"dd")
+    val prevW = w.rowsBetween(Window.unboundedPreceding, 0)
+    val nextW = w.rowsBetween(0, Window.unboundedFollowing)
+    joined
+      .withColumn("pv", last(when($"rev".isNotNull,
+        struct($"dd".as("pd"), $"rev".as("prev"))), ignoreNulls = true).over(prevW))
+      .withColumn("nx", first(when($"rev".isNotNull,
+        struct($"dd".as("nd"), $"rev".as("next"))), ignoreNulls = true).over(nextW))
+      .select(date_format($"d", "yyyy-MM-dd").as("day"),
+        $"rev".isNotNull.as("observed"),
+        rnd(coalesce($"rev",
+          $"pv.prev" + ($"nx.next" - $"pv.prev") *
+            (($"dd" - $"pv.pd").cast("double") / ($"nx.nd" - $"pv.pd").cast("double"))),
+          2).as("revenue"))
+      .orderBy($"day")
+  }
+
   /** Lorenz revenue-concentration curve — "the top decile of
     * customers carries X% of revenue", the table behind every
     * pareto/whale chart (q_skew_gini reduces the same shape to one

@@ -142,6 +142,47 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("q_gap_fill_interpolate: spine complete, observed days exact, gaps between neighbors") {
+    import spark.implicits._
+    val rows = RelationalExt.qGapFillInterpolate(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // the spine is gap-free: consecutive calendar days
+    val days = rows.map(_._1)
+    val d0 = java.time.LocalDate.parse(days.head)
+    days.zipWithIndex.foreach { case (d, i) =>
+      assert(java.time.LocalDate.parse(d) == d0.plusDays(i), s"spine gap at $d")
+    }
+    // interpolated values sit between their neighbors' observed values
+    val obs = rows.zipWithIndex.filter(_._1._2).map(_._2)
+    rows.zipWithIndex.filterNot(_._1._2).foreach { case ((d, _, v), i) =>
+      val lo = obs.filter(_ < i).max; val hi = obs.filter(_ > i).min
+      val (a, b) = (rows(lo)._3, rows(hi)._3)
+      assert(v >= math.min(a, b) - 0.01 && v <= math.max(a, b) + 0.01,
+        s"$d: $v outside [$a, $b]")
+    }
+    assert(rows.exists(!_._2), "test window must actually contain gaps")
+  }
+
+  test("q_window_ranks: definitions hold on a unique total order") {
+    val rows = RelationalExt.qWindowRanks(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nByType = Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (t, rn) = (r.getString(0), r.getLong(1))
+      val n = nByType(t).toDouble
+      // unique tiebreak ⇒ rank == row_number == dense_rank, and the
+      // distribution functions take their closed forms
+      assert(r.getLong(6) == rn, s"$t dense_rank")
+      assert(math.abs(r.getDouble(4) - math.floor((rn - 1) / (n - 1) * 1e8 + 0.5) / 1e8) < 1e-9,
+        s"$t percent_rank")
+      assert(math.abs(r.getDouble(5) - math.floor(rn / n * 1e8 + 0.5) / 1e8) < 1e-9,
+        s"$t cume_dist")
+    }
+  }
+
   test("q_lorenz_revenue: shares sum to 1, curve concave, customers conserved") {
     import spark.implicits._
     val rows = RelationalExt.qLorenzRevenue(spark, sfDir).collect().sortBy(_.getLong(0))

@@ -400,6 +400,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows.map(_._4).sum == corpusToks)
   }
 
+  test("q_data_split: splits partition every source, fractions near 90/5/5") {
+    val rows = PipelineOps.qDataSplit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getString(0))
+    val srcTotals = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_.getLong(2)).sum == srcTotals(src), s"$src docs conserved")
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-3, s"$src fractions sum")
+    }
+    // corpus-wide realized fractions near the 90/5/5 targets (FNV is
+    // uniform; per-source small-n wobble is the panel's point)
+    val overall = rows.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum.toDouble).toMap
+    val n = overall.values.sum
+    assert(math.abs(overall("train") / n - 0.90) < 0.05, s"train ${overall("train") / n}")
+    assert(math.abs(overall.getOrElse("val", 0.0) / n - 0.05) < 0.04)
+    assert(math.abs(overall.getOrElse("test", 0.0) / n - 0.05) < 0.04)
+    // determinism across runs (the split must be reproducible forever)
+    val again = PipelineOps.qDataSplit(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("text_rake_keywords: hand-corpus replica and structural invariants") {
     val rows = PipelineOps.textRakeKeywords(spark, sfDir).collect()
     assert(rows.length == 20, "top-20 keyword list")
