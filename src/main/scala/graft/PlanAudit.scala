@@ -567,6 +567,12 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "dedup_keep_best" -> Map(
+        // argmax survivor is a struct max inside the cluster fold —
+        // no window; scoring map-side
+        "no window (struct argmax)" -> (p =>
+          !p.contains("windowspecdefinition")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
       "q_data_split" -> Map(
         // map-only hash routing + one (source, split) fold; totals
         // broadcast back

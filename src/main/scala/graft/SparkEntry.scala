@@ -225,6 +225,7 @@ object SparkEntry {
     "q_data_split"                -> PipelineOps.qDataSplit,
     "q_gap_fill_interpolate"      -> RelationalExt.qGapFillInterpolate,
     "q_window_ranks"              -> RelationalExt.qWindowRanks,
+    "dedup_keep_best"             -> DedupOps.dedupKeepBest,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -2843,6 +2844,41 @@ object SparkEntry {
         |FROM ser ORDER BY priority""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashLshOracle,
+
+    // the dedup_clusters partition + the text_quality score, folded
+    // to the per-cluster argmax survivor
+    "dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]) AS sh
+        |  FROM toks WHERE len(tk) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |rp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+        |lab AS (
+        |  SELECT d.doc_id, CAST(least(coalesce(rp.mn, d.doc_id), d.doc_id) AS BIGINT) AS rep
+        |  FROM documents d LEFT JOIN rp USING (doc_id)),
+        |q AS (
+        |  SELECT doc_id,
+        |    floor(least(len(tk)/100.0, 1.0) * (CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk))*1000000 + 0.5)/1000000 AS q
+        |  FROM toks),
+        |g AS (
+        |  SELECT lab.rep AS cluster_rep, count(*) AS n_docs,
+        |    max(struct_pack(q := q.q, nid := -q.doc_id)) AS m
+        |  FROM lab JOIN q USING (doc_id) GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT cluster_rep, n_docs, CAST(-m['nid'] AS BIGINT) AS kept_doc,
+        |  m['q'] AS kept_quality, -m['nid'] <> cluster_rep AS kept_differs
+        |FROM g ORDER BY cluster_rep""".stripMargin,
 
     // the same replayed LSH index, folded to the per-source-pair
     // governance matrix

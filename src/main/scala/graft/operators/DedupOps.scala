@@ -443,6 +443,40 @@ object DedupOps {
       .select($"doc_id", $"rep".as("cluster_rep")).orderBy($"doc_id")
   }
 
+  /** Quality-aware survivor selection — the dedup family's POLICY
+    * completion: `dedup_clusters` groups near-dups and `dedup_exact`
+    * keeps min-id, but a real curation pass keeps the BEST copy (the
+    * longest/cleanest crawl of a mirrored page, not the first-seen
+    * truncation). Per ≥2-doc cluster (the same jaccard-CC partition
+    * as dedup_clusters), the survivor is argmax(quality, min id)
+    * via a struct-max — quality = the `text_quality` score
+    * (length-capped type/token ratio, exact ratios of integers).
+    * `kept_differs` flags clusters where the policy disagrees with
+    * naive min-id — the rows a reviewer would eyeball.
+    *
+    * Same scale shape as dedup_clusters (star-contraction CC) plus
+    * a map-side score and one cluster-keyed fold. */
+  val dedupKeepBest: QueryFn = (s, dir) => {
+    import s.implicits._
+    val pairs = jaccardPairs(docShingles(s, dir).cache(), tau = 0.5)
+      .select($"doc_a", $"doc_b")
+    val universe = Tables.documents(s, dir).select($"doc_id")
+    val clusters = connectedComponents(pairs, universe)
+    val toks = normTokens($"text")
+    val nTok = size(toks).cast("double")
+    val q = least(nTok / lit(100.0), lit(1.0)) *
+      (size(array_distinct(toks)).cast("double") / nTok)
+    val scored = Tables.documents(s, dir).select($"doc_id", rnd(q, 6).as("q"))
+    clusters.join(scored, "doc_id")
+      .groupBy($"rep".as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct($"q", (-$"doc_id").as("nid"))).as("m"))
+      .where($"n_docs" >= 2)
+      .select($"cluster_rep", $"n_docs", (-$"m.nid").as("kept_doc"),
+        $"m.q".as("kept_quality"), (-$"m.nid" =!= $"cluster_rep").as("kept_differs"))
+      .orderBy($"cluster_rep")
+  }
+
   /** Connected components of the pair graph over `universe` via the
     * alternating large-star / small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14).

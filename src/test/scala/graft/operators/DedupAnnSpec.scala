@@ -388,6 +388,24 @@ class DedupAnnSpec extends SparkTestBase {
     assert(byId.values.forall(_._1 > 0), "every non-trivial doc fingerprinted")
   }
 
+  test("dedup_keep_best: survivor is the cluster argmax; policy genuinely differs from min-id") {
+    val best = DedupOps.dedupKeepBest(spark, sfDir).collect()
+    assert(best.nonEmpty)
+    // survivor must belong to its cluster and carry its max quality
+    val clusters = DedupOps.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val members = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    best.foreach { r =>
+      val (rep, kept) = (r.getLong(0), r.getLong(2))
+      assert(members(rep)(kept), s"kept $kept not in cluster $rep")
+      assert(r.getLong(1) == members(rep).size.toLong, s"cluster $rep size")
+      assert(r.getBoolean(4) == (kept != rep), s"kept_differs flag for $rep")
+    }
+    // the quality policy must disagree with naive min-id somewhere,
+    // else the operator adds nothing over dedup_clusters
+    assert(best.exists(_.getBoolean(4)), "policy never differs from min-id")
+  }
+
   test("ann_recall_panel: curve consistent with the single-point recall measurements") {
     val rows = AnnOps.annRecallPanel(spark, sfDir).collect().sortBy(_.getLong(0))
     assert(rows.map(_.getLong(0)).toSeq == (1L to AnnOps.RecallPanelK))
