@@ -567,6 +567,13 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_sql_topk_rewrite" -> Map(
+        // THE point: the plain-SQL window idiom must compile to the
+        // native bounded-heap operator via the injected rule
+        "rewrite fired (native TopKPerKey present)" ->
+          (_.contains("TopKPerKey")),
+        "window survives above the prune (rank column intact)" ->
+          (_.contains("windowspecdefinition"))),
       "dedup_keep_best" -> Map(
         // argmax survivor is a struct max inside the cluster fold —
         // no window; scoring map-side

@@ -226,6 +226,7 @@ object SparkEntry {
     "q_gap_fill_interpolate"      -> RelationalExt.qGapFillInterpolate,
     "q_window_ranks"              -> RelationalExt.qWindowRanks,
     "dedup_keep_best"             -> DedupOps.dedupKeepBest,
+    "q_sql_topk_rewrite"          -> RelationalExt.qSqlTopkRewrite,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -1936,6 +1937,16 @@ object SparkEntry {
         |    pv['prev'] + (nx['next'] - pv['prev']) *
         |      (CAST(dd - pv['pd'] AS DOUBLE)/CAST(nx['nd'] - pv['pd'] AS DOUBLE)))*100 + 0.5)/100 AS revenue
         |FROM f ORDER BY day""".stripMargin,
+
+    // the rewritten plan must return exactly what the naive window
+    // idiom returns — the oracle IS the naive idiom
+    "q_sql_topk_rewrite" ->
+      """SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id,
+        |  floor(value*10000 + 0.5)/10000 AS value
+        |FROM (SELECT event_type, event_id, value,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        |      FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
 
     // rank-function panel over a unique-tiebreak total order:
     // percent_rank/cume_dist are divisions of exact integers

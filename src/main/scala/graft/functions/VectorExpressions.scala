@@ -372,6 +372,9 @@ object VectorExpressions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // plain-SQL `WHERE rn <= k` over a row_number window gets the
+    // bounded-heap prune without knowing the DSL exists
+    e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

@@ -499,6 +499,28 @@ object RelationalExt {
       .orderBy($"rolling_rev".desc, $"o_custkey", $"day")
   }
 
+  /** The SQL FRONT DOOR for the native TopKPerKey operator — plain
+    * SQL a BI tool would generate (`WHERE rn <= 3` over a
+    * row_number window), with [[graft.plans.TopKRewrite]] injected:
+    * the optimizer inserts the bounded-heap prune UNDER the window,
+    * so the sort ranks k·keys survivors instead of the corpus —
+    * the user wrote the naive idiom and got the scale plan
+    * (plan-audited: TopKPerKey present, result unchanged). The
+    * `q_sql_cosine_topk` story, at the whole-OPERATOR level:
+    * expressions via injectFunction, operators via
+    * injectOptimizerRule + strategy. */
+  val qSqlTopkRewrite: QueryFn = (s, dir) => {
+    graft.plans.TopK.enableRewrite(s)
+    Tables.events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id,
+        |  floor(value*10000 + 0.5)/10000 AS value
+        |FROM (SELECT event_type, event_id, value,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        |      FROM events_v)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin)
+  }
+
   /** Rank-function completion — percent_rank, cume_dist, and
     * dense_rank per event type over (value desc, event_id), the
     * distribution-position functions `q_window_funcs` (row_number/

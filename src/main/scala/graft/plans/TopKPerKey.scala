@@ -91,7 +91,67 @@ object TopKStrategy extends Strategy {
 /** User-facing API: `TopK.perKey(df, Seq("event_type"),
   * Seq("value" -> false, "event_id" -> true), 3)` — order fields as
   * (name, ascending). */
+/** Optimizer rule: rewrite the declarative top-k idiom —
+  * `Filter(rn ≤ k)` over a `row_number()` Window — to run over a
+  * [[TopKPerKeyPlan]] pruned child. The Window and Filter STAY (they
+  * produce the rank column and define the semantics); the rule
+  * inserts the bounded-heap prune underneath, so the per-partition
+  * sort ranks k·keys survivor rows instead of the corpus. This is
+  * what makes the native operator reachable from PLAIN SQL: any
+  * `WHERE rn <= k` subquery a BI tool generates gets the heap plan
+  * without knowing the DSL exists.
+  *
+  * Sound because the heap prune keeps exactly a top-k set under the
+  * SAME (partition, order) spec the window ranks by: recomputed row
+  * numbers over the pruned set equal the original numbers for the
+  * surviving rows (ties resolve arbitrarily in both plans, exactly
+  * as the un-rewritten window does). Guarded for idempotence (skips
+  * windows already fed by a TopKPerKeyPlan). */
+object TopKRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, WindowExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+
+  private def pruned(w: Window, rnId: org.apache.spark.sql.catalyst.expressions.ExprId,
+      k: Int): Option[Window] = w.windowExpressions match {
+    case Seq(a @ Alias(WindowExpression(RowNumber(), spec), _))
+        if a.exprId == rnId && k > 0 &&
+          spec.partitionSpec.nonEmpty && spec.orderSpec.nonEmpty &&
+          !w.child.isInstanceOf[TopKPerKeyPlan] =>
+      Some(w.copy(child =
+        TopKPerKeyPlan(spec.partitionSpec, spec.orderSpec, k, w.child)))
+    case _ => None
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(LessThanOrEqual(attr: Attribute, IntegerLiteral(k)), w: Window) =>
+      pruned(w, attr.exprId, k).map(nw => f.copy(child = nw)).getOrElse(f)
+    case f @ Filter(LessThan(attr: Attribute, IntegerLiteral(k)), w: Window) =>
+      pruned(w, attr.exprId, k - 1).map(nw => f.copy(child = nw)).getOrElse(f)
+    case f @ Filter(LessThanOrEqual(attr: Attribute, IntegerLiteral(k)),
+        p @ Project(_, w: Window)) =>
+      pruned(w, attr.exprId, k)
+        .map(nw => f.copy(child = p.copy(child = nw))).getOrElse(f)
+    case f @ Filter(LessThan(attr: Attribute, IntegerLiteral(k)),
+        p @ Project(_, w: Window)) =>
+      pruned(w, attr.exprId, k - 1)
+        .map(nw => f.copy(child = p.copy(child = nw))).getOrElse(f)
+  }
+}
+
 object TopK {
+  /** Register the strategy AND the SQL-idiom rewrite on a session
+    * imperatively (the gate's plain sessions have no extensions
+    * config; `GraftExtensions` injects the same pair declaratively). */
+  def enableRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
+  }
+
   def perKey(
       df: DataFrame,
       keyCols: Seq[String],

@@ -45,4 +45,29 @@ class TopKSpec extends SparkTestBase {
       .as[(String, Long)].collect().toSet
     assert(got == Set(("a", 1L), ("a", 2L), ("b", 3L)))
   }
+
+  test("TopKRewrite: plain-SQL window top-k gets the heap plan, result unchanged") {
+    val sql =
+      """SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id
+        |FROM (SELECT event_type, event_id,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        |      FROM events_v)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin
+    graft.Tables.events(spark, sfDir).createOrReplaceTempView("events_v")
+    TopK.enableRewrite(spark)
+    val rewritten = spark.sql(sql)
+    val gotRows = rewritten.collect().map(_.toString).toSeq
+    assert(rewritten.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "rewrite did not fire")
+    // soundness: pop the rule, the naive plan must agree row-for-row
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved.filterNot(_ == TopKRewrite)
+    try {
+      val naive = spark.sql(sql)
+      assert(!naive.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+        "baseline unexpectedly rewritten")
+      assert(naive.collect().map(_.toString).toSeq == gotRows,
+        "rewrite changed the result")
+    } finally spark.experimental.extraOptimizations = saved
+  }
 }
