@@ -567,6 +567,13 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "emb_pq_distortion" -> Map(
+        // encode/decode are map-side; one vec-keyed join to the raw
+        // vectors and a 4-row band fold
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no cartesian" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "no window" -> (p => !p.contains("windowspecdefinition"))),
       "q_sql_topk_rewrite" -> Map(
         // THE point: the plain-SQL window idiom must compile to the
         // native bounded-heap operator via the injected rule

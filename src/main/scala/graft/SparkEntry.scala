@@ -227,6 +227,7 @@ object SparkEntry {
     "q_window_ranks"              -> RelationalExt.qWindowRanks,
     "dedup_keep_best"             -> DedupOps.dedupKeepBest,
     "q_sql_topk_rewrite"          -> RelationalExt.qSqlTopkRewrite,
+    "emb_pq_distortion"           -> AnnOps.embPqDistortion,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -2933,6 +2934,7 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
     "ann_pq_topk" -> annPqOracle,
+    "emb_pq_distortion" -> pqDistortionOracle,
     "ann_ivfpq_topk" -> annIvfPqOracle,
     "ann_ivfpq_residual_topk" -> annIvfPqResidualOracle,
 
@@ -3683,6 +3685,23 @@ object SparkEntry {
        |    ${cosSql("pe", "h")} AS sim
        |  FROM pr JOIN hat t ON t.vec_id <> pr.pid),
        |$pqServeTail""".stripMargin
+
+  /** `emb_pq_distortion`: the same replayed index (including
+    * training), each vector against its own reconstruction. */
+  private lazy val pqDistortionOracle: String =
+    s"""WITH $pqIndexCtes,
+       |dist AS (
+       |  SELECT t.vec_id, ${cosSql("a.raw", "t.h")} AS c
+       |  FROM hat t JOIN e0 a ON a.vec_id = t.vec_id),
+       |b AS (
+       |  SELECT c,
+       |    CASE WHEN c >= 0.9 THEN 'a_ge_090' WHEN c >= 0.8 THEN 'b_080_090'
+       |         WHEN c >= 0.7 THEN 'c_070_080' ELSE 'd_lt_070' END AS band
+       |  FROM dist)
+       |SELECT band, count(*) AS n_vecs,
+       |  floor((CAST(sum(CAST((c) AS DECIMAL(27,10))) AS DOUBLE)/count(*))*1000000 + 0.5)/1000000 AS mean_cos,
+       |  floor(min(c)*1000000 + 0.5)/1000000 AS min_cos
+       |FROM b GROUP BY band ORDER BY band""".stripMargin
 
   /** IVF coarse-quantizer CTEs shared by the IVF-PQ oracles:
     * decimal-exact cell centroids per label (the `ann_ivf_topk`

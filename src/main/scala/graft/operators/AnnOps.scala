@@ -323,6 +323,38 @@ object AnnOps {
     rankTopK(rerank, K)
   }
 
+  /** PQ reconstruction-DISTORTION panel — the third leg of ANN
+    * quality monitoring (drift says the corpus moved, recall says
+    * serving slipped; THIS says the codebook itself is losing
+    * geometry): per-vector cosine between the original and its
+    * 8-byte PQ reconstruction, folded into fidelity bands with
+    * per-band mean/min. A codebook trained on stale data shows up
+    * here as mass sliding into the low bands BEFORE recall visibly
+    * degrades. Cosine is scale-invariant, so the raw vector vs the
+    * normalized-space reconstruction is the right comparison (and
+    * the oracle computes the identical pairs from its own replayed
+    * index including training). Map-side encode/decode, one band
+    * fold — 4 rows out of any corpus. */
+  val embPqDistortion: QueryFn = (s, dir) => {
+    import s.implicits._
+    val subDim = 64 / PqSubspaces
+    val cb = trainPq(s, dir)
+    val codes = normalizedEmb(s, dir)
+      .select($"vec_id", pqEncode(cb, subDim)($"emb").as("codes"))
+    val recon = codes.select($"vec_id", pqDecode(cb, subDim)($"codes").as("hat"))
+    val dist = recon
+      .join(Tables.embeddings(s, dir).select($"vec_id", $"embedding"), "vec_id")
+      .select(cosine_sim($"embedding", $"hat").as("c"))
+    dist.select($"c",
+        when($"c" >= 0.9, "a_ge_090").when($"c" >= 0.8, "b_080_090")
+          .when($"c" >= 0.7, "c_070_080").otherwise("d_lt_070").as("band"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_vecs"),
+        rnd(xsum($"c") / count(lit(1)), 6).as("mean_cos"),
+        rnd(min($"c"), 6).as("min_cos"))
+      .orderBy($"band")
+  }
+
   val IvfProbeCells = 6
 
   /** IVF top-k: coarse quantizer = per-label centroids (a single agg —

@@ -388,6 +388,25 @@ class DedupAnnSpec extends SparkTestBase {
     assert(byId.values.forall(_._1 > 0), "every non-trivial doc fingerprinted")
   }
 
+  test("emb_pq_distortion: bands partition the corpus and respect their bounds") {
+    val rows = AnnOps.embPqDistortion(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows.nonEmpty)
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.values.map(_._1).sum == n, "every vector lands in a band")
+    val bounds = Map(
+      "a_ge_090" -> (0.9, 1.0), "b_080_090" -> (0.8, 0.9),
+      "c_070_080" -> (0.7, 0.8), "d_lt_070" -> (-1.0, 0.7))
+    rows.foreach { case (b, (_, mean, mn)) =>
+      val (lo, hi) = bounds(b)
+      assert(mn >= lo - 1e-9 && mean >= lo - 1e-9 && mean <= hi + 1e-9,
+        s"$b stats out of band: mean $mean min $mn")
+    }
+    // 4-bit-per-subspace codes keep most mass above 0.7 cosine
+    val low = rows.get("d_lt_070").map(_._1).getOrElse(0L)
+    assert(low < n / 10, s"codebook lost the corpus: $low/$n below 0.7")
+  }
+
   test("dedup_keep_best: survivor is the cluster argmax; policy genuinely differs from min-id") {
     val best = DedupOps.dedupKeepBest(spark, sfDir).collect()
     assert(best.nonEmpty)
