@@ -412,12 +412,14 @@ object PlanAudit {
         "no cartesian" -> (p => !p.contains("CartesianProduct"))),
       "q_pareto_docs" -> Map(
         // the skyline is NOT the O(n²) NOT-EXISTS the oracle runs:
-        // one length-keyed partial agg, one window over the distinct
-        // lengths only, broadcast join back — corpus cost is one scan
-        "partial agg before shuffle" -> (_.contains("partial_")),
+        // one length-keyed partial agg (runs in the pre-checkpoint
+        // job Ranked pins, so it is invisible to THIS plan string),
+        // a range-partitioned prior-max over the distinct lengths
+        // only, broadcast join back — corpus cost is one scan
         "frontier broadcast back" -> (_.contains("BroadcastHashJoin")),
-        "single distinct-length window" -> (p =>
-          "windowspecdefinition".r.findAllIn(p).size == 1),
+        "prior-max window pid-partitioned" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size ==
+            "windowspecdefinition\\(__pid".r.findAllIn(p).size),
         "no cartesian" -> (p => !p.contains("CartesianProduct"))),
       "q_vocab_growth" -> Map(
         // two stacked partial+final aggs, zero joins — the vocabulary
@@ -533,7 +535,11 @@ object PlanAudit {
         "partial agg before shuffle" -> (_.contains("partial_")),
         "single per-user rank window" -> (p =>
           "windowspecdefinition".r.findAllIn(p).size == 1),
-        "no join" -> (p => !p.contains("Join"))),
+        "rank window pid-partitioned" -> (p =>
+          "windowspecdefinition\\(__pid".r.findAllIn(p).size == 1),
+        // only Ranked's bounded offsets broadcast — never a shuffle join
+        "no shuffle join" -> (p =>
+          !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))),
       "text_ngram_novelty" -> Map(
         // first-occurrence via a gram-keyed min-agg joined back on
         // the same key — never a window over the corpus timeline
@@ -614,8 +620,10 @@ object PlanAudit {
         "partial agg before shuffle" -> (_.contains("partial_")),
         "rank window over the per-customer aggregate" -> (p =>
           "windowspecdefinition".r.findAllIn(p).toSeq.distinct.size <= 2),
-        "1-row total broadcast only" -> (p =>
-          "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size <= 1)),
+        // decile-bounded non-equi joins only: the <=10-row triangular
+        // cumulative fold plus the 1-row totals broadcast
+        "bounded non-equi joins only" -> (p =>
+          "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size <= 2)),
       "q_growth_accounting" -> Map(
         // the (day,user) dedup is the only event-grain shuffle;
         // classification joins run at activity grain
@@ -644,9 +652,14 @@ object PlanAudit {
         "partial agg before shuffle" -> (_.contains("partial_"))),
       "q_concurrent_sessions" -> Map(
         // the sweep runs over session-grain deltas; only the session
-        // fold touches event grain (user-keyed windows)
+        // fold touches event grain (user-keyed windows). Ranked's
+        // bounded offsets broadcast is the only join
         "partial agg before shuffle" -> (_.contains("partial_")),
-        "no join" -> (p => !p.contains("Join"))),
+        "no shuffle join" -> (p =>
+          !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")),
+        "sweep window pid-partitioned" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size ==
+            "windowspecdefinition\\(__pid".r.findAllIn(p).size)),
       "mm_cdc_chunks" -> Map(
         // windows/boundaries map-only; the chunk groupBy is the only
         // corpus shuffle; boundary lists fold per media row
@@ -770,11 +783,12 @@ object PlanAudit {
         "partial agg before shuffle" -> (_.contains("partial_"))),
       "q_model_gains" -> Map(
         // corpus-scale work is the per-doc margin agg; the decile
-        // window runs AFTER ranking and the cum-window after the
-        // 10-row fold; totals ride a 1-row broadcast
+        // rank runs range-partitioned AFTER it, and the only
+        // non-equi joins are decile-bounded (≤10-row triangular
+        // cumulative fold) or 1-row (totals broadcast)
         "partial agg before shuffle" -> (_.contains("partial_")),
-        "1-row totals broadcast only" -> (p =>
-          "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size <= 1)),
+        "bounded non-equi joins only" -> (p =>
+          "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size <= 2)),
       "q_scd2_history" -> Map(
         // both windows share the user partition key: the corpus
         // shuffles ONCE on user_id, both sorts ride that exchange
@@ -789,11 +803,16 @@ object PlanAudit {
         "partial agg before shuffle" -> (_.contains("partial_"))),
       "q_rfm_segments" -> Map(
         // orders fold to per-customer rows FIRST; the three quintile
-        // windows run over that aggregate (the corpus never sorts),
-        // and the as-of date rides a 1-row broadcast
+        // ranks run over that aggregate (the corpus never sorts)
+        // range-partitioned by metric — every window carries the
+        // __pid partition key, none is global
         "partial agg before shuffle" -> (_.contains("partial_")),
-        "rank windows over the aggregate" -> (p =>
-          "windowspecdefinition".r.findAllIn(p).size == 3),
+        // each Ranked call checkpoints, so only the LAST rank's
+        // window appears in this plan string — assert every window
+        // that does appear is pid-partitioned
+        "rank windows pid-partitioned" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size ==
+            "windowspecdefinition\\(__pid".r.findAllIn(p).size),
         "1-row as-of broadcast only" -> (p =>
           "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size <= 1)))
 
@@ -812,6 +831,35 @@ object PlanAudit {
         println(s"   ${if (ok) "PASS" else "FAIL"}  $label")
       }
     }
+    // ---- global invariant: NO unpartitioned Window node, anywhere ----
+    // A Window whose partitionSpec is empty moves its whole input to
+    // ONE partition (WindowExec's "serious performance degradation"
+    // warning) — the one systematic scale defect the engine has shipped
+    // and removed (r4 verdict). This sweep walks the OPTIMIZED logical
+    // plan of every registered query so the invariant is machine-
+    // checked for all of them, not just the audited subset. Queries
+    // whose construction runs driver-loop jobs (bisection, k-means)
+    // pay that cost here; planning alone never executes the frame.
+    println("== global: no unpartitioned Window in any registered query")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val bad = df.queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) {
+          failures += 1
+          println(s"   FAIL  $name: ${bad.size} unpartitioned window(s)")
+        }
+      } catch {
+        case e: Exception =>
+          failures += 1
+          println(s"   FAIL  $name: audit errored: ${e.getMessage.take(120)}")
+      }
+    }
+    println(s"   windows audited over ${SparkEntry.queries.size} queries")
+
     println(if (failures == 0) "ALL PLAN CHECKS PASS" else s"$failures CHECK(S) FAILED")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -1573,7 +1573,7 @@ object SparkEntry {
         |  CAST(r_score AS INTEGER) AS r_score, CAST(f_score AS INTEGER) AS f_score,
         |  CAST(m_score AS INTEGER) AS m_score,
         |  count(*) AS n_cust,
-        |  floor(CAST(sum(monetary)/count(*) AS DOUBLE)*100 + 0.5)/100 AS avg_monetary
+        |  floor(CAST(sum(monetary) AS DOUBLE)/CAST(count(*) AS DOUBLE)*100 + 0.5)/100 AS avg_monetary
         |FROM sc GROUP BY r_score, f_score, m_score
         |ORDER BY segment""".stripMargin,
 

@@ -252,7 +252,7 @@ object AnnOps {
       // tiny corpora (specs) train on everything; the sample path is
       // the one that matters at scale
       val sample =
-        (if (quarter.count() >= PqCodes * 2L) quarter else vecs).cache()
+        Pin.corpus(if (quarter.count() >= PqCodes * 2L) quarter else vecs)
       var cb: Array[Array[Array[Double]]] = sample
         .orderBy(fnvOf(concat(lit("i"), $"vec_id".cast("string")))
           .bitwiseAND(lit((1L << 20) - 1)), $"vec_id")

@@ -80,12 +80,12 @@ object BpeOps {
   /** The learned merge table over any corpus frame. */
   private[operators] def trainMerges(docs: DataFrame)
       : Seq[(Long, String, String, String, Long)] = {
-    var vocab = charVocab(docs).cache()
+    var vocab = charVocab(docs).transform(Pin.corpus)
     (1 to Rounds).map { rank =>
       val best = bestPair(vocab)
       val (a, b, pc) = (best.getString(0), best.getString(1), best.getLong(2))
       val prev = vocab
-      vocab = applyMerge(vocab, a, b).cache()
+      vocab = applyMerge(vocab, a, b).transform(Pin.corpus)
       prev.unpersist()
       (rank.toLong, a, b, a + b, pc)
     }

@@ -284,10 +284,8 @@ object CurationOps {
         rnd($"n_types".cast("double") / $"n_tokens", 6).as("ttr"))
       .where($"n_tokens" >= 1)
     val perX = pts.groupBy($"n_tokens".as("fx")).agg(max($"ttr").as("maxy"))
-    val w = Window.orderBy($"fx".desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = perX
-      .withColumn("prev_max", max($"maxy").over(w))
+    val frontier = Ranked
+      .withStrictPriorMax(perX, Seq($"fx".desc), $"maxy", "prev_max")
       .where($"prev_max".isNull || $"prev_max" < $"maxy")
       .select($"fx", $"maxy")
     pts.join(broadcast(frontier),

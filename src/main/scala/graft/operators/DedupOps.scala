@@ -105,7 +105,7 @@ object DedupOps {
   /** MinHash + banded LSH near-dup pairs, verified at jaccard >= 0.5.
     * B=16 bands of r=4 ⇒ candidate threshold ≈ (1/16)^(1/4) ≈ 0.5. */
   val dedupMinhashLsh: QueryFn = (s, dir) => {
-    val docs = docShingles(s, dir).cache()
+    val docs = docShingles(s, dir).transform(Pin.corpus)
     minhashPairs(docs, tau = 0.5)
   }
 
@@ -122,7 +122,7 @@ object DedupOps {
     * index; this adds two broadcast-able doc→source joins on the
     * PAIR set and a ≤|sources|² agg. */
   val dedupSourceMatrix: QueryFn = (s, dir) => {
-    val docs = docShingles(s, dir).cache()
+    val docs = docShingles(s, dir).transform(Pin.corpus)
     val pairs = minhashPairs(docs, tau = 0.5)
     val src = graft.Tables.documents(s, dir).select(col("doc_id"), col("source"))
     val counts = src.groupBy(col("source")).agg(count(lit(1)).as("nd"))
@@ -155,7 +155,7 @@ object DedupOps {
     * signature joins — nothing pairwise beyond the candidate set. */
   val dedupMinhashCalibration: QueryFn = (s, dir) => {
     import s.implicits._
-    val docs = docShingles(s, dir).cache()
+    val docs = docShingles(s, dir).transform(Pin.corpus)
     val sigged = docs.select($"doc_id",
       graft.functions.VectorExpressions
         .minhash_sig($"sh", minhashParams(NumPerms)).as("sig"))
@@ -186,7 +186,7 @@ object DedupOps {
     val sigs = Tables.documents(s, dir)
       .select($"doc_id",
         graft.functions.VectorExpressions.simhash64_native(normTokens($"text")).as("sig"))
-      .cache()
+      .transform(Pin.corpus)
     val keyed = sigs.select($"doc_id",
       explode(array((0 until 4).map { c =>
         // mask, don't mod: `sig % 65536` keeps the dividend's SIGN, so
@@ -251,7 +251,7 @@ object DedupOps {
   }
 
   val dedupNgramJaccard: QueryFn = (s, dir) =>
-    jaccardPairs(docShingles(s, dir).cache(), tau = 0.5)
+    jaccardPairs(docShingles(s, dir).transform(Pin.corpus), tau = 0.5)
 
   /** EXACT shingle-containment pairs: C(a→b) = |A∩B| / |A| ≥ τ over
     * ORDERED pairs — the asymmetric near-dup relation symmetric
@@ -294,7 +294,7 @@ object DedupOps {
   }
 
   val dedupContainment: QueryFn = (s, dir) =>
-    containmentPairs(docShingles(s, dir).cache(), tau = 0.6)
+    containmentPairs(docShingles(s, dir).transform(Pin.corpus), tau = 0.6)
 
   /** Incremental dedup: a NEW batch (doc_id % 5 == 4, ~20% of the
     * corpus — a deterministic stand-in for "today's partition")
@@ -338,7 +338,7 @@ object DedupOps {
     // is all the lossless-prefix argument needs; batch-only shingles
     // (absent from the old corpus) can never match an old doc, so the
     // inner join drops them while `sz` still counts them.
-    val newSh = shingled(newDocs).cache()
+    val newSh = shingled(newDocs).transform(Pin.corpus)
     val exNew = newSh.select($"doc_id", size($"sh").as("sz"), explode($"sh").as("key"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df".asc, $"key".asc)
@@ -436,7 +436,7 @@ object DedupOps {
     * its cluster representative (min doc_id). */
   val dedupClusters: QueryFn = (s, dir) => {
     import s.implicits._
-    val pairs = jaccardPairs(docShingles(s, dir).cache(), tau = 0.5)
+    val pairs = jaccardPairs(docShingles(s, dir).transform(Pin.corpus), tau = 0.5)
       .select($"doc_a", $"doc_b")
     val universe = Tables.documents(s, dir).select($"doc_id")
     connectedComponents(pairs, universe)
@@ -458,7 +458,7 @@ object DedupOps {
     * a map-side score and one cluster-keyed fold. */
   val dedupKeepBest: QueryFn = (s, dir) => {
     import s.implicits._
-    val pairs = jaccardPairs(docShingles(s, dir).cache(), tau = 0.5)
+    val pairs = jaccardPairs(docShingles(s, dir).transform(Pin.corpus), tau = 0.5)
       .select($"doc_a", $"doc_b")
     val universe = Tables.documents(s, dir).select($"doc_id")
     val clusters = connectedComponents(pairs, universe)
@@ -577,12 +577,12 @@ object DedupOps {
     val withFp = docs.withColumn("fp", md5(graft.functions.Cols.normText($"text")))
     val exactGroups = withFp.groupBy($"fp")
       .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-      .cache()
+      .transform(Pin.corpus)
     val survivors = withFp.join(exactGroups.select($"fp", $"doc_id"), Seq("fp", "doc_id"))
       .select($"doc_id", $"text")
     // stage 2: near-dup pairs among survivors only (the exact pass has
     // already removed the identical-doc mass that makes blocks hot)
-    val pairs = jaccardPairs(shingled(survivors).cache(), tau = 0.5)
+    val pairs = jaccardPairs(shingled(survivors).transform(Pin.corpus), tau = 0.5)
       .select($"doc_a", $"doc_b")
     // stage 3: clusters over survivors; keep each cluster's min doc_id
     val labels = connectedComponents(pairs, survivors.select($"doc_id"))
@@ -616,7 +616,7 @@ object DedupOps {
     val planes = hyperplanes(16, 64)
     val sigged = emb
       .select($"vec_id", $"embedding", hyperplaneSig(planes)($"embedding").as("sig"))
-      .cache()
+      .transform(Pin.corpus)
     val keyed = sigged.select($"vec_id".as("doc_id"),
       explode(array(
         concat_ws(":", lit(0), $"sig" % 256),
@@ -711,7 +711,7 @@ object DedupOps {
   val dedupSemantic: QueryFn = (s, dir) => {
     import s.implicits._
     val assigned = KMeansOps.assignments(s, dir)
-      .select($"vec_id", $"embedding", $"cluster_id").cache()
+      .select($"vec_id", $"embedding", $"cluster_id").transform(Pin.corpus)
     val a = assigned.select($"cluster_id", $"vec_id".as("vec_a"),
       $"embedding".as("emb_a"))
     val b = assigned.select($"cluster_id", $"vec_id".as("vec_b"),

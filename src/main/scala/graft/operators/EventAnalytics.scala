@@ -106,17 +106,22 @@ object EventAnalytics {
       .orderBy($"event_type", $"event_id")
   }
 
-  /** Month-over-month revenue growth (lag window over a monthly
-    * rollup). */
+  /** Month-over-month revenue growth over a monthly rollup. The lag
+    * runs as a global [[Ranked]] rank + a broadcast self-join on
+    * rn−1 (the distributed lag idiom) — the frame is calendar-
+    * bounded, but keeping even bounded frames off single-partition
+    * windows keeps the engine's invariant simple: NO unpartitioned
+    * window node anywhere. */
   val qOrdersMoM: QueryFn = (s, dir) => {
     import s.implicits._
     import graft.functions.Cols.xsum
     val monthly = Tables.orders(s, dir)
       .groupBy(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("month"))
       .agg(rnd(xsum($"o_totalprice"), 2).as("revenue"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"month")
-    monthly
-      .withColumn("prev", lag($"revenue", 1).over(w))
+    val rf = Ranked.withGlobalRank(monthly, Seq($"month".asc), "rn")
+    val prev = rf.df.select(($"rn" + 1).as("prn"), $"revenue".as("prev"))
+    rf.df
+      .join(broadcast(prev), $"rn" === $"prn", "left")
       .withColumn("growth_pct",
         rnd(($"revenue" - $"prev") / $"prev" * 100.0, 4))
       .select($"month", $"revenue", $"growth_pct")
@@ -408,14 +413,16 @@ object EventAnalytics {
     * before a hot key melts an executor. Gini via the sorted-rank
     * identity G = (2·Σᵢ i·cᵢ)/(n·Σcᵢ) − (n+1)/n over counts sorted
     * ascending — all integer sums (exact at any aggregation order)
-    * and two final divisions; the rank window runs over USERS (the
-    * aggregated frame), never events. */
+    * and two final divisions; the rank runs over USERS (the
+    * aggregated frame), never events — and via [[Ranked]]'s
+    * range-partitioned prefix counts, so no partition ever holds
+    * more than its key range even at 10⁹ users. */
   val qSkewGini: QueryFn = (s, dir) => {
     import s.implicits._
     val counts = Tables.events(s, dir)
       .groupBy($"user_id").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy($"c".asc, $"user_id".asc)
-    val ranked = counts.withColumn("i", row_number().over(w).cast("long"))
+    val ranked =
+      Ranked.withGlobalRank(counts, Seq($"c".asc, $"user_id".asc), "i").df
     ranked.agg(
         count(lit(1)).as("n_users"),
         sum($"c").as("n_events"),
@@ -636,10 +643,12 @@ object EventAnalytics {
     * Scale shape: the corpus folds to sessions FIRST (user-keyed
     * gap windows — the sessionize partitioning); the sweep runs
     * over 2×sessions delta rows, session-grain not event-grain.
-    * The global running sum is the one inherently sequential step —
-    * at extreme scale it ranges-partitions by time with per-range
-    * offsets (the prefix-sum trick); here the aggregate frame makes
-    * a single sort cheap. All integers; exact cross-engine. */
+    * The global running sum range-partitions by time with per-range
+    * offsets (the [[Ranked]] prefix-sum decomposition): each
+    * executor sweeps only its own time range, then adds the
+    * broadcast offset — no single-partition stage even when the
+    * delta stream is billions of rows. All integers; exact
+    * cross-engine. */
   val qConcurrentSessions: QueryFn = (s, dir) => {
     import s.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
@@ -654,10 +663,8 @@ object EventAnalytics {
       .agg(min($"us").as("s0"), max($"us").as("s1"))
     val deltas = sess.select($"s0".as("us"), lit(1L).as("d"))
       .unionByName(sess.select($"s1".as("us"), lit(-1L).as("d")))
-    val curve = deltas
-      .withColumn("conc", sum($"d").over(
-        Window.orderBy($"us", $"d".desc)
-          .rowsBetween(Window.unboundedPreceding, 0)))
+    val curve = Ranked.withGlobalRank(
+      deltas, Seq($"us".asc, $"d".desc), "__rn", Seq(($"d", "conc"))).df
     curve
       .groupBy(date_format(timestamp_micros($"us").cast("date"), "yyyy-MM-dd").as("day"))
       .agg(max($"conc").as("peak_concurrent"),
@@ -672,8 +679,10 @@ object EventAnalytics {
     * formula), and each quintile reports conversion-rate uplift
     * rate_A − rate_B. "Who does the treatment actually move" is the
     * question segment-level rollouts decide on. Exact integer
-    * counts into two divisions; the quintile window runs over the
-    * per-USER aggregate. */
+    * counts into two divisions; the quintile cut ranks the per-USER
+    * aggregate via [[Ranked]]'s range-partitioned prefix counts (n
+    * comes free from the offsets collect — no separate sizing
+    * action). */
   val qUpliftQuintiles: QueryFn = (s, dir) => {
     import s.implicits._
     val ev = Tables.events(s, dir)
@@ -685,11 +694,8 @@ object EventAnalytics {
           $"event_type" === "click", 1L).otherwise(0L)).as("x"),
         max(when($"ts" >= $"t0" + expr("INTERVAL 15 DAYS") &&
           $"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
-    val n = lit(perUser.count())
-    val q = perUser.withColumn("rn", row_number().over(
-        Window.orderBy($"x".desc, $"user_id")))
-      .withColumn("quintile",
-        floor(($"rn" * 5 + n - lit(1)).cast("double") / n.cast("double")).cast("long"))
+    val rf = Ranked.withGlobalRank(perUser, Seq($"x".desc, $"user_id".asc), "rn")
+    val q = rf.df.withColumn("quintile", Ranked.ceilBucket($"rn", 5, rf.n))
     q.groupBy($"quintile")
       .agg(
         sum(when($"user_id" % 2 === 0, 1L).otherwise(0L)).as("n_a"),

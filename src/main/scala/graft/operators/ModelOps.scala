@@ -167,27 +167,27 @@ object ModelOps {
     * and lift over the base rate. All counts exact integers; rates
     * are single divisions — hash-verified despite being "statistics".
     *
-    * Scale note: the global rank orders the SCORED set. Evaluation
-    * panels run on a held-out sample at 100 TB (the per-doc margin
-    * agg is the corpus-scale part and it partial-aggs map-side);
-    * the decile window itself is a 10-row fold after aggregation. */
+    * Scale note: the global rank orders the SCORED set via
+    * [[Ranked]]'s range-partitioned prefix counts (n free from the
+    * offsets — no sizing action), so even a full-corpus scoring run
+    * ranks across all partitions; the 10-row cumulative fold is a
+    * bounded triangular self-join — no unpartitioned window node
+    * anywhere in the plan. */
   val qModelGains: QueryFn = (s, dir) => {
     import s.implicits._
     val m = perceptronScores(s, dir)
-    val n = lit(m.count())
-    val ranked = m.withColumn("rn", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy($"margin".desc, $"doc_id")))
-    val byDec = ranked
-      .withColumn("decile",
-        floor(($"rn" * 10 + n - lit(1)).cast("double") / n.cast("double")).cast("long"))
+    val rf = Ranked.withGlobalRank(m, Seq($"margin".desc, $"doc_id".asc), "rn")
+    val byDec = rf.df
+      .withColumn("decile", Ranked.ceilBucket($"rn", 10, rf.n))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n"),
         sum(when($"y" === 1L, 1L).otherwise(0L)).as("n_pos"))
     val totals = byDec.agg(sum($"n").as("nt"), sum($"n_pos").as("pt"))
-    val cum = org.apache.spark.sql.expressions.Window.orderBy($"decile")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    byDec.crossJoin(broadcast(totals))
-      .withColumn("cum_pos", sum($"n_pos").over(cum))
+    val cumDf = byDec.select($"decile".as("d2"), $"n_pos".as("np2"))
+    byDec.join(broadcast(cumDf), $"d2" <= $"decile")
+      .groupBy($"decile", $"n", $"n_pos")
+      .agg(sum($"np2").as("cum_pos"))
+      .crossJoin(broadcast(totals))
       .select($"decile", $"n", $"n_pos",
         rnd($"n_pos".cast("double") / $"n".cast("double"), 6).as("pos_rate"),
         rnd($"cum_pos".cast("double") / $"pt".cast("double"), 6).as("cum_capture"),

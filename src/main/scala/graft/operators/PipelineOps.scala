@@ -281,8 +281,11 @@ object PipelineOps {
     * with every document, turning the posting join quadratic for
     * near-zero weight contribution (df ≈ N ⟹ idf ≈ 1). On a Zipf
     * vocabulary the bottom quartile IS the rare discriminative tail;
-    * the rank itself is a vocabulary-sized window (vocab ≪ corpus),
-    * the same feature-selection step of sparse-vector retrieval. */
+    * the rank runs over the vocabulary via [[Ranked]]'s
+    * range-partitioned prefix counts (vocab ≪ corpus, but a 100-TB
+    * corpus's vocabulary is itself unbounded — no single-partition
+    * stage), the same feature-selection step of sparse-vector
+    * retrieval. */
   val textSeedSim: QueryFn = (s, dir) => {
     import s.implicits._
     val tf = Tables.documents(s, dir)
@@ -290,10 +293,9 @@ object PipelineOps {
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     // bottom-quartile vocabulary by (df, tok): r <= ceil(vn/4)
-    val vocab = df
-      .withColumn("r", row_number().over(Window.orderBy($"df".asc, $"tok".asc)))
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("vn"))))
-      .where($"r" * 4 <= $"vn" + 3)
+    val rdf = Ranked.withGlobalRank(df, Seq($"df".asc, $"tok".asc), "r")
+    val vocab = rdf.df
+      .where($"r" * 4 <= lit(rdf.n) + 3)
       .select($"tok", $"df")
     val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val w = tf.join(vocab, "tok").crossJoin(broadcast(total))
@@ -590,7 +592,7 @@ object PipelineOps {
       .where($"n_tokens" >= 20 && $"n_tokens" <= 80 &&
         $"mwl" >= 4.0 && $"mwl" <= 5.0 && $"dup2" <= 0.05 && $"stop_hits" >= 1)
       .select($"doc_id", $"source", $"lang", $"text")
-      .cache()
+      .transform(Pin.corpus)
 
     // stage 2: decontamination — benchmark docs (doc_id%10==9) leave
     // the corpus, and any doc sharing a 4-gram with them drops
@@ -603,18 +605,18 @@ object PipelineOps {
       .join(broadcast(bench), "ng").select($"doc_id").distinct()
     val decont = quality.where($"doc_id" % 10 =!= 9)
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .cache()
+      .transform(Pin.corpus)
 
     // stage 3: exact dedup among survivors
     val withFp = decont.withColumn("fp", md5(normText($"text")))
     val exactKeep = withFp.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
     val exact = withFp.join(exactKeep, Seq("fp", "doc_id"))
       .select($"doc_id", $"source", $"lang", $"text")
-      .cache()
+      .transform(Pin.corpus)
 
     // stage 4: near dedup — exact Jaccard pairs → star-contraction CC
     val pairs = DedupOps
-      .jaccardPairs(DedupOps.shingled(exact.select($"doc_id", $"text")).cache(), tau = 0.5)
+      .jaccardPairs(DedupOps.shingled(exact.select($"doc_id", $"text")).transform(Pin.corpus), tau = 0.5)
       .select($"doc_a", $"doc_b")
     val reps = DedupOps.connectedComponents(pairs, exact.select($"doc_id"))
     val near = exact.join(reps, "doc_id").where($"rep" === $"doc_id").drop("rep")

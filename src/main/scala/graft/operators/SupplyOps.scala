@@ -130,10 +130,19 @@ object SupplyOps {
       .join(pairs.as("p2"), $"p1.a" === $"p2.a" && $"p1.b" < $"p2.b")
       .select($"p1.a".as("a"), $"p1.b".as("b"), $"p2.b".as("c"))
       .join(pairs.select($"a".as("b"), $"b".as("c")), Seq("b", "c"), "left_semi")
-    val triples = op.select($"l_orderkey", $"l_partkey".as("a"))
+    // enumeration is pruned AS IT GROWS, not after: the (a,b) pair
+    // stream semi-joins against frequent pairs BEFORE the third item
+    // joins in — Spark cannot push a three-column semi-join below
+    // the join that produces c, so without this staging the physical
+    // fan-out is the full width³ triple space and the A-priori prune
+    // never bounds anything
+    val freqPairsPerOrder = op.select($"l_orderkey", $"l_partkey".as("a"))
       .join(op.select($"l_orderkey", $"l_partkey".as("b")), Seq("l_orderkey"))
+      .where($"a" < $"b")
+      .join(pairs, Seq("a", "b"), "left_semi")
+    val triples = freqPairsPerOrder
       .join(op.select($"l_orderkey", $"l_partkey".as("c")), Seq("l_orderkey"))
-      .where($"a" < $"b" && $"b" < $"c")
+      .where($"b" < $"c")
       .join(cands, Seq("a", "b", "c"), "left_semi")
       .groupBy($"a", $"b", $"c").agg(count(lit(1)).as("support"))
       .where($"support" >= 2)

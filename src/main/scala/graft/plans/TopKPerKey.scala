@@ -58,23 +58,59 @@ final case class TopKPerKeyExec(
     val sortOrder = ordering
     val limit = k
     val childOutput = child.output
+    // Memory budget for the PARTIAL pass: its key map is unbounded
+    // in distinct keys (every input partition sees every key — for
+    // doc-grain consumers like text_tfidf_top that is ≈ every row of
+    // the partition). Past the budget we FLUSH the current heaps
+    // downstream and rebuild — correctness-preserving because the
+    // final pass re-merges per key (the ObjectHashAggregate
+    // fallback discipline, realized as flush-and-restart rather
+    // than sort-based regression). The final pass holds only its
+    // hash partition's keys at ≤ k rows each — 1/N of the key space
+    // — so it keeps the plain map.
+    val maxPartialKeys =
+      if (!partial) Int.MaxValue
+      else math.max(1, conf.getConfString(
+        "graft.topk.partialRowBudget", (1 << 20).toString).toInt / math.max(1, k))
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // ascending "comes first in the requested order" comparator;
       // scala PQ dequeues the MAX, i.e. the currently-worst row
       val ord = GenerateOrdering.generate(sortOrder, childOutput)
       val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
-      it.foreach { row =>
-        val heap = heaps.getOrElseUpdate(
-          keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+
+        private def drainHeaps(): Iterator[InternalRow] = {
+          // ≤ budget rows materialized — exactly the capped map size
+          val rows = heaps.valuesIterator.flatMap(_.toArray.sorted(ord)).toArray
+          heaps.clear()
+          rows.iterator
         }
+
+        private def advance(): Unit = {
+          while (!pending.hasNext && (it.hasNext || heaps.nonEmpty)) {
+            var flushed = false
+            while (!flushed && it.hasNext) {
+              val row = it.next()
+              val heap = heaps.getOrElseUpdate(
+                keyProj(row).copy(),
+                mutable.PriorityQueue.empty[InternalRow](ord))
+              if (heap.size < limit) heap.enqueue(row.copy())
+              else if (ord.compare(row, heap.head) < 0) {
+                heap.dequeue()
+                heap.enqueue(row.copy())
+              }
+              if (heaps.size > maxPartialKeys) flushed = true
+            }
+            pending = drainHeaps()
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); pending.hasNext }
+        override def next(): InternalRow = { advance(); pending.next() }
       }
-      heaps.valuesIterator.flatMap(_.toArray.sorted(ord).iterator)
     }
   }
 }

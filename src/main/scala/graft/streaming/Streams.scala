@@ -409,19 +409,25 @@ object Streams {
   def cdcApply(changes: DataFrame): Dataset[CdcRow] = {
     import changes.sparkSession.implicits._
 
-    // state = (version, st, tp, alive); `version` counts state
-    // updates per key so a reader can pick each key's LATEST
-    // emission without relying on sink row order
+    // state = (version, maxSeq, st, tp, alive); `version` counts
+    // state updates per key so a reader can pick each key's LATEST
+    // emission without relying on sink row order, and `maxSeq` makes
+    // the LSN contract hold ACROSS micro-batches: a lower-seq change
+    // arriving in a later batch (source retries, out-of-order file
+    // pickup) is stale and must not overwrite newer state — per-batch
+    // sorting alone only orders within the batch
     def fn(key: Long, rows: Iterator[(Long, Long, String, String, Double)],
-        state: GroupState[(Long, String, Double, Boolean)]): CdcRow = {
-      var cur = state.getOption.getOrElse((0L, "", 0.0, false))
-      rows.toSeq.sortBy(_._1).foreach { case (_, _, op, st, tp) =>
-        cur = if (op == "delete") (cur._1, "", 0.0, false)
-              else (cur._1, st, tp, true)
+        state: GroupState[(Long, Long, String, Double, Boolean)]): CdcRow = {
+      var cur = state.getOption.getOrElse((0L, Long.MinValue, "", 0.0, false))
+      rows.toSeq.sortBy(_._1).foreach { case (seq, _, op, st, tp) =>
+        if (seq > cur._2) {
+          cur = if (op == "delete") (cur._1, seq, "", 0.0, false)
+                else (cur._1, seq, st, tp, true)
+        }
       }
-      cur = (cur._1 + 1, cur._2, cur._3, cur._4)
+      cur = (cur._1 + 1, cur._2, cur._3, cur._4, cur._5)
       state.update(cur)
-      CdcRow(key, cur._1, cur._2, cur._3, cur._4)
+      CdcRow(key, cur._1, cur._3, cur._4, cur._5)
     }
 
     changes

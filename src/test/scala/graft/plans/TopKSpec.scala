@@ -46,6 +46,24 @@ class TopKSpec extends SparkTestBase {
     assert(got == Set(("a", 1L), ("a", 2L), ("b", 3L)))
   }
 
+  test("partial pass stays within its key budget: 1e6 rows, 5e5 distinct keys, 1000-row cap") {
+    // text_tfidf_top's shape — doc-grain keys, so the partial map
+    // would otherwise hold ≈ every row of the partition. With the
+    // budget at 1000 rows the map is capped at 1000 keys (k=1) and
+    // flush-restarts; the final pass re-merges, so every key still
+    // comes out exactly once with its true max.
+    import spark.implicits._
+    spark.conf.set("graft.topk.partialRowBudget", "1000")
+    try {
+      val df = spark.range(1000000L).select(
+        (col("id") % 500000L).as("k"), col("id").as("v"))
+      val got = TopK.perKey(df, Seq("k"), Seq("v" -> false), 1)
+      assert(got.count() == 500000L) // one survivor per key despite flushes
+      val sample = got.where(col("k") < 5).as[(Long, Long)].collect().toSet
+      assert(sample == (0L until 5L).map(k => (k, k + 500000L)).toSet)
+    } finally spark.conf.unset("graft.topk.partialRowBudget")
+  }
+
   test("TopKRewrite: plain-SQL window top-k gets the heap plan, result unchanged") {
     val sql =
       """SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id

@@ -371,7 +371,12 @@ class StreamingSpec extends SparkTestBase {
     val inDir = Files.createTempDirectory("graft-cdc-in").toString
 
     // micro-batch 1: the base snapshot as seq-0 inserts;
-    // micro-batch 2: the derived change batch at seq 1
+    // micro-batch 2: the derived change batch at seq 1.
+    // The final snapshot is pickup-ORDER-INDEPENDENT: cdcApply keeps
+    // each key's max applied seq in state and skips stale rows, so
+    // even if FileStreamSource reads the seq-1 file first (mtime
+    // ties), a late seq-0 insert cannot overwrite the newer state —
+    // the equality below holds under either order.
     val base = Tables.orders(spark, sfDir)
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
     base.select(lit(0L).as("seq"), $"o_orderkey".as("key"),
@@ -387,7 +392,15 @@ class StreamingSpec extends SparkTestBase {
       .parquet(inDir)
     val q = Streams.cdcApply(stream)
       .writeStream.format("memory").queryName("cdc_out").outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      // a stale seq-0 replay in a LATER micro-batch: would corrupt
+      // every key if arrival order won; maxSeq state must skip it
+      base.select(lit(0L).as("seq"), $"o_orderkey".as("key"),
+          lit("update").as("op"), lit("ZZ").as("st"), lit(-1.0).as("tp"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
 
     // each key's LATEST emission (max ver) is its current row
     val live = spark.table("cdc_out")
