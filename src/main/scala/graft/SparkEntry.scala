@@ -164,6 +164,8 @@ object SparkEntry {
     "dedup_semantic"              -> DedupOps.dedupSemantic,
     // r4: curation selection passes
     "dedup_span_coverage"         -> operators.CurationOps.dedupSpanCoverage,
+    // r5: exact suffix-array EXACTSUBSTR (true maximal repeats)
+    "dedup_exact_substr"          -> operators.SuffixOps.qDedupExactSubstr,
     "dedup_minhash_calibration"   -> DedupOps.dedupMinhashCalibration,
     "q_domain_cap"                -> operators.CurationOps.qDomainCap,
     "q_mmr_select"                -> operators.CurationOps.qMmrSelect,
@@ -1204,6 +1206,59 @@ object SparkEntry {
         |  CAST(sum(least(gap, 8)) AS BIGINT) AS covered,
         |  floor((CAST(sum(least(gap, 8)) AS DOUBLE) / max(n_tokens))*1000000 + 0.5)/1000000 AS coverage
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // exact suffix-array EXACTSUBSTR: the oracle replays the
+    // semantics with a DIFFERENT exact algorithm — materialized
+    // suffix lists sorted lexicographically (DuckDB orders lists
+    // element-wise), adjacent-pair token LCPs, then the same
+    // gaps-and-islands union. Engine-side prefix doubling and this
+    // sort agree because max-LCP only depends on token EQUALITY.
+    // nullif(list_position(..),0): DuckDB returns 0 for "no
+    // mismatch found" = full shared prefix.
+    "dedup_exact_substr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sufs AS (
+        |  SELECT doc_id, u.s['i'] AS pos, CAST(len(tk) AS BIGINT) AS len, tk[u.s['i']:] AS suf
+        |  FROM (SELECT doc_id, tk, unnest([{'i': i} for i in generate_series(1, len(tk))]) AS s
+        |        FROM toks WHERE len(tk) > 0) u),
+        |ord AS (
+        |  SELECT doc_id, pos, len, suf,
+        |    lag(suf) OVER (ORDER BY suf, doc_id, pos) AS psuf,
+        |    lead(suf) OVER (ORDER BY suf, doc_id, pos) AS nsuf
+        |  FROM sufs),
+        |lcps AS (
+        |  SELECT doc_id, pos, len,
+        |    greatest(
+        |      CASE WHEN psuf IS NULL THEN NULL ELSE
+        |        coalesce(nullif(list_position(list_transform(range(1, least(len(suf), len(psuf)) + 1),
+        |          i -> suf[i] IS DISTINCT FROM psuf[i]), true), 0) - 1,
+        |          least(len(suf), len(psuf))) END,
+        |      CASE WHEN nsuf IS NULL THEN NULL ELSE
+        |        coalesce(nullif(list_position(list_transform(range(1, least(len(suf), len(nsuf)) + 1),
+        |          i -> suf[i] IS DISTINCT FROM nsuf[i]), true), 0) - 1,
+        |          least(len(suf), len(nsuf))) END) AS m
+        |  FROM ord),
+        |ints AS (SELECT doc_id, pos, len, CAST(m AS BIGINT) AS m FROM lcps WHERE m >= 8),
+        |g AS (
+        |  SELECT doc_id, pos, len, m,
+        |    CASE WHEN max(pos + m) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR pos > max(pos + m) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM ints),
+        |g2 AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g),
+        |spans AS (
+        |  SELECT doc_id, grp, min(pos) AS st, max(pos + m) AS en, max(m) AS mx, max(len) AS len
+        |  FROM g2 GROUP BY 1, 2)
+        |SELECT doc_id, max(len) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(en - st) AS BIGINT) AS covered,
+        |  CAST(max(mx) AS BIGINT) AS max_dup_len,
+        |  floor((CAST(sum(en - st) AS DOUBLE) / max(len))*1000000 + 0.5)/1000000 AS coverage
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_domain_cap" ->
       """WITH scored AS (

@@ -64,7 +64,7 @@ final case class JobConfig(
 
   def inputer: Inputer =
     if (!prechunked && inputFile.nonEmpty) {
-      val size = math.max(1L, new java.io.File(inputFile).length())
+      val size = math.max(1L, Fs.len(inputFile))
       val chunkBytes = if (m > 0) math.max(1L, size / m) else 1L << 20
       ChunkedTextInputer(inputFile, chunkBytes)
     } else TextDirInputer(inputFolder)

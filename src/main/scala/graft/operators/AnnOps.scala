@@ -700,19 +700,16 @@ object AnnOps {
     private val Version = "v1"
 
     def root(dir: String): String = {
-      val f = new java.io.File(dir, "embeddings.parquet")
-      val files =
-        if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
-      val fp = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-        .mkString(dir, "|", "")
+      // scheme-agnostic fingerprint (graft.mr.Fs): works identically
+      // for a local dir and an s3a:// corpus prefix
+      val fp = dir + graft.mr.Fs.fingerprint(dir + "/embeddings.parquet")
       "/tmp/graft-ivfidx-" + Version + "-" +
         java.lang.Long.toHexString(graft.functions.Hashes.fnv64(fp))
     }
 
     def ensure(s: SparkSession, dir: String): String = synchronized {
       val base = root(dir)
-      val marker = new java.io.File(base, "_READY")
-      if (!marker.exists()) {
+      if (!graft.mr.Fs.exists(base + "/_READY")) {
         val baseVecs = Tables.embeddings(s, dir).where(col("vec_id") % 10 =!= 0)
         baseVecs
           .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -731,7 +728,7 @@ object AnnOps {
           .select(col("vec_id"), col("embedding"),
             argmaxCell(col("scored")).as("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(s"$base/vecs")
-        marker.createNewFile()
+        graft.mr.Fs.touch(base + "/_READY")
       }
       base
     }

@@ -383,12 +383,9 @@ object DedupOps {
       * production pipeline gets this for free from immutable
       * date-partitioned corpora. */
     def root(dir: String, tau: Double): String = {
-      val docs = new java.io.File(dir, "documents.parquet")
-      val files =
-        if (docs.isDirectory) docs.listFiles().sortBy(_.getName)
-        else Array(docs)
-      val fp = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString(dir, "|", "")
+      // scheme-agnostic fingerprint (graft.mr.Fs): local dir and
+      // s3a:// corpus prefix alike
+      val fp = dir + graft.mr.Fs.fingerprint(dir + "/documents.parquet")
       "/tmp/graft-incidx-" + Version + "-s" + ShingleSize +
         "-t" + (tau * 100).toInt + "-" +
         java.lang.Long.toHexString(graft.functions.Hashes.fnv64(fp))
@@ -399,8 +396,7 @@ object DedupOps {
         isNewId: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String =
       synchronized {
         val base = root(dir, tau)
-        val marker = new java.io.File(base, "_READY")
-        if (!marker.exists()) {
+        if (!graft.mr.Fs.exists(base + "/_READY")) {
           val old = Tables.documents(s, dir).where(!isNewId(col("doc_id")))
           old.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
             .groupBy(col("fp")).agg(min(col("doc_id")).as("old_id"))
@@ -420,7 +416,7 @@ object DedupOps {
             .where(col("rn") <= col("sz") - ceil(col("sz") * tau) + 1)
             .select(col("key"), col("doc_id"), col("sz"))
             .write.mode("overwrite").parquet(s"$base/prefix")
-          marker.createNewFile()
+          graft.mr.Fs.touch(base + "/_READY")
         }
         base
       }
