@@ -133,6 +133,8 @@ object SparkEntry {
     // §2.D similarity search
     "ann_bruteforce_topk"         -> AnnOps.annBruteforceTopk,
     "ann_lsh_topk"                -> AnnOps.annLshTopk,
+    // r5: graph-based ANN (flat navigable-small-world, beam serve)
+    "ann_hnsw_topk"               -> operators.HnswOps.annHnswTopk,
     "ann_ivf_topk"                -> AnnOps.annIvfTopk,
     "ann_sq8_topk"                -> AnnOps.annSq8Topk,
     "ann_pq_topk"                 -> AnnOps.annPqTopk,
@@ -2987,6 +2989,7 @@ object SparkEntry {
         |ORDER BY a.pos""".stripMargin,
     "dedup_minhash_calibration" -> minhashCalibrationOracle,
     "ann_lsh_topk" -> annLshOracle,
+    "ann_hnsw_topk" -> annHnswOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
     "ann_pq_topk" -> annPqOracle,
     "emb_pq_distortion" -> pqDistortionOracle,
@@ -3222,6 +3225,85 @@ object SparkEntry {
        |        [CAST(bb.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
        |        (x, y) -> x + y))) AS sim
        |  FROM cand JOIN e a ON a.vec_id = cand.pid JOIN e bb ON bb.vec_id = cand.nid)""".stripMargin
+  }
+
+  /** DuckDB cosine between two embedding-table aliases — the same
+    * three left-to-right double accumulations as the native
+    * CosineSim expression (bit-identical cross-engine). */
+  private def cosEmbSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+       |      (x, y) -> x + y)
+       |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        [CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+       |        (x, y) -> x + y))
+       |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        [CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+       |        (x, y) -> x + y)))""".stripMargin
+
+  /** `ann_hnsw_topk` replayed end-to-end: the same 48-plane/12-band
+    * signatures produce corpus-corpus band candidates, top-M per
+    * node by (rounded sim, dst) forms the pruned edge list,
+    * bidirectionalized; then the UNROLLED fixed-depth beam search
+    * (entries → 3 × expand/score/top-Beam → final top-k). The
+    * oracle pre-computes probe→node sims brute-force (oracle-scale
+    * liberty); the engine only ever scores visited nodes. */
+  private lazy val annHnswOracle: String = {
+    val (m, beam, entries, k) = (operators.HnswOps.M,
+      operators.HnswOps.Beam, operators.HnswOps.Entries, operators.AnnOps.K)
+    def hop(i: Int): String =
+      s"""x$i AS (
+         |  SELECT DISTINCT b.pid, ed.dst AS nid FROM bs${i - 1} b JOIN edges ed ON ed.src = b.nid
+         |  UNION SELECT pid, nid FROM bs${i - 1}),
+         |bs$i AS (
+         |  SELECT pid, nid, sim FROM (
+         |    SELECT x$i.pid, x$i.nid, psim.sim,
+         |      row_number() OVER (PARTITION BY x$i.pid
+         |        ORDER BY floor(psim.sim*1000000 + 0.5)/1000000 DESC, x$i.nid ASC) AS rn
+         |    FROM x$i JOIN psim ON psim.pid = x$i.pid AND psim.nid = x$i.nid)
+         |  WHERE rn <= $beam)""".stripMargin
+    s"""WITH pl AS (SELECT ${planesLiteral(operators.AnnOps.LshPlanes)} AS w),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [CAST(embedding[i] AS DOUBLE) * w[p][i] for i in generate_series(1, 64)]),
+       |      (a, b) -> a + b) AS dot
+       |  FROM e, pl, (SELECT unnest(generate_series(1, ${operators.AnnOps.LshPlanes})) AS p)),
+       |bv AS (
+       |  SELECT vec_id, (p - 1) // 4 AS b,
+       |    sum(CASE WHEN dot > 0 THEN (1 << ((p - 1) % 4)) ELSE 0 END) AS val
+       |  FROM d GROUP BY 1, 2),
+       |cpair AS (
+       |  SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+       |  FROM bv a JOIN bv c ON a.b = c.b AND a.val = c.val
+       |  WHERE a.vec_id <> c.vec_id),
+       |csim AS (
+       |  SELECT cpair.src, cpair.dst, ${cosEmbSql("sa", "sb")} AS sim
+       |  FROM cpair JOIN e sa ON sa.vec_id = cpair.src JOIN e sb ON sb.vec_id = cpair.dst),
+       |em AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY floor(sim*1000000 + 0.5)/1000000 DESC, dst ASC) AS rn
+       |    FROM csim) WHERE rn <= $m),
+       |edges AS (SELECT DISTINCT * FROM (
+       |  SELECT src, dst FROM em UNION ALL SELECT dst AS src, src AS dst FROM em)),
+       |probes AS (SELECT vec_id AS pid FROM e WHERE vec_id < ${operators.AnnOps.NumProbes}),
+       |psim AS (
+       |  SELECT pa.vec_id AS pid, pc.vec_id AS nid, ${cosEmbSql("pa", "pc")} AS sim
+       |  FROM e pa JOIN probes ON probes.pid = pa.vec_id, e pc),
+       |bs0 AS (
+       |  SELECT psim.pid, psim.nid, psim.sim FROM psim WHERE psim.nid < $entries),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)}
+       |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor(sim*10000 + 0.5)/10000 AS sim
+       |FROM (
+       |  SELECT pid, nid, sim,
+       |    row_number() OVER (PARTITION BY pid
+       |      ORDER BY floor(sim*1000000 + 0.5)/1000000 DESC, nid ASC) AS rnk
+       |  FROM bs3 WHERE nid <> pid)
+       |WHERE rnk <= $k ORDER BY pid, rnk""".stripMargin
   }
 
   private lazy val annLshOracle: String =

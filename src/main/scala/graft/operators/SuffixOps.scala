@@ -68,6 +68,22 @@ object SuffixOps {
     val s = toks.sparkSession
     import s.implicits._
 
+    // The build is ~20 synchronous rounds of BOUNDED shuffles over
+    // the position frame — job-count-dominated, not data-dominated,
+    // at bench scale. Run the rounds at a narrower shuffle width
+    // (the frame is positions-sized; at 100 TB a cluster raises this
+    // conf, the ROUND COUNT stays log(maxDocLen)).
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions", "32")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(8, prevShuffle.toInt / 4).toString)
+    try maxLcpRounds(toks)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def maxLcpRounds(toks: DataFrame): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+
     // token → dense rank (vocabulary-keyed shuffle join back)
     val tokRank = Ranked.withGlobalRank(
       toks.select($"tok").distinct(), Seq($"tok".asc), "tr").df
@@ -108,8 +124,13 @@ object SuffixOps {
 
     // binary-lifting descent: extend by w when width-w ranks agree
     // at the current frontier AND both substrings are fully in
-    // bounds (clipped ranks at doc tails must not extend past len)
-    tables.foreach { case (w, tab) =>
+    // bounds (clipped ranks at doc tails must not extend past len).
+    // The widest table can exceed maxDocLen (the last doubling
+    // overshoots) — its bounds guard can never pass, so skip it; and
+    // checkpoint every OTHER round (the lineage of two join rounds
+    // is cheap; a materialization job per round is not).
+    val descent = tables.filter(_._1 <= maxLen)
+    descent.zipWithIndex.foreach { case ((w, tab), i) =>
       val ta = tab.select($"doc_id".as("xda"), $"pos".as("xpa"), $"r".as("ra"))
       val tb = tab.select($"doc_id".as("xdb"), $"pos".as("xpb"), $"r".as("rb"))
       pairs = pairs
@@ -120,7 +141,8 @@ object SuffixOps {
             $"pa" + $"lcp" + w <= $"la" && $"pb" + $"lcp" + w <= $"lb",
             $"lcp" + w).otherwise($"lcp"))
         .drop("xda", "xpa", "ra", "xdb", "xpb", "rb")
-        .localCheckpoint(true)
+      if (i % 2 == 1 || i == descent.size - 1)
+        pairs = pairs.localCheckpoint(true)
     }
 
     // m(p) = max over both directed neighbors
