@@ -814,7 +814,22 @@ object PlanAudit {
           "windowspecdefinition".r.findAllIn(p).size ==
             "windowspecdefinition\\(__pid".r.findAllIn(p).size),
         "1-row as-of broadcast only" -> (p =>
-          "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size <= 1)))
+          "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size <= 1)),
+      "ann_hnsw_topk" -> Map(
+        // the hop rounds (broadcast frontier equi-joins) run in the
+        // pre-checkpoint jobs; the visible plan is the final ranking
+        // over the checkpointed beam — a probe-partitioned window,
+        // never global, and no cartesian anywhere
+        "no corpus cartesian" -> (p => !p.contains("CartesianProduct")),
+        "final rank probe-partitioned" -> (p =>
+          p.contains("windowspecdefinition(pid"))),
+      "dedup_exact_substr" -> Map(
+        // suffix machinery runs in the pre-checkpoint rounds; the
+        // visible plan is the span fold — doc-partitioned windows
+        // only, offsets broadcast, never a shuffle join
+        "span windows doc-partitioned" -> (p =>
+          !p.contains("windowspecdefinition()") ),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))))
 
     var failures = 0
     audits.foreach { case (name, checks) =>

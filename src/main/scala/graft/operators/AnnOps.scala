@@ -22,8 +22,21 @@ import graft.functions.VectorExpressions.cosine_sim
 object AnnOps {
   import graft.SparkEntry.QueryFn
 
-  val K = 5
-  val NumProbes = 10
+  /** Serve-k and probe-set size are PER-RUN DIALS, not literals: a
+    * corpus-scale recall sweep launches with `GRAFT_ANN_K` /
+    * `GRAFT_ANN_NUM_PROBES` in the driver environment and every
+    * serve path, recall panel, and oracle SQL (they interpolate the
+    * same accessors) widens together — no code edit, hashes stay
+    * consistent because both engines read one resolved value per
+    * JVM. Defaults preserve the gate hashes. The vars are
+    * test-visible so specs can dial them within a JVM; production
+    * runs set the env once at launch. */
+  @volatile var overrideK: Option[Int] = None
+  @volatile var overrideNumProbes: Option[Int] = None
+  def K: Int = overrideK
+    .orElse(sys.env.get("GRAFT_ANN_K").map(_.toInt)).getOrElse(5)
+  def NumProbes: Int = overrideNumProbes
+    .orElse(sys.env.get("GRAFT_ANN_NUM_PROBES").map(_.toInt)).getOrElse(10)
 
   private def probes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
