@@ -46,24 +46,28 @@ object HnswOps {
   val Hops = 3    // fixed expansion rounds
   val Entries = 4 // entry nodes: the lowest vec_ids
 
-  /** Bidirectional pruned edge list (src, dst). */
+  /** Bidirectional pruned edge list (src, dst). The candidate
+    * distinct runs over ID PAIRS only — embeddings re-join for the
+    * cosine afterwards (a wide distinct over two 64-float arrays
+    * shuffles 64× the bytes for the same answer). */
   def edges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val planes = hyperplanes(LshHelper.Planes, 64)
     val sig = hyperplaneSig(planes)
-    val corpus = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding", sig($"embedding").as("sig"))
-    val bandCols = (0 until LshHelper.Bands).map { b =>
-      concat_ws(":", lit(b), shiftrightunsigned(col("sig"), b * 4) % 16).as(s"band$b")
-    }
-    val banded = corpus
-      .select($"vec_id", $"embedding", explode(array(bandCols: _*)).as("key"))
-    val cands = banded.select($"vec_id".as("src"), $"embedding".as("se"), $"key")
-      .join(banded.select($"vec_id".as("dst"), $"embedding".as("de"), $"key"), Seq("key"))
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val banded = emb
+      .select($"vec_id", sig($"embedding").as("sig"))
+      .select($"vec_id", explode(array((0 until LshHelper.Bands).map { b =>
+        concat_ws(":", lit(b), shiftrightunsigned(col("sig"), b * 4) % 16)
+      }: _*)).as("key"))
+    val pairs = banded.select($"vec_id".as("src"), $"key")
+      .join(banded.select($"vec_id".as("dst"), $"key"), Seq("key"))
       .where($"src" =!= $"dst")
-      .select($"src", $"dst", $"se", $"de").distinct()
-      .select($"src", $"dst",
-        rnd(cosine_sim($"se", $"de"), 6).as("sim_r"))
+      .select($"src", $"dst").distinct()
+    val cands = pairs
+      .join(emb.select($"vec_id".as("src"), $"embedding".as("se")), "src")
+      .join(emb.select($"vec_id".as("dst"), $"embedding".as("de")), "dst")
+      .select($"src", $"dst", rnd(cosine_sim($"se", $"de"), 6).as("sim_r"))
     val kept = graft.plans.TopK.perKey(cands,
       keyCols = Seq("src"), orderCols = Seq("sim_r" -> false, "dst" -> true), k = M)
       .select($"src", $"dst")
@@ -74,6 +78,16 @@ object HnswOps {
   /** Fixed-depth beam-search top-k serve — output shape identical to
     * the other ANN queries: (pid, rnk, nid, sim). */
   val annHnswTopk: QueryFn = (s, dir) => {
+    // serve rounds are job-count-dominated at bench scale (the same
+    // SuffixOps observation): run them at a narrower shuffle width
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions", "32")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(8, prevShuffle.toInt / 4).toString)
+    try serve(s, dir)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def serve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
     val probes = emb.where($"vec_id" < AnnOps.NumProbes)
@@ -93,11 +107,12 @@ object HnswOps {
       val expand = beam.select($"pid", $"nid".as("src"))
         .join(eds, "src")
         .select($"pid", $"dst".as("nid")).distinct()
-        // only nodes not already in the beam need scoring; the union
-        // below re-ranks everything on identical deterministic sims
-        .exceptAll(beam.select($"pid", $"nid"))
       val scored = score(expand)
+      // beam ∪ expansion deduped in ONE group pass (a re-reached
+      // node carries the identical deterministic sim, so max = the
+      // value) — cheaper than an exceptAll set-difference round
       val merged = beam.unionByName(scored)
+        .groupBy($"pid", $"nid").agg(max($"sim").as("sim"))
         .withColumn("sim_r", rnd($"sim", 6))
       beam = graft.plans.TopK.perKey(merged,
           keyCols = Seq("pid"), orderCols = Seq("sim_r" -> false, "nid" -> true),

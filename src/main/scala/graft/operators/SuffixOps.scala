@@ -31,12 +31,23 @@ import graft.functions.Cols._
   *     the doc-partitioned position order supplies the shifted rank,
   *     a distinct + global rank + equi-join back produces the new
   *     table — 3 bounded shuffles per round, log₂(maxDocLen) rounds
-  *     (suffixes never cross documents, so maxDocLen bounds depth);
-  *   - neighbor LCPs by binary lifting down the saved rank tables:
-  *     adjacent suffixes in suffix order (rank + rn±1 self-join, the
-  *     [[Ranked]] lag idiom) extend their common prefix by w
-  *     whenever the width-w ranks at the shifted positions agree and
-  *     stay in bounds — an equi-join per level, log rounds again;
+  *     (suffixes never cross documents, so maxDocLen bounds depth),
+  *     with the Manber–Myers fixpoint exit when a round splits no
+  *     class (same-rank then implies the successor positions are
+  *     same-rank, and by induction the whole remaining suffixes are
+  *     equal — no later round can split either);
+  *   - neighbor LCPs in TWO rounds, not a per-width descent: the
+  *     final rank table's equality means FULL suffix equality
+  *     (clipped sequences carry the sentinel, so equal rank ⟹ same
+  *     content and length — true at both stop conditions), so a top
+  *     match closes an adjacent pair at lcp = min(remaining lengths)
+  *     outright — the O(1) path for the repetitive mass a dedup
+  *     corpus is full of; every non-matching pair has
+  *     lcp < min(len), resolved by ONE direct token-slice compare
+  *     (zip_with first-mismatch) whose work is Σ min-suffix-length
+  *     over only the non-identical adjacent pairs — the LCP output
+  *     mass itself, not corpus², and the identical-suffix heavy
+  *     tail never touches it;
   *   - the max-LCP-with-any-other-suffix of position p is attained
   *     at an adjacent suffix in ANY lexicographic order, so
   *     m(p) = max(lcp(prev), lcp(next)) is exact; every interval
@@ -47,11 +58,10 @@ import graft.functions.Cols._
   *
   * At 100 TB: every stage is a bounded equi-shuffle or a
   * doc/pid-partitioned window; rounds grow with log(maxDocLen) (a
-  * 100k-token doc = 17 doubling rounds), and the rank tables are
-  * position-keyed frames that persist serialized ([[Pin]]) — this is
-  * the Flick–Aluru distributed-suffix-array shape, not a
-  * single-node suffix automaton. The oracle replays the semantics
-  * independently in DuckDB by sorting materialized suffix lists.
+  * 100k-token doc = 17 doubling rounds) — this is the Flick–Aluru
+  * distributed-suffix-array shape, not a single-node suffix
+  * automaton. The oracle replays the semantics independently in
+  * DuckDB by sorting materialized suffix lists.
   */
 object SuffixOps {
   import graft.SparkEntry.QueryFn
@@ -63,51 +73,69 @@ object SuffixOps {
 
   /** Per-position max-LCP frame: (doc_id, pos, len, m) where m is
     * the exact length of the longest substring starting at pos that
-    * occurs ≥ 2 times corpus-wide (self-repeats included). */
-  def maxLcp(toks: DataFrame): DataFrame = {
+    * occurs ≥ 2 times corpus-wide (self-repeats included).
+    * `toks` = (doc_id, pos, len, tok) exploded positions;
+    * `docTk` = (doc_id, tk) the per-doc token arrays (for the final
+    * direct compare). */
+  def maxLcp(toks: DataFrame, docTk: DataFrame): DataFrame = {
     val s = toks.sparkSession
-    import s.implicits._
-
-    // The build is ~20 synchronous rounds of BOUNDED shuffles over
-    // the position frame — job-count-dominated, not data-dominated,
-    // at bench scale. Run the rounds at a narrower shuffle width
-    // (the frame is positions-sized; at 100 TB a cluster raises this
-    // conf, the ROUND COUNT stays log(maxDocLen)).
+    // ~10 synchronous rounds of BOUNDED shuffles over the position
+    // frame — job-count-dominated, not data-dominated, at bench
+    // scale. Run the rounds at a narrower shuffle width (at 100 TB a
+    // cluster raises this conf; the ROUND COUNT stays log(maxDocLen)).
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions", "32")
     s.conf.set("spark.sql.shuffle.partitions",
       math.max(8, prevShuffle.toInt / 4).toString)
-    try maxLcpRounds(toks)
+    try maxLcpRounds(toks, docTk)
     finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
-  private def maxLcpRounds(toks: DataFrame): DataFrame = {
+  private def maxLcpRounds(toks: DataFrame, docTk: DataFrame): DataFrame = {
     val s = toks.sparkSession
     import s.implicits._
 
     // token → dense rank (vocabulary-keyed shuffle join back)
     val tokRank = Ranked.withGlobalRank(
-      toks.select($"tok").distinct(), Seq($"tok".asc), "tr").df
-    var r = toks.join(tokRank, "tok")
+      toks.select($"tok").distinct(), Seq($"tok".asc), "tr")
+    var r = toks.join(tokRank.df, "tok")
       .select($"doc_id", $"pos", $"len", $"tr".as("r"))
       .localCheckpoint(true)
 
     val maxLen = toks.agg(max($"len")).collect()(0).getLong(0)
     val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
 
-    // rank tables widest-first for the LCP descent; width 1 last
-    var tables = List((1L, r))
+    // prefix B-TUPLING (the Manber–Myers doubling generalized to
+    // branching factor 8): rank of the Bw-prefix = dense rank of the
+    // B-tuple (rank_w(p), rank_w(p+w), …, rank_w(p+(B−1)w)) — B−1
+    // lead expressions share ONE doc-partitioned sort, so a round
+    // costs the same stages as doubling but multiplies the width by
+    // 8: ceil(log₈(maxDocLen)) rounds (3 for 100-token docs, 6 for
+    // 100k). Only the FINAL table is kept — the two-round LCP pass
+    // below needs no width ladder, which is what frees the
+    // branching factor. The fixpoint exit argument is unchanged: a
+    // round that splits no class proves classes successor-closed ⟹
+    // fully-equal suffixes.
+    val B = 8
     var width = 1L
-    while (width < maxLen) {
-      val paired = r.withColumn("r2",
-        coalesce(lead($"r", width.toInt).over(byDoc), lit(-1L)))
+    var distinctRanks = tokRank.n // distinct width-1 ranks, job-free
+    var fixpoint = width >= maxLen
+    while (!fixpoint) {
+      val leadCols = (1 until B).map { j =>
+        coalesce(lead($"r", (j * width).toInt).over(byDoc), lit(-1L)).as(s"r$j")
+      }
+      val paired = r.select(
+        Seq($"doc_id", $"pos", $"len", $"r") ++ leadCols: _*)
+      val keyNames = "r" +: (1 until B).map(j => s"r$j")
       val pairRank = Ranked.withGlobalRank(
-        paired.select($"r", $"r2").distinct(),
-        Seq($"r".asc, $"r2".asc), "nr").df
-      r = paired.join(pairRank, Seq("r", "r2"))
+        paired.select(keyNames.map(col): _*).distinct(),
+        keyNames.map(c => col(c).asc), "nr")
+      r = paired.join(pairRank.df, keyNames)
         .select($"doc_id", $"pos", $"len", $"nr".as("r"))
         .localCheckpoint(true)
-      width *= 2
-      tables = (width, r) :: tables
+      width *= B
+      // pairRank.n IS the new distinct-rank count — no extra job
+      fixpoint = width >= maxLen || pairRank.n == distinctRanks
+      distinctRanks = pairRank.n
     }
 
     // adjacent suffixes in suffix order (ties = identical suffixes;
@@ -116,39 +144,38 @@ object SuffixOps {
       r, Seq($"r".asc, $"doc_id".asc, $"pos".asc), "sn").df
       .localCheckpoint(true)
     val nxt = ord.select(($"sn" - 1).as("pn"), $"doc_id".as("db"),
-      $"pos".as("pb"), $"len".as("lb"))
-    var pairs = ord.join(nxt, $"sn" === $"pn")
-      .select($"doc_id".as("da"), $"pos".as("pa"), $"len".as("la"),
-        $"db", $"pb", $"lb")
-      .withColumn("lcp", lit(0L))
+      $"pos".as("pb"), $"len".as("lb"), $"r".as("rb"))
+    val pairs = ord
+      .select($"sn", $"doc_id".as("da"), $"pos".as("pa"), $"len".as("la"),
+        $"r".as("ra"))
+      .join(nxt, $"sn" === $"pn")
 
-    // binary-lifting descent: extend by w when width-w ranks agree
-    // at the current frontier AND both substrings are fully in
-    // bounds (clipped ranks at doc tails must not extend past len).
-    // The widest table can exceed maxDocLen (the last doubling
-    // overshoots) — its bounds guard can never pass, so skip it; and
-    // checkpoint every OTHER round (the lineage of two join rounds
-    // is cheap; a materialization job per round is not).
-    val descent = tables.filter(_._1 <= maxLen)
-    descent.zipWithIndex.foreach { case ((w, tab), i) =>
-      val ta = tab.select($"doc_id".as("xda"), $"pos".as("xpa"), $"r".as("ra"))
-      val tb = tab.select($"doc_id".as("xdb"), $"pos".as("xpb"), $"r".as("rb"))
-      pairs = pairs
-        .join(ta, $"da" === $"xda" && $"pa" + $"lcp" === $"xpa", "left")
-        .join(tb, $"db" === $"xdb" && $"pb" + $"lcp" === $"xpb", "left")
-        .withColumn("lcp",
-          when($"ra".isNotNull && $"rb".isNotNull && $"ra" === $"rb" &&
-            $"pa" + $"lcp" + w <= $"la" && $"pb" + $"lcp" + w <= $"lb",
-            $"lcp" + w).otherwise($"lcp"))
-        .drop("xda", "xpa", "ra", "xdb", "xpb", "rb")
-      if (i % 2 == 1 || i == descent.size - 1)
-        pairs = pairs.localCheckpoint(true)
-    }
+    // ONE pass closes every pair: identical final ranks ⟹ fully
+    // equal suffixes ⟹ lcp = min remaining length (no token ever
+    // re-read); otherwise a direct first-mismatch compare of the two
+    // suffix slices — zip_with produces equal-length slices (capped
+    // at the shorter suffix), array_position finds the first
+    // mismatch (0 = none ⟹ the cap itself is the LCP)
+    val ta = docTk.select($"doc_id".as("da"), $"tk".as("tka"))
+    val tb = docTk.select($"doc_id".as("db"), $"tk".as("tkb"))
+    val cmpLen = least($"la" - $"pa", $"lb" - $"pb")
+    val mism = array_position(
+      zip_with(
+        slice($"tka", ($"pa" + 1).cast("int"), cmpLen.cast("int")),
+        slice($"tkb", ($"pb" + 1).cast("int"), cmpLen.cast("int")),
+        (x, y) => !(x <=> y)),
+      true)
+    val lcps = pairs
+      .join(ta, "da").join(tb, "db")
+      .withColumn("lcp",
+        when($"ra" === $"rb", cmpLen)
+          .otherwise(when(mism === 0, cmpLen).otherwise(mism - 1)))
+      .localCheckpoint(true)
 
     // m(p) = max over both directed neighbors
-    pairs.select($"da".as("doc_id"), $"pa".as("pos"), $"la".as("len"), $"lcp")
+    lcps.select($"da".as("doc_id"), $"pa".as("pos"), $"la".as("len"), $"lcp")
       .unionByName(
-        pairs.select($"db".as("doc_id"), $"pb".as("pos"), $"lb".as("len"), $"lcp"))
+        lcps.select($"db".as("doc_id"), $"pb".as("pos"), $"lb".as("len"), $"lcp"))
       .groupBy($"doc_id", $"pos", $"len")
       .agg(max($"lcp").as("m"))
   }
@@ -166,13 +193,13 @@ object SuffixOps {
   def exactSpans(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val toks = docs
-      .select($"doc_id", normTokens($"text").as("tk"))
+    val docTk = docs.select($"doc_id", normTokens($"text").as("tk"))
+    val toks = docTk
       .select($"doc_id", size($"tk").cast("long").as("len"),
         posexplode($"tk").as(Seq("p", "tok")))
       .select($"doc_id", $"p".cast("long").as("pos"), $"len", $"tok")
 
-    val ints = maxLcp(toks).where($"m" >= MinDup)
+    val ints = maxLcp(toks, docTk).where($"m" >= MinDup)
 
     val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     val prevEnd = max($"pos" + $"m")
