@@ -823,6 +823,12 @@ object PlanAudit {
         "no corpus cartesian" -> (p => !p.contains("CartesianProduct")),
         "final rank probe-partitioned" -> (p =>
           p.contains("windowspecdefinition(pid"))),
+      "text_decontaminate_spans" -> Map(
+        // the segmented scans run pre-checkpoint; the visible plan is
+        // the span fold — doc-partitioned windows only, no cartesian
+        "span windows doc-partitioned" -> (p =>
+          !p.contains("windowspecdefinition()")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
       "dedup_exact_substr" -> Map(
         // suffix machinery runs in the pre-checkpoint rounds; the
         // visible plan is the span fold — doc-partitioned windows

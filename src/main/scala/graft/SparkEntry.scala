@@ -168,6 +168,7 @@ object SparkEntry {
     "dedup_span_coverage"         -> operators.CurationOps.dedupSpanCoverage,
     // r5: exact suffix-array EXACTSUBSTR (true maximal repeats)
     "dedup_exact_substr"          -> operators.SuffixOps.qDedupExactSubstr,
+    "text_decontaminate_spans"    -> operators.SuffixOps.qDecontaminateSpans,
     "dedup_minhash_calibration"   -> DedupOps.dedupMinhashCalibration,
     "q_domain_cap"                -> operators.CurationOps.qDomainCap,
     "q_mmr_select"                -> operators.CurationOps.qMmrSelect,
@@ -1260,6 +1261,68 @@ object SparkEntry {
         |  CAST(sum(en - st) AS BIGINT) AS covered,
         |  CAST(max(mx) AS BIGINT) AS max_dup_len,
         |  floor((CAST(sum(en - st) AS DOUBLE) / max(len))*1000000 + 0.5)/1000000 AS coverage
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // exact cross-set contamination spans: the same suffix-sort
+    // replay, plus the segmented-min scans (nearest benchmark suffix
+    // above/below; LCP shrinks with suffix distance, so those two
+    // bound the max cross-set LCP exactly)
+    "text_decontaminate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sufs AS (
+        |  SELECT doc_id, u.s['i'] AS pos, CAST(len(tk) AS BIGINT) AS len, tk[u.s['i']:] AS suf,
+        |    (doc_id % 10 = 9) AS mark
+        |  FROM (SELECT doc_id, tk, unnest([{'i': i} for i in generate_series(1, len(tk))]) AS s
+        |        FROM toks WHERE len(tk) > 0) u),
+        |ordx AS (
+        |  SELECT doc_id, pos, len, mark, suf,
+        |    row_number() OVER (ORDER BY suf, doc_id, pos) AS rn,
+        |    lag(suf) OVER (ORDER BY suf, doc_id, pos) AS psuf
+        |  FROM sufs),
+        |lp AS (
+        |  SELECT doc_id, pos, len, mark, rn,
+        |    CASE WHEN psuf IS NULL THEN NULL ELSE
+        |      coalesce(nullif(list_position(list_transform(range(1, least(len(suf), len(psuf)) + 1),
+        |        i -> suf[i] IS DISTINCT FROM psuf[i]), true), 0) - 1,
+        |        least(len(suf), len(psuf))) END AS lcp_prev
+        |  FROM ordx),
+        |scan AS (
+        |  SELECT *,
+        |    lead(lcp_prev) OVER (ORDER BY rn) AS lcp_next,
+        |    coalesce(sum(CASE WHEN mark THEN 1 ELSE 0 END) OVER (ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segu,
+        |    coalesce(sum(CASE WHEN mark THEN 1 ELSE 0 END) OVER (ORDER BY rn DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segd
+        |  FROM lp),
+        |reach AS (
+        |  SELECT doc_id, pos, len, mark,
+        |    CASE WHEN segu >= 1 THEN min(lcp_prev) OVER (PARTITION BY segu ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS aup,
+        |    CASE WHEN segd >= 1 THEN min(lcp_next) OVER (PARTITION BY segd ORDER BY rn DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS adn
+        |  FROM scan),
+        |m AS (
+        |  SELECT doc_id, pos, len, greatest(aup, adn) AS m
+        |  FROM reach WHERE NOT mark AND greatest(aup, adn) >= 5),
+        |g AS (
+        |  SELECT doc_id, pos, len, m,
+        |    CASE WHEN max(pos + m) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR pos > max(pos + m) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |g2 AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g),
+        |spans AS (
+        |  SELECT doc_id, grp, min(pos) AS st, max(pos + m) AS en, max(m) AS mx, max(len) AS len
+        |  FROM g2 GROUP BY 1, 2)
+        |SELECT doc_id, max(len) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(en - st) AS BIGINT) AS contaminated,
+        |  CAST(max(mx) AS BIGINT) AS max_contam_len,
+        |  floor((CAST(sum(en - st) AS DOUBLE) / max(len))*1000000 + 0.5)/1000000 AS contam_frac
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_domain_cap" ->

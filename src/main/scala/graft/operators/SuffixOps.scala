@@ -90,7 +90,53 @@ object SuffixOps {
     finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
-  private def maxLcpRounds(toks: DataFrame, docTk: DataFrame): DataFrame = {
+  private def maxLcpRounds(toks: DataFrame, docTk: DataFrame): DataFrame =
+    maxFromLcps(adjacentLcps(toks, docTk)._2)
+
+  /** m(p) = max over both directed neighbors. */
+  private def maxFromLcps(lcps: DataFrame): DataFrame = {
+    val s = lcps.sparkSession
+    import s.implicits._
+    lcps.select($"da".as("doc_id"), $"pa".as("pos"), $"la".as("len"), $"lcp")
+      .unionByName(
+        lcps.select($"db".as("doc_id"), $"pb".as("pos"), $"lb".as("len"), $"lcp"))
+      .groupBy($"doc_id", $"pos", $"len")
+      .agg(max($"lcp").as("m"))
+  }
+
+  /** Session-scoped memo of the suffix machinery per corpus
+    * fingerprint: `dedup_exact_substr` and `text_decontaminate_spans`
+    * consume the SAME suffix order + adjacent LCPs of the same
+    * corpus — building it twice per run doubles the dominant cost.
+    * Keyed by (session, corpus file fingerprint) like the persisted
+    * ANN/dedup indexes, so a regenerated corpus can never serve
+    * stale frames; the cached frames are localCheckpointed, i.e.
+    * valid exactly as long as their session. */
+  private val lcpMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, DataFrame)]
+
+  private def adjacentLcpsCached(
+      s: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val key = (System.identityHashCode(s).toString,
+      dir + graft.mr.Fs.fingerprint(dir + "/documents.parquet"))
+    lcpMemo.getOrElseUpdate(key, {
+      import s.implicits._
+      val docTk = Tables.documents(s, dir)
+        .select($"doc_id", normTokens($"text").as("tk"))
+      val toks = docTk
+        .select($"doc_id", size($"tk").cast("long").as("len"),
+          posexplode($"tk").as(Seq("p", "tok")))
+        .select($"doc_id", $"p".cast("long").as("pos"), $"len", $"tok")
+      adjacentLcps(toks, docTk)
+    })
+  }
+
+  /** Shared suffix machinery: returns (ord, lcps) where
+    * ord = (sn, doc_id, pos, len) is the suffix-order frame and
+    * lcps = (sn, da, pa, la, db, pb, lb, lcp) holds the exact LCP of
+    * each ADJACENT suffix pair (sn, sn+1). */
+  private def adjacentLcps(
+      toks: DataFrame, docTk: DataFrame): (DataFrame, DataFrame) = {
     val s = toks.sparkSession
     import s.implicits._
 
@@ -149,6 +195,7 @@ object SuffixOps {
       .select($"sn", $"doc_id".as("da"), $"pos".as("pa"), $"len".as("la"),
         $"r".as("ra"))
       .join(nxt, $"sn" === $"pn")
+      .drop("pn")
 
     // ONE pass closes every pair: identical final ranks ⟹ fully
     // equal suffixes ⟹ lcp = min remaining length (no token ever
@@ -170,14 +217,174 @@ object SuffixOps {
       .withColumn("lcp",
         when($"ra" === $"rb", cmpLen)
           .otherwise(when(mism === 0, cmpLen).otherwise(mism - 1)))
+      .select($"sn", $"da", $"pa", $"la", $"db", $"pb", $"lb", $"lcp")
       .localCheckpoint(true)
+    (ord, lcps)
+  }
 
-    // m(p) = max over both directed neighbors
-    lcps.select($"da".as("doc_id"), $"pa".as("pos"), $"la".as("len"), $"lcp")
-      .unionByName(
-        lcps.select($"db".as("doc_id"), $"pb".as("pos"), $"lb".as("len"), $"lcp"))
-      .groupBy($"doc_id", $"pos", $"len")
-      .agg(max($"lcp").as("m"))
+  /** Minimum contamination span (tokens) for
+    * [[qDecontaminateSpans]] — 5 keeps the cross-split overlap set
+    * non-vacuous on every sf corpus (1/3/261 docs at
+    * sf0.001/0.01/0.1 under an 8-token bar would be 8/1/48). */
+  val ContamMinLen = 5
+
+  /** Directional segmented-min scan over the suffix order — the
+    * primitive behind exact cross-set LCPs: for each row (a suffix,
+    * ordered by `sn` ascending or descending), the MIN of `edge`
+    * accumulated since the scan last passed a `mark` row (exclusive
+    * of everything before that marker), or NULL if no marker has
+    * been passed yet. Distribution is the [[Ranked]] shape: range-
+    * partition on the scan order, pin, per-partition (sawMark,
+    * tailMin) summaries — ONE bounded row each — driver-folded into
+    * incoming states, broadcast back, and the intra-partition scan
+    * runs in (pid, segment)-partitioned windows (segment = markers
+    * passed so far within the partition). Nothing single-partition.
+    */
+  private def segMinFromMarker(
+      f: DataFrame, asc: Boolean, outCol: String): DataFrame = {
+    val s = f.sparkSession
+    import s.implicits._
+    val ord = if (asc) $"sn".asc else $"sn".desc
+    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parted = f.repartitionByRange(np, ord)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy($"__pid").orderBy(ord)
+    val withSeg = parted.withColumn("__seg",
+      coalesce(sum($"mark".cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // marks counted INCLUSIVE of the row — identifies the rows
+      // strictly after the partition's last marker for the exit state
+      .withColumn("__segIncl", $"__seg" + $"mark".cast("long"))
+
+    // bounded per-partition summaries → driver fold → incoming
+    // state. Exit min = edges of rows STRICTLY AFTER the last marker
+    // (a marker row's own edge connects it to what came BEFORE it
+    // and must never leak past it into the next partition).
+    val sums = withSeg.groupBy($"__pid")
+      .agg(max($"mark".cast("long")).as("sawB"), max($"__segIncl").as("mseg"))
+    val tails = withSeg.join(broadcast(sums), "__pid")
+      .where($"__segIncl" === $"mseg" && !$"mark")
+      .groupBy($"__pid").agg(min($"edge").as("mtail"))
+    val perPart = sums.join(tails, Seq("__pid"), "left").orderBy($"__pid").collect()
+      .map(r => (r.getInt(0), r.getLong(1) == 1L,
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    var sawB = false
+    var m: Option[Long] = None
+    val inRows = perPart.map { case (pid, pSaw, pTail) =>
+      val row = org.apache.spark.sql.Row(
+        pid.toLong, sawB, m.map(java.lang.Long.valueOf).orNull)
+      if (pSaw) { sawB = true; m = pTail }
+      else m = (m, pTail) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      row
+    }
+    val inSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__pid64",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__inSaw",
+        org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("__inMin",
+        org.apache.spark.sql.types.LongType)))
+    val inDf = s.createDataFrame(
+      s.sparkContext.parallelize(inRows.toSeq, 1), inSchema)
+
+    val wSeg = Window.partitionBy($"__pid", $"__seg").orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withSeg
+      .join(broadcast(inDf), withSeg("__pid").cast("long") === inDf("__pid64"))
+      .withColumn("__intra", min($"edge").over(wSeg))
+      .withColumn(outCol,
+        when($"__seg" >= 1, $"__intra")
+          .otherwise(when($"__inSaw", least($"__inMin", $"__intra"))))
+      .drop("__pid", "__pid64", "__seg", "__segIncl", "__intra", "__inSaw", "__inMin")
+  }
+
+  /** EXACT cross-set contamination spans — the decontamination twin
+    * of [[qDedupExactSubstr]]: for every TRAIN position, the length
+    * of the longest substring it starts that also appears ANYWHERE
+    * in the benchmark split (doc_id % 10 == 9, the
+    * `text_decontaminate` split), then per-doc maximal-span
+    * accounting of tokens lying in a shared run of ≥
+    * [[ContamMinLen]] tokens. This is GPT-3/Lee-et-al-style exact
+    * substring decontamination with true span extents — the n-gram
+    * pass reports hit RATIOS, this reports exactly WHAT to cut and
+    * how long the longest verbatim leak is.
+    *
+    * Exactness: in suffix order, LCP(p, q) = min of adjacent LCPs
+    * between them, which shrinks with distance — so the max LCP of
+    * a train suffix against the WHOLE benchmark set is attained at
+    * the NEAREST benchmark suffix above or below, and each side is
+    * one [[segMinFromMarker]] scan with benchmark suffixes as
+    * markers. Within-train duplicates never mark, so they can't
+    * count as contamination. All scan machinery is pid-partitioned
+    * with bounded driver state; the corpus is suffix-ordered once.
+    */
+  val qDecontaminateSpans: QueryFn = (s, dir) =>
+    contamFromLcps(adjacentLcpsCached(s, dir))
+
+  /** Full contamination pipeline from any (doc_id, text) frame —
+    * split out so the spec can run crafted train/bench corpora. */
+  def contamSpans(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val docTk = docs.select($"doc_id", normTokens($"text").as("tk"))
+    val toks = docTk
+      .select($"doc_id", size($"tk").cast("long").as("len"),
+        posexplode($"tk").as(Seq("p", "tok")))
+      .select($"doc_id", $"p".cast("long").as("pos"), $"len", $"tok")
+    contamFromLcps(adjacentLcps(toks, docTk))
+  }
+
+  private def contamFromLcps(ordLcps: (DataFrame, DataFrame)): DataFrame = {
+    val (ord, lcps) = ordLcps
+    val s = ord.sparkSession
+    import s.implicits._
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions", "32")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(8, prevShuffle.toInt / 4).toString)
+    try {
+      val mark = ($"doc_id" % 10 === 9).as("mark")
+      // edge-to-prev (asc scan): LCP of pair (sn-1, sn); edge-to-next
+      // (desc scan): LCP of pair (sn, sn+1)
+      val ePrev = lcps.select(($"sn" + 1).as("sn"), $"lcp".as("edge"))
+      val eNext = lcps.select($"sn", $"lcp".as("edge"))
+      val base = ord.select($"sn", $"doc_id", $"pos", $"len", mark)
+      val up = segMinFromMarker(
+        base.join(ePrev, Seq("sn"), "left"), asc = true, "reach")
+        .select($"sn", $"reach".as("up"))
+      val down = segMinFromMarker(
+        base.join(eNext, Seq("sn"), "left"), asc = false, "reach")
+        .select($"sn", $"reach".as("dn"))
+
+      val m = base.join(up, "sn").join(down, "sn")
+        .where(!$"mark")
+        .select($"doc_id", $"pos", $"len", greatest($"up", $"dn").as("m"))
+        .where($"m" >= ContamMinLen)
+
+      val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      val prevEnd = max($"pos" + $"m")
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+      val spans = m
+        .withColumn("brk",
+          when(prevEnd.isNull || $"pos" > prevEnd, 1L).otherwise(0L))
+        .withColumn("grp", sum($"brk")
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"doc_id", $"grp")
+        .agg(min($"pos").as("st"), max($"pos" + $"m").as("en"),
+          max($"m").as("mx"), max($"len").as("len"))
+      spans.groupBy($"doc_id")
+        .agg(max($"len").as("n_tokens"),
+          count(lit(1)).as("n_spans"),
+          sum($"en" - $"st").as("contaminated"),
+          max($"mx").as("max_contam_len"))
+        .select($"doc_id", $"n_tokens", $"n_spans", $"contaminated",
+          $"max_contam_len",
+          rnd($"contaminated".cast("double") / $"n_tokens", 6).as("contam_frac"))
+        .orderBy($"doc_id")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Per-doc exact duplicated-span accounting: doc_id, n_tokens,
@@ -186,7 +393,7 @@ object SuffixOps {
     * this on the sf corpus); max_dup_len is the signal the windowed
     * pass cannot produce. */
   val qDedupExactSubstr: QueryFn = (s, dir) =>
-    exactSpans(Tables.documents(s, dir))
+    spansFromM(maxFromLcps(adjacentLcpsCached(s, dir)._2))
 
   /** Full pipeline from any (doc_id, text) frame — split out so the
     * spec can run it on a crafted chimera corpus. */
@@ -198,8 +405,13 @@ object SuffixOps {
       .select($"doc_id", size($"tk").cast("long").as("len"),
         posexplode($"tk").as(Seq("p", "tok")))
       .select($"doc_id", $"p".cast("long").as("pos"), $"len", $"tok")
+    spansFromM(maxLcp(toks, docTk))
+  }
 
-    val ints = maxLcp(toks, docTk).where($"m" >= MinDup)
+  private def spansFromM(mFrame: DataFrame): DataFrame = {
+    val s = mFrame.sparkSession
+    import s.implicits._
+    val ints = mFrame.where($"m" >= MinDup)
 
     val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     val prevEnd = max($"pos" + $"m")
