@@ -75,6 +75,44 @@ object HnswOps {
       .distinct()
   }
 
+  /** Banded candidate edges for ATTACHING new vectors to the frozen
+    * graph (HNSW `add`): arriving vectors signature map-side, band
+    * keys explode, and an equi-join against the banded BASE corpus
+    * (`vec_id % 10 != 0`, the incremental-index split) yields
+    * (vec_id, nbr, sim_r) candidates. Pure map + equi-join — works
+    * unchanged on a STREAMING arrivals frame (stream-static join),
+    * which is how [[graft.streaming.Streams.hnswIngestStream]] routes
+    * per micro-batch; the batch face [[attachEdges]] prunes to top-M
+    * through the native heaps. */
+  def attachCandidates(s: SparkSession, dir: String)(
+      arrivals: DataFrame): DataFrame = {
+    import s.implicits._
+    val planes = hyperplanes(LshHelper.Planes, 64)
+    val sig = hyperplaneSig(planes)
+    def bandKeys(sigCol: org.apache.spark.sql.Column) =
+      array((0 until LshHelper.Bands).map { b =>
+        concat_ws(":", lit(b), shiftrightunsigned(sigCol, b * 4) % 16)
+      }: _*)
+    val base = Tables.embeddings(s, dir).where($"vec_id" % 10 =!= 0)
+      .select($"vec_id".as("nbr"), $"embedding".as("ne"),
+        explode(bandKeys(sig($"embedding"))).as("key"))
+    arrivals
+      .select($"vec_id", $"embedding",
+        explode(bandKeys(sig($"embedding"))).as("key"))
+      .join(base, "key")
+      .where($"vec_id" =!= $"nbr")
+      .select($"vec_id", $"nbr",
+        rnd(cosine_sim($"embedding", $"ne"), 6).as("sim_r"))
+      .distinct()
+  }
+
+  /** Batch attach: top-[[M]] banded neighbors per arriving vector —
+    * the parity oracle for the streaming ingest. */
+  def attachEdges(s: SparkSession, dir: String, arrivals: DataFrame): DataFrame =
+    graft.plans.TopK.perKey(attachCandidates(s, dir)(arrivals),
+      keyCols = Seq("vec_id"), orderCols = Seq("sim_r" -> false, "nbr" -> true),
+      k = M)
+
   /** Fixed-depth beam-search top-k serve — output shape identical to
     * the other ANN queries: (pid, rnk, nid, sim). */
   val annHnswTopk: QueryFn = (s, dir) => {

@@ -389,6 +389,45 @@ object Streams {
       .select(col("vec_id"), col("cell"))
   }
 
+  final case class HnswEdge(vec_id: Long, nbr: Long, sim_r: Double)
+
+  /** Streaming vector attach into the frozen NSW graph — the
+    * continuous face of the HNSW `add` operation next to
+    * [[ivfIngestStream]]'s cell routing: arriving vectors signature
+    * map-side, band-join the STATIC banded base corpus
+    * (stream-static equi-join, stateless per micro-batch), and each
+    * arrival keeps its top-M candidate edges via a per-key fold
+    * (`flatMapGroupsWithState`, no retained state — all of an
+    * arrival's candidates land in its own micro-batch because the
+    * band fan-out happens inside the batch). Emitted edges append to
+    * the graph sink; with file-source + file-sink checkpointing the
+    * ingest is exactly-once. StreamingSpec proves edge-for-edge
+    * parity with the batch [[graft.operators.HnswOps.attachEdges]]
+    * across two waves + a restart. */
+  def hnswIngestStream(
+      spark: SparkSession, sfDir: String, landingDir: String): Dataset[HnswEdge] = {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val arrivals = spark.readStream.schema(schema).parquet(landingDir)
+    val m = graft.operators.HnswOps.M
+
+    def fn(key: Long, rows: Iterator[(Long, Long, Double)],
+        state: GroupState[Int]): Iterator[HnswEdge] =
+      rows.toSeq
+        .sortBy { case (_, nbr, simR) => (-simR, nbr) }
+        .take(m)
+        .map { case (_, nbr, simR) => HnswEdge(key, nbr, simR) }
+        .iterator
+
+    graft.operators.HnswOps.attachCandidates(spark, sfDir)(arrivals)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   // ---- streaming CDC apply (continuous MERGE) ----
 
   final case class CdcRow(key: Long, ver: Long, st: String, tp: Double, alive: Boolean)

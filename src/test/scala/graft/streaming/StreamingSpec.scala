@@ -365,6 +365,40 @@ class StreamingSpec extends SparkTestBase {
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")), dirs.mkString(","))
   }
 
+  test("hnsw ingest stream: per-arrival top-M edges == batch attach, exactly-once") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("hnsw-landing").toString
+    val outDir = Files.createTempDirectory("hnsw-out").toString
+    val ckpt = Files.createTempDirectory("hnsw-ckpt").toString
+    val arrivals = Tables.embeddings(spark, sfDir).where($"vec_id" % 10 === 0)
+
+    def run(): Unit = {
+      val q = Streams.hnswIngestStream(spark, sfDir, landing).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    arrivals.where($"vec_id" < 250).write.mode("append").parquet(landing)
+    run()
+    arrivals.where($"vec_id" >= 250).write.mode("append").parquet(landing)
+    run()
+    run() // restart with nothing new: offsets survive, no re-ingest
+
+    val got = spark.read.parquet(outDir)
+      .select($"vec_id", $"nbr").as[(Long, Long)].collect()
+    val expected = graft.operators.HnswOps.attachEdges(spark, sfDir, arrivals)
+      .select($"vec_id", $"nbr").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    assert(got.length == expected.size,
+      s"exactly-once violated: ${got.length} vs ${expected.size}")
+    assert(got.toSet == expected, "stream attach diverged from batch attach")
+    // bounded degree: no arrival exceeds M edges
+    val deg = got.groupBy(_._1).map(_._2.size)
+    assert(deg.max <= graft.operators.HnswOps.M)
+  }
+
   test("streaming CDC apply: final state == batch full-outer MERGE across 2 micro-batches") {
     import java.nio.file.Files
     import spark.implicits._
