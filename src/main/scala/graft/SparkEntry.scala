@@ -169,6 +169,8 @@ object SparkEntry {
     // r5: exact suffix-array EXACTSUBSTR (true maximal repeats)
     "dedup_exact_substr"          -> operators.SuffixOps.qDedupExactSubstr,
     "text_decontaminate_spans"    -> operators.SuffixOps.qDecontaminateSpans,
+    "text_cut_contaminated"       -> operators.SuffixOps.qCutContaminated,
+    "q_k_anonymity"               -> operators.CurationOps.qKAnonymity,
     "dedup_minhash_calibration"   -> DedupOps.dedupMinhashCalibration,
     "q_domain_cap"                -> operators.CurationOps.qDomainCap,
     "q_mmr_select"                -> operators.CurationOps.qMmrSelect,
@@ -1268,62 +1270,53 @@ object SparkEntry {
     // above/below; LCP shrinks with suffix distance, so those two
     // bound the max cross-set LCP exactly)
     "text_decontaminate_spans" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
-        |  FROM documents),
-        |sufs AS (
-        |  SELECT doc_id, u.s['i'] AS pos, CAST(len(tk) AS BIGINT) AS len, tk[u.s['i']:] AS suf,
-        |    (doc_id % 10 = 9) AS mark
-        |  FROM (SELECT doc_id, tk, unnest([{'i': i} for i in generate_series(1, len(tk))]) AS s
-        |        FROM toks WHERE len(tk) > 0) u),
-        |ordx AS (
-        |  SELECT doc_id, pos, len, mark, suf,
-        |    row_number() OVER (ORDER BY suf, doc_id, pos) AS rn,
-        |    lag(suf) OVER (ORDER BY suf, doc_id, pos) AS psuf
-        |  FROM sufs),
-        |lp AS (
-        |  SELECT doc_id, pos, len, mark, rn,
-        |    CASE WHEN psuf IS NULL THEN NULL ELSE
-        |      coalesce(nullif(list_position(list_transform(range(1, least(len(suf), len(psuf)) + 1),
-        |        i -> suf[i] IS DISTINCT FROM psuf[i]), true), 0) - 1,
-        |        least(len(suf), len(psuf))) END AS lcp_prev
-        |  FROM ordx),
-        |scan AS (
-        |  SELECT *,
-        |    lead(lcp_prev) OVER (ORDER BY rn) AS lcp_next,
-        |    coalesce(sum(CASE WHEN mark THEN 1 ELSE 0 END) OVER (ORDER BY rn
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segu,
-        |    coalesce(sum(CASE WHEN mark THEN 1 ELSE 0 END) OVER (ORDER BY rn DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segd
-        |  FROM lp),
-        |reach AS (
-        |  SELECT doc_id, pos, len, mark,
-        |    CASE WHEN segu >= 1 THEN min(lcp_prev) OVER (PARTITION BY segu ORDER BY rn
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS aup,
-        |    CASE WHEN segd >= 1 THEN min(lcp_next) OVER (PARTITION BY segd ORDER BY rn DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS adn
-        |  FROM scan),
-        |m AS (
-        |  SELECT doc_id, pos, len, greatest(aup, adn) AS m
-        |  FROM reach WHERE NOT mark AND greatest(aup, adn) >= 5),
-        |g AS (
-        |  SELECT doc_id, pos, len, m,
-        |    CASE WHEN max(pos + m) OVER (PARTITION BY doc_id ORDER BY pos
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-        |         OR pos > max(pos + m) OVER (PARTITION BY doc_id ORDER BY pos
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |    THEN 1 ELSE 0 END AS brk
-        |  FROM m),
-        |g2 AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g),
-        |spans AS (
-        |  SELECT doc_id, grp, min(pos) AS st, max(pos + m) AS en, max(m) AS mx, max(len) AS len
-        |  FROM g2 GROUP BY 1, 2)
+      s"""WITH $contamSpanCtes
         |SELECT doc_id, max(len) AS n_tokens,
         |  CAST(count(*) AS BIGINT) AS n_spans,
         |  CAST(sum(en - st) AS BIGINT) AS contaminated,
         |  CAST(max(mx) AS BIGINT) AS max_contam_len,
         |  floor((CAST(sum(en - st) AS DOUBLE) / max(len))*1000000 + 0.5)/1000000 AS contam_frac
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the cut pass reuses the span chain and reconstructs kept
+    // tokens (ordered string_agg) per train doc
+    "text_cut_contaminated" ->
+      s"""WITH $contamSpanCtes,
+        |tr AS (
+        |  SELECT doc_id, u.s['i'] AS pos, u.s['t'] AS tok, CAST(len(tk) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, tk, unnest([{'i': i, 't': tk[i]} for i in generate_series(1, len(tk))]) AS s
+        |        FROM toks WHERE doc_id % 10 <> 9 AND len(tk) > 0) u),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM tr t
+        |  LEFT JOIN spans sp ON sp.doc_id = t.doc_id AND t.pos >= sp.st AND t.pos < sp.en
+        |  WHERE sp.doc_id IS NULL),
+        |ka AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id),
+        |alltr AS (SELECT doc_id, max(n_tokens) AS n_tokens FROM tr GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_tokens,
+        |  a.n_tokens - coalesce(ka.n_kept, 0) AS n_removed,
+        |  coalesce(ka.cleaned, '') AS cleaned
+        |FROM alltr a LEFT JOIN ka ON ka.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT count(*) AS n
+        |  FROM customer
+        |  GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal/1000) AS BIGINT)),
+        |a AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_classes,
+        |    CAST(min(n) AS BIGINT) AS min_class,
+        |    CAST(sum(CASE WHEN n < 2 THEN n ELSE 0 END) AS BIGINT) AS k2_violating_rows,
+        |    CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS k5_violating_rows,
+        |    CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS k10_violating_rows
+        |  FROM g)
+        |SELECT n_rows, n_classes, min_class,
+        |  k2_violating_rows, k5_violating_rows, k10_violating_rows,
+        |  floor((CAST(k5_violating_rows AS DOUBLE)/CAST(n_rows AS DOUBLE))*1000000 + 0.5)/1000000 AS k5_violation_share
+        |FROM a""".stripMargin,
 
     "q_domain_cap" ->
       """WITH scored AS (
@@ -3289,6 +3282,64 @@ object SparkEntry {
        |        (x, y) -> x + y))) AS sim
        |  FROM cand JOIN e a ON a.vec_id = cand.pid JOIN e bb ON bb.vec_id = cand.nid)""".stripMargin
   }
+
+  /** The exact cross-set contamination span chain (suffix sort →
+    * adjacent LCPs → segmented scans → maximal spans), shared by the
+    * `text_decontaminate_spans` rollup and the `text_cut_contaminated`
+    * reconstruction. Positions are 1-based here (list slices);
+    * span semantics match the engine's 0-based ones because only
+    * differences and containment are consumed. */
+  private lazy val contamSpanCtes: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |sufs AS (
+      |  SELECT doc_id, u.s['i'] AS pos, CAST(len(tk) AS BIGINT) AS len, tk[u.s['i']:] AS suf,
+      |    (doc_id % 10 = 9) AS mark
+      |  FROM (SELECT doc_id, tk, unnest([{'i': i} for i in generate_series(1, len(tk))]) AS s
+      |        FROM toks WHERE len(tk) > 0) u),
+      |ordx AS (
+      |  SELECT doc_id, pos, len, mark, suf,
+      |    row_number() OVER (ORDER BY suf, doc_id, pos) AS rn,
+      |    lag(suf) OVER (ORDER BY suf, doc_id, pos) AS psuf
+      |  FROM sufs),
+      |lp AS (
+      |  SELECT doc_id, pos, len, mark, rn,
+      |    CASE WHEN psuf IS NULL THEN NULL ELSE
+      |      coalesce(nullif(list_position(list_transform(range(1, least(len(suf), len(psuf)) + 1),
+      |        i -> suf[i] IS DISTINCT FROM psuf[i]), true), 0) - 1,
+      |        least(len(suf), len(psuf))) END AS lcp_prev
+      |  FROM ordx),
+      |scan AS (
+      |  SELECT *,
+      |    lead(lcp_prev) OVER (ORDER BY rn) AS lcp_next,
+      |    coalesce(sum(CASE WHEN mark THEN 1 ELSE 0 END) OVER (ORDER BY rn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segu,
+      |    coalesce(sum(CASE WHEN mark THEN 1 ELSE 0 END) OVER (ORDER BY rn DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segd
+      |  FROM lp),
+      |reach AS (
+      |  SELECT doc_id, pos, len, mark,
+      |    CASE WHEN segu >= 1 THEN min(lcp_prev) OVER (PARTITION BY segu ORDER BY rn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS aup,
+      |    CASE WHEN segd >= 1 THEN min(lcp_next) OVER (PARTITION BY segd ORDER BY rn DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS adn
+      |  FROM scan),
+      |mx0 AS (
+      |  SELECT doc_id, pos, len, greatest(aup, adn) AS m
+      |  FROM reach WHERE NOT mark AND greatest(aup, adn) >= 5),
+      |g AS (
+      |  SELECT doc_id, pos, len, m,
+      |    CASE WHEN max(pos + m) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |         OR pos > max(pos + m) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM mx0),
+      |g2 AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g),
+      |spans AS (
+      |  SELECT doc_id, grp, min(pos) AS st, max(pos + m) AS en, max(m) AS mx, max(len) AS len
+      |  FROM g2 GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB cosine between two embedding-table aliases — the same
     * three left-to-right double accumulations as the native

@@ -70,6 +70,35 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** k-anonymity audit (Sweeney 2002) over the customer table — the
+    * privacy-governance panel a training-data pipeline runs before a
+    * structured table may ship: rows group by the quasi-identifier
+    * set (nation, market segment, account-balance bracket) and the
+    * panel reports how much of the table sits in equivalence classes
+    * smaller than k for the standard k ∈ {2, 5, 10} — the rows a
+    * k-anonymizer must generalize or suppress. All exact integer
+    * counts to one final division; ONE partial+final agg over the
+    * QI key then a ≤classes-sized fold — linear scan at any corpus
+    * size, the q_customer_distribution two-level shape. */
+  val qKAnonymity: QueryFn = (s, dir) => {
+    import s.implicits._
+    val classes = Tables.customer(s, dir)
+      .groupBy($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000).cast("long").as("bal_bracket"))
+      .agg(count(lit(1)).as("n"))
+    classes.agg(
+        sum($"n").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min($"n").as("min_class"),
+        sum(when($"n" < 2, $"n").otherwise(0L)).as("k2_violating_rows"),
+        sum(when($"n" < 5, $"n").otherwise(0L)).as("k5_violating_rows"),
+        sum(when($"n" < 10, $"n").otherwise(0L)).as("k10_violating_rows"))
+      .select($"n_rows", $"n_classes", $"min_class",
+        $"k2_violating_rows", $"k5_violating_rows", $"k10_violating_rows",
+        rnd($"k5_violating_rows".cast("double") / $"n_rows".cast("double"), 6)
+          .as("k5_violation_share"))
+  }
+
   /** Per-domain document quota. */
   val DomainCap = 15
 

@@ -322,8 +322,54 @@ object SuffixOps {
     * count as contamination. All scan machinery is pid-partitioned
     * with bounded driver state; the corpus is suffix-ordered once.
     */
-  val qDecontaminateSpans: QueryFn = (s, dir) =>
-    contamFromLcps(adjacentLcpsCached(s, dir))
+  val qDecontaminateSpans: QueryFn = (s, dir) => {
+    import s.implicits._
+    contamSpanListCached(s, dir)
+      .groupBy($"doc_id")
+      .agg(max($"len").as("n_tokens"),
+        count(lit(1)).as("n_spans"),
+        sum($"en" - $"st").as("contaminated"),
+        max($"mx").as("max_contam_len"))
+      .select($"doc_id", $"n_tokens", $"n_spans", $"contaminated",
+        $"max_contam_len",
+        rnd($"contaminated".cast("double") / $"n_tokens", 6).as("contam_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** The ACTION half of [[qDecontaminateSpans]]: emit the cleaned
+    * training corpus with every contaminated span cut from the
+    * normalized token stream (the unit the tokenizer consumes; Lee
+    * et al. remove, not just report). Every train doc comes out —
+    * uncontaminated ones whole — with exact removal accounting.
+    * Shape: the memoized span list (bounded: spans ≪ positions)
+    * anti-joins the exploded positions; kept tokens fold back per
+    * doc (array_sort on (pos, tok) structs keeps the rebuild
+    * deterministic under any aggregation order). */
+  val qCutContaminated: QueryFn = (s, dir) => {
+    import s.implicits._
+    val spans = contamSpanListCached(s, dir)
+      .select($"doc_id".as("sd"), $"st", $"en")
+    val docTk = Tables.documents(s, dir)
+      .where($"doc_id" % 10 =!= 9)
+      .select($"doc_id", normTokens($"text").as("tk"))
+    val toks = docTk
+      .select($"doc_id", posexplode($"tk").as(Seq("p", "tok")))
+      .select($"doc_id", $"p".cast("long").as("pos"), $"tok")
+    val keptAgg = toks
+      .join(spans,
+        $"doc_id" === $"sd" && $"pos" >= $"st" && $"pos" < $"en", "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct($"pos", $"tok"))),
+            x => x.getField("tok"))).as("cleaned"))
+    docTk.select($"doc_id", size($"tk").cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        ($"n_tokens" - coalesce($"n_kept", lit(0L))).as("n_removed"),
+        coalesce($"cleaned", lit("")).as("cleaned"))
+      .orderBy($"doc_id")
+  }
 
   /** Full contamination pipeline from any (doc_id, text) frame —
     * split out so the spec can run crafted train/bench corpora. */
@@ -339,6 +385,36 @@ object SuffixOps {
   }
 
   private def contamFromLcps(ordLcps: (DataFrame, DataFrame)): DataFrame = {
+    val s = ordLcps._1.sparkSession
+    import s.implicits._
+    contamSpanList(ordLcps)
+      .groupBy($"doc_id")
+      .agg(max($"len").as("n_tokens"),
+        count(lit(1)).as("n_spans"),
+        sum($"en" - $"st").as("contaminated"),
+        max($"mx").as("max_contam_len"))
+      .select($"doc_id", $"n_tokens", $"n_spans", $"contaminated",
+        $"max_contam_len",
+        rnd($"contaminated".cast("double") / $"n_tokens", 6).as("contam_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private val spanMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+
+  /** Span list per corpus, memoized like [[adjacentLcpsCached]] —
+    * the accounting and cutting queries share one scan run. */
+  private def contamSpanListCached(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val key = (System.identityHashCode(s).toString,
+      dir + graft.mr.Fs.fingerprint(dir + "/documents.parquet"))
+    spanMemo.getOrElseUpdate(key, contamSpanList(adjacentLcpsCached(s, dir)))
+  }
+
+  /** Maximal contamination spans per train doc:
+    * (doc_id, st, en, mx, len) — shared by the accounting query and
+    * the cutting pass. */
+  private def contamSpanList(ordLcps: (DataFrame, DataFrame)): DataFrame = {
     val (ord, lcps) = ordLcps
     val s = ord.sparkSession
     import s.implicits._
@@ -367,23 +443,14 @@ object SuffixOps {
       val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
       val prevEnd = max($"pos" + $"m")
         .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-      val spans = m
-        .withColumn("brk",
+      m.withColumn("brk",
           when(prevEnd.isNull || $"pos" > prevEnd, 1L).otherwise(0L))
         .withColumn("grp", sum($"brk")
           .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy($"doc_id", $"grp")
         .agg(min($"pos").as("st"), max($"pos" + $"m").as("en"),
           max($"m").as("mx"), max($"len").as("len"))
-      spans.groupBy($"doc_id")
-        .agg(max($"len").as("n_tokens"),
-          count(lit(1)).as("n_spans"),
-          sum($"en" - $"st").as("contaminated"),
-          max($"mx").as("max_contam_len"))
-        .select($"doc_id", $"n_tokens", $"n_spans", $"contaminated",
-          $"max_contam_len",
-          rnd($"contaminated".cast("double") / $"n_tokens", 6).as("contam_frac"))
-        .orderBy($"doc_id")
+        .localCheckpoint(true)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 

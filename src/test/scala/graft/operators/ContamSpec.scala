@@ -65,4 +65,34 @@ class ContamSpec extends SparkTestBase {
       s"mismatch: only-exact=${(got.toSet diff expected.toSet).take(3)} " +
         s"only-gram=${(expected.toSet diff got.toSet).take(3)}")
   }
+
+  test("cut corpus is clean: no L-gram of any cleaned doc appears in the bench split") {
+    // the whole point of the cutting pass — after removal, the
+    // training corpus shares no ≥L-token run with the benchmark.
+    // (Cut seams can in principle mint a new matching gram; this
+    // corpus is deterministic, so a pass here is a stable guarantee.)
+    import spark.implicits._
+    val L = SuffixOps.ContamMinLen
+    val cleaned = SuffixOps.qCutContaminated(spark, sfDir)
+      .select($"doc_id", normTokens($"cleaned").as("tk"))
+    val cleanGrams = cleaned.where(size($"tk") >= L)
+      .select($"doc_id", explode(PipelineOps.wordNgrams($"tk", L)).as("g"))
+    val benchGrams = Tables.documents(spark, sfDir)
+      .where($"doc_id" % 10 === 9)
+      .select(normTokens($"text").as("tk"))
+      .where(size($"tk") >= L)
+      .select(explode(PipelineOps.wordNgrams($"tk", L)).as("g"))
+      .distinct()
+    val leaks = cleanGrams.join(benchGrams, "g").count()
+    assert(leaks == 0L, s"$leaks bench-shared $L-grams survived the cut")
+
+    // removal accounting matches the span report
+    val removed = SuffixOps.qCutContaminated(spark, sfDir)
+      .select($"doc_id", $"n_removed").as[(Long, Long)].collect().toMap
+      .filter(_._2 > 0)
+    val reported = SuffixOps.qDecontaminateSpans(spark, sfDir)
+      .select($"doc_id", $"contaminated").as[(Long, Long)].collect().toMap
+    assert(removed == reported,
+      s"cut accounting != span report: ${(removed.toSet diff reported.toSet).take(3)}")
+  }
 }
