@@ -171,6 +171,7 @@ object SparkEntry {
     "text_decontaminate_spans"    -> operators.SuffixOps.qDecontaminateSpans,
     "text_cut_contaminated"       -> operators.SuffixOps.qCutContaminated,
     "q_k_anonymity"               -> operators.CurationOps.qKAnonymity,
+    "q_l_diversity"               -> operators.CurationOps.qLDiversity,
     "dedup_minhash_calibration"   -> DedupOps.dedupMinhashCalibration,
     "q_domain_cap"                -> operators.CurationOps.qDomainCap,
     "q_mmr_select"                -> operators.CurationOps.qMmrSelect,
@@ -1316,6 +1317,22 @@ object SparkEntry {
         |SELECT n_rows, n_classes, min_class,
         |  k2_violating_rows, k5_violating_rows, k10_violating_rows,
         |  floor((CAST(k5_violating_rows AS DOUBLE)/CAST(n_rows AS DOUBLE))*1000000 + 0.5)/1000000 AS k5_violation_share
+        |FROM a""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH g AS (
+        |  SELECT count(*) AS n, count(DISTINCT c_mktsegment) AS d
+        |  FROM customer
+        |  GROUP BY c_nationkey, CAST(floor(c_acctbal/1000) AS BIGINT)),
+        |a AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_classes,
+        |    CAST(min(d) AS BIGINT) AS min_diversity,
+        |    CAST(sum(CASE WHEN d < 2 THEN n ELSE 0 END) AS BIGINT) AS l2_violating_rows,
+        |    CAST(sum(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT) AS l3_violating_rows
+        |  FROM g)
+        |SELECT n_rows, n_classes, min_diversity,
+        |  l2_violating_rows, l3_violating_rows,
+        |  floor((CAST(l2_violating_rows AS DOUBLE)/CAST(n_rows AS DOUBLE))*1000000 + 0.5)/1000000 AS l2_violation_share
         |FROM a""".stripMargin,
 
     "q_domain_cap" ->

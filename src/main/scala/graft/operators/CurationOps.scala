@@ -99,6 +99,35 @@ object CurationOps {
           .as("k5_violation_share"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    * necessary companion: a class can be large (k-anonymous) yet
+    * reveal everyone's sensitive value if it is UNIFORM. Here the QI
+    * is (nation, balance bracket) and the sensitive attribute is the
+    * market segment; per class the panel counts DISTINCT sensitive
+    * values and reports rows in classes with < l of them for
+    * l ∈ {2, 3} — the homogeneity-attack surface. Exact distinct
+    * counts per class (the classes are the unit of decision — an
+    * approximate distinct would answer a different question); two
+    * partial+final aggs, linear. */
+  val qLDiversity: QueryFn = (s, dir) => {
+    import s.implicits._
+    val classes = Tables.customer(s, dir)
+      .groupBy($"c_nationkey",
+        floor($"c_acctbal" / 1000).cast("long").as("bal_bracket"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct($"c_mktsegment").as("d"))
+    classes.agg(
+        sum($"n").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min($"d").as("min_diversity"),
+        sum(when($"d" < 2, $"n").otherwise(0L)).as("l2_violating_rows"),
+        sum(when($"d" < 3, $"n").otherwise(0L)).as("l3_violating_rows"))
+      .select($"n_rows", $"n_classes", $"min_diversity",
+        $"l2_violating_rows", $"l3_violating_rows",
+        rnd($"l2_violating_rows".cast("double") / $"n_rows".cast("double"), 6)
+          .as("l2_violation_share"))
+  }
+
   /** Per-domain document quota. */
   val DomainCap = 15
 
