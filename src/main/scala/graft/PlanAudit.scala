@@ -825,9 +825,10 @@ object PlanAudit {
           p.contains("windowspecdefinition(pid"))),
       "text_decontaminate_spans" -> Map(
         // the segmented scans run pre-checkpoint; the visible plan is
-        // the span fold — doc-partitioned windows only, no cartesian
+        // the span fold — every window doc-partitioned, no cartesian
         "span windows doc-partitioned" -> (p =>
-          !p.contains("windowspecdefinition()")),
+          "windowspecdefinition".r.findAllIn(p).size ==
+            "windowspecdefinition\\(doc_id".r.findAllIn(p).size),
         "no cartesian" -> (p => !p.contains("CartesianProduct"))),
       "dedup_exact_substr" -> Map(
         // suffix machinery runs in the pre-checkpoint rounds; the

@@ -57,6 +57,11 @@ object Fs {
     * fingerprint the persisted-index roots key on. */
   def fingerprint(path: String): String = {
     val (fs, p) = resolve(path)
+    // missing path → the java.io degradation ("name:0:0"), not a
+    // raw Hadoop FNFE: index roots stay derivable on a
+    // partially-generated corpus dir and fail later with a clear
+    // read error instead
+    if (!fs.exists(p)) return s"${p.getName}:0:0"
     val st = fs.getFileStatus(p)
     val files =
       if (st.isDirectory) fs.listStatus(p).sortBy(_.getPath.getName)

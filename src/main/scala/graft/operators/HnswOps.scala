@@ -46,20 +46,25 @@ object HnswOps {
   val Hops = 3    // fixed expansion rounds
   val Entries = 4 // entry nodes: the lowest vec_ids
 
+  /** The 12×4-bit band keys of a 48-plane signature — the one
+    * load-bearing banding geometry, shared by the graph build and
+    * the attach path (a drift between the two would silently break
+    * the streaming-parity contract). */
+  private def bandKeys(sigCol: org.apache.spark.sql.Column) =
+    array((0 until LshHelper.Bands).map { b =>
+      concat_ws(":", lit(b), shiftrightunsigned(sigCol, b * 4) % 16)
+    }: _*)
+
   /** Bidirectional pruned edge list (src, dst). The candidate
     * distinct runs over ID PAIRS only — embeddings re-join for the
     * cosine afterwards (a wide distinct over two 64-float arrays
     * shuffles 64× the bytes for the same answer). */
   def edges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val planes = hyperplanes(LshHelper.Planes, 64)
-    val sig = hyperplaneSig(planes)
+    val sig = hyperplaneSig(hyperplanes(LshHelper.Planes, 64))
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
     val banded = emb
-      .select($"vec_id", sig($"embedding").as("sig"))
-      .select($"vec_id", explode(array((0 until LshHelper.Bands).map { b =>
-        concat_ws(":", lit(b), shiftrightunsigned(col("sig"), b * 4) % 16)
-      }: _*)).as("key"))
+      .select($"vec_id", explode(bandKeys(sig($"embedding"))).as("key"))
     val pairs = banded.select($"vec_id".as("src"), $"key")
       .join(banded.select($"vec_id".as("dst"), $"key"), Seq("key"))
       .where($"src" =!= $"dst")
@@ -87,15 +92,16 @@ object HnswOps {
   def attachCandidates(s: SparkSession, dir: String)(
       arrivals: DataFrame): DataFrame = {
     import s.implicits._
-    val planes = hyperplanes(LshHelper.Planes, 64)
-    val sig = hyperplaneSig(planes)
-    def bandKeys(sigCol: org.apache.spark.sql.Column) =
-      array((0 until LshHelper.Bands).map { b =>
-        concat_ws(":", lit(b), shiftrightunsigned(sigCol, b * 4) % 16)
-      }: _*)
+    val sig = hyperplaneSig(hyperplanes(LshHelper.Planes, 64))
     val base = Tables.embeddings(s, dir).where($"vec_id" % 10 =!= 0)
       .select($"vec_id".as("nbr"), $"embedding".as("ne"),
         explode(bandKeys(sig($"embedding"))).as("key"))
+    // NOTE: candidates are NOT deduplicated here — a .distinct() on
+    // a STREAMING frame compiles to an unwatermarked
+    // StreamingDeduplicate whose state grows forever and suppresses
+    // re-arrivals across micro-batches. Each consumer dedups in its
+    // own (bounded) scope: attachEdges on the static frame, the
+    // streaming fold inside its per-key batch.
     arrivals
       .select($"vec_id", $"embedding",
         explode(bandKeys(sig($"embedding"))).as("key"))
@@ -103,15 +109,28 @@ object HnswOps {
       .where($"vec_id" =!= $"nbr")
       .select($"vec_id", $"nbr",
         rnd(cosine_sim($"embedding", $"ne"), 6).as("sim_r"))
-      .distinct()
   }
 
   /** Batch attach: top-[[M]] banded neighbors per arriving vector —
     * the parity oracle for the streaming ingest. */
   def attachEdges(s: SparkSession, dir: String, arrivals: DataFrame): DataFrame =
-    graft.plans.TopK.perKey(attachCandidates(s, dir)(arrivals),
+    graft.plans.TopK.perKey(attachCandidates(s, dir)(arrivals).distinct(),
       keyCols = Seq("vec_id"), orderCols = Seq("sim_r" -> false, "nbr" -> true),
       k = M)
+
+  /** Session-scoped memo of the checkpointed edge list per corpus
+    * fingerprint (the SuffixOps.lcpMemo discipline): the gate, the
+    * plan audit, and the recall specs all serve against the same
+    * frozen graph — rebuilding the banded candidate join per call
+    * re-pays the most expensive stage for identical input. */
+  private val edgesMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+
+  private def edgesCached(s: SparkSession, dir: String): DataFrame = {
+    val key = (System.identityHashCode(s).toString,
+      dir + graft.mr.Fs.fingerprint(dir + "/embeddings.parquet"))
+    edgesMemo.getOrElseUpdate(key, edges(s, dir).localCheckpoint(true))
+  }
 
   /** Fixed-depth beam-search top-k serve — output shape identical to
     * the other ANN queries: (pid, rnk, nid, sim). */
@@ -132,7 +151,7 @@ object HnswOps {
       .select($"vec_id".as("pid"), $"embedding".as("pe"))
     val entries = emb.where($"vec_id" < Entries)
       .select($"vec_id".as("nid"), $"embedding".as("ne"))
-    val eds = edges(s, dir).localCheckpoint(true)
+    val eds = edgesCached(s, dir)
 
     def score(frontier: DataFrame): DataFrame = frontier
       .join(broadcast(probes), "pid")

@@ -77,20 +77,7 @@ object SuffixOps {
     * `toks` = (doc_id, pos, len, tok) exploded positions;
     * `docTk` = (doc_id, tk) the per-doc token arrays (for the final
     * direct compare). */
-  def maxLcp(toks: DataFrame, docTk: DataFrame): DataFrame = {
-    val s = toks.sparkSession
-    // ~10 synchronous rounds of BOUNDED shuffles over the position
-    // frame — job-count-dominated, not data-dominated, at bench
-    // scale. Run the rounds at a narrower shuffle width (at 100 TB a
-    // cluster raises this conf; the ROUND COUNT stays log(maxDocLen)).
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions", "32")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.max(8, prevShuffle.toInt / 4).toString)
-    try maxLcpRounds(toks, docTk)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-  }
-
-  private def maxLcpRounds(toks: DataFrame, docTk: DataFrame): DataFrame =
+  def maxLcp(toks: DataFrame, docTk: DataFrame): DataFrame =
     maxFromLcps(adjacentLcps(toks, docTk)._2)
 
   /** m(p) = max over both directed neighbors. */
@@ -136,6 +123,22 @@ object SuffixOps {
     * lcps = (sn, da, pa, la, db, pb, lb, lcp) holds the exact LCP of
     * each ADJACENT suffix pair (sn, sn+1). */
   private def adjacentLcps(
+      toks: DataFrame, docTk: DataFrame): (DataFrame, DataFrame) = {
+    val s = toks.sparkSession
+    // ~10 synchronous rounds of BOUNDED shuffles over the position
+    // frame — job-count-dominated, not data-dominated, at bench
+    // scale. Run the eager rounds (checkpoints, collects) at a
+    // narrower shuffle width; at 100 TB a cluster raises this conf,
+    // the ROUND COUNT stays log(maxDocLen). This is the PRODUCTION
+    // path (the memoized builders route here), not just the spec one.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions", "32")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(8, prevShuffle.toInt / 4).toString)
+    try adjacentLcpsRounds(toks, docTk)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def adjacentLcpsRounds(
       toks: DataFrame, docTk: DataFrame): (DataFrame, DataFrame) = {
     val s = toks.sparkSession
     import s.implicits._
@@ -352,6 +355,10 @@ object SuffixOps {
     val docTk = Tables.documents(s, dir)
       .where($"doc_id" % 10 =!= 9)
       .select($"doc_id", normTokens($"text").as("tk"))
+      // zero-token docs emit no row on EITHER side (the oracle's
+      // len(tk) > 0 filter) — without this the hash gate diverges on
+      // a corpus containing an all-punctuation doc
+      .where(size($"tk") > 0)
     val toks = docTk
       .select($"doc_id", posexplode($"tk").as(Seq("p", "tok")))
       .select($"doc_id", $"p".cast("long").as("pos"), $"tok")
@@ -384,20 +391,47 @@ object SuffixOps {
     contamFromLcps(adjacentLcps(toks, docTk))
   }
 
-  private def contamFromLcps(ordLcps: (DataFrame, DataFrame)): DataFrame = {
-    val s = ordLcps._1.sparkSession
+  /** Gaps-and-islands union of per-position intervals [pos, pos+m)
+    * into maximal disjoint spans per doc: (doc_id, grp, st, en, mx,
+    * len). THE one island-merge in the file — the dedup and
+    * decontamination passes must never diverge on the adjacency
+    * rule. */
+  private def mergeSpans(m: DataFrame): DataFrame = {
+    val s = m.sparkSession
     import s.implicits._
-    contamSpanList(ordLcps)
-      .groupBy($"doc_id")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val prevEnd = max($"pos" + $"m")
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    m.withColumn("brk",
+        when(prevEnd.isNull || $"pos" > prevEnd, 1L).otherwise(0L))
+      .withColumn("grp", sum($"brk")
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("st"), max($"pos" + $"m").as("en"),
+        max($"m").as("mx"), max($"len").as("len"))
+  }
+
+  /** Per-doc rollup of a merged span list, with caller-named
+    * covered/max columns. */
+  private def rollupSpans(
+      spans: DataFrame, coveredName: String, maxName: String,
+      fracName: String): DataFrame = {
+    val s = spans.sparkSession
+    import s.implicits._
+    spans.groupBy($"doc_id")
       .agg(max($"len").as("n_tokens"),
         count(lit(1)).as("n_spans"),
-        sum($"en" - $"st").as("contaminated"),
-        max($"mx").as("max_contam_len"))
-      .select($"doc_id", $"n_tokens", $"n_spans", $"contaminated",
-        $"max_contam_len",
-        rnd($"contaminated".cast("double") / $"n_tokens", 6).as("contam_frac"))
+        sum($"en" - $"st").as(coveredName),
+        max($"mx").as(maxName))
+      .select($"doc_id", $"n_tokens", $"n_spans", col(coveredName),
+        col(maxName),
+        rnd(col(coveredName).cast("double") / $"n_tokens", 6).as(fracName))
       .orderBy($"doc_id")
   }
+
+  private def contamFromLcps(ordLcps: (DataFrame, DataFrame)): DataFrame =
+    rollupSpans(contamSpanList(ordLcps),
+      "contaminated", "max_contam_len", "contam_frac")
 
   private val spanMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), DataFrame]
@@ -440,17 +474,7 @@ object SuffixOps {
         .select($"doc_id", $"pos", $"len", greatest($"up", $"dn").as("m"))
         .where($"m" >= ContamMinLen)
 
-      val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-      val prevEnd = max($"pos" + $"m")
-        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-      m.withColumn("brk",
-          when(prevEnd.isNull || $"pos" > prevEnd, 1L).otherwise(0L))
-        .withColumn("grp", sum($"brk")
-          .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy($"doc_id", $"grp")
-        .agg(min($"pos").as("st"), max($"pos" + $"m").as("en"),
-          max($"m").as("mx"), max($"len").as("len"))
-        .localCheckpoint(true)
+      mergeSpans(m).localCheckpoint(true)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
@@ -478,26 +502,7 @@ object SuffixOps {
   private def spansFromM(mFrame: DataFrame): DataFrame = {
     val s = mFrame.sparkSession
     import s.implicits._
-    val ints = mFrame.where($"m" >= MinDup)
-
-    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-    val prevEnd = max($"pos" + $"m")
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = ints
-      .withColumn("brk",
-        when(prevEnd.isNull || $"pos" > prevEnd, 1L).otherwise(0L))
-      .withColumn("grp", sum($"brk")
-        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy($"doc_id", $"grp")
-      .agg(min($"pos").as("st"), max($"pos" + $"m").as("en"), max($"m").as("mx"),
-        max($"len").as("len"))
-    spans.groupBy($"doc_id")
-      .agg(max($"len").as("n_tokens"),
-        count(lit(1)).as("n_spans"),
-        sum($"en" - $"st").as("covered"),
-        max($"mx").as("max_dup_len"))
-      .select($"doc_id", $"n_tokens", $"n_spans", $"covered", $"max_dup_len",
-        rnd($"covered".cast("double") / $"n_tokens", 6).as("coverage"))
-      .orderBy($"doc_id")
+    rollupSpans(mergeSpans(mFrame.where($"m" >= MinDup)),
+      "covered", "max_dup_len", "coverage")
   }
 }

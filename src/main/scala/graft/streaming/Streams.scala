@@ -416,7 +416,11 @@ object Streams {
 
     def fn(key: Long, rows: Iterator[(Long, Long, Double)],
         state: GroupState[Int]): Iterator[HnswEdge] =
-      rows.toSeq
+      // dedup INSIDE the per-key batch (multi-band collisions emit
+      // the same candidate tuple several times) — a .distinct() on
+      // the streaming frame itself would be an unwatermarked
+      // StreamingDeduplicate with unbounded state
+      rows.toSeq.distinct
         .sortBy { case (_, nbr, simR) => (-simR, nbr) }
         .take(m)
         .map { case (_, nbr, simR) => HnswEdge(key, nbr, simR) }

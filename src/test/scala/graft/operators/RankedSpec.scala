@@ -53,9 +53,11 @@ class RankedSpec extends SparkTestBase {
     got.collect()
     val plan = got.queryExecution.executedPlan.toString
     // the window must be partitioned by the physical partition id,
-    // never an empty partitionBy (= single-partition sort)
-    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"), plan.take(800))
-    assert(plan.contains("__pid"), plan.take(800))
+    // never an empty partitionBy (= single-partition sort): every
+    // windowspecdefinition in the plan must carry the __pid key
+    val specs = "windowspecdefinition".r.findAllIn(plan).size
+    val pidSpecs = "windowspecdefinition\\(__pid".r.findAllIn(plan).size
+    assert(specs > 0 && specs == pidSpecs, plan.take(800))
   }
 
   test("ceilBucket reproduces the explicit quintile formula at the edges") {
