@@ -43,7 +43,11 @@ object Bench {
     val queryTimeoutMs =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "60").toLong * 1000L
     val benchBudgetMs =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "480").toLong * 1000L
+      // 560 s: the 202-query surface with its two suffix/graph index
+      // BUILDS (memoized — the serve reruns are cheap, but the first
+      // pass pays construction) runs ~500 s of query time on this
+      // box; 480 s skipped the alphabetic tail in r5
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "560").toLong * 1000L
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
