@@ -60,6 +60,33 @@ class RankedSpec extends SparkTestBase {
     assert(specs > 0 && specs == pidSpecs, plan.take(800))
   }
 
+  test("rank/sum offsets fold correctly at every partition-count regime") {
+    // 1 partition (no offsets), more partitions than rows (empties),
+    // and a middling split — the three boundary regimes of the
+    // per-partition offset fold
+    import spark.implicits._
+    val df = spark.range(0, 37).select(
+      ($"id" % 7).as("v"), $"id".as("k"), ($"id" % 3 - 1).as("d"))
+    val expected = df
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"v".asc, $"k".asc)).cast("long"))
+      .withColumn("run", sum($"d").over(Window.orderBy($"v".asc, $"k".asc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"k", $"rn", $"run").as[(Long, Long, Long)].collect().toSet
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (np <- Seq("1", "3", "64")) {
+        spark.conf.set("spark.sql.shuffle.partitions", np)
+        val rf = Ranked.withGlobalRank(df,
+          Seq($"v".asc, $"k".asc), "rn", Seq(($"d", "run")))
+        assert(rf.n == 37)
+        val got = rf.df.select($"k", $"rn", $"run")
+          .as[(Long, Long, Long)].collect().toSet
+        assert(got == expected, s"np=$np")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("ceilBucket reproduces the explicit quintile formula at the edges") {
     for (n <- Seq(1L, 4L, 5L, 7L, 100L)) {
       val rows = spark.range(1, n + 1)
