@@ -171,6 +171,7 @@ object SparkEntry {
     "text_decontaminate_spans"    -> operators.SuffixOps.qDecontaminateSpans,
     "text_cut_contaminated"       -> operators.SuffixOps.qCutContaminated,
     "q_k_anonymity"               -> operators.CurationOps.qKAnonymity,
+    "q_journey_repeats"           -> operators.SuffixOps.qJourneyRepeats,
     "q_l_diversity"               -> operators.CurationOps.qLDiversity,
     "dedup_minhash_calibration"   -> DedupOps.dedupMinhashCalibration,
     "q_domain_cap"                -> operators.CurationOps.qDomainCap,
@@ -1265,6 +1266,54 @@ object SparkEntry {
         |  CAST(max(mx) AS BIGINT) AS max_dup_len,
         |  floor((CAST(sum(en - st) AS DOUBLE) / max(len))*1000000 + 0.5)/1000000 AS coverage
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // repeated behavioral runs: the suffix-sort replay over per-user
+    // event-type sequences (the engine's exactSpans on a non-text
+    // sequence domain), threshold 6 steps
+    "q_journey_repeats" ->
+      """WITH toks AS (
+        |  SELECT user_id AS doc_id, list(event_type ORDER BY ts, event_id) AS tk
+        |  FROM events GROUP BY user_id),
+        |sufs AS (
+        |  SELECT doc_id, u.s['i'] AS pos, CAST(len(tk) AS BIGINT) AS len, tk[u.s['i']:] AS suf
+        |  FROM (SELECT doc_id, tk, unnest([{'i': i} for i in generate_series(1, len(tk))]) AS s
+        |        FROM toks WHERE len(tk) > 0) u),
+        |ordx AS (
+        |  SELECT doc_id, pos, len, suf,
+        |    lag(suf) OVER (ORDER BY suf, doc_id, pos) AS psuf,
+        |    lead(suf) OVER (ORDER BY suf, doc_id, pos) AS nsuf
+        |  FROM sufs),
+        |lcps AS (
+        |  SELECT doc_id, pos, len,
+        |    greatest(
+        |      CASE WHEN psuf IS NULL THEN NULL ELSE
+        |        coalesce(nullif(list_position(list_transform(range(1, least(len(suf), len(psuf)) + 1),
+        |          i -> suf[i] IS DISTINCT FROM psuf[i]), true), 0) - 1,
+        |          least(len(suf), len(psuf))) END,
+        |      CASE WHEN nsuf IS NULL THEN NULL ELSE
+        |        coalesce(nullif(list_position(list_transform(range(1, least(len(suf), len(nsuf)) + 1),
+        |          i -> suf[i] IS DISTINCT FROM nsuf[i]), true), 0) - 1,
+        |          least(len(suf), len(nsuf))) END) AS m
+        |  FROM ordx),
+        |ints AS (SELECT doc_id, pos, len, CAST(m AS BIGINT) AS m FROM lcps WHERE m >= 6),
+        |g AS (
+        |  SELECT doc_id, pos, len, m,
+        |    CASE WHEN max(pos + m) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR pos > max(pos + m) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM ints),
+        |g2 AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g),
+        |spans AS (
+        |  SELECT doc_id, grp, min(pos) AS st, max(pos + m) AS en, max(m) AS mx, max(len) AS len
+        |  FROM g2 GROUP BY 1, 2)
+        |SELECT doc_id AS user_id, max(len) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(sum(en - st) AS BIGINT) AS repeated_steps,
+        |  CAST(max(mx) AS BIGINT) AS max_run,
+        |  floor((CAST(sum(en - st) AS DOUBLE) / max(len))*1000000 + 0.5)/1000000 AS repeat_frac
+        |FROM spans GROUP BY doc_id ORDER BY user_id""".stripMargin,
 
     // exact cross-set contamination spans: the same suffix-sort
     // replay, plus the segmented-min scans (nearest benchmark suffix

@@ -484,11 +484,47 @@ object SuffixOps {
     * this on the sf corpus); max_dup_len is the signal the windowed
     * pass cannot produce. */
   val qDedupExactSubstr: QueryFn = (s, dir) =>
-    spansFromM(maxFromLcps(adjacentLcpsCached(s, dir)._2))
+    spansFromM(maxFromLcps(adjacentLcpsCached(s, dir)._2), MinDup)
+
+  /** Minimum repeated behavioral run (events) for
+    * [[qJourneyRepeats]] — 6 steps keeps the panel non-vacuous at
+    * every sf (5 event types ⇒ shorter runs repeat by chance
+    * everywhere, longer almost never on organic traffic). */
+  val MinJourneyRun = 6
+
+  /** Repeated-behavior mining — the suffix engine applied to a
+    * NON-TEXT sequence domain: each user's event-type sequence
+    * (ordered by ts, event_id) is a document, and any run of ≥
+    * [[MinJourneyRun]] steps that occurs twice ANYWHERE (another
+    * user — scripted/bot cohorts; or the same user — replay loops)
+    * is an exact repeated journey. Output per affected user: events,
+    * repeated-step accounting, longest repeated run — the
+    * fraud/automation triage panel, with suffix-array exactness
+    * rather than hashed-window approximation. Same machinery, same
+    * scale posture as [[qDedupExactSubstr]]. */
+  val qJourneyRepeats: QueryFn = (s, dir) => {
+    import s.implicits._
+    val seqs = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"ts", $"event_id", $"event_type")))
+        .as("evs"))
+      .select($"user_id".as("doc_id"),
+        concat_ws(" ", transform($"evs", e => e.getField("event_type")))
+          .as("text"))
+    exactSpans(seqs, MinJourneyRun)
+      .select($"doc_id".as("user_id"), $"n_tokens".as("n_events"),
+        $"n_spans".as("n_runs"), $"covered".as("repeated_steps"),
+        $"max_dup_len".as("max_run"),
+        $"coverage".as("repeat_frac"))
+      .orderBy($"user_id")
+  }
 
   /** Full pipeline from any (doc_id, text) frame — split out so the
-    * spec can run it on a crafted chimera corpus. */
-  def exactSpans(docs: DataFrame): DataFrame = {
+    * spec can run it on a crafted chimera corpus, and so other
+    * SEQUENCE domains can reuse the whole engine (token streams are
+    * just one instance — `q_journey_repeats` feeds event-type
+    * sequences through the same machinery). */
+  def exactSpans(docs: DataFrame, minRun: Int = MinDup): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val docTk = docs.select($"doc_id", normTokens($"text").as("tk"))
@@ -496,13 +532,13 @@ object SuffixOps {
       .select($"doc_id", size($"tk").cast("long").as("len"),
         posexplode($"tk").as(Seq("p", "tok")))
       .select($"doc_id", $"p".cast("long").as("pos"), $"len", $"tok")
-    spansFromM(maxLcp(toks, docTk))
+    spansFromM(maxLcp(toks, docTk), minRun)
   }
 
-  private def spansFromM(mFrame: DataFrame): DataFrame = {
+  private def spansFromM(mFrame: DataFrame, minRun: Int): DataFrame = {
     val s = mFrame.sparkSession
     import s.implicits._
-    rollupSpans(mergeSpans(mFrame.where($"m" >= MinDup)),
+    rollupSpans(mergeSpans(mFrame.where($"m" >= minRun)),
       "covered", "max_dup_len", "coverage")
   }
 }
