@@ -432,6 +432,54 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class ContamFlag(doc_id: Long, n_grams: Long, n_flagged: Long)
+
+  /** Streaming decontamination gate — the admission face of
+    * [[graft.operators.PipelineOps.bloomDecontaminate]]: the
+    * benchmark 4-gram Bloom filter is built ONCE from the frozen
+    * eval split (~10 bits/gram, zero false negatives) and broadcast;
+    * arriving documents gram map-side and fold per doc inside their
+    * own micro-batch (`flatMapGroupsWithState`, stateless — a doc's
+    * grams never straddle batches because the explode happens inside
+    * the batch). Every arrival emits (n_grams, n_flagged) — the
+    * pipeline admits n_flagged == 0 and routes the rest to the exact
+    * re-check, exactly the batch policy, continuously. */
+  def decontaminateStream(
+      spark: SparkSession, sfDir: String, landingDir: String): Dataset[ContamFlag] = {
+    import spark.implicits._
+    import graft.functions.Cols.normTokens
+    import graft.operators.PipelineOps.wordNgrams
+
+    // frozen benchmark bloom (the batch build, reused verbatim)
+    val bench = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 4 && col("doc_id") % 10 === 9)
+      .select(explode(array_distinct(wordNgrams(col("toks"), 4))).as("ng"))
+      .distinct()
+    val bf = bench.stat.bloomFilter("ng", math.max(bench.count(), 1L), 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+
+    def fn(key: Long, rows: Iterator[(Long, String)],
+        state: GroupState[Int]): Iterator[ContamFlag] = {
+      var n = 0L; var flagged = 0L
+      rows.foreach { case (_, ng) =>
+        n += 1; if (bfB.value.mightContain(ng)) flagged += 1
+      }
+      Iterator.single(ContamFlag(key, n, flagged))
+    }
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.readStream.schema(schema).parquet(landingDir)
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 4)
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgrams(col("toks"), 4))).as("ng"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   // ---- streaming CDC apply (continuous MERGE) ----
 
   final case class CdcRow(key: Long, ver: Long, st: String, tp: Double, alive: Boolean)

@@ -399,6 +399,42 @@ class StreamingSpec extends SparkTestBase {
     assert(deg.max <= graft.operators.HnswOps.M)
   }
 
+  test("decontamination stream: per-doc gram flags == batch bloom pass, exactly-once") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("decon-landing").toString
+    val outDir = Files.createTempDirectory("decon-out").toString
+    val ckpt = Files.createTempDirectory("decon-ckpt").toString
+    val train = Tables.documents(spark, sfDir)
+      .where($"doc_id" % 10 =!= 9).select($"doc_id", $"text")
+
+    def run(): Unit = {
+      val q = Streams.decontaminateStream(spark, sfDir, landing).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    train.where($"doc_id" < 200).write.mode("append").parquet(landing)
+    run()
+    train.where($"doc_id" >= 200).write.mode("append").parquet(landing)
+    run()
+    run() // restart, nothing new → no re-emission
+
+    val got = spark.read.parquet(outDir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // exactly-once: one emission per train doc with ≥4 tokens
+    val nTrainDocs = train
+      .where(size(graft.functions.Cols.normTokens($"text")) >= 4).count()
+    assert(got.size == nTrainDocs, s"${got.size} vs $nTrainDocs")
+    // flagged subset matches the batch bloom pass (same fpp, same split)
+    val batch = graft.operators.PipelineOps.bloomDecontaminate(spark, sfDir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(batch.nonEmpty)
+    assert(got.filter(_._2._2 > 0) == batch,
+      "stream flags diverged from the batch bloom pass")
+  }
+
   test("streaming CDC apply: final state == batch full-outer MERGE across 2 micro-batches") {
     import java.nio.file.Files
     import spark.implicits._
