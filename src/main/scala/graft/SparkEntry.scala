@@ -171,6 +171,7 @@ object SparkEntry {
     "text_decontaminate_spans"    -> operators.SuffixOps.qDecontaminateSpans,
     "text_cut_contaminated"       -> operators.SuffixOps.qCutContaminated,
     "q_k_anonymity"               -> operators.CurationOps.qKAnonymity,
+    "emb_quarantine"              -> operators.AnnOps.embQuarantine,
     "q_journey_repeats"           -> operators.SuffixOps.qJourneyRepeats,
     "q_l_diversity"               -> operators.CurationOps.qLDiversity,
     "dedup_minhash_calibration"   -> DedupOps.dedupMinhashCalibration,
@@ -1367,6 +1368,32 @@ object SparkEntry {
         |  k2_violating_rows, k5_violating_rows, k10_violating_rows,
         |  floor((CAST(k5_violating_rows AS DOUBLE)/CAST(n_rows AS DOUBLE))*1000000 + 0.5)/1000000 AS k5_violation_share
         |FROM a""".stripMargin,
+
+    // embedding quarantine: both engines inject identical doc-id-
+    // derived defects (PII-fixture discipline), then classify with
+    // first-match priority nan > zero_norm > out_of_range
+    "emb_quarantine" ->
+      """WITH f AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 23 = 0 THEN
+        |      [CASE WHEN i - 1 = vec_id % 64 THEN 'nan'::FLOAT ELSE embedding[i] END for i in generate_series(1, 64)]
+        |    WHEN vec_id % 29 = 0 THEN
+        |      [0.0::FLOAT for i in generate_series(1, 64)]
+        |    WHEN vec_id % 31 = 0 THEN
+        |      [CASE WHEN i - 1 = vec_id % 64 THEN 1.0e30::FLOAT ELSE embedding[i] END for i in generate_series(1, 64)]
+        |    ELSE embedding END AS e
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN len(list_filter(e, x -> isnan(CAST(x AS DOUBLE)))) > 0 THEN 'nan'
+        |         WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |             [CAST(e[i] AS DOUBLE)*CAST(e[i] AS DOUBLE) for i in generate_series(1, 64)]),
+        |             (a, b) -> a + b) = 0.0 THEN 'zero_norm'
+        |         WHEN len(list_filter(e, x -> abs(CAST(x AS DOUBLE)) > 1e6)) > 0 THEN 'out_of_range'
+        |         ELSE 'pass' END AS reason
+        |  FROM f)
+        |SELECT reason, count(*) AS n_vecs, CAST(min(vec_id) AS BIGINT) AS first_vec
+        |FROM c GROUP BY reason ORDER BY reason""".stripMargin,
 
     "q_l_diversity" ->
       """WITH g AS (

@@ -626,6 +626,44 @@ object AnnOps {
     * Determinism: decimal-exact Σx and Σx², variance derived as
     * Σx²/n − (Σx/n)² from those exact sums with identical IEEE steps
     * both engines; min/max are exact. */
+  /** Embedding QUARANTINE — the ingest hygiene gate in front of
+    * every index build: vectors with NaN components, zero norm, or
+    * out-of-range magnitudes corrupt centroids and cosine rankings
+    * silently (NaN poisons every dot product it touches), so a real
+    * pipeline rejects them before `add`. The synthetic corpus is
+    * clean, so — the PII-fixture discipline — BOTH engines inject
+    * the same deterministic defects (doc-id-derived NaN / zeroed /
+    * exploded vectors) and the gate's classification is verified on
+    * known-nonzero quarantine classes. First-match priority
+    * nan > zero_norm > out_of_range keeps multi-defect vectors
+    * deterministic. Map-only scan + a ≤4-row fold. */
+  val embQuarantine: QueryFn = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val fixed = emb.select($"vec_id",
+      when($"vec_id" % 23 === 0,
+        transform($"embedding", (x, i) =>
+          when(i === ($"vec_id" % 64).cast("int"),
+            lit(Float.NaN)).otherwise(x)))
+        .when($"vec_id" % 29 === 0,
+          transform($"embedding", _ => lit(0.0f)))
+        .when($"vec_id" % 31 === 0,
+          transform($"embedding", (x, i) =>
+            when(i === ($"vec_id" % 64).cast("int"),
+              lit(1.0e30f)).otherwise(x)))
+        .otherwise($"embedding").as("e"))
+    val reason =
+      when(exists($"e", x => isnan(x.cast("double"))), "nan")
+        .when(aggregate($"e", lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")) === 0.0, "zero_norm")
+        .when(exists($"e", x => abs(x.cast("double")) > 1e6), "out_of_range")
+        .otherwise("pass")
+    fixed.select($"vec_id", reason.as("reason"))
+      .groupBy($"reason")
+      .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("first_vec"))
+      .orderBy($"reason")
+  }
+
   val embDimStats: QueryFn = (s, dir) => {
     import s.implicits._
     Tables.embeddings(s, dir)
