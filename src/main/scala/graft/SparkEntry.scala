@@ -895,7 +895,7 @@ object SparkEntry {
     // sign-of-dividend mod was a real recall bug this oracle caught),
     // exact hamming verification
     "dedup_simhash" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
@@ -913,9 +913,12 @@ object SparkEntry {
         |sigs AS (SELECT doc_id, CAST(sum(bv) AS HUGEINT) AS sig FROM bitsum GROUP BY doc_id),
         |ch AS (SELECT doc_id, c.c, (sig >> (c.c * 16)) & 65535 AS cv
         |       FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c),
+        |cseq AS (SELECT doc_id, c, cv, row_number() OVER (PARTITION BY c, cv ORDER BY doc_id) AS i
+        |         FROM ch),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM ch a JOIN ch b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id),
+        |  FROM cseq a JOIN cseq b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |  WHERE a.i <= ${DedupOps.BandCap}),
         |ham AS (
         |  SELECT doc_a, doc_b, bit_count(xor(sa.sig, sb.sig)) AS hamming
         |  FROM cand JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b)
@@ -1272,9 +1275,13 @@ object SparkEntry {
     // event-type sequences (the engine's exactSpans on a non-text
     // sequence domain), threshold 6 steps
     "q_journey_repeats" ->
-      """WITH toks AS (
-        |  SELECT user_id AS doc_id, list(event_type ORDER BY ts, event_id) AS tk
-        |  FROM events GROUP BY user_id),
+      s"""WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+        |  FROM events QUALIFY p <= ${operators.SuffixOps.JourneyCap}),
+        |toks AS (
+        |  SELECT user_id AS doc_id, list(event_type ORDER BY p) AS tk
+        |  FROM ev GROUP BY user_id),
         |sufs AS (
         |  SELECT doc_id, u.s['i'] AS pos, CAST(len(tk) AS BIGINT) AS len, tk[u.s['i']:] AS suf
         |  FROM (SELECT doc_id, tk, unnest([{'i': i} for i in generate_series(1, len(tk))]) AS s
@@ -1885,9 +1892,13 @@ object SparkEntry {
         |    CAST(sum(bit << ((pos-1)%16)) AS BIGINT) AS bv
         |  FROM bits GROUP BY 1, 2),
         |sig AS (SELECT media_id, list(bv ORDER BY band) AS sg FROM bands GROUP BY media_id),
+        |bseq AS (
+        |  SELECT media_id, band, bv, row_number() OVER (PARTITION BY band, bv ORDER BY media_id) AS i
+        |  FROM bands),
         |cand AS (
         |  SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id),
+        |  FROM bseq a JOIN bseq b ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
+        |  WHERE a.i <= ${operators.Blocking.DefaultCap}),
         |h AS (
         |  SELECT ma, mb,
         |    CAST(bit_count(xor(sa.sg[1], sb.sg[1])) + bit_count(xor(sa.sg[2], sb.sg[2]))
@@ -3481,10 +3492,14 @@ object SparkEntry {
        |  SELECT vec_id, (p - 1) // 4 AS b,
        |    sum(CASE WHEN dot > 0 THEN (1 << ((p - 1) % 4)) ELSE 0 END) AS val
        |  FROM d GROUP BY 1, 2),
+       |bsq AS (
+       |  SELECT vec_id, b, val, row_number() OVER (PARTITION BY b, val ORDER BY vec_id) AS i
+       |  FROM bv),
        |cpair AS (
        |  SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
-       |  FROM bv a JOIN bv c ON a.b = c.b AND a.val = c.val
-       |  WHERE a.vec_id <> c.vec_id),
+       |  FROM bsq a JOIN bsq c ON a.b = c.b AND a.val = c.val
+       |  WHERE a.vec_id <> c.vec_id
+       |    AND least(a.i, c.i) <= ${operators.HnswOps.BuildCap}),
        |csim AS (
        |  SELECT cpair.src, cpair.dst, ${cosEmbSql("sa", "sb")} AS sim
        |  FROM cpair JOIN e sa ON sa.vec_id = cpair.src JOIN e sb ON sb.vec_id = cpair.dst),
@@ -4137,9 +4152,13 @@ object SparkEntry {
        |  SELECT vec_id, (p - 1) // 8 AS b,
        |    sum(CASE WHEN dot > 0 THEN (1 << ((p - 1) % 8)) ELSE 0 END) AS val
        |  FROM d GROUP BY 1, 2),
+       |bsq AS (
+       |  SELECT vec_id, b, val, row_number() OVER (PARTITION BY b, val ORDER BY vec_id) AS i
+       |  FROM bv),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
-       |  FROM bv a JOIN bv c ON a.b = c.b AND a.val = c.val AND a.vec_id < c.vec_id),
+       |  FROM bsq a JOIN bsq c ON a.b = c.b AND a.val = c.val AND a.vec_id < c.vec_id
+       |  WHERE a.i <= ${DedupOps.BandCap}),
        |cos AS (
        |  SELECT cand.vec_a, cand.vec_b,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -4204,9 +4223,13 @@ object SparkEntry {
        |bandk AS (
        |  SELECT doc_id, p // 4 AS b, array_to_string(list(CAST(sv AS VARCHAR) ORDER BY p), '_') AS bk
        |  FROM sig GROUP BY doc_id, p // 4),
+       |bseq AS (
+       |  SELECT doc_id, b, bk, row_number() OVER (PARTITION BY b, bk ORDER BY doc_id) AS i
+       |  FROM bandk),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bandk a JOIN bandk b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |  FROM bseq a JOIN bseq b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |  WHERE a.i <= ${DedupOps.BandCap}),
        |j AS (
        |  SELECT doc_a, doc_b,
        |    CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)

@@ -56,14 +56,17 @@ object DedupOps {
   private def docShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     shingled(Tables.documents(s, dir))
 
+  /** Per-band candidate budget — see [[Blocking]]: bands at or under
+    * this size (every organic band in the sf corpora) behave exactly
+    * like the uncapped self-join; a degenerate band (identical
+    * boilerplate mass) degrades to anchor-star, linear candidates.
+    * Replayed verbatim in the DuckDB oracles. */
+  val BandCap: Int = Blocking.DefaultCap
+
   /** Candidate pairs (a < b) from exploding a per-doc key array and
-    * self-joining on the key. */
-  private def pairsByKey(keyed: DataFrame): DataFrame = {
-    val a = keyed.select(col("key"), col("doc_id").as("doc_a"))
-    val b = keyed.select(col("key"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("key")).where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
+    * self-joining on the key, bounded per band by [[BandCap]]. */
+  private def pairsByKey(keyed: DataFrame): DataFrame =
+    Blocking.cappedPairs(keyed, "doc_id", "doc_a", "doc_b", BandCap)
 
   /** Exact-Jaccard verification of candidate pairs against the shingle
     * sets; emits pairs with jaccard >= tau. */

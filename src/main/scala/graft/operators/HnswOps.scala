@@ -45,6 +45,8 @@ object HnswOps {
   val Beam = 12   // beam width per probe
   val Hops = 3    // fixed expansion rounds
   val Entries = 4 // entry nodes: the lowest vec_ids
+  /** Per-band candidate budget for the graph build ([[Blocking]]). */
+  val BuildCap: Int = Blocking.DefaultCap
 
   /** The 12×4-bit band keys of a 48-plane signature — the one
     * load-bearing banding geometry, shared by the graph build and
@@ -65,10 +67,12 @@ object HnswOps {
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
     val banded = emb
       .select($"vec_id", explode(bandKeys(sig($"embedding"))).as("key"))
-    val pairs = banded.select($"vec_id".as("src"), $"key")
-      .join(banded.select($"vec_id".as("dst"), $"key"), Seq("key"))
-      .where($"src" =!= $"dst")
-      .select($"src", $"dst").distinct()
+    // per-band anchor-star cap ([[Blocking]]): a degenerate band emits
+    // O(n·cap) candidates instead of n²; bands ≤ cap — every organic
+    // band here — are the exact uncapped self-join. The oracle replays
+    // the identical row_number admission rule.
+    val pairs = Blocking.cappedPairsDirected(
+      banded, "vec_id", "src", "dst", BuildCap)
     val cands = pairs
       .join(emb.select($"vec_id".as("src"), $"embedding".as("se")), "src")
       .join(emb.select($"vec_id".as("dst"), $"embedding".as("de")), "dst")
@@ -123,26 +127,20 @@ object HnswOps {
     * plan audit, and the recall specs all serve against the same
     * frozen graph — rebuilding the banded candidate join per call
     * re-pays the most expensive stage for identical input. */
-  private val edgesMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String), DataFrame]
+  private val edgesMemo = new Memo[DataFrame]()
 
-  private def edgesCached(s: SparkSession, dir: String): DataFrame = {
-    val key = (System.identityHashCode(s).toString,
-      dir + graft.mr.Fs.fingerprint(dir + "/embeddings.parquet"))
-    edgesMemo.getOrElseUpdate(key, edges(s, dir).localCheckpoint(true))
-  }
+  private def edgesCached(s: SparkSession, dir: String): DataFrame =
+    edgesMemo.getOrElseUpdate(
+      s, dir + graft.mr.Fs.fingerprint(dir + "/embeddings.parquet"),
+      edges(s, dir).localCheckpoint(true))
 
   /** Fixed-depth beam-search top-k serve — output shape identical to
-    * the other ANN queries: (pid, rnk, nid, sim). */
-  val annHnswTopk: QueryFn = (s, dir) => {
-    // serve rounds are job-count-dominated at bench scale (the same
-    // SuffixOps observation): run them at a narrower shuffle width
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions", "32")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.max(8, prevShuffle.toInt / 4).toString)
-    try serve(s, dir)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-  }
+    * the other ANN queries: (pid, rnk, nid, sim). The r5 shape
+    * narrowed session-global shuffle conf around the rounds (not
+    * thread-safe under concurrent queries); the frontier frames are
+    * O(probes × beam) rows, so serve now just runs at session width —
+    * the per-stage saving was task-launch overhead, not data. */
+  val annHnswTopk: QueryFn = (s, dir) => serve(s, dir)
 
   private def serve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

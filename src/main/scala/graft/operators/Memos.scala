@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped build memos (suffix order, NSW edges, span lists):
+  * bounded, insertion-order-evicting, and keyed by a REAL session
+  * identity instead of `System.identityHashCode` (whose value can be
+  * reused by a new session after the old one is GC'd — a stale-hit
+  * hazard however theoretical).
+  *
+  * Identity: `applicationId : per-session UUID`, where the UUID is
+  * issued once per live `SparkSession` through a weak-keyed map — a
+  * collected session can never bequeath its id to a successor, and
+  * the map itself holds no session alive.
+  *
+  * Eviction: past [[Memo.Cap]] corpora the eldest entry is dropped.
+  * The evicted frames are localCheckpointed blocks; dropping the last
+  * reference hands them to Spark's ContextCleaner, which unpersists
+  * the backing RDD blocks on GC — so a long-lived session cycling
+  * through many corpora is bounded by Cap live indexes, not by its
+  * uptime. */
+object Memos {
+  private val ids = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  /** Stable unique id for a live session; never reused across
+    * sessions within or beyond a JVM. */
+  def sessionId(s: SparkSession): String = {
+    val uuid = ids.computeIfAbsent(
+      s, _ => java.util.UUID.randomUUID().toString)
+    s.sparkContext.applicationId + ":" + uuid
+  }
+}
+
+/** A bounded (session, corpus-fingerprint) → value memo. */
+final class Memo[V](cap: Int = Memo.Cap) {
+  private val m = new java.util.LinkedHashMap[(String, String), V](16, 0.75f, false) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, String), V]): Boolean = size() > cap
+  }
+
+  def getOrElseUpdate(session: SparkSession, corpusKey: String, v: => V): V = {
+    val k = (Memos.sessionId(session), corpusKey)
+    m.synchronized {
+      val hit = m.get(k)
+      if (hit != null || m.containsKey(k)) hit
+      else { val x = v; m.put(k, x); x }
+    }
+  }
+}
+
+object Memo {
+  /** Live indexes kept per memo — enough for every sf corpus a test
+    * JVM cycles through, small enough that a production session
+    * cannot pin unbounded checkpoint blocks. */
+  val Cap = 8
+}

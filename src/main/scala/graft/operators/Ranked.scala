@@ -51,8 +51,13 @@ object Ranked {
       df: DataFrame,
       order: Seq[Column],
       rankCol: String,
-      runningSums: Seq[(Column, String)] = Nil): RankedFrame = {
-    val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      runningSums: Seq[(Column, String)] = Nil,
+      numPartitions: Option[Int] = None): RankedFrame = {
+    // explicit width > session conf: iterative builders (SuffixOps)
+    // narrow their eager rounds WITHOUT mutating session-global conf
+    // (not thread-safe under concurrent queries — r5 ADVICE)
+    val np = numPartitions.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val parted = df
       .repartitionByRange(np, order: _*)
       .withColumn("__pid", spark_partition_id())
@@ -146,6 +151,68 @@ object Ranked {
       .withColumn(outCol,
         greatest(col("__maxOff"), max(value.cast("double")).over(strictPrior)))
       .drop("__pid", "__pid64", "__maxOff")
+  }
+
+  /** Adds `rankCol` = global `dense_rank()` over ascending `keys` in
+    * ONE pass over the full frame — the suffix-construction hot path.
+    *
+    * The r5 shape ranked the DISTINCT key tuples with
+    * [[withGlobalRank]] and equi-joined the ranks back: a distinct
+    * shuffle of the positions frame, a range shuffle of the (nearly
+    * positions-sized) distinct table, and a join shuffling the
+    * positions frame AGAIN — three corpus-scale exchanges per
+    * doubling round. Dense rank collapses them to one:
+    *
+    *   1. range-partition the FULL frame on the keys (equal tuples
+    *      never straddle a boundary) and pin the layout;
+    *   2. one bounded collect of per-partition DISTINCT-key counts
+    *      (≤ np rows of driver state);
+    *   3. broadcast exclusive prefix offsets back; global dense_rank
+    *      = offset + local `dense_rank()` in a pid-partitioned
+    *      window.
+    *
+    * `row_number` over distinct sorted tuples ≡ `dense_rank` over the
+    * full sorted frame, so the produced ranks are bit-identical to
+    * the r5 chain — oracle hashes unchanged. `n` (total distinct
+    * keys, the Manber–Myers fixpoint signal) falls out of the same
+    * collect, job-free. */
+  def withGlobalDenseRank(
+      df: DataFrame,
+      keys: Seq[Column],
+      rankCol: String,
+      numPartitions: Option[Int] = None): RankedFrame = {
+    val np = numPartitions.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val order = keys.map(_.asc)
+    val parted = df
+      .repartitionByRange(np, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val perPart: Array[Row] = parted
+      .groupBy(col("__pid"))
+      .agg(count_distinct(struct(keys: _*)).as("__nd"))
+      .orderBy(col("__pid"))
+      .collect()
+    var off = 0L
+    val offRows = perPart.map { r =>
+      val row = Row(r.getInt(0).toLong, off); off += r.getLong(1); row
+    }
+    val total = off
+    val spark = df.sparkSession
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "__pid64", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "__rkOff", org.apache.spark.sql.types.LongType)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows.toSeq, 1), offSchema)
+    val byPid = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    RankedFrame(
+      parted
+        .join(broadcast(offDf), parted("__pid").cast("long") === offDf("__pid64"))
+        .withColumn(rankCol, (col("__rkOff") + dense_rank().over(byPid)).cast("long"))
+        .drop("__pid", "__pid64", "__rkOff"),
+      total)
   }
 
   /** The explicit ceil-division quantile bucket both engines floor

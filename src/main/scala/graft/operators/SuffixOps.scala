@@ -99,14 +99,12 @@ object SuffixOps {
     * ANN/dedup indexes, so a regenerated corpus can never serve
     * stale frames; the cached frames are localCheckpointed, i.e.
     * valid exactly as long as their session. */
-  private val lcpMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (DataFrame, DataFrame)]
+  private val lcpMemo = new Memo[(DataFrame, DataFrame)]()
 
   private def adjacentLcpsCached(
       s: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val key = (System.identityHashCode(s).toString,
-      dir + graft.mr.Fs.fingerprint(dir + "/documents.parquet"))
-    lcpMemo.getOrElseUpdate(key, {
+    lcpMemo.getOrElseUpdate(
+      s, dir + graft.mr.Fs.fingerprint(dir + "/documents.parquet"), {
       import s.implicits._
       val docTk = Tables.documents(s, dir)
         .select($"doc_id", normTokens($"text").as("tk"))
@@ -127,31 +125,28 @@ object SuffixOps {
     val s = toks.sparkSession
     // ~10 synchronous rounds of BOUNDED shuffles over the position
     // frame — job-count-dominated, not data-dominated, at bench
-    // scale. Run the eager rounds (checkpoints, collects) at a
-    // narrower shuffle width; at 100 TB a cluster raises this conf,
-    // the ROUND COUNT stays log(maxDocLen). This is the PRODUCTION
-    // path (the memoized builders route here), not just the spec one.
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions", "32")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.max(8, prevShuffle.toInt / 4).toString)
-    try adjacentLcpsRounds(toks, docTk)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // scale. The eager rounds run at a narrower width passed
+    // EXPLICITLY into every Ranked/repartition call (the r5 shape
+    // mutated session-global shuffle conf with try/finally restore —
+    // not thread-safe under concurrent queries on one session); at
+    // 100 TB a cluster passes a wider width, the ROUND COUNT stays
+    // log(maxDocLen). This is the PRODUCTION path (the memoized
+    // builders route here), not just the spec one.
+    val np = math.max(
+      8, s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 4)
+    adjacentLcpsRounds(toks, docTk, np)
   }
 
+  /** First bounded-compare slice width for the LCP close — covers
+    * the organic LCP mass in one pass; deeper repeats escalate ×4. */
+  val CmpCap0 = 64L
+
   private def adjacentLcpsRounds(
-      toks: DataFrame, docTk: DataFrame): (DataFrame, DataFrame) = {
+      toks: DataFrame, docTk: DataFrame, np: Int): (DataFrame, DataFrame) = {
     val s = toks.sparkSession
     import s.implicits._
 
-    // token → dense rank (vocabulary-keyed shuffle join back)
-    val tokRank = Ranked.withGlobalRank(
-      toks.select($"tok").distinct(), Seq($"tok".asc), "tr")
-    var r = toks.join(tokRank.df, "tok")
-      .select($"doc_id", $"pos", $"len", $"tr".as("r"))
-      .localCheckpoint(true)
-
     val maxLen = toks.agg(max($"len")).collect()(0).getLong(0)
-    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
 
     // prefix B-TUPLING (the Manber–Myers doubling generalized to
     // branching factor 8): rank of the Bw-prefix = dense rank of the
@@ -165,32 +160,46 @@ object SuffixOps {
     // round that splits no class proves classes successor-closed ⟹
     // fully-equal suffixes.
     val B = 8
+    // lead() offsets are Int — fail loudly past the representable
+    // prefix width instead of silently truncating (j·width) and
+    // corrupting ranks on >256M-token documents (r5 ADVICE)
+    require(maxLen <= Int.MaxValue / B,
+      s"max doc length $maxLen exceeds the lead-offset budget ${Int.MaxValue / B}")
+
+    // token → dense rank in ONE range pass over the FULL positions
+    // frame (r5 ranked the distinct vocab and joined back — two more
+    // corpus-scale shuffles per pass; see withGlobalDenseRank)
+    val tokRank = Ranked.withGlobalDenseRank(toks, Seq($"tok"), "r", Some(np))
+    var r = tokRank.df.select($"doc_id", $"pos", $"len", $"r")
+    var distinctRanks = tokRank.n
     var width = 1L
-    var distinctRanks = tokRank.n // distinct width-1 ranks, job-free
     var fixpoint = width >= maxLen
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     while (!fixpoint) {
       val leadCols = (1 until B).map { j =>
         coalesce(lead($"r", (j * width).toInt).over(byDoc), lit(-1L)).as(s"r$j")
       }
-      val paired = r.select(
-        Seq($"doc_id", $"pos", $"len", $"r") ++ leadCols: _*)
-      val keyNames = "r" +: (1 until B).map(j => s"r$j")
-      val pairRank = Ranked.withGlobalRank(
-        paired.select(keyNames.map(col): _*).distinct(),
-        keyNames.map(c => col(c).asc), "nr")
-      r = paired.join(pairRank.df, keyNames)
-        .select($"doc_id", $"pos", $"len", $"nr".as("r"))
-        .localCheckpoint(true)
+      // doc-repartition at the narrow width feeds the lead window
+      // with no further exchange; dense-ranking the full frame
+      // replaces the r5 distinct + rank + join-back chain (ranks are
+      // bit-identical). Lineage stays O(1)/round: withGlobalDenseRank
+      // pins its range-partitioned layout internally.
+      val paired = r.repartition(np, $"doc_id")
+        .select(Seq($"doc_id", $"pos", $"len", $"r") ++ leadCols: _*)
+      val keyCols = ("r" +: (1 until B).map(j => s"r$j")).map(col)
+      val ranked = Ranked.withGlobalDenseRank(paired, keyCols, "nr", Some(np))
+      r = ranked.df.select($"doc_id", $"pos", $"len", $"nr".as("r"))
       width *= B
-      // pairRank.n IS the new distinct-rank count — no extra job
-      fixpoint = width >= maxLen || pairRank.n == distinctRanks
-      distinctRanks = pairRank.n
+      // ranked.n IS the new distinct-rank count — no extra job
+      fixpoint = width >= maxLen || ranked.n == distinctRanks
+      distinctRanks = ranked.n
     }
 
     // adjacent suffixes in suffix order (ties = identical suffixes;
     // any order within a tie is fine — their LCP is full length)
     val ord = Ranked.withGlobalRank(
-      r, Seq($"r".asc, $"doc_id".asc, $"pos".asc), "sn").df
+      r, Seq($"r".asc, $"doc_id".asc, $"pos".asc), "sn",
+      numPartitions = Some(np)).df
       .localCheckpoint(true)
     val nxt = ord.select(($"sn" - 1).as("pn"), $"doc_id".as("db"),
       $"pos".as("pb"), $"len".as("lb"), $"r".as("rb"))
@@ -199,30 +208,73 @@ object SuffixOps {
         $"r".as("ra"))
       .join(nxt, $"sn" === $"pn")
       .drop("pn")
+      .localCheckpoint(true)
 
-    // ONE pass closes every pair: identical final ranks ⟹ fully
-    // equal suffixes ⟹ lcp = min remaining length (no token ever
-    // re-read); otherwise a direct first-mismatch compare of the two
-    // suffix slices — zip_with produces equal-length slices (capped
-    // at the shorter suffix), array_position finds the first
-    // mismatch (0 = none ⟹ the cap itself is the LCP)
+    // Closing the pairs, shuffle-bounded (r5 shipped FULL token
+    // arrays through the pair joins — O(positions × docLen) bytes;
+    // a 100k-token doc amplified ~10⁵×):
+    //   - identical final ranks ⟹ fully equal suffixes ⟹ lcp = min
+    //     remaining length, closed with NO token access at all (the
+    //     heavy tail of a duplicative corpus);
+    //   - rank-distinct pairs mismatch before min length (or one is
+    //     the other's proper prefix, ending at cmpLen): a direct
+    //     first-mismatch compare over BOUNDED slices — each slice is
+    //     projected in the same stage as its token join, so no
+    //     exchange ever carries a full array next to a pair — with
+    //     ×4 width escalation for the (LCP-mass-bounded) survivors:
+    //     round shuffle bytes ≈ pairs-with-lcp≥cap × cap ≤ 4·(LCP
+    //     output mass), not positions × docLen.
     val ta = docTk.select($"doc_id".as("da"), $"tk".as("tka"))
     val tb = docTk.select($"doc_id".as("db"), $"tk".as("tkb"))
     val cmpLen = least($"la" - $"pa", $"lb" - $"pb")
-    val mism = array_position(
-      zip_with(
-        slice($"tka", ($"pa" + 1).cast("int"), cmpLen.cast("int")),
-        slice($"tkb", ($"pb" + 1).cast("int"), cmpLen.cast("int")),
-        (x, y) => !(x <=> y)),
-      true)
-    val lcps = pairs
-      .join(ta, "da").join(tb, "db")
-      .withColumn("lcp",
-        when($"ra" === $"rb", cmpLen)
-          .otherwise(when(mism === 0, cmpLen).otherwise(mism - 1)))
-      .select($"sn", $"da", $"pa", $"la", $"db", $"pb", $"lb", $"lcp")
+    val outCols = Seq($"sn", $"da", $"pa", $"la", $"db", $"pb", $"lb", $"lcp")
+
+    val eqLcps = pairs.where($"ra" === $"rb")
+      .withColumn("lcp", cmpLen).select(outCols: _*)
+    var pend = pairs.where($"ra" =!= $"rb").drop("ra", "rb")
+    var resolved = List.empty[DataFrame]
+    var cap = CmpCap0
+    var done = false
+    while (!done) {
+      val sliced = boundedCompare(pend, ta, tb, cap).localCheckpoint(true)
+      resolved ::= sliced.where($"mm" > 0 || $"cmp" <= cap)
+        .withColumn("lcp", when($"mm" > 0, $"mm" - 1).otherwise($"cmp"))
+        .select(outCols: _*)
+      val next = sliced.where($"mm" === 0 && $"cmp" > cap)
+        .select($"sn", $"da", $"pa", $"la", $"db", $"pb", $"lb")
+      done = cap >= maxLen || next.isEmpty
+      pend = next
+      cap *= 4
+    }
+    val lcps = resolved.foldLeft(eqLcps)(_ unionByName _)
       .localCheckpoint(true)
     (ord, lcps)
+  }
+
+  /** One bounded-compare round: attach ≤ cap-token suffix slices
+    * (projected map-side immediately after each token join — the
+    * full array never crosses the NEXT exchange), then the
+    * first-mismatch scan. Returns the pair frame + (mm, cmp):
+    * mm = 1-based first mismatch in the capped slices (0 = none),
+    * cmp = min remaining suffix length. Package-visible so the spec
+    * can assert the pair frame's width really is bounded. */
+  private[operators] def boundedCompare(
+      pend: DataFrame, ta: DataFrame, tb: DataFrame, cap: Long): DataFrame = {
+    val s = pend.sparkSession
+    import s.implicits._
+    val cmpLen = least($"la" - $"pa", $"lb" - $"pb")
+    val capped = least(cmpLen, lit(cap)).cast("int")
+    pend
+      .join(ta, "da")
+      .withColumn("sla", slice($"tka", ($"pa" + 1).cast("int"), capped))
+      .drop("tka")
+      .join(tb, "db")
+      .withColumn("slb", slice($"tkb", ($"pb" + 1).cast("int"), capped))
+      .drop("tkb")
+      .withColumn("mm",
+        array_position(zip_with($"sla", $"slb", (x, y) => !(x <=> y)), true))
+      .withColumn("cmp", cmpLen)
+      .drop("sla", "slb")
   }
 
   /** Minimum contamination span (tokens) for
@@ -244,11 +296,10 @@ object SuffixOps {
     * passed so far within the partition). Nothing single-partition.
     */
   private def segMinFromMarker(
-      f: DataFrame, asc: Boolean, outCol: String): DataFrame = {
+      f: DataFrame, asc: Boolean, outCol: String, np: Int): DataFrame = {
     val s = f.sparkSession
     import s.implicits._
     val ord = if (asc) $"sn".asc else $"sn".desc
-    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val parted = f.repartitionByRange(np, ord)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
@@ -433,17 +484,15 @@ object SuffixOps {
     rollupSpans(contamSpanList(ordLcps),
       "contaminated", "max_contam_len", "contam_frac")
 
-  private val spanMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String), DataFrame]
+  private val spanMemo = new Memo[DataFrame]()
 
   /** Span list per corpus, memoized like [[adjacentLcpsCached]] —
     * the accounting and cutting queries share one scan run. */
   private def contamSpanListCached(
-      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val key = (System.identityHashCode(s).toString,
-      dir + graft.mr.Fs.fingerprint(dir + "/documents.parquet"))
-    spanMemo.getOrElseUpdate(key, contamSpanList(adjacentLcpsCached(s, dir)))
-  }
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spanMemo.getOrElseUpdate(
+      s, dir + graft.mr.Fs.fingerprint(dir + "/documents.parquet"),
+      contamSpanList(adjacentLcpsCached(s, dir)))
 
   /** Maximal contamination spans per train doc:
     * (doc_id, st, en, mx, len) — shared by the accounting query and
@@ -452,30 +501,30 @@ object SuffixOps {
     val (ord, lcps) = ordLcps
     val s = ord.sparkSession
     import s.implicits._
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions", "32")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.max(8, prevShuffle.toInt / 4).toString)
-    try {
-      val mark = ($"doc_id" % 10 === 9).as("mark")
-      // edge-to-prev (asc scan): LCP of pair (sn-1, sn); edge-to-next
-      // (desc scan): LCP of pair (sn, sn+1)
-      val ePrev = lcps.select(($"sn" + 1).as("sn"), $"lcp".as("edge"))
-      val eNext = lcps.select($"sn", $"lcp".as("edge"))
-      val base = ord.select($"sn", $"doc_id", $"pos", $"len", mark)
-      val up = segMinFromMarker(
-        base.join(ePrev, Seq("sn"), "left"), asc = true, "reach")
-        .select($"sn", $"reach".as("up"))
-      val down = segMinFromMarker(
-        base.join(eNext, Seq("sn"), "left"), asc = false, "reach")
-        .select($"sn", $"reach".as("dn"))
+    // narrow the eager scan width explicitly (no session-conf
+    // mutation — the r5 shape nested two narrowings and was
+    // order-dependent under concurrency)
+    val np = math.max(
+      8, s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 4)
+    val mark = ($"doc_id" % 10 === 9).as("mark")
+    // edge-to-prev (asc scan): LCP of pair (sn-1, sn); edge-to-next
+    // (desc scan): LCP of pair (sn, sn+1)
+    val ePrev = lcps.select(($"sn" + 1).as("sn"), $"lcp".as("edge"))
+    val eNext = lcps.select($"sn", $"lcp".as("edge"))
+    val base = ord.select($"sn", $"doc_id", $"pos", $"len", mark)
+    val up = segMinFromMarker(
+      base.join(ePrev, Seq("sn"), "left"), asc = true, "reach", np)
+      .select($"sn", $"reach".as("up"))
+    val down = segMinFromMarker(
+      base.join(eNext, Seq("sn"), "left"), asc = false, "reach", np)
+      .select($"sn", $"reach".as("dn"))
 
-      val m = base.join(up, "sn").join(down, "sn")
-        .where(!$"mark")
-        .select($"doc_id", $"pos", $"len", greatest($"up", $"dn").as("m"))
-        .where($"m" >= ContamMinLen)
+    val m = base.join(up, "sn").join(down, "sn")
+      .where(!$"mark")
+      .select($"doc_id", $"pos", $"len", greatest($"up", $"dn").as("m"))
+      .where($"m" >= ContamMinLen)
 
-      mergeSpans(m).localCheckpoint(true)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    mergeSpans(m).localCheckpoint(true)
   }
 
   /** Per-doc exact duplicated-span accounting: doc_id, n_tokens,
@@ -502,12 +551,10 @@ object SuffixOps {
     * fraud/automation triage panel, with suffix-array exactness
     * rather than hashed-window approximation. Same machinery, same
     * scale posture as [[qDedupExactSubstr]]. */
-  private val journeyMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String), DataFrame]
+  private val journeyMemo = new Memo[DataFrame]()
 
   val qJourneyRepeats: QueryFn = (s, dir) => journeyMemo.getOrElseUpdate(
-    (System.identityHashCode(s).toString,
-      dir + graft.mr.Fs.fingerprint(dir + "/events.parquet")),
+    s, dir + graft.mr.Fs.fingerprint(dir + "/events.parquet"),
     buildJourneyRepeats(s, dir))
 
   /** The journey suffix build is eager (checkpointed rounds), so the
@@ -515,16 +562,39 @@ object SuffixOps {
     * already materialized — a re-serve costs the final fold only
     * (the lcpMemo discipline, result-level because this corpus has
     * a single consumer). */
-  private def buildJourneyRepeats(
-      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** Per-user sequence bound: bot/scripted users — exactly this
+    * query's target population — are the one cohort whose event count
+    * is unbounded at 100 TB, and an unbounded `collect_list` row is
+    * the thing that OOMs an executor. Users past the cap are analyzed
+    * on their FIRST [[JourneyCap]] events (row_number over the
+    * deterministic (ts, event_id) order, replayed in the oracle);
+    * 65536 steps is ~3 orders past any organic user and already
+    * damning evidence for an automated one. */
+  val JourneyCap = 65536
+
+  /** Per-user event-type "documents" from an events frame, sequence
+    * length bounded by `cap` — split out so the spec can drive a
+    * pathological heavy user through a small cap. */
+  private[operators] def journeySeqs(
+      events: DataFrame, cap: Int = JourneyCap): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
-    val seqs = Tables.events(s, dir)
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("p", row_number().over(byUser))
+      .where($"p" <= cap)
       .groupBy($"user_id")
-      .agg(array_sort(collect_list(struct($"ts", $"event_id", $"event_type")))
-        .as("evs"))
+      .agg(array_sort(collect_list(struct($"p", $"event_type"))).as("evs"))
       .select($"user_id".as("doc_id"),
         concat_ws(" ", transform($"evs", e => e.getField("event_type")))
           .as("text"))
+  }
+
+  private def buildJourneyRepeats(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seqs = journeySeqs(Tables.events(s, dir))
     exactSpans(seqs, MinJourneyRun)
       .select($"doc_id".as("user_id"), $"n_tokens".as("n_events"),
         $"n_spans".as("n_runs"), $"covered".as("repeated_steps"),

@@ -599,10 +599,13 @@ object TextOps {
     val sig = bands.groupBy($"media_id")
       .agg(sort_array(collect_list(struct($"band", $"bv"))).as("sgs"))
       .select($"media_id", expr("transform(sgs, x -> x.bv)").as("sg"))
-    val cand = bands.select($"media_id".as("ma"), $"band", $"bv")
-      .join(bands.select($"media_id".as("mb"), $"band", $"bv"), Seq("band", "bv"))
-      .where($"ma" < $"mb")
-      .select($"ma", $"mb").distinct()
+    // per-band anchor-star cap ([[Blocking]]): organic (band, bv)
+    // buckets are tiny (16-bit values), but a mass of byte-identical
+    // payloads shares all four — the cap keeps that linear
+    val cand = Blocking.cappedPairs(
+      bands.select($"media_id",
+        concat_ws(":", $"band", $"bv").as("key")),
+      "media_id", "ma", "mb", Blocking.DefaultCap)
     cand
       .join(sig.select($"media_id".as("ma"), $"sg".as("sa")), "ma")
       .join(sig.select($"media_id".as("mb"), $"sg".as("sb")), "mb")
