@@ -3467,8 +3467,8 @@ object SparkEntry {
     * oracle pre-computes probe→node sims brute-force (oracle-scale
     * liberty); the engine only ever scores visited nodes. */
   private lazy val annHnswOracle: String = {
-    val (m, beam, entries, k) = (operators.HnswOps.M,
-      operators.HnswOps.Beam, operators.HnswOps.Entries, operators.AnnOps.K)
+    val (m, beam, k) = (operators.HnswOps.M,
+      operators.HnswOps.Beam, operators.AnnOps.K)
     def hop(i: Int): String =
       s"""x$i AS (
          |  SELECT DISTINCT b.pid, ed.dst AS nid FROM bs${i - 1} b JOIN edges ed ON ed.src = b.nid
@@ -3482,6 +3482,16 @@ object SparkEntry {
          |  WHERE rn <= $beam)""".stripMargin
     s"""WITH pl AS (SELECT ${planesLiteral(operators.AnnOps.LshPlanes)} AS w),
        |e AS (SELECT vec_id, embedding FROM embeddings),
+       |e0 AS (
+       |  SELECT vec_id, label, [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS raw
+       |  FROM embeddings),
+       |$ivfCellCtes,
+       |med AS (
+       |  SELECT vec_id FROM (
+       |    SELECT a.cell, a.vec_id,
+       |      row_number() OVER (PARTITION BY a.cell ORDER BY d.sim DESC, a.vec_id) AS rn
+       |    FROM assigned a JOIN cdist d ON d.vec_id = a.vec_id AND d.cell = a.cell) t
+       |  WHERE rn = 1),
        |d AS (
        |  SELECT vec_id, p,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -3515,7 +3525,8 @@ object SparkEntry {
        |  SELECT pa.vec_id AS pid, pc.vec_id AS nid, ${cosEmbSql("pa", "pc")} AS sim
        |  FROM e pa JOIN probes ON probes.pid = pa.vec_id, e pc),
        |bs0 AS (
-       |  SELECT psim.pid, psim.nid, psim.sim FROM psim WHERE psim.nid < $entries),
+       |  SELECT psim.pid, psim.nid, psim.sim FROM psim
+       |  WHERE psim.nid IN (SELECT vec_id FROM med)),
        |${hop(1)},
        |${hop(2)},
        |${hop(3)}

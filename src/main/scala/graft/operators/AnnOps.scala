@@ -385,7 +385,7 @@ object AnnOps {
     * DuckDB oracle recomputes the SAME centroids — plain avg() would
     * expose partial-agg float association). Tiny by construction →
     * collected and embedded as literals. */
-  private def ivfCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+  private[operators] def ivfCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
     Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
@@ -400,20 +400,26 @@ object AnnOps {
   /** Per-cell (sim, cell) structs for one embedding column. Always
     * materialize the result in its own select before any multi-use
     * consumer (the r1 inlining trap). */
-  private def cellScores(cellsLit: org.apache.spark.sql.Column)(
+  private[operators] def cellScores(cellsLit: org.apache.spark.sql.Column)(
       embCol: org.apache.spark.sql.Column) =
     transform(cellsLit, c => struct(
       rnd(cosine_sim(embCol, c.getField("_2")), 6).as("sim"),
       c.getField("_1").as("cell")))
 
   /** Argmax by (sim desc, cell asc) — a fold over the scored array,
-    * entirely inside the projection: no join, no window, no shuffle. */
-  private def argmaxCell(scored: org.apache.spark.sql.Column) =
+    * entirely inside the projection: no join, no window, no shuffle.
+    * Returns the winning (sim, cell) struct; operators that need the
+    * winning similarity too (the NSW medoid entries) read both
+    * fields. */
+  private[operators] def argmaxCellSim(scored: org.apache.spark.sql.Column) =
     aggregate(scored, element_at(scored, 1), (acc, x) =>
       when(x.getField("sim") > acc.getField("sim") ||
            (x.getField("sim") === acc.getField("sim") &&
             x.getField("cell") < acc.getField("cell")), x)
-        .otherwise(acc)).getField("cell")
+        .otherwise(acc))
+
+  private def argmaxCell(scored: org.apache.spark.sql.Column) =
+    argmaxCellSim(scored).getField("cell")
 
   /** Probes exploded to their top `nprobe` cells (sort the tiny
     * scored array per row, slice, explode) — map-side. */

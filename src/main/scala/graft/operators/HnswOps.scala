@@ -44,9 +44,36 @@ object HnswOps {
   val M = 6       // kept neighbors per node (pre-bidirectionalize)
   val Beam = 12   // beam width per probe
   val Hops = 3    // fixed expansion rounds
-  val Entries = 4 // entry nodes: the lowest vec_ids
   /** Per-band candidate budget for the graph build ([[Blocking]]). */
   val BuildCap: Int = Blocking.DefaultCap
+
+  /** DATA-DEPENDENT entry points: per-IVF-cell medoids — for each
+    * coarse cell of the frozen IVF quantizer (AnnOps.ivfCentroids,
+    * the same centroids every IVF serve path uses), the base vector
+    * most similar to its own cell's centroid (rounded cos, tie to
+    * lower vec_id). The r5 graph entered from the 4 LOWEST vec_ids —
+    * arbitrary points that can all land in one region of the space;
+    * medoids cover every coarse region by construction, which is what
+    * HNSW's upper layers buy, at the cost of one bounded TopK pass
+    * over the corpus (memoized with the edge list). Deterministic and
+    * oracle-replayable: DuckDB recomputes the identical centroids,
+    * assignment, and per-cell argmax. */
+  private val entriesMemo = new Memo[Seq[Long]]()
+
+  private[operators] def medoidEntries(s: SparkSession, dir: String): Seq[Long] =
+    entriesMemo.getOrElseUpdate(
+      s, dir + graft.mr.Fs.fingerprint(dir + "/embeddings.parquet"), {
+        import s.implicits._
+        val cellsLit = typedLit(AnnOps.ivfCentroids(s, dir))
+        val scored = Tables.embeddings(s, dir)
+          .select($"vec_id", AnnOps.cellScores(cellsLit)($"embedding").as("scored"))
+          .select($"vec_id", AnnOps.argmaxCellSim($"scored").as("cs"))
+          .select($"vec_id", $"cs.cell".as("cell"), $"cs.sim".as("sim_r"))
+        graft.plans.TopK.perKey(scored,
+          keyCols = Seq("cell"),
+          orderCols = Seq("sim_r" -> false, "vec_id" -> true), k = 1)
+          .select($"vec_id").collect().map(_.getLong(0)).toSeq.sorted
+      })
 
   /** The 12×4-bit band keys of a 48-plane signature — the one
     * load-bearing banding geometry, shared by the graph build and
@@ -147,7 +174,8 @@ object HnswOps {
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
     val probes = emb.where($"vec_id" < AnnOps.NumProbes)
       .select($"vec_id".as("pid"), $"embedding".as("pe"))
-    val entries = emb.where($"vec_id" < Entries)
+    val entries = emb
+      .where($"vec_id".isin(medoidEntries(s, dir): _*))
       .select($"vec_id".as("nid"), $"embedding".as("ne"))
     val eds = edgesCached(s, dir)
 

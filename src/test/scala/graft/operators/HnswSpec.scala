@@ -19,15 +19,16 @@ class HnswSpec extends SparkTestBase {
     val rIvfPq = (ivfpq & truth).size.toDouble / truth.size
     info(f"recall@5: hnsw=$rHnsw%.3f ivfpq=$rIvfPq%.3f (same ${AnnOps.NumProbes} probes)")
     // bars at measured − 0.1 (the repo's recall-bar policy; measured
-    // 0.70 hnsw / 0.74 ivfpq at sf0.001). The test embeddings are
-    // near-random — real corpora with neighborhood structure
+    // 0.84 hnsw / 0.74 ivfpq at sf0.001 — the per-IVF-cell medoid
+    // entry points took hnsw from 0.70 to 0.84). The test embeddings
+    // are near-random — real corpora with neighborhood structure
     // navigate far better at the same (M, Beam, Hops)
-    assert(rHnsw >= 0.60, f"hnsw recall regressed: $rHnsw%.3f")
+    assert(rHnsw >= 0.74, f"hnsw recall regressed: $rHnsw%.3f")
     assert(rIvfPq >= 0.64, f"ivfpq recall regressed: $rIvfPq%.3f")
-    // the graph serve must stay in the same recall class as the
-    // cell-probe family on identical probes
-    assert(rHnsw >= rIvfPq - 0.2,
-      f"hnsw recall $rHnsw%.3f far below ivfpq $rIvfPq%.3f")
+    // with data-dependent entries the graph serve must MATCH OR BEAT
+    // the cell-probe family on identical probes (the r5 verdict bar)
+    assert(rHnsw >= rIvfPq - 0.05,
+      f"hnsw recall $rHnsw%.3f below ivfpq $rIvfPq%.3f")
   }
 
   test("graph invariants: bidirectional, bounded degree, no self loops") {
