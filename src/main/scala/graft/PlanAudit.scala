@@ -758,7 +758,12 @@ object PlanAudit {
         "band equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "partial agg before shuffle" -> (_.contains("partial_")),
-        "no window" -> (p => !p.contains("windowspecdefinition"))),
+        // the only windows are the Blocking anchor cap's band-keyed
+        // row_numbers (never global — the cap that bounds a
+        // degenerate band also rides the band-key exchange)
+        "windows band-keyed only" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size ==
+            "windowspecdefinition\\(key".r.findAllIn(p).size)),
       "ann_radius_search" -> Map(
         // candidates come only from the band equi-join (the LSH
         // index), threshold is a filter — no top-k machinery, no
@@ -833,9 +838,13 @@ object PlanAudit {
       "dedup_exact_substr" -> Map(
         // suffix machinery runs in the pre-checkpoint rounds; the
         // visible plan is the span fold — doc-partitioned windows
-        // only, offsets broadcast, never a shuffle join
+        // only, offsets broadcast, never a shuffle join. (The r5 form
+        // of this check matched a string an unpartitioned window
+        // never prints — vacuously true; this is the same every-
+        // window-is-prefixed assertion the other audits use.)
         "span windows doc-partitioned" -> (p =>
-          !p.contains("windowspecdefinition()") ),
+          "windowspecdefinition".r.findAllIn(p).size ==
+            "windowspecdefinition\\(doc_id".r.findAllIn(p).size),
         "no cartesian" -> (p => !p.contains("CartesianProduct"))))
 
     var failures = 0

@@ -3356,7 +3356,7 @@ object SparkEntry {
     * (CTE `cos`) — shared by [[annLshOracle]] (top-k serve path) and
     * the `ann_radius_search` oracle (threshold serve path): one
     * index, two APIs, provably the same candidates. */
-  private lazy val lshCosCtes: String = {
+  private def lshCosCtes: String = {
     s"""pl AS (SELECT ${planesLiteral(operators.AnnOps.LshPlanes)} AS w),
        |e AS (SELECT vec_id, embedding FROM embeddings),
        |d AS (
@@ -3393,7 +3393,7 @@ object SparkEntry {
     * reconstruction. Positions are 1-based here (list slices);
     * span semantics match the engine's 0-based ones because only
     * differences and containment are consumed. */
-  private lazy val contamSpanCtes: String =
+  private def contamSpanCtes: String =
     """toks AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
       |  FROM documents),
@@ -3466,7 +3466,7 @@ object SparkEntry {
     * (entries → 3 × expand/score/top-Beam → final top-k). The
     * oracle pre-computes probe→node sims brute-force (oracle-scale
     * liberty); the engine only ever scores visited nodes. */
-  private lazy val annHnswOracle: String = {
+  private def annHnswOracle: String = {
     val (m, beam, k) = (operators.HnswOps.M,
       operators.HnswOps.Beam, operators.AnnOps.K)
     def hop(i: Int): String =
@@ -3539,7 +3539,7 @@ object SparkEntry {
        |WHERE rnk <= $k ORDER BY pid, rnk""".stripMargin
   }
 
-  private lazy val annLshOracle: String =
+  private def annLshOracle: String =
     s"""WITH $lshCosCtes,
        |rk AS (
        |  SELECT pid, nid, sim,
@@ -3551,7 +3551,7 @@ object SparkEntry {
 
   /** `ann_radius_search`: the same replayed index, thresholded
     * instead of ranked. */
-  private lazy val annRadiusOracle: String =
+  private def annRadiusOracle: String =
     s"""WITH $lshCosCtes
        |SELECT pid, nid, floor(sim*10000 + 0.5)/10000 AS sim
        |FROM cos WHERE sim >= ${operators.AnnOps.RadiusTau}
@@ -3561,7 +3561,7 @@ object SparkEntry {
     * vec_id < 8, decimal-exact distances and means, ties to the lower
     * cluster) — a3 holds (vec_id, cluster, d2, rn); rn = 1 is the
     * final assignment. Shared by `emb_kmeans` and `dedup_semantic`. */
-  private lazy val kmeansAssignCtes: String =
+  private def kmeansAssignCtes: String =
     """e AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
       |    CAST(unnest(embedding) AS DOUBLE) AS val
@@ -3603,7 +3603,7 @@ object SparkEntry {
     * BY dim))`, v₀ = the exact-binary 0.125, eigenvalue = final
     * ‖w‖/(n−1). Same determinism discipline as `emb_kmeans`'s unroll,
     * applied to the matrix-free power method. */
-  private lazy val pcaOracle: String = {
+  private def pcaOracle: String = {
     val rounds = (1 to operators.PcaOps.Iters).map { k =>
       val prevV = if (k == 1) "CAST(0.125 AS DOUBLE)" else s"v${k - 1}.v"
       val join = if (k == 1) "" else s" JOIN v${k - 1} USING (dim)"
@@ -3644,7 +3644,7 @@ object SparkEntry {
     * left-to-right rewrite — the oracle's `list_reduce` fold is the
     * literal twin of the Scala merge UDF, so a just-merged symbol
     * re-matches (or doesn't) identically in both engines. */
-  private lazy val bpeOracle: String = {
+  private def bpeOracle: String = {
     val rounds = (1 to operators.BpeOps.Rounds).map { r =>
       s"""pc$r AS (
          |  SELECT u.p['a'] AS a, u.p['b'] AS b, sum(u.cnt) AS pc
@@ -3683,7 +3683,7 @@ object SparkEntry {
   /** The IVF index replay through the probe-cell ranking (CTE
     * `ranked`, plus `probes`/`emb` for reuse) — shared by
     * `ann_ivf_topk` and `ann_recall_panel`. */
-  private lazy val ivfRankedCtes: String =
+  private def ivfRankedCtes: String =
     """e AS (
       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
       |    CAST(unnest(embedding) AS DOUBLE) AS x
@@ -3716,7 +3716,7 @@ object SparkEntry {
       |ranked AS (SELECT pid, nid, sim,
       |  row_number() OVER (PARTITION BY pid ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM cands)""".stripMargin
 
-  private lazy val bruteforceOracle: String =
+  private def bruteforceOracle: String =
     """WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 10),
       |sims AS (SELECT pid, e.vec_id AS nid,
       |  list_cosine_similarity(pe, CAST(e.embedding AS DOUBLE[])) AS sim
@@ -3737,7 +3737,7 @@ object SparkEntry {
     * aggregates) and `q_ivm_maintain` (which maintains the same view
     * incrementally from deltas; equality against this recompute is
     * the IVM correctness statement). */
-  private lazy val mergeViewOracle: String =
+  private def mergeViewOracle: String =
     """WITH ch AS (
       |  SELECT o_orderkey AS key, 'update' AS op, 'X' AS st, o_totalprice * 1.1 AS tp
       |  FROM orders WHERE o_orderkey % 10 = 3
@@ -3761,7 +3761,7 @@ object SparkEntry {
     * (CTEs `e`, `sym`, `l0` … `l$R`) — shared by the
     * `q_label_propagation` oracle and `q_graph_modularity` (which
     * scores the SAME partition). */
-  private lazy val lpaCtes: String = {
+  private def lpaCtes: String = {
     val rounds = (1 to operators.GraphOps.LpaRounds).map { t =>
       s"""l$t AS (
          |  SELECT u AS node, lbl FROM (
@@ -3785,7 +3785,7 @@ object SparkEntry {
     * — shared by [[perceptronOracle]] and [[perceptronGainsOracle]]
     * so the evaluation panel provably scores the SAME trained
     * weights as the training proof. */
-  private lazy val perceptronCoreCtes: String = {
+  private def perceptronCoreCtes: String = {
     val bkts = operators.ModelOps.PercBuckets
     val nr = operators.ModelOps.PercRounds
     val rounds = (2 to nr).map { t =>
@@ -3809,7 +3809,7 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
-  private lazy val perceptronOracle: String = {
+  private def perceptronOracle: String = {
     val nr = operators.ModelOps.PercRounds
     s"""WITH $perceptronCoreCtes
        |SELECT doc_id, CAST(y AS BIGINT) AS y,
@@ -3822,7 +3822,7 @@ object SparkEntry {
   /** `q_model_gains`: the same trained weights, folded into the
     * decile gains/lift panel — ranking and deciles use the explicit
     * ceil-division formula so both engines cut identical buckets. */
-  private lazy val perceptronGainsOracle: String = {
+  private def perceptronGainsOracle: String = {
     val nr = operators.ModelOps.PercRounds
     s"""WITH $perceptronCoreCtes,
        |mar AS (
@@ -3851,7 +3851,7 @@ object SparkEntry {
     * cross-joined with every prior pick; scores use the identical
     * 6 dp-rounded cosines and vec_id tiebreak as the Spark rounds, so
     * the greedy trajectory is deterministic cross-engine. */
-  private lazy val mmrOracle: String = {
+  private def mmrOracle: String = {
     val k = operators.CurationOps.MmrK
     def cosR(a: String, b: String) =
       s"floor(list_cosine_similarity($a, $b)*1000000 + 0.5)/1000000"
@@ -3884,7 +3884,7 @@ object SparkEntry {
     * before application even makes sense), then the learned merges
     * applied per (doc, word) with the identical greedy list_reduce
     * fold, aggregated to the per-doc token accounting. */
-  private lazy val bpeEncodeOracle: String = {
+  private def bpeEncodeOracle: String = {
     val rounds = (1 to operators.BpeOps.Rounds).map { r =>
       s"""pc$r AS (
          |  SELECT u.p['a'] AS a, u.p['b'] AS b, sum(u.cnt) AS pc
@@ -3961,7 +3961,7 @@ object SparkEntry {
     * the training chain, `vsrc` names the (vec_id, emb) CTE the
     * quantizer trains on/encodes (`ne` = normalized vectors for the
     * flat index, `res` = per-cell residuals for the residual one). */
-  private lazy val pqIndexCtes: String = pqIndexCtesOn("", "ne")
+  private def pqIndexCtes: String = pqIndexCtesOn("", "ne")
 
   private def pqIndexCtesOn(extra: String, vsrc: String): String = {
     val lloydRounds = (1 to 3).map { r =>
@@ -4029,7 +4029,7 @@ object SparkEntry {
 
   /** Shortlist → exact re-rank → final ranking, shared by both PQ
     * oracles (`cands` must provide (pid, nid, sim)). */
-  private lazy val pqServeTail: String =
+  private def pqServeTail: String =
     s"""short AS (
        |  SELECT pid, nid FROM (
        |    SELECT pid, nid, row_number() OVER (PARTITION BY pid
@@ -4048,7 +4048,7 @@ object SparkEntry {
 
   /** `ann_pq_topk`: the PQ index CTEs + full-corpus ADC scan +
     * shortlist/re-rank tail. */
-  private lazy val annPqOracle: String =
+  private def annPqOracle: String =
     s"""WITH $pqIndexCtes,
        |cands AS (
        |  SELECT pr.pid, t.vec_id AS nid,
@@ -4058,7 +4058,7 @@ object SparkEntry {
 
   /** `emb_pq_distortion`: the same replayed index (including
     * training), each vector against its own reconstruction. */
-  private lazy val pqDistortionOracle: String =
+  private def pqDistortionOracle: String =
     s"""WITH $pqIndexCtes,
        |dist AS (
        |  SELECT t.vec_id, ${cosSql("a.raw", "t.h")} AS c
@@ -4078,7 +4078,7 @@ object SparkEntry {
     * discipline), cell scores rounded to 1e-6 before the
     * argmax/top-6 exactly like the Spark `cellScores` expression.
     * Requires `e0` in scope. */
-  private lazy val ivfCellCtes: String =
+  private def ivfCellCtes: String =
     s"""cr AS (
        |  SELECT label, i, CAST(sum(CAST(raw[i] AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
        |  FROM e0, (SELECT unnest(generate_series(1, 64)) AS i) ii
@@ -4093,7 +4093,7 @@ object SparkEntry {
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
        |    FROM cdist) t WHERE rn = 1)""".stripMargin
 
-  private lazy val ivfProbeCellsCte: String =
+  private def ivfProbeCellsCte: String =
     s"""pcells AS (
        |  SELECT vec_id AS pid, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
@@ -4101,7 +4101,7 @@ object SparkEntry {
 
   /** `ann_ivfpq_topk`: the PQ index CTEs, with the ADC scan
     * restricted to each probe's top-6 IVF cells. */
-  private lazy val annIvfPqOracle: String =
+  private def annIvfPqOracle: String =
     s"""WITH $pqIndexCtes,
        |$ivfCellCtes,
        |$ivfProbeCellsCte,
@@ -4120,7 +4120,7 @@ object SparkEntry {
     * `pqIndexCtesOn` chain pointed at `res`), encode, reconstruction
     * as cell direction + decoded residual, probed-cell ADC scan,
     * shortlist and exact re-rank. */
-  private lazy val annIvfPqResidualOracle: String = {
+  private def annIvfPqResidualOracle: String = {
     val extra =
       s"""
          |$ivfCellCtes,
@@ -4150,7 +4150,7 @@ object SparkEntry {
   /** `dedup_embedding` replayed the same way: 16 literal planes, two
     * 8-bit bands, canonical (a < b) candidate pairs, exact cosine,
     * global top-N by (rounded cos, pair). */
-  private lazy val dedupEmbeddingOracle: String = {
+  private def dedupEmbeddingOracle: String = {
     s"""WITH pl AS (SELECT ${planesLiteral(16)} AS w),
        |e AS (SELECT vec_id, embedding FROM embeddings),
        |d AS (
@@ -4193,7 +4193,7 @@ object SparkEntry {
     * finalizer → 64-perm signatures → band keys → candidate pairs →
     * exact pair Jaccard (UNfiltered — the LSH oracle thresholds it,
     * the calibration oracle keeps false positives on purpose). */
-  private lazy val minhashCoreCtes: String = {
+  private def minhashCoreCtes: String = {
     val salts = graft.functions.Hashes.minhashParams(DedupOps.NumPerms)
       .zipWithIndex
       .map { case (s, p) => s"($p, CAST(${java.lang.Long.toUnsignedString(s)} AS HUGEINT))" }
@@ -4248,7 +4248,7 @@ object SparkEntry {
        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)""".stripMargin
   }
 
-  private lazy val minhashLshOracle: String =
+  private def minhashLshOracle: String =
     s"""WITH $minhashCoreCtes
        |SELECT doc_a, doc_b, floor(jac*10000 + 0.5)/10000 AS jaccard
        |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
@@ -4257,7 +4257,7 @@ object SparkEntry {
     * of thresholding, every LSH candidate (false positives included —
     * they're the interesting calibration region) gets its signature
     * agreement fraction next to its exact Jaccard. */
-  private lazy val minhashCalibrationOracle: String = {
+  private def minhashCalibrationOracle: String = {
     val np = DedupOps.NumPerms
     s"""WITH $minhashCoreCtes,
        |sigl AS (SELECT doc_id, list(sv ORDER BY p) AS sg FROM sig GROUP BY doc_id),

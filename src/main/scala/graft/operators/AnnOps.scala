@@ -26,11 +26,13 @@ object AnnOps {
     * corpus-scale recall sweep launches with `GRAFT_ANN_K` /
     * `GRAFT_ANN_NUM_PROBES` in the driver environment and every
     * serve path, recall panel, and oracle SQL (they interpolate the
-    * same accessors) widens together — no code edit, hashes stay
-    * consistent because both engines read one resolved value per
-    * JVM. Defaults preserve the gate hashes. The vars are
-    * test-visible so specs can dial them within a JVM; production
-    * runs set the env once at launch. */
+    * same accessors) widens together — no code edit. Every oracle
+    * string in SparkEntry is a `def`, rebuilt at each oracleSql
+    * materialization, so engine and oracle can never desync even if
+    * the dials move mid-JVM (the r5 lazy-val freeze). Defaults
+    * preserve the gate hashes. The vars are test-visible so specs can
+    * dial them within a JVM; production runs set the env once at
+    * launch. */
   @volatile var overrideK: Option[Int] = None
   @volatile var overrideNumProbes: Option[Int] = None
   def K: Int = overrideK
