@@ -57,11 +57,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Cold index-build rows: the memoized builds (suffix order +
+    // LCPs, contamination span scan, NSW graph) otherwise amortize
+    // invisibly into whichever consumer query runs first — the
+    // `build_*` rows carry the cold construction cost explicitly and
+    // the consumer query rows then report WARM-serve semantics
+    // (documented split; full runs only, not subset iteration).
+    val builds: Seq[(String, () => Unit)] = Seq(
+      "build_suffix_lcp" ->
+        (() => operators.SuffixOps.buildSuffixIndex(spark, sfDir)),
+      "build_contam_spans" ->
+        (() => operators.SuffixOps.buildContamIndex(spark, sfDir)),
+      "build_nsw_graph" ->
+        (() => operators.HnswOps.buildGraph(spark, sfDir)))
+
     // optional comma-separated subset for local iteration
-    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+    val queryNames = subset match {
       case Some(qs) => qs.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq.sorted
       case None     => SparkEntry.queries.keys.toSeq.sorted
     }
+    val buildNames = if (subset.isEmpty) builds.map(_._1) else Nil
+    val names = buildNames ++ queryNames
     val done = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val printed = new AtomicBoolean(false)
 
@@ -93,9 +110,13 @@ object Bench {
     // Driver kill (SIGTERM) still yields the partial summary.
     Runtime.getRuntime.addShutdownHook(new Thread(() => emitSummary()))
 
-    def force(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+    val buildFns = builds.toMap
+    def force(name: String): Unit = buildFns.get(name) match {
+      case Some(b) => b()
+      case None =>
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+    }
 
     /** Run with a watchdog that cancels the job group at the timeout. */
     def timedRun(name: String): Double = {
@@ -131,7 +152,10 @@ object Bench {
           // most — they retry too (1.2× headroom vs 1.5× for cheap
           // ones, so one slow retry can't eat the whole tail's budget)
           val headroom = if (t1 > 30.0) 1200 else 1500
-          if (t1 >= 1.0 && remainingMs > t1 * headroom)
+          // build rows are COLD by definition — a second (memoized)
+          // run would report ~0 and defeat their purpose
+          if (t1 >= 1.0 && !name.startsWith("build_") &&
+              remainingMs > t1 * headroom)
             math.min(t1, timedRun(name))
           else t1
         } catch {

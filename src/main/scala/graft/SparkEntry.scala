@@ -145,6 +145,7 @@ object SparkEntry {
     "emb_pca_power"               -> operators.PcaOps.embPcaPower,
     // §2.F multimodal stand-in
     "mm_media_stats"              -> TextOps.mmMediaStats,
+    "mm_wav_meta"                 -> TextOps.mmWavMeta,
     "mm_featurize"                -> TextOps.mmFeaturize,
     "mm_frame_sample"             -> TextOps.mmFrameSample,
     "q_vocab_growth"              -> TextOps.qVocabGrowth,
@@ -2707,6 +2708,19 @@ object SparkEntry {
         |floor((avg(octet_length(CAST(text AS BLOB))))*100 + 0.5)/100 AS avg_bytes,
         |count(DISTINCT substring(text, 1, 1)) AS n_magics
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // the engine PARSES real WAV bytes (chunk walker); the oracle
+    // replays the closed form those headers encode — any parser
+    // misread (endianness, fixed offsets, stale sizes) hash-fails
+    "mm_wav_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(length(text) AS BIGINT) AS data_bytes,
+        |  CAST(length(text) * 1000 // ((8000 + (doc_id % 3) * 4000) * 2) AS BIGINT) AS duration_ms,
+        |  CAST(length(text) * 1000 // ((8000 + (doc_id % 3) * 4000) * 2) // 20 AS BIGINT) AS n_vad_frames
+        |FROM documents WHERE doc_id % 7 = 2 ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH v AS (

@@ -26,6 +26,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Fs {
 
+  /** Root prefix for the persisted-index side-channels (IVF cells,
+    * incremental dedup shingles): `GRAFT_INDEX_ROOT` at launch — an
+    * `s3a://bucket/prefix` on a cluster — defaulting to local /tmp.
+    * Test-visible override so the no-rename harness can route index
+    * builds through an instrumented filesystem scheme. */
+  @volatile var overrideIndexRoot: Option[String] = None
+  def indexRoot: String = overrideIndexRoot
+    .orElse(sys.env.get("GRAFT_INDEX_ROOT")).getOrElse("/tmp")
+
   /** FileSystem for `path`'s scheme, bound to the active session's
     * Hadoop conf (credentials, endpoints) when one exists. */
   def resolve(path: String): (FileSystem, Path) = {

@@ -762,7 +762,7 @@ object AnnOps {
       // scheme-agnostic fingerprint (graft.mr.Fs): works identically
       // for a local dir and an s3a:// corpus prefix
       val fp = dir + graft.mr.Fs.fingerprint(dir + "/embeddings.parquet")
-      "/tmp/graft-ivfidx-" + Version + "-" +
+      graft.mr.Fs.indexRoot + "/graft-ivfidx-" + Version + "-" +
         java.lang.Long.toHexString(graft.functions.Hashes.fnv64(fp))
     }
 

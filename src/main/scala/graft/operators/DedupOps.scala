@@ -389,7 +389,7 @@ object DedupOps {
       // scheme-agnostic fingerprint (graft.mr.Fs): local dir and
       // s3a:// corpus prefix alike
       val fp = dir + graft.mr.Fs.fingerprint(dir + "/documents.parquet")
-      "/tmp/graft-incidx-" + Version + "-s" + ShingleSize +
+      graft.mr.Fs.indexRoot + "/graft-incidx-" + Version + "-s" + ShingleSize +
         "-t" + (tau * 100).toInt + "-" +
         java.lang.Long.toHexString(graft.functions.Hashes.fnv64(fp))
     }

@@ -527,6 +527,22 @@ object SuffixOps {
     mergeSpans(m).localCheckpoint(true)
   }
 
+  /** Cold-build entry points for the bench's `build_*` rows: force
+    * the memoized index construction (the checkpointed rounds are
+    * eager, so returning from these means the frames are
+    * materialized). Without these the construction cost amortizes
+    * invisibly into whichever consumer query runs first, and the
+    * per-query numbers under-report the cold path. */
+  def buildSuffixIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    adjacentLcpsCached(s, dir); ()
+  }
+
+  def buildContamIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    contamSpanListCached(s, dir); ()
+  }
+
   /** Per-doc exact duplicated-span accounting: doc_id, n_tokens,
     * n_spans, covered, max_dup_len, coverage. Coverage equals the
     * windowed pass on a collision-free corpus (SuffixSpec asserts

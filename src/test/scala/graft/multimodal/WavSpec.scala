@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+
+/** The real header parsers against HAND-COMPUTED fixture values —
+  * the de-stub proof: these bytes were laid out by hand (not by the
+  * writer under test), so a parser that peeks fixed offsets or
+  * misreads endianness fails here even if writer→parser round-trips.
+  */
+class WavSpec extends SparkTestBase {
+
+  private def le32(x: Int): Array[Byte] =
+    Array((x & 0xff).toByte, ((x >> 8) & 0xff).toByte,
+      ((x >> 16) & 0xff).toByte, ((x >> 24) & 0xff).toByte)
+  private def le16(x: Int): Array[Byte] =
+    Array((x & 0xff).toByte, ((x >> 8) & 0xff).toByte)
+
+  private def fmtChunk(ch: Int, rate: Int, bits: Int): Array[Byte] = {
+    val byteRate = rate * ch * bits / 8
+    "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+      le32(byteRate) ++ le16(ch * bits / 8) ++ le16(bits)
+  }
+
+  test("canonical WAV: hand-computed 44.1kHz stereo fields parse exactly") {
+    val data = Array.fill[Byte](1000)(7)
+    val bytes = "RIFF".getBytes ++ le32(36 + 1000) ++ "WAVE".getBytes ++
+      fmtChunk(2, 44100, 16) ++ "data".getBytes ++ le32(1000) ++ data
+    val m = WavCodec.parseWav(bytes).get
+    assert(m.channels == 2 && m.sampleRateHz == 44100 && m.bitsPerSample == 16)
+    assert(m.byteRate == 176400 && m.dataBytes == 1000L)
+    // 1000 bytes / 176400 B/s = 5.668 ms → floor 5 (hand-computed)
+    assert(m.durationMs == 5L)
+  }
+
+  test("chunk walker: LIST chunk before fmt, odd-size padding honored") {
+    // a 3-byte LIST chunk (odd → 1 pad byte) precedes fmt — a
+    // fixed-offset parser reads garbage here; the walker must skip it
+    val data = Array.fill[Byte](320)(1)
+    val bytes = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(3) ++ Array[Byte](9, 9, 9, 0) ++
+      fmtChunk(1, 8000, 16) ++ "data".getBytes ++ le32(320) ++ data
+    val m = WavCodec.parseWav(bytes).get
+    assert(m.sampleRateHz == 8000 && m.channels == 1)
+    // 320 bytes at 16000 B/s = 20 ms exactly
+    assert(m.durationMs == 20L)
+  }
+
+  test("stale data size clamps to bytes present; garbage returns None") {
+    val bytes = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      fmtChunk(1, 16000, 16) ++ "data".getBytes ++ le32(999999) ++
+      Array.fill[Byte](64)(0)
+    assert(WavCodec.parseWav(bytes).get.dataBytes == 64L)
+    assert(WavCodec.parseWav("not a wav at all".getBytes).isEmpty)
+    assert(WavCodec.parseWav(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("writer -> parser round-trip reads back the exact encoded fields") {
+    for ((sr, ch, bits, n) <- Seq((8000, 1, 16, 12345), (48000, 2, 8, 7))) {
+      val m = WavCodec.parseWav(
+        WavCodec.writeWav(sr, ch, bits, Array.fill[Byte](n)(3))).get
+      assert(m.sampleRateHz == sr && m.channels == ch &&
+        m.bitsPerSample == bits && m.dataBytes == n.toLong)
+    }
+  }
+
+  test("BMP: hand-built 2x3 BITMAPINFOHEADER parses; top-down height normalizes") {
+    def bmp(w: Int, h: Int): Array[Byte] =
+      "BM".getBytes ++ le32(0) ++ le32(0) ++ le32(54) ++ // file header
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        Array.fill[Byte](20)(0)
+    assert(BmpCodec.parseBmp(bmp(2, 3)).contains((2, 3)))
+    assert(BmpCodec.parseBmp(bmp(640, -480)).contains((640, 480)))
+    assert(BmpCodec.parseBmp("PK".getBytes ++ Array.fill[Byte](30)(0)).isEmpty)
+  }
+
+  test("mm_wav_meta: parsed columns equal the generation closed form") {
+    import spark.implicits._
+    val out = graft.operators.TextOps.mmWavMeta(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, ch, sr, bits, db, dur, nf) =>
+      assert(ch == 1L && bits == 16L)
+      assert(sr == 8000L + (id % 3) * 4000L)
+      assert(dur == db * 1000L / (sr * 2) && nf == dur / 20)
+    }
+  }
+}

@@ -37,4 +37,31 @@ class SuffixMemoSpec extends SparkTestBase {
     assert(second.keySet == Set(3L, 4L) && second.values.forall(_ == 10L),
       s"stale memo served after in-place corpus regeneration: $second")
   }
+
+  test("memoized builders are stable under concurrent first-touch (one session)") {
+    // r5 narrowed session-global shuffle conf inside the suffix and
+    // NSW builders — racy if two queries share a session. The widths
+    // are now passed explicitly, so two builders running CONCURRENTLY
+    // on one session must produce exactly the serial results.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val pool = scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3))
+    try {
+      val fa = Future(SuffixOps.qDedupExactSubstr(spark, sfDir).collect().toSeq)(pool)
+      val fb = Future(HnswOps.annHnswTopk(spark, sfDir).collect().toSeq)(pool)
+      // a third thread races the SAME builder the first is building —
+      // the memo must serialize the build, not run it twice or serve
+      // a half-built frame
+      val fc = Future(SuffixOps.qDedupExactSubstr(spark, sfDir).collect().toSeq)(pool)
+      val (a, b, c) =
+        (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes),
+          Await.result(fc, 5.minutes))
+      assert(a == c, "racing consumers of one builder diverged")
+      assert(a == SuffixOps.qDedupExactSubstr(spark, sfDir).collect().toSeq,
+        "concurrent suffix build differs from the serial serve")
+      assert(b == HnswOps.annHnswTopk(spark, sfDir).collect().toSeq,
+        "concurrent NSW serve differs from the serial serve")
+    } finally pool.shutdown()
+  }
 }
