@@ -77,7 +77,12 @@ object Bench {
       case Some(qs) => qs.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq.sorted
       case None     => SparkEntry.queries.keys.toSeq.sorted
     }
-    val buildNames = if (subset.isEmpty) builds.map(_._1) else Nil
+    val buildNames = subset match {
+      case None     => builds.map(_._1)
+      case Some(qs) =>
+        val set = qs.split(",").map(_.trim).toSet
+        builds.map(_._1).filter(set) // cold-build timing on demand
+    }
     val names = buildNames ++ queryNames
     val done = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val printed = new AtomicBoolean(false)

@@ -54,8 +54,12 @@ object Blocking {
       keyed: DataFrame, idCol: String, aName: String, bName: String,
       cap: Int = DefaultCap): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col(idCol))
+    // pinned: both join branches read this frame — lazy, the window
+    // AND its upstream (a full signature computation for the minhash
+    // callers) would evaluate twice, once per branch
     val seq = keyed.select(col("key"), col(idCol))
       .withColumn("__i", row_number().over(w))
+      .localCheckpoint(true)
     // a < b within a block ⟹ a is the lower sequence number, so
     // "lower side is an anchor" is exactly "left side drawn from the
     // anchor set" — blocks ≤ cap reduce to the full self-join

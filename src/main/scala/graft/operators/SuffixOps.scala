@@ -142,10 +142,17 @@ object SuffixOps {
   val CmpCap0 = 64L
 
   private def adjacentLcpsRounds(
-      toks: DataFrame, docTk: DataFrame, np: Int): (DataFrame, DataFrame) = {
-    val s = toks.sparkSession
+      toks0: DataFrame, docTk: DataFrame, np: Int): (DataFrame, DataFrame) = {
+    val s = toks0.sparkSession
     import s.implicits._
 
+    // Pin the positions frame ONCE: repartitionByRange SAMPLES its
+    // child before shuffling it, so every range pass over a lazy
+    // frame evaluates the upstream plan twice — for the raw
+    // tokenize+explode here, and for each round's window output
+    // below. Every frame a range shuffle consumes is checkpointed
+    // first; maxLen then reads the pinned frame for free.
+    val toks = toks0.localCheckpoint(true)
     val maxLen = toks.agg(max($"len")).collect()(0).getLong(0)
 
     // prefix B-TUPLING (the Manber–Myers doubling generalized to
@@ -184,8 +191,11 @@ object SuffixOps {
       // replaces the r5 distinct + rank + join-back chain (ranks are
       // bit-identical). Lineage stays O(1)/round: withGlobalDenseRank
       // pins its range-partitioned layout internally.
+      // pinned before the dense-rank's range pass samples it (the
+      // window would otherwise run twice per round)
       val paired = r.repartition(np, $"doc_id")
         .select(Seq($"doc_id", $"pos", $"len", $"r") ++ leadCols: _*)
+        .localCheckpoint(true)
       val keyCols = ("r" +: (1 until B).map(j => s"r$j")).map(col)
       val ranked = Ranked.withGlobalDenseRank(paired, keyCols, "nr", Some(np))
       r = ranked.df.select($"doc_id", $"pos", $"len", $"nr".as("r"))
@@ -196,9 +206,10 @@ object SuffixOps {
     }
 
     // adjacent suffixes in suffix order (ties = identical suffixes;
-    // any order within a tie is fine — their LCP is full length)
+    // any order within a tie is fine — their LCP is full length).
+    // The final round's frame pins first — same sampling argument.
     val ord = Ranked.withGlobalRank(
-      r, Seq($"r".asc, $"doc_id".asc, $"pos".asc), "sn",
+      r.localCheckpoint(true), Seq($"r".asc, $"doc_id".asc, $"pos".asc), "sn",
       numPartitions = Some(np)).df
       .localCheckpoint(true)
     val nxt = ord.select(($"sn" - 1).as("pn"), $"doc_id".as("db"),
@@ -300,7 +311,9 @@ object SuffixOps {
     val s = f.sparkSession
     import s.implicits._
     val ord = if (asc) $"sn".asc else $"sn".desc
-    val parted = f.repartitionByRange(np, ord)
+    // pin before the range pass samples it (else the edge join runs
+    // twice — the repartitionByRange double-eval)
+    val parted = f.localCheckpoint(true).repartitionByRange(np, ord)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val w = Window.partitionBy($"__pid").orderBy(ord)
