@@ -68,6 +68,27 @@ class SuffixPropSpec extends SparkTestBase {
     }
   }
 
+  test("repetition-heavy corpus: rank-equal mass closes token-free and exact") {
+    // one 5000-token doc of ONE repeated token plus copies — nearly
+    // every adjacent suffix pair is rank-equal (identical suffixes or
+    // nested periodic prefixes), the r6 token-free fast path. The
+    // engine must (a) finish without the bounded compare escalating
+    // through the repetition (rank-equality closes it), and (b) get
+    // the degenerate answer exactly: every position's max-LCP run
+    // reaches the doc end, one span, full coverage.
+    import spark.implicits._
+    val n = 5000
+    val mono = Array.fill(n)("z").mkString(" ")
+    val docs = Seq((1L, mono), (2L, mono), (3L, "q1 q2 q3")).toDF("doc_id", "text")
+    val got = SuffixOps.exactSpans(docs)
+      .select($"doc_id", $"n_spans", $"covered", $"max_dup_len")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((1L, n.toLong, n.toLong)), s"${got(1L)}")
+    assert(got(2L) == ((1L, n.toLong, n.toLong)))
+    assert(!got.contains(3L), "unique doc reported as duplicated")
+  }
+
   test("contamSpans == O(n²) cross-set brute force on tie-heavy random corpora") {
     import spark.implicits._
     for (seed <- Seq(11L, 919L, 52433L)) {
