@@ -146,6 +146,7 @@ object SparkEntry {
     // §2.F multimodal stand-in
     "mm_media_stats"              -> TextOps.mmMediaStats,
     "mm_wav_meta"                 -> TextOps.mmWavMeta,
+    "mm_image_meta"               -> TextOps.mmImageMeta,
     "mm_featurize"                -> TextOps.mmFeaturize,
     "mm_frame_sample"             -> TextOps.mmFrameSample,
     "q_vocab_growth"              -> TextOps.qVocabGrowth,
@@ -624,11 +625,14 @@ object SparkEntry {
         |WHERE contains(text, 'merge') ORDER BY doc_id""".stripMargin,
 
     "mr_inverted_index" ->
-      """SELECT token, array_to_string(list_sort(list(doc_id)), ',') AS doc_ids, count(*) AS df
+      """SELECT token, CAST(doc_id // 1024 AS BIGINT) AS chunk_id,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
+        |  count(*) AS chunk_df,
+        |  CAST(sum(count(*)) OVER (PARTITION BY token) AS BIGINT) AS df
         |FROM (SELECT DISTINCT doc_id, token FROM (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token FROM documents) u
         |  WHERE token <> '') d
-        |GROUP BY token ORDER BY token""".stripMargin,
+        |GROUP BY token, chunk_id ORDER BY token, chunk_id""".stripMargin,
 
     "mr_distinct_tokens" ->
       """SELECT lang, count(DISTINCT token) AS n_tokens
@@ -2721,6 +2725,19 @@ object SparkEntry {
         |  CAST(length(text) * 1000 // ((8000 + (doc_id % 3) * 4000) * 2) AS BIGINT) AS duration_ms,
         |  CAST(length(text) * 1000 // ((8000 + (doc_id % 3) * 4000) * 2) // 20 AS BIGINT) AS n_vad_frames
         |FROM documents WHERE doc_id % 7 = 2 ORDER BY media_id""".stripMargin,
+
+    "mm_image_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format,
+        |  CAST(8 + (length(text) % 32) AS BIGINT) AS width,
+        |  CAST(8 + (doc_id % 24) AS BIGINT) AS height,
+        |  CAST((8 + (length(text) % 32)) * (8 + (doc_id % 24)) AS BIGINT) AS n_pixels,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL ELSE CAST(
+        |    (8 + (doc_id % 24)) * ((8 + (length(text) % 32)) * (7 + (length(text) % 32)) // 2)
+        |    + (8 + (length(text) % 32)) * ((8 + (doc_id % 24)) * (7 + (doc_id % 24)) // 2)
+        |    + (8 + (length(text) % 32)) * (8 + (doc_id % 24)) * (doc_id % 64)
+        |  AS BIGINT) END AS sum_luma
+        |FROM documents WHERE doc_id % 7 <= 1 ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH v AS (

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic scale-stress corpus generator (r6 verdict #1): the
+  * official curve stops at sf0.1, a decade short of where the
+  * suffix-doubling and NSW-candidate log/band factors start to bite —
+  * this replicates+perturbs the sf0.1 `documents`/`embeddings` tables
+  * K× (default 10, ≈ an sf1 decade for the doc/vector families) into
+  * a scratch dir, so `tools/bench_stress.py` can extend
+  * bench_scaling.json with a fourth point. /root/testdata stays
+  * untouched — the stress corpus is self-generated, derived data.
+  *
+  * Perturbation is pure hash arithmetic (no RNG state), so the corpus
+  * is bit-identical across runs and executors:
+  *
+  *   - documents: replica r keeps doc_id + r·2·10⁷ (clear of the
+  *     +10⁷ registry id space queries allocate); replica 0 is
+  *     verbatim. For r ≥ 1 every 7th token is rewritten to a
+  *     replica-salted variant — shingle Jaccard vs the original drops
+  *     below the τ=0.5 near-dup bar, so dup structure grows LINEARLY
+  *     (each group of K replicas contributes bounded pairs), while
+  *     1-in-16 docs keep replicas verbatim to preserve a true
+  *     exact/near-dup population for the dedup family to find.
+  *   - embeddings: replica r keeps vec_id + r·2·10⁷; v′ = 0.8·v +
+  *     0.3·u with u ∈ [−1,1] from fnv64(vec_id, r, dim) — vectors of
+  *     comparable norm but genuinely different direction, so IVF/NSW
+  *     cell occupancy scales like real data rather than K-fold
+  *     point-mass duplicates.
+  *
+  * Usage: runMain graft.StressGen <srcSfDir> <outDir> [K]
+  */
+object StressGen {
+  val IdStride = 20000000L
+
+  /** Deterministic [−1, 1] from (vec_id, replica, dim). */
+  private def noise(vecId: Long, r: Int, dim: Int): Float = {
+    val h = graft.functions.Hashes.fnv64(s"$vecId:$r:$dim")
+    ((h & 0xffffffL).toDouble / 0xffffffL.toDouble * 2.0 - 1.0).toFloat
+  }
+
+  def perturbText(text: String, r: Int): String = {
+    if (r == 0) text
+    else {
+      val toks = text.split(" ", -1)
+      var i = r % 7
+      while (i < toks.length) {
+        toks(i) = toks(i) + "~" + r
+        i += 7
+      }
+      toks.mkString(" ")
+    }
+  }
+
+  def writeStress(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
+    import spark.implicits._
+    val reps = spark.range(0, k).select($"id".cast("int").as("r"))
+
+    val docs = Tables.documents(spark, srcDir)
+      .select($"doc_id", $"text", $"lang", $"source")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(reps))
+      .as[(Long, String, String, String, Int)]
+      .map { case (id, text, lang, source, r) =>
+        // 1-in-16 docs keep replicas verbatim: the true-dup population
+        val t = if (id % 16 == 0) text else perturbText(text, r)
+        (id + r * IdStride, t, lang, source, t.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+
+    val embs = Tables.embeddings(spark, srcDir)
+      .select($"vec_id", $"embedding", $"label")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(reps))
+      .as[(Long, Array[Float], Int, Int)]
+      .map { case (id, v, label, r) =>
+        val out =
+          if (r == 0) v
+          else Array.tabulate(v.length)(i => 0.8f * v(i) + 0.3f * noise(id, r, i))
+        (id + r * IdStride, out, label)
+      }
+      .toDF("vec_id", "embedding", "label")
+    embs.repartition(16).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft-stress/sf1"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    writeStress(spark, src, out, k)
+    val nd = spark.read.parquet(s"$out/documents.parquet").count()
+    val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
+    println(s"""{"stress_dir":"$out","k":$k,"documents":$nd,"embeddings":$ne}""")
+    spark.stop()
+  }
+}

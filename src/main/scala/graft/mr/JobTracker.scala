@@ -33,14 +33,26 @@ final class JobTracker(spark: SparkSession) {
       sparkJobs: Int,
       tasks: Int,
       failure: Option[String] = None,
-      taskDurationsMs: Vector[Long] = Vector.empty) {
+      taskDurationsMs: Vector[Long] = Vector.empty,
+      // (executorId, durationMs) pairs — the statsManager.go:117 per-NODE
+      // profile: which worker ran how many tasks, how slow its tail is
+      taskExecutors: Vector[(String, Long)] = Vector.empty) {
     def wallMs: Long = (if (endMs == 0L) System.currentTimeMillis() else endMs) - startMs
-    def taskP50Ms: Long = percentile(0.50)
-    def taskP95Ms: Long = percentile(0.95)
-    private def percentile(q: Double): Long =
-      if (taskDurationsMs.isEmpty) 0L
+    def taskP50Ms: Long = percentile(taskDurationsMs, 0.50)
+    def taskP95Ms: Long = percentile(taskDurationsMs, 0.95)
+    /** Per-executor task profile — parity with the reference's
+      * statsManager `profile` (statsManager.go:117): executorId →
+      * (task count, p50 ms, p95 ms). On a real cluster this is the
+      * straggler-spotting panel; on local[32] it is one row ("driver"). */
+    def executorProfile: Map[String, (Int, Long, Long)] =
+      taskExecutors.groupBy(_._1).map { case (exec, ts) =>
+        val ds = ts.map(_._2)
+        exec -> ((ds.size, percentile(ds, 0.50), percentile(ds, 0.95)))
+      }
+    private def percentile(xs: Vector[Long], q: Double): Long =
+      if (xs.isEmpty) 0L
       else {
-        val sorted = taskDurationsMs.sorted
+        val sorted = xs.sorted
         sorted(math.min(sorted.size - 1, math.ceil(q * sorted.size).toInt - 1).max(0))
       }
   }
@@ -66,7 +78,10 @@ final class JobTracker(spark: SparkSession) {
       val group = stageToJob.get(te.stageId)
       if (group != null && te.taskInfo != null) {
         jobs.computeIfPresent(group, (_, st) =>
-          st.copy(taskDurationsMs = st.taskDurationsMs :+ te.taskInfo.duration))
+          st.copy(
+            taskDurationsMs = st.taskDurationsMs :+ te.taskInfo.duration,
+            taskExecutors = st.taskExecutors :+
+              ((te.taskInfo.executorId, te.taskInfo.duration))))
       }
     }
   }

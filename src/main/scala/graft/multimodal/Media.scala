@@ -9,13 +9,16 @@ import graft.functions.Hashes.fnv64
   * `binary` payloads with typed metadata, processed by batched
   * per-partition codecs.
   *
-  * The decode step is STUBBED: real image/audio libraries are not in
-  * this container, so [[FakeCodec]] produces deterministic
-  * content-hash-seeded pseudo-features. Everything around it — the
-  * schema, the partition-preserving batched `mapPartitions` shape
-  * (the Scala analogue of Arrow-batched `mapInPandas`), the
-  * format-sniffing, and the downstream joins — is real and tested,
-  * and a real codec drops in behind the same trait.
+  * Decode status: WAV/BMP headers parse from real bytes
+  * ([[WavCodec]]/[[BmpCodec]]) and images decode fully through JDK
+  * `javax.imageio` ([[ImageCodec]] — PNG/BMP/JPEG/GIF need no
+  * external libraries). [[FakeCodec]] remains the deterministic
+  * stand-in for formats with no in-JDK decoder (MP4 and other video
+  * containers): content-hash-seeded pseudo-features behind the same
+  * trait, so the schema, the partition-preserving batched
+  * `mapPartitions` shape (the Scala analogue of Arrow-batched
+  * `mapInPandas`), the format-sniffing, and the downstream joins are
+  * real and tested either way.
   */
 final case class MediaMeta(
     kind: String,       // image | audio | video | bin

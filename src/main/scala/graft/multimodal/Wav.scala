@@ -53,8 +53,13 @@ object WavCodec {
           u32(b, body + 8).toInt, u16(b, body + 14)))
       else if (id == "data")
         data = Some(math.min(sz, (b.length - body).toLong))
-      // chunks are word-aligned: odd sizes carry a pad byte
-      o = body + sz.toInt + (sz.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte. Advance in
+      // Long so a hostile u32 size (e.g. 0xFFFFFFF8 → Int -8) can't stall
+      // or rewind the walk — any non-advancing/overflowing offset ends
+      // the scan with whatever fmt/data was seen so far.
+      val next = body.toLong + sz + (sz & 1L)
+      if (next <= o || next > Int.MaxValue) o = b.length
+      else o = next.toInt
     }
     for ((ch, rate, br, bits) <- fmt; d <- data)
       yield WavMeta(ch, rate, bits, br, d)

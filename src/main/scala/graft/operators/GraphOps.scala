@@ -343,8 +343,11 @@ object GraphOps {
       .groupBy($"u", $"v").agg(count(lit(1)).as("common"))
     val cands = wedges.join(edges,
         wedges("u") === edges("pa") && wedges("v") === edges("pb"), "left_anti")
-      .join(broadcast(deg.select($"pa".as("u"), $"deg".as("deg_a"))), "u")
-      .join(broadcast(deg.select($"pa".as("v"), $"deg".as("deg_b"))), "v")
+      // plain equi-joins: deg has one row per VERTEX — unbounded in the
+      // catalog, so a forced broadcast hint is an OOM at 100× scale; AQE
+      // still broadcasts when the runtime size fits (r6 verdict #2)
+      .join(deg.select($"pa".as("u"), $"deg".as("deg_a")), "u")
+      .join(deg.select($"pa".as("v"), $"deg".as("deg_b")), "v")
       .select($"u".as("part_a"), $"v".as("part_b"), $"common", $"deg_a", $"deg_b",
         rnd($"common".cast("double") /
           ($"deg_a" + $"deg_b" - $"common").cast("double"), 6).as("jaccard"))

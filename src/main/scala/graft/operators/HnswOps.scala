@@ -107,7 +107,7 @@ object HnswOps {
       .join(emb.select($"vec_id".as("a"), $"embedding".as("ea")), "a")
       .join(emb.select($"vec_id".as("b"), $"embedding".as("eb")), "b")
       .select($"a", $"b", rnd(cosine_sim($"ea", $"eb"), 6).as("sim_r"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     val cands = scored.select($"a".as("src"), $"b".as("dst"), $"sim_r")
       .unionByName(scored.select($"b".as("src"), $"a".as("dst"), $"sim_r"))
     val kept = graft.plans.TopK.perKey(cands,
@@ -165,7 +165,7 @@ object HnswOps {
   private def edgesCached(s: SparkSession, dir: String): DataFrame =
     edgesMemo.getOrElseUpdate(
       s, dir + graft.mr.Fs.fingerprint(dir + "/embeddings.parquet"),
-      edges(s, dir).localCheckpoint(true))
+      edges(s, dir).transform(Checkpoints.cut))
 
   /** Cold-build entry for the bench's `build_nsw_graph` row: edge
     * list + medoid entry points (both memoized; the checkpoint is
@@ -214,7 +214,7 @@ object HnswOps {
           keyCols = Seq("pid"), orderCols = Seq("sim_r" -> false, "nid" -> true),
           k = Beam)
         .select($"pid", $"nid", $"sim")
-        .localCheckpoint(true)
+        .transform(Checkpoints.cut)
     }
 
     val w = org.apache.spark.sql.expressions.Window

@@ -34,8 +34,18 @@ object LinkageOps {
 
   /** Scored candidate pairs (c_key, d_key, lev) from the blocking
     * join — shared by the per-kind quality panel and the entity
-    * clustering pass. */
+    * clustering pass, served through a session memo (the suffix/
+    * dedup-chain discipline) so the two consumers pay the blocking
+    * join + Levenshtein scoring once per corpus. */
+  private val candMemo = new Memo[org.apache.spark.sql.DataFrame]()
+
   private[operators] def scoredCandidates(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    candMemo.getOrElseUpdate(
+      s, dir + graft.mr.Fs.fingerprint(dir + "/customer.parquet"),
+      scoredCandidatesUncached(s, dir).localCheckpoint(true))
+
+  private def scoredCandidatesUncached(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val c = Tables.customer(s, dir)

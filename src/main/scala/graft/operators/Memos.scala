@@ -32,19 +32,38 @@ object Memos {
   }
 }
 
-/** A bounded (session, corpus-fingerprint) → value memo. */
+/** A bounded (session, corpus-fingerprint) → value memo.
+  *
+  * Concurrency (r6 verdict #5 / advice): the map lock only guards map
+  * STRUCTURE — each entry is a per-key latch (a lazy cell) created under
+  * the lock but FORCED outside it. Same-key callers still serialize on
+  * the one build (the intended memo semantics: one cold build, warm
+  * serves), but first-touches of DIFFERENT corpora/sessions now build in
+  * parallel instead of queueing behind one multi-minute Spark job, and a
+  * bench-timeout cancel of one build no longer stalls unrelated waiters.
+  * A build that THROWS removes its latch so the next caller retries
+  * rather than caching the failure. */
 final class Memo[V](cap: Int = Memo.Cap) {
-  private val m = new java.util.LinkedHashMap[(String, String), V](16, 0.75f, false) {
+  private final class Cell(thunk: () => V) {
+    lazy val value: V = thunk() // lazy = built once, under the CELL's monitor
+  }
+  private val m = new java.util.LinkedHashMap[(String, String), Cell](16, 0.75f, false) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[(String, String), V]): Boolean = size() > cap
+        e: java.util.Map.Entry[(String, String), Cell]): Boolean = size() > cap
   }
 
   def getOrElseUpdate(session: SparkSession, corpusKey: String, v: => V): V = {
     val k = (Memos.sessionId(session), corpusKey)
-    m.synchronized {
+    val cell = m.synchronized {
       val hit = m.get(k)
-      if (hit != null || m.containsKey(k)) hit
-      else { val x = v; m.put(k, x); x }
+      if (hit != null) hit
+      else { val c = new Cell(() => v); m.put(k, c); c }
+    }
+    try cell.value
+    catch {
+      case t: Throwable =>
+        m.synchronized { if (m.get(k) eq cell) m.remove(k) }
+        throw t
     }
   }
 }

@@ -61,7 +61,7 @@ object Ranked {
     val parted = df
       .repartitionByRange(np, order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
 
     val sumAliases = runningSums.zipWithIndex.map { case ((c, _), i) =>
       sum(c.cast("long")).as(s"__s$i")
@@ -124,7 +124,7 @@ object Ranked {
     val parted = df
       .repartitionByRange(np, order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     val perPart = parted
       .groupBy(col("__pid"))
       .agg(max(value.cast("double")).as("__max"))
@@ -187,7 +187,7 @@ object Ranked {
     val parted = df
       .repartitionByRange(np, order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     val perPart: Array[Row] = parted
       .groupBy(col("__pid"))
       .agg(count_distinct(struct(keys: _*)).as("__nd"))

@@ -152,7 +152,7 @@ object SuffixOps {
     // tokenize+explode here, and for each round's window output
     // below. Every frame a range shuffle consumes is checkpointed
     // first; maxLen then reads the pinned frame for free.
-    val toks = toks0.localCheckpoint(true)
+    val toks = toks0.transform(Checkpoints.cut)
     val maxLen = toks.agg(max($"len")).collect()(0).getLong(0)
 
     // prefix B-TUPLING (the Manber–Myers doubling generalized to
@@ -195,7 +195,7 @@ object SuffixOps {
       // window would otherwise run twice per round)
       val paired = r.repartition(np, $"doc_id")
         .select(Seq($"doc_id", $"pos", $"len", $"r") ++ leadCols: _*)
-        .localCheckpoint(true)
+        .transform(Checkpoints.cut)
       val keyCols = ("r" +: (1 until B).map(j => s"r$j")).map(col)
       val ranked = Ranked.withGlobalDenseRank(paired, keyCols, "nr", Some(np))
       r = ranked.df.select($"doc_id", $"pos", $"len", $"nr".as("r"))
@@ -209,9 +209,9 @@ object SuffixOps {
     // any order within a tie is fine — their LCP is full length).
     // The final round's frame pins first — same sampling argument.
     val ord = Ranked.withGlobalRank(
-      r.localCheckpoint(true), Seq($"r".asc, $"doc_id".asc, $"pos".asc), "sn",
+      r.transform(Checkpoints.cut), Seq($"r".asc, $"doc_id".asc, $"pos".asc), "sn",
       numPartitions = Some(np)).df
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     val nxt = ord.select(($"sn" - 1).as("pn"), $"doc_id".as("db"),
       $"pos".as("pb"), $"len".as("lb"), $"r".as("rb"))
     val pairs = ord
@@ -219,7 +219,7 @@ object SuffixOps {
         $"r".as("ra"))
       .join(nxt, $"sn" === $"pn")
       .drop("pn")
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
 
     // Closing the pairs, shuffle-bounded (r5 shipped FULL token
     // arrays through the pair joins — O(positions × docLen) bytes;
@@ -247,7 +247,7 @@ object SuffixOps {
     var cap = CmpCap0
     var done = false
     while (!done) {
-      val sliced = boundedCompare(pend, ta, tb, cap).localCheckpoint(true)
+      val sliced = boundedCompare(pend, ta, tb, cap).transform(Checkpoints.cut)
       resolved ::= sliced.where($"mm" > 0 || $"cmp" <= cap)
         .withColumn("lcp", when($"mm" > 0, $"mm" - 1).otherwise($"cmp"))
         .select(outCols: _*)
@@ -258,7 +258,7 @@ object SuffixOps {
       cap *= 4
     }
     val lcps = resolved.foldLeft(eqLcps)(_ unionByName _)
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     (ord, lcps)
   }
 
@@ -313,9 +313,9 @@ object SuffixOps {
     val ord = if (asc) $"sn".asc else $"sn".desc
     // pin before the range pass samples it (else the edge join runs
     // twice — the repartitionByRange double-eval)
-    val parted = f.localCheckpoint(true).repartitionByRange(np, ord)
+    val parted = f.transform(Checkpoints.cut).repartitionByRange(np, ord)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     val w = Window.partitionBy($"__pid").orderBy(ord)
     val withSeg = parted.withColumn("__seg",
       coalesce(sum($"mark".cast("long"))
@@ -537,7 +537,7 @@ object SuffixOps {
       .select($"doc_id", $"pos", $"len", greatest($"up", $"dn").as("m"))
       .where($"m" >= ContamMinLen)
 
-    mergeSpans(m).localCheckpoint(true)
+    mergeSpans(m).transform(Checkpoints.cut)
   }
 
   /** Cold-build entry points for the bench's `build_*` rows: force

@@ -85,19 +85,37 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  /** Inverted index: normalized token → sorted posting list. The
-    * posting list is emitted as a comma-joined string so the oracle
-    * compare is representation-stable. */
+  /** Doc-ids per posting chunk — the bound that keeps any single
+    * output cell O(1) in the corpus (r6 verdict #3). */
+  val PostingChunk = 1024L
+
+  /** Inverted index: normalized token → CHUNKED sorted posting lists.
+    * A stopword's posting row was previously one unbounded
+    * collect_list cell — O(corpus docs) in a single value, an
+    * executor OOM at 100 TB. Postings are now bucketed by doc_id
+    * range (chunk_id = doc_id / 1024), so every row holds ≤ 1024 ids
+    * regardless of df; `df` (the token total, summed across chunks
+    * by a token-partitioned window over ≤ maxDoc/1024 chunk rows)
+    * and `chunk_df` make truncationless reassembly checkable. The
+    * chunk rule is a pure doc_id function, so the groupBy is fully
+    * shuffle-parallel — no per-token hot task, no window over raw
+    * postings. Comma-joined strings keep the oracle compare
+    * representation-stable. */
   val mrInvertedIndex: QueryFn = (s, dir) => {
     import s.implicits._
-    Tables.documents(s, dir)
+    val posts = Tables.documents(s, dir)
       .select($"doc_id", explode(normTokens($"text")).as("token"))
       .distinct()
-      .groupBy($"token")
+    val chunks = posts
+      .groupBy($"token", floor($"doc_id" / PostingChunk).as("chunk_id"))
       .agg(
         array_join(sort_array(collect_list($"doc_id")), ",").as("doc_ids"),
-        count(lit(1)).as("df"))
-      .orderBy($"token")
+        count(lit(1)).as("chunk_df"))
+    chunks
+      .withColumn("df", sum($"chunk_df").over(
+        Window.partitionBy($"token")))
+      .select($"token", $"chunk_id", $"doc_ids", $"chunk_df", $"df")
+      .orderBy($"token", $"chunk_id")
   }
 
   /** Distinct normalized tokens per language. */
@@ -511,7 +529,14 @@ object TextOps {
       .where($"doc_id" % 7 === 2)
       .select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, text) =>
-        val data = text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        // one payload byte per Unicode CODE POINT (low 8 bits) — the unit
+        // the oracle's length() counts, so data_bytes/duration_ms stay in
+        // sync even for non-BMP text (ISO_8859_1 getBytes would emit one
+        // byte per UTF-16 unit and desync on surrogate pairs)
+        val cps = text.codePoints().toArray
+        val data = new Array[Byte](cps.length)
+        var ci = 0
+        while (ci < cps.length) { data(ci) = (cps(ci) & 0xff).toByte; ci += 1 }
         val sr = 8000 + (id % 3).toInt * 4000
         val wav = graft.multimodal.WavCodec.writeWav(sr, 1, 16, data)
         val m = graft.multimodal.WavCodec.parseWav(wav).getOrElse(
@@ -521,6 +546,52 @@ object TextOps {
       }
       .toDF("media_id", "n_channels", "sample_rate", "bits", "data_bytes",
         "duration_ms", "n_vad_frames")
+      .orderBy($"media_id")
+  }
+
+  /** Image metadata extraction through REAL JDK ImageIO decode — the
+    * image twin of [[mmWavMeta]] (r6 verdict #5): each image-class
+    * payload (doc_id%7 ∈ {0,1} — the JPEG/PNG residues) is
+    * materialized as a complete encoded image (deterministic
+    * test-card, dimensions a closed form of doc_id and the text
+    * length, container PNG/BMP/JPEG by doc_id residue), and every
+    * reported column comes from DECODING THE ACTUAL BYTES with
+    * `javax.imageio`: `format` is the name of the ImageReader that
+    * claimed the stream from its magic bytes, width/height/pixel sums
+    * come from the decoded raster. The DuckDB oracle replays the
+    * closed form the encoder embedded — a decoder that misreads a
+    * header or loses a row of pixels hash-fails. `sum_luma` (exact
+    * pixel-luminance sum, closed form h·w(w−1)/2 + w·h(h−1)/2 +
+    * w·h·(id%64)) verifies LOSSLESS rasters end-to-end; JPEG rows
+    * report NULL there (lossy by design — their perceptual fidelity
+    * is spec-asserted via the real aHash instead, ImageSpec).
+    *
+    * Scale shape: map-only per payload; encoded bytes never shuffle —
+    * parsed scalars do. One output sort. */
+  val mmImageMeta: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where($"doc_id" % 7 <= 1)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        // code-point count = the oracle's length(text) for ANY input
+        // (the mm_wav_meta encoding-desync lesson, applied from day 1)
+        val len = text.codePointCount(0, text.length).toLong
+        val w = 8 + (len % 32).toInt
+        val h = 8 + (id % 24).toInt
+        val fmt = (id % 3).toInt match {
+          case 0 => "png"; case 1 => "bmp"; case _ => "jpeg"
+        }
+        val bytes = graft.multimodal.ImageCodec.encode(
+          graft.multimodal.ImageCodec.renderGray(id, w, h), fmt)
+        val d = graft.multimodal.ImageCodec.decode(bytes).getOrElse(
+          sys.error(s"undecodable image for media $id"))
+        (id, d.format, d.width.toLong, d.height.toLong,
+          d.width.toLong * d.height,
+          if (d.format == "jpeg") None
+          else Some(graft.multimodal.ImageCodec.sumLuma(d.image)))
+      }
+      .toDF("media_id", "format", "width", "height", "n_pixels", "sum_luma")
       .orderBy($"media_id")
   }
 

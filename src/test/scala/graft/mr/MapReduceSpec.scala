@@ -99,6 +99,18 @@ class MapReduceSpec extends SparkTestBase {
     assert(st.taskDurationsMs.forall(_ >= 0))
     assert(st.taskP50Ms <= st.taskP95Ms)
     assert(st.taskP95Ms <= st.taskDurationsMs.max)
+    // per-NODE profile (statsManager.go:117 parity): every task is
+    // attributed to an executor; counts reconcile with the flat list and
+    // each executor's percentiles are ordered. local[*] runs everything
+    // on the "driver" executor — the grouping, not the cardinality, is
+    // what the profile adds.
+    val prof = st.executorProfile
+    assert(prof.nonEmpty, "executor profile empty")
+    assert(prof.values.map(_._1).sum == st.taskDurationsMs.size,
+      "per-executor task counts must sum to the task total")
+    prof.values.foreach { case (n, p50, p95) =>
+      assert(n >= 1 && p50 <= p95)
+    }
     tracker.done(id)
     tracker.shutdown()
   }

@@ -54,6 +54,42 @@ class WavSpec extends SparkTestBase {
     assert(WavCodec.parseWav(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("hostile chunk sizes terminate: 0xFFFFFFF8 stall-size, rewind sizes") {
+    // crafted non-fmt chunk whose u32 size truncates to Int -8: the old
+    // walker computed next = body - 8 = o (never advances) — must now
+    // terminate, and still yield the fmt/data parsed BEFORE the bomb
+    val data = Array.fill[Byte](32)(5)
+    val pre = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      fmtChunk(1, 8000, 16) ++ "data".getBytes ++ le32(32) ++ data
+    val stall = pre ++ "JUNK".getBytes ++ le32(0xFFFFFFF8) ++ Array.fill[Byte](8)(0)
+    assert(WavCodec.parseWav(stall).get.dataBytes == 32L)
+    // bomb BEFORE fmt/data: walk must end without fmt → None, not a hang
+    val early = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0xFFFFFFF8) ++
+      fmtChunk(1, 8000, 16) ++ "data".getBytes ++ le32(4) ++ Array.fill[Byte](4)(0)
+    assert(WavCodec.parseWav(early).isEmpty)
+    // a size that would rewind the offset (next < o) must also terminate
+    val rewind = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0x80000000) ++ Array.fill[Byte](16)(0)
+    assert(WavCodec.parseWav(rewind).isEmpty)
+  }
+
+  test("fuzz: 1k random payloads parse or reject without hanging/throwing") {
+    val rnd = new scala.util.Random(42)
+    var parsed = 0
+    for (_ <- 1 to 1000) {
+      val n = rnd.nextInt(200)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      // half the trials get a valid RIFF/WAVE preamble so the chunk walk
+      // actually runs over random chunk ids/sizes, not just the magic check
+      val payload =
+        if (rnd.nextBoolean()) "RIFF".getBytes ++ le32(rnd.nextInt()) ++ "WAVE".getBytes ++ b
+        else b
+      if (WavCodec.parseWav(payload).isDefined) parsed += 1
+    }
+    assert(parsed >= 0) // reachable ⇒ no hang, no throw across 1k payloads
+  }
+
   test("writer -> parser round-trip reads back the exact encoded fields") {
     for ((sr, ch, bits, n) <- Seq((8000, 1, 16, 12345), (48000, 2, 8, 7))) {
       val m = WavCodec.parseWav(

@@ -37,4 +37,52 @@ class MemoSpec extends SparkTestBase {
     assert(m.getOrElseUpdate(spark, "fpB", 2) == 2)
     assert(m.getOrElseUpdate(spark, "fpA", 99) == 1)
   }
+
+  test("two corpora build in PARALLEL; same corpus builds exactly once") {
+    // r6 verdict #5: the old impl held the memo-wide lock across the
+    // build thunk, so corpus B's build queued behind corpus A's. Here A's
+    // build blocks on a latch that only B's build releases — deadlock
+    // under the old lock-the-map design, finishes under per-key latches.
+    val m = new Memo[String]()
+    val bStarted = new java.util.concurrent.CountDownLatch(1)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    import scala.concurrent._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fa = Future(m.getOrElseUpdate(spark, "corpusA", {
+        // A cannot finish until B's build has STARTED — proves B was not
+        // queued behind A's in-flight build
+        assert(bStarted.await(30, java.util.concurrent.TimeUnit.SECONDS),
+          "corpus B's build never started while A was building")
+        builds.incrementAndGet(); "A"
+      }))
+      val fb = Future(m.getOrElseUpdate(spark, "corpusB", {
+        bStarted.countDown(); builds.incrementAndGet(); "B"
+      }))
+      // same-key concurrency still serializes to ONE build
+      val fa2 = Future(m.getOrElseUpdate(spark, "corpusA", {
+        builds.incrementAndGet(); "A-dup"
+      }))
+      import scala.concurrent.duration._
+      assert(Await.result(fa, 60.seconds) == "A")
+      assert(Await.result(fb, 60.seconds) == "B")
+      assert(Await.result(fa2, 60.seconds) == "A", "same key must share one build")
+      assert(builds.get == 2, s"expected 2 builds (A once, B once), got ${builds.get}")
+    } finally pool.shutdownNow()
+  }
+
+  test("a build that throws is retried, not cached as a failure") {
+    val m = new Memo[Int]()
+    var attempts = 0
+    def get(fail: Boolean): Int = m.getOrElseUpdate(spark, "fpX", {
+      attempts += 1
+      if (fail) sys.error("injected build failure") else 42
+    })
+    intercept[RuntimeException](get(fail = true))
+    assert(get(fail = false) == 42, "failed build must not poison the key")
+    assert(attempts == 2)
+    assert(get(fail = true) == 42, "success is cached; thunk not re-run")
+    assert(attempts == 2)
+  }
 }

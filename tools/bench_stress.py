@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Fourth scale-curve point (r6 verdict #1): generate the 10x stress
+corpus from sf0.1 (graft.StressGen -> /tmp/graft-stress/sf1, derived
+data only — /root/testdata untouched), run graft.Bench over the
+document/embedding-backed families that corpus supports (the build_*
+rows plus the dedup/ANN/suffix serve families), and record the result
+as the "sf1" entry of bench_scaling.json next to the driver's three
+official points. Per-query decade ratios vs the sf0.1 entry are
+printed so a superlinear query is visible immediately.
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STRESS_DIR = "/tmp/graft-stress/sf1"
+
+# documents/embeddings-backed only: the stress corpus has no
+# lineitem/orders/events tables (q_journey_repeats and friends are
+# excluded for that reason, not forgotten)
+SUBSET = [
+    "build_suffix_lcp", "build_contam_spans", "build_nsw_graph",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_embedding", "dedup_clusters",
+    "dedup_pipeline", "dedup_incremental", "dedup_cdc_chunks",
+    "dedup_semantic", "dedup_containment", "dedup_minhash_calibration",
+    "dedup_source_matrix", "dedup_keep_best", "dedup_exact_substr",
+    "text_decontaminate_spans", "text_cut_contaminated",
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_sq8_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk", "ann_radius_search", "ann_filtered_topk",
+    "ann_recall_panel", "ann_hnsw_topk", "ann_incremental_topk",
+    "q_sql_cosine_topk", "emb_dim_stats", "emb_drift_check",
+    "emb_pq_distortion", "emb_quarantine", "emb_kmeans", "emb_pca_power",
+    "mm_phash_neardup", "mm_cdc_chunks", "mm_wav_meta", "mm_image_meta",
+]
+
+
+def ensure_corpus():
+    if os.path.exists(f"{STRESS_DIR}/documents.parquet/_SUCCESS") and \
+       os.path.exists(f"{STRESS_DIR}/embeddings.parquet/_SUCCESS"):
+        print(f"[stress] corpus already at {STRESS_DIR}", flush=True)
+        return
+    print("[stress] generating 10x corpus ...", flush=True)
+    subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.StressGen /root/testdata/sf0.1 {STRESS_DIR} 10"],
+        cwd=REPO, check=True)
+
+
+def run_bench():
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=STRESS_DIR,
+               SPARK_GRAFT_QUERIES=",".join(SUBSET),
+               # 10x data: give slow builds room before the watchdog
+               SPARK_GRAFT_QUERY_TIMEOUT=os.environ.get(
+                   "SPARK_GRAFT_QUERY_TIMEOUT", "420"),
+               SPARK_GRAFT_BENCH_BUDGET=os.environ.get(
+                   "SPARK_GRAFT_BENCH_BUDGET", "1800"))
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], cwd=REPO,
+                   env=env, check=True)
+    return json.loads(
+        open(os.path.join(REPO, "bench_summary.json")).read().strip())
+
+
+def main():
+    ensure_corpus()
+    d = run_bench()
+    q = d["queries"]
+    serves = {k: v for k, v in q.items()
+              if not k.startswith("build_") and v >= 0}
+    worst = max(serves.items(), key=lambda kv: kv[1])
+    entry = {
+        "note": "self-generated 10x stress corpus (StressGen, docs+embeddings"
+                " only); subset = build_* + dedup/ANN/suffix/mm families",
+        "n_ok": len(serves),
+        "n_skipped": sum(1 for v in q.values() if v == -2.0),
+        "total_sec": round(sum(serves.values()), 1),
+        "worst": [worst[0], round(worst[1], 2)],
+        "builds": {k: v for k, v in q.items() if k.startswith("build_")},
+        "queries": q,
+    }
+    path = os.path.join(REPO, "bench_scaling.json")
+    scal = json.load(open(path)) if os.path.exists(path) else {}
+    scal["sf1"] = entry
+    json.dump(scal, open(path, "w"), indent=1)
+    print(f"[stress] sf1: {entry['total_sec']} s over {entry['n_ok']} serves; "
+          f"builds {entry['builds']}", flush=True)
+    # decade ratios vs the official sf0.1 point
+    base = scal.get("sf0.1", {}).get("queries", {})
+    rows = []
+    for name, v in sorted(q.items()):
+        b = base.get(name)
+        if b and b > 0 and v > 0:
+            rows.append((v / b, name, b, v))
+    rows.sort(reverse=True)
+    print("[stress] worst decade ratios (sf0.1 -> sf1, 10x data):")
+    for r, name, b, v in rows[:12]:
+        print(f"  {r:6.2f}x  {name:28s} {b:7.2f}s -> {v:7.2f}s")
+
+
+if __name__ == "__main__":
+    main()

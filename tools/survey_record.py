@@ -23,11 +23,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def latest_correctness():
-    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    # numeric round sort — lexicographic would rank _r9 above _r10 (r6
+    # ADVICE item), so parse the round number out of each filename
+    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+                   key=lambda f: int(re.search(r"_r(\d+)", f).group(1)))
     if not files:
         return None, None
     n = int(re.search(r"_r(\d+)", files[-1]).group(1))
     return json.load(open(files[-1])), n
+
+
+def staleness_warning(corr_round, this_round):
+    """r6 verdict #6: the GEN block can silently lag the driver's final
+    gate — the artifact for the CURRENT round is written after the round
+    ends, so regenerating mid-round always reads the previous round.
+    Print that loudly so the record block is read with that offset."""
+    expect = os.path.join(REPO, f"CORRECTNESS_r{this_round:02d}.json")
+    if corr_round is None:
+        print("WARNING: no CORRECTNESS artifact at all — record is bench-only",
+              file=sys.stderr)
+    elif not os.path.exists(expect) and corr_round != this_round:
+        print(f"WARNING: CORRECTNESS for round {this_round} not written yet — "
+              f"correctness tallies below are from round {corr_round} "
+              f"(the driver gates AFTER the snapshot; expect ±a few queries)",
+              file=sys.stderr)
 
 
 def bench_summary():
@@ -62,6 +81,7 @@ def main():
 
     corr, corr_round = latest_correctness()
     rnd = args.round or (corr_round + 1 if corr_round else 0)
+    staleness_warning(corr_round, rnd)
     bench = bench_summary()
     scal = scaling()
 
@@ -79,8 +99,9 @@ def main():
                   if n not in hashed and n not in rows_only]
         zero_rows = [n for n in names if corr[n].get("spark_rows") == 0]
         corr_line = (
-            f"{n_q} driver queries, {len(hashed)} hash-verified vs DuckDB at "
-            f"sf0.01 ({100.0 * len(hashed) / n_q:.1f}%), "
+            f"{n_q} driver queries (r{corr_round} gate — the current round's "
+            f"gate runs after this snapshot), {len(hashed)} hash-verified vs "
+            f"DuckDB at sf0.01 ({100.0 * len(hashed) / n_q:.1f}%), "
             f"{len(rows_only)} rows-only ({', '.join(rows_only) or 'none'}), "
             f"{len(failed)} failed, {len(zero_rows)} zero-row results")
     else:
