@@ -69,7 +69,9 @@ object Bench {
       "build_contam_spans" ->
         (() => operators.SuffixOps.buildContamIndex(spark, sfDir)),
       "build_nsw_graph" ->
-        (() => operators.HnswOps.buildGraph(spark, sfDir)))
+        (() => operators.HnswOps.buildGraph(spark, sfDir)),
+      "build_jaccard_cc" ->
+        (() => operators.DedupOps.buildClusterChain(spark, sfDir)))
 
     // optional comma-separated subset for local iteration
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")

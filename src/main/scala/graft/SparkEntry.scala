@@ -147,6 +147,7 @@ object SparkEntry {
     "mm_media_stats"              -> TextOps.mmMediaStats,
     "mm_wav_meta"                 -> TextOps.mmWavMeta,
     "mm_image_meta"               -> TextOps.mmImageMeta,
+    "mm_image_phash"              -> TextOps.mmImagePhash,
     "mm_featurize"                -> TextOps.mmFeaturize,
     "mm_frame_sample"             -> TextOps.mmFrameSample,
     "q_vocab_growth"              -> TextOps.qVocabGrowth,
@@ -180,6 +181,8 @@ object SparkEntry {
     "q_domain_cap"                -> operators.CurationOps.qDomainCap,
     "q_mmr_select"                -> operators.CurationOps.qMmrSelect,
     "q_kmv_distinct"              -> EventAnalytics.qKmvDistinct,
+    "q_hll_distinct"              -> EventAnalytics.qHllDistinct,
+    "q_kmv_set_ops"               -> EventAnalytics.qKmvSetOps,
     "q_xcorr_lags"                -> EventAnalytics.qXcorrLags,
     "q_top_paths"                 -> EventAnalytics.qTopPaths,
     "q_rolling_revenue"           -> RelationalExt.qRollingRevenue,
@@ -1750,6 +1753,91 @@ object SparkEntry {
         |  floor((abs(e - n_exact)/n_exact)*10000 + 0.5)/10000 AS rel_err
         |FROM est ORDER BY event_type""".stripMargin,
 
+    // KMV set algebra: merged k-smallest = union sketch; rho/k of the
+    // union sketch present in BOTH inputs estimates Jaccard; not-full
+    // union sketch collapses every estimate to exact (CASE arms)
+    "q_kmv_set_ops" ->
+      s"""WITH h AS (
+        |  SELECT DISTINCT event_type, ${fnvSql("CAST(user_id AS VARCHAR)")} AS hu FROM events),
+        |sk AS (SELECT event_type, hu FROM (
+        |    SELECT event_type, hu, row_number() OVER (PARTITION BY event_type ORDER BY hu) AS rn FROM h) t
+        |  WHERE rn <= 128),
+        |tp AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM (SELECT DISTINCT event_type FROM sk) a, (SELECT DISTINCT event_type FROM sk) b
+        |  WHERE a.event_type < b.event_type),
+        |m AS (
+        |  SELECT ta, tb, hu, max(fa) AS fa, max(fb) AS fb FROM (
+        |    SELECT tp.ta, tp.tb, s.hu, 1 AS fa, 0 AS fb FROM tp JOIN sk s ON s.event_type = tp.ta
+        |    UNION ALL
+        |    SELECT tp.ta, tp.tb, s.hu, 0 AS fa, 1 AS fb FROM tp JOIN sk s ON s.event_type = tp.tb) u
+        |  GROUP BY ta, tb, hu),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY hu) AS rn FROM m),
+        |ag AS (SELECT ta, tb, max(hu) AS kth, count(*) AS n_sk, sum(fa*fb) AS rho
+        |  FROM rk WHERE rn <= 128 GROUP BY ta, tb),
+        |ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |inter AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_inter
+        |  FROM ut a JOIN ut b USING (user_id) WHERE a.event_type < b.event_type
+        |  GROUP BY ta, tb),
+        |pt AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+        |ex AS (SELECT i.ta, i.tb, CAST(i.n_inter AS BIGINT) AS n_inter,
+        |    CAST(pa.n + pb.n - i.n_inter AS BIGINT) AS n_union
+        |  FROM inter i JOIN pt pa ON pa.event_type = i.ta JOIN pt pb ON pb.event_type = i.tb),
+        |fin AS (
+        |  SELECT ag.ta, ag.tb, ex.n_union, ex.n_inter,
+        |    CASE WHEN ag.n_sk < 128 THEN CAST(ag.n_sk AS DOUBLE)
+        |         ELSE 127.0 * 1.8446744073709552e19 / CAST(ag.kth AS DOUBLE) END AS eu,
+        |    ag.rho, ag.n_sk
+        |  FROM ag JOIN ex ON ex.ta = ag.ta AND ex.tb = ag.tb)
+        |SELECT ta, tb, n_union, n_inter,
+        |  floor(eu*100 + 0.5)/100 AS est_union,
+        |  floor((CASE WHEN n_sk < 128 THEN CAST(rho AS DOUBLE)
+        |              ELSE CAST(rho AS DOUBLE)/128 * eu END)*100 + 0.5)/100 AS est_inter,
+        |  floor((CAST(rho AS DOUBLE)/CAST(n_sk AS DOUBLE))*10000 + 0.5)/10000 AS jaccard_est
+        |FROM fin ORDER BY ta, tb""".stripMargin,
+
+    // HyperLogLog with EXACT register replay: FNV hash, bucket = top
+    // 8 bits (unsigned // 2^56), rho via the same bin()-length trick,
+    // harmonic sum as scaled integers (HUGEINT) with ONE final
+    // rounding at /2^57 — float-summation order can never desync the
+    // two engines. Linear-counting small-range branch replayed too.
+    "q_hll_distinct" ->
+      s"""WITH h AS (
+        |  SELECT event_type, ${fnvSql("CAST(user_id AS VARCHAR)")} AS hu FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CAST(hu // 72057594037927936 AS BIGINT) AS bucket,
+        |    CAST(hu % 72057594037927936 AS BIGINT) AS w
+        |  FROM h),
+        |r AS (
+        |  SELECT event_type, bucket,
+        |    max(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END) AS m
+        |  FROM b GROUP BY event_type, bucket),
+        |f AS (
+        |  SELECT event_type,
+        |    sum(CAST(1 AS BIGINT) << (57 - m)) AS s_present,
+        |    count(*) AS n_present
+        |  FROM r GROUP BY event_type),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(s_present + (256 - n_present) * CAST(144115188075855872 AS HUGEINT)
+        |         AS DOUBLE) / 144115188075855872.0 AS hsum,
+        |    CAST(256 - n_present AS BIGINT) AS v
+        |  FROM f),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type),
+        |est AS (
+        |  SELECT g.event_type, ex.n_exact, g.v,
+        |    (0.7213/(1 + 1.079/256)) * 65536.0 / g.hsum AS e_raw
+        |  FROM g JOIN ex USING (event_type)),
+        |fin AS (
+        |  SELECT event_type, n_exact, v,
+        |    CASE WHEN e_raw <= 640.0 AND v > 0
+        |         THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE e_raw END AS e
+        |  FROM est)
+        |SELECT event_type, n_exact, v AS n_zero_regs,
+        |  floor(e*100 + 0.5)/100 AS est_distinct,
+        |  floor((abs(e - n_exact)/n_exact)*10000 + 0.5)/10000 AS rel_err
+        |FROM fin ORDER BY event_type""".stripMargin,
+
     "q_ab_ztest" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS s0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
         |cv AS (
@@ -2738,6 +2826,26 @@ object SparkEntry {
         |    + (8 + (length(text) % 32)) * (8 + (doc_id % 24)) * (doc_id % 64)
         |  AS BIGINT) END AS sum_luma
         |FROM documents WHERE doc_id % 7 <= 1 ORDER BY media_id""".stripMargin,
+
+    // true aHash over decoded PNG pixels, closed form: bit c = cell c
+    // bright (fnv even) AND not all 64 bright — see mmImagePhash doc
+    "mm_image_phash" ->
+      s"""WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 7 <= 1),
+        |cells AS (
+        |  SELECT doc_id, cs.c,
+        |    CASE WHEN ${fnvSql("'img:' || CAST(doc_id AS VARCHAR) || ':' || CAST(cs.c AS VARCHAR)")} % 2 = 0
+        |         THEN 1 ELSE 0 END AS bright
+        |  FROM img CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS c) cs),
+        |agg AS (
+        |  SELECT doc_id, sum(bright) AS k,
+        |    sum(CASE WHEN bright = 1 THEN CAST(1 AS HUGEINT) << c
+        |             ELSE CAST(0 AS HUGEINT) END) AS ph
+        |  FROM cells GROUP BY doc_id)
+        |SELECT doc_id AS media_id,
+        |  CAST((CASE WHEN k = 64 THEN 0 ELSE ph END) // 4294967296 AS BIGINT) AS ph_hi,
+        |  CAST((CASE WHEN k = 64 THEN 0 ELSE ph END) % 4294967296 AS BIGINT) AS ph_lo,
+        |  CAST(CASE WHEN k = 64 THEN 0 ELSE k END AS BIGINT) AS n_bits
+        |FROM agg ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH v AS (

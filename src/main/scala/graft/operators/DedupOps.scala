@@ -49,9 +49,12 @@ object DedupOps {
       // the (pushed-down) predicate to one regex pass per row
       .filter(size(normTokens(col("text"))) >= ShingleSize)
       .select(col("doc_id"), normTokens(col("text")).as("tk"))
+      // SORTED asc: the verify stage counts overlaps with the native
+      // merge kernel (SortedOverlapCount) — one sort per DOC here
+      // buys allocation-free verification per candidate PAIR there
       .select(col("doc_id"),
-        array_distinct(graft.functions.VectorExpressions
-          .fnv_shingles(col("tk"), ShingleSize)).as("sh"))
+        array_sort(array_distinct(graft.functions.VectorExpressions
+          .fnv_shingles(col("tk"), ShingleSize))).as("sh"))
 
   private def docShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     shingled(Tables.documents(s, dir))
@@ -80,9 +83,13 @@ object DedupOps {
     val sa = docsA.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = docsB.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     pairs.join(sa, "doc_a").join(sb, "doc_b")
+      // o/( |A|+|B|−o ) == |A∩B|/|A∪B| on distinct inputs; the merge
+      // kernel replaces array_intersect+array_union's per-pair hash
+      // sets (the stress decade's dominant verify cost)
+      .withColumn("o", graft.functions.VectorExpressions
+        .sorted_overlap(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("o") / (size(col("sh_a")) + size(col("sh_b")) - col("o")))
       .where(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), rnd(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -170,11 +177,16 @@ object DedupOps {
       .join(sigged.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
       .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      // two-step select: materialize the overlap ONCE (Catalyst
+      // inlines a non-cheap expression at every reference)
+      .select($"doc_a", $"doc_b", $"sig_a", $"sig_b",
+        graft.functions.VectorExpressions.sorted_overlap($"sh_a", $"sh_b")
+          .cast("double").as("o"),
+        (size($"sh_a") + size($"sh_b")).cast("double").as("szs"))
       .select($"doc_a", $"doc_b",
         (size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y), v => v))
           .cast("double") / NumPerms).as("es"),
-        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b")).cast("double")).as("jac"))
+        ($"o" / ($"szs" - $"o")).as("jac"))
     est.select($"doc_a", $"doc_b",
         rnd($"es", 4).as("est_jaccard"),
         rnd($"jac", 4).as("exact_jaccard"),
@@ -285,6 +297,14 @@ object DedupOps {
         (pairs, labels)
       })
 
+  /** Cold-build entry for the bench's `build_jaccard_cc` row — the
+    * suffix/NSW discipline: the memoized chain's construction cost is
+    * reported explicitly instead of amortizing invisibly into
+    * whichever of its four consumers runs first. */
+  def buildClusterChain(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    clusterChain(s, dir); ()
+  }
+
   val dedupNgramJaccard: QueryFn = (s, dir) =>
     clusterChain(s, dir)._1.orderBy(col("doc_a"), col("doc_b"))
 
@@ -300,29 +320,54 @@ object DedupOps {
     * df = 1 shingles still prune (a shared shingle has df ≥ 2 by
     * definition; the length bound keeps using the original |A|), and
     * C ≥ τ forces |B| ≥ τ|A|, the asymmetric length filter.
-    * Survivors verify with the exact set containment. */
+    * Survivors verify with the exact set containment.
+    *
+    * Degenerate-mass bound (r7 — the stress decade caught this at
+    * 58× for 10× data): prefix × FULL-posting is Σ df(prefix key)
+    * candidates, and when duplicate mass inflates every df ~10×, the
+    * volume goes quadratic. The [[Blocking]] anchor discipline
+    * applied to the directed join: per key, postings rank by doc_id;
+    * a candidate admits iff EITHER side ranks ≤ cap in the shared
+    * key's posting list. Keys with df ≤ cap (every organic key at
+    * the gate scale — spec-asserted) behave exactly like the
+    * uncapped join, so the brute-force oracle stays valid; a
+    * degenerate key with n postings emits ≤ 2·n·cap candidates
+    * (linear), and every doc still pairs with all of the key's
+    * anchors, so a duplicate mass stays anchor-connected
+    * (ContainmentCapSpec drives a 2·10³-identical-doc corpus linear
+    * and proves organic equality with brute force). */
   private[operators] def containmentPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val cap = Blocking.DefaultCap
     val ex = docs.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("key"))
     val dfreq = ex.groupBy(col("key")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2)
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df").asc, col("key").asc)
+    val byPosting = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("doc_id"))
+    // pinned: both join branches read the ranked frame (the
+    // cappedPairs double-eval lesson)
     val exDf = ex.join(dfreq, "key")
+      .withColumn("pr", row_number().over(byPosting))
+      .localCheckpoint(true)
     val prefix = exDf
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <= col("sz") - ceil(col("sz") * tau) + 1)
-      .select(col("key"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-    val full = exDf.select(col("key"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+      .select(col("key"), col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+        col("pr").as("pr_a"))
+    val full = exDf.select(col("key"), col("doc_id").as("doc_b"),
+      col("sz").as("sz_b"), col("pr").as("pr_b"))
     val cands = prefix.join(full, "key")
       .where(col("doc_a") =!= col("doc_b") &&
-        col("sz_b") >= lit(tau) * col("sz_a"))
+        col("sz_b") >= lit(tau) * col("sz_a") &&
+        (col("pr_a") <= cap || col("pr_b") <= cap))
       .select("doc_a", "doc_b").distinct()
     val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     cands.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(col("sh_a")).cast("double"))
+        graft.functions.VectorExpressions.sorted_overlap(col("sh_a"), col("sh_b"))
+          .cast("double") / size(col("sh_a")).cast("double"))
       .where(col("containment") >= tau)
       .select(col("doc_a"), col("doc_b"), rnd(col("containment"), 4).as("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -409,7 +454,10 @@ object DedupOps {
     // v2: shingle hash switched from xxhash64 chains to FNV-1a n-grams
     // (FnvShinglesExpr) — an index persisted under v1 holds hashes no
     // current query can match
-    private val Version = "v2"
+    // v3: shingle arrays persisted SORTED (the SortedOverlapCount
+    // merge kernel requires asc order) — a v2 index would feed
+    // unsorted arrays to the merge and silently under-count
+    private val Version = "v3"
 
     /** The path is keyed by a fingerprint of the corpus FILES (name,
       * size, mtime), not just the directory name: the test corpus is

@@ -1078,6 +1078,153 @@ object EventAnalytics {
       .orderBy($"event_type")
   }
 
+  /** KMV sketch size for the set-algebra panel (larger than KmvK=8:
+    * intersection estimation needs resolution ρ/k, and k=128 keeps
+    * the ρ counter meaningful at the test cardinalities). */
+  val KmvAlgK = 128
+
+  /** KMV sketch SET ALGEBRA across event types — the mergeability
+    * property as a first-class query (Beyer et al., SIGMOD'07): the
+    * k smallest distinct hashes of A and B merge into the k smallest
+    * of A∪B (union estimate for free), and the fraction ρ/k of the
+    * union sketch present in BOTH sketches estimates Jaccard —
+    * intersection = ρ/k · |A∪B|est. This is the cross-segment
+    * overlap panel ("how many users both viewed and purchased?")
+    * computed from 128-row summaries instead of a user-level join,
+    * next to the exact counts so the error is visible. When the
+    * union sketch is not full, both inputs were fully sketched and
+    * every estimate collapses to the exact value (replayed in the
+    * oracle's CASE arms).
+    *
+    * Scale shape: one distinct + bounded TopKPerKey heap per type
+    * (the 100 TB part); everything after operates on k·|types| rows
+    * — type-pair merges are window/agg over ≤2k-row partitions. All
+    * FNV/integer/IEEE arithmetic: hash-verified end-to-end. */
+  val qKmvSetOps: QueryFn = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+    val hashed = Tables.events(s, dir)
+      .select($"event_type",
+        element_at(graft.functions.VectorExpressions.fnv_shingles(
+          array($"user_id".cast("string")), 1), 1).as("h"))
+      .select($"event_type",
+        when($"h" < 0, $"h".cast(DecimalType(20, 0)) + two64)
+          .otherwise($"h".cast(DecimalType(20, 0))).as("hu"))
+      .distinct()
+    val sk = graft.plans.TopK.perKey(
+      hashed, Seq("event_type"), Seq("hu" -> true), KmvAlgK)
+      .localCheckpoint(true) // tiny; read by both pair branches
+    val types = sk.select($"event_type").distinct()
+    val tp = types.select($"event_type".as("ta"))
+      .crossJoin(broadcast(types.select($"event_type".as("tb"))))
+      .where($"ta" < $"tb")
+    val la = tp.join(sk.select($"event_type".as("ta"), $"hu"), "ta")
+      .select($"ta", $"tb", $"hu", lit(1L).as("fa"), lit(0L).as("fb"))
+    val lb = tp.join(sk.select($"event_type".as("tb"), $"hu"), "tb")
+      .select($"ta", $"tb", $"hu", lit(0L).as("fa"), lit(1L).as("fb"))
+    val merged = la.unionByName(lb)
+      .groupBy($"ta", $"tb", $"hu")
+      .agg(max($"fa").as("fa"), max($"fb").as("fb"))
+    val ranked = merged.withColumn("rn", row_number().over(
+      Window.partitionBy($"ta", $"tb").orderBy($"hu".asc)))
+    val agg = ranked.where($"rn" <= KmvAlgK)
+      .groupBy($"ta", $"tb")
+      .agg(max($"hu").as("kth"), count(lit(1)).as("n_sk"),
+        sum($"fa" * $"fb").as("rho"))
+    // exact panel: per-user type membership, folded to pair counts
+    val ut = Tables.events(s, dir).select($"event_type", $"user_id").distinct()
+    val inter = ut.select($"event_type".as("ta"), $"user_id")
+      .join(ut.select($"event_type".as("tb"), $"user_id"), "user_id")
+      .where($"ta" < $"tb")
+      .groupBy($"ta", $"tb").agg(count(lit(1)).as("n_inter"))
+    val perType = ut.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val exact = inter
+      .join(broadcast(perType.select($"event_type".as("ta"), $"n".as("na"))), "ta")
+      .join(broadcast(perType.select($"event_type".as("tb"), $"n".as("nb"))), "tb")
+      .select($"ta", $"tb", $"n_inter", ($"na" + $"nb" - $"n_inter").as("n_union"))
+    agg.join(broadcast(exact), Seq("ta", "tb"))
+      .select($"ta", $"tb", $"n_union", $"n_inter",
+        when($"n_sk" < KmvAlgK, $"n_sk".cast("double"))
+          .otherwise(lit((KmvAlgK - 1).toDouble) * lit(1.8446744073709552e19) /
+            $"kth".cast("double")).as("eu"),
+        $"rho", $"n_sk")
+      .select($"ta", $"tb", $"n_union", $"n_inter",
+        rnd($"eu", 2).as("est_union"),
+        rnd(when($"n_sk" < KmvAlgK, $"rho".cast("double"))
+          .otherwise($"rho".cast("double") / KmvAlgK * $"eu"), 2).as("est_inter"),
+        rnd($"rho".cast("double") / $"n_sk".cast("double"), 4).as("jaccard_est"))
+      .orderBy($"ta", $"tb")
+  }
+
+  /** HyperLogLog registers (p = 8, 256 registers). */
+  val HllM = 256
+
+  /** HyperLogLog distinct-count per event_type, HASH-VERIFIED — the
+    * sketch `q_approx_stats` could only rows-check (Spark's builtin
+    * approx_count_distinct HLL++ is engine-internal; no second engine
+    * replays it). This is the real Flajolet et al. 2007 algorithm
+    * with every step chosen to be exactly replayable in DuckDB:
+    * FNV-1a user hash (the shared oracle primitive), bucket = top 8
+    * bits, rho = leading-zero rank of the low 56 bits via the
+    * IDENTICAL `length(bin(w))` string trick both engines implement
+    * the same, register max per bucket, and — the part that makes
+    * the harmonic mean bit-stable — Σ2⁻ᴹ summed as EXACT scaled
+    * integers (terms 2^(57−M) in DECIMAL/HUGEINT, one rounding at
+    * the final ÷2⁵⁷), because a float summation's value depends on
+    * partial-aggregation order. Small-range (linear counting) branch
+    * included, replayed verbatim. Panel: exact count, zero-register
+    * count, estimate, relative error.
+    *
+    * Scale shape: map-only hash → (type, bucket) partial+final max —
+    * the sketch IS the shuffle payload (≤256 rows per key), the
+    * textbook 100 TB distinct-count plan; merge-associative by
+    * construction (max of maxes), which is what makes it a sketch. */
+  val qHllDistinct: QueryFn = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val regs = ev
+      .select($"event_type",
+        element_at(graft.functions.VectorExpressions.fnv_shingles(
+          array($"user_id".cast("string")), 1), 1).as("h"))
+      .select($"event_type",
+        shiftrightunsigned($"h", 56).as("bucket"),
+        $"h".bitwiseAND(lit(0x00FFFFFFFFFFFFFFL)).as("w"))
+      .select($"event_type", $"bucket",
+        when($"w" === 0L, lit(57L))
+          .otherwise(lit(57L) - length(bin($"w")).cast("long")).as("rho"))
+      .groupBy($"event_type", $"bucket")
+      .agg(max($"rho").as("m"))
+    val folded = regs
+      // exact scaled harmonic sum: term = 2^(57-m) ≤ 2^56 fits a Long,
+      // the SUM needs decimal (256 × 2^56 overflows signed 64-bit)
+      .select($"event_type",
+        expr("shiftleft(1L, cast(57 - m as int))")
+          .cast("decimal(38,0)").as("term"))
+      .groupBy($"event_type")
+      .agg(sum($"term").as("s_present"), count(lit(1)).as("n_present"))
+      .select($"event_type",
+        (($"s_present" +
+          (lit(HllM.toLong) - $"n_present").cast("decimal(38,0)") *
+            lit(new java.math.BigDecimal("144115188075855872")))
+          .cast("double") / lit(144115188075855872.0)).as("hsum"),
+        (lit(HllM.toLong) - $"n_present").as("v"))
+    val exact = ev.groupBy($"event_type")
+      .agg(count_distinct($"user_id").as("n_exact"))
+    val alpha = lit(0.7213 / (1.0 + 1.079 / 256.0))
+    folded.join(broadcast(exact), "event_type")
+      .select($"event_type", $"n_exact", $"v",
+        (alpha * lit(65536.0) / $"hsum").as("e_raw"))
+      .select($"event_type", $"n_exact", $"v",
+        when($"e_raw" <= lit(640.0) && $"v" > 0,
+          lit(256.0) * log(lit(256.0) / $"v".cast("double")))
+          .otherwise($"e_raw").as("e"))
+      .select($"event_type", $"n_exact", $"v".as("n_zero_regs"),
+        rnd($"e", 2).as("est_distinct"),
+        rnd(abs($"e" - $"n_exact") / $"n_exact", 4).as("rel_err"))
+      .orderBy($"event_type")
+  }
+
   /** Two-proportion A/B z-test — the experimentation primitive every
     * product pipeline ends in: split users into arms by `user_id % 2`
     * (the deterministic stand-in for an assignment column), define

@@ -595,6 +595,61 @@ object TextOps {
       .orderBy($"media_id")
   }
 
+  /** True perceptual hash over REAL decoded pixels, HASH-VERIFIED —
+    * the step past [[mmImageMeta]] (header facts) and the byte-level
+    * stand-in `mm_phash_neardup`: each image doc renders a
+    * deterministic 32×32 blocky pattern (8×8 cells, cell c bright ⇔
+    * fnv64("img:id:c") is even — the fixture discipline), encodes to
+    * REAL PNG bytes, decodes them back through `javax.imageio`, and
+    * computes the TRUE 8×8 block-mean-luminance aHash from the
+    * decoded raster. Because 32 divides by 8 and PNG is lossless,
+    * the aHash has a closed form the DuckDB oracle replays exactly:
+    * bit c = 1 ⇔ cell c bright AND not all 64 bright (a bright cell
+    * clears the global mean iff any dark cell exists; block means
+    * and the ÷64 global mean are exact dyadic doubles, so the
+    * comparison is deterministic). Any decoder pixel slip or aHash
+    * cell-mapping bug hash-fails. The 64-bit value ships as two
+    * unsigned 32-bit BIGINT halves — the one integer width both
+    * engines' parquet/pandas paths render identically.
+    *
+    * Scale shape: map-only per payload (render+encode+decode+hash in
+    * one task); 8-byte signatures shuffle to the output sort, pixels
+    * never do. */
+  val mmImagePhash: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where($"doc_id" % 7 <= 1)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val img = new java.awt.image.BufferedImage(
+          32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val c = (y * 8 / 32) * 8 + (x * 8 / 32)
+            val bright =
+              (graft.functions.Hashes.fnv64(s"img:$id:$c") & 1L) == 0L
+            val v = if (bright) 230 else 25
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = graft.multimodal.ImageCodec.encode(img, "png")
+        val d = graft.multimodal.ImageCodec.decode(bytes).getOrElse(
+          sys.error(s"undecodable phash fixture for media $id"))
+        val h = graft.multimodal.ImageCodec.aHash(d.image)
+        (id, h, java.lang.Long.bitCount(h).toLong)
+      }
+      .toDF("media_id", "h", "n_bits")
+      .select($"media_id",
+        shiftrightunsigned($"h", 32).as("ph_hi"),
+        $"h".bitwiseAND(lit(0xFFFFFFFFL)).as("ph_lo"),
+        $"n_bits")
+      .orderBy($"media_id")
+  }
+
   /** Byte-grain CDC boundary mask (low 5 bits ⇒ ~32-byte average
     * chunks) and minimum reported chunk size. */
   val ByteCdcMask = 31L

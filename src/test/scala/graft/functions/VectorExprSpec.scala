@@ -171,4 +171,52 @@ class VectorExprSpec extends SparkTestBase {
     assert(out(0).isNullAt(0), "null input → null output")
     assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("SortedOverlapCount == size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map { _ =>
+      val a = Array.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      val b = Array.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Array.empty[Long], Array(1L, 2L))) :+ ((Array(3L), Array(3L)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_intersect($"a", $"b")).cast("long").as("want"),
+      graft.functions.VectorExpressions.sorted_overlap($"a", $"b").as("got"))
+    assert(got.where($"want" =!= $"got").count() == 0,
+      "merge kernel disagrees with array_intersect")
+    // interpreted eval path matches too
+    val inData = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array(1L, 4L, 9L))
+    val other = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array(2L, 4L, 8L, 9L))
+    assert(graft.functions.SortedOverlapCount.count(inData, other) == 2L)
+  }
+
+  test("sorted_overlap callable from SQL via extensions") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      try {
+        val r = s.sql("SELECT sorted_overlap(array(1L,2L,5L), array(2L,3L,5L))")
+          .head().getLong(0)
+        assert(r == 2L)
+      } finally {
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+      }
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+    }
+  }
 }

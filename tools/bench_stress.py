@@ -21,6 +21,7 @@ STRESS_DIR = "/tmp/graft-stress/sf1"
 # excluded for that reason, not forgotten)
 SUBSET = [
     "build_suffix_lcp", "build_contam_spans", "build_nsw_graph",
+    "build_jaccard_cc",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_clusters",
     "dedup_pipeline", "dedup_incremental", "dedup_cdc_chunks",

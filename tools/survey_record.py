@@ -137,6 +137,14 @@ def main():
         ratio = (float(pts[-1]) / float(pts[0])) if len(pts) >= 2 else 0
         scale_line = (f"scale curve {' / '.join(pts)} s at sf0.001/0.01/0.1 "
                       f"— 100× data, {ratio:.2f}× time (bench_scaling.json)")
+        if "sf1" in scal:
+            s1 = scal["sf1"]
+            bl = ", ".join(f"{k} {v:.0f}s" for k, v in sorted(
+                s1.get("builds", {}).items()))
+            scale_line += (
+                f"; 4th decade (self-generated 10× stress corpus, doc/vector"
+                f" families only): {s1['total_sec']:.1f} s over"
+                f" {s1['n_ok']} serves, builds {bl}")
     else:
         scale_line = "no bench_scaling.json found"
 
