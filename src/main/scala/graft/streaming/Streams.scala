@@ -369,6 +369,59 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class HllEntry(event_type: String, n_zero_regs: Int, est_distinct: Double)
+
+  /** Continuous HyperLogLog per event type — the streaming face of
+    * the hash-verified batch `q_hll_distinct`, and the bounded-state
+    * counterpoint to [[kmvStream]]: state per key is the 256-byte
+    * register array itself (never grows, whatever the cardinality),
+    * merged with each micro-batch by register max — the HLL merge IS
+    * max, so stream state, batch partial aggs, and cross-day rollups
+    * are the same object. Estimator arithmetic matches the batch
+    * query exactly (exact scaled-integer harmonic sum via BigInt, one
+    * rounding at ÷2⁵⁷; same α; same linear-counting branch), so the
+    * spec can assert final-emission equality against the batch rows. */
+  def hllStream(events: DataFrame): Dataset[HllEntry] = {
+    import events.sparkSession.implicits._
+    import graft.functions.Hashes
+
+    def fn(key: String, rows: Iterator[(String, Long)],
+        state: GroupState[Array[Byte]]): Iterator[HllEntry] = {
+      val regs = state.getOption.getOrElse(new Array[Byte](256))
+      rows.foreach { r =>
+        val h = Hashes.fnv64(r._2.toString)
+        val bucket = (h >>> 56).toInt
+        val w = h & 0x00FFFFFFFFFFFFFFL
+        // rank of the highest set bit within the 56-bit residue:
+        // nlz(w) − 7 == 57 − length(bin(w)), the batch oracle's form
+        val rho = if (w == 0L) 57 else java.lang.Long.numberOfLeadingZeros(w) - 7
+        if (rho > regs(bucket)) regs(bucket) = rho.toByte
+      }
+      state.update(regs)
+      var sScaled = BigInt(0)
+      var v = 0
+      var i = 0
+      while (i < 256) {
+        sScaled += BigInt(1) << (57 - regs(i))
+        if (regs(i) == 0) v += 1
+        i += 1
+      }
+      val hsum = sScaled.toDouble / 144115188075855872.0
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val eRaw = alpha * 65536.0 / hsum
+      val est =
+        if (eRaw <= 640.0 && v > 0) 256.0 * math.log(256.0 / v)
+        else eRaw
+      Iterator.single(HllEntry(key, v, est))
+    }
+
+    events
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming vector ingest into the persisted IVF index — the
     * continuous face of `ann_incremental_topk`'s batch add: vectors
     * landing as parquet files are routed to their cell with the

@@ -330,6 +330,47 @@ class StreamingSpec extends SparkTestBase {
     assert(emissions.length == 2 * expected.size, s"got ${emissions.length} emissions")
   }
 
+  test("streaming HLL: final emission == the hash-verified batch q_hll_distinct") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-hll-in").toString
+    val ev = Tables.events(spark, sfDir).select($"event_type", $"user_id")
+    ev.where($"user_id" % 2 === 0).coalesce(1).write.mode("append").parquet(inDir)
+    ev.where($"user_id" % 2 =!= 0).coalesce(1).write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("event_type STRING, user_id LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = Streams.hllStream(stream)
+      .writeStream.format("memory").queryName("hll_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val emissions = spark.table("hll_out").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val last = emissions.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    // the batch query's (event_type, n_zero_regs, est rnd2) over the
+    // SAME corpus — register-mergeability means the stream's final
+    // state must equal the batch registers exactly
+    val batch = graft.operators.EventAnalytics.qHllDistinct(spark, sfDir)
+      .select($"event_type", $"n_zero_regs", $"est_distinct")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(last.keySet == batch.keySet && last.nonEmpty)
+    last.foreach { case (et, (_, v, est)) =>
+      val (bv, best) = batch(et)
+      assert(v.toLong == bv, s"$et: zero-register count $v vs batch $bv")
+      val rnd2 = math.floor(est * 100 + 0.5) / 100
+      assert(math.abs(rnd2 - best) < 1e-9,
+        s"$et: stream estimate $rnd2 vs batch $best")
+    }
+    assert(emissions.length == 2 * batch.size, s"got ${emissions.length} emissions")
+    // bounded state: 256 registers regardless of cardinality is the
+    // design point — assert the estimator actually engaged (non-zero
+    // estimates, fewer zero registers than 256)
+    assert(last.values.forall { case (_, v, est) => v < 256 && est > 0 })
+  }
+
   test("ivf ingest stream: frozen-quantizer routing == batch, cell-partitioned exactly-once sink") {
     import spark.implicits._
     import java.nio.file.Files

@@ -35,13 +35,15 @@ def run_sf(sf):
 
 def main():
     sfs = sys.argv[1:] or SFS
-    out = {}
+    path = os.path.join(REPO, "bench_scaling.json")
+    # merge, don't clobber: the sf1 stress point (tools/bench_stress.py)
+    # lives in the same artifact
+    out = json.load(open(path)) if os.path.exists(path) else {}
     for sf in sfs:
         print(f"[scaling] running {sf} ...", flush=True)
         out[sf] = run_sf(sf)
         print(f"[scaling] {sf}: {out[sf]['total_sec']} s "
               f"(worst {out[sf]['worst']})", flush=True)
-    path = os.path.join(REPO, "bench_scaling.json")
     json.dump(out, open(path, "w"), indent=1)
     print(f"wrote {path}")
 
