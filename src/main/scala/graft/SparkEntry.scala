@@ -148,6 +148,7 @@ object SparkEntry {
     "mm_wav_meta"                 -> TextOps.mmWavMeta,
     "mm_image_meta"               -> TextOps.mmImageMeta,
     "mm_image_phash"              -> TextOps.mmImagePhash,
+    "mm_image_neardup"            -> TextOps.mmImageNeardup,
     "mm_featurize"                -> TextOps.mmFeaturize,
     "mm_frame_sample"             -> TextOps.mmFrameSample,
     "q_vocab_growth"              -> TextOps.qVocabGrowth,
@@ -2833,7 +2834,7 @@ object SparkEntry {
       s"""WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 7 <= 1),
         |cells AS (
         |  SELECT doc_id, cs.c,
-        |    CASE WHEN ${fnvSql("'img:' || CAST(doc_id AS VARCHAR) || ':' || CAST(cs.c AS VARCHAR)")} % 2 = 0
+        |    CASE WHEN ((${fnvSql(s"CAST((${fnvSql("'img:' || CAST(doc_id AS VARCHAR) || ':' || CAST(cs.c AS VARCHAR)")}) AS VARCHAR)")}) // 4294967296) % 2 = 0
         |         THEN 1 ELSE 0 END AS bright
         |  FROM img CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS c) cs),
         |agg AS (
@@ -2846,6 +2847,47 @@ object SparkEntry {
         |  CAST((CASE WHEN k = 64 THEN 0 ELSE ph END) % 4294967296 AS BIGINT) AS ph_lo,
         |  CAST(CASE WHEN k = 64 THEN 0 ELSE k END AS BIGINT) AS n_bits
         |FROM agg ORDER BY media_id""".stripMargin,
+
+    // full banded near-dup over real-decode aHashes: bits closed-form
+    // (cell bright ⇔ fnv even, XOR the dirty flip mask), 4×16-bit
+    // bands, anchor-capped admission, exact Hamming — mmImageNeardup
+    "mm_image_neardup" ->
+      s"""WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 7 <= 1),
+        |reg AS (
+        |  SELECT doc_id AS media_id, doc_id AS id, FALSE AS dirty FROM img
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, TRUE FROM img WHERE doc_id % 5 = 2),
+        |cells AS (
+        |  SELECT r.media_id, cs.c,
+        |    CASE WHEN (((${fnvSql(s"CAST((${fnvSql("'img:' || CAST(r.id AS VARCHAR) || ':' || CAST(cs.c AS VARCHAR)")}) AS VARCHAR)")}) // 4294967296) % 2 = 0)
+        |           <> (r.dirty AND ((${fnvSql(s"CAST((${fnvSql("'flip:' || CAST(r.id AS VARCHAR) || ':' || CAST(cs.c AS VARCHAR)")}) AS VARCHAR)")}) // 4294967296) % 16 = 0)
+        |         THEN 1 ELSE 0 END AS bright
+        |  FROM reg r CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS c) cs),
+        |kk AS (SELECT media_id, sum(bright) AS k FROM cells GROUP BY media_id),
+        |bits AS (
+        |  SELECT c.media_id, c.c,
+        |    CASE WHEN kk.k = 64 THEN 0 ELSE c.bright END AS bit
+        |  FROM cells c JOIN kk USING (media_id)),
+        |bands AS (
+        |  SELECT media_id, c//16 AS band,
+        |    CAST(sum(CAST(bit AS BIGINT) << (c%16)) AS BIGINT) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |sig AS (SELECT media_id, list(bv ORDER BY band) AS sg FROM bands GROUP BY media_id),
+        |bseq AS (
+        |  SELECT media_id, band, bv, row_number() OVER (PARTITION BY band, bv ORDER BY media_id) AS i
+        |  FROM bands),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+        |  FROM bseq a JOIN bseq b ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
+        |  WHERE a.i <= ${operators.Blocking.DefaultCap}),
+        |h AS (
+        |  SELECT ma, mb,
+        |    CAST(bit_count(xor(sa.sg[1], sb.sg[1])) + bit_count(xor(sa.sg[2], sb.sg[2]))
+        |       + bit_count(xor(sa.sg[3], sb.sg[3])) + bit_count(xor(sa.sg[4], sb.sg[4])) AS BIGINT) AS hamming
+        |  FROM cand JOIN sig sa ON sa.media_id = ma JOIN sig sb ON sb.media_id = mb)
+        |SELECT ma AS media_a, mb AS media_b, hamming
+        |FROM h WHERE hamming <= ${operators.TextOps.PhashTau}
+        |ORDER BY media_a, media_b""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH v AS (

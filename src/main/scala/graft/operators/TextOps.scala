@@ -628,8 +628,16 @@ object TextOps {
           var x = 0
           while (x < 32) {
             val c = (y * 8 / 32) * 8 + (x * 8 / 32)
-            val bright =
-              (graft.functions.Hashes.fnv64(s"img:$id:$c") & 1L) == 0L
+            // DOUBLE-hashed bit: FNV-1a is multiplicatively
+            // structured — a shared id-digit difference propagates as
+            // the SAME integer delta across every cell string, leaving
+            // single extracted bits correlated between ids (measured:
+            // whole-pattern collisions). Re-hashing the decimal
+            // expansion of the first hash destroys that linearity
+            // (measured min pairwise pattern hamming 16/64, mean 32).
+            val bright = ((graft.functions.Hashes.fnv64(
+              java.lang.Long.toUnsignedString(
+                graft.functions.Hashes.fnv64(s"img:$id:$c"))) >>> 32) & 1L) == 0L
             val v = if (bright) 230 else 25
             img.setRGB(x, y, (v << 16) | (v << 8) | v)
             x += 1
@@ -648,6 +656,77 @@ object TextOps {
         $"h".bitwiseAND(lit(0xFFFFFFFFL)).as("ph_lo"),
         $"n_bits")
       .orderBy($"media_id")
+  }
+
+  /** Image near-duplicate detection over REAL decoded pixels — the
+    * full banded dedup pass on top of [[mmImagePhash]]'s hash: the
+    * registry carries the base image corpus plus DERIVED variants
+    * (every 5th image doc gets a copy at id+10⁷ with ~4 of its 64
+    * cells deterministically flipped — the "slightly re-edited
+    * thumbnail" ground truth), every hash computed by render → PNG →
+    * `javax.imageio` decode → true block-mean aHash, then the
+    * simhash pigeonhole: four 16-bit bands generate candidates
+    * through the [[Blocking]] anchor cap and exact Hamming verifies.
+    * Because cell flips move single aHash bits (values stay in
+    * {25, 230}, so bit = brightness whenever both shades exist), the
+    * DuckDB oracle replays the ENTIRE pass closed-form — bits, band
+    * values, capped admission, Hamming — and any decoder pixel slip
+    * breaks the hash compare.
+    *
+    * Scale shape: decode+hash map-only; 4 band keys per media
+    * shuffle (8-byte signatures, never pixels); Hamming on admitted
+    * candidates only. */
+  val mmImageNeardup: QueryFn = (s, dir) => {
+    import s.implicits._
+    val imgIds = Tables.documents(s, dir).where($"doc_id" % 7 <= 1)
+      .select($"doc_id")
+    val reg = imgIds.select($"doc_id".as("media_id"))
+      .unionByName(imgIds.where($"doc_id" % 5 === 2)
+        .select(($"doc_id" + 10000000L).as("media_id")))
+    val hashed = reg.as[Long].map { mid =>
+      val dirty = mid >= 10000000L
+      val id = if (dirty) mid - 10000000L else mid
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) {
+          val c = (y * 8 / 32) * 8 + (x * 8 / 32)
+          // double-hashed bits — see mmImagePhash's comment
+          var bright = ((graft.functions.Hashes.fnv64(
+            java.lang.Long.toUnsignedString(
+              graft.functions.Hashes.fnv64(s"img:$id:$c"))) >>> 32) & 1L) == 0L
+          if (dirty && ((graft.functions.Hashes.fnv64(
+              java.lang.Long.toUnsignedString(
+                graft.functions.Hashes.fnv64(s"flip:$id:$c"))) >>> 32) & 15L) == 0L)
+            bright = !bright
+          val v = if (bright) 230 else 25
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bytes = graft.multimodal.ImageCodec.encode(img, "png")
+      val d = graft.multimodal.ImageCodec.decode(bytes).getOrElse(
+        sys.error(s"undecodable neardup fixture for media $mid"))
+      (mid, graft.multimodal.ImageCodec.aHash(d.image))
+    }.toDF("media_id", "h")
+      // pinned: the band explode and BOTH verify joins read this, and
+      // each row costs a real encode+decode
+      .localCheckpoint(true)
+    val bands = hashed.select($"media_id", explode(array((0 until 4).map { c =>
+      concat_ws(":", lit(c),
+        shiftrightunsigned($"h", c * 16).bitwiseAND(lit(65535L)))
+    }: _*)).as("key"))
+    val cand = Blocking.cappedPairs(
+      bands, "media_id", "ma", "mb", Blocking.DefaultCap)
+    cand.join(hashed.select($"media_id".as("ma"), $"h".as("ha")), "ma")
+      .join(hashed.select($"media_id".as("mb"), $"h".as("hb")), "mb")
+      .select($"ma".as("media_a"), $"mb".as("media_b"),
+        bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
+      .where($"hamming" <= PhashTau)
+      .orderBy($"media_a", $"media_b")
   }
 
   /** Byte-grain CDC boundary mask (low 5 bits ⇒ ~32-byte average
