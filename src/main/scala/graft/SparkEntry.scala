@@ -1734,7 +1734,7 @@ object SparkEntry {
 
     "q_kmv_distinct" ->
       s"""WITH h AS (
-        |  SELECT DISTINCT event_type, ${fnvSql("CAST(user_id AS VARCHAR)")} AS hu
+        |  SELECT DISTINCT event_type, ${mixSql(fnvSql("CAST(user_id AS VARCHAR)"))} AS hu
         |  FROM events),
         |sk AS (
         |  SELECT event_type, hu,
@@ -1759,7 +1759,7 @@ object SparkEntry {
     // union sketch collapses every estimate to exact (CASE arms)
     "q_kmv_set_ops" ->
       s"""WITH h AS (
-        |  SELECT DISTINCT event_type, ${fnvSql("CAST(user_id AS VARCHAR)")} AS hu FROM events),
+        |  SELECT DISTINCT event_type, ${mixSql(fnvSql("CAST(user_id AS VARCHAR)"))} AS hu FROM events),
         |sk AS (SELECT event_type, hu FROM (
         |    SELECT event_type, hu, row_number() OVER (PARTITION BY event_type ORDER BY hu) AS rn FROM h) t
         |  WHERE rn <= 128),
@@ -1803,7 +1803,7 @@ object SparkEntry {
     // two engines. Linear-counting small-range branch replayed too.
     "q_hll_distinct" ->
       s"""WITH h AS (
-        |  SELECT event_type, ${fnvSql("CAST(user_id AS VARCHAR)")} AS hu FROM events),
+        |  SELECT event_type, ${mixSql(fnvSql("CAST(user_id AS VARCHAR)"))} AS hu FROM events),
         |b AS (
         |  SELECT event_type,
         |    CAST(hu // 72057594037927936 AS BIGINT) AS bucket,
@@ -4111,6 +4111,22 @@ object SparkEntry {
 
   /** FNV-1a 64 over a string SQL expression, as unsigned HUGEINT —
     * shared by the winnow/simhash/minhash/mm/PQ replays. */
+  /** Murmur3 fmix64 finalizer over a HUGEINT hash expression —
+    * replays [[graft.functions.Hashes.mix64]] bit-exactly. The 64×64
+    * wrapping multiplies overflow INT128, so each runs as split
+    * 32-bit halves mod 2⁶⁴; the 5 steps thread through one
+    * list_reduce so `hExpr` evaluates ONCE. Required wherever a
+    * sketch slices BIT FIELDS out of a hash (HLL buckets, KMV
+    * order): raw FNV-1a's bit fields are structurally biased. */
+  private def mixSql(hExpr: String): String =
+    s"""list_reduce(
+       |      list_prepend($hExpr,
+       |        [CAST(s AS HUGEINT) for s in [1, 2, 3, 4, 5]]),
+       |      (h, s) -> CASE
+       |        WHEN s = 2 THEN (((h * 4283543511) % 4294967296) * 4294967296 + h * 3981806797) % 18446744073709551616
+       |        WHEN s = 4 THEN (((h * 3301882366) % 4294967296) * 4294967296 + h * 444984403) % 18446744073709551616
+       |        ELSE xor(h, h // 8589934592) END)""".stripMargin
+
   private def fnvSql(strExpr: String): String =
     s"""list_reduce(
        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),

@@ -387,8 +387,35 @@ object SortedOverlapCount {
   }
 }
 
+/** Native face of [[Hashes.mix64]] — the murmur3 finalizer as a
+  * codegen'd unary expression. A Column-arithmetic version would trip
+  * ANSI overflow checks on the wrapping multiplies; the JVM helper
+  * wraps by definition. */
+case class Mix64Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"mix64 expects bigint, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(h: Any): Any = Hashes.mix64(h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"graft.functions.Hashes.mix64($h)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+  /** Column-API face of [[Mix64Expr]]. */
+  def mix64(h: Column): Column = column(Mix64Expr(expression(h)))
 
   /** Column-API face of [[CosineSim]]. */
   def cosine_sim(a: Column, b: Column): Column =

@@ -1055,8 +1055,9 @@ object EventAnalytics {
     val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
     val hashed = Tables.events(s, dir)
       .select($"event_type",
-        element_at(graft.functions.VectorExpressions.fnv_shingles(
-          array($"user_id".cast("string")), 1), 1).as("h"))
+        graft.functions.VectorExpressions.mix64(
+          element_at(graft.functions.VectorExpressions.fnv_shingles(
+            array($"user_id".cast("string")), 1), 1)).as("h"))
       .select($"event_type",
         when($"h" < 0, $"h".cast(DecimalType(20, 0)) + two64)
           .otherwise($"h".cast(DecimalType(20, 0))).as("hu"))
@@ -1106,8 +1107,9 @@ object EventAnalytics {
     val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
     val hashed = Tables.events(s, dir)
       .select($"event_type",
-        element_at(graft.functions.VectorExpressions.fnv_shingles(
-          array($"user_id".cast("string")), 1), 1).as("h"))
+        graft.functions.VectorExpressions.mix64(
+          element_at(graft.functions.VectorExpressions.fnv_shingles(
+            array($"user_id".cast("string")), 1), 1)).as("h"))
       .select($"event_type",
         when($"h" < 0, $"h".cast(DecimalType(20, 0)) + two64)
           .otherwise($"h".cast(DecimalType(20, 0))).as("hu"))
@@ -1185,8 +1187,9 @@ object EventAnalytics {
     val ev = Tables.events(s, dir)
     val regs = ev
       .select($"event_type",
-        element_at(graft.functions.VectorExpressions.fnv_shingles(
-          array($"user_id".cast("string")), 1), 1).as("h"))
+        graft.functions.VectorExpressions.mix64(
+          element_at(graft.functions.VectorExpressions.fnv_shingles(
+            array($"user_id".cast("string")), 1), 1)).as("h"))
       .select($"event_type",
         shiftrightunsigned($"h", 56).as("bucket"),
         $"h".bitwiseAND(lit(0x00FFFFFFFFFFFFFFL)).as("w"))

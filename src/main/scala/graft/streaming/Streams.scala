@@ -350,7 +350,7 @@ object Streams {
     def fn(key: String, rows: Iterator[(String, Long)],
         state: GroupState[Seq[Long]]): Iterator[KmvEntry] = {
       val merged = (state.getOption.getOrElse(Seq.empty) ++
-          rows.map(r => Hashes.fnv64(r._2.toString)))
+          rows.map(r => Hashes.mix64(Hashes.fnv64(r._2.toString))))
         .distinct
         .sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0)
         .take(k)
@@ -389,7 +389,7 @@ object Streams {
         state: GroupState[Array[Byte]]): Iterator[HllEntry] = {
       val regs = state.getOption.getOrElse(new Array[Byte](256))
       rows.foreach { r =>
-        val h = Hashes.fnv64(r._2.toString)
+        val h = Hashes.mix64(Hashes.fnv64(r._2.toString))
         val bucket = (h >>> 56).toInt
         val w = h & 0x00FFFFFFFFFFFFFFL
         // rank of the highest set bit within the 56-bit residue:

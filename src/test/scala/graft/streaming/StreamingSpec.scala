@@ -313,7 +313,7 @@ class StreamingSpec extends SparkTestBase {
     def unsigned(h: Long): BigInt = BigInt(h) & ((BigInt(1) << 64) - 1)
     val expected = ev.as[(String, Long)].collect()
       .groupBy(_._1).view.mapValues { es =>
-        val hs = es.map(e => unsigned(graft.functions.Hashes.fnv64(e._2.toString)))
+        val hs = es.map(e => unsigned(graft.functions.Hashes.mix64(graft.functions.Hashes.fnv64(e._2.toString))))
           .distinct.sorted.take(8)
         val est =
           if (hs.size < 8) hs.size.toDouble
