@@ -121,7 +121,7 @@ class ApproxSpec extends SparkTestBase {
     def unsigned(h: Long): BigInt = BigInt(h) & ((BigInt(1) << 64) - 1)
     val expected = rows.groupBy(_._1).map { case (et, es) =>
       val users = es.map(_._2).distinct
-      val hs = users.map(u => unsigned(graft.functions.Hashes.fnv64(u.toString)))
+      val hs = users.map(u => unsigned(graft.functions.Hashes.mix64(graft.functions.Hashes.fnv64(u.toString))))
         .distinct.sorted.take(k)
       val est =
         if (hs.size < k) hs.size.toDouble
