@@ -178,6 +178,7 @@ object SparkEntry {
     "emb_quarantine"              -> operators.AnnOps.embQuarantine,
     "q_journey_repeats"           -> operators.SuffixOps.qJourneyRepeats,
     "q_l_diversity"               -> operators.CurationOps.qLDiversity,
+    "q_dp_counts"                 -> operators.CurationOps.qDpCounts,
     "dedup_minhash_calibration"   -> DedupOps.dedupMinhashCalibration,
     "q_domain_cap"                -> operators.CurationOps.qDomainCap,
     "q_mmr_select"                -> operators.CurationOps.qMmrSelect,
@@ -1753,6 +1754,29 @@ object SparkEntry {
         |  floor(e*100 + 0.5)/100 AS est_distinct,
         |  floor((abs(e - n_exact)/n_exact)*10000 + 0.5)/10000 AS rel_err
         |FROM est ORDER BY event_type""".stripMargin,
+
+    // seeded-Laplace DP release: u from the mix64'd group hash as a
+    // 53-bit field shifted into (0,1); inverse-CDF noise replayed with
+    // identical expression order
+    "q_dp_counts" ->
+      s"""WITH g AS (SELECT lang, source, count(*) AS n_true FROM documents GROUP BY lang, source),
+        |e AS (SELECT unnest(['0.5','1.0','5.0']) AS eps_s),
+        |x AS (
+        |  SELECT g.lang, g.source, e.eps_s, CAST(e.eps_s AS DOUBLE) AS eps, g.n_true,
+        |    ${mixSql(fnvSql("'dp:' || lang || ':' || source || ':' || eps_s"))} AS hu
+        |  FROM g CROSS JOIN e),
+        |n AS (
+        |  SELECT lang, source, eps, n_true,
+        |    (CAST(hu // 2048 AS DOUBLE) + 0.5) / 9007199254740992 AS u
+        |  FROM x),
+        |f AS (
+        |  SELECT lang, source, eps, n_true,
+        |    (-(1.0/eps)) * sign(u - 0.5) * ln(1 - 2*abs(u - 0.5)) AS noise
+        |  FROM n)
+        |SELECT lang, source, eps, n_true,
+        |  floor((n_true + noise)*10000 + 0.5)/10000 AS n_dp,
+        |  floor(abs(noise)*10000 + 0.5)/10000 AS abs_noise
+        |FROM f ORDER BY lang, source, eps""".stripMargin,
 
     // KMV set algebra: merged k-smallest = union sketch; rho/k of the
     // union sketch present in BOTH inputs estimates Jaccard; not-full

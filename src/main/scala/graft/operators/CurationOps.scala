@@ -99,6 +99,46 @@ object CurationOps {
           .as("k5_violation_share"))
   }
 
+  /** Differentially-private count release with SEEDED Laplace noise —
+    * the governance family's RELEASE mechanism next to its audits
+    * (k-anonymity and l-diversity say when a table is unsafe to
+    * publish raw; this publishes the noisy version): per
+    * (lang, source) document counts released at ε ∈ {0.5, 1, 5},
+    * noise = Laplace(1/ε) via the inverse CDF
+    * −(1/ε)·sign(u−½)·ln(1−2|u−½|). `u` comes from a
+    * mix64-finalized FNV of the group key + ε (the [[graft.functions
+    * .Hashes.mix64]] discipline — bit-field uniformity matters here:
+    * u IS a 53-bit field), shifted to the open interval
+    * (k+0.5)/2⁵³ so ln(0) is unreachable. A production release draws
+    * true randomness; the seeded twin has identical sensitivity
+    * arithmetic and is replayable by the DuckDB oracle end-to-end,
+    * which is what makes the mechanism TESTABLE (the spec checks the
+    * E|noise| ∝ 1/ε ordering on the released panel itself).
+    *
+    * Scale shape: one partial+final group count, a 3-row broadcast
+    * cross join, map-only noise. */
+  val qDpCounts: QueryFn = (s, dir) => {
+    import s.implicits._
+    val grp = Tables.documents(s, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n_true"))
+    val eps = Seq("0.5", "1.0", "5.0").toDF("eps_s")
+    grp.crossJoin(broadcast(eps))
+      .withColumn("h", graft.functions.VectorExpressions.mix64(
+        element_at(fnv_shingles(
+          array(concat_ws(":", lit("dp"), $"lang", $"source", $"eps_s")), 1), 1)))
+      .withColumn("eps", $"eps_s".cast("double"))
+      .withColumn("u",
+        (shiftrightunsigned($"h", 11).cast("double") + lit(0.5)) /
+          lit(9007199254740992.0))
+      .withColumn("noise",
+        (-(lit(1.0) / $"eps")) * signum($"u" - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs($"u" - 0.5)))
+      .select($"lang", $"source", $"eps", $"n_true",
+        rnd($"n_true" + $"noise", 4).as("n_dp"),
+        rnd(abs($"noise"), 4).as("abs_noise"))
+      .orderBy($"lang", $"source", $"eps")
+  }
+
   /** l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
     * necessary companion: a class can be large (k-anonymous) yet
     * reveal everyone's sensitive value if it is UNIFORM. Here the QI

@@ -214,6 +214,25 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_dp_counts: noise scales ~1/eps, deterministic, never releases exactly") {
+    import spark.implicits._
+    val rows = CurationOps.qDpCounts(spark, sfDir)
+      .as[(String, String, Double, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // mean |noise| ordering across the three budgets: eps 0.5 > 1 > 5
+    val byEps = rows.groupBy(_._3).view
+      .mapValues(rs => rs.map(_._6).sum / rs.size).toMap
+    assert(byEps.keySet == Set(0.5, 1.0, 5.0))
+    assert(byEps(0.5) > byEps(1.0) && byEps(1.0) > byEps(5.0),
+      s"E|noise| not ~1/eps: $byEps")
+    // seeded mechanism is deterministic (the oracle-replay contract)
+    val again = CurationOps.qDpCounts(spark, sfDir)
+      .as[(String, String, Double, Long, Double, Double)].collect()
+    assert(rows.toSeq == again.toSeq)
+    // released values actually differ from the raw counts
+    assert(rows.count { case (_, _, _, t, dp, _) => dp != t.toDouble } >= rows.length / 2)
+  }
+
   /** Write a docs frame to a temp dir so dir-based query fns accept it. */
   private def docsDir(docs: DataFrame): String = {
     val d = java.nio.file.Files.createTempDirectory("curation-docs").toString
