@@ -179,6 +179,7 @@ object SparkEntry {
     "q_journey_repeats"           -> operators.SuffixOps.qJourneyRepeats,
     "q_l_diversity"               -> operators.CurationOps.qLDiversity,
     "q_dp_counts"                 -> operators.CurationOps.qDpCounts,
+    "q_sssp"                      -> operators.GraphOps.qSssp,
     "dedup_minhash_calibration"   -> DedupOps.dedupMinhashCalibration,
     "q_domain_cap"                -> operators.CurationOps.qDomainCap,
     "q_mmr_select"                -> operators.CurationOps.qMmrSelect,
@@ -1754,6 +1755,24 @@ object SparkEntry {
         |  floor(e*100 + 0.5)/100 AS est_distinct,
         |  floor((abs(e - n_exact)/n_exact)*10000 + 0.5)/10000 AS rel_err
         |FROM est ORDER BY event_type""".stripMargin,
+
+    // bounded Bellman-Ford vs recursive walk enumeration: IEEE + is
+    // monotone, so min-then-extend == extend-then-min bit-for-bit
+    "q_sssp" ->
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS no
+        |  FROM op a JOIN op b USING (l_orderkey) WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY pa, pb),
+        |e AS (SELECT pa AS u, pb AS v, 1.0/no AS w FROM e0
+        |  UNION ALL SELECT pb, pa, 1.0/no FROM e0),
+        |src AS (SELECT min(l_partkey) AS s FROM op),
+        |walks AS (
+        |  SELECT s AS node, CAST(0 AS DOUBLE) AS dist, 0 AS hops FROM src
+        |  UNION ALL
+        |  SELECT e.v, p.dist + e.w, p.hops + 1
+        |  FROM walks p JOIN e ON e.u = p.node WHERE p.hops < 4)
+        |SELECT node AS part, floor(min(dist)*1000000 + 0.5)/1000000 AS dist
+        |FROM walks GROUP BY node ORDER BY part""".stripMargin,
 
     // seeded-Laplace DP release: u from the mix64'd group hash as a
     // 53-bit field shifted into (0,1); inverse-CDF noise replayed with

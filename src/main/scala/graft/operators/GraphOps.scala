@@ -257,6 +257,55 @@ object GraphOps {
         .orderBy($"dist", $"l_partkey")
   }
 
+  /** Rounds of relaxation for [[qSssp]] — the same ≤4-hop reach
+    * bound as BFS, so the walk-enumeration oracle stays small. */
+  val SsspMaxHops = 4
+
+  /** Weighted single-source shortest paths over the co-purchase
+    * graph — the graph family's WEIGHTED completion (BFS counts
+    * hops; this prices them): edge weight 1/support, so strongly
+    * co-bought pairs are CLOSE and the distance is a relatedness
+    * metric a substitution recommender thresholds. Bounded
+    * Bellman-Ford: [[SsspMaxHops]] synchronous relaxation rounds
+    * (dist ← min(dist, min over in-edges of dist(u)+w)), each a
+    * join + partial+final min-agg over the edge frame, lineage cut
+    * per round — the Pregel shape with values instead of hops.
+    *
+    * Exactness: IEEE `+` is monotone (a ≤ b ⇒ a+w ≤ b+w), so
+    * min-then-extend (the engine's DP) equals extend-then-min over
+    * every ≤4-edge walk (the oracle's recursive enumeration) at
+    * FULL float precision — the distances match bit-for-bit before
+    * the output rounding. */
+  val qSssp: QueryFn = (s, dir) => {
+    import s.implicits._
+    val op = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val e0 = op.select($"l_orderkey", $"l_partkey".as("pa"))
+      .join(op.select($"l_orderkey", $"l_partkey".as("pb")), Seq("l_orderkey"))
+      .where($"pa" < $"pb")
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("no"))
+    val und = e0.unionByName(e0.select($"pb".as("pa"), $"pa".as("pb"), $"no"))
+      .select($"pa".as("u"), $"pb".as("v"),
+        (lit(1.0) / $"no".cast("double")).as("w"))
+      .localCheckpoint(true)
+    val seedRow = op.agg(min($"l_partkey")).head()
+    if (seedRow.isNullAt(0))
+      und.select($"u".as("part"), $"w".as("dist")).limit(0)
+    else {
+      val src = seedRow.getLong(0)
+      var dist = Seq((src, 0.0)).toDF("node", "dist")
+      for (_ <- 1 to SsspMaxHops) {
+        val relaxed = dist.join(und, $"node" === $"u")
+          .select($"v".as("node"), ($"dist" + $"w").as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy($"node").agg(min($"dist").as("dist"))
+          .localCheckpoint(true)
+      }
+      dist.select($"node".as("part"), rnd($"dist", 6).as("dist"))
+        .orderBy($"part")
+    }
+  }
+
   /** The frontier-expansion BFS core behind [[qBfsDistance]] —
     * factored out so specs can feed hand graphs. `symBoth` must carry
     * both directions of every edge as (u, v) longs. */
