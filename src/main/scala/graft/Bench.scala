@@ -140,6 +140,13 @@ object Bench {
       } finally {
         watchdog.cancel()
         spark.sparkContext.clearJobGroup()
+        // drop plan-level caches (Pin.corpus persists) so each row
+        // measures in a clean cache state — persisted frames from
+        // earlier rows otherwise pile up and turn late heavy queries
+        // spill-bound (measured: dedup_containment 24 s isolated vs
+        // 67 s late in the sequence). Session memos are untouched:
+        // they hold localCheckpointed RDD blocks, not plan caches.
+        spark.catalog.clearCache()
       }
     }
 

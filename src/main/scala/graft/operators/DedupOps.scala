@@ -297,6 +297,18 @@ object DedupOps {
         (pairs, labels)
       })
 
+  /** The memoized full-corpus τ=0.5 EXACT pair set, for consumers
+    * that dedup a SUBSET of the corpus (pipeline_curate): the
+    * prefix filter is lossless, so the full pair set restricted to
+    * subset endpoints IS the subset's pair set. Connected components
+    * must still run per-subset — an arbitrary filter can break
+    * connectivity through excluded docs, so the full LABELS don't
+    * restrict (unlike dedup_pipeline's exact-dup-only exclusion,
+    * which provably preserves them). */
+  private[operators] def sharedPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    clusterChain(s, dir)._1
+
   /** Cold-build entry for the bench's `build_jaccard_cc` row — the
     * suffix/NSW discipline: the memoized chain's construction cost is
     * reported explicitly instead of amortizing invisibly into

@@ -614,11 +614,19 @@ object PipelineOps {
       .select($"doc_id", $"source", $"lang", $"text")
       .transform(Pin.corpus)
 
-    // stage 4: near dedup — exact Jaccard pairs → star-contraction CC
-    val pairs = DedupOps
-      .jaccardPairs(DedupOps.shingled(exact.select($"doc_id", $"text")).transform(Pin.corpus), tau = 0.5)
+    // stage 4: near dedup — the memoized FULL-corpus exact pair set
+    // restricted to stage-3 survivors (lossless: the prefix filter is
+    // exact, so full-pairs ∩ survivors² == pairs-over-survivors), then
+    // star-contraction CC over the survivors only (labels can't be
+    // reused: quality filtering may break connectivity through
+    // excluded docs). One cold chain build serves this query, the
+    // four dedup_* consumers, and the bench's build_jaccard_cc row.
+    val ids = exact.select($"doc_id")
+    val pairs = DedupOps.sharedPairs(s, dir)
+      .join(ids.select($"doc_id".as("doc_a")), "doc_a")
+      .join(ids.select($"doc_id".as("doc_b")), "doc_b")
       .select($"doc_a", $"doc_b")
-    val reps = DedupOps.connectedComponents(pairs, exact.select($"doc_id"))
+    val reps = DedupOps.connectedComponents(pairs, ids)
     val near = exact.join(reps, "doc_id").where($"rep" === $"doc_id").drop("rep")
 
     // stage 5: stratified sample — same nibble rule as qStratifiedSample

@@ -35,6 +35,7 @@ SUBSET = [
     "q_sql_cosine_topk", "emb_dim_stats", "emb_drift_check",
     "emb_pq_distortion", "emb_quarantine", "emb_kmeans", "emb_pca_power",
     "mm_phash_neardup", "mm_cdc_chunks", "mm_wav_meta", "mm_image_meta",
+    "mm_image_phash", "mm_image_neardup", "q_dp_counts",
 ]
 
 
