@@ -21,6 +21,19 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     val audits: Seq[(String, Map[String, String => Boolean])] = Seq(
+      // §2.H: the status predicate must prune at the partition
+      // DIRECTORY level (manifest listing), not post-scan — at 100 TB
+      // that is the difference between opening one partition and three
+      "src_partitioned_sink" -> Map(
+        "status prunes partitions" -> (p =>
+          "PartitionFilters: \\[[^\\]]*o_orderstatus".r.findFirstIn(p).isDefined),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      // §2.H: the quantity filter must reach the csv SCAN (row-group
+      // skip is parquet-only, but csv still short-circuits row parses)
+      "src_csv_roundtrip" -> Map(
+        "quantity filter pushed to csv scan" -> (p =>
+          "PushedFilters: \\[[^\\]]*LessThan\\(l_quantity".r.findFirstIn(p).isDefined),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
       "q6_forecast_revenue" -> Map(
         "filters pushed to scan" -> (_.contains("PushedFilters: [IsNotNull(l_shipdate)")),
         "schema pruned to 4 cols" -> (p =>

@@ -246,6 +246,22 @@ object SparkEntry {
     "dedup_keep_best"             -> DedupOps.dedupKeepBest,
     "q_sql_topk_rewrite"          -> RelationalExt.qSqlTopkRewrite,
     "emb_pq_distortion"           -> AnnOps.embPqDistortion,
+    // §2.G streaming — real Structured Streaming runs, gated against
+    // batch-semantics oracles (StreamQueries doc for determinism rules)
+    "stream_window_stats"         -> operators.StreamQueries.streamWindowStats,
+    "stream_hopping_stats"        -> operators.StreamQueries.streamHoppingStats,
+    "stream_dedup_keys"           -> operators.StreamQueries.streamDedupKeys,
+    "stream_interval_join"        -> operators.StreamQueries.streamIntervalJoin,
+    "stream_sessionize_closed"    -> operators.StreamQueries.streamSessionizeClosed,
+    "stream_cdc_state"            -> operators.StreamQueries.streamCdcState,
+    // §2.H sources & sinks — write→read round-trips hashed against the
+    // original parquet (SourceSinkOps doc for the lossless-ness rules)
+    "src_csv_roundtrip"           -> operators.SourceSinkOps.srcCsvRoundtrip,
+    "src_json_roundtrip"          -> operators.SourceSinkOps.srcJsonRoundtrip,
+    "src_partitioned_sink"        -> operators.SourceSinkOps.srcPartitionedSink,
+    "src_text_dir"                -> operators.SourceSinkOps.srcTextDir,
+    "src_object_store"            -> operators.SourceSinkOps.srcObjectStore,
+    "src_schema_evolution"        -> operators.SourceSinkOps.srcSchemaEvolution,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -3539,6 +3555,133 @@ object SparkEntry {
         |SELECT kind, count(*) AS n_media, CAST(8 AS BIGINT) AS dim,
         |  floor((CAST(sum(CAST(f0 AS DECIMAL(27,10))) AS DOUBLE)/count(*))*10000 + 0.5)/10000 AS avg_f0
         |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // ---- §2.G streaming: the engine runs REAL Structured Streaming
+    // jobs (file source → stateful transform → memory sink, blocked to
+    // completion); these oracles are the declarative batch semantics
+    // the incremental execution must land on bit-for-bit ----
+
+    // tumbling 1 h panes; sums accumulate in DECIMAL on both sides so
+    // pane values can't depend on micro-batch/partial-agg merge order
+    "stream_window_stats" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |count(*) AS n_events,
+        |floor((CAST(sum(CAST((value) AS DECIMAL(27,10))) AS DOUBLE))*100 + 0.5)/100 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // hopping 6 h / 2 h panes: every event lands in exactly 3 —
+    // replayed by cross-joining each event with offsets {0,1,2}
+    "stream_hopping_stats" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |hop AS (
+        |  SELECT event_type, (us // 7200000000) * 7200000000 - k * 7200000000 AS ws
+        |  FROM e, (SELECT unnest([0, 1, 2]) AS k))
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n_events
+        |FROM hop GROUP BY ws, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    // dropDuplicatesWithinWatermark survivors projected to keys: WHICH
+    // row wins is arrival-order; the KEY SET is the contract
+    "stream_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // stream-stream interval self-join: same-user purchases within
+    // [view, view+1h], inclusive both ends like the engine's condition
+    "stream_interval_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id AS user_id, view_id, purchase_id,
+        |  CAST(floor(value*100 + 0.5) AS BIGINT) AS purchase_cents
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND pus >= vus AND pus <= vus + 3600000000
+        |ORDER BY view_id, purchase_id""".stripMargin,
+
+    // flatMapGroupsWithState sessionizer, closed sessions only: a
+    // non-final session closes via its successor event; the final one
+    // closes iff its event-time timeout (last_ms + 30 min) is strictly
+    // below the final watermark (global max_ms − 30 min delay) — the
+    // engine's exact ms-truncated timeout rule. value is pre-scaled to
+    // integral cents so state sums are order-free.
+    "stream_sessionize_closed" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, floor(value*100 + 0.5) AS cents FROM events),
+        |m AS (SELECT max(us) AS max_us FROM e),
+        |s AS (SELECT user_id, us, cents,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (SELECT user_id, us, cents,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |sess AS (SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us,
+        |    count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM g GROUP BY 1, 2),
+        |lastsid AS (SELECT user_id, max(sid) AS max_sid FROM sess GROUP BY 1)
+        |SELECT sess.user_id AS user_id, start_us, end_us, n_events, sum_cents
+        |FROM sess JOIN lastsid ON sess.user_id = lastsid.user_id CROSS JOIN m
+        |WHERE sess.sid < lastsid.max_sid
+        |   OR (end_us // 1000 + 1800000 < (m.max_us // 1000) - 1800000)
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // mapGroupsWithState MERGE state: max-seq change wins per key
+    // (seq = event_id, unique); clicks are tombstones (st='', tp=0)
+    "stream_cdc_state" ->
+      """WITH c AS (SELECT event_id AS seq, user_id % 500 AS key, event_type, value FROM events),
+        |r AS (SELECT key, seq, event_type, value,
+        |  row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn FROM c)
+        |SELECT key,
+        |  CASE WHEN event_type = 'click' THEN '' ELSE event_type END AS st,
+        |  CASE WHEN event_type = 'click' THEN 0.0 ELSE floor(value*100 + 0.5)/100 END AS tp,
+        |  CAST(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS BIGINT) AS alive
+        |FROM r WHERE rn = 1 ORDER BY key""".stripMargin,
+
+    // ---- §2.H sources & sinks: the engine writes through a real sink
+    // and reads back through the matching source; the oracle runs the
+    // same aggregate over the ORIGINAL parquet, so a hash pass proves
+    // the round-trip lost nothing ----
+
+    "src_csv_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST((l_quantity) AS DECIMAL(27,10))) AS DOUBLE) AS sum_qty,
+        |  floor(CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS disc_price
+        |FROM lineitem WHERE l_quantity < 25.0
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "src_json_roundtrip" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  floor(CAST(sum(CAST((o_totalprice) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS total,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "src_partitioned_sink" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |  count(*) AS n,
+        |  floor(CAST(sum(CAST((o_totalprice) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS total
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // text-dir round-trip: doc text re-splits at newlines on read; the
+    // whitespace-token multiset is invariant under line re-splitting
+    "src_text_dir" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+
+    "src_object_store" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  floor(CAST(sum(CAST((o_totalprice) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS total,
+        |  count(DISTINCT o_orderkey) AS n_keys
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    // v1 files (even keys) lack o_orderpriority; mergeSchema surfaces
+    // them as NULL → the '<v1>' group
+    "src_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE '<v1>' END AS priority,
+        |  count(*) AS n,
+        |  floor(CAST(sum(CAST((o_totalprice) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS total
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
   )
 
   /** `dedup_minhash_lsh` replayed END-TO-END in DuckDB — the whole

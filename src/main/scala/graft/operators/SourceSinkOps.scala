@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Cols.{rnd, xsum}
+
+/** Driver-gated sources & sinks (SURVEY §2.H): each query WRITES a
+  * table through a real sink (csv / json lines / partitioned parquet /
+  * text dir / the in-JVM `objstore://` object store), READS it back
+  * through the matching source, and aggregates — the DuckDB oracle
+  * runs the same aggregate over the ORIGINAL parquet, so a hash pass
+  * proves the round-trip was lossless end-to-end (schema, encoding,
+  * nullability, partition values). This is the §2.H twin of the
+  * reference's Inputer/Outputer surface (inputer.go:11,
+  * outputer.go:10 — S3 text objects in/out), re-expressed as Spark
+  * sources/sinks with columnar formats and partition layout.
+  *
+  * Round-trip exactness is load-bearing and chosen per format:
+  * doubles survive csv/json because Spark writes shortest-round-trip
+  * decimal strings (Java `Double.toString`) and parses them back to
+  * the identical bits; timestamps ride only through parquet (csv/json
+  * rows here carry none — text timestamp formats are the classic
+  * silent-corruption path); partition-column values ride the
+  * DIRECTORY NAME, exercising write-side escaping and read-side
+  * coercion.
+  *
+  * Scale posture: writes shard per-partition (no driver collect
+  * anywhere); reads are the vectorized sources with pushdown —
+  * `src_partitioned_sink` must show `PartitionFilters` (pruning at
+  * the manifest, the 100 TB table-layout contract) and the csv read
+  * pushes its filter into the scan. Temp dirs are per-sfDir and
+  * rewritten (`overwrite`) each run, so re-runs and concurrent SFs
+  * never cross-contaminate.
+  */
+object SourceSinkOps {
+  import graft.SparkEntry.QueryFn
+
+  private def ioDir(sfDir: String, leaf: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-io-" + Integer.toHexString(sfDir.hashCode), leaf).toString
+
+  /** lineitem → headered CSV → schema'd read (filter pushed to the
+    * scan) → pricing rollup. The quantity filter evaluates on csv-
+    * parsed doubles, so a single mis-parsed row moves group counts. */
+  val srcCsvRoundtrip: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = ioDir(dir, "lineitem_csv")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+        $"l_discount", $"l_returnflag", $"l_linestatus")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType), StructField("l_discount", DoubleType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType)))
+    s.read.schema(schema).option("header", "true").csv(out)
+      .where($"l_quantity" < 25.0)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        xsum($"l_quantity").as("sum_qty"),
+        rnd(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("disc_price"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** orders → JSON lines → schema'd read → status × priority rollup
+    * (JSON field order and number formatting must round-trip). */
+  val srcJsonRoundtrip: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = ioDir(dir, "orders_json")
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice", $"o_orderpriority")
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderpriority", StringType)))
+    s.read.schema(schema).json(out)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        rnd(xsum($"o_totalprice"), 2).as("total"),
+        count_distinct($"o_custkey").as("n_cust"))
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
+  /** orders → hive-partitioned parquet (partitionBy status) → read
+    * with a partition predicate → monthly rollup of ONE partition.
+    * The 100 TB point: the status filter prunes at the directory
+    * manifest (`PartitionFilters` in the plan) — two of three
+    * partitions are never opened. Timestamps round-trip columnar. */
+  val srcPartitionedSink: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = ioDir(dir, "orders_bystatus")
+    Tables.orders(s, dir)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .where($"o_orderstatus" === "F")
+      .groupBy(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"), rnd(xsum($"o_totalprice"), 2).as("total"))
+      .orderBy($"month")
+  }
+
+  /** documents → raw text-dir sink → line source → wordcount. Doc
+    * text embeds newlines, so the read sees MORE records than docs —
+    * whitespace tokenization makes the token multiset invariant
+    * under line re-splitting, which is exactly what the hash proves.
+    * This is the reference's native modality (text objects in an
+    * S3 prefix, inputer.go:11) as a Spark source/sink pair. */
+  val srcTextDir: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = ioDir(dir, "documents_text")
+    Tables.documents(s, dir).select($"text")
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(explode(split($"value", "\\s+")).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .orderBy($"word")
+  }
+
+  /** orders → parquet on `objstore://` (the in-JVM flat-keyspace,
+    * atomic-PUT, rename-is-copy+delete object store, S3-semantics —
+    * ObjectStoreFileSystem.scala) → read back → rollup. Proves the
+    * whole write path (committer temp files, renames, list-after-
+    * write) and the vectorized read run against object-store
+    * semantics, not POSIX — the driver-gated face of the r6 "touch a
+    * real object store" item. Scheme registration is idempotent. */
+  val srcObjectStore: QueryFn = (s, dir) => {
+    import s.implicits._
+    val hc = s.sparkContext.hadoopConfiguration
+    hc.setIfUnset("fs.objstore.impl", classOf[graft.mr.ObjectStoreFileSystem].getName)
+    val out = "objstore:///bench/" + Integer.toHexString(dir.hashCode) + "/orders"
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), rnd(xsum($"o_totalprice"), 2).as("total"),
+        count_distinct($"o_orderkey").as("n_keys"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Two parquet generations with different schemas (v2 adds
+    * `o_orderpriority`) merged by `mergeSchema` — the schema-
+    * evolution read every long-lived 100 TB table eventually needs;
+    * v1 rows surface the new column as NULL, and the rollup's NULL
+    * group proves the merge didn't invent or drop rows. */
+  val srcSchemaEvolution: QueryFn = (s, dir) => {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+    val v1 = ioDir(dir, "orders_v1")
+    val v2 = ioDir(dir, "orders_v2")
+    base.where($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_totalprice")
+      .write.mode("overwrite").parquet(v1)
+    base.where($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .write.mode("overwrite").parquet(v2)
+    s.read.option("mergeSchema", "true").parquet(v1, v2)
+      .groupBy(coalesce($"o_orderpriority", lit("<v1>")).as("priority"))
+      .agg(count(lit(1)).as("n"), rnd(xsum($"o_totalprice"), 2).as("total"))
+      .orderBy($"priority")
+  }
+}

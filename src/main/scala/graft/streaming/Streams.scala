@@ -76,6 +76,25 @@ object Streams {
         col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"), col("approx_users"))
 
+  /** [[windowedAgg]] with EXACT sums instead of sketches — the
+    * variant the driver's cross-engine hash gate runs
+    * (`stream_window_stats`): `approx_count_distinct` has no DuckDB
+    * twin, and a raw double sum under incremental state updates is
+    * order-nondeterministic, so the accumulator here is
+    * DECIMAL(27,10) ([[graft.functions.Cols.xsum]]) — streaming
+    * state merges decimals exactly, making the final pane values
+    * independent of micro-batch boundaries. */
+  def windowStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.functions.Cols.xsum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** HOPPING-window aggregate (6 h panes sliding 2 h) with a 1-hour
     * watermark — the streaming twin of the batch `q_events_hopping`:
     * the multi-assignment (each event → 3 panes) happens map-side
