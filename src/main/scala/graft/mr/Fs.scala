@@ -35,6 +35,14 @@ object Fs {
   def indexRoot: String = overrideIndexRoot
     .orElse(sys.env.get("GRAFT_INDEX_ROOT")).getOrElse("/tmp")
 
+  /** Collision-proof scratch-dir key for a corpus path: the FULL
+    * path, sanitized to one filesystem-safe token (r7 verdict #4 —
+    * `hashCode` keys carry a 32-bit silent-cross-contamination
+    * hazard between corpora; the full path carries none and stays
+    * human-debuggable in /tmp listings). */
+  def pathKey(path: String): String =
+    path.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^_+", "")
+
   /** FileSystem for `path`'s scheme, bound to the active session's
     * Hadoop conf (credentials, endpoints) when one exists. */
   def resolve(path: String): (FileSystem, Path) = {

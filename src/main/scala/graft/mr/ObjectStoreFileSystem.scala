@@ -172,15 +172,22 @@ class ObjectStoreFileSystem extends FileSystem {
     val dk = key(dst)
     val so = objects.get(sk)
     if (so != null) {
-      // single object: server-side copy then delete
+      // rename onto an existing FILE object must FAIL (Hadoop FS
+      // contract; r7 advice): nesting src under a file-as-directory
+      // would mask exactly the committer bug class this scheme
+      // exists to catch
+      if (objects.containsKey(dk)) return false
       val target =
-        if (objects.containsKey(dk) || isPrefixOfAny(dk)) dk + "/" + src.getName
+        if (isPrefixOfAny(dk)) dk + "/" + src.getName
         else dk
+      // single object: server-side copy then delete
       objects.put(target, so.copy(mtime = System.currentTimeMillis()))
       objects.remove(sk)
       renamedObjects.incrementAndGet()
       true
     } else if (isPrefixOfAny(sk)) {
+      // directory onto an existing file object: same contract failure
+      if (objects.containsKey(dk)) return false
       // "directory": every object under the prefix is copied+deleted —
       // the O(objects) rename tax S3A pays
       val pre = sk + "/"

@@ -32,12 +32,30 @@ object Checkpoints {
   def reliableDir: Option[String] = overrideDir.orElse(envDir)
 
   /** Cut lineage eagerly — locally by default, reliably when the
-    * deployment asked for it. */
+    * deployment asked for it.
+    *
+    * The context's checkpoint dir must actually live UNDER the
+    * requested reliable dir (Spark appends a per-context UUID
+    * segment to whatever `setCheckpointDir` receives): a
+    * pre-existing dir — set by other code, or stale from a previous
+    * `overrideDir` value — would otherwise silently win and route
+    * "reliable" cuts somewhere the deployment never asked for (r7
+    * advice). Reset on mismatch rather than fail: setCheckpointDir
+    * is idempotent-safe and later cuts keep working.
+    *
+    * Retention: reliable checkpoint files are NOT auto-deleted
+    * unless `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * is set at session build (it cannot be flipped on a live
+    * context). A long-lived session without that conf grows the
+    * durable store by one frame per cut — deployments flipping
+    * GRAFT_RELIABLE_CHECKPOINT_DIR on should set the cleaner conf
+    * next to it, or point the dir at a TTL'd bucket prefix. */
   def cut[T](ds: Dataset[T]): Dataset[T] = reliableDir match {
     case None => ds.localCheckpoint(true)
     case Some(dir) =>
       val sc = ds.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+        sc.setCheckpointDir(dir)
       ds.checkpoint(true)
   }
 }

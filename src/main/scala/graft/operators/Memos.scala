@@ -59,8 +59,17 @@ final class Memo[V](cap: Int = Memo.Cap) {
       if (hit != null) hit
       else { val c = new Cell(() => v); m.put(k, c); c }
     }
-    try cell.value
-    catch {
+    try {
+      val value = cell.value
+      // A failed first build removes the cell (below) — but a
+      // same-key waiter already blocked on the cell's monitor RETRIES
+      // the lazy val, and if that retry succeeds the value must be
+      // re-cached or the next caller rebuilds the multi-minute chain
+      // from scratch (r7 advice). putIfAbsent semantics: a fresh cell
+      // raced in by a later caller wins; we never clobber it.
+      m.synchronized { if (!m.containsKey(k)) m.put(k, cell) }
+      value
+    } catch {
       case t: Throwable =>
         m.synchronized { if (m.get(k) eq cell) m.remove(k) }
         throw t

@@ -40,7 +40,7 @@ object SourceSinkOps {
 
   private def ioDir(sfDir: String, leaf: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-io-" + Integer.toHexString(sfDir.hashCode), leaf).toString
+      "graft-io-" + graft.mr.Fs.pathKey(sfDir), leaf).toString
 
   /** lineitem → headered CSV → schema'd read (filter pushed to the
     * scan) → pricing rollup. The quantity filter evaluates on csv-
@@ -132,7 +132,7 @@ object SourceSinkOps {
     import s.implicits._
     val hc = s.sparkContext.hadoopConfiguration
     hc.setIfUnset("fs.objstore.impl", classOf[graft.mr.ObjectStoreFileSystem].getName)
-    val out = "objstore:///bench/" + Integer.toHexString(dir.hashCode) + "/orders"
+    val out = "objstore:///bench/" + graft.mr.Fs.pathKey(dir) + "/orders"
     Tables.orders(s, dir)
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
       .write.mode("overwrite").parquet(out)

@@ -147,6 +147,6 @@ object StreamQueries {
   private def stagedEventsDir(s: SparkSession, sfDir: String): String = {
     Streams.eventsStream(s, sfDir) // ensures the staging dir exists
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-events-" + Integer.toHexString(sfDir.hashCode)).toString
+      "graft-events-" + graft.mr.Fs.pathKey(sfDir)).toString
   }
 }

@@ -680,12 +680,19 @@ object TextOps {
     import s.implicits._
     val imgIds = Tables.documents(s, dir).where($"doc_id" % 7 <= 1)
       .select($"doc_id")
-    val reg = imgIds.select($"doc_id".as("media_id"))
+    // the registry KNOWS which rows are derived — the dirty flag and
+    // base id ride the union as columns rather than being re-derived
+    // from a numeric id threshold inside the map (r7 advice: StressGen
+    // corpora carry base doc_ids at r·2·10⁷ offsets, which a
+    // `media_id >= 10⁷` test misclassifies wholesale, silently
+    // degenerating the planted near-dup population)
+    val reg = imgIds
+      .select($"doc_id".as("media_id"), lit(false).as("dirty"),
+        $"doc_id".as("base_id"))
       .unionByName(imgIds.where($"doc_id" % 5 === 2)
-        .select(($"doc_id" + 10000000L).as("media_id")))
-    val hashed = reg.as[Long].map { mid =>
-      val dirty = mid >= 10000000L
-      val id = if (dirty) mid - 10000000L else mid
+        .select(($"doc_id" + 10000000L).as("media_id"), lit(true).as("dirty"),
+          $"doc_id".as("base_id")))
+    val hashed = reg.as[(Long, Boolean, Long)].map { case (mid, dirty, id) =>
       val img = new java.awt.image.BufferedImage(
         32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0

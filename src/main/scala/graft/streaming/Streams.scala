@@ -34,7 +34,7 @@ object Streams {
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-events-" + Integer.toHexString(sfDir.hashCode))
+      "graft-events-" + graft.mr.Fs.pathKey(sfDir))
     if (!Files.exists(stage)) {
       Files.createDirectories(stage)
       Files.createSymbolicLink(

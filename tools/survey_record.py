@@ -49,11 +49,47 @@ def staleness_warning(corr_round, this_round):
               file=sys.stderr)
 
 
+def head_sha():
+    try:
+        import subprocess
+        return subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                              capture_output=True, text=True).stdout.strip()
+    except Exception:
+        return ""
+
+
 def bench_summary():
+    """Load bench_summary.json and HARD-FAIL (r7 verdict #1c) when the
+    artifact is a subset/stress clobber: the r5 anti-drift chain is
+    only as good as the artifact it reads, and rounds 6 AND 7 both
+    committed a partial run over the canonical path. Bench now stamps
+    provenance (git_sha, registry_count, subset) precisely so this
+    check can be mechanical."""
     path = os.path.join(REPO, "bench_summary.json")
     if not os.path.exists(path):
         return None
-    return json.loads(open(path).read().strip())
+    d = json.loads(open(path).read().strip())
+    reg = d.get("registry_count")
+    if d.get("subset") is True:
+        sys.exit("FATAL: bench_summary.json was written by a SUBSET run "
+                 "(subset=true) — rerun the full bench (unset "
+                 "SPARK_GRAFT_QUERIES) before regenerating the record")
+    if reg is not None and d.get("n_queries", 0) < reg:
+        sys.exit(f"FATAL: bench_summary.json has {d.get('n_queries')} rows "
+                 f"but the SparkEntry registry had {reg} queries when it was "
+                 f"written — partial artifact; rerun the full bench")
+    n_rows = len(d.get("queries", {}))
+    if reg is not None and n_rows < reg:
+        sys.exit(f"FATAL: bench_summary.json carries {n_rows} query rows "
+                 f"< registry count {reg} — partial artifact")
+    sha = head_sha()
+    if sha and d.get("git_sha") not in (None, "unknown") \
+            and d["git_sha"] != sha:
+        print(f"WARNING: bench_summary.json was produced at "
+              f"{d['git_sha'][:10]}, HEAD is {sha[:10]} — numbers describe "
+              f"that commit (fine mid-round; commit the artifact with the "
+              f"code it measured)", file=sys.stderr)
+    return d
 
 
 def scaling():
