@@ -917,40 +917,13 @@ object SparkEntry {
         |  CAST(coalesce(a.fp_xor, 0) AS BIGINT) AS fp_xor
         |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
-    // 64-bit SimHash replayed in SQL: FNV-1a per token, per-bit
-    // majority vote, 4×16-bit chunk blocking (masked, not mod — the
+    // SimHash replayed in SQL under the live geometry dial
+    // (DedupOps.simhashGeometry — a def, so engine and oracle move
+    // together): per-word FNV-1a/mix64 token hashes, per-bit majority
+    // vote, bandBits-wide chunk blocking (masked, not mod — the
     // sign-of-dividend mod was a real recall bug this oracle caught),
-    // exact hamming verification
-    "dedup_simhash" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
-        |  FROM documents),
-        |tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
-        |th AS (SELECT doc_id, list_reduce(
-        |        list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |          list_transform(split(t, ''), c -> CAST(unicode(c) AS HUGEINT))),
-        |        (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616) AS h
-        |      FROM tok),
-        |bitsum AS (
-        |  SELECT doc_id, b.bit,
-        |    CASE WHEN sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) > 0
-        |         THEN CAST(1 AS HUGEINT) << b.bit ELSE CAST(0 AS HUGEINT) END AS bv
-        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
-        |  GROUP BY doc_id, b.bit),
-        |sigs AS (SELECT doc_id, CAST(sum(bv) AS HUGEINT) AS sig FROM bitsum GROUP BY doc_id),
-        |ch AS (SELECT doc_id, c.c, (sig >> (c.c * 16)) & 65535 AS cv
-        |       FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c),
-        |cseq AS (SELECT doc_id, c, cv, row_number() OVER (PARTITION BY c, cv ORDER BY doc_id) AS i
-        |         FROM ch),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM cseq a JOIN cseq b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
-        |  WHERE a.i <= ${DedupOps.BandCap}),
-        |ham AS (
-        |  SELECT doc_a, doc_b, bit_count(xor(sa.sig, sb.sig)) AS hamming
-        |  FROM cand JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b)
-        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-        |FROM ham WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin,
+    // exact full-signature hamming verification
+    "dedup_simhash" -> simhashOracleSql,
 
     // clusters replayed engine-independently: the pair graph is the
     // same exact all-pairs Jaccard as dedup_ngram_jaccard's oracle,
@@ -4312,6 +4285,59 @@ object SparkEntry {
        |        WHEN s = 2 THEN (((h * 4283543511) % 4294967296) * 4294967296 + h * 3981806797) % 18446744073709551616
        |        WHEN s = 4 THEN (((h * 3301882366) % 4294967296) * 4294967296 + h * 444984403) % 18446744073709551616
        |        ELSE xor(h, h // 8589934592) END)""".stripMargin
+
+  /** The dedup_simhash oracle, parametric in
+    * [[operators.DedupOps.simhashGeometry]] (words × 64-bit signature,
+    * bandBits-wide candidate chunks, full-signature hamming ≤ tau).
+    * Word 0 replays the historical FNV token hash; word w ≥ 1 replays
+    * `mix64(fnv64(tok) ^ seed_w)` through the split-multiply mixSql.
+    * With the default 1:16:6 dial this reduces to the r3-era oracle
+    * value-for-value (w = 0 everywhere, four 16-bit chunks). */
+  private def simhashOracleSql: String = {
+    val (words, bandBits, tau) = operators.DedupOps.simhashGeometry
+    val bandsPerWord = 64 / bandBits
+    val mask = java.lang.Long.toUnsignedString(
+      if (bandBits == 64) -1L else (1L << bandBits) - 1)
+    val hByWord =
+      if (words == 1) "h"
+      else {
+        val cases = (1 until words).map { w =>
+          val seed = java.lang.Long.toUnsignedString(operators.DedupOps.simhashSeed(w))
+          s"WHEN $w THEN ${mixSql(s"xor(h, CAST($seed AS HUGEINT))")}"
+        }.mkString("\n        |          ")
+        s"CASE w.w WHEN 0 THEN h\n        |          $cases END"
+      }
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+      |th0 AS (SELECT doc_id, ${fnvSql("t")} AS h FROM tok),
+      |thw AS (SELECT doc_id, w.w, $hByWord AS h
+      |        FROM th0 CROSS JOIN (SELECT unnest(generate_series(0, ${words - 1})) AS w) w),
+      |bitsum AS (
+      |  SELECT doc_id, w, b.bit,
+      |    CASE WHEN sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |         THEN CAST(1 AS HUGEINT) << b.bit ELSE CAST(0 AS HUGEINT) END AS bv
+      |  FROM thw CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+      |  GROUP BY doc_id, w, b.bit),
+      |sigs AS (SELECT doc_id, w, CAST(sum(bv) AS HUGEINT) AS sig FROM bitsum GROUP BY doc_id, w),
+      |ch AS (SELECT doc_id, w * $bandsPerWord + c.c AS c,
+      |         (sig >> (c.c * $bandBits)) & CAST($mask AS HUGEINT) AS cv
+      |       FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${bandsPerWord - 1})) AS c) c),
+      |cseq AS (SELECT doc_id, c, cv, row_number() OVER (PARTITION BY c, cv ORDER BY doc_id) AS i
+      |         FROM ch),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM cseq a JOIN cseq b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+      |  WHERE a.i <= ${DedupOps.BandCap}),
+      |ham AS (
+      |  SELECT c.doc_a, c.doc_b, sum(bit_count(xor(sa.sig, sb.sig))) AS hamming
+      |  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+      |              JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.w = sa.w
+      |  GROUP BY c.doc_a, c.doc_b)
+      |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+      |FROM ham WHERE hamming <= $tau ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   private def fnvSql(strExpr: String): String =
     s"""list_reduce(

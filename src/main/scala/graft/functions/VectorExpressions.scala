@@ -77,8 +77,17 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
 /** Native codegen SimHash over a token array — one fused loop per
   * row, bit-compatible with [[Hashes.simhash64]] (same FNV-1a char
-  * hash, same majority rule); VectorExprSpec asserts equality. */
-case class SimHash64Expr(child: Expression)
+  * hash, same majority rule); VectorExprSpec asserts equality.
+  *
+  * `seed` extends the signature family past 64 bits (the r7 verdict's
+  * simhash geometry dial): word w of a wide signature is this
+  * expression with an independent seed, whose per-token hash is
+  * `mix64(fnv64(tok) ^ seed)` — the murmur3 finalizer decorrelates
+  * every bit from the seed-0 word, and the mix is replayable in
+  * DuckDB (the `mixSql` oracle helper). seed=0 keeps the historical
+  * bit-exact behavior (plain FNV-1a), so every existing signature,
+  * spec, and oracle is untouched. */
+case class SimHash64Expr(child: Expression, seed: Long = 0L)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -98,7 +107,8 @@ case class SimHash64Expr(child: Expression)
     var j = 0
     while (j < arr.numElements()) {
       if (!arr.isNullAt(j)) {
-        val h = Hashes.fnv64(arr.getUTF8String(j).toString)
+        val h0 = Hashes.fnv64(arr.getUTF8String(j).toString)
+        val h = if (seed == 0L) h0 else Hashes.mix64(h0 ^ seed)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -125,6 +135,8 @@ case class SimHash64Expr(child: Expression)
          |for (int $i = 0; $i < $a.numElements(); $i++) {
          |  if (!$a.isNullAt($i)) {
          |    long $h = graft.functions.Hashes.fnv64($a.getUTF8String($i).toString());
+         |    ${if (seed != 0L)
+               s"$h = graft.functions.Hashes.mix64($h ^ ${seed}L);" else ""}
          |    for (int $b = 0; $b < 64; $b++) {
          |      if ((($h >>> $b) & 1L) == 1L) $acc[$b]++; else $acc[$b]--;
          |    }
@@ -428,6 +440,10 @@ object VectorExpressions {
   /** Column-API face of [[SimHash64Expr]]. */
   def simhash64_native(tokens: Column): Column =
     column(SimHash64Expr(expression(tokens)))
+
+  /** Seeded word of a wide SimHash signature (geometry dial). */
+  def simhash64_native(tokens: Column, seed: Long): Column =
+    column(SimHash64Expr(expression(tokens), seed))
 
   /** Column-API face of [[MinHashSigExpr]]. */
   def minhash_sig(hashedShingles: Column, salts: Seq[Long]): Column =

@@ -194,28 +194,93 @@ object DedupOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** SimHash near-dup pairs: 64-bit signature, candidates share at
-    * least one of four 16-bit chunks, verified at hamming <= 6. */
+  /** SimHash signature geometry — a PER-RUN DIAL (the GRAFT_ANN_*
+    * discipline), not a literal: `(words, bandBits, tau)` where the
+    * signature is `words`×64 bits (word 0 = the historical FNV
+    * simhash; word w ≥ 1 hashes each token through
+    * `mix64(fnv64(tok) ^ seed_w)`), candidate keys are
+    * `bandBits`-wide signature chunks, and survivors verify at
+    * hamming ≤ tau over the FULL signature.
+    *
+    * Why it exists (r7 verdict #2): 16-bit band keys admit ~n²·B/2¹⁶
+    * RANDOM-collision candidates — linear only below ~10⁶ docs, a
+    * scale-killer at 100 TB doc counts (measured 13×/decade at the
+    * stress decade). The wide geometry `2:32:12` keeps the same
+    * semantic bar (hamming 12/128 ≈ 6/64 bit-agreement) while the
+    * 32-bit keys push the random floor to n²·4/2³² — four orders of
+    * magnitude down, linear into the 10⁹-doc regime
+    * (SimhashFloorSpec measures both floors on a planted corpus).
+    * Verbatim duplicates always share every band; near-dups share a
+    * band unless their flipped bits hit all `words·64/bandBits`
+    * chunks — the same pigeonhole odds the default geometry had.
+    *
+    * Default `1:16:6` preserves every gate hash; the oracle SQL
+    * interpolates THIS accessor (a def, rebuilt per oracleSql
+    * materialization), so engine and oracle move together when the
+    * dial does. */
+  @volatile var overrideSimhashGeometry: Option[(Int, Int, Int)] = None
+  def simhashGeometry: (Int, Int, Int) = overrideSimhashGeometry
+    .orElse(sys.env.get("GRAFT_SIMHASH_GEOMETRY").map { g =>
+      val Array(w, b, t) = g.split(":").map(_.trim.toInt)
+      require(w >= 1 && w <= 4, s"simhash words must be 1..4, got $w")
+      require(Seq(8, 16, 32, 64).contains(b), s"simhash bandBits must divide 64, got $b")
+      require(t >= 0 && t <= w * 64, s"simhash tau out of range: $t")
+      (w, b, t)
+    }).getOrElse((1, 16, 6))
+
+  /** Deterministic seed for word w of the wide signature (word 0 is
+    * seedless = the historical signature). Exposed for the oracle's
+    * unsigned-literal interpolation. */
+  def simhashSeed(w: Int): Long =
+    if (w == 0) 0L else fnv64(s"graft-simhash-word-$w")
+
+  /** (doc_id, sig0..sigW−1) under the current geometry; tokens
+    * materialize once (two-step select) and each word is one fused
+    * native loop. */
+  private[operators] def simhashSigs(docs: DataFrame): DataFrame = {
+    val (words, _, _) = simhashGeometry
+    val sigCols = (0 until words).map { w =>
+      graft.functions.VectorExpressions
+        .simhash64_native(col("toks"), simhashSeed(w)).as(s"sig$w")
+    }
+    docs.select(col("doc_id"), normTokens(col("text")).as("toks"))
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** Band-keyed candidate pairs (a < b) from the signature frame,
+    * anchor-capped per band ([[BandCap]]). */
+  private[operators] def simhashCandidates(sigs: DataFrame): DataFrame = {
+    val (words, bandBits, _) = simhashGeometry
+    val bandsPerWord = 64 / bandBits
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val keys = for { w <- 0 until words; c <- 0 until bandsPerWord } yield
+      // mask, don't mod: `sig % 65536` keeps the dividend's SIGN, so
+      // chunk 0 of a negative signature could never collide with the
+      // same low bits of a positive one — a silent recall hole found
+      // by the r3 DuckDB oracle (pair at hamming 6 missed)
+      concat_ws(":", lit(w * bandsPerWord + c),
+        shiftrightunsigned(col(s"sig$w"), c * bandBits).bitwiseAND(lit(mask)))
+    pairsByKey(sigs.select(col("doc_id"), explode(array(keys: _*)).as("key")))
+  }
+
+  /** SimHash near-dup pairs under [[simhashGeometry]] — by default a
+    * 64-bit signature, candidates sharing ≥ 1 of four 16-bit chunks,
+    * verified at hamming ≤ 6. */
   val dedupSimhash: QueryFn = (s, dir) => {
     import s.implicits._
-    val sigs = Tables.documents(s, dir)
-      .select($"doc_id",
-        graft.functions.VectorExpressions.simhash64_native(normTokens($"text")).as("sig"))
-      .transform(Pin.corpus)
-    val keyed = sigs.select($"doc_id",
-      explode(array((0 until 4).map { c =>
-        // mask, don't mod: `sig % 65536` keeps the dividend's SIGN, so
-        // chunk 0 of a negative signature could never collide with the
-        // same low 16 bits of a positive one — a silent recall hole
-        // found by the r3 DuckDB oracle (pair at hamming 6 missed)
-        concat_ws(":", lit(c), shiftrightunsigned($"sig", c * 16).bitwiseAND(lit(65535L)))
-      }: _*)).as("key"))
-    val pairs = pairsByKey(keyed)
-    val a = sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a"))
-    val b = sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b"))
+    val (words, _, tau) = simhashGeometry
+    val sigs = simhashSigs(Tables.documents(s, dir)).transform(Pin.corpus)
+    val pairs = simhashCandidates(sigs)
+    val a = sigs.select($"doc_id".as("doc_a") +:
+      (0 until words).map(w => col(s"sig$w").as(s"sa$w")): _*)
+    val b = sigs.select($"doc_id".as("doc_b") +:
+      (0 until words).map(w => col(s"sig$w").as(s"sb$w")): _*)
+    val hamming = (0 until words)
+      .map(w => bit_count(col(s"sa$w").bitwiseXOR(col(s"sb$w"))).cast("long"))
+      .reduce(_ + _)
     pairs.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")).cast("long"))
-      .where($"hamming" <= 6)
+      .withColumn("hamming", hamming)
+      .where($"hamming" <= tau)
       .select($"doc_a", $"doc_b", $"hamming")
       .orderBy($"doc_a", $"doc_b")
   }

@@ -59,6 +59,14 @@ def run_bench():
                # NEVER write the canonical bench_summary.json — that
                # clobber defeated the anti-drift chain in r6 and r7
                SPARK_GRAFT_BENCH_OUT="bench_stress_summary.json",
+               # the scale path for simhash (r7 verdict #2): 2x64-bit
+               # signature, 32-bit bands, hamming<=12 — same semantic
+               # bar, collision floor pushed from n²/2^16 to n²/2^32.
+               # The gate still runs the default 1:16:6 dial; this is
+               # the geometry a 10^8+-doc corpus would deploy, measured
+               # here at the decade where the default's floor bites.
+               GRAFT_SIMHASH_GEOMETRY=os.environ.get(
+                   "GRAFT_SIMHASH_GEOMETRY", "2:32:12"),
                # 10x data: give slow builds room before the watchdog
                SPARK_GRAFT_QUERY_TIMEOUT=os.environ.get(
                    "SPARK_GRAFT_QUERY_TIMEOUT", "420"),
@@ -79,7 +87,9 @@ def main():
     worst = max(serves.items(), key=lambda kv: kv[1])
     entry = {
         "note": "self-generated 10x stress corpus (StressGen, docs+embeddings"
-                " only); subset = build_* + dedup/ANN/suffix/mm families",
+                " only); subset = build_* + dedup/ANN/suffix/mm families;"
+                " dedup_simhash runs the wide 2:32:12 geometry (the"
+                " >=1e6-doc deployment dial; gate + sf0.1 use 1:16:6)",
         "n_ok": len(serves),
         "n_skipped": sum(1 for v in q.values() if v == -2.0),
         "total_sec": round(sum(serves.values()), 1),
