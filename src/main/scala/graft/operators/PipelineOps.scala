@@ -577,8 +577,17 @@ object PipelineOps {
     import s.implicits._
     val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"lang", $"text")
 
-    // stage 1: quality — same predicate as textGopherRules.keep
-    val flags = docs
+    // stage 1: quality — same predicate as textGopherRules.keep,
+    // computed as a BOOLEAN COLUMN behind a persist barrier rather
+    // than a WHERE over the flag expressions: filter pushdown
+    // otherwise substitutes the full flag trees into the predicate —
+    // ~7 normTokens + 2 wordNgrams evaluations PER ROW (HOFs skip
+    // codegen, so no CSE rescues it; measured 8.4 s of the funnel's
+    // 11.5 at sf0.1, vs 1.5 s for the identical flags as projection
+    // outputs in text_gopher_rules). The pinned flag frame is the
+    // funnel's reuse point anyway (quality count + three downstream
+    // stages), so the barrier costs nothing extra.
+    val flagged = docs
       .select($"doc_id", $"source", $"lang", $"text", normTokens($"text").as("toks"))
       .select($"doc_id", $"source", $"lang", $"text",
         size($"toks").cast("long").as("n_tokens"),
@@ -586,13 +595,14 @@ object PipelineOps {
           size($"toks")).as("mwl"),
         hitCount($"toks", TextOps.stopwords).cast("long").as("stop_hits"),
         wordNgrams($"toks", 2).as("g2"))
-      .withColumn("dup2",
-        lit(1.0) - size(array_distinct($"g2")).cast("double") / size($"g2"))
-    val quality = flags
-      .where($"n_tokens" >= 20 && $"n_tokens" <= 80 &&
-        $"mwl" >= 4.0 && $"mwl" <= 5.0 && $"dup2" <= 0.05 && $"stop_hits" >= 1)
-      .select($"doc_id", $"source", $"lang", $"text")
+      .select($"doc_id", $"source", $"lang", $"text", $"n_tokens", $"mwl", $"stop_hits",
+        (lit(1.0) - size(array_distinct($"g2")).cast("double") / size($"g2")).as("dup2"))
+      .select($"doc_id", $"source", $"lang", $"text",
+        ($"n_tokens" >= 20 && $"n_tokens" <= 80 &&
+          $"mwl" >= 4.0 && $"mwl" <= 5.0 && $"dup2" <= 0.05 && $"stop_hits" >= 1)
+          .as("keep"))
       .transform(Pin.corpus)
+    val quality = flagged.where($"keep").select($"doc_id", $"source", $"lang", $"text")
 
     // stage 2: decontamination — benchmark docs (doc_id%10==9) leave
     // the corpus, and any doc sharing a 4-gram with them drops
@@ -617,16 +627,20 @@ object PipelineOps {
     // stage 4: near dedup — the memoized FULL-corpus exact pair set
     // restricted to stage-3 survivors (lossless: the prefix filter is
     // exact, so full-pairs ∩ survivors² == pairs-over-survivors), then
-    // star-contraction CC over the survivors only (labels can't be
-    // reused: quality filtering may break connectivity through
-    // excluded docs). One cold chain build serves this query, the
-    // four dedup_* consumers, and the bench's build_jaccard_cc row.
+    // survivor-only CC via [[DedupOps.restrictedComponents]]: the full
+    // labels partition the restricted graph (full labels themselves
+    // can't be reused — quality filtering may break connectivity
+    // through excluded docs — but every restricted edge stays inside
+    // one full cluster), so components resolve in ONE flatMapGroups
+    // pass instead of a driver-synchronized star-contraction fixpoint.
+    // One cold chain build serves this query, the four dedup_*
+    // consumers, and the bench's build_jaccard_cc row.
     val ids = exact.select($"doc_id")
     val pairs = DedupOps.sharedPairs(s, dir)
       .join(ids.select($"doc_id".as("doc_a")), "doc_a")
       .join(ids.select($"doc_id".as("doc_b")), "doc_b")
       .select($"doc_a", $"doc_b")
-    val reps = DedupOps.connectedComponents(pairs, ids)
+    val reps = DedupOps.restrictedComponents(s, dir, pairs, ids)
     val near = exact.join(reps, "doc_id").where($"rep" === $"doc_id").drop("rep")
 
     // stage 5: stratified sample — same nibble rule as qStratifiedSample
