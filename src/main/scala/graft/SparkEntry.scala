@@ -151,6 +151,7 @@ object SparkEntry {
     "mm_image_neardup"            -> TextOps.mmImageNeardup,
     "mm_featurize"                -> TextOps.mmFeaturize,
     "mm_frame_sample"             -> TextOps.mmFrameSample,
+    "mm_mp4_meta"                 -> TextOps.mmMp4Meta,
     "q_vocab_growth"              -> TextOps.qVocabGrowth,
     "q_pareto_docs"               -> operators.CurationOps.qParetoDocs,
     "text_hash_lr"                -> operators.ModelOps.textHashLr,
@@ -2920,6 +2921,25 @@ object SparkEntry {
         |SELECT ma AS media_a, mb AS media_b, hamming
         |FROM h WHERE hamming <= ${operators.TextOps.PhashTau}
         |ORDER BY media_a, media_b""".stripMargin,
+
+    // the closed form the MP4 encoder embeds, replayed: timescale by
+    // residue (600/1000/90000), duration units = ms·ts/1000 (exact —
+    // ms is a multiple of 40), floor-ms back out of the units, 16.16
+    // dims by closed form, brand isom, 3 top-level boxes
+    "mm_mp4_meta" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |         ELSE 90000 END AS BIGINT) AS ts
+        |  FROM documents WHERE doc_id % 7 = 3)
+        |SELECT doc_id AS media_id, 'isom' AS major_brand, ts AS timescale,
+        |  CAST((nb + 8) * 40 * ts // 1000 AS BIGINT) AS duration_units,
+        |  CAST((nb + 8) * 40 * ts // 1000 * 1000 // ts AS BIGINT) AS duration_ms,
+        |  CAST(320 + (doc_id % 5) * 16 AS BIGINT) AS width,
+        |  CAST(180 + (doc_id % 7) * 16 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS n_boxes
+        |FROM v ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH v AS (

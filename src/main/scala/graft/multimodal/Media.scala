@@ -10,15 +10,17 @@ import graft.functions.Hashes.fnv64
   * per-partition codecs.
   *
   * Decode status: WAV/BMP headers parse from real bytes
-  * ([[WavCodec]]/[[BmpCodec]]) and images decode fully through JDK
-  * `javax.imageio` ([[ImageCodec]] — PNG/BMP/JPEG/GIF need no
-  * external libraries). [[FakeCodec]] remains the deterministic
-  * stand-in for formats with no in-JDK decoder (MP4 and other video
-  * containers): content-hash-seeded pseudo-features behind the same
-  * trait, so the schema, the partition-preserving batched
-  * `mapPartitions` shape (the Scala analogue of Arrow-batched
-  * `mapInPandas`), the format-sniffing, and the downstream joins are
-  * real and tested either way.
+  * ([[WavCodec]]/[[BmpCodec]]), MP4 container metadata walks real
+  * ISO-BMFF boxes ([[Mp4Codec]] — ftyp/mvhd/tkhd), and images decode
+  * fully through JDK `javax.imageio` ([[ImageCodec]] — PNG/BMP/JPEG/
+  * GIF need no external libraries). [[FakeCodec]] remains the
+  * deterministic stand-in only for FRAME/SAMPLE decode of codecs
+  * with no in-JDK decoder (H.264 pixels, compressed audio):
+  * content-hash-seeded pseudo-features behind the same trait, so the
+  * schema, the partition-preserving batched `mapPartitions` shape
+  * (the Scala analogue of Arrow-batched `mapInPandas`), the
+  * format-sniffing, and the downstream joins are real and tested
+  * either way.
   */
 final case class MediaMeta(
     kind: String,       // image | audio | video | bin

@@ -428,27 +428,83 @@ object TextOps {
       .orderBy($"kind")
   }
 
+  /** Deterministic complete MP4 for a video-class doc — the fixture
+    * behind [[mmMp4Meta]] and [[mmFrameSample]] (the mm_wav_meta
+    * discipline): real ftyp/moov/mvhd/tkhd/mdat boxes whose header
+    * fields are closed forms of (doc_id, text), with the text's UTF-8
+    * bytes as the mdat payload. duration_ms = (payload+8)·40 keeps
+    * the 40 ms/byte schedule contract of the r5-era stand-in, but the
+    * milliseconds now ride INSIDE the container as
+    * (timescale, duration-units) — a parser that misreads either
+    * field breaks the hash. timescale varies 600/1000/90000 (film,
+    * ms, MPEG-TS-style clocks) so a fixed-denominator shortcut fails
+    * two of three residues; duration_ms is a multiple of 40, so
+    * units = ms·ts/1000 is exact in every residue. */
+  private def mp4Fixture(id: Long, text: String): Array[Byte] = {
+    val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ts = (id % 3) match { case 0 => 600; case 1 => 1000; case _ => 90000 }
+    val durMs = (data.length + 8).toLong * 40L
+    val w = 320 + (id % 5).toInt * 16
+    val h = 180 + (id % 7).toInt * 16
+    graft.multimodal.Mp4Codec.writeMp4(ts, durMs * ts / 1000L, w, h, data)
+  }
+
+  /** Video container metadata through the REAL ISO-BMFF box walker —
+    * the video twin of [[mmWavMeta]]/[[mmImageMeta]] (r7 verdict #5,
+    * the last deterministic fake de-stubbed): each video-class doc
+    * (doc_id%7==3, the mp4 residue) materializes as a complete MP4
+    * ([[mp4Fixture]]) and every reported column comes from
+    * [[graft.multimodal.Mp4Codec.parseMp4]] WALKING THE ACTUAL BYTES
+    * (ftyp brand, mvhd timescale/duration, tkhd 16.16 dimensions,
+    * top-level box count). The DuckDB oracle replays the closed form
+    * the encoder embedded — wrong endianness, fixed-offset peeking,
+    * or a 16.16 slip hash-fails. duration_ms = units·1000/timescale
+    * (floor), the exact arithmetic a demuxer performs.
+    *
+    * Scale shape: map-only per payload; container bytes never
+    * shuffle — parsed scalars do. One output sort. */
+  val mmMp4Meta: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where($"doc_id" % 7 === 3)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val m = graft.multimodal.Mp4Codec.parseMp4(mp4Fixture(id, text))
+          .getOrElse(sys.error(s"unparseable MP4 for media $id"))
+        (id, m.majorBrand, m.timescale, m.durationUnits, m.durationMs,
+          m.width.toLong, m.height.toLong, m.nTopBoxes.toLong)
+      }
+      .toDF("media_id", "major_brand", "timescale", "duration_units",
+        "duration_ms", "width", "height", "n_boxes")
+      .orderBy($"media_id")
+  }
+
   /** Video frame-sampling PLAN: for every video payload (the mp4
-    * magic-prefix residue class, doc_id%7==3), derive its duration
-    * from the payload size (40 ms/byte — the deterministic stand-in
-    * for container-header parsing; a real demuxer fills the same
-    * column) and emit the frames a decoder should fetch: one every
-    * 2 s starting at t=1 s, capped at 8 per video — the standard
+    * residue class, doc_id%7==3), read its duration from the REAL
+    * container — [[mp4Fixture]] bytes through
+    * [[graft.multimodal.Mp4Codec.parseMp4]], duration_ms =
+    * mvhd units·1000/timescale (r7 verdict #5: the schedule now
+    * consumes an actual header field, not a payload-size stand-in) —
+    * and emit the frames a decoder should fetch: one every 2 s
+    * starting at t=1 s, capped at 8 per video — the standard
     * sparse-sampling schedule for video-understanding training data.
-    * This is the EXPLODE side of video processing: metadata-driven,
-    * map-only (sequence + posexplode inside the projection, zero
-    * shuffle before the output sort); the stubbed decode consumes
-    * (media_id, ts_ms) pairs exactly as a real frame extractor
-    * would. Frame count and timestamps are pure integer arithmetic,
-    * so the oracle replays the schedule exactly. */
+    * The parse is map-only per payload; the schedule explode
+    * (sequence inside the projection) shuffles only at the output
+    * sort; the stubbed decode consumes (media_id, ts_ms) pairs
+    * exactly as a real frame extractor would. Frame count and
+    * timestamps stay pure integer arithmetic, so the oracle replays
+    * the schedule exactly. */
   val mmFrameSample: QueryFn = (s, dir) => {
     import s.implicits._
     val vids = Tables.documents(s, dir)
       .where($"doc_id" % 7 === 3)
-      // payload = 8-byte mp4 magic prefix ++ text bytes (MediaPipeline)
-      .select($"doc_id".as("media_id"),
-        ((octet_length($"text".cast("binary")) + 8).cast("long") * 40)
-          .as("duration_ms"))
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val m = graft.multimodal.Mp4Codec.parseMp4(mp4Fixture(id, text))
+          .getOrElse(sys.error(s"unparseable MP4 for media $id"))
+        (id, m.durationMs)
+      }
+      .toDF("media_id", "duration_ms")
       .select($"media_id", $"duration_ms",
         (floor(($"duration_ms" - 1001) / 2000.0) + 1).cast("long").as("nf"))
       .where($"nf" >= 1)

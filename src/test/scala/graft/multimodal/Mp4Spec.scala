@@ -1,0 +1,90 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+
+/** The ISO-BMFF walker against HAND-LAID boxes (the WavSpec
+  * discipline): fixture bytes assembled by hand, not by the writer
+  * under test, so a parser that peeks fixed offsets, misreads
+  * big-endian fields, or trusts a hostile size fails here even if
+  * writer→parser round-trips. */
+class Mp4Spec extends SparkTestBase {
+
+  private def be32(x: Long): Array[Byte] =
+    Array(((x >> 24) & 0xff).toByte, ((x >> 16) & 0xff).toByte,
+      ((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+  private def be64(x: Long): Array[Byte] = be32(x >>> 32) ++ be32(x & 0xffffffffL)
+
+  private def box(id: String, body: Array[Byte]): Array[Byte] =
+    be32(8L + body.length) ++ id.getBytes ++ body
+
+  private def ftyp: Array[Byte] =
+    box("ftyp", "isom".getBytes ++ be32(0) ++ "mp42".getBytes)
+
+  private def mvhdV0(ts: Long, dur: Long): Array[Byte] =
+    box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(ts) ++ be32(dur) ++
+      Array.fill[Byte](100 - 20)(0))
+
+  private def tkhdV0(w: Int, h: Int): Array[Byte] =
+    box("tkhd", be32(0) ++ Array.fill[Byte](76 - 4)(0) ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+
+  test("hand-laid v0 boxes parse exactly; free boxes before moov are walked over") {
+    val bytes = ftyp ++ box("free", Array.fill[Byte](13)(9)) ++
+      box("moov", mvhdV0(90000, 2700000) ++ box("trak", tkhdV0(1920, 1080))) ++
+      box("mdat", Array.fill[Byte](50)(1))
+    val m = Mp4Codec.parseMp4(bytes).get
+    assert(m.majorBrand == "isom")
+    assert(m.timescale == 90000L && m.durationUnits == 2700000L)
+    assert(m.durationMs == 30000L)
+    assert(m.width == 1920 && m.height == 1080)
+    assert(m.nTopBoxes == 4)
+  }
+
+  test("version-1 mvhd/tkhd (64-bit times) parse from their shifted offsets") {
+    val mvhd1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(1000) ++ be64(45000L) ++
+        Array.fill[Byte](112 - 32)(0))
+    val tkhd1 = box("tkhd",
+      Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](88 - 4)(0) ++
+        be32(640L << 16) ++ be32(480L << 16))
+    val bytes = ftyp ++ box("moov", mvhd1 ++ box("trak", tkhd1))
+    val m = Mp4Codec.parseMp4(bytes).get
+    assert(m.timescale == 1000L && m.durationUnits == 45000L && m.durationMs == 45000L)
+    assert(m.width == 640 && m.height == 480)
+  }
+
+  test("hostile sizes terminate the walk instead of stalling or rewinding") {
+    // size 7 (< header) — a non-advancing box
+    val tiny = ftyp ++ be32(7) ++ "moov".getBytes ++ Array.fill[Byte](20)(0)
+    assert(Mp4Codec.parseMp4(tiny).isEmpty) // walk stops, no mvhd seen
+    // size 0xFFFFFFF8 — negative as Int, must not rewind
+    val huge = ftyp ++ be32(0xFFFFFFF8L) ++ "moov".getBytes
+    assert(Mp4Codec.parseMp4(huge).isEmpty)
+    // size==1 with truncated largesize
+    val trunc = ftyp ++ be32(1) ++ "moov".getBytes ++ Array[Byte](0, 0)
+    assert(Mp4Codec.parseMp4(trunc).isEmpty)
+    // size==1 with a largesize overrunning the payload
+    val overrun = ftyp ++ be32(1) ++ "moov".getBytes ++ be64(1L << 60)
+    assert(Mp4Codec.parseMp4(overrun).isEmpty)
+    // a valid file whose LAST box declares size 0 (to end) still parses
+    val tail0 = ftyp ++ box("moov", mvhdV0(600, 1234)) ++
+      (be32(0) ++ "mdat".getBytes ++ Array.fill[Byte](9)(3))
+    val m = Mp4Codec.parseMp4(tail0).get
+    assert(m.timescale == 600L && m.durationUnits == 1234L && m.nTopBoxes == 3)
+  }
+
+  test("not-an-mp4 payloads return None") {
+    assert(Mp4Codec.parseMp4(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Mp4Codec.parseMp4("RIFF1234WAVEfmt ".getBytes).isEmpty)
+    // ftyp but no moov/mvhd anywhere
+    assert(Mp4Codec.parseMp4(ftyp ++ box("mdat", Array.fill[Byte](4)(0))).isEmpty)
+  }
+
+  test("writer → parser round-trip reads fields from bytes, not arguments") {
+    val bytes = Mp4Codec.writeMp4(1000, 80000L, 352, 288, Array.fill[Byte](17)(5))
+    val m = Mp4Codec.parseMp4(bytes).get
+    assert(m.majorBrand == "isom" && m.timescale == 1000L)
+    assert(m.durationUnits == 80000L && m.durationMs == 80000L)
+    assert(m.width == 352 && m.height == 288 && m.nTopBoxes == 3)
+  }
+}
