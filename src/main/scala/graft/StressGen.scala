@@ -1,15 +1,17 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Deterministic scale-stress corpus generator (r6 verdict #1): the
   * official curve stops at sf0.1, a decade short of where the
   * suffix-doubling and NSW-candidate log/band factors start to bite —
-  * this replicates+perturbs the sf0.1 `documents`/`embeddings` tables
-  * K× (default 10, ≈ an sf1 decade for the doc/vector families) into
-  * a scratch dir, so `tools/bench_stress.py` can extend
-  * bench_scaling.json with a fourth point. /root/testdata stays
-  * untouched — the stress corpus is self-generated, derived data.
+  * this replicates+perturbs the sf0.1 `documents`/`embeddings`/
+  * `events` tables K× (default 10, ≈ an sf1 decade for the
+  * doc/vector/stream families) into a scratch dir, so
+  * `tools/bench_stress.py` can extend bench_scaling.json with a
+  * fourth point. /root/testdata stays untouched — the stress corpus
+  * is self-generated, derived data.
   *
   * Perturbation is pure hash arithmetic (no RNG state), so the corpus
   * is bit-identical across runs and executors:
@@ -69,6 +71,25 @@ object StressGen {
     docs.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
 
+    // events (r8, for the streaming stress rows): replica r shifts
+    // event_id AND user_id into disjoint id spaces, so state-bearing
+    // streaming keys (dedup key sets, session state, join state) grow
+    // LINEARLY — the bounded-state measurement needs real key growth,
+    // not densified duplicates of the same 1.5k users. Timestamps are
+    // untouched: the pane count stays constant while per-pane density
+    // and watermark-window state grow 10×, exactly the 100 TB/day
+    // topology's stress axis. Raw-schema read/write (no Tables.events
+    // normalization) so the landing-dir streaming source sees the
+    // same dtypes as the official corpora.
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("r") * IdStride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("r") * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    ev.repartition(16).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
     val embs = Tables.embeddings(spark, srcDir)
       .select($"vec_id", $"embedding", $"label")
       .crossJoin(org.apache.spark.sql.functions.broadcast(reps))
@@ -99,7 +120,8 @@ object StressGen {
     writeStress(spark, src, out, k)
     val nd = spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
-    println(s"""{"stress_dir":"$out","k":$k,"documents":$nd,"embeddings":$ne}""")
+    val nv = spark.read.parquet(s"$out/events.parquet").count()
+    println(s"""{"stress_dir":"$out","k":$k,"documents":$nd,"embeddings":$ne,"events":$nv}""")
     spark.stop()
   }
 }

@@ -142,11 +142,8 @@ object StreamQueries {
       .orderBy($"key")
   }
 
-  /** The same per-sfDir symlink landing dir [[Streams.eventsStream]]
-    * stages (shared so both read the identical single-file source). */
-  private def stagedEventsDir(s: SparkSession, sfDir: String): String = {
-    Streams.eventsStream(s, sfDir) // ensures the staging dir exists
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-events-" + graft.mr.Fs.pathKey(sfDir)).toString
-  }
+  /** The same landing dir [[Streams.eventsStream]] reads (shared so
+    * both faces consume the identical source files). */
+  private def stagedEventsDir(s: SparkSession, sfDir: String): String =
+    Streams.eventsLandingDir(sfDir)
 }

@@ -31,16 +31,28 @@ object Streams {
     * directory, so the single events.parquet is exposed through a
     * per-sfDir symlink dir (a real deployment streams a landing
     * directory to begin with). */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    eventsStreamFrom(spark, eventsLandingDir(sfDir))
+
+  /** The landing directory backing [[eventsStream]] for a corpus dir:
+    * a Spark-written `events.parquet` DIRECTORY (the stress corpus,
+    * any real landing zone) serves as-is; the single-file testdata
+    * layout is exposed through a per-sfDir symlink dir, since the
+    * file source wants a directory. Shared with the CDC face in
+    * StreamQueries so both read the identical source. */
+  def eventsLandingDir(sfDir: String): String = {
     import java.nio.file.{Files, Paths}
-    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-events-" + graft.mr.Fs.pathKey(sfDir))
-    if (!Files.exists(stage)) {
-      Files.createDirectories(stage)
-      Files.createSymbolicLink(
-        stage.resolve("events.parquet"), Paths.get(sfDir, "events.parquet"))
+    val src = Paths.get(sfDir, "events.parquet")
+    if (Files.isDirectory(src)) src.toString
+    else {
+      val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft-events-" + graft.mr.Fs.pathKey(sfDir))
+      if (!Files.exists(stage)) {
+        Files.createDirectories(stage)
+        Files.createSymbolicLink(stage.resolve("events.parquet"), src)
+      }
+      stage.toString
     }
-    eventsStreamFrom(spark, stage.toString)
   }
 
   /** Streaming events source over any landing directory of raw-schema

@@ -16,9 +16,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STRESS_DIR = "/tmp/graft-stress/sf1"
 
-# documents/embeddings-backed only: the stress corpus has no
-# lineitem/orders/events tables (q_journey_repeats and friends are
-# excluded for that reason, not forgotten)
+# documents/embeddings/events-backed only: the stress corpus has no
+# lineitem/orders tables (the TPC-H relational rows are excluded for
+# that reason, not forgotten)
 SUBSET = [
     "build_suffix_lcp", "build_contam_spans", "build_nsw_graph",
     "build_jaccard_cc",
@@ -35,13 +35,20 @@ SUBSET = [
     "q_sql_cosine_topk", "emb_dim_stats", "emb_drift_check",
     "emb_pq_distortion", "emb_quarantine", "emb_kmeans", "emb_pca_power",
     "mm_phash_neardup", "mm_cdc_chunks", "mm_wav_meta", "mm_image_meta",
-    "mm_image_phash", "mm_image_neardup", "q_dp_counts",
+    "mm_image_phash", "mm_image_neardup", "mm_mp4_meta", "q_dp_counts",
+    # streaming at the decade (r7 verdict #6): StressGen replicates
+    # events with disjoint user/event id spaces per replica, so the
+    # stateful ops' key-space — dedup state, watermark window state,
+    # interval-join buffers — grows 10x for real, and a bounded-state
+    # regression shows as a superlinear wall ratio here
+    "stream_window_stats", "stream_dedup_keys", "stream_interval_join",
 ]
 
 
 def ensure_corpus():
     if os.path.exists(f"{STRESS_DIR}/documents.parquet/_SUCCESS") and \
-       os.path.exists(f"{STRESS_DIR}/embeddings.parquet/_SUCCESS"):
+       os.path.exists(f"{STRESS_DIR}/embeddings.parquet/_SUCCESS") and \
+       os.path.exists(f"{STRESS_DIR}/events.parquet/_SUCCESS"):
         print(f"[stress] corpus already at {STRESS_DIR}", flush=True)
         return
     print("[stress] generating 10x corpus ...", flush=True)
@@ -86,9 +93,9 @@ def main():
               if not k.startswith("build_") and v >= 0}
     worst = max(serves.items(), key=lambda kv: kv[1])
     entry = {
-        "note": "self-generated 10x stress corpus (StressGen, docs+embeddings"
-                " only); subset = build_* + dedup/ANN/suffix/mm families;"
-                " dedup_simhash runs the wide 2:32:12 geometry (the"
+        "note": "self-generated 10x stress corpus (StressGen: docs+embeddings"
+                "+events); subset = build_* + dedup/ANN/suffix/mm/stream"
+                " families; dedup_simhash runs the wide 2:32:12 geometry (the"
                 " >=1e6-doc deployment dial; gate + sf0.1 use 1:16:6)",
         "n_ok": len(serves),
         "n_skipped": sum(1 for v in q.values() if v == -2.0),
