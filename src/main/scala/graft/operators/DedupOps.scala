@@ -514,8 +514,57 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** [[containmentPairs]] at CONTENT GRAIN (r8, the decade cut for
+    * r7 verdict #3): containment C(a→b) is a function of the SHINGLE
+    * SETS alone, so documents with identical sets are
+    * interchangeable — the expensive prefix×posting join and the
+    * per-candidate verify run once per DISTINCT content (one min-id
+    * representative per 64-bit set fingerprint), and member pairs
+    * expand afterward by two joins ON THE RESULT:
+    *
+    *   - cross-content: every (memberA, memberB) of a qualifying rep
+    *     pair inherits its containment verbatim (equal sets ⇒ equal
+    *     C) — expansion is output-sized, never candidate-sized;
+    *   - within-content: identical sets give C = 1 ≥ τ for every
+    *     ordered member pair; emitted through the [[Blocking]]
+    *     directed anchor cap, so a degenerate identical mass stays
+    *     LINEAR and anchor-connected exactly as before
+    *     (ContainmentCapSpec's regime contract is unchanged).
+    *
+    * On duplicate-heavy corpora this is the dominant term: the
+    * stress decade's verbatim replica groups collapse 10→1 before
+    * they can stack df counts into the posting lists. On corpora
+    * with no identical sets (the gate SFs) reps == docs and the
+    * plan degenerates to [[containmentPairs]] plus one cheap
+    * fingerprint groupBy — the brute-force oracle stays exact.
+    * The 64-bit set fingerprint rides the same collision budget as
+    * the shingle hashes themselves (~1e-13 per pair, argued at
+    * [[shingled]]). */
+  private[operators] def containmentPairsByContent(
+      docs: DataFrame, tau: Double): DataFrame = {
+    val keyed = docs.withColumn("fp",
+      concat_ws(":", size(col("sh")), xxhash64(col("sh"))))
+    val members = keyed.select(col("fp"), col("doc_id")).transform(Pin.corpus)
+    val reps = members.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val repPairs = containmentPairs(
+      keyed.join(reps, Seq("fp", "doc_id")).select(col("doc_id"), col("sh")), tau)
+    val repFp = members.join(reps, Seq("fp", "doc_id")).select(col("fp"), col("doc_id"))
+    val cross = repPairs
+      .join(repFp.select(col("doc_id").as("doc_a"), col("fp").as("fa")), "doc_a")
+      .join(repFp.select(col("doc_id").as("doc_b"), col("fp").as("fb")), "doc_b")
+      .select(col("fa"), col("fb"), col("containment"))
+      .join(members.select(col("fp").as("fa"), col("doc_id").as("doc_a")), "fa")
+      .join(members.select(col("fp").as("fb"), col("doc_id").as("doc_b")), "fb")
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+    val within = Blocking
+      .cappedPairsDirected(members.select(col("fp").as("key"), col("doc_id")),
+        "doc_id", "doc_a", "doc_b", Blocking.DefaultCap)
+      .select(col("doc_a"), col("doc_b"), rnd(lit(1.0), 4).as("containment"))
+    cross.unionByName(within).orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val dedupContainment: QueryFn = (s, dir) =>
-    containmentPairs(docShingles(s, dir).transform(Pin.corpus), tau = 0.6)
+    containmentPairsByContent(docShingles(s, dir).transform(Pin.corpus), tau = 0.6)
 
   /** Incremental dedup: a NEW batch (doc_id % 5 == 4, ~20% of the
     * corpus — a deterministic stand-in for "today's partition")

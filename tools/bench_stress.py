@@ -131,11 +131,12 @@ def main():
     # sf0.1 rows are skipped — their ratios are overhead noise.
     BOUND_DEFAULT = 8.0
     BOUNDS = {
-        # candidate mass on the replicate+perturb corpus is a measured
-        # data property (62x for 10x docs, r7 verdict "what's wrong
-        # #2") — bounded at its observed ratio + margin until the
-        # corpus itself changes shape
-        "dedup_containment": 30.0,
+        # the r8 content-grain rewrite collapsed the verbatim replica
+        # groups before the posting join (43.9 -> ~13 s isolated at
+        # sf1); the remaining candidate mass from the NEAR-identical
+        # perturbed replicas is a real data property of this corpus —
+        # bound at observed-in-sequence + margin
+        "dedup_containment": 15.0,
     }
     violations = [
         (r, name, b, v) for r, name, b, v in rows
