@@ -41,6 +41,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Provenance sidecar (r7 verdict #7) — a SEPARATE file: the
+    // driver iterates oracle_sql.json keys as queries, so provenance
+    // must not ride inside it. check.py cross-checks these counts so
+    // a stale or subset dump is machine-detected.
+    val gitSha = try {
+      val p = Runtime.getRuntime.exec(Array("git", "rev-parse", "HEAD"))
+      val sha = new String(p.getInputStream.readAllBytes()).trim
+      p.waitFor()
+      if (sha.matches("[0-9a-f]{40}")) sha else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      s"""{"git_sha":"$gitSha","registry_count":${SparkEntry.queries.size},""" +
+        s""""oracle_count":${SparkEntry.oracleSql.size},""" +
+        s""""subset":${only.nonEmpty}}""")
 
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

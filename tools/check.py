@@ -27,6 +27,20 @@ for t in ("region nation customer supplier part orders lineitem events "
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+# provenance cross-check (r7 verdict #7): a full (non-subset) dump
+# must carry one oracle per registered query; a mismatch means the
+# dump is stale or partial and every downstream number is suspect
+meta_path = f"{out_dir}/verify_meta.json"
+if os.path.exists(meta_path):
+    meta = json.load(open(meta_path))
+    if not meta.get("subset") and len(oracle) != meta.get("oracle_count"):
+        sys.exit(f"FATAL: oracle_sql.json has {len(oracle)} entries but the "
+                 f"dump recorded {meta.get('oracle_count')} — stale outDir?")
+    if not meta.get("subset") and meta.get("registry_count", 0) < len(oracle):
+        sys.exit(f"FATAL: registry had {meta.get('registry_count')} queries "
+                 f"but {len(oracle)} oracles exist — registry/oracle drift")
+
 fails, passes = [], []
 for name in sorted(oracle):
     sql = oracle[name]
