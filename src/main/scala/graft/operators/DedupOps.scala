@@ -595,6 +595,7 @@ object DedupOps {
     val oldDf = s.read.parquet(s"$idx/df")
     val oldPrefix = s.read.parquet(s"$idx/prefix")
     val oldSh = s.read.parquet(s"$idx/sh")
+    val oldMembers = s.read.parquet(s"$idx/members")
 
     val newDocs = Tables.documents(s, dir).where(isNewId($"doc_id"))
     val exact = newDocs.select($"doc_id", md5(normText($"text")).as("fp"))
@@ -603,27 +604,51 @@ object DedupOps {
         lit("exact").as("kind"), lit(1.0).as("sim"))
 
     // only the BATCH is shingled fresh; the corpus side comes from the
-    // persisted index. The inner df join keeps both sides' prefixes
-    // under ONE global order — (df over the old corpus, key) — which
-    // is all the lossless-prefix argument needs; batch-only shingles
-    // (absent from the old corpus) can never match an old doc, so the
-    // inner join drops them while `sz` still counts them.
-    val newSh = shingled(newDocs).transform(Pin.corpus)
+    // persisted index — both at CONTENT GRAIN (v4: the r8 decade guard
+    // caught the doc-grain join at 9.2×/decade on the stress corpus —
+    // replica groups inflate every posting list, the containment-join
+    // lesson): one min-id rep per distinct batch shingle set joins the
+    // rep-grain old postings, verification runs rep×rep, and member
+    // pairs expand on the verified result (J is a function of the
+    // contents alone). The inner df join keeps both sides' prefixes
+    // under ONE global order — (df over the old REP corpus, key) — any
+    // fixed order serves the lossless-prefix argument; batch-only
+    // shingles (absent from the old corpus) can never match an old
+    // doc, so the inner join drops them while `sz` still counts them.
+    val newCg = shingled(newDocs)
+      .withColumn("cfp", IncrementalIndex.contentFp($"sh"))
+      .transform(Pin.corpus)
+    val newMembers = newCg.select($"cfp", $"doc_id")
+    val newReps = newMembers.groupBy($"cfp").agg(min($"doc_id").as("doc_id"))
+    val newSh = newCg.join(newReps, Seq("cfp", "doc_id"))
+      .select($"doc_id", $"cfp", $"sh")
     val exNew = newSh.select($"doc_id", size($"sh").as("sz"), explode($"sh").as("key"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df".asc, $"key".asc)
     val prefixNew = exNew.join(oldDf, "key")
       .withColumn("rn", row_number().over(byRarity))
       .where($"rn" <= $"sz" - ceil($"sz" * tau) + 1)
-      .select($"key", $"doc_id".as("doc_a"), $"sz".as("sz_a"))
+      .select($"key", $"doc_id".as("doc_a"), $"sz".as("sz_a"), $"rn".as("rn_a"))
     val cands = prefixNew
-      .join(oldPrefix.select($"key", $"doc_id".as("doc_b"), $"sz".as("sz_b")), "key")
-      .where(least($"sz_a", $"sz_b") >= lit(tau) * greatest($"sz_a", $"sz_b"))
+      .join(oldPrefix.select($"key", $"doc_id".as("doc_b"),
+        $"sz".as("sz_b"), $"rn".as("rn_b")), "key")
+      .where(least($"sz_a", $"sz_b") >= lit(tau) * greatest($"sz_a", $"sz_b") &&
+        // PPJoin positional filter (lossless — J ≥ τ forces overlap
+        // ≥ ⌈τ·max(|A|,|B|)⌉, and overlap through this key is at most
+        // 1 + what remains after it in EITHER side's rarity order)
+        lit(1) + least($"sz_a" - $"rn_a", $"sz_b" - $"rn_b") >=
+          ceil(lit(tau) * greatest($"sz_a", $"sz_b")))
       .select("doc_a", "doc_b").distinct()
-      .join(exact.select($"new_id".as("doc_a")), Seq("doc_a"), "left_anti")
-    val near = verifyJaccardAB(cands, newSh, oldSh, tau)
-      .select($"doc_a".as("new_id"), $"doc_b".as("old_id"),
-        lit("near").as("kind"), $"jaccard".as("sim"))
+    val nearRep = verifyJaccardAB(cands, newSh.select($"doc_id", $"sh"),
+      oldSh.select($"doc_id", $"sh"), tau)
+    val near = nearRep
+      .join(newSh.select($"doc_id".as("doc_a"), $"cfp".as("ca")), "doc_a")
+      .join(oldSh.select($"doc_id".as("doc_b"), $"cfp".as("cb")), "doc_b")
+      .select($"ca", $"cb", $"jaccard")
+      .join(newMembers.select($"cfp".as("ca"), $"doc_id".as("new_id")), "ca")
+      .join(oldMembers.select($"cfp".as("cb"), $"doc_id".as("old_id")), "cb")
+      .join(exact.select($"new_id"), Seq("new_id"), "left_anti")
+      .select($"new_id", $"old_id", lit("near").as("kind"), $"jaccard".as("sim"))
 
     exact.unionByName(near).orderBy($"new_id", $"old_id", $"kind")
   }
@@ -647,7 +672,21 @@ object DedupOps {
     // v3: shingle arrays persisted SORTED (the SortedOverlapCount
     // merge kernel requires asc order) — a v2 index would feed
     // unsorted arrays to the merge and silently under-count
-    private val Version = "v3"
+    // v4: CONTENT GRAIN (the r8 decade guard caught dedup_incremental
+    // at 9.2×/decade — the same posting-inflation class as the
+    // containment join): sh/df/prefix are stored for one min-id
+    // REPRESENTATIVE per distinct shingle set, plus a (cfp, doc_id)
+    // member map; the batch joins rep postings and member pairs
+    // expand on the verified result. df over reps is a valid global
+    // rarity order (any fixed order serves the lossless-prefix
+    // argument as long as both sides sort by it), and J(A,B) is a
+    // function of the contents alone, so expansion is exact.
+    private val Version = "v4"
+
+    /** 64-bit shingle-set fingerprint — same collision budget as the
+      * shingle hashes themselves (see [[shingled]]). */
+    private[operators] def contentFp(c: org.apache.spark.sql.Column) =
+      concat_ws(":", size(c), xxhash64(c))
 
     /** The path is keyed by a fingerprint of the corpus FILES (name,
       * size, mtime), not just the directory name: the test corpus is
@@ -674,10 +713,17 @@ object DedupOps {
           old.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
             .groupBy(col("fp")).agg(min(col("doc_id")).as("old_id"))
             .write.mode("overwrite").parquet(s"$base/fp")
-          shingled(old).select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+          // content grain: member map + one rep's shingles per set
+          val cg = shingled(old).withColumn("cfp", contentFp(col("sh")))
+          cg.select(col("cfp"), col("doc_id"))
+            .write.mode("overwrite").parquet(s"$base/members")
+          val reps = s.read.parquet(s"$base/members")
+            .groupBy(col("cfp")).agg(min(col("doc_id")).as("doc_id"))
+          cg.join(reps, Seq("cfp", "doc_id"))
+            .select(col("doc_id"), col("cfp"), col("sh"), size(col("sh")).as("sz"))
             .write.mode("overwrite").parquet(s"$base/sh")
-          // df + prefix derive from the persisted shingles (read back,
-          // not recomputed — the corpus text is touched exactly once)
+          // df + prefix derive from the persisted REP shingles (read
+          // back, not recomputed — corpus text is touched exactly once)
           val sh = s.read.parquet(s"$base/sh")
           val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("key"))
           ex.groupBy(col("key")).agg(count(lit(1)).as("df"))
@@ -687,7 +733,7 @@ object DedupOps {
           ex.join(s.read.parquet(s"$base/df"), "key")
             .withColumn("rn", row_number().over(byRarity))
             .where(col("rn") <= col("sz") - ceil(col("sz") * tau) + 1)
-            .select(col("key"), col("doc_id"), col("sz"))
+            .select(col("key"), col("doc_id"), col("sz"), col("rn"))
             .write.mode("overwrite").parquet(s"$base/prefix")
           graft.mr.Fs.touch(base + "/_READY")
         }
