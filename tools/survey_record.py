@@ -178,8 +178,8 @@ def main():
             bl = ", ".join(f"{k} {v:.0f}s" for k, v in sorted(
                 s1.get("builds", {}).items()))
             scale_line += (
-                f"; 4th decade (self-generated 10× stress corpus, doc/vector"
-                f" families only): {s1['total_sec']:.1f} s over"
+                f"; 4th decade (self-generated 10× stress corpus,"
+                f" doc/vector/stream families): {s1['total_sec']:.1f} s over"
                 f" {s1['n_ok']} serves, builds {bl}")
     else:
         scale_line = "no bench_scaling.json found"
