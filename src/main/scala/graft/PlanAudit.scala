@@ -187,6 +187,25 @@ object PlanAudit {
         // not a recomputation over the corpus text
         "reads persisted corpus index" -> (_.contains("graft-incidx")),
         "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "mm_mp4_meta" -> Map(
+        // parse is map-only per payload: container bytes never
+        // shuffle — the only exchange is the output sort
+        "map-only before the output sort" -> (p =>
+          !p.contains("Join") &&
+          "Exchange".r.findAllIn(p).size <= 1)),
+      "dedup_containment" -> Map(
+        // content-grain rewrite (r8): no cartesian anywhere, and the
+        // member-expansion joins stay equi-joins on the fingerprint
+        "no cartesian in rep join or expansion" -> (p =>
+          !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+        // the df/rank stage runs ONCE behind the eager checkpoint —
+        // both prefix and posting branches must read the materialized
+        // ranked frame, not recompute it (the cappedPairs double-eval
+        // lesson); the rep min-agg serves from the pinned cache
+        "ranked postings checkpointed once" -> (p =>
+          "Scan ExistingRDD\\[key".r.findAllIn(p).size >= 2),
+        "reps served from cache" -> (_.contains("InMemoryTableScan"))),
       "pipeline_curate" -> Map(
         // the decontamination gram join keeps the benchmark set (the
         // small side by construction) broadcast; no stage of the

@@ -545,13 +545,16 @@ object DedupOps {
     val keyed = docs.withColumn("fp",
       concat_ws(":", size(col("sh")), xxhash64(col("sh"))))
     val members = keyed.select(col("fp"), col("doc_id")).transform(Pin.corpus)
+    // pinned: the rep frame feeds the verify sides AND both expansion
+    // joins — unpinned, the served plan recomputes this corpus-wide
+    // min-agg (shuffle included) four times
     val reps = members.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .transform(Pin.corpus)
     val repPairs = containmentPairs(
       keyed.join(reps, Seq("fp", "doc_id")).select(col("doc_id"), col("sh")), tau)
-    val repFp = members.join(reps, Seq("fp", "doc_id")).select(col("fp"), col("doc_id"))
     val cross = repPairs
-      .join(repFp.select(col("doc_id").as("doc_a"), col("fp").as("fa")), "doc_a")
-      .join(repFp.select(col("doc_id").as("doc_b"), col("fp").as("fb")), "doc_b")
+      .join(reps.select(col("doc_id").as("doc_a"), col("fp").as("fa")), "doc_a")
+      .join(reps.select(col("doc_id").as("doc_b"), col("fp").as("fb")), "doc_b")
       .select(col("fa"), col("fb"), col("containment"))
       .join(members.select(col("fp").as("fa"), col("doc_id").as("doc_a")), "fa")
       .join(members.select(col("fp").as("fb"), col("doc_id").as("doc_b")), "fb")
