@@ -193,6 +193,11 @@ object PlanAudit {
         "map-only before the output sort" -> (p =>
           !p.contains("Join") &&
           "Exchange".r.findAllIn(p).size <= 1)),
+      "mm_exif_meta" -> Map(
+        // same shape: JPEG/EXIF walk is map-only per payload
+        "map-only before the output sort" -> (p =>
+          !p.contains("Join") &&
+          "Exchange".r.findAllIn(p).size <= 1)),
       "dedup_containment" -> Map(
         // content-grain rewrite (r8): no cartesian anywhere, and the
         // member-expansion joins stay equi-joins on the fingerprint

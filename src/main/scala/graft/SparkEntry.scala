@@ -151,6 +151,7 @@ object SparkEntry {
     "mm_image_neardup"            -> TextOps.mmImageNeardup,
     "mm_featurize"                -> TextOps.mmFeaturize,
     "mm_frame_sample"             -> TextOps.mmFrameSample,
+    "mm_exif_meta"                -> TextOps.mmExifMeta,
     "mm_mp4_meta"                 -> TextOps.mmMp4Meta,
     "q_vocab_growth"              -> TextOps.qVocabGrowth,
     "q_pareto_docs"               -> operators.CurationOps.qParetoDocs,
@@ -2921,6 +2922,23 @@ object SparkEntry {
         |SELECT ma AS media_a, mb AS media_b, hamming
         |FROM h WHERE hamming <= ${operators.TextOps.PhashTau}
         |ORDER BY media_a, media_b""".stripMargin,
+
+    // the closed forms the EXIF encoder embeds, replayed: byte order
+    // by parity, dims/orientation/make/software/resolution by residue
+    // — a parser that misreads either endianness, peeks a fixed
+    // offset, or right-justifies an inline value hash-fails
+    "mm_exif_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(640 + (doc_id % 9) * 32 AS BIGINT) AS width,
+        |  CAST(360 + (doc_id % 5) * 24 AS BIGINT) AS height,
+        |  CAST(1 + (doc_id % 8) AS BIGINT) AS orientation,
+        |  'CAM-' || CAST(doc_id % 4 AS VARCHAR) AS make,
+        |  'g' || CAST(doc_id % 10 AS VARCHAR) AS software,
+        |  CAST(72 + (doc_id % 3) * 78 AS BIGINT) AS xres_num,
+        |  CAST(1 + (doc_id % 2) AS BIGINT) AS xres_den,
+        |  CAST(6 AS BIGINT) AS n_entries
+        |FROM documents WHERE doc_id % 7 = 4 ORDER BY media_id""".stripMargin,
 
     // the closed form the MP4 encoder embeds, replayed: timescale by
     // residue (600/1000/90000), duration units = ms·ts/1000 (exact —

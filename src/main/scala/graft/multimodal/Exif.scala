@@ -1,0 +1,201 @@
+package graft.multimodal
+
+/** REAL JPEG/EXIF metadata walker — the photo-metadata corner of the
+  * multimodal surface (the [[Mp4Codec]]/[[WavCodec]] pattern): full
+  * JPEG pixel decode already rides `javax.imageio` (Image.scala), but
+  * camera metadata lives in the APP1 `Exif` segment as a complete
+  * embedded TIFF structure, and walking it is pure-JVM byte
+  * arithmetic with a twist none of the other containers have — the
+  * TIFF blob declares its OWN byte order (`II` little-endian /
+  * `MM` big-endian, TIFF 6.0 §2), so every field read must flip per
+  * payload. Training pipelines key on exactly these fields
+  * (orientation for pixel-space normalization, make/software for
+  * provenance slicing, resolution for quality gates).
+  *
+  * Walker discipline (the WAV hostile-chunk lesson, Wav.scala:60):
+  * marker scans advance in Long, a segment length < 2 or a
+  * non-advancing offset ends the walk, and every IFD entry read is
+  * bounds-checked against the blob — a malformed entry is skipped,
+  * never trusted. Inline values are LEFT-JUSTIFIED in the 4-byte
+  * value field (TIFF 6.0 §2: "the Value is left-justified"), so a
+  * SHORT reads the FIRST two bytes under either order; out-of-line
+  * values (ASCII count > 4, RATIONAL) follow u32 offsets relative to
+  * the TIFF blob start, not the file.
+  */
+object ExifCodec {
+
+  /** Parsed EXIF facts of a JPEG payload. */
+  final case class ExifMeta(
+      byteOrder: String, width: Long, height: Long, orientation: Int,
+      make: String, software: String, xresNum: Long, xresDen: Long,
+      nEntries: Int)
+
+  private def u16be(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  /** TIFF blob reads honor the blob's declared order. */
+  private def u16(b: Array[Byte], o: Int, le: Boolean): Int =
+    if (le) ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff) else u16be(b, o)
+
+  private def u32(b: Array[Byte], o: Int, le: Boolean): Long =
+    if (le)
+      ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    else
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def asciiAt(b: Array[Byte], o: Int, n: Int): String = {
+    // trailing NUL(s) stripped per TIFF ASCII type
+    var end = o + n
+    while (end > o && b(end - 1) == 0) end -= 1
+    new String(b, o, end - o, java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** Parse EXIF metadata from actual JPEG bytes: scan markers for the
+    * APP1 `Exif\0\0` segment, then walk the embedded TIFF IFD0. None
+    * unless the payload is a JPEG holding a well-formed TIFF header. */
+  def parseExif(b: Array[Byte]): Option[ExifMeta] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var o = 2L
+    while (o + 4 <= b.length) {
+      if ((b(o.toInt) & 0xff) != 0xff) return None // marker desync
+      val marker = b(o.toInt + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no EXIF seen
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        o += 2 // standalone markers carry no length
+      } else {
+        val segLen = u16be(b, o.toInt + 2).toLong
+        if (segLen < 2) return None // hostile length: stop
+        val bodyStart = o + 4
+        val bodyEnd = o + 2 + segLen
+        if (bodyEnd > b.length) return None // truncated segment
+        if (marker == 0xe1 && bodyEnd - bodyStart >= 6 &&
+          asciiAt(b, bodyStart.toInt, 4) == "Exif" &&
+          b(bodyStart.toInt + 4) == 0 && b(bodyStart.toInt + 5) == 0)
+          return parseTiff(b, bodyStart.toInt + 6, bodyEnd.toInt)
+        if (bodyEnd <= o) return None // paranoid: never fail to advance
+        o = bodyEnd
+      }
+    }
+    None
+  }
+
+  /** Walk the embedded TIFF structure in [from, to). */
+  private def parseTiff(b: Array[Byte], from: Int, to: Int): Option[ExifMeta] = {
+    if (to - from < 8) return None
+    val order = asciiAt(b, from, 2)
+    val le = order match {
+      case "II" => true
+      case "MM" => false
+      case _ => return None
+    }
+    if (u16(b, from + 2, le) != 42) return None
+    val ifd0 = u32(b, from + 4, le)
+    val ifdAt = from.toLong + ifd0
+    if (ifdAt < from || ifdAt + 2 > to) return None
+    val n = u16(b, ifdAt.toInt, le)
+    var width = 0L; var height = 0L; var orientation = 0
+    var make = ""; var software = ""
+    var xresNum = 0L; var xresDen = 0L
+    var i = 0
+    var walked = 0
+    while (i < n) {
+      val e = ifdAt + 2 + i.toLong * 12
+      if (e + 12 > to) i = n // truncated entry table: stop the walk
+      else {
+        walked += 1
+        val tag = u16(b, e.toInt, le)
+        val typ = u16(b, e.toInt + 2, le)
+        val cnt = u32(b, e.toInt + 4, le)
+        val vo = e.toInt + 8 // inline value field (left-justified)
+        def longVal: Long =
+          if (typ == 3) u16(b, vo, le).toLong
+          else u32(b, vo, le)
+        tag match {
+          case 0x0100 if typ == 3 || typ == 4 => width = longVal
+          case 0x0101 if typ == 3 || typ == 4 => height = longVal
+          case 0x0112 if typ == 3 => orientation = u16(b, vo, le)
+          case t if (t == 0x010f || t == 0x0131) && typ == 2 && cnt >= 1 =>
+            val s =
+              if (cnt <= 4) asciiAt(b, vo, cnt.toInt)
+              else {
+                val off = from.toLong + u32(b, vo, le)
+                if (off < from || off + cnt > to) "" // OOB: skip, don't trust
+                else asciiAt(b, off.toInt, cnt.toInt)
+              }
+            if (tag == 0x010f) make = s else software = s
+          case 0x011a if typ == 5 && cnt >= 1 =>
+            val off = from.toLong + u32(b, vo, le)
+            if (off >= from && off + 8 <= to) {
+              xresNum = u32(b, off.toInt, le)
+              xresDen = u32(b, off.toInt + 4, le)
+            }
+          case _ => () // unknown/hostile entry: skipped, still counted
+        }
+        i += 1
+      }
+    }
+    Some(ExifMeta(order, width, height, orientation, make, software,
+      xresNum, xresDen, walked))
+  }
+
+  /** Canonical minimal JPEG-with-EXIF writer — SOI + COM + APP1(Exif
+    * TIFF IFD0) + EOI — the independent code path the parser
+    * round-trips against. The TIFF blob is emitted in the requested
+    * byte order; entries exercise all four storage shapes a real
+    * camera file uses: inline LONG (dims), inline SHORT
+    * (orientation), inline ASCII (software, count ≤ 4), out-of-line
+    * ASCII (make) and out-of-line RATIONAL (resolution). */
+  def writeJpegExif(
+      littleEndian: Boolean, width: Int, height: Int, orientation: Int,
+      make: String, software: String, xresNum: Long, xresDen: Long): Array[Byte] = {
+    require(make.length + 1 > 4, "make must be out-of-line (count > 4)")
+    require(software.length + 1 <= 4, "software must be inline (count <= 4)")
+    val makeBytes = make.getBytes(java.nio.charset.StandardCharsets.US_ASCII) :+ 0.toByte
+    val ord = if (littleEndian)
+      java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN
+    // TIFF blob: header 8 + count 2 + 6 entries × 12 + next-IFD 4,
+    // then the out-of-line area: make bytes + 8-byte rational
+    val entriesEnd = 8 + 2 + 6 * 12 + 4
+    val makeOff = entriesEnd
+    val ratOff = makeOff + makeBytes.length
+    val tiff = java.nio.ByteBuffer.allocate(ratOff + 8).order(ord)
+    tiff.put((if (littleEndian) "II" else "MM").getBytes)
+      .putShort(42.toShort).putInt(8)
+    tiff.putShort(6.toShort)
+    def entry(tag: Int, typ: Int, cnt: Long)(value: => Unit): Unit = {
+      tiff.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt.toInt)
+      val before = tiff.position()
+      value
+      while (tiff.position() < before + 4) tiff.put(0.toByte) // pad right
+    }
+    entry(0x0100, 4, 1L) { tiff.putInt(width) }
+    entry(0x0101, 4, 1L) { tiff.putInt(height) }
+    entry(0x010f, 2, makeBytes.length.toLong) { tiff.putInt(makeOff) }
+    entry(0x0112, 3, 1L) { tiff.putShort(orientation.toShort) }
+    entry(0x011a, 5, 1L) { tiff.putInt(ratOff) }
+    entry(0x0131, 2, software.length.toLong + 1) {
+      tiff.put(software.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .put(0.toByte)
+    }
+    tiff.putInt(0) // next IFD
+    tiff.put(makeBytes)
+    tiff.putInt(xresNum.toInt).putInt(xresDen.toInt)
+    val tb = tiff.array()
+
+    val com = "graftcm".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val app1Len = 2 + 6 + tb.length
+    val out = java.nio.ByteBuffer
+      .allocate(2 + (4 + com.length) + (2 + app1Len) + 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.putShort(0xffd8.toShort)
+    // a COM segment BEFORE APP1 so the parser must actually scan
+    out.putShort(0xfffe.toShort).putShort((2 + com.length).toShort).put(com)
+    out.putShort(0xffe1.toShort).putShort(app1Len.toShort)
+      .put("Exif".getBytes).put(0.toByte).put(0.toByte).put(tb)
+    out.putShort(0xffd9.toShort)
+    out.array()
+  }
+}

@@ -479,6 +479,59 @@ object TextOps {
       .orderBy($"media_id")
   }
 
+  /** Deterministic JPEG-with-EXIF for a photo-class doc — the fixture
+    * behind [[mmExifMeta]] (the mp4Fixture discipline): a real JPEG
+    * marker stream (SOI, a COM segment the walker must skip, the APP1
+    * `Exif\0\0` segment holding a complete TIFF IFD0, EOI) whose
+    * fields are closed forms of doc_id. Byte order alternates II/MM
+    * by parity, so HALF the corpus hash-fails under a parser that
+    * assumes one endianness; the six IFD entries exercise inline
+    * LONG/SHORT/ASCII and out-of-line ASCII/RATIONAL storage. */
+  private def exifFixture(id: Long): Array[Byte] =
+    graft.multimodal.ExifCodec.writeJpegExif(
+      littleEndian = id % 2 == 0,
+      width = 640 + (id % 9).toInt * 32,
+      height = 360 + (id % 5).toInt * 24,
+      orientation = 1 + (id % 8).toInt,
+      make = "CAM-" + (id % 4),
+      software = "g" + (id % 10),
+      xresNum = 72L + (id % 3) * 78L,
+      xresDen = 1L + (id % 2))
+
+  /** Camera metadata through the REAL JPEG/EXIF walker — the photo
+    * twin of [[mmWavMeta]]/[[mmMp4Meta]]: each photo-class doc
+    * (doc_id%7==4, a residue the other media classes don't use)
+    * materializes as a complete JPEG ([[exifFixture]]) and every
+    * reported column comes from
+    * [[graft.multimodal.ExifCodec.parseExif]] WALKING THE ACTUAL
+    * BYTES — marker scan to APP1, embedded-TIFF byte-order dispatch
+    * (II/MM alternates by doc parity), IFD0 entry walk across all
+    * four value-storage shapes. The DuckDB oracle replays the closed
+    * forms the encoder embedded, so a fixed-endianness shortcut, a
+    * right-justified inline read, or a file-relative (instead of
+    * TIFF-relative) offset hash-fails half or all of the rows.
+    * Training pipelines key on exactly these fields: orientation for
+    * pixel-space normalization, make/software for provenance slices,
+    * resolution for quality gates.
+    *
+    * Scale shape: map-only per payload; payload bytes never shuffle —
+    * parsed scalars do. One output sort. */
+  val mmExifMeta: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where($"doc_id" % 7 === 4)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val m = graft.multimodal.ExifCodec.parseExif(exifFixture(id))
+          .getOrElse(sys.error(s"unparseable EXIF for media $id"))
+        (id, m.byteOrder, m.width, m.height, m.orientation.toLong,
+          m.make, m.software, m.xresNum, m.xresDen, m.nEntries.toLong)
+      }
+      .toDF("media_id", "byte_order", "width", "height", "orientation",
+        "make", "software", "xres_num", "xres_den", "n_entries")
+      .orderBy($"media_id")
+  }
+
   /** Video frame-sampling PLAN: for every video payload (the mp4
     * residue class, doc_id%7==3), read its duration from the REAL
     * container — [[mp4Fixture]] bytes through
