@@ -221,6 +221,7 @@ object SparkEntry {
     "q_equidepth_hist"            -> EventAnalytics.qEquidepthHist,
     "dedup_source_matrix"         -> DedupOps.dedupSourceMatrix,
     "emb_drift_check"             -> AnnOps.embDriftCheck,
+    "emb_matryoshka_eval"         -> AnnOps.embMatryoshkaEval,
     "q_ppr"                       -> operators.GraphOps.qPersonalizedPagerank,
     "q_ivm_maintain"              -> operators.CdcOps.qIvmMaintain,
     "q_seasonal_decompose"        -> EventAnalytics.qSeasonalDecompose,
@@ -3398,6 +3399,38 @@ object SparkEntry {
         |  floor(abs(a.sx/a.n - b.sx/b.n)*1000000 + 0.5)/1000000 AS abs_drift
         |FROM h a JOIN h b ON a.pos = b.pos AND a.even AND NOT b.even
         |ORDER BY a.pos""".stripMargin,
+    // prefix-truncation recall panel: prefix cosine ranks per dim
+    // (1e-6-rounded ties, nid asc), overlap vs the full-width top-k,
+    // mean FULL-dim sim of truncated winners as a 1e-6 scaled-integer
+    // sum with one division — all dial-driven (K, NumProbes)
+    "emb_matryoshka_eval" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |probes AS (SELECT vec_id AS pid, v AS pe FROM emb WHERE vec_id < ${operators.AnnOps.NumProbes}),
+        |dims AS (SELECT unnest([${operators.AnnOps.MatryoshkaDims.mkString(", ")}]) AS d),
+        |sims AS (
+        |  SELECT d, pid, e.vec_id AS nid,
+        |    list_cosine_similarity(pe[1:d], e.v[1:d]) AS sim,
+        |    list_cosine_similarity(pe, e.v) AS fsim
+        |  FROM probes, emb e, dims WHERE e.vec_id <> pid),
+        |ranked AS (
+        |  SELECT d, pid, nid, fsim,
+        |    row_number() OVER (PARTITION BY d, pid
+        |      ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk
+        |  FROM sims),
+        |topd AS (SELECT d, pid, nid, fsim FROM ranked WHERE rnk <= ${operators.AnnOps.K}),
+        |fullk AS (SELECT pid, nid FROM topd WHERE d = ${operators.AnnOps.MatryoshkaDims.max}),
+        |hits AS (SELECT d, count(*) AS h FROM topd JOIN fullk USING (pid, nid) GROUP BY d),
+        |agg AS (
+        |  SELECT d, count(*) AS n,
+        |    CAST(sum(CAST(floor(fsim*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ssum
+        |  FROM topd GROUP BY d)
+        |SELECT CAST(a.d AS BIGINT) AS dim,
+        |  CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+        |  floor((CAST(coalesce(h.h, 0) AS DOUBLE)/${operators.AnnOps.K * operators.AnnOps.NumProbes})*10000 + 0.5)/10000 AS recall,
+        |  floor(((CAST(a.ssum AS DOUBLE)/a.n)/1000000)*10000 + 0.5)/10000 AS mean_full_sim
+        |FROM agg a LEFT JOIN hits h ON h.d = a.d
+        |ORDER BY dim""".stripMargin,
+
     "dedup_minhash_calibration" -> minhashCalibrationOracle,
     "ann_lsh_topk" -> annLshOracle,
     "ann_hnsw_topk" -> annHnswOracle,

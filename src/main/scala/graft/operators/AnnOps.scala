@@ -688,6 +688,65 @@ object AnnOps {
       .orderBy($"pos")
   }
 
+  /** Matryoshka truncation dims for [[embMatryoshkaEval]] — power-of-
+    * two prefixes up to the native width, the MRL serving ladder. */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** MATRYOSHKA truncation eval (Kusupati et al. 2022 — MRL): how
+    * much top-k quality survives serving only a PREFIX of each
+    * embedding. For every dim d in [[MatryoshkaDims]], the exact
+    * top-k under cosine over the first d components is compared to
+    * the full-width top-k: recall@k (set overlap with the full-dim
+    * truth) and the mean FULL-dim similarity of the truncated
+    * winners (quality beyond set overlap — a truncated index can
+    * miss the argmax yet still return near-ties). This is the panel
+    * that decides how far an index can shrink its vectors (memory
+    * per vector is THE cost driver at 10⁹ scale) before recall pays.
+    *
+    * Scale shape: probes broadcast, one corpus-side pass computes the
+    * full-dim similarity once per candidate, then the 4-dim explode
+    * scores prefix cosines map-side; TopK.perKey bounds the shuffle
+    * to k rows per (partition, dim, probe). The final agg is 4 rows.
+    * Exactness: ranking ties break on (1e-6-rounded sim, nid); the
+    * mean full-sim is a scaled-integer sum (1e-6 grid) with ONE
+    * division at the end, so partial-agg order cannot move the hash. */
+  val embMatryoshkaEval: QueryFn = (s, dir) => {
+    import s.implicits._
+    val full = Tables.embeddings(s, dir)
+      .join(broadcast(probes(s, dir)), $"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id".as("nid"), $"pe", $"embedding",
+        cosine_sim($"pe", $"embedding").as("fsim"))
+    val byDim = full
+      .select(explode(typedLit(MatryoshkaDims)).as("d"),
+        $"pid", $"nid", $"fsim",
+        $"pe", $"embedding")
+      .select($"d", $"pid", $"nid", $"fsim",
+        cosine_sim(slice($"pe", lit(1), $"d"),
+          slice($"embedding", lit(1), $"d")).as("sim"))
+    val topd = graft.plans.TopK.perKey(
+      byDim.withColumn("sim_r", rnd($"sim", 6)),
+      keyCols = Seq("d", "pid"),
+      orderCols = Seq("sim_r" -> false, "nid" -> true),
+      k = K)
+      .select($"d", $"pid", $"nid", $"fsim")
+      .transform(Pin.corpus)
+    val fullTop = topd.where($"d" === MatryoshkaDims.max)
+      .select($"pid", $"nid")
+    val hits = topd.join(fullTop, Seq("pid", "nid"))
+      .groupBy($"d").agg(count(lit(1)).as("h"))
+    topd
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"fsim" * 1000000d + 0.5d).cast("long")).as("ssum"))
+      .join(hits, Seq("d"), "left") // a dim CAN score zero hits
+      .select($"d".cast("long").as("dim"),
+        coalesce($"h", lit(0L)).as("n_hits"),
+        rnd(coalesce($"h", lit(0L)).cast("double") / (K * NumProbes), 4)
+          .as("recall"),
+        rnd($"ssum".cast("double") / $"n" / 1000000d, 4).as("mean_full_sim"))
+      .orderBy($"dim")
+  }
+
   /** Filter label for [[annFilteredTopk]]. */
   val FilterLabel = 3
 
