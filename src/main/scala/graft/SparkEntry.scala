@@ -117,6 +117,7 @@ object SparkEntry {
     "text_ngram_novelty"          -> PipelineOps.textNgramNovelty,
     "q_chi2_terms"                -> operators.ModelOps.qChi2Terms,
     "text_bpe_encode"             -> operators.BpeOps.textBpeEncode,
+    "q_tokenizer_fertility"       -> operators.BpeOps.qTokenizerFertility,
     "q_pack_shards"               -> PipelineOps.qPackShards,
     "q_histogram"                 -> EventAnalytics.qHistogram,
     "q_heavy_hitters"             -> EventAnalytics.qHeavyHittersCms,
@@ -3284,6 +3285,7 @@ object SparkEntry {
         |FROM g JOIN f USING (h)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_bpe_encode" -> bpeEncodeOracle,
+    "q_tokenizer_fertility" -> tokenizerFertilityOracle,
 
     "text_dsir_importance" ->
       s"""WITH toks AS (
@@ -4295,7 +4297,36 @@ object SparkEntry {
     * before application even makes sense), then the learned merges
     * applied per (doc, word) with the identical greedy list_reduce
     * fold, aggregated to the per-doc token accounting. */
-  private def bpeEncodeOracle: String = {
+  private def bpeEncodeOracle: String =
+    s"""$bpeEncodeCtes
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) - sum(len(syms)) AS BIGINT) AS n_merges,
+       |  floor((CAST(sum(len(syms)) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE))*1000000 + 0.5)/1000000 AS compression
+       |FROM e${operators.BpeOps.Rounds} GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** `q_tokenizer_fertility`'s oracle: the identical training+encode
+    * replay, folded to the per-language tokenizer report. */
+  private def tokenizerFertilityOracle: String =
+    s"""$bpeEncodeCtes,
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(sum(len(syms)) AS BIGINT) AS n_tokens
+       |  FROM e${operators.BpeOps.Rounds} GROUP BY doc_id)
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(p.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+       |  floor((CAST(sum(p.n_tokens) AS DOUBLE) / CAST(sum(p.n_words) AS DOUBLE))*1000000 + 0.5)/1000000 AS fertility,
+       |  floor((CAST(sum(p.n_chars) AS DOUBLE) / CAST(sum(p.n_tokens) AS DOUBLE))*1000000 + 0.5)/1000000 AS chars_per_token
+       |FROM perdoc p JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  /** The shared training+encode CTE chain behind [[bpeEncodeOracle]]
+    * and [[tokenizerFertilityOracle]] (pc/b/s training rounds as in
+    * [[bpeOracle]], then the per-(doc, word) greedy application). */
+  private def bpeEncodeCtes: String = {
     val rounds = (1 to operators.BpeOps.Rounds).map { r =>
       s"""pc$r AS (
          |  SELECT u.p['a'] AS a, u.p['b'] AS b, sum(u.cnt) AS pc
@@ -4330,13 +4361,7 @@ object SparkEntry {
        |  SELECT doc_id, string_split(u.t, '') AS syms, CAST(len(u.t) AS BIGINT) AS n_chars
        |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
        |        FROM documents) u),
-       |$rounds
-       |SELECT doc_id, count(*) AS n_words,
-       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
-       |  CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
-       |  CAST(sum(n_chars) - sum(len(syms)) AS BIGINT) AS n_merges,
-       |  floor((CAST(sum(len(syms)) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE))*1000000 + 0.5)/1000000 AS compression
-       |FROM e${operators.BpeOps.Rounds} GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** FNV-1a 64 over a string SQL expression, as unsigned HUGEINT —

@@ -140,4 +140,36 @@ object BpeOps {
           $"n_tokens".cast("double") / $"n_chars", 6).as("compression"))
       .orderBy($"doc_id")
   }
+
+  /** Tokenizer FERTILITY report — the per-language cost sheet a
+    * training pipeline bills by (tokens per word, chars per token):
+    * a tokenizer trained on one language mix systematically inflates
+    * token counts on underrepresented languages (fertility is THE
+    * standard cross-lingual tokenizer-equity metric), and token
+    * budgets, packing, and compute cost all scale with it. Same
+    * train+encode machinery as [[textBpeEncode]]; the fold to
+    * per-language is one small join (per-doc accounting × doc lang)
+    * plus an exact-integer aggregate — ratios divide ONCE at the end,
+    * so the report hash-verifies.
+    *
+    * Scale shape: encode is map-only over the corpus scan (merges
+    * broadcast); the report agg is |langs| rows. Docs with zero
+    * normalized words carry no token accounting and are excluded —
+    * consistently on both engines. */
+  val qTokenizerFertility: QueryFn = (s, dir) => {
+    import s.implicits._
+    textBpeEncode(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("w"),
+        sum($"n_tokens").as("t"),
+        sum($"n_chars").as("c"))
+      .select($"lang", $"n_docs", $"w".as("n_words"), $"t".as("n_tokens"),
+        graft.functions.Cols.rnd(
+          $"t".cast("double") / $"w".cast("double"), 6).as("fertility"),
+        graft.functions.Cols.rnd(
+          $"c".cast("double") / $"t".cast("double"), 6).as("chars_per_token"))
+      .orderBy($"lang")
+  }
 }
