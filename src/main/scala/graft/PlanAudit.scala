@@ -28,6 +28,13 @@ object PlanAudit {
         "status prunes partitions" -> (p =>
           "PartitionFilters: \\[[^\\]]*o_orderstatus".r.findFirstIn(p).isDefined),
         "partial agg before shuffle" -> (_.contains("partial_"))),
+      // §2.H: the price filter must reach the ORC scan (stripe-level
+      // min/max skipping — the same 100 TB contract as parquet)
+      "src_orc_roundtrip" -> Map(
+        "price filter pushed to orc scan" -> (p =>
+          "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_extendedprice".r
+            .findFirstIn(p).isDefined),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
       // §2.H: the quantity filter must reach the csv SCAN (row-group
       // skip is parquet-only, but csv still short-circuits row parses)
       "src_csv_roundtrip" -> Map(

@@ -266,6 +266,8 @@ object SparkEntry {
     "src_text_dir"                -> operators.SourceSinkOps.srcTextDir,
     "src_object_store"            -> operators.SourceSinkOps.srcObjectStore,
     "src_schema_evolution"        -> operators.SourceSinkOps.srcSchemaEvolution,
+    "src_orc_roundtrip"           -> operators.SourceSinkOps.srcOrcRoundtrip,
+    "src_csv_malformed"           -> operators.SourceSinkOps.srcCsvMalformed,
   )
 
   /** DuckDB-runnable equivalents, same column names, same ordering. */
@@ -3695,6 +3697,29 @@ object SparkEntry {
         |  floor(CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS disc_price
         |FROM lineitem WHERE l_quantity < 25.0
         |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "src_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST((l_quantity) AS DECIMAL(27,10))) AS DOUBLE) AS sum_qty,
+        |  floor(CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS disc_price,
+        |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS last_ship
+        |FROM lineitem WHERE l_extendedprice >= 1000.0
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // PERMISSIVE quarantine semantics replayed: the good group is the
+    // original table's rollup; the corrupt group is the three hostile
+    // lines with Spark's parsed-prefix rule (orderkey/status parse,
+    // price only where the token was numeric → 1.5), blank line
+    // skipped by the reader entirely
+    "src_csv_malformed" ->
+      """SELECT false AS corrupt, count(*) AS n, count(*) AS n_keys,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+        |  floor(CAST(sum(CAST((o_totalprice) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS total
+        |FROM orders
+        |UNION ALL
+        |SELECT true AS corrupt, CAST(3 AS BIGINT) AS n, CAST(3 AS BIGINT) AS n_keys,
+        |  CAST(3 AS BIGINT) AS n_status, 1.5 AS total
+        |ORDER BY corrupt""".stripMargin,
 
     "src_json_roundtrip" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -143,6 +143,82 @@ object SourceSinkOps {
       .orderBy($"o_orderstatus")
   }
 
+  /** lineitem → ORC (the OTHER columnar format Spark ships natively —
+    * the Hive-ecosystem interchange a migration pipeline reads from) →
+    * vectorized read with the price filter pushed into the ORC scan
+    * (plan-audited: ORC row-group skipping via min/max stripes is the
+    * same 100 TB contract as parquet PushedFilters) → rollup with a
+    * TIMESTAMP column riding the round trip (ORC stores timestamps
+    * natively; csv/json here deliberately don't). */
+  val srcOrcRoundtrip: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = ioDir(dir, "lineitem_orc")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+        $"l_discount", $"l_returnflag", $"l_shipdate")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .where($"l_extendedprice" >= 1000.0)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        xsum($"l_quantity").as("sum_qty"),
+        rnd(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("disc_price"),
+        date_format(max($"l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("last_ship"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Malformed-ingest discipline, driver-gated: the good rows write
+    * as headerless CSV, a hand-written part file of HOSTILE lines
+    * (wrong arity, unparseable numbers, embedded quotes, blank) is
+    * dropped into the same directory, and the PERMISSIVE read with a
+    * `_corrupt_record` column must (a) quarantine EXACTLY the bad
+    * lines (wrong arity, unparseable numbers) and (b) parse every
+    * good row bit-identically — the rollup splits good/corrupt so one
+    * mis-quarantined line moves both groups. This is the ingest
+    * contract at 100 TB: never abort the job, never silently coerce
+    * garbage into numbers.
+    * (Blank lines are invisible: csv skips fully-empty lines before
+    * parsing, so they land in neither group — asserted by the counts.) */
+  val srcCsvMalformed: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = ioDir(dir, "orders_csv_hostile")
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .write.mode("overwrite").csv(out)
+    // hand-written hostile part: arity-short, non-numeric price,
+    // arity-long, and a blank line (csv drops fully-empty lines)
+    val bad = Seq(
+      "9000001,F", // missing column
+      "9000002,O,notanumber", // unparseable double
+      "9000003,P,1.5,EXTRA", // extra column
+      "") // blank: skipped by the csv reader entirely
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+    val badPath = new org.apache.hadoop.fs.Path(out, "part-hostile.csv")
+    val os = fs.create(badPath, true)
+    os.write(bad.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    os.close()
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(out)
+      // EVERY schema column is referenced below: the csv parser's
+      // column pruning otherwise parses only the projected tokens and
+      // arity errors outside them silently stop being quarantined
+      .select(($"_corrupt_record".isNotNull).as("corrupt"),
+        $"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .groupBy($"corrupt")
+      .agg(count(lit(1)).as("n"),
+        count($"o_orderkey").as("n_keys"),
+        count_distinct($"o_orderstatus").as("n_status"),
+        rnd(xsum(coalesce($"o_totalprice", lit(0.0))), 2).as("total"))
+      .orderBy($"corrupt")
+  }
+
   /** Two parquet generations with different schemas (v2 adds
     * `o_orderpriority`) merged by `mergeSchema` — the schema-
     * evolution read every long-lived 100 TB table eventually needs;
