@@ -258,6 +258,9 @@ object SparkEntry {
     "stream_interval_join"        -> operators.StreamQueries.streamIntervalJoin,
     "stream_sessionize_closed"    -> operators.StreamQueries.streamSessionizeClosed,
     "stream_cdc_state"            -> operators.StreamQueries.streamCdcState,
+    "stream_kmv_distinct"         -> operators.StreamQueries.streamKmvDistinct,
+    "stream_hll_distinct"         -> operators.StreamQueries.streamHllDistinct,
+    "stream_enrich_rollup"        -> operators.StreamQueries.streamEnrichRollup,
     // §2.H sources & sinks — write→read round-trips hashed against the
     // original parquet (SourceSinkOps doc for the lossless-ness rules)
     "src_csv_roundtrip"           -> operators.SourceSinkOps.srcCsvRoundtrip,
@@ -3685,6 +3688,69 @@ object SparkEntry {
         |  CASE WHEN event_type = 'click' THEN 0.0 ELSE floor(value*100 + 0.5)/100 END AS tp,
         |  CAST(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS BIGINT) AS alive
         |FROM r WHERE rn = 1 ORDER BY key""".stripMargin,
+
+    // the streaming KMV's final state IS the batch sketch (set
+    // function): k unsigned-minimal mix64(fnv64(user)) hashes,
+    // (k−1)·2⁶⁴/kth estimator — q_kmv_distinct's replay, trimmed
+    "stream_kmv_distinct" ->
+      s"""WITH h AS (
+        |  SELECT DISTINCT event_type, ${mixSql(fnvSql("CAST(user_id AS VARCHAR)"))} AS hu
+        |  FROM events),
+        |sk AS (
+        |  SELECT event_type, hu,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hu) AS rn
+        |  FROM h),
+        |agg AS (
+        |  SELECT event_type, max(hu) AS kth, count(*) AS n_sketch
+        |  FROM sk WHERE rn <= 8 GROUP BY event_type)
+        |SELECT event_type, CAST(n_sketch AS BIGINT) AS n_sketch,
+        |  floor((CASE WHEN n_sketch < 8 THEN CAST(n_sketch AS DOUBLE)
+        |              ELSE 7.0 * 1.8446744073709552e19 / CAST(kth AS DOUBLE) END)*100 + 0.5)/100 AS est_distinct
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // the streaming HLL's final registers equal the batch registers
+    // (merge = max): q_hll_distinct's exact register replay, trimmed
+    "stream_hll_distinct" ->
+      s"""WITH h AS (
+        |  SELECT event_type, ${mixSql(fnvSql("CAST(user_id AS VARCHAR)"))} AS hu FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CAST(hu // 72057594037927936 AS BIGINT) AS bucket,
+        |    CAST(hu % 72057594037927936 AS BIGINT) AS w
+        |  FROM h),
+        |r AS (
+        |  SELECT event_type, bucket,
+        |    max(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END) AS m
+        |  FROM b GROUP BY event_type, bucket),
+        |f AS (
+        |  SELECT event_type,
+        |    sum(CAST(1 AS BIGINT) << (57 - m)) AS s_present,
+        |    count(*) AS n_present
+        |  FROM r GROUP BY event_type),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(s_present + (256 - n_present) * CAST(144115188075855872 AS HUGEINT)
+        |         AS DOUBLE) / 144115188075855872.0 AS hsum,
+        |    CAST(256 - n_present AS BIGINT) AS v
+        |  FROM f),
+        |est AS (
+        |  SELECT event_type, v,
+        |    (0.7213/(1 + 1.079/256)) * 65536.0 / hsum AS e_raw
+        |  FROM g)
+        |SELECT event_type, v AS n_zero_regs,
+        |  floor((CASE WHEN e_raw <= 640.0 AND v > 0
+        |              THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE e_raw END)*100 + 0.5)/100 AS est_distinct
+        |FROM est ORDER BY event_type""".stripMargin,
+
+    // stream-static enrichment: same join+rollup in batch SQL
+    "stream_enrich_rollup" ->
+      """SELECT coalesce(n.n_name, '<none>') AS nation, e.event_type,
+        |  count(*) AS n_events,
+        |  floor(CAST(sum(CAST((e.value) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS sum_value
+        |FROM events e
+        |LEFT JOIN customer c ON c.c_custkey = e.user_id
+        |LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, event_type""".stripMargin,
 
     // ---- §2.H sources & sinks: the engine writes through a real sink
     // and reads back through the matching source; the oracle runs the

@@ -142,6 +142,69 @@ object StreamQueries {
       .orderBy($"key")
   }
 
+  /** Continuous KMV distinct-count sketch, final emission per key:
+    * the sketch state is a pure SET function (the k unsigned-minimal
+    * hashes), so the final emission is deterministic whatever the
+    * micro-batching — and it is the LEXICOGRAPHIC MAX of the
+    * emissions under (n_sketch, est): n_sketch grows until the
+    * sketch saturates, after which the k-th minimum only falls and
+    * the estimate only rises. The oracle replays the sketch over the
+    * whole corpus with the batch `q_kmv_distinct` arithmetic. */
+  val streamKmvDistinct: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = runToTable(s, "stream_kmv_distinct",
+      Streams.kmvStream(Streams.eventsStream(s, dir)).toDF(), "append")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+      .orderBy($"n_sketch".desc, $"est_distinct".desc)
+    out.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"event_type", $"n_sketch".cast("long").as("n_sketch"),
+        rnd($"est_distinct", 2).as("est_distinct"))
+      .orderBy($"event_type")
+  }
+
+  /** Continuous HyperLogLog, final emission per key: registers only
+    * grow, so (n_zero_regs asc, hsum asc) orders emissions by state —
+    * the estimate itself is NOT monotone across the linear-counting
+    * branch switch, which is exactly why [[Streams.HllEntry]] carries
+    * the harmonic sum. The oracle replays the registers exactly
+    * (scaled-integer harmonic sum, one rounding), the batch
+    * `q_hll_distinct` discipline. */
+  val streamHllDistinct: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = runToTable(s, "stream_hll_distinct",
+      Streams.hllStream(Streams.eventsStream(s, dir)).toDF(), "append")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+      .orderBy($"n_zero_regs".asc, $"hsum".asc)
+    out.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"event_type", $"n_zero_regs".cast("long").as("n_zero_regs"),
+        rnd($"est_distinct", 2).as("est_distinct"))
+      .orderBy($"event_type")
+  }
+
+  /** Stream-static enrichment rollup: the event stream broadcast-
+    * joins the customer→nation dimension per micro-batch (stateless —
+    * the standard "attach metadata at ingest" shape) and rolls up by
+    * nation × event type in complete mode with decimal-exact sums.
+    * The left join keeps unmatched events flowing as the `<none>`
+    * group; the oracle is the same join+rollup in batch SQL. */
+  val streamEnrichRollup: QueryFn = (s, dir) => {
+    import s.implicits._
+    val dim = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey".as("user_id"), $"n_name")
+    val enriched = Streams.enrich(Streams.eventsStream(s, dir), dim)
+      .groupBy(coalesce($"n_name", lit("<none>")).as("nation"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Cols.xsum($"value").as("sum_value"))
+    val out = runToTable(s, "stream_enrich_rollup", enriched, "complete")
+    out.select($"nation", $"event_type", $"n_events",
+        rnd($"sum_value", 2).as("sum_value"))
+      .orderBy($"nation", $"event_type")
+  }
+
   /** The same landing dir [[Streams.eventsStream]] reads (shared so
     * both faces consume the identical source files). */
   private def stagedEventsDir(s: SparkSession, sfDir: String): String =

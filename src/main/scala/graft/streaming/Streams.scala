@@ -400,7 +400,15 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
-  final case class HllEntry(event_type: String, n_zero_regs: Int, est_distinct: Double)
+  /** `hsum` is the scaled harmonic sum the estimate divides — emitted
+    * because it is strictly MONOTONE in the register state (registers
+    * only grow, so hsum only falls), which is what lets a consumer
+    * pick "the final emission per key" out of an append-mode sink
+    * without a batch counter: (n_zero_regs asc, hsum asc) is the
+    * state order. The estimate itself is NOT monotone across the
+    * linear-counting/raw branch switch, so it cannot serve. */
+  final case class HllEntry(
+      event_type: String, n_zero_regs: Int, est_distinct: Double, hsum: Double)
 
   /** Continuous HyperLogLog per event type — the streaming face of
     * the hash-verified batch `q_hll_distinct`, and the bounded-state
@@ -443,7 +451,7 @@ object Streams {
       val est =
         if (eRaw <= 640.0 && v > 0) 256.0 * math.log(256.0 / v)
         else eRaw
-      Iterator.single(HllEntry(key, v, est))
+      Iterator.single(HllEntry(key, v, est, hsum))
     }
 
     events
