@@ -35,13 +35,20 @@ SUBSET = [
     "q_sql_cosine_topk", "emb_dim_stats", "emb_drift_check",
     "emb_pq_distortion", "emb_quarantine", "emb_kmeans", "emb_pca_power",
     "mm_phash_neardup", "mm_cdc_chunks", "mm_wav_meta", "mm_image_meta",
-    "mm_image_phash", "mm_image_neardup", "mm_mp4_meta", "q_dp_counts",
+    "mm_image_phash", "mm_image_neardup", "mm_mp4_meta", "mm_exif_meta",
+    "q_dp_counts", "emb_matryoshka_eval", "q_tokenizer_fertility",
     # streaming at the decade (r7 verdict #6): StressGen replicates
     # events with disjoint user/event id spaces per replica, so the
     # stateful ops' key-space — dedup state, watermark window state,
     # interval-join buffers — grows 10x for real, and a bounded-state
     # regression shows as a superlinear wall ratio here
     "stream_window_stats", "stream_dedup_keys", "stream_interval_join",
+    # bounded-state sketches at the decade: state is k hashes / 256
+    # registers PER KEY whatever the cardinality — the wall ratio here
+    # is the micro-batch floor, which is the claim
+    "stream_kmv_distinct", "stream_hll_distinct",
+    # stream_enrich_rollup is excluded: the stress corpus carries no
+    # customer/nation dimension tables
 ]
 
 
