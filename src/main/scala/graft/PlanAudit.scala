@@ -214,10 +214,12 @@ object PlanAudit {
         // the df/rank stage runs ONCE behind the eager checkpoint —
         // both prefix and posting branches must read the materialized
         // ranked frame, not recompute it (the cappedPairs double-eval
-        // lesson); the rep min-agg serves from the pinned cache
+        // lesson); the rep min-agg recomputes over the PINNED members
+        // cache (pinning the agg output itself measured 13 s → 29 s
+        // at the stress decade — join-planning perturbation)
         "ranked postings checkpointed once" -> (p =>
           "Scan ExistingRDD\\[key".r.findAllIn(p).size >= 2),
-        "reps served from cache" -> (_.contains("InMemoryTableScan"))),
+        "members served from cache" -> (_.contains("InMemoryTableScan"))),
       "pipeline_curate" -> Map(
         // the decontamination gram join keeps the benchmark set (the
         // small side by construction) broadcast; no stage of the

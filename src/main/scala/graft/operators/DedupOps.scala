@@ -545,11 +545,13 @@ object DedupOps {
     val keyed = docs.withColumn("fp",
       concat_ws(":", size(col("sh")), xxhash64(col("sh"))))
     val members = keyed.select(col("fp"), col("doc_id")).transform(Pin.corpus)
-    // pinned: the rep frame feeds the verify sides AND both expansion
-    // joins — unpinned, the served plan recomputes this corpus-wide
-    // min-agg (shuffle included) four times
+    // reps is deliberately NOT pinned: its consumers recompute the
+    // min-agg, but over the CACHED members frame — four cheap
+    // (fp, doc_id) passes. Pinning the aggregate's OUTPUT instead
+    // measured 13 s → 29 s at the stress decade (the InMemoryRelation
+    // perturbs join planning inside the eager posting-join checkpoint);
+    // cache the cheap input, let Catalyst replan the tiny aggregate.
     val reps = members.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      .transform(Pin.corpus)
     val repPairs = containmentPairs(
       keyed.join(reps, Seq("fp", "doc_id")).select(col("doc_id"), col("sh")), tau)
     val cross = repPairs
