@@ -221,6 +221,7 @@ object SparkEntry {
     "q_entity_clusters"           -> operators.LinkageOps.qEntityClusters,
     "q_equidepth_hist"            -> EventAnalytics.qEquidepthHist,
     "dedup_source_matrix"         -> DedupOps.dedupSourceMatrix,
+    "ann_bq_topk"                 -> AnnOps.annBqTopk,
     "emb_drift_check"             -> AnnOps.embDriftCheck,
     "emb_matryoshka_eval"         -> AnnOps.embMatryoshkaEval,
     "q_ppr"                       -> operators.GraphOps.qPersonalizedPagerank,
@@ -3406,6 +3407,39 @@ object SparkEntry {
         |  floor(abs(a.sx/a.n - b.sx/b.n)*1000000 + 0.5)/1000000 AS abs_drift
         |FROM h a JOIN h b ON a.pos = b.pos AND a.even AND NOT b.even
         |ORDER BY a.pos""".stripMargin,
+    // binary quantization: sign signatures as two 32-bit halves
+    // (bit 63 in one word would hit signed-overflow divergence —
+    // Spark Long wraps, DuckDB list_sum widens), Hamming shortlist
+    // (popcount(xor) per half), exact-cosine rerank — dial-driven
+    "ann_bq_topk" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum([CASE WHEN v[i+1] > 0 THEN CAST(1 AS BIGINT) << i
+        |                        ELSE CAST(0 AS BIGINT) END
+        |                   for i in generate_series(0, 31)]) AS BIGINT) AS lo,
+        |    CAST(list_sum([CASE WHEN v[i+33] > 0 THEN CAST(1 AS BIGINT) << i
+        |                        ELSE CAST(0 AS BIGINT) END
+        |                   for i in generate_series(0, 31)]) AS BIGINT) AS hi
+        |  FROM emb),
+        |p AS (SELECT vec_id AS pid, v AS pe, lo AS plo, hi AS phi
+        |  FROM sig WHERE vec_id < ${operators.AnnOps.NumProbes}),
+        |ham AS (
+        |  SELECT p.pid, s.vec_id AS nid, p.pe, s.v,
+        |    CAST(bit_count(xor(s.lo, p.plo)) + bit_count(xor(s.hi, p.phi)) AS BIGINT) AS hamming
+        |  FROM sig s, p WHERE s.vec_id <> p.pid),
+        |short AS (
+        |  SELECT pid, nid, pe, v FROM (
+        |    SELECT pid, nid, pe, v,
+        |      row_number() OVER (PARTITION BY pid ORDER BY hamming, nid) AS rn
+        |    FROM ham) t WHERE rn <= ${operators.AnnOps.BqShortlist}),
+        |sims AS (SELECT pid, nid, list_cosine_similarity(pe, v) AS sim FROM short),
+        |ranked AS (SELECT pid, nid, sim,
+        |  row_number() OVER (PARTITION BY pid
+        |    ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM sims)
+        |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor((sim)*10000 + 0.5)/10000 AS sim
+        |FROM ranked WHERE rnk <= ${operators.AnnOps.K} ORDER BY pid, rnk""".stripMargin,
+
     // prefix-truncation recall panel: prefix cosine ranks per dim
     // (1e-6-rounded ties, nid asc), overlap vs the full-width top-k,
     // mean FULL-dim sim of truncated winners as a 1e-6 scaled-integer

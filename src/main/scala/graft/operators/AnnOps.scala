@@ -688,6 +688,63 @@ object AnnOps {
       .orderBy($"pos")
   }
 
+  /** Hamming-shortlist size for [[annBqTopk]] — candidates per probe
+    * that survive the 1-bit stage and pay the exact rerank. */
+  val BqShortlist = 64
+
+  /** BINARY-QUANTIZATION top-k — the 1-bit-per-dimension serving path
+    * (64× smaller than float32: the whole signature of a 64-dim
+    * vector is ONE machine word, and at 10⁹ vectors the index drops
+    * from 256 GB to 8 GB — RAM-resident on one box). Stage 1 ranks by
+    * Hamming distance between sign signatures (bit i = dimension i
+    * > 0 — data dims directly, unlike the LSH family's random
+    * hyperplanes); stage 2 reranks the [[BqShortlist]] survivors with
+    * exact cosine. This asymmetric shape (cheap bit scan → exact
+    * rerank of a bounded shortlist) is the standard modern layout
+    * (binary/RaBitQ-style quantization in Faiss/Milvus serving).
+    *
+    * Exactness: signatures live as TWO 32-bit halves in BIGINT-safe
+    * range — a single 64-bit word would set bit 63 and the engines
+    * disagree on signed overflow (Spark Long wraps, DuckDB list_sum
+    * widens to HUGEINT); Hamming = popcount(xor) per half, summed.
+    * Shortlist ties break (hamming asc, vec_id asc); rerank ties on
+    * the 1e-6-rounded sim then nid — fully replayed by the oracle.
+    *
+    * Scale shape: signature build is one map-side pass; the Hamming
+    * stage shuffles ≤ shortlist rows per (partition, probe) through
+    * TopK.perKey's bounded heaps; only shortlist-sized frames reach
+    * the float rerank. */
+  val annBqTopk: QueryFn = (s, dir) => {
+    import s.implicits._
+    // Horner fold, MSB-first: acc·2 + bit — pure Long arithmetic,
+    // value = Σ bit_j·2^j ≤ 2^32 (shiftleft needs a literal count)
+    def sigHalf(e: org.apache.spark.sql.Column, base: Int) =
+      aggregate(
+        sequence(lit(base + 31), lit(base), lit(-1)),
+        lit(0L),
+        (a, j) => a * 2 +
+          when(element_at(e, j + 1) > 0.0f, lit(1L)).otherwise(lit(0L)))
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        sigHalf($"embedding", 0).as("lo"), sigHalf($"embedding", 32).as("hi"))
+      .transform(Pin.corpus)
+    val p = emb.where($"vec_id" < NumProbes)
+      .select($"vec_id".as("pid"), $"embedding".as("pe"),
+        $"lo".as("plo"), $"hi".as("phi"))
+    val ham = emb.join(broadcast(p), $"vec_id" =!= $"pid")
+      .select($"pid", $"pe", $"vec_id".as("nid"), $"embedding",
+        (bit_count($"lo".bitwiseXOR($"plo")) +
+          bit_count($"hi".bitwiseXOR($"phi"))).cast("long").as("hamming"))
+    val shortlist = graft.plans.TopK.perKey(ham,
+      keyCols = Seq("pid"),
+      orderCols = Seq("hamming" -> true, "nid" -> true),
+      k = BqShortlist)
+    rankTopK(shortlist
+      .select($"pid", $"nid", $"hamming",
+        cosine_sim($"pe", $"embedding").as("sim"))
+      .select($"pid", $"nid", $"sim"), K)
+  }
+
   /** Matryoshka truncation dims for [[embMatryoshkaEval]] — power-of-
     * two prefixes up to the native width, the MRL serving ladder. */
   val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)

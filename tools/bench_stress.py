@@ -32,6 +32,7 @@ SUBSET = [
     "ann_sq8_topk", "ann_pq_topk", "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk", "ann_radius_search", "ann_filtered_topk",
     "ann_recall_panel", "ann_hnsw_topk", "ann_incremental_topk",
+    "ann_bq_topk",
     "q_sql_cosine_topk", "emb_dim_stats", "emb_drift_check",
     "emb_pq_distortion", "emb_quarantine", "emb_kmeans", "emb_pca_power",
     "mm_phash_neardup", "mm_cdc_chunks", "mm_wav_meta", "mm_image_meta",
