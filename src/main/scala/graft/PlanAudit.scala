@@ -205,6 +205,21 @@ object PlanAudit {
         "map-only before the output sort" -> (p =>
           !p.contains("Join") &&
           "Exchange".r.findAllIn(p).size <= 1)),
+      "ann_bq_topk" -> Map(
+        // the 1-bit stage must shuffle only bounded heaps: BOTH the
+        // Hamming shortlist and the rerank run through the partial+
+        // final TopKPerKey operator, probes ride a broadcast
+        "bounded heaps for shortlist and rerank" -> (p =>
+          "TopKPerKey".r.findAllIn(p).size >= 2),
+        "probes broadcast" -> (_.contains("BroadcastExchange")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "emb_matryoshka_eval" -> Map(
+        // per-dim ranking is bounded (partial+final heaps per
+        // (dim, probe)); probes broadcast; the 4-way dim explode is
+        // map-side — no join fans out the candidate space
+        "bounded per-dim heaps" -> (_.contains("TopKPerKey")),
+        "probes broadcast" -> (_.contains("BroadcastExchange")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
       "dedup_containment" -> Map(
         // content-grain rewrite (r8): no cartesian anywhere, and the
         // member-expansion joins stay equi-joins on the fingerprint
