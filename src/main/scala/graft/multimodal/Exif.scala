@@ -61,6 +61,11 @@ object ExifCodec {
     var o = 2L
     while (o + 4 <= b.length) {
       if ((b(o.toInt) & 0xff) != 0xff) return None // marker desync
+      // JPEG fill bytes: padding runs of 0xFF before a marker are
+      // legal (ITU T.81 B.1.1.2) — skip them, or the next 0xFF would
+      // be parsed as marker type 0xFF with a bogus length (r8 advice)
+      while (o + 4 <= b.length && (b(o.toInt + 1) & 0xff) == 0xff) o += 1
+      if (o + 4 > b.length) return None
       val marker = b(o.toInt + 1) & 0xff
       if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no EXIF seen
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {

@@ -129,6 +129,12 @@ object Mp4Codec {
   def writeMp4(
       timescale: Int, durationUnits: Long, width: Int, height: Int,
       mdat: Array[Byte]): Array[Byte] = {
+    // v0 boxes carry 32-bit durations — a silent .toInt wrap here
+    // would surface as an opaque oracle hash mismatch with nothing
+    // pointing at the writer (r8 advice): fail loudly at fixture
+    // build time instead
+    require(durationUnits >= 0 && durationUnits <= 0xFFFFFFFFL,
+      s"durationUnits $durationUnits overflows the v0 32-bit mvhd/tkhd field")
     val ftypLen = 24
     val mvhdLen = 108 // 8 header + 100 v0 body
     val tkhdLen = 92  // 8 header + 84 v0 body

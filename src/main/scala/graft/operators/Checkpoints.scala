@@ -31,6 +31,18 @@ object Checkpoints {
 
   def reliableDir: Option[String] = overrideDir.orElse(envDir)
 
+  /** Qualify `dir` the way setCheckpointDir records it:
+    * `setCheckpointDir` stores the fully qualified path (e.g.
+    * `file:/ckpt/<uuid>`), so comparing the raw env string against
+    * `getCheckpointDir` never matches a bare `/ckpt` and every cut
+    * would re-set a fresh UUID subdir (r8 advice) — qualify through
+    * the same FileSystem before comparing (pure path arithmetic;
+    * the FileSystem instance is Hadoop-cached per scheme). */
+  private def qualified(sc: org.apache.spark.SparkContext, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+  }
+
   /** Cut lineage eagerly — locally by default, reliably when the
     * deployment asked for it.
     *
@@ -54,7 +66,10 @@ object Checkpoints {
     case None => ds.localCheckpoint(true)
     case Some(dir) =>
       val sc = ds.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+      // compare in QUALIFIED space: getCheckpointDir returns the
+      // fully qualified UUID subdir, so a bare dir never prefixes it
+      val q = qualified(sc, dir)
+      if (!sc.getCheckpointDir.exists(c => c == q || c.startsWith(q + "/")))
         sc.setCheckpointDir(dir)
       ds.checkpoint(true)
   }

@@ -186,12 +186,15 @@ object SourceSinkOps {
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
       .write.mode("overwrite").csv(out)
     // hand-written hostile part: arity-short, non-numeric price,
-    // arity-long, and a blank line (csv drops fully-empty lines)
+    // arity-long, and a blank line BETWEEN hostile lines (r8 advice:
+    // a trailing "" element only yields a terminating newline, never
+    // an actual empty line — interior placement is what exercises
+    // the csv reader's skip-fully-empty-lines behavior)
     val bad = Seq(
       "9000001,F", // missing column
+      "", // genuine empty line: skipped by the csv reader entirely
       "9000002,O,notanumber", // unparseable double
-      "9000003,P,1.5,EXTRA", // extra column
-      "") // blank: skipped by the csv reader entirely
+      "9000003,P,1.5,EXTRA") // extra column
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
     val badPath = new org.apache.hadoop.fs.Path(out, "part-hostile.csv")

@@ -65,6 +65,22 @@ class ExifSpec extends SparkTestBase {
     assert(m.width == 1024L && m.nEntries == 1)
   }
 
+  test("JPEG fill bytes (0xFF padding runs) before a marker are skipped") {
+    // ITU T.81 B.1.1.2: markers may be preceded by any number of
+    // 0xFF fill bytes — a scan that parses the pad as marker 0xFF
+    // with a bogus length misreads real camera files (r8 advice)
+    val exif = exifSeg(mmTiff)
+    val bytes = Array(0xff.toByte, 0xd8.toByte) ++
+      Array.fill(5)(0xff.toByte) ++ // fill run before APP1
+      Array(0xff.toByte, 0xe1.toByte) ++ be16(2 + exif.length) ++ exif ++
+      Array(0xff.toByte, 0xd9.toByte)
+    val m = ExifCodec.parseExif(bytes).get
+    assert(m.byteOrder == "MM" && m.width == 800L && m.make == "Nikon")
+    // all-fill tail: terminates cleanly with no EXIF
+    val allFill = Array(0xff.toByte, 0xd8.toByte) ++ Array.fill(6)(0xff.toByte)
+    assert(ExifCodec.parseExif(allFill).isEmpty)
+  }
+
   test("hostile inputs terminate instead of stalling or reading OOB") {
     // not a JPEG at all
     assert(ExifCodec.parseExif("II*\u0000 not a jpeg".getBytes).isEmpty)

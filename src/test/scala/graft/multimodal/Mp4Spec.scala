@@ -80,6 +80,14 @@ class Mp4Spec extends SparkTestBase {
     assert(Mp4Codec.parseMp4(ftyp ++ box("mdat", Array.fill[Byte](4)(0))).isEmpty)
   }
 
+  test("writer rejects durations that would wrap the v0 32-bit fields") {
+    // r8 advice: a silent .toInt wrap would hash-fail the gate with
+    // no diagnostic pointing at the writer — fail at fixture build
+    intercept[IllegalArgumentException] {
+      Mp4Codec.writeMp4(90000, 0x100000000L, 320, 180, Array.emptyByteArray)
+    }
+  }
+
   test("writer → parser round-trip reads fields from bytes, not arguments") {
     val bytes = Mp4Codec.writeMp4(1000, 80000L, 352, 288, Array.fill[Byte](17)(5))
     val m = Mp4Codec.parseMp4(bytes).get

@@ -34,6 +34,24 @@ class CheckpointsSpec extends SparkTestBase {
     } finally Checkpoints.overrideDir = None
   }
 
+  test("bare (schemeless) dir: repeated cuts reuse ONE checkpoint dir (r8 advice)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bare-ckpt").toString
+    Checkpoints.overrideDir = Some(dir) // no file:// — the qualified-compare case
+    try {
+      Checkpoints.cut(Seq(1, 2).toDS()).collect()
+      val after1 = spark.sparkContext.getCheckpointDir
+      Checkpoints.cut(Seq(3, 4).toDS()).collect()
+      val after2 = spark.sparkContext.getCheckpointDir
+      assert(after1.isDefined && after1 == after2,
+        s"cut() re-set the checkpoint dir on a matching root: $after1 -> $after2")
+      // exactly one UUID subdir scattered, not one per cut
+      val subdirs = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).count(_.isDirectory)
+      assert(subdirs == 1, s"expected 1 checkpoint subdir under $dir, saw $subdirs")
+    } finally Checkpoints.overrideDir = None
+  }
+
   test("suffix build runs end-to-end under the reliable policy, hashes unchanged") {
     val local = SuffixOps.qDedupExactSubstr(spark, sfDir).collect().toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft-reliable-sfx").toString
