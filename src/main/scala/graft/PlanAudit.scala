@@ -205,6 +205,16 @@ object PlanAudit {
         "map-only before the output sort" -> (p =>
           !p.contains("Join") &&
           "Exchange".r.findAllIn(p).size <= 1)),
+      "mm_exif_gps" -> Map(
+        // sub-IFD walk is map-only per payload (r9)
+        "map-only before the output sort" -> (p =>
+          !p.contains("Join") &&
+          "Exchange".r.findAllIn(p).size <= 1)),
+      "mm_mp4_samples" -> Map(
+        // stbl walk + per-doc sync explode: map-only per payload (r9)
+        "map-only before the output sort" -> (p =>
+          !p.contains("Join") &&
+          "Exchange".r.findAllIn(p).size <= 1)),
       "ann_bq_topk" -> Map(
         // the 1-bit stage must shuffle only bounded heaps: BOTH the
         // Hamming shortlist and the rerank run through the partial+

@@ -153,7 +153,9 @@ object SparkEntry {
     "mm_featurize"                -> TextOps.mmFeaturize,
     "mm_frame_sample"             -> TextOps.mmFrameSample,
     "mm_exif_meta"                -> TextOps.mmExifMeta,
+    "mm_exif_gps"                 -> TextOps.mmExifGps,
     "mm_mp4_meta"                 -> TextOps.mmMp4Meta,
+    "mm_mp4_samples"              -> TextOps.mmMp4Samples,
     "q_vocab_growth"              -> TextOps.qVocabGrowth,
     "q_pareto_docs"               -> operators.CurationOps.qParetoDocs,
     "text_hash_lr"                -> operators.ModelOps.textHashLr,
@@ -2947,6 +2949,55 @@ object SparkEntry {
         |  CAST(1 + (doc_id % 2) AS BIGINT) AS xres_den,
         |  CAST(6 AS BIGINT) AS n_entries
         |FROM documents WHERE doc_id % 7 = 4 ORDER BY media_id""".stripMargin,
+
+    // one pointer hop deeper than mm_exif_meta: the Exif sub-IFD
+    // (ISO, DateTimeOriginal) and GPS IFD (refs + DMS rationals)
+    // closed forms replayed; decimal degrees use the identical IEEE
+    // association (deg + min/60 + sec/3600, each term one division)
+    "mm_exif_gps" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(100 * (1 + doc_id % 6) AS BIGINT) AS iso,
+        |  '2023:' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' 12:34:56' AS dt_original,
+        |  CASE WHEN doc_id % 4 < 2 THEN 'N' ELSE 'S' END AS lat_ref,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
+        |  floor(((doc_id % 90) + (doc_id % 60) / 60.0
+        |    + (((doc_id * 3) % 600) / 10.0) / 3600.0) * 1000000 + 0.5) / 1000000 AS lat_deg,
+        |  floor(((doc_id % 180) + ((doc_id * 7) % 60) / 60.0
+        |    + (((doc_id * 13) % 600) / 10.0) / 3600.0) * 1000000 + 0.5) / 1000000 AS lon_deg,
+        |  CAST(2 AS BIGINT) AS n_exif,
+        |  CAST(4 AS BIGINT) AS n_gps
+        |FROM documents WHERE doc_id % 7 = 4 ORDER BY media_id""".stripMargin,
+
+    // the closed forms the SAMPLED writer embeds, replayed: n in
+    // [2,14] samples from the payload length, two stts runs (deltas
+    // ts/100 then ts/50), syncs every 3rd from 1, codec by residue;
+    // ts_ms = stts prefix sum · 1000 // timescale — integer exact
+    "mm_mp4_samples" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |         ELSE 90000 END AS BIGINT) AS ts,
+        |    CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+        |         ELSE 'vp09' END AS codec
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |p AS (
+        |  SELECT doc_id, ts, codec,
+        |    CAST(2 + nb % 13 AS BIGINT) AS n,
+        |    CAST((2 + nb % 13 + 1) // 2 AS BIGINT) AS n1,
+        |    ts // 100 AS d1, ts // 50 AS d2
+        |  FROM v),
+        |s AS (
+        |  SELECT doc_id AS media_id, codec, n AS n_samples, ts, n1, d1, d2,
+        |    unnest([CAST(x AS BIGINT) for x in generate_series(1, n, 3)]) AS sync_idx
+        |  FROM p)
+        |SELECT media_id, codec, n_samples,
+        |  CAST((n_samples + 2) // 3 AS BIGINT) AS n_sync, sync_idx,
+        |  CAST((CASE WHEN sync_idx <= n1 THEN (sync_idx - 1) * d1
+        |        ELSE n1 * d1 + (sync_idx - 1 - n1) * d2 END) * 1000 // ts AS BIGINT) AS ts_ms
+        |FROM s ORDER BY media_id, sync_idx""".stripMargin,
 
     // the closed form the MP4 encoder embeds, replayed: timescale by
     // residue (600/1000/90000), duration units = ms·ts/1000 (exact —

@@ -532,6 +532,117 @@ object TextOps {
       .orderBy($"media_id")
   }
 
+  /** Deterministic JPEG with Exif+GPS SUB-IFDs for a photo-class doc
+    * — the fixture behind [[mmExifGps]] (the exifFixture discipline,
+    * one hop deeper): IFD0 carries the 0x8769/0x8825 pointers, the
+    * Exif sub-IFD holds ISO + DateTimeOriginal, the GPS IFD holds
+    * hemisphere refs + DMS RATIONAL[3] coordinates. All closed forms
+    * of doc_id; byte order alternates by parity. */
+  private def exifGpsFixture(id: Long): Array[Byte] =
+    graft.multimodal.ExifCodec.writeJpegExifGps(
+      littleEndian = id % 2 == 0,
+      iso = 100 * (1 + (id % 6).toInt),
+      dtOriginal = f"2023:${1 + id % 12}%02d:${1 + id % 28}%02d 12:34:56",
+      latRef = if (id % 4 < 2) "N" else "S",
+      lat = Seq((id % 90, 1L), (id % 60, 1L), ((id * 3) % 600, 10L)),
+      lonRef = if (id % 3 == 0) "E" else "W",
+      lon = Seq((id % 180, 1L), ((id * 7) % 60, 1L), ((id * 13) % 600, 10L)))
+
+  /** Camera EXIF one hop DEEPER than [[mmExifMeta]] (r8 verdict #5):
+    * the fields real pipelines key on — ISO and DateTimeOriginal
+    * (capture-time dedup/provenance) and the GPS coordinates
+    * (geo-slicing, privacy scrubbing) — live in the Exif sub-IFD
+    * (pointer tag 0x8769) and the GPS IFD (0x8825), one pointer hop
+    * below IFD0. Every reported column comes from
+    * [[graft.multimodal.ExifCodec.parseExifGps]] WALKING THE ACTUAL
+    * BYTES: IFD0 pointer discovery, loop-guarded sub-IFD walks
+    * (a self-referencing pointer terminates — ExifSpec), DMS
+    * RATIONAL[3] reads. Decimal degrees = deg + min/60 + sec/3600
+    * computed from the parsed rationals with the identical IEEE
+    * association the oracle replays. Byte order alternates by doc
+    * parity, so a fixed-endianness parser hash-fails half the rows.
+    *
+    * Scale shape: map-only per payload; one output sort. */
+  val mmExifGps: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where($"doc_id" % 7 === 4)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val g = graft.multimodal.ExifCodec.parseExifGps(exifGpsFixture(id))
+          .getOrElse(sys.error(s"unparseable EXIF GPS for media $id"))
+        def deg(r: Seq[Long]): Double =
+          r(0).toDouble / r(1) + (r(2).toDouble / r(3)) / 60.0 +
+            (r(4).toDouble / r(5)) / 3600.0
+        (id, g.byteOrder, g.iso.toLong, g.dtOriginal, g.latRef, g.lonRef,
+          deg(g.lat), deg(g.lon),
+          g.nExifEntries.toLong, g.nGpsEntries.toLong)
+      }
+      .toDF("media_id", "byte_order", "iso", "dt_original", "lat_ref",
+        "lon_ref", "lat_raw", "lon_raw", "n_exif", "n_gps")
+      .select($"media_id", $"byte_order", $"iso", $"dt_original",
+        $"lat_ref", $"lon_ref",
+        rnd($"lat_raw", 6).as("lat_deg"), rnd($"lon_raw", 6).as("lon_deg"),
+        $"n_exif", $"n_gps")
+      .orderBy($"media_id")
+  }
+
+  /** Deterministic sampled MP4 for a video-class doc — the fixture
+    * behind [[mmMp4Samples]]: real stbl boxes whose runs are closed
+    * forms of (doc_id, payload length). n ∈ [2,14] samples in two
+    * stts runs (deltas ts/100 then ts/50 — integers in every
+    * timescale residue), sync samples every 3rd starting at 1,
+    * codec fourcc by residue. mvhd duration derives from the runs. */
+  private def mp4SampledFixture(id: Long, text: String): Array[Byte] = {
+    val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ts = (id % 3) match { case 0 => 600; case 1 => 1000; case _ => 90000 }
+    val n = 2 + (data.length % 13)
+    val n1 = (n + 1) / 2
+    val runs = Seq((n1, ts / 100)) ++
+      (if (n - n1 > 0) Seq((n - n1, ts / 50)) else Seq.empty)
+    val syncs = (1 to n by 3).toSeq
+    val codec = (id % 3) match {
+      case 0 => "avc1"; case 1 => "hev1"; case _ => "vp09"
+    }
+    graft.multimodal.Mp4Codec.writeMp4Sampled(
+      ts, 320 + (id % 5).toInt * 16, 180 + (id % 7).toInt * 16,
+      codec, runs, syncs, data)
+  }
+
+  /** KEYFRAME schedule from the REAL sample tables (r8 verdict #4):
+    * where [[mmFrameSample]] schedules off the mvhd duration, a
+    * seek-accurate sampler must fetch SYNC samples — `stss` names
+    * them, `stts` places them in time — because a decoder can only
+    * start at a keyframe. Each video doc materializes as a complete
+    * sampled MP4 ([[mp4SampledFixture]]) and every column comes from
+    * [[graft.multimodal.Mp4Codec.parseMp4Samples]] WALKING THE
+    * ACTUAL BYTES: moov→trak→mdia→minf→stbl descent, stsd fourcc,
+    * stts run decode (hostile counts capped to the box body —
+    * Mp4Spec), stss sync list, and ts_ms = stts-prefix-sum · 1000 /
+    * timescale — the exact placement a demuxer computes. The oracle
+    * replays the closed forms the writer embedded, so a parser that
+    * misreads a run boundary or places syncs by duration arithmetic
+    * hash-fails.
+    *
+    * Scale shape: map-only per payload (the per-doc sync explode is
+    * bounded by the sample count); one output sort. */
+  val mmMp4Samples: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where($"doc_id" % 7 === 3)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val m = graft.multimodal.Mp4Codec.parseMp4Samples(mp4SampledFixture(id, text))
+          .getOrElse(sys.error(s"unparseable sampled MP4 for media $id"))
+        m.syncSamples.map { i =>
+          (id, m.codec, m.nSamples, m.syncSamples.length.toLong, i,
+            m.unitsBefore(i) * 1000L / m.timescale)
+        }
+      }
+      .toDF("media_id", "codec", "n_samples", "n_sync", "sync_idx", "ts_ms")
+      .orderBy($"media_id", $"sync_idx")
+  }
+
   /** Video frame-sampling PLAN: for every video payload (the mp4
     * residue class, doc_id%7==3), read its duration from the REAL
     * container — [[mp4Fixture]] bytes through

@@ -120,6 +120,54 @@ class ExifSpec extends SparkTestBase {
     assert(m2.orientation == 3 && m2.nEntries == 1)
   }
 
+  test("sub-IFD walk: GPS/Exif pointers resolve, loops and OOB pointers terminate") {
+    // writer round-trip in both byte orders
+    for (le <- Seq(true, false)) {
+      val bytes = ExifCodec.writeJpegExifGps(le, 400, "2023:06:07 12:34:56",
+        "N", Seq((51L, 1L), (30L, 1L), (123L, 10L)),
+        "W", Seq((0L, 1L), (7L, 1L), (456L, 10L)))
+      val g = ExifCodec.parseExifGps(bytes).get
+      assert(g.byteOrder == (if (le) "II" else "MM"))
+      assert(g.iso == 400 && g.dtOriginal == "2023:06:07 12:34:56")
+      assert(g.latRef == "N" && g.lonRef == "W")
+      assert(g.lat == Seq(51L, 1L, 30L, 1L, 123L, 10L))
+      assert(g.lon == Seq(0L, 1L, 7L, 1L, 456L, 10L))
+      assert(g.nExifEntries == 2 && g.nGpsEntries == 4)
+    }
+    // the plain-IFD0 fixture has no pointers: None, not a zeroed row
+    assert(ExifCodec.parseExifGps(jpeg(exifSeg(mmTiff))).isEmpty)
+    // SELF-REFERENCING pointer: an IFD0 whose ExifIFDPointer points
+    // back at IFD0 itself (offset 8) — the visited set must refuse
+    // the hop, or a chain of such pointers walks forever
+    val loopy = {
+      val header = "MM".getBytes ++ be16(42) ++ be32(8)
+      val entryPtr = be16(0x8769) ++ be16(4) ++ be32(1) ++ be32(8) // -> IFD0
+      header ++ be16(1) ++ entryPtr ++ be32(0)
+    }
+    assert(ExifCodec.parseExifGps(jpeg(exifSeg(loopy))).isEmpty)
+    // pointer past the blob: skipped, not trusted
+    val oob = {
+      val header = "MM".getBytes ++ be16(42) ++ be32(8)
+      val entryPtr = be16(0x8825) ++ be16(4) ++ be32(1) ++ be32(1 << 20)
+      header ++ be16(1) ++ entryPtr ++ be32(0)
+    }
+    assert(ExifCodec.parseExifGps(jpeg(exifSeg(oob))).isEmpty)
+    // GPS rational block overrunning the blob: coords stay empty,
+    // the rest of the GPS walk still lands
+    val badRat = {
+      val header = "MM".getBytes ++ be16(42) ++ be32(8)
+      val gpsOff = 8 + 2 + 12 + 4 // right after IFD0
+      val entryPtr = be16(0x8825) ++ be16(4) ++ be32(1) ++ be32(gpsOff)
+      val ifd0 = be16(1) ++ entryPtr ++ be32(0)
+      val gRef = be16(0x0001) ++ be16(2) ++ be32(2) ++ ("S".getBytes ++ Array[Byte](0, 0, 0))
+      val gLat = be16(0x0002) ++ be16(5) ++ be32(3) ++ be32(1 << 20)
+      val gpsIfd = be16(2) ++ gRef ++ gLat ++ be32(0)
+      header ++ ifd0 ++ gpsIfd
+    }
+    val g2 = ExifCodec.parseExifGps(jpeg(exifSeg(badRat))).get
+    assert(g2.latRef == "S" && g2.lat.isEmpty && g2.nGpsEntries == 2)
+  }
+
   test("writer → parser round-trip in both byte orders") {
     for (le <- Seq(true, false)) {
       val bytes = ExifCodec.writeJpegExif(le, 1920, 1080, 8,

@@ -80,6 +80,55 @@ class Mp4Spec extends SparkTestBase {
     assert(Mp4Codec.parseMp4(ftyp ++ box("mdat", Array.fill[Byte](4)(0))).isEmpty)
   }
 
+  test("sample tables: hand-laid stbl under a v1 mvhd parses exactly") {
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      be32(16) ++ "hev1".getBytes ++ be64(0))
+    val stts = box("stts", be32(0) ++ be32(2) ++
+      be32(3) ++ be32(10) ++ be32(2) ++ be32(20)) // 3×10u + 2×20u
+    val stss = box("stss", be32(0) ++ be32(2) ++ be32(1) ++ be32(4))
+    val mvhd1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(1000) ++ be64(70L) ++
+        Array.fill[Byte](112 - 32)(0))
+    val bytes = ftyp ++ box("moov", mvhd1 ++ box("trak", tkhdV0(320, 180) ++
+      box("mdia", box("minf", box("stbl", stsd ++ stts ++ stss)))))
+    val m = Mp4Codec.parseMp4Samples(bytes).get
+    assert(m.timescale == 1000L && m.codec == "hev1")
+    assert(m.sttsRuns == Seq((3L, 10L), (2L, 20L)) && m.nSamples == 5L)
+    assert(m.syncSamples == Seq(1L, 4L))
+    // demuxer placement: sample 4 sits after the first run's 3×10 units
+    assert(m.unitsBefore(1L) == 0L && m.unitsBefore(4L) == 30L)
+    assert(m.unitsBefore(5L) == 50L) // ... plus one 20-unit sample
+  }
+
+  test("truncated stbl: declared stts/stss counts are capped to the box body") {
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      be32(16) ++ "avc1".getBytes ++ be64(0))
+    // stts CLAIMS 2^31 runs but carries one; stss claims 40, carries 2
+    val stts = box("stts", be32(0) ++ be32(0x7fffffffL) ++ be32(6) ++ be32(10))
+    val stss = box("stss", be32(0) ++ be32(40) ++ be32(1) ++ be32(4))
+    val bytes = ftyp ++ box("moov", mvhdV0(600, 60) ++
+      box("trak", tkhdV0(320, 180) ++
+        box("mdia", box("minf", box("stbl", stsd ++ stts ++ stss)))))
+    val m = Mp4Codec.parseMp4Samples(bytes).get
+    assert(m.sttsRuns == Seq((6L, 10L)) && m.syncSamples == Seq(1L, 4L))
+    // no stts anywhere: None, not a zeroed report
+    val noStbl = ftyp ++ box("moov", mvhdV0(600, 60) ++ box("trak", tkhdV0(1, 1)))
+    assert(Mp4Codec.parseMp4Samples(noStbl).isEmpty)
+  }
+
+  test("sampled writer → parser round-trip reads the tables from bytes") {
+    val bytes = Mp4Codec.writeMp4Sampled(90000, 320, 180, "vp09",
+      Seq((4, 900), (3, 1800)), Seq(1, 4, 7), Array.fill[Byte](9)(3))
+    val m = Mp4Codec.parseMp4Samples(bytes).get
+    assert(m.majorBrand == "isom" && m.timescale == 90000L && m.codec == "vp09")
+    assert(m.nSamples == 7L && m.syncSamples == Seq(1L, 4L, 7L))
+    assert(m.unitsBefore(7L) == 4 * 900L + 2 * 1800L)
+    // the plain meta parser sees the same container: duration derived
+    // from the runs lands in mvhd
+    val meta = Mp4Codec.parseMp4(bytes).get
+    assert(meta.durationUnits == 4 * 900L + 3 * 1800L)
+  }
+
   test("writer rejects durations that would wrap the v0 32-bit fields") {
     // r8 advice: a silent .toInt wrap would hash-fail the gate with
     // no diagnostic pointing at the writer — fail at fixture build
