@@ -223,6 +223,15 @@ object PlanAudit {
           "TopKPerKey".r.findAllIn(p).size >= 2),
         "probes broadcast" -> (_.contains("BroadcastExchange")),
         "no cartesian" -> (p => !p.contains("CartesianProduct"))),
+      "ann_ivfbq_topk" -> Map(
+        // the composed index: probed-cell Hamming through bounded
+        // heaps (shortlist + rerank), probe cells broadcast, and NO
+        // shuffle between the corpus scan and the cell/signature
+        // projection (one map-side pass computes both structures)
+        "bounded heaps for shortlist and rerank" -> (p =>
+          "TopKPerKey".r.findAllIn(p).size >= 2),
+        "probe cells broadcast" -> (_.contains("BroadcastExchange")),
+        "no cartesian" -> (p => !p.contains("CartesianProduct"))),
       "emb_matryoshka_eval" -> Map(
         // per-dim ranking is bounded (partial+final heaps per
         // (dim, probe)); probes broadcast; the 4-way dim explode is

@@ -224,6 +224,8 @@ object SparkEntry {
     "q_equidepth_hist"            -> EventAnalytics.qEquidepthHist,
     "dedup_source_matrix"         -> DedupOps.dedupSourceMatrix,
     "ann_bq_topk"                 -> AnnOps.annBqTopk,
+    "ann_ivfbq_topk"              -> AnnOps.annIvfBqTopk,
+    "ann_ivfbq_recall"            -> AnnOps.annIvfBqRecall,
     "emb_drift_check"             -> AnnOps.embDriftCheck,
     "emb_matryoshka_eval"         -> AnnOps.embMatryoshkaEval,
     "q_ppr"                       -> operators.GraphOps.qPersonalizedPagerank,
@@ -3491,6 +3493,96 @@ object SparkEntry {
         |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor((sim)*10000 + 0.5)/10000 AS sim
         |FROM ranked WHERE rnk <= ${operators.AnnOps.K} ORDER BY pid, rnk""".stripMargin,
 
+    // the COMPOSED ivf×bq index replayed whole: decimal-exact
+    // centroids, argmax cell assignment, 6 probe cells, two-32-bit-
+    // half signatures, in-cell Hamming shortlist, exact-cosine rerank
+    "ann_ivfbq_topk" ->
+      s"""WITH $ivfIndexCtes,
+        |$bqSigCte,
+        |ham AS (
+        |  SELECT p.pid, a.vec_id AS nid,
+        |    CAST(bit_count(xor(sa.lo, sp.lo)) + bit_count(xor(sa.hi, sp.hi)) AS BIGINT) AS hamming
+        |  FROM pcells p
+        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.pid
+        |  JOIN sig sa ON sa.vec_id = a.vec_id
+        |  JOIN sig sp ON sp.vec_id = p.pid),
+        |short AS (SELECT pid, nid FROM (
+        |  SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY hamming, nid) AS rn
+        |  FROM ham) t WHERE rn <= ${operators.AnnOps.BqShortlist}),
+        |sims AS (
+        |  SELECT s.pid, s.nid, list_cosine_similarity(pr.pe, ev.v) AS sim
+        |  FROM short s JOIN probes pr ON pr.pid = s.pid JOIN emb ev ON ev.vec_id = s.nid),
+        |ranked AS (SELECT pid, nid, sim,
+        |  row_number() OVER (PARTITION BY pid ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM sims)
+        |SELECT pid, CAST(rnk AS BIGINT) AS rnk, nid, floor((sim)*10000 + 0.5)/10000 AS sim
+        |FROM ranked WHERE rnk <= ${operators.AnnOps.K} ORDER BY pid, rnk""".stripMargin,
+
+    // equal-budget panel: each layout admits <= BqShortlist
+    // candidates per probe into the same exact rerank; recall@K vs
+    // the brute-force truth — integer hits, one rounded division
+    "ann_ivfbq_recall" ->
+      s"""WITH $ivfIndexCtes,
+        |$bqSigCte,
+        |psig AS (SELECT vec_id AS pid, lo AS plo, hi AS phi FROM sig
+        |  WHERE vec_id < ${operators.AnnOps.NumProbes}),
+        |hamfull AS (
+        |  SELECT p.pid, s.vec_id AS nid,
+        |    CAST(bit_count(xor(s.lo, p.plo)) + bit_count(xor(s.hi, p.phi)) AS BIGINT) AS hamming
+        |  FROM sig s, psig p WHERE s.vec_id <> p.pid),
+        |bq AS (SELECT pid, nid FROM (
+        |  SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY hamming, nid) AS rn
+        |  FROM hamfull) t WHERE rn <= ${operators.AnnOps.BqShortlist}),
+        |cellmem AS (
+        |  SELECT p.pid, a.vec_id AS nid
+        |  FROM pcells p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.pid),
+        |ivf AS (SELECT pid, nid FROM (
+        |  SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY nid) AS rn
+        |  FROM cellmem) t WHERE rn <= ${operators.AnnOps.BqShortlist}),
+        |hamcell AS (
+        |  SELECT cm.pid, cm.nid,
+        |    CAST(bit_count(xor(sa.lo, p.plo)) + bit_count(xor(sa.hi, p.phi)) AS BIGINT) AS hamming
+        |  FROM cellmem cm JOIN sig sa ON sa.vec_id = cm.nid JOIN psig p ON p.pid = cm.pid),
+        |ivfbq AS (SELECT pid, nid FROM (
+        |  SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY hamming, nid) AS rn
+        |  FROM hamcell) t WHERE rn <= ${operators.AnnOps.BqShortlist}),
+        |exr AS (SELECT pid, nid FROM (
+        |  SELECT pr.pid, ev.vec_id AS nid, row_number() OVER (PARTITION BY pr.pid
+        |    ORDER BY floor((list_cosine_similarity(pr.pe, ev.v))*1000000 + 0.5)/1000000 DESC, ev.vec_id) AS rn
+        |  FROM probes pr JOIN emb ev ON ev.vec_id <> pr.pid) t
+        |  WHERE rn <= ${operators.AnnOps.K}),
+        |srv_bq AS (SELECT pid, nid FROM (
+        |  SELECT c.pid, c.nid, row_number() OVER (PARTITION BY c.pid
+        |    ORDER BY floor((list_cosine_similarity(pr.pe, ev.v))*1000000 + 0.5)/1000000 DESC, c.nid) AS rn
+        |  FROM bq c JOIN probes pr ON pr.pid = c.pid JOIN emb ev ON ev.vec_id = c.nid) t
+        |  WHERE rn <= ${operators.AnnOps.K}),
+        |srv_ivf AS (SELECT pid, nid FROM (
+        |  SELECT c.pid, c.nid, row_number() OVER (PARTITION BY c.pid
+        |    ORDER BY floor((list_cosine_similarity(pr.pe, ev.v))*1000000 + 0.5)/1000000 DESC, c.nid) AS rn
+        |  FROM ivf c JOIN probes pr ON pr.pid = c.pid JOIN emb ev ON ev.vec_id = c.nid) t
+        |  WHERE rn <= ${operators.AnnOps.K}),
+        |srv_ivfbq AS (SELECT pid, nid FROM (
+        |  SELECT c.pid, c.nid, row_number() OVER (PARTITION BY c.pid
+        |    ORDER BY floor((list_cosine_similarity(pr.pe, ev.v))*1000000 + 0.5)/1000000 DESC, c.nid) AS rn
+        |  FROM ivfbq c JOIN probes pr ON pr.pid = c.pid JOIN emb ev ON ev.vec_id = c.nid) t
+        |  WHERE rn <= ${operators.AnnOps.K}),
+        |rows_out AS (
+        |  SELECT 'bq_only' AS method,
+        |    (SELECT count(*) FROM bq) AS n_cands,
+        |    (SELECT count(*) FROM srv_bq s JOIN exr x ON x.pid = s.pid AND x.nid = s.nid) AS n_hits
+        |  UNION ALL
+        |  SELECT 'ivf_only',
+        |    (SELECT count(*) FROM ivf),
+        |    (SELECT count(*) FROM srv_ivf s JOIN exr x ON x.pid = s.pid AND x.nid = s.nid)
+        |  UNION ALL
+        |  SELECT 'ivfbq',
+        |    (SELECT count(*) FROM ivfbq),
+        |    (SELECT count(*) FROM srv_ivfbq s JOIN exr x ON x.pid = s.pid AND x.nid = s.nid))
+        |SELECT method, CAST(n_cands AS BIGINT) AS n_cands,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  floor((CAST(n_hits AS DOUBLE) /
+        |    ${operators.AnnOps.K * operators.AnnOps.NumProbes})*1000000 + 0.5)/1000000 AS recall
+        |FROM rows_out ORDER BY method""".stripMargin,
+
     // prefix-truncation recall panel: prefix cosine ranks per dim
     // (1e-6-rounded ties, nid asc), overlap vs the full-width top-k,
     // mean FULL-dim sim of truncated winners as a 1e-6 scaled-integer
@@ -4273,6 +4365,20 @@ object SparkEntry {
     * `ranked`, plus `probes`/`emb` for reuse) — shared by
     * `ann_ivf_topk` and `ann_recall_panel`. */
   private def ivfRankedCtes: String =
+    s"""$ivfIndexCtes,
+      |cands AS (
+      |  SELECT p.pid, a.vec_id AS nid, list_cosine_similarity(pr.pe, ev.v) AS sim
+      |  FROM pcells p
+      |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.pid
+      |  JOIN probes pr ON pr.pid = p.pid
+      |  JOIN emb ev ON ev.vec_id = a.vec_id),
+      |ranked AS (SELECT pid, nid, sim,
+      |  row_number() OVER (PARTITION BY pid ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM cands)""".stripMargin
+
+  /** The IVF index structures alone — centroids, cell assignment,
+    * probe cells, probes — shared with the composed ivf×bq oracles,
+    * which swap the exact in-cell scan for a Hamming stage. */
+  private def ivfIndexCtes: String =
     """e AS (
       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
       |    CAST(unnest(embedding) AS DOUBLE) AS x
@@ -4295,15 +4401,22 @@ object SparkEntry {
       |  SELECT vec_id AS pid, cell FROM (
       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
       |    FROM scored WHERE vec_id < 10) t WHERE rn <= 6),
-      |probes AS (SELECT vec_id AS pid, v AS pe FROM emb WHERE vec_id < 10),
-      |cands AS (
-      |  SELECT p.pid, a.vec_id AS nid, list_cosine_similarity(pr.pe, ev.v) AS sim
-      |  FROM pcells p
-      |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.pid
-      |  JOIN probes pr ON pr.pid = p.pid
-      |  JOIN emb ev ON ev.vec_id = a.vec_id),
-      |ranked AS (SELECT pid, nid, sim,
-      |  row_number() OVER (PARTITION BY pid ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS rnk FROM cands)""".stripMargin
+      |probes AS (SELECT vec_id AS pid, v AS pe FROM emb WHERE vec_id < 10)""".stripMargin
+
+  /** The two-32-bit-half sign-signature CTE over `emb` — shared by
+    * the composed ivf×bq oracles (the `ann_bq_topk` discipline: a
+    * single 64-bit word would set bit 63 and the engines diverge on
+    * signed overflow). */
+  private def bqSigCte: String =
+    """sig AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum([CASE WHEN v[i+1] > 0 THEN CAST(1 AS BIGINT) << i
+      |                        ELSE CAST(0 AS BIGINT) END
+      |                   for i in generate_series(0, 31)]) AS BIGINT) AS lo,
+      |    CAST(list_sum([CASE WHEN v[i+33] > 0 THEN CAST(1 AS BIGINT) << i
+      |                        ELSE CAST(0 AS BIGINT) END
+      |                   for i in generate_series(0, 31)]) AS BIGINT) AS hi
+      |  FROM emb)""".stripMargin
 
   private def bruteforceOracle: String =
     """WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 10),

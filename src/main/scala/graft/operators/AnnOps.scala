@@ -714,16 +714,19 @@ object AnnOps {
     * stage shuffles ≤ shortlist rows per (partition, probe) through
     * TopK.perKey's bounded heaps; only shortlist-sized frames reach
     * the float rerank. */
+  /** One 32-bit half of the 64-dim sign signature — Horner fold,
+    * MSB-first: acc·2 + bit, pure Long arithmetic, value =
+    * Σ bit_j·2^j ≤ 2^32 (shiftleft needs a literal count). Shared by
+    * [[annBqTopk]], [[annIvfBqTopk]] and [[annIvfBqRecall]]. */
+  private def sigHalf(e: org.apache.spark.sql.Column, base: Int) =
+    aggregate(
+      sequence(lit(base + 31), lit(base), lit(-1)),
+      lit(0L),
+      (a, j) => a * 2 +
+        when(element_at(e, j + 1) > 0.0f, lit(1L)).otherwise(lit(0L)))
+
   val annBqTopk: QueryFn = (s, dir) => {
     import s.implicits._
-    // Horner fold, MSB-first: acc·2 + bit — pure Long arithmetic,
-    // value = Σ bit_j·2^j ≤ 2^32 (shiftleft needs a literal count)
-    def sigHalf(e: org.apache.spark.sql.Column, base: Int) =
-      aggregate(
-        sequence(lit(base + 31), lit(base), lit(-1)),
-        lit(0L),
-        (a, j) => a * 2 +
-          when(element_at(e, j + 1) > 0.0f, lit(1L)).otherwise(lit(0L)))
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding",
         sigHalf($"embedding", 0).as("lo"), sigHalf($"embedding", 32).as("hi"))
@@ -743,6 +746,137 @@ object AnnOps {
       .select($"pid", $"nid", $"hamming",
         cosine_sim($"pe", $"embedding").as("sim"))
       .select($"pid", $"nid", $"sim"), K)
+  }
+
+  /** IVF × BQ — the composed 10⁹-vector SERVING layout (r8 verdict
+    * #6): coarse-quantize the corpus into the IVF cells, store the
+    * 1-bit sign signatures IN-LIST, Hamming-scan only the probed
+    * lists, exact-rerank the survivors. Where [[annBqTopk]] bit-scans
+    * the WHOLE corpus (8 GB of signatures at 10⁹ vectors — RAM-
+    * resident but still a full pass per probe), this touches
+    * `nprobe / n_cells` of the signature store — the memory layout of
+    * bq with the scan discipline of IVF, which is what production
+    * binary-quantized indexes (Faiss IVF+RaBitQ-class) actually
+    * deploy.
+    *
+    * Plan shape: ONE map-side projection computes each vector's cell
+    * (argmax over centroid literals) AND its signature halves — no
+    * join between the two index structures; probes explode to their
+    * top-6 cells and broadcast; the Hamming stage shuffles ≤
+    * [[BqShortlist]] rows per (partition, probe) through TopKPerKey
+    * bounded heaps; only shortlist-sized frames reach the float
+    * rerank. A corpus vector lives in exactly one cell, so the cell
+    * join yields each (probe, candidate) pair at most once — no
+    * distinct. Exactness: same two-32-bit-half signature discipline
+    * as [[annBqTopk]]; the oracle replays the ENTIRE composed index
+    * (centroid training included). */
+  val annIvfBqTopk: QueryFn = (s, dir) => {
+    import s.implicits._
+    val cellsLit = typedLit(ivfCentroids(s, dir))
+    val corpus = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        cellScores(cellsLit)($"embedding").as("scored"),
+        sigHalf($"embedding", 0).as("lo"), sigHalf($"embedding", 32).as("hi"))
+      .select($"vec_id", $"embedding", $"lo", $"hi",
+        argmaxCell($"scored").as("cell"))
+    val pc = probeCellsOf(s, dir, cellsLit)
+      .select($"pid", $"pe", $"cell",
+        sigHalf($"pe", 0).as("plo"), sigHalf($"pe", 32).as("phi"))
+    val ham = corpus.join(broadcast(pc), Seq("cell"))
+      .where($"vec_id" =!= $"pid")
+      .select($"pid", $"pe", $"vec_id".as("nid"), $"embedding",
+        (bit_count($"lo".bitwiseXOR($"plo")) +
+          bit_count($"hi".bitwiseXOR($"phi"))).cast("long").as("hamming"))
+    val shortlist = graft.plans.TopK.perKey(ham,
+      keyCols = Seq("pid"),
+      orderCols = Seq("hamming" -> true, "nid" -> true),
+      k = BqShortlist)
+    rankTopK(shortlist
+      .select($"pid", $"nid", cosine_sim($"pe", $"embedding").as("sim")), K)
+  }
+
+  /** EQUAL-BUDGET recall panel for the binary-quantized serving
+    * layouts (the second half of r8 verdict #6): bq-only (full-corpus
+    * Hamming scan), ivf-only (probed-cell scan in LIST ORDER — the
+    * early-termination budget cut a scan-until-budget IVF pays), and
+    * ivf×bq (probed-cell Hamming) each admit AT MOST [[BqShortlist]]
+    * candidates per probe into the exact rerank, and the panel
+    * reports each method's recall@[[K]] against the brute-force
+    * truth at that identical candidate budget — the apples-to-apples
+    * number an index reviewer actually needs (raw recall comparisons
+    * across methods with different candidate masses say nothing
+    * about the layout).
+    *
+    * Everything is deterministic (integer Hamming, nid tiebreaks,
+    * 1e-6-rounded rerank), so the panel hash-verifies with the full
+    * index replay — including the centroid training — in the oracle.
+    * Scale shape: three bounded-heap shortlists over streams the
+    * serve paths already compute; the final fold is 3 rows. */
+  val annIvfBqRecall: QueryFn = (s, dir) => {
+    import s.implicits._
+    val cellsLit = typedLit(ivfCentroids(s, dir))
+    val corpus = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        cellScores(cellsLit)($"embedding").as("scored"),
+        sigHalf($"embedding", 0).as("lo"), sigHalf($"embedding", 32).as("hi"))
+      .select($"vec_id", $"embedding", $"lo", $"hi",
+        argmaxCell($"scored").as("cell"))
+      .transform(Pin.corpus)
+    val p = corpus.where($"vec_id" < NumProbes)
+      .select($"vec_id".as("pid"), $"embedding".as("pe"),
+        $"lo".as("plo"), $"hi".as("phi"))
+    val pc = probeCellsOf(s, dir, cellsLit)
+      .select($"pid", $"cell",
+        sigHalf($"pe", 0).as("plo"), sigHalf($"pe", 32).as("phi"))
+    def hammed(df: org.apache.spark.sql.DataFrame) = df
+      .select($"pid", $"vec_id".as("nid"),
+        (bit_count($"lo".bitwiseXOR($"plo")) +
+          bit_count($"hi".bitwiseXOR($"phi"))).cast("long").as("hamming"))
+    // bq-only: full-corpus Hamming, budget-capped
+    val bqCands = graft.plans.TopK.perKey(
+      hammed(corpus.join(broadcast(p), $"vec_id" =!= $"pid")),
+      keyCols = Seq("pid"),
+      orderCols = Seq("hamming" -> true, "nid" -> true),
+      k = BqShortlist).select($"pid", $"nid")
+    val inCells = corpus.join(broadcast(pc), Seq("cell"))
+      .where($"vec_id" =!= $"pid")
+    // ivf-only: probed cells in LIST ORDER until the budget is spent
+    val ivfCands = graft.plans.TopK.perKey(
+      inCells.select($"pid", $"vec_id".as("nid")),
+      keyCols = Seq("pid"),
+      orderCols = Seq("nid" -> true),
+      k = BqShortlist).select($"pid", $"nid")
+    // ivf×bq: probed-cell Hamming, same budget
+    val ivfbqCands = graft.plans.TopK.perKey(
+      hammed(inCells),
+      keyCols = Seq("pid"),
+      orderCols = Seq("hamming" -> true, "nid" -> true),
+      k = BqShortlist).select($"pid", $"nid")
+    // brute-force truth at the same k
+    val ex = rankTopK(
+      Tables.embeddings(s, dir)
+        .join(broadcast(probes(s, dir)), $"vec_id" =!= $"pid")
+        .select($"pid", $"vec_id".as("nid"),
+          cosine_sim($"pe", $"embedding").as("sim")), K)
+      .select($"pid", $"nid")
+      .localCheckpoint(true) // K·probes rows, reused by 3 hit joins
+    val vecs = Tables.embeddings(s, dir)
+      .select($"vec_id".as("nid"), $"embedding".as("ne"))
+    def panelRow(cands: org.apache.spark.sql.DataFrame, method: String) = {
+      val served = rankTopK(cands
+        .join(vecs, "nid")
+        .join(broadcast(probes(s, dir)), "pid")
+        .select($"pid", $"nid", cosine_sim($"pe", $"ne").as("sim")), K)
+      val nc = cands.count()
+      val nh = served.join(ex, Seq("pid", "nid")).count()
+      (method, nc, nh,
+        math.floor(nh.toDouble / (K.toLong * NumProbes) * 1000000d + 0.5d) / 1000000d)
+    }
+    Seq(panelRow(bqCands, "bq_only"),
+        panelRow(ivfCands, "ivf_only"),
+        panelRow(ivfbqCands, "ivfbq"))
+      .toDF("method", "n_cands", "n_hits", "recall")
+      .orderBy($"method")
   }
 
   /** Matryoshka truncation dims for [[embMatryoshkaEval]] — power-of-
