@@ -16,9 +16,6 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STRESS_DIR = "/tmp/graft-stress/sf1"
 
-# documents/embeddings/events-backed only: the stress corpus has no
-# lineitem/orders tables (the TPC-H relational rows are excluded for
-# that reason, not forgotten)
 SUBSET = [
     "build_suffix_lcp", "build_contam_spans", "build_nsw_graph",
     "build_jaccard_cc",
@@ -48,15 +45,28 @@ SUBSET = [
     # registers PER KEY whatever the cardinality — the wall ratio here
     # is the micro-batch floor, which is the claim
     "stream_kmv_distinct", "stream_hll_distinct",
-    # stream_enrich_rollup is excluded: the stress corpus carries no
-    # customer/nation dimension tables
+    # relational/graph/event-fact families at the decade (r8 verdict
+    # #1): StressGen now replicates lineitem/orders/customer with
+    # disjoint key spaces (orderkey/custkey/partkey strides), so the
+    # fact joins, the skew-salted agg, the co-purchase graph
+    # (pairs/triangles/BFS/SSSP/link-prediction wedge+candidate
+    # masses — exactly the quantities with nonlinear scaling risk),
+    # the nation trade-graph iterations, and the stream-static dim
+    # join all get a measured decade ratio instead of plan-audit-only
+    # evidence
+    "q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
+    "q_copurchase_pairs", "q_triangle_count", "q_bfs_distance",
+    "q_sssp", "q_pagerank", "q_link_prediction", "q_skewed_agg",
+    "stream_enrich_rollup",
 ]
 
 
 def ensure_corpus():
-    if os.path.exists(f"{STRESS_DIR}/documents.parquet/_SUCCESS") and \
-       os.path.exists(f"{STRESS_DIR}/embeddings.parquet/_SUCCESS") and \
-       os.path.exists(f"{STRESS_DIR}/events.parquet/_SUCCESS"):
+    # lineitem is the newest table (r9): its absence means a stale
+    # pre-relational corpus that must be regenerated whole
+    if all(os.path.exists(f"{STRESS_DIR}/{t}.parquet/_SUCCESS")
+           for t in ("documents", "embeddings", "events",
+                     "lineitem", "orders", "customer")):
         print(f"[stress] corpus already at {STRESS_DIR}", flush=True)
         return
     print("[stress] generating 10x corpus ...", flush=True)
@@ -102,9 +112,11 @@ def main():
     worst = max(serves.items(), key=lambda kv: kv[1])
     entry = {
         "note": "self-generated 10x stress corpus (StressGen: docs+embeddings"
-                "+events); subset = build_* + dedup/ANN/suffix/mm/stream"
-                " families; dedup_simhash runs the wide 2:32:12 geometry (the"
-                " >=1e6-doc deployment dial; gate + sf0.1 use 1:16:6)",
+                "+events+lineitem/orders/customer, disjoint key spaces per"
+                " replica); subset = build_* + dedup/ANN/suffix/mm/stream +"
+                " relational/graph families; dedup_simhash runs the wide"
+                " 2:32:12 geometry (the >=1e6-doc deployment dial; gate +"
+                " sf0.1 use 1:16:6)",
         "n_ok": len(serves),
         "n_skipped": sum(1 for v in q.values() if v == -2.0),
         "total_sec": round(sum(serves.values()), 1),
