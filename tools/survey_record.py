@@ -85,11 +85,41 @@ def bench_summary():
     sha = head_sha()
     if sha and d.get("git_sha") not in (None, "unknown") \
             and d["git_sha"] != sha:
-        print(f"WARNING: bench_summary.json was produced at "
-              f"{d['git_sha'][:10]}, HEAD is {sha[:10]} — numbers describe "
-              f"that commit (fine mid-round; commit the artifact with the "
-              f"code it measured)", file=sys.stderr)
+        # r8 verdict #3: count equality proved the artifact SHAPE, not
+        # artifact-at-HEAD — require the diff since the stamped sha to
+        # be test/doc-only, else the numbers describe other code
+        changed = diff_files(d["git_sha"], sha)
+        if changed is None:
+            print(f"WARNING: bench_summary.json was produced at "
+                  f"{d['git_sha'][:10]}, HEAD is {sha[:10]}, and the diff "
+                  f"between them could not be computed — verify by hand",
+                  file=sys.stderr)
+        else:
+            load_bearing = [f for f in changed
+                            if f.startswith("src/main/") or f.startswith("tools/")]
+            if load_bearing:
+                sys.exit(f"FATAL: bench_summary.json was produced at "
+                         f"{d['git_sha'][:10]} but HEAD {sha[:10]} changed "
+                         f"src/main|tools since: {load_bearing[:8]} — rerun "
+                         f"the full bench at HEAD before regenerating")
+            print(f"NOTE: bench_summary.json stamped {d['git_sha'][:10]} != "
+                  f"HEAD {sha[:10]}, but the diff since is test/doc-only "
+                  f"({len(changed)} files) — representative", file=sys.stderr)
     return d
+
+
+def diff_files(sha_a, sha_b):
+    """Changed paths between two commits, or None if git can't say
+    (unknown sha, shallow clone)."""
+    try:
+        import subprocess
+        r = subprocess.run(["git", "diff", "--name-only", f"{sha_a}..{sha_b}"],
+                           cwd=REPO, capture_output=True, text=True)
+        if r.returncode != 0:
+            return None
+        return [l for l in r.stdout.splitlines() if l.strip()]
+    except Exception:
+        return None
 
 
 def scaling():
@@ -97,6 +127,51 @@ def scaling():
     if not os.path.exists(path):
         return None
     return json.load(open(path))
+
+
+# §4's scale-decade wall numbers, mechanized (r8 verdict #2 — the
+# hand-quoted-prose drift class appeared twice): every family §4
+# discusses by name, plus whatever currently tops the ratio list, is
+# rendered from bench_scaling.json between GEN markers; the prose
+# refers to this table instead of quoting numbers that go stale.
+DECADE_TRACKED = [
+    "dedup_containment", "dedup_incremental", "dedup_simhash",
+    "dedup_embedding", "dedup_minhash_lsh", "build_suffix_lcp",
+    "build_nsw_graph",
+    "q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
+    "q_copurchase_pairs", "q_triangle_count", "q_bfs_distance",
+    "q_sssp", "q_pagerank", "q_link_prediction", "q_skewed_agg",
+    "stream_enrich_rollup",
+]
+
+
+def decade_table(scal):
+    if not scal or "sf1" not in scal or "sf0.1" not in scal:
+        return ("_no sf1 stress entry in bench_scaling.json yet — run "
+                "tools/bench_stress.py_")
+    base = scal["sf0.1"].get("queries", {})
+    s1 = scal["sf1"].get("queries", {})
+    rows = []
+    for name in sorted(s1):
+        b, v = base.get(name), s1[name]
+        if b and b > 0 and v > 0:
+            rows.append((v / b, name, b, v))
+    top = sorted(rows, reverse=True)[:5]
+    names = set(DECADE_TRACKED) | {n for _, n, _, _ in top}
+    picked = sorted((r for r in rows if r[1] in names),
+                    key=lambda r: -r[0])
+    missing = [n for n in DECADE_TRACKED if n not in {r[1] for r in rows}]
+    out = ["| query | sf0.1 s | sf1 (10×) s | decade ratio |",
+           "| --- | --- | --- | --- |"]
+    for ratio, name, b, v in picked:
+        out.append(f"| `{name}` | {b:.2f} | {v:.2f} | {ratio:.1f}× |")
+    out.append("")
+    out.append(f"(regenerated by tools/survey_record.py from "
+               f"bench_scaling.json sf0.1/sf1 at HEAD; tracked families "
+               f"plus the current top-5 ratios; sub-noise rows and "
+               f"families without a decade row yet: "
+               f"{', '.join(missing) or 'none'})")
+    return "\n".join(out)
 
 
 def replace_block(text, name, body):
@@ -179,7 +254,8 @@ def main():
                 s1.get("builds", {}).items()))
             scale_line += (
                 f"; 4th decade (self-generated 10× stress corpus,"
-                f" doc/vector/stream families): {s1['total_sec']:.1f} s over"
+                f" doc/vector/stream/relational/graph families):"
+                f" {s1['total_sec']:.1f} s over"
                 f" {s1['n_ok']} serves, builds {bl}")
     else:
         scale_line = "no bench_scaling.json found"
@@ -198,6 +274,7 @@ def main():
     survey_path = os.path.join(REPO, "SURVEY.md")
     text = open(survey_path).read()
     text = replace_block(text, "bench-headline", headline)
+    text = replace_block(text, "scale-decade", decade_table(scal))
     text = replace_block(text, "final-record", record)
     open(survey_path, "w").write(text)
     print(headline)
