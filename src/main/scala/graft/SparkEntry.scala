@@ -266,6 +266,9 @@ object SparkEntry {
     "stream_kmv_distinct"         -> operators.StreamQueries.streamKmvDistinct,
     "stream_hll_distinct"         -> operators.StreamQueries.streamHllDistinct,
     "stream_enrich_rollup"        -> operators.StreamQueries.streamEnrichRollup,
+    "stream_topk_events"          -> operators.StreamQueries.streamTopkEvents,
+    "stream_ivf_ingest"           -> operators.StreamQueries.streamIvfIngest,
+    "stream_neardup_alerts"       -> operators.StreamQueries.streamNeardupAlerts,
     // §2.H sources & sinks — write→read round-trips hashed against the
     // original parquet (SourceSinkOps doc for the lossless-ness rules)
     "src_csv_roundtrip"           -> operators.SourceSinkOps.srcCsvRoundtrip,
@@ -3928,6 +3931,57 @@ object SparkEntry {
         |LEFT JOIN customer c ON c.c_custkey = e.user_id
         |LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
         |GROUP BY 1, 2 ORDER BY nation, event_type""".stripMargin,
+
+    // final top-k state selected set-wise from the append emissions
+    // (every emitted pair is a real event; every final member was
+    // emitted) — the oracle is the plain batch top-5 per type
+    "stream_topk_events" ->
+      """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id,
+        |  floor(value*100 + 0.5)/100 AS value
+        |FROM (SELECT event_type, event_id, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY value DESC, event_id) AS rnk
+        |      FROM events) t
+        |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
+
+    // the frozen quantizer replayed: decimal-exact BASE-corpus
+    // centroids (vec_id % 10 <> 0), arriving tenth assigned by argmax
+    // at 1e-6-rounded cosine, ties to the lower cell — identical to
+    // the ann_incremental_topk index CTEs
+    "stream_ivf_ingest" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
+        |  FROM e WHERE vec_id % 10 <> 0 GROUP BY label, pos),
+        |cent AS (SELECT CAST(label AS INTEGER) AS cell, list(m ORDER BY pos) AS centroid FROM c GROUP BY label),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 10 = 0),
+        |scored AS (
+        |  SELECT vec_id, cell,
+        |    floor((list_cosine_similarity(v, centroid))*1000000 + 0.5)/1000000 AS sim
+        |  FROM emb CROSS JOIN cent)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        |  FROM scored) t
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // on bands where the prior cap never binds, the streaming alert
+    // pair set (canonicalized unordered) IS the full LSH candidate
+    // set — the whole minhash index replays through the shared CTEs,
+    // then all pairs of every 2..cap-occupancy bucket
+    "stream_neardup_alerts" ->
+      s"""WITH $minhashCoreCtes,
+        |bn AS (SELECT b, bk, count(*) AS n FROM bandk GROUP BY b, bk),
+        |okb AS (SELECT b, bk FROM bn
+        |  WHERE n >= 2 AND n <= ${graft.streaming.Streams.MaxPriorsPerBand}),
+        |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM bandk a
+        |  JOIN bandk b2 ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id
+        |  JOIN okb ON okb.b = a.b AND okb.bk = a.bk)
+        |SELECT doc_a, doc_b FROM pr ORDER BY doc_a, doc_b""".stripMargin,
 
     // ---- §2.H sources & sinks: the engine writes through a real sink
     // and reads back through the matching source; the oracle runs the

@@ -205,6 +205,111 @@ object StreamQueries {
       .orderBy($"nation", $"event_type")
   }
 
+  /** Continuous per-key top-k ([[Streams.topkEvents]]), final state
+    * selected SET-WISE: every emitted (event_id, value) pair is a
+    * real event of its key, and every member of the final top-k was
+    * emitted in its own arrival batch (it beat all but < k of the
+    * events seen so far, or it wouldn't be in the final top-k) — so
+    * top-k over the DISTINCT emitted pairs per key IS the final
+    * state, no version column needed. Ranking (value desc, event_id
+    * asc) is the batch operator's total order, so the oracle is the
+    * plain batch top-k over the whole corpus. */
+  val streamTopkEvents: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = runToTable(s, "stream_topk_events",
+      Streams.topkEvents(Streams.eventsStream(s, dir)).toDF(), "append")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"value".desc, $"event_id".asc)
+    out.select($"event_type", $"event_id", $"value").distinct()
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where($"rnk" <= 5)
+      .select($"event_type", $"rnk", $"event_id", rnd($"value", 2).as("value"))
+      .orderBy($"event_type", $"rnk")
+  }
+
+  /** Streaming vector ingest through the FROZEN coarse quantizer
+    * ([[Streams.ivfIngestStream]] — the `add`-after-`train` face of
+    * the persisted IVF index): the arriving tenth of the corpus
+    * (vec_id % 10 == 0, the `ann_incremental_topk` split) lands as
+    * parquet, routes map-side against the centroid literals trained
+    * on the BASE corpus only, and the gate reads each arrival's cell
+    * assignment. Stateless per micro-batch — the emission set is a
+    * pure function of the data — and the oracle replays the frozen
+    * quantizer exactly (decimal-exact base-corpus centroids, argmax
+    * at 1e-6-rounded cosine, ties to the lower cell). */
+  val streamIvfIngest: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = runToTable(s, "stream_ivf_ingest",
+      Streams.ivfIngestStream(s, dir, stagedVectorsDir(s, dir)), "append")
+    out.select($"vec_id", $"cell".cast("long").as("cell")).orderBy($"vec_id")
+  }
+
+  /** Near-duplicate ALERTS at ingest ([[Streams.neardupAlerts]]),
+    * gated on the bands where alerts are a pure data function: on a
+    * band the [[Streams.MaxPriorsPerBand]] cap never binds, every
+    * arrival pairs with every earlier doc, so the UNORDERED alert
+    * pair set equals the full LSH candidate set of that band —
+    * arrival order only decides which side is `prior`, which
+    * canonicalization erases. Capped bands are excluded by an
+    * engine-side batch count over the SAME banding expressions
+    * (their prior sets are genuinely arrival-order state — the spec
+    * suite owns that contract); the oracle replays the whole minhash
+    * index and emits all pairs of its 2..cap-occupancy buckets. */
+  val streamNeardupAlerts: QueryFn = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val alerts = runToTable(s, "stream_neardup_alerts",
+      Streams.neardupAlerts(
+        Streams.bandedDocs(docsStreamFrom(s, stagedDocsDir(s, dir)))).toDF(),
+      "append")
+    val uncapped = Streams.bandedDocs(docs)
+      .groupBy($"band").agg(count_distinct($"doc_id").as("n"))
+      .where($"n" >= 2 && $"n" <= Streams.MaxPriorsPerBand)
+      .select($"band")
+    alerts.join(uncapped, "band")
+      .select(least($"doc_id", $"prior_id").as("doc_a"),
+        greatest($"doc_id", $"prior_id").as("doc_b"))
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Streaming read of the documents table (schema probed from the
+    * landing files, the [[Streams.eventsStreamFrom]] discipline). */
+  private def docsStreamFrom(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+
+  /** The arriving-vector landing dir behind [[streamIvfIngest]]:
+    * the vec_id % 10 == 0 split staged once per corpus. */
+  private def stagedVectorsDir(s: SparkSession, sfDir: String): String = {
+    val stage = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-vecarrivals-" + graft.mr.Fs.pathKey(sfDir))
+    if (!new java.io.File(stage, "_SUCCESS").exists()) {
+      Tables.embeddings(s, sfDir).where(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .write.mode("overwrite").parquet(stage.toString)
+    }
+    stage.toString
+  }
+
+  /** The documents landing dir behind [[streamNeardupAlerts]] —
+    * a directory corpus serves as-is, the single-file testdata
+    * layout goes through a per-sfDir symlink dir (the
+    * [[Streams.eventsLandingDir]] pattern). */
+  private def stagedDocsDir(s: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(sfDir, "documents.parquet")
+    if (Files.isDirectory(src)) src.toString
+    else {
+      val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft-docs-" + graft.mr.Fs.pathKey(sfDir))
+      if (!Files.exists(stage)) {
+        Files.createDirectories(stage)
+        Files.createSymbolicLink(stage.resolve("documents.parquet"), src)
+      }
+      stage.toString
+    }
+  }
+
   /** The same landing dir [[Streams.eventsStream]] reads (shared so
     * both faces consume the identical source files). */
   private def stagedEventsDir(s: SparkSession, sfDir: String): String =

@@ -45,6 +45,9 @@ SUBSET = [
     # registers PER KEY whatever the cardinality — the wall ratio here
     # is the micro-batch floor, which is the claim
     "stream_kmv_distinct", "stream_hll_distinct",
+    # r9 driver-gated faces: bounded per-key top-k state, stateless
+    # frozen-quantizer routing, capped per-band near-dup prior state
+    "stream_topk_events", "stream_ivf_ingest", "stream_neardup_alerts",
     # relational/graph/event-fact families at the decade (r8 verdict
     # #1): StressGen now replicates lineitem/orders/customer with
     # disjoint key spaces (orderkey/custkey/partkey strides), so the
