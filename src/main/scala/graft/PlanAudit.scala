@@ -215,6 +215,16 @@ object PlanAudit {
         "map-only before the output sort" -> (p =>
           !p.contains("Join") &&
           "Exchange".r.findAllIn(p).size <= 1)),
+      "mm_mp4_byteranges" -> Map(
+        // chunk-table walk + per-doc sync explode: map-only (r9)
+        "map-only before the output sort" -> (p =>
+          !p.contains("Join") &&
+          "Exchange".r.findAllIn(p).size <= 1)),
+      "mm_image_resize" -> Map(
+        // decode → box resample → re-encode → decode: map-only (r9)
+        "map-only before the output sort" -> (p =>
+          !p.contains("Join") &&
+          "Exchange".r.findAllIn(p).size <= 1)),
       "ann_bq_topk" -> Map(
         // the 1-bit stage must shuffle only bounded heaps: BOTH the
         // Hamming shortlist and the rerank run through the partial+

@@ -156,6 +156,8 @@ object SparkEntry {
     "mm_exif_gps"                 -> TextOps.mmExifGps,
     "mm_mp4_meta"                 -> TextOps.mmMp4Meta,
     "mm_mp4_samples"              -> TextOps.mmMp4Samples,
+    "mm_mp4_byteranges"           -> TextOps.mmMp4ByteRanges,
+    "mm_image_resize"             -> TextOps.mmImageResize,
     "q_vocab_growth"              -> TextOps.qVocabGrowth,
     "q_pareto_docs"               -> operators.CurationOps.qParetoDocs,
     "text_hash_lr"                -> operators.ModelOps.textHashLr,
@@ -3003,6 +3005,47 @@ object SparkEntry {
         |  CAST((CASE WHEN sync_idx <= n1 THEN (sync_idx - 1) * d1
         |        ELSE n1 * d1 + (sync_idx - 1 - n1) * d2 END) * 1000 // ts AS BIGINT) AS ts_ms
         |FROM s ORDER BY media_id, sync_idx""".stripMargin,
+
+    // the fetch side of the keyframe schedule: cyclic sizes give
+    // arithmetic prefix sums (S(m) = 3m + 10⌊m/5⌋ + r(r−1)/2), the
+    // container prologue is a linear function of the table sizes
+    // (416 + 4·(nSync + n + nChunks)), 2 samples per chunk — a
+    // parser that miscounts any box length hash-fails every offset
+    "mm_mp4_byteranges" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |p AS (SELECT doc_id, CAST(2 + nb % 13 AS BIGINT) AS n FROM v),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    CAST((n + 2) // 3 AS BIGINT) AS nsync,
+        |    CAST((n + 1) // 2 AS BIGINT) AS nchunks,
+        |    unnest([CAST(x AS BIGINT) for x in generate_series(1, n, 3)]) AS i
+        |  FROM p)
+        |SELECT doc_id AS media_id, i AS sync_idx,
+        |  (i + 1) // 2 AS chunk_idx,
+        |  416 + 4 * (nsync + n + nchunks)
+        |    + 3 * (i - 1) + 10 * ((i - 1) // 5)
+        |    + ((i - 1) % 5) * (((i - 1) % 5) - 1) // 2 AS byte_off,
+        |  3 + (i - 1) % 5 AS n_bytes
+        |FROM g ORDER BY media_id, sync_idx""".stripMargin,
+
+    // resize through two real encode/decode round trips: the box
+    // mean of the test card is out(X,Y) = 2X + 2Y + (id%64) + 1, so
+    // the thumbnail's exact luma sum closes without a pixel loop
+    "mm_image_resize" ->
+      """WITH v AS (
+        |  SELECT doc_id, CAST(8 + length(text) % 32 AS BIGINT) AS w,
+        |    CAST(8 + doc_id % 24 AS BIGINT) AS h,
+        |    CAST(doc_id % 64 AS BIGINT) AS b
+        |  FROM documents WHERE doc_id % 7 <= 1 AND doc_id % 3 <= 1)
+        |SELECT doc_id AS media_id, w AS in_w, h AS in_h,
+        |  w // 2 AS out_w, h // 2 AS out_h,
+        |  CAST((h // 2) * (w // 2) * ((w // 2) - 1)
+        |    + (w // 2) * (h // 2) * ((h // 2) - 1)
+        |    + (w // 2) * (h // 2) * (b + 1) AS BIGINT) AS sum_luma
+        |FROM v ORDER BY media_id""".stripMargin,
 
     // the closed form the MP4 encoder embeds, replayed: timescale by
     // residue (600/1000/90000), duration units = ms·ts/1000 (exact —

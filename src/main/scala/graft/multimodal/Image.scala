@@ -100,6 +100,45 @@ object ImageCodec {
     s
   }
 
+  /** Exact integer BOX DOWNSAMPLE by an integral factor — the resize
+    * primitive of the multimodal surface (r9): output pixel (X, Y) is
+    * the per-channel floor-mean of the factor×factor input block at
+    * (X·f, Y·f), and the input is CROPPED to the largest
+    * factor-multiple region first (the standard crop-to-multiple
+    * discipline — partial edge blocks would make the mean's floor
+    * data-dependent and unreplayable). Pure integer arithmetic over
+    * the decoded raster, so the DuckDB oracle can state the output
+    * luma sum in closed form for the test-card family. */
+  def boxDownsample(img: BufferedImage, factor: Int): BufferedImage = {
+    require(factor >= 1, "factor must be >= 1")
+    val ow = img.getWidth / factor
+    val oh = img.getHeight / factor
+    require(ow >= 1 && oh >= 1, s"image smaller than one $factor x $factor block")
+    val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+    val area = factor * factor
+    var yy = 0
+    while (yy < oh) {
+      var xx = 0
+      while (xx < ow) {
+        var r = 0; var g = 0; var b = 0
+        var dy = 0
+        while (dy < factor) {
+          var dx = 0
+          while (dx < factor) {
+            val rgb = img.getRGB(xx * factor + dx, yy * factor + dy)
+            r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+            dx += 1
+          }
+          dy += 1
+        }
+        out.setRGB(xx, yy, ((r / area) << 16) | ((g / area) << 8) | (b / area))
+        xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
   /** TRUE average-hash: 8×8 block-mean luminance grid, bit = cell
     * mean above the global mean. Survives re-encoding (JPEG quality
     * loss perturbs cell means by ≪ the cell-to-cell contrast) —

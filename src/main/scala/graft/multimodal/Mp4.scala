@@ -130,8 +130,49 @@ object Mp4Codec {
   final case class Mp4Samples(
       majorBrand: String, timescale: Long, codec: String,
       sttsRuns: Seq[(Long, Long)], // (sample_count, sample_delta)
-      syncSamples: Seq[Long]) {    // 1-based sample numbers
+      syncSamples: Seq[Long],      // 1-based sample numbers
+      sizes: Seq[Long] = Seq.empty,           // stsz per-sample bytes
+      stscEntries: Seq[(Long, Long)] = Seq.empty, // (first_chunk, samples_per_chunk)
+      chunkOffsets: Seq[Long] = Seq.empty) {  // stco absolute file offsets
     def nSamples: Long = sttsRuns.map(_._1).sum
+
+    /** Absolute byte range of 1-based sample `i` — the fetch a
+      * sampler issues: resolve the chunk through the stsc run table
+      * (entry k covers chunks first_chunk_k .. first_chunk_{k+1}−1
+      * at samples_per_chunk_k each — the REAL demuxer walk), then
+      * chunk offset + intra-chunk size prefix. None when the sample
+      * tables are absent, hostile (spc = 0, chunk off the stco end),
+      * or `i` is out of range. */
+    def byteRangeOf(i: Long): Option[(Long, Long, Long)] = { // (chunk, off, len)
+      if (i < 1 || i > sizes.length || stscEntries.isEmpty ||
+        chunkOffsets.isEmpty) return None
+      var remaining = i - 1 // samples in chunks strictly before i's
+      var k = 0
+      var chunk = -1L
+      var intra = -1L
+      while (k < stscEntries.length && chunk < 0) {
+        val (fc, spc) = stscEntries(k)
+        if (spc <= 0 || fc < 1) return None // hostile entry
+        val isLast = k + 1 >= stscEntries.length
+        val chunksHere =
+          if (isLast) Long.MaxValue
+          else stscEntries(k + 1)._1 - fc
+        if (chunksHere < 0) return None // non-increasing first_chunk
+        if (isLast || remaining < chunksHere * spc) {
+          chunk = fc + remaining / spc
+          intra = remaining % spc
+        } else {
+          remaining -= chunksHere * spc
+          k += 1
+        }
+      }
+      if (chunk < 1 || chunk > chunkOffsets.length) return None
+      val firstOfChunk = i - intra
+      var off = chunkOffsets((chunk - 1).toInt)
+      var j = firstOfChunk
+      while (j < i) { off += sizes((j - 1).toInt); j += 1 }
+      Some((chunk, off, sizes((i - 1).toInt)))
+    }
     /** Decode units elapsed BEFORE 1-based sample `i` — the stts
       * prefix sum a demuxer computes to place a sample in time. */
     def unitsBefore(i: Long): Long = {
@@ -163,6 +204,9 @@ object Mp4Codec {
     var runs: Seq[(Long, Long)] = Seq.empty
     var sawStts = false
     var syncs: Seq[Long] = Seq.empty
+    var sizes: Seq[Long] = Seq.empty
+    var stsc: Seq[(Long, Long)] = Seq.empty
+    var stco: Seq[Long] = Seq.empty
     def walkStbl(s: Int, e: Int): Unit =
       walkBoxes(b, s.toLong, e.toLong) { (bid, bs, be) =>
         bid match {
@@ -181,6 +225,29 @@ object Mp4Codec {
             val fit = (be - bs - 8).toLong / 4
             val n = math.min(declared, fit).toInt
             syncs = (0 until n).map(i => u32(b, bs + 8 + i * 4))
+          case "stsz" if sizes.isEmpty && be - bs >= 12 =>
+            // vf(4) + sample_size(4: 0 = per-sample table) + count(4)
+            val fixed = u32(b, bs + 4)
+            val declared = u32(b, bs + 8)
+            if (fixed != 0L) sizes = Seq.fill(
+              math.min(declared, 1L << 20).toInt)(fixed)
+            else {
+              val fit = (be - bs - 12).toLong / 4
+              val n = math.min(declared, fit).toInt
+              sizes = (0 until n).map(i => u32(b, bs + 12 + i * 4))
+            }
+          case "stsc" if stsc.isEmpty && be - bs >= 8 =>
+            val declared = u32(b, bs + 4)
+            val fit = (be - bs - 8).toLong / 12
+            val n = math.min(declared, fit).toInt
+            // entry: first_chunk, samples_per_chunk, sample_desc_idx
+            stsc = (0 until n).map(i =>
+              (u32(b, bs + 8 + i * 12), u32(b, bs + 12 + i * 12)))
+          case "stco" if stco.isEmpty && be - bs >= 8 =>
+            val declared = u32(b, bs + 4)
+            val fit = (be - bs - 8).toLong / 4
+            val n = math.min(declared, fit).toInt
+            stco = (0 until n).map(i => u32(b, bs + 8 + i * 4))
           case _ => ()
         }
       }
@@ -212,7 +279,7 @@ object Mp4Codec {
       }
     }
     if (sawMvhd && runs.nonEmpty)
-      Some(Mp4Samples(brand, timescale, codec, runs, syncs))
+      Some(Mp4Samples(brand, timescale, codec, runs, syncs, sizes, stsc, stco))
     else None
   }
 
@@ -274,16 +341,25 @@ object Mp4Codec {
       8 + body.length)
 
   /** Canonical MP4 writer WITH sample tables — the fixture behind
-    * `mm_mp4_samples`: ftyp + moov(mvhd v0 + trak(tkhd v0 +
-    * mdia(minf(stbl(stsd + stts + stss))))) + mdat. The mvhd/tkhd
-    * duration is DERIVED from the stts runs (Σ count·delta), so a
-    * parser reading either source stays consistent; the stsd entry
-    * is a minimal 16-byte sample entry carrying the codec fourcc. */
+    * `mm_mp4_samples` and `mm_mp4_byteranges`: ftyp + moov(mvhd v0 +
+    * trak(tkhd v0 + mdia(minf(stbl(stsd + stts + stss [+ stsz + stsc
+    * + stco]))))) + mdat. The mvhd/tkhd duration is DERIVED from the
+    * stts runs (Σ count·delta), so a parser reading either source
+    * stays consistent; the stsd entry is a minimal 16-byte sample
+    * entry carrying the codec fourcc. With `sampleSizes` the mdat
+    * holds the samples CONTIGUOUSLY, chunked 2 per chunk (stsc one
+    * run), and stco records the REAL absolute offsets the assembled
+    * buffer lands them at — so the byte ranges a parser derives are
+    * checked against actual file positions, not writer arguments. */
   def writeMp4Sampled(
       timescale: Int, width: Int, height: Int, codec: String,
       sttsRuns: Seq[(Int, Int)], syncSamples: Seq[Int],
-      mdat: Array[Byte]): Array[Byte] = {
+      mdat: Array[Byte], sampleSizes: Seq[Int] = Seq.empty): Array[Byte] = {
     require(codec.length == 4, "codec must be a fourcc")
+    require(sampleSizes.isEmpty ||
+      (sampleSizes.map(_.toLong).sum == mdat.length &&
+        sampleSizes.length == sttsRuns.map(_._1).sum),
+      "sampleSizes must tile mdat and match the stts sample count")
     val durationUnits = sttsRuns.map { case (c, d) => c.toLong * d }.sum
     require(durationUnits >= 0 && durationUnits <= 0xFFFFFFFFL,
       s"stts total $durationUnits overflows the v0 32-bit duration")
@@ -316,8 +392,40 @@ object Mp4Codec {
       bb.putInt(0).putInt(syncSamples.length)
       syncSamples.foreach(bb.putInt)
     }, 8 + syncSamples.length * 4))
+    val chunkTables: Array[Byte] =
+      if (sampleSizes.isEmpty) Array.emptyByteArray
+      else {
+        val n = sampleSizes.length
+        val nChunks = (n + 1) / 2
+        val stsz = boxOf("stsz", bytesOf(bb => {
+          bb.putInt(0).putInt(0).putInt(n) // per-sample table
+          sampleSizes.foreach(bb.putInt)
+        }, 12 + n * 4))
+        val stsc = boxOf("stsc", bytesOf(bb => {
+          bb.putInt(0).putInt(1)
+          bb.putInt(1).putInt(2).putInt(1) // chunks of 2 from chunk 1
+        }, 20))
+        // stco needs the final layout: ftyp(24) + moov + mdat header(8);
+        // moov size is fully determined by the table lengths above
+        val moovLen = 8 + 108 + 8 + 84 + 8 + 8 + 8 + 8 +
+          stsd.length + stts.length + stss.length +
+          (20 + n * 4) + 28 + (16 + nChunks * 4)
+        val mdatBody = 24L + moovLen + 8L
+        val stco = boxOf("stco", bytesOf(bb => {
+          bb.putInt(0).putInt(nChunks)
+          var off = mdatBody
+          var i = 0
+          while (i < n) {
+            if (i % 2 == 0) bb.putInt(off.toInt) // chunk start
+            off += sampleSizes(i)
+            i += 1
+          }
+        }, 8 + nChunks * 4))
+        stsz ++ stsc ++ stco
+      }
     val trak = boxOf("trak",
-      tkhd ++ boxOf("mdia", boxOf("minf", boxOf("stbl", stsd ++ stts ++ stss))))
+      tkhd ++ boxOf("mdia", boxOf("minf",
+        boxOf("stbl", stsd ++ stts ++ stss ++ chunkTables))))
     val moov = boxOf("moov", mvhd ++ trak)
     val ftyp = bytesOf(bb =>
       bb.putInt(24).put("ftyp".getBytes).put("isom".getBytes)

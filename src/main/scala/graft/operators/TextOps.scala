@@ -604,9 +604,14 @@ object TextOps {
     val codec = (id % 3) match {
       case 0 => "avc1"; case 1 => "hev1"; case _ => "vp09"
     }
+    // per-sample byte sizes cycle 3..7 (closed form 3 + (i−1)%5);
+    // mdat holds the samples contiguously, 2 per chunk (r9, the
+    // mm_mp4_byteranges leg — mm_mp4_samples reads none of this)
+    val sizes = (1 to n).map(i => 3 + ((i - 1) % 5))
+    val mdat = Array.tabulate(sizes.sum)(i => ((id + i) & 0xff).toByte)
     graft.multimodal.Mp4Codec.writeMp4Sampled(
       ts, 320 + (id % 5).toInt * 16, 180 + (id % 7).toInt * 16,
-      codec, runs, syncs, data)
+      codec, runs, syncs, mdat, sizes)
   }
 
   /** KEYFRAME schedule from the REAL sample tables (r8 verdict #4):
@@ -640,6 +645,41 @@ object TextOps {
         }
       }
       .toDF("media_id", "codec", "n_samples", "n_sync", "sync_idx", "ts_ms")
+      .orderBy($"media_id", $"sync_idx")
+  }
+
+  /** KEYFRAME BYTE RANGES from the real chunk tables (r9 — the fetch
+    * side of [[mmMp4Samples]]'s schedule): knowing WHEN to sample is
+    * half the job; a remote sampler must also know WHICH BYTES to
+    * request, and that lives in stsz (per-sample sizes) + stsc
+    * (sample→chunk runs) + stco (absolute chunk offsets). Every
+    * column comes from [[graft.multimodal.Mp4Codec.parseMp4Samples]]
+    * walking the actual bytes and `byteRangeOf` resolving each sync
+    * sample through the REAL stsc run walk (chunk = run's
+    * first_chunk + remainder arithmetic) plus the intra-chunk size
+    * prefix — and because the writer records stco from the ASSEMBLED
+    * buffer's true positions, a parser that miscounts any box length
+    * upstream of mdat hash-fails on every offset. The oracle states
+    * the offsets in closed form (cyclic sizes → arithmetic prefix
+    * sums; the container prologue length is a linear function of the
+    * table sizes).
+    *
+    * Scale shape: map-only per payload; one output sort. */
+  val mmMp4ByteRanges: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where($"doc_id" % 7 === 3)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val m = graft.multimodal.Mp4Codec.parseMp4Samples(mp4SampledFixture(id, text))
+          .getOrElse(sys.error(s"unparseable sampled MP4 for media $id"))
+        m.syncSamples.map { i =>
+          val (chunk, off, len) = m.byteRangeOf(i)
+            .getOrElse(sys.error(s"unresolvable byte range $i for media $id"))
+          (id, i, chunk, off, len)
+        }
+      }
+      .toDF("media_id", "sync_idx", "chunk_idx", "byte_off", "n_bytes")
       .orderBy($"media_id", $"sync_idx")
   }
 
@@ -875,6 +915,48 @@ object TextOps {
         shiftrightunsigned($"h", 32).as("ph_hi"),
         $"h".bitwiseAND(lit(0xFFFFFFFFL)).as("ph_lo"),
         $"n_bits")
+      .orderBy($"media_id")
+  }
+
+  /** Image RESIZE through the full real-bytes pipeline (r9 — the
+    * resize leg of the multimodal surface, until now implicit inside
+    * aHash): decode actual container bytes with `javax.imageio`, box-
+    * downsample ×2 with EXACT integer means over the decoded raster
+    * (crop-to-multiple first — partial edge blocks would make the
+    * floor data-dependent), re-ENCODE the thumbnail through the same
+    * container, decode it AGAIN, and report the second decode's
+    * dimensions and exact luma sum. Two full encode/decode round
+    * trips bracket the resample, so a lossy writer, a stride bug, or
+    * a mean that truncates differently all hash-fail. Lossless
+    * containers only (png/bmp — the jpeg residue is excluded exactly
+    * as mm_image_meta NULLs its sum). The test-card's box mean has
+    * the closed form out(X,Y) = 2X + 2Y + (id%64) + 1, so the oracle
+    * states the thumbnail's luma sum without a pixel loop.
+    *
+    * Scale shape: map-only per payload; one output sort. */
+  val mmImageResize: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where($"doc_id" % 7 <= 1 && $"doc_id" % 3 <= 1)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val len = text.codePointCount(0, text.length).toLong
+        val w = 8 + (len % 32).toInt
+        val h = 8 + (id % 24).toInt
+        val fmt = if (id % 3 == 0) "png" else "bmp"
+        val bytes = graft.multimodal.ImageCodec.encode(
+          graft.multimodal.ImageCodec.renderGray(id, w, h), fmt)
+        val d = graft.multimodal.ImageCodec.decode(bytes).getOrElse(
+          sys.error(s"undecodable image for media $id"))
+        val small = graft.multimodal.ImageCodec.boxDownsample(d.image, 2)
+        val d2 = graft.multimodal.ImageCodec.decode(
+          graft.multimodal.ImageCodec.encode(small, fmt)).getOrElse(
+          sys.error(s"undecodable thumbnail for media $id"))
+        (id, d.width.toLong, d.height.toLong,
+          d2.width.toLong, d2.height.toLong,
+          graft.multimodal.ImageCodec.sumLuma(d2.image))
+      }
+      .toDF("media_id", "in_w", "in_h", "out_w", "out_h", "sum_luma")
       .orderBy($"media_id")
   }
 

@@ -56,6 +56,29 @@ class ImageSpec extends SparkTestBase {
     img
   }
 
+  test("boxDownsample: exact integer means, crop-to-multiple, closed-form luma") {
+    val id = 37L
+    val img = ImageCodec.renderGray(id, 21, 15) // odd dims: crop to 20x14
+    val small = ImageCodec.boxDownsample(img, 2)
+    assert(small.getWidth == 10 && small.getHeight == 7)
+    // out(X,Y) = 2X + 2Y + (id%64) + 1 — check a few cells directly
+    for ((x, y) <- Seq((0, 0), (9, 6), (4, 3))) {
+      val v = (small.getRGB(x, y) >> 16) & 0xff
+      assert(v == 2 * x + 2 * y + (id % 64).toInt + 1, s"cell ($x,$y)")
+    }
+    // closed-form thumbnail luma sum (the mm_image_resize oracle form)
+    val (ow, oh, b) = (10L, 7L, id % 64)
+    assert(ImageCodec.sumLuma(small) ==
+      oh * ow * (ow - 1) + ow * oh * (oh - 1) + ow * oh * (b + 1))
+    // round-trip through a lossless container preserves it
+    val d2 = ImageCodec.decode(ImageCodec.encode(small, "png")).get
+    assert(ImageCodec.sumLuma(d2.image) == ImageCodec.sumLuma(small))
+    // a factor that exceeds the image refuses loudly
+    intercept[IllegalArgumentException] {
+      ImageCodec.boxDownsample(ImageCodec.renderGray(1L, 3, 3), 4)
+    }
+  }
+
   test("aHash recall on REAL re-encoded images: jpeg copies within tau, strangers far") {
     val n = 30
     val base = (0 until n).map(i => ImageCodec.aHash(blocky(1000L + i)))

@@ -127,6 +127,52 @@ class Mp4Spec extends SparkTestBase {
     // from the runs lands in mvhd
     val meta = Mp4Codec.parseMp4(bytes).get
     assert(meta.durationUnits == 4 * 900L + 3 * 1800L)
+    // no chunk tables → byte ranges unresolvable, never invented
+    assert(m.byteRangeOf(1L).isEmpty)
+  }
+
+  test("chunk tables: byte ranges point at the ACTUAL sample bytes") {
+    val sizes = Seq(3, 4, 5, 6, 7)
+    val mdat = Array.tabulate(sizes.sum)(i => (i + 1).toByte)
+    val bytes = Mp4Codec.writeMp4Sampled(1000, 320, 180, "avc1",
+      Seq((3, 10), (2, 20)), Seq(1, 4), mdat, sizes)
+    val m = Mp4Codec.parseMp4Samples(bytes).get
+    assert(m.sizes == Seq(3L, 4L, 5L, 6L, 7L))
+    assert(m.stscEntries == Seq((1L, 2L)))
+    assert(m.chunkOffsets.length == 3) // ceil(5/2)
+    // every sample's resolved range slices exactly its mdat bytes
+    var pos = 0
+    (1 to 5).foreach { i =>
+      val (chunk, off, len) = m.byteRangeOf(i.toLong).get
+      assert(chunk == (i + 1) / 2, s"sample $i chunk")
+      assert(len == sizes(i - 1).toLong)
+      val got = bytes.slice(off.toInt, off.toInt + len.toInt).toSeq
+      assert(got == mdat.slice(pos, pos + sizes(i - 1)).toSeq,
+        s"sample $i bytes at offset $off")
+      pos += sizes(i - 1)
+    }
+    // out-of-range and hostile lookups refuse
+    assert(m.byteRangeOf(0L).isEmpty && m.byteRangeOf(6L).isEmpty)
+  }
+
+  test("multi-run stsc resolves chunks through the general walk") {
+    // hand-laid: chunks 1-2 hold 3 samples each, chunks 3+ hold 1
+    val stsc = Seq((1L, 3L), (3L, 1L))
+    val m = Mp4Codec.Mp4Samples("isom", 1000, "avc1",
+      Seq((8L, 10L)), Seq(1L),
+      sizes = (1 to 8).map(_.toLong),
+      stscEntries = stsc,
+      chunkOffsets = Seq(100L, 200L, 300L, 400L))
+    assert(m.byteRangeOf(1L).get == ((1L, 100L, 1L)))
+    assert(m.byteRangeOf(3L).get == ((1L, 103L, 3L))) // 1+2 before it
+    assert(m.byteRangeOf(4L).get == ((2L, 200L, 4L)))
+    assert(m.byteRangeOf(7L).get == ((3L, 300L, 7L)))
+    assert(m.byteRangeOf(8L).get == ((4L, 400L, 8L)))
+    // chunk beyond the stco table: refused
+    assert(m.byteRangeOf(9L).isEmpty)
+    // hostile spc = 0: refused, no division
+    val bad = m.copy(stscEntries = Seq((1L, 0L)))
+    assert(bad.byteRangeOf(1L).isEmpty)
   }
 
   test("writer rejects durations that would wrap the v0 32-bit fields") {
