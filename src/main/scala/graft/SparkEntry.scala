@@ -271,6 +271,7 @@ object SparkEntry {
     "stream_topk_events"          -> operators.StreamQueries.streamTopkEvents,
     "stream_ivf_ingest"           -> operators.StreamQueries.streamIvfIngest,
     "stream_neardup_alerts"       -> operators.StreamQueries.streamNeardupAlerts,
+    "stream_hnsw_ingest"          -> operators.StreamQueries.streamHnswIngest,
     // §2.H sources & sinks — write→read round-trips hashed against the
     // original parquet (SourceSinkOps doc for the lossless-ness rules)
     "src_csv_roundtrip"           -> operators.SourceSinkOps.srcCsvRoundtrip,
@@ -4010,6 +4011,45 @@ object SparkEntry {
         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
         |  FROM scored) t
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // the HNSW attach replayed whole: literal hyperplanes, 12×4-bit
+    // band collisions of the arriving tenth against the base split,
+    // exact cosines in the identical accumulation order, top-M at
+    // (1e-6-rounded sim, nbr asc)
+    "stream_hnsw_ingest" ->
+      s"""WITH pl AS (SELECT ${planesLiteral(operators.AnnOps.LshPlanes)} AS w),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, p,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      [CAST(embedding[i] AS DOUBLE) * w[p][i] for i in generate_series(1, 64)]),
+        |      (a, b) -> a + b) AS dot
+        |  FROM e, pl, (SELECT unnest(generate_series(1, ${operators.AnnOps.LshPlanes})) AS p)),
+        |bv AS (
+        |  SELECT vec_id, (p - 1) // 4 AS b,
+        |    sum(CASE WHEN dot > 0 THEN (1 << ((p - 1) % 4)) ELSE 0 END) AS val
+        |  FROM d GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vid, c.vec_id AS nbr
+        |  FROM bv a JOIN bv c ON a.b = c.b AND a.val = c.val
+        |  WHERE a.vec_id % 10 = 0 AND c.vec_id % 10 <> 0 AND c.vec_id <> a.vec_id),
+        |cos AS (
+        |  SELECT cand.vid, cand.nbr,
+        |    floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      [CAST(a.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+        |      (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        [CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+        |        (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        [CAST(bb.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+        |        (x, y) -> x + y))))*1000000 + 0.5)/1000000 AS sim_r
+        |  FROM cand JOIN e a ON a.vec_id = cand.vid JOIN e bb ON bb.vec_id = cand.nbr)
+        |SELECT vid AS vec_id, CAST(rnk AS BIGINT) AS rnk, nbr, sim_r
+        |FROM (SELECT vid, nbr, sim_r,
+        |        row_number() OVER (PARTITION BY vid ORDER BY sim_r DESC, nbr) AS rnk
+        |      FROM cos) t
+        |WHERE rnk <= ${operators.HnswOps.M} ORDER BY vec_id, rnk""".stripMargin,
 
     // on bands where the prior cap never binds, the streaming alert
     // pair set (canonicalized unordered) IS the full LSH candidate

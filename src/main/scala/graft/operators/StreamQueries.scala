@@ -273,6 +273,30 @@ object StreamQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Streaming vector attach into the frozen NSW graph
+    * ([[Streams.hnswIngestStream]] — the HNSW `add` next to
+    * [[streamIvfIngest]]'s cell routing), driver-gated: arriving
+    * vectors (the vec_id % 10 == 0 split) signature map-side,
+    * band-join the STATIC banded base corpus, and keep their top-M
+    * candidate edges per arrival — all of an arrival's candidates
+    * land in its own micro-batch (the band fan-out happens inside
+    * the batch), so the emitted edge set is a pure data function
+    * whatever the batching. The oracle replays the whole banding
+    * index: literal hyperplanes, 12×4-bit band collisions against
+    * the base split, exact cosines in the same left-to-right
+    * accumulation, top-M at (1e-6-rounded sim, nbr). */
+  val streamHnswIngest: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = runToTable(s, "stream_hnsw_ingest",
+      Streams.hnswIngestStream(s, dir, stagedVectorsDir(s, dir)).toDF(),
+      "append")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"sim_r".desc, $"nbr".asc)
+    out.withColumn("rnk", row_number().over(w).cast("long"))
+      .select($"vec_id", $"rnk", $"nbr", $"sim_r")
+      .orderBy($"vec_id", $"rnk")
+  }
+
   /** Streaming read of the documents table (schema probed from the
     * landing files, the [[Streams.eventsStreamFrom]] discipline). */
   private def docsStreamFrom(s: SparkSession, dir: String): DataFrame =

@@ -48,6 +48,7 @@ SUBSET = [
     # r9 driver-gated faces: bounded per-key top-k state, stateless
     # frozen-quantizer routing, capped per-band near-dup prior state
     "stream_topk_events", "stream_ivf_ingest", "stream_neardup_alerts",
+    "stream_hnsw_ingest", "ann_ivfbq_topk",
     # relational/graph/event-fact families at the decade (r8 verdict
     # #1): StressGen now replicates lineitem/orders/customer with
     # disjoint key spaces (orderkey/custkey/partkey strides), so the
