@@ -159,6 +159,7 @@ object SparkEntry {
     "mm_mp4_byteranges"           -> TextOps.mmMp4ByteRanges,
     "mm_image_resize"             -> TextOps.mmImageResize,
     "q_vocab_growth"              -> TextOps.qVocabGrowth,
+    "text_url_canonicalize"       -> operators.UrlOps.textUrlCanonicalize,
     "q_pareto_docs"               -> operators.CurationOps.qParetoDocs,
     "text_hash_lr"                -> operators.ModelOps.textHashLr,
     "text_perceptron_train"       -> operators.ModelOps.textPerceptronTrain,
@@ -3082,6 +3083,26 @@ object SparkEntry {
         |        unnest([CAST(x AS BIGINT) for x in generate_series(1, n_frames)]) AS i
         |      FROM n) u
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the canonical URL CONSTRUCTED from the fixture's closed forms —
+    // a parser slip (kept fragment, unsorted params, :443 stripped on
+    // http, case-folded path) lands on the canonical string itself
+    "text_url_canonicalize" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+        |    'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+        |    CASE WHEN doc_id % 5 = 0 AND doc_id % 2 <> 0 THEN ':443'
+        |         WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END AS port,
+        |    '/A/b' || CAST(doc_id % 13 AS VARCHAR) AS path,
+        |    '?a=' || CAST(doc_id % 9 AS VARCHAR) ||
+        |      '&b=' || CAST(doc_id % 11 AS VARCHAR) AS q
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |        scheme || '://' || host || port || path || q AS canonical_url
+        |      FROM v)
+        |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
 
     "q_vocab_growth" ->
       """WITH tc AS (

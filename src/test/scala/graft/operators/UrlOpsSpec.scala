@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The URL canonicalizer against hand-picked edge cases — the rules
+  * the oracle's closed forms assume, stated one assertion each. */
+class UrlOpsSpec extends AnyFunSuite {
+  import UrlOps.canonicalize
+
+  test("scheme and host lowercase; path case preserved") {
+    assert(canonicalize("HTTPS://WWW.Ex.COM/A/B") == "https://www.ex.com/A/B")
+  }
+
+  test("default ports strip per scheme; load-bearing ports stay") {
+    assert(canonicalize("http://a.com:80/x") == "http://a.com/x")
+    assert(canonicalize("https://a.com:443/x") == "https://a.com/x")
+    assert(canonicalize("http://a.com:443/x") == "http://a.com:443/x")
+    assert(canonicalize("https://a.com:8080/x") == "https://a.com:8080/x")
+  }
+
+  test("fragments drop; tracking params drop; survivors sort by (key, value)") {
+    assert(canonicalize("http://a.com/p?utm_source=x&b=2&a=1#frag") ==
+      "http://a.com/p?a=1&b=2")
+    assert(canonicalize("http://a.com/p?gclid=z&fbclid=y&utm_campaign=c") ==
+      "http://a.com/p")
+    assert(canonicalize("http://a.com/p?b=2&b=1&a=9") ==
+      "http://a.com/p?a=9&b=1&b=2")
+  }
+
+  test("one trailing slash strips on non-root paths; root survives") {
+    assert(canonicalize("http://a.com/x/") == "http://a.com/x")
+    assert(canonicalize("http://a.com/") == "http://a.com/")
+    assert(canonicalize("http://a.com") == "http://a.com")
+  }
+
+  test("param-permuted and tracking-decorated dupes collide") {
+    val a = canonicalize("https://A.com/p?b=2&a=1&utm_source=x")
+    val b = canonicalize("HTTPS://a.COM:443/p/?a=1&b=2#top")
+    assert(a == b)
+  }
+
+  test("unparseable inputs pass through unchanged") {
+    assert(canonicalize("not a url") == "not a url")
+    assert(canonicalize("mailto:x@y.z") == "mailto:x@y.z")
+    assert(canonicalize("://nohost") == "://nohost")
+  }
+
+  test("fixture closed form: the oracle's construction equals the parser's work") {
+    for (id <- 0L to 40L) {
+      val scheme = if (id % 2 == 0) "https" else "http"
+      val port =
+        if (id % 5 == 0 && id % 2 != 0) ":443"
+        else if (id % 5 == 1) ":8080" else ""
+      val expect = s"$scheme://www.example${id % 7}.com$port" +
+        s"/A/b${id % 13}?a=${id % 9}&b=${id % 11}"
+      assert(canonicalize(UrlOps.messyUrl(id)) == expect, s"id=$id")
+    }
+  }
+}
