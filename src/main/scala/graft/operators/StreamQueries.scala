@@ -42,14 +42,21 @@ object StreamQueries {
   import graft.SparkEntry.QueryFn
 
   /** Run a finite streaming query to completion into a memory sink
-    * and return the sink table. Drops any previous run's sink view
-    * first so re-runs in one session (Verify then Bench) are clean. */
+    * and return the sink rows. Drops any previous run's sink view
+    * first so re-runs in one session (Verify then Bench) are clean.
+    * The rows are pinned into SPILLABLE block storage and the sink
+    * view dropped before returning (r9): a memory sink left
+    * registered holds its rows on the driver heap for the rest of
+    * the JVM, and thirteen faces of that stack up in one bench
+    * process — the stress run OOMed at 73 rows before this. */
   private def runToTable(
       s: SparkSession, name: String, df: DataFrame, mode: String): DataFrame = {
     s.catalog.dropTempView(name)
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    val out = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    out
   }
 
   /** Tumbling 1-hour panes: counts + exact decimal-accumulated sums

@@ -100,7 +100,12 @@ def run_bench():
                SPARK_GRAFT_QUERY_TIMEOUT=os.environ.get(
                    "SPARK_GRAFT_QUERY_TIMEOUT", "420"),
                SPARK_GRAFT_BENCH_BUDGET=os.environ.get(
-                   "SPARK_GRAFT_BENCH_BUDGET", "1800"))
+                   "SPARK_GRAFT_BENCH_BUDGET", "1800"),
+               # local[32] puts executors, block manager, memoized
+               # frames AND the streaming sinks in ONE JVM — at the
+               # 10x corpus the 8g default tips over (r9: OOM at row
+               # 72/73); the box has 128 GiB
+               SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "16g"))
     subprocess.run(["sbt", "-batch", "runMain graft.Bench"], cwd=REPO,
                    env=env, check=True)
     return json.loads(
