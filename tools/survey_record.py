@@ -142,6 +142,8 @@ DECADE_TRACKED = [
     "q_copurchase_pairs", "q_triangle_count", "q_bfs_distance",
     "q_sssp", "q_pagerank", "q_link_prediction", "q_skewed_agg",
     "stream_enrich_rollup",
+    "stream_hnsw_ingest", "stream_neardup_alerts", "stream_topk_events",
+    "stream_ivf_ingest", "ann_ivfbq_topk",
 ]
 
 
