@@ -155,6 +155,32 @@ class Mp4Spec extends SparkTestBase {
     assert(m.byteRangeOf(0L).isEmpty && m.byteRangeOf(6L).isEmpty)
   }
 
+  test("byte ranges tile the mdat: disjoint, ordered, and exhaustive") {
+    // resolved ranges must cover every mdat byte exactly once — the
+    // property a parallel range-fetcher relies on to never double-
+    // read or skip payload bytes
+    for (n <- Seq(2, 5, 9, 14)) {
+      val sizes = (1 to n).map(i => 3 + ((i - 1) % 5))
+      val mdat = Array.tabulate(sizes.sum)(i => (i % 97).toByte)
+      val n1 = (n + 1) / 2
+      val bytes = Mp4Codec.writeMp4Sampled(1000, 320, 180, "avc1",
+        Seq((n1, 10), (n - n1, 20)).filter(_._1 > 0),
+        (1 to n by 3).toSeq, mdat, sizes)
+      val m = Mp4Codec.parseMp4Samples(bytes).get
+      val ranges = (1 to n).map(i => m.byteRangeOf(i.toLong).get)
+      // ordered + contiguous within the file
+      ranges.sliding(2).foreach {
+        case Seq((_, o1, l1), (_, o2, _)) => assert(o1 + l1 == o2)
+        case _ => ()
+      }
+      // total coverage equals the mdat body
+      assert(ranges.map(_._3).sum == mdat.length.toLong, s"n=$n coverage")
+      // and the first range starts exactly at the mdat body
+      val mdatHeaderAt = bytes.length - mdat.length - 8
+      assert(ranges.head._2 == mdatHeaderAt + 8L, s"n=$n first offset")
+    }
+  }
+
   test("multi-run stsc resolves chunks through the general walk") {
     // hand-laid: chunks 1-2 hold 3 samples each, chunks 3+ hold 1
     val stsc = Seq((1L, 3L), (3L, 1L))

@@ -45,6 +45,21 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(canonicalize("://nohost") == "://nohost")
   }
 
+  test("canonicalize is idempotent: a canonical URL is its own fixpoint") {
+    // the property every frontier relies on — re-canonicalizing a
+    // stored canonical key must never move it (else two crawls of
+    // the same frontier disagree with each other)
+    val inputs = (0L to 60L).map(UrlOps.messyUrl) ++ Seq(
+      "HTTPS://A.com:443/p/?b=2&a=1&utm_source=x#f",
+      "http://a.com:8080/X/Y/?z=1",
+      "http://a.com/", "http://a.com", "not a url",
+      "https://a.com/p?only=1", "http://a.com/p?gclid=x")
+    inputs.foreach { u =>
+      val once = canonicalize(u)
+      assert(canonicalize(once) == once, s"not a fixpoint: $u -> $once")
+    }
+  }
+
   test("fixture closed form: the oracle's construction equals the parser's work") {
     for (id <- 0L to 40L) {
       val scheme = if (id % 2 == 0) "https" else "http"
