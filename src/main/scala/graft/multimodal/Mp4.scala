@@ -248,6 +248,13 @@ object Mp4Codec {
             val fit = (be - bs - 8).toLong / 4
             val n = math.min(declared, fit).toInt
             stco = (0 until n).map(i => u32(b, bs + 8 + i * 4))
+          case "co64" if stco.isEmpty && be - bs >= 8 =>
+            // the 64-bit chunk-offset variant every >4 GiB file uses
+            // (ISO 14496-12 §8.7.5) — same table, wider entries
+            val declared = u32(b, bs + 4)
+            val fit = (be - bs - 8).toLong / 8
+            val n = math.min(declared, fit).toInt
+            stco = (0 until n).map(i => u64(b, bs + 8 + i * 8))
           case _ => ()
         }
       }

@@ -73,20 +73,23 @@ object UrlOps {
     }
     val pathC =
       if (path.length > 1 && path.endsWith("/")) path.dropRight(1) else path
+    // (key, value, hadEquals): a bare `?flag` and an explicit
+    // `?flag=` are different URLs — the canonical form preserves
+    // which one arrived instead of guessing from substring probes
     val params = query.split("&").toSeq
       .filter(_.nonEmpty)
       .map { kv =>
         kv.indexOf('=') match {
-          case -1 => (kv, "")
-          case i  => (kv.substring(0, i), kv.substring(i + 1))
+          case -1 => (kv, "", false)
+          case i  => (kv.substring(0, i), kv.substring(i + 1), true)
         }
       }
-      .filterNot { case (k, _) => isTracking(k) }
-      .sortBy { case (k, v) => (k, v) }
+      .filterNot { case (k, _, _) => isTracking(k) }
+      .sortBy { case (k, v, _) => (k, v) }
     val queryC =
       if (params.isEmpty) ""
-      else "?" + params.map { case (k, v) =>
-        if (v.isEmpty && !query.contains(k + "=")) k else s"$k=$v"
+      else "?" + params.map { case (k, v, hadEq) =>
+        if (hadEq) s"$k=$v" else k
       }.mkString("&")
     scheme + "://" + hostC + portC + pathC + queryC
   }

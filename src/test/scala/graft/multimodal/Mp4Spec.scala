@@ -181,6 +181,26 @@ class Mp4Spec extends SparkTestBase {
     }
   }
 
+  test("co64 (64-bit chunk offsets) reads like stco, wider entries") {
+    // hand-laid stbl with co64 instead of stco — an offset above
+    // 2^32 must come through intact (the >4 GiB file case)
+    val bigOff = 0x1_2345_6789L
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      be32(16) ++ "avc1".getBytes ++ be64(0))
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(2) ++ be32(10))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(2) ++ be32(5) ++ be32(6))
+    val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(2) ++ be32(1))
+    val co64 = box("co64", be32(0) ++ be32(1) ++ be64(bigOff))
+    val bytes = ftyp ++ box("moov", mvhdV0(600, 20) ++
+      box("trak", tkhdV0(320, 180) ++
+        box("mdia", box("minf",
+          box("stbl", stsd ++ stts ++ stsz ++ stsc ++ co64)))))
+    val m = Mp4Codec.parseMp4Samples(bytes).get
+    assert(m.chunkOffsets == Seq(bigOff))
+    assert(m.byteRangeOf(1L).get == ((1L, bigOff, 5L)))
+    assert(m.byteRangeOf(2L).get == ((1L, bigOff + 5L, 6L)))
+  }
+
   test("multi-run stsc resolves chunks through the general walk") {
     // hand-laid: chunks 1-2 hold 3 samples each, chunks 3+ hold 1
     val stsc = Seq((1L, 3L), (3L, 1L))

@@ -25,6 +25,12 @@ class UrlOpsSpec extends AnyFunSuite {
       "http://a.com/p")
     assert(canonicalize("http://a.com/p?b=2&b=1&a=9") ==
       "http://a.com/p?a=9&b=1&b=2")
+    // a bare flag and an explicit empty value are DIFFERENT URLs —
+    // the canonical form preserves which one arrived
+    assert(canonicalize("http://a.com/p?flag&a=1") ==
+      "http://a.com/p?a=1&flag")
+    assert(canonicalize("http://a.com/p?flag=&a=1") ==
+      "http://a.com/p?a=1&flag=")
   }
 
   test("one trailing slash strips on non-root paths; root survives") {
