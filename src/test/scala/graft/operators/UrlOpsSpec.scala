@@ -66,6 +66,34 @@ class UrlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: canonicalize never throws and is a fixpoint on arbitrary bytes") {
+    // a crawl frontier feeds this function whatever the wild web
+    // emits — it must never throw, and its output must be stable
+    // under re-canonicalization (explicit seeds: reproducible without
+    // the scalatest-scalacheck bridge, the DedupPropertySpec pattern)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val urlish = Gen.frequency(
+      3 -> (for {
+        scheme <- Gen.oneOf("http", "HTTPS", "ftp", "", "ht tp")
+        host <- Gen.oneOf("A.com", "x", "", "a.b.c.d", "[::1]", "a.com:")
+        port <- Gen.oneOf("", ":80", ":443", ":0", ":99999", ":x1")
+        path <- Gen.oneOf("", "/", "/P/q/", "//", "/%2F", "/a?b")
+        q <- Gen.oneOf("", "?", "?&", "?a", "?a=", "?=v", "?a=1&a=1",
+          "?utm_source", "?utm_source=&z==x")
+        f <- Gen.oneOf("", "#", "#x#y", "#?a=1")
+      } yield s"$scheme://$host$port$path$q$f"),
+      1 -> Gen.asciiPrintableStr,
+      1 -> Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue))
+        .map(_.mkString))
+    (1L to 400L).foreach { seed =>
+      val u = urlish(Gen.Parameters.default, Seed(seed)).getOrElse("")
+      val once = UrlOps.canonicalize(u) // must not throw
+      assert(UrlOps.canonicalize(once) == once,
+        s"seed=$seed not a fixpoint: ${u.take(80)} -> ${once.take(80)}")
+    }
+  }
+
   test("fixture closed form: the oracle's construction equals the parser's work") {
     for (id <- 0L to 40L) {
       val scheme = if (id % 2 == 0) "https" else "http"
