@@ -3086,7 +3086,9 @@ object SparkEntry {
 
     // the canonical URL CONSTRUCTED from the fixture's closed forms —
     // a parser slip (kept fragment, unsorted params, :443 stripped on
-    // http, case-folded path) lands on the canonical string itself
+    // http, case-folded path, a surviving dot segment or trailing
+    // DNS dot, an undecoded %62, a lowercase %2f, a kept second
+    // trailing slash) lands on the canonical string itself
     "text_url_canonicalize" ->
       """WITH v AS (
         |  SELECT doc_id,
@@ -3096,7 +3098,8 @@ object SparkEntry {
         |         WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END AS port,
         |    '/A/b' || CAST(doc_id % 13 AS VARCHAR) AS path,
         |    '?a=' || CAST(doc_id % 9 AS VARCHAR) ||
-        |      '&b=' || CAST(doc_id % 11 AS VARCHAR) AS q
+        |      '&b=' || CAST(doc_id % 11 AS VARCHAR) ||
+        |      CASE WHEN doc_id % 4 = 1 THEN '&c=x%2Fy' ELSE '' END AS q
         |  FROM documents),
         |c AS (SELECT doc_id,
         |        scheme || '://' || host || port || path || q AS canonical_url

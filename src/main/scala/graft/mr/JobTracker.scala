@@ -112,6 +112,21 @@ final class JobTracker(spark: SparkSession) {
     jobId
   }
 
+  /** Per-job cancel — parity with the reference's `Kill()`
+    * (mapreduce.go:385), re-expressed for Spark's execution model:
+    * the reference tears a whole NODE down and lets ping-reassign
+    * clean up; here a tracked job is one job group, and
+    * `cancelJobGroup` interrupts every Spark job it owns. The
+    * worker thread's failure path then records the terminal state,
+    * so pollers see `failed` with the cancellation cause — cancel
+    * requests the stop, the normal lifecycle reports it. Cancelling
+    * an unknown or already-terminal job is a no-op (idempotent, like
+    * calling Kill on a dead node). */
+  def cancel(jobId: String): Unit =
+    if (Option(jobs.get(jobId)).exists(s =>
+        s.status == "starting" || s.status == "working"))
+      spark.sparkContext.cancelJobGroup(jobId)
+
   /** Parity with MapReduceNode.Status — has the job completed? */
   def status(jobId: String): Boolean =
     Option(jobs.get(jobId)).exists(s => s.status == "completed" || s.status == "failed")

@@ -18,14 +18,25 @@ import graft.Tables
   *
   * Rules (the conservative, semantics-preserving subset every
   * canonicalizer agrees on — RFC 3986 §6.2.2-6.2.3 plus the tracking
-  * strip): lowercase scheme and host; strip the scheme's default
-  * port (http:80, https:443 — a NON-default port like :8080, or :443
-  * on http, is load-bearing and stays); drop fragments (client-side
-  * only); drop tracking parameters (utm_*, fbclid, gclid); sort the
-  * surviving query parameters by (key, value) — order is almost
-  * never semantic, and sorting is what makes param-permuted dupes
-  * collide; strip ONE trailing slash from a non-root path. Path case
-  * and parameter values are preserved — they ARE semantic.
+  * strip): lowercase scheme and host; strip the host's trailing
+  * dot(s) (`example.com.` is the same DNS name as `example.com`);
+  * strip the scheme's default port (http:80, https:443 — a
+  * NON-default port like :8080, or :443 on http, is load-bearing and
+  * stays); percent-encoding normalization (§6.2.2.1-2: hex digits
+  * uppercased, triplets encoding UNRESERVED characters decoded —
+  * reserved ones like %2F stay encoded, so path/query STRUCTURE
+  * never changes) over the path and each query key/value; dot-
+  * segment removal on the path (§5.2.4: `/a/./b` → `/a/b`,
+  * `/a/../b` → `/b` — applied after percent normalization, so
+  * `%2E%2E` is seen as `..`, the RFC's stated order); drop fragments
+  * (client-side only); drop tracking parameters (utm_*, fbclid,
+  * gclid); sort the surviving query parameters by (key, value) —
+  * order is almost never semantic, and sorting is what makes
+  * param-permuted dupes collide; strip trailing slashes from a
+  * non-root path TO A FIXPOINT (`/x//` → `/x` — a single strip is
+  * not idempotent, and idempotence is the frontier's contract: two
+  * crawls must agree on the dedup key of a stored canonical). Path
+  * case and parameter values are preserved — they ARE semantic.
   */
 object UrlOps {
   import graft.SparkEntry.QueryFn
@@ -34,6 +45,72 @@ object UrlOps {
 
   private def isTracking(key: String): Boolean =
     key.startsWith("utm_") || TrackingParams.contains(key)
+
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** RFC 3986 §6.2.2.1-2 percent-encoding normalization: uppercase
+    * the hex digits of every valid triplet; decode triplets that
+    * encode an UNRESERVED character. Reserved characters (%2F, %3D,
+    * %26, %25…) stay encoded — decoding them would change path/query
+    * structure, which is exactly why the RFC calls only the
+    * unreserved decode safe. Malformed triplets (`%zz`, a trailing
+    * `%2`) pass through as literal text — the frontier never throws.
+    * Idempotent: one pass leaves only uppercase-hex reserved
+    * triplets, which a second pass reproduces verbatim. */
+  private[operators] def pctNormalize(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        val ch = v.toChar
+        if (isUnreserved(ch)) sb.append(ch)
+        else sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over an ABSOLUTE path
+    * (canonicalize only ever sees "" or "/..."-shaped paths): `.`
+    * segments vanish, `..` pops the previous segment (a `..` at the
+    * root is dropped — the RFC's behavior), and a trailing dot
+    * segment leaves a trailing slash (`/a/.` → `/a/`), which the
+    * caller's trailing-slash fixpoint then strips. Empty segments
+    * (`/a//b`) are ordinary segments and survive untouched here —
+    * only the TRAILING run of slashes is a dupe-key artifact, and
+    * that is the fixpoint strip's job, not this one's. Idempotent:
+    * the output contains no `.`/`..` segments. */
+  private[operators] def removeDotSegments(path: String): String = {
+    if (!path.startsWith("/") ||
+        (path.indexOf("/.") < 0)) return path
+    val segs = path.split("/", -1).drop(1)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var trailingSlash = false
+    segs.foreach {
+      case "."  => trailingSlash = true
+      case ".." =>
+        if (out.nonEmpty) out.remove(out.length - 1)
+        trailingSlash = true
+      case seg  => out += seg; trailingSlash = false
+    }
+    if (trailingSlash) out += ""
+    "/" + out.mkString("/")
+  }
 
   /** Canonicalize one URL string; inputs that don't parse as
     * scheme://host... come back unchanged (a frontier never drops a
@@ -64,24 +141,36 @@ object UrlOps {
         (authority.substring(0, i), authority.substring(i + 1))
       case _ => (authority, "") // not a port (e.g. IPv6 literal): leave
     }
-    val hostC = host.toLowerCase
+    // trailing DNS dot(s) strip to a fixpoint (a single-dot host "."
+    // is left alone — stripping it would manufacture an empty host)
+    var hostC = host.toLowerCase
+    while (hostC.length > 1 && hostC.endsWith(".")) hostC = hostC.dropRight(1)
     val portC = (scheme, port) match {
       case (_, "")          => ""
       case ("http", "80")   => ""
       case ("https", "443") => ""
       case (_, p)           => ":" + p
     }
-    val pathC =
-      if (path.length > 1 && path.endsWith("/")) path.dropRight(1) else path
+    // path: percent-normalize FIRST (so %2E%2E reads as ".."), then
+    // dot-segment removal, then trailing slashes to a FIXPOINT
+    // ("/x//" must land on "/x" in one call — a single strip isn't
+    // idempotent and breaks the frontier's re-canonicalize contract)
+    var pathC = removeDotSegments(pctNormalize(path))
+    while (pathC.length > 1 && pathC.endsWith("/")) pathC = pathC.dropRight(1)
     // (key, value, hadEquals): a bare `?flag` and an explicit
     // `?flag=` are different URLs — the canonical form preserves
-    // which one arrived instead of guessing from substring probes
+    // which one arrived instead of guessing from substring probes.
+    // Structure splits on the RAW text (%26/%3D are reserved and
+    // never decoded, so splitting before normalization is safe);
+    // keys/values percent-normalize individually, and the tracking
+    // filter reads the NORMALIZED key (`%75tm_source` IS utm_source).
     val params = query.split("&").toSeq
       .filter(_.nonEmpty)
       .map { kv =>
         kv.indexOf('=') match {
-          case -1 => (kv, "", false)
-          case i  => (kv.substring(0, i), kv.substring(i + 1), true)
+          case -1 => (pctNormalize(kv), "", false)
+          case i  => (pctNormalize(kv.substring(0, i)),
+                      pctNormalize(kv.substring(i + 1)), true)
         }
       }
       .filterNot { case (k, _, _) => isTracking(k) }
@@ -95,20 +184,35 @@ object UrlOps {
   }
 
   /** Deterministic messy URL for a doc — the fixture the oracle's
-    * closed forms replay: scheme/host case, default-vs-load-bearing
-    * ports (":443" lands on BOTH schemes by residue, so a
-    * strip-443-always shortcut hash-fails the http rows), tracking
-    * params, permuted order, fragments, trailing slashes. */
+    * closed forms replay: scheme/host case, a trailing DNS dot
+    * (id%8==2), default-vs-load-bearing ports (":443" lands on BOTH
+    * schemes by residue, so a strip-443-always shortcut hash-fails
+    * the http rows), dot segments (`/./` at id%6==1, `/x/../` at
+    * id%6==4), a percent-encoded unreserved path byte (`%62` → `b`
+    * at id%6==2), tracking params, permuted order, a reserved
+    * lowercase-hex param value (`x%2fy` → `x%2Fy`, which SURVIVES in
+    * the canonical string — uppercasing is visible, not collapsed),
+    * fragments, and single AND double trailing slashes (id%3==0;
+    * doubled when also even — the fixpoint rule's load-bearing row).
+    * Every rule flips ≥1 residue class, so dropping any one of them
+    * from the engine hash-fails the gate. */
   private[operators] def messyUrl(id: Long): String = {
     val scheme = if (id % 2 == 0) "HTTPS" else "http"
-    val host = s"WWW.Example${id % 7}.COM"
+    val hostDot = if (id % 8 == 2) "." else ""
+    val host = s"WWW.Example${id % 7}.COM$hostDot"
     val port = (id % 5) match {
       case 0 => ":443"; case 1 => ":8080"; case _ => ""
     }
-    val slash = if (id % 3 == 0) "/" else ""
+    val mid = (id % 6) match {
+      case 1 => "./b"; case 4 => "x/../b"; case 2 => "%62"; case _ => "b"
+    }
+    val slash = (id % 3, id % 2) match {
+      case (0, 0) => "//"; case (0, _) => "/"; case _ => ""
+    }
     val frag = if (id % 4 == 0) "#sec2" else ""
-    s"$scheme://$host$port/A/b${id % 13}$slash" +
-      s"?utm_source=feed&b=${id % 11}&a=${id % 9}$frag"
+    val extra = if (id % 4 == 1) "&c=x%2fy" else ""
+    s"$scheme://$host$port/A/$mid${id % 13}$slash" +
+      s"?utm_source=feed&b=${id % 11}&a=${id % 9}$extra$frag"
   }
 
   /** Frontier URL dedup through the REAL canonicalizer: every doc's

@@ -87,6 +87,47 @@ class MapReduceSpec extends SparkTestBase {
     tracker.shutdown()
   }
 
+  test("JobTracker.cancel: a running job reaches failed with a cancellation cause (Kill parity)") {
+    // the reference's Kill() (mapreduce.go:385) tears a node down
+    // mid-job; the Spark-native analog cancels the tracked job's
+    // group. The job must land in a TERMINAL state with the
+    // cancellation surfaced as the failure cause, and the tracker
+    // must stay usable — the next job starts clean (no leaked group).
+    import spark.implicits._
+    val tracker = new JobTracker(spark)
+    CancelProbe.running.set(false)
+    val id = tracker.start {
+      spark.range(0, 64, 1, 8).mapPartitions { it =>
+        // JVM-static signal (local mode shares the JVM): tasks are
+        // live — safe to cancel. A closure-captured latch would not
+        // serialize into the task.
+        CancelProbe.running.set(true)
+        Thread.sleep(30000)
+        it
+      }.count()
+      ()
+    }
+    val deadline = System.currentTimeMillis() + 60000L
+    while (!CancelProbe.running.get && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(CancelProbe.running.get, "job never started running")
+    tracker.cancel(id)
+    assert(tracker.await(id, 60000L), "cancelled job never reached a terminal state")
+    val st = tracker.stats(id).get
+    assert(st.status == "failed", s"expected failed, got ${st.status}")
+    assert(st.failure.exists(_.toLowerCase.contains("cancel")),
+      s"cause should name the cancellation, got ${st.failure}")
+    // idempotent on terminal jobs and unknown ids
+    tracker.cancel(id)
+    tracker.cancel("no-such-job")
+    // no leaked group: the next tracked job completes normally
+    val id2 = tracker.start { spark.range(10).count(); () }
+    assert(tracker.await(id2) && tracker.stats(id2).get.status == "completed",
+      "tracker unusable after a cancel")
+    tracker.done(id); tracker.done(id2)
+    tracker.shutdown()
+  }
+
   test("JobTracker records per-task durations with p50/p95 (statsManager parity)") {
     val tracker = new JobTracker(spark)
     val id = tracker.start {
@@ -334,4 +375,12 @@ class MapReduceSpec extends SparkTestBase {
       .groupBy($"lang").agg(min($"doc_id")).as[(String, Long)].collect().toMap
     assert(out == expected)
   }
+}
+
+/** JVM-static task-liveness probe for the cancel spec — local-mode
+  * executors share the test JVM, so a static flag crosses the
+  * driver/task boundary where a closure-captured latch cannot
+  * (CountDownLatch is not serializable). */
+object CancelProbe {
+  val running = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
