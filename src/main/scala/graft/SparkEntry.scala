@@ -2225,7 +2225,7 @@ object SparkEntry {
     // metadata-filtered exact search: same ranking, corpus
     // restricted to the filter label before scoring
     "ann_filtered_topk" ->
-      s"""WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 10),
+      s"""WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < ${operators.AnnOps.NumProbes}),
         |sims AS (SELECT pid, e.vec_id AS nid,
         |  list_cosine_similarity(pe, CAST(e.embedding AS DOUBLE[])) AS sim
         |  FROM probes, embeddings e
@@ -2448,7 +2448,7 @@ object SparkEntry {
     // all double arithmetic in the identical expression order, so the
     // codes (and therefore the result) match bit-for-bit
     "ann_sq8_topk" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
         |    CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings),
@@ -2460,7 +2460,7 @@ object SparkEntry {
         |    b.lo + CAST(CAST(round((e.x - b.lo) / b.scale * 255) AS INTEGER) AS DOUBLE) / 255.0 * b.scale AS xh
         |  FROM e JOIN b USING (pos)),
         |r AS (SELECT vec_id, list(xh ORDER BY pos) AS emb_hat FROM q GROUP BY vec_id),
-        |probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 10),
+        |probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < ${operators.AnnOps.NumProbes}),
         |sims AS (
         |  SELECT pid, r.vec_id AS nid, list_cosine_similarity(pe, emb_hat) AS sim
         |  FROM probes, r WHERE r.vec_id <> pid),
@@ -2482,23 +2482,23 @@ object SparkEntry {
     // hash-verifies
     "ann_recall_panel" ->
       s"""WITH $ivfRankedCtes,
-        |iv AS (SELECT pid, nid, rnk AS ri FROM ranked WHERE rnk <= 10),
+        |iv AS (SELECT pid, nid, rnk AS ri FROM ranked WHERE rnk <= ${operators.AnnOps.RecallPanelK}),
         |exr AS (
         |  SELECT pid, nid, row_number() OVER (PARTITION BY pid
         |      ORDER BY floor((sim)*1000000 + 0.5)/1000000 DESC, nid) AS re
         |  FROM (SELECT pr.pid, ev.vec_id AS nid, list_cosine_similarity(pr.pe, ev.v) AS sim
         |        FROM probes pr JOIN emb ev ON ev.vec_id <> pr.pid)),
-        |ex AS (SELECT pid, nid, re FROM exr WHERE re <= 10),
+        |ex AS (SELECT pid, nid, re FROM exr WHERE re <= ${operators.AnnOps.RecallPanelK}),
         |j AS (SELECT iv.pid, iv.ri, ex.re FROM iv JOIN ex USING (pid, nid)),
-        |ks AS (SELECT unnest(generate_series(1, 10)) AS k)
+        |ks AS (SELECT unnest(generate_series(1, ${operators.AnnOps.RecallPanelK})) AS k)
         |SELECT CAST(ks.k AS BIGINT) AS k,
         |  CAST(sum(CASE WHEN j.ri <= ks.k AND j.re <= ks.k THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |  floor((CAST(sum(CASE WHEN j.ri <= ks.k AND j.re <= ks.k THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / CAST(ks.k * 10 AS DOUBLE))*1000000 + 0.5)/1000000 AS recall
+        |    / CAST(ks.k * ${operators.AnnOps.NumProbes} AS DOUBLE))*1000000 + 0.5)/1000000 AS recall
         |FROM ks CROSS JOIN j GROUP BY ks.k ORDER BY k""".stripMargin,
 
     "ann_incremental_topk" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
         |    CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings),
@@ -2519,8 +2519,8 @@ object SparkEntry {
         |pcells AS (
         |  SELECT vec_id AS pid, cell FROM (
         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
-        |    FROM scored WHERE vec_id < 10) t WHERE rn <= 6),
-        |probes AS (SELECT vec_id AS pid, v AS pe FROM emb WHERE vec_id < 10),
+        |    FROM scored WHERE vec_id < ${operators.AnnOps.NumProbes}) t WHERE rn <= ${operators.AnnOps.IvfProbeCells}),
+        |probes AS (SELECT vec_id AS pid, v AS pe FROM emb WHERE vec_id < ${operators.AnnOps.NumProbes}),
         |cands AS (
         |  SELECT p.pid, a.vec_id AS nid, list_cosine_similarity(pr.pe, ev.v) AS sim
         |  FROM pcells p
@@ -4539,8 +4539,11 @@ object SparkEntry {
   /** The IVF index structures alone — centroids, cell assignment,
     * probe cells, probes — shared with the composed ivf×bq oracles,
     * which swap the exact in-cell scan for a Hamming stage. */
+  // dial-interpolated (r9 advice: a hardcoded `vec_id < 10` here
+  // desyncs from GRAFT_ANN_NUM_PROBES — the composed ivf×bq oracles
+  // mix this chain with dial-driven CTEs, so BOTH must read the dial)
   private def ivfIndexCtes: String =
-    """e AS (
+    s"""e AS (
       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
       |    CAST(unnest(embedding) AS DOUBLE) AS x
       |  FROM embeddings),
@@ -4561,8 +4564,8 @@ object SparkEntry {
       |pcells AS (
       |  SELECT vec_id AS pid, cell FROM (
       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
-      |    FROM scored WHERE vec_id < 10) t WHERE rn <= 6),
-      |probes AS (SELECT vec_id AS pid, v AS pe FROM emb WHERE vec_id < 10)""".stripMargin
+      |    FROM scored WHERE vec_id < ${operators.AnnOps.NumProbes}) t WHERE rn <= ${operators.AnnOps.IvfProbeCells}),
+      |probes AS (SELECT vec_id AS pid, v AS pe FROM emb WHERE vec_id < ${operators.AnnOps.NumProbes})""".stripMargin
 
   /** The two-32-bit-half sign-signature CTE over `emb` — shared by
     * the composed ivf×bq oracles (the `ann_bq_topk` discipline: a
@@ -4580,7 +4583,7 @@ object SparkEntry {
       |  FROM emb)""".stripMargin
 
   private def bruteforceOracle: String =
-    """WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 10),
+    s"""WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < ${operators.AnnOps.NumProbes}),
       |sims AS (SELECT pid, e.vec_id AS nid,
       |  list_cosine_similarity(pe, CAST(e.embedding AS DOUBLE[])) AS sim
       |  FROM probes, embeddings e WHERE e.vec_id <> pid),
@@ -4979,7 +4982,7 @@ object SparkEntry {
        |  SELECT a.vec_id, list(c.cv ORDER BY a.sub * 4 + c.pos) AS h
        |  FROM ae a JOIN c3 c ON c.sub = a.sub AND c.code = a.code
        |  GROUP BY a.vec_id),
-       |pr AS (SELECT vec_id AS pid, raw AS pe FROM e0 WHERE vec_id < 10)""".stripMargin
+       |pr AS (SELECT vec_id AS pid, raw AS pe FROM e0 WHERE vec_id < ${operators.AnnOps.NumProbes})""".stripMargin
   }
 
   /** Shortlist → exact re-rank → final ranking, shared by both PQ
@@ -5052,7 +5055,7 @@ object SparkEntry {
     s"""pcells AS (
        |  SELECT vec_id AS pid, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
-       |    FROM cdist WHERE vec_id < 10) t WHERE rn <= 6)""".stripMargin
+       |    FROM cdist WHERE vec_id < ${operators.AnnOps.NumProbes}) t WHERE rn <= ${operators.AnnOps.IvfProbeCells})""".stripMargin
 
   /** `ann_ivfpq_topk`: the PQ index CTEs, with the ADC scan
     * restricted to each probe's top-6 IVF cells. */

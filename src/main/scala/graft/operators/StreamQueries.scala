@@ -310,10 +310,19 @@ object StreamQueries {
     s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
 
   /** The arriving-vector landing dir behind [[streamIvfIngest]]:
-    * the vec_id % 10 == 0 split staged once per corpus. */
+    * the vec_id % 10 == 0 split staged once per corpus CONTENT — the
+    * stage key folds in the source's (name, size, mtime) fingerprint
+    * (r9 advice: a path-only key served STALE vectors to the ingest
+    * faces after a corpus was regenerated in place, while the oracle
+    * read the fresh file — the one desync class the dial discipline
+    * can't catch). A regenerated corpus lands in a new stage dir; the
+    * `_SUCCESS` check stays as the within-fingerprint idempotence
+    * guard (a killed half-write re-stages). */
   private def stagedVectorsDir(s: SparkSession, sfDir: String): String = {
+    val fp = java.lang.Long.toUnsignedString(graft.functions.Hashes.fnv64(
+      graft.mr.Fs.fingerprint(sfDir + "/embeddings.parquet")), 16)
     val stage = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-vecarrivals-" + graft.mr.Fs.pathKey(sfDir))
+      "graft-vecarrivals-" + graft.mr.Fs.pathKey(sfDir) + "-" + fp)
     if (!new java.io.File(stage, "_SUCCESS").exists()) {
       Tables.embeddings(s, sfDir).where(col("vec_id") % 10 === 0)
         .select(col("vec_id"), col("embedding"), col("label"))
@@ -333,9 +342,16 @@ object StreamQueries {
     else {
       val stage = Paths.get(System.getProperty("java.io.tmpdir"),
         "graft-docs-" + graft.mr.Fs.pathKey(sfDir))
-      if (!Files.exists(stage)) {
-        Files.createDirectories(stage)
-        Files.createSymbolicLink(stage.resolve("documents.parquet"), src)
+      // validate the staged CONTENT, not the dir's existence: a
+      // half-created stage (dir without link — a crash between the
+      // two calls) would otherwise stay permanently empty (r9
+      // advice). Symlinked content is never stale — reads follow the
+      // link to the live file — so only the link needs repair.
+      Files.createDirectories(stage)
+      val link = stage.resolve("documents.parquet")
+      if (!Files.exists(link)) {
+        Files.deleteIfExists(link) // a dangling symlink "exists=false"
+        Files.createSymbolicLink(link, src)
       }
       stage.toString
     }

@@ -47,9 +47,15 @@ object Streams {
     else {
       val stage = Paths.get(System.getProperty("java.io.tmpdir"),
         "graft-events-" + graft.mr.Fs.pathKey(sfDir))
-      if (!Files.exists(stage)) {
-        Files.createDirectories(stage)
-        Files.createSymbolicLink(stage.resolve("events.parquet"), src)
+      // repair a half-created stage (dir without link) instead of
+      // trusting the dir's existence — the StreamQueries.stagedDocsDir
+      // discipline; symlinked content reads the live file, so the
+      // link itself is the only thing that can rot
+      Files.createDirectories(stage)
+      val link = stage.resolve("events.parquet")
+      if (!Files.exists(link)) {
+        Files.deleteIfExists(link)
+        Files.createSymbolicLink(link, src)
       }
       stage.toString
     }
