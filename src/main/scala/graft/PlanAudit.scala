@@ -379,7 +379,22 @@ object PlanAudit {
         // must stay an equi-join, never a cartesian
         "no cartesian pairwise" -> (p => !p.contains("CartesianProduct")),
         "cluster-keyed equi-join" -> (p =>
-          "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(p).isDefined)),
+          "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(p).isDefined),
+        // r9 de-weaken: the salt blocks must reach the physical join
+        // keys (one giant cluster ⇒ (nᵢ/nb)² per task, not nᵢ²)
+        "salt blocks in join keys" -> (_.contains("__semblk")),
+        // and the quadratic pair stream must rank through bounded
+        // TopKPerKey heaps — the only Window sits ABOVE the heap
+        // operator (parents print first in the formatted tree), so it
+        // ranks ≤ k·top survivors, never the pair stream
+        "pairs ranked through native TopKPerKey" ->
+          (_.contains("TopKPerKey")),
+        "no full window over the pair stream" -> (p => {
+          val iW = p.indexOf("Window")
+          val iT = p.indexOf("TopKPerKey")
+          iW >= 0 && iT >= 0 && iW < iT &&
+            "\\bWindow\\b".r.findAllIn(p).size == 1
+        })),
       "emb_pca_power" -> Map(
         // the fitted model enters as literals: scoring the corpus must
         // be a pure map (no join to a component table) and the top-k a

@@ -4050,8 +4050,8 @@ object SparkEntry {
         |      (a, b) -> a + b) AS dot
         |  FROM e, pl, (SELECT unnest(generate_series(1, ${operators.AnnOps.LshPlanes})) AS p)),
         |bv AS (
-        |  SELECT vec_id, (p - 1) // 4 AS b,
-        |    sum(CASE WHEN dot > 0 THEN (1 << ((p - 1) % 4)) ELSE 0 END) AS val
+        |  SELECT vec_id, (p - 1) // ${operators.AnnOps.LshBandBits} AS b,
+        |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << ((p - 1) % ${operators.AnnOps.LshBandBits})) ELSE 0 END) AS val
         |  FROM d GROUP BY 1, 2),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS vid, c.vec_id AS nbr
@@ -4208,8 +4208,8 @@ object SparkEntry {
        |      (a, b) -> a + b) AS dot
        |  FROM e, pl, (SELECT unnest(generate_series(1, ${operators.AnnOps.LshPlanes})) AS p)),
        |bv AS (
-       |  SELECT vec_id, (p - 1) // 4 AS b,
-       |    sum(CASE WHEN dot > 0 THEN (1 << ((p - 1) % 4)) ELSE 0 END) AS val
+       |  SELECT vec_id, (p - 1) // ${operators.AnnOps.LshBandBits} AS b,
+       |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << ((p - 1) % ${operators.AnnOps.LshBandBits})) ELSE 0 END) AS val
        |  FROM d GROUP BY 1, 2),
        |cand AS (
        |  SELECT DISTINCT pr.vec_id AS pid, c.vec_id AS nid
@@ -4341,8 +4341,8 @@ object SparkEntry {
        |      (a, b) -> a + b) AS dot
        |  FROM e, pl, (SELECT unnest(generate_series(1, ${operators.AnnOps.LshPlanes})) AS p)),
        |bv AS (
-       |  SELECT vec_id, (p - 1) // 4 AS b,
-       |    sum(CASE WHEN dot > 0 THEN (1 << ((p - 1) % 4)) ELSE 0 END) AS val
+       |  SELECT vec_id, (p - 1) // ${operators.AnnOps.LshBandBits} AS b,
+       |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << ((p - 1) % ${operators.AnnOps.LshBandBits})) ELSE 0 END) AS val
        |  FROM d GROUP BY 1, 2),
        |bsq AS (
        |  SELECT vec_id, b, val, row_number() OVER (PARTITION BY b, val ORDER BY vec_id) AS i
@@ -4404,11 +4404,11 @@ object SparkEntry {
     * cluster) — a3 holds (vec_id, cluster, d2, rn); rn = 1 is the
     * final assignment. Shared by `emb_kmeans` and `dedup_semantic`. */
   private def kmeansAssignCtes: String =
-    """e AS (
+    s"""e AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
       |    CAST(unnest(embedding) AS DOUBLE) AS val
       |  FROM embeddings),
-      |c0 AS (SELECT vec_id AS cluster, dim, val FROM e WHERE vec_id < 8),
+      |c0 AS (SELECT vec_id AS cluster, dim, val FROM e WHERE vec_id < ${operators.KMeansOps.K}),
       |d1 AS (
       |  SELECT e.vec_id, c.cluster,
       |    CAST(sum(CAST((e.val - c.val)*(e.val - c.val) AS DECIMAL(27,10))) AS DOUBLE) AS d2

@@ -75,8 +75,37 @@ object AnnOps {
     rankTopK(cands, K)
   }
 
-  val LshPlanes = 48
-  val LshBands = 12 // 4 bits per band
+  /** Hyperplane-LSH band geometry — a PER-RUN DIAL (r9 verdict #1:
+    * the r8 simhash dial, generalized to the rest of the hyperplane
+    * family): `GRAFT_LSH_GEOMETRY=planes:bandBits`, default `48:4` —
+    * the historical 48-plane signature in twelve 4-bit bands. The
+    * 4-bit keys mean every band bucket holds ≈ corpus/16: candidate
+    * mass is n²·12/16 on a corpus with NO near structure, and the
+    * NSW attach path pays corpus/16 PER ARRIVAL — linear in the base
+    * corpus, the scale-killer the stress decade measures. The wide
+    * dial `64:16` (four 16-bit bands of a 64-plane signature) pushes
+    * the random floor to n²·4/2¹⁶ — three orders down — while TRUE
+    * near neighbors (the structure a real corpus has; the test
+    * embeddings are near-random) still collide: at cos ≈ 0.99 a bit
+    * agrees w.p. ≈ 0.955, a 16-bit band w.p. ≈ 0.48, some band of 4
+    * w.p. ≈ 0.93. Every consumer — the flat LSH serve, the radius
+    * search, the NSW build, the streaming attach — and every oracle
+    * interpolates these accessors, so engine and replay move
+    * together; defaults preserve the gate hashes.
+    * planes ≤ 64 (one sig word), bandBits | planes, bandBits ≤ 32
+    * (band values stay positive BIGINTs in both engines). */
+  @volatile var overrideLshGeometry: Option[(Int, Int)] = None
+  def lshGeometry: (Int, Int) = overrideLshGeometry
+    .orElse(sys.env.get("GRAFT_LSH_GEOMETRY").map { g =>
+      val Array(p, b) = g.split(":").map(_.trim.toInt)
+      require(p >= 1 && p <= 64, s"lsh planes must be 1..64, got $p")
+      require(b >= 1 && b <= 32 && p % b == 0,
+        s"lsh bandBits must divide planes and be <= 32, got $b for $p planes")
+      (p, b)
+    }).getOrElse((48, 4))
+  def LshPlanes: Int = lshGeometry._1
+  def LshBandBits: Int = lshGeometry._2
+  def LshBands: Int = LshPlanes / LshBandBits
 
   /** LSH-bucketed top-k: candidates share >= 1 of twelve 4-bit bands
     * of a 48-plane sign signature; exact cosine only within
@@ -100,8 +129,13 @@ object AnnOps {
     val sig = hyperplaneSig(planes)
     val corpus = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding", sig($"embedding").as("sig"))
+    // mask, not mod (the simhash sign lesson): a 64-plane signature
+    // sets bit 63 and `%` would keep the dividend's sign
+    val mask = if (LshBandBits == 64) -1L else (1L << LshBandBits) - 1
     val bandCols = (0 until LshBands).map { b =>
-      concat_ws(":", lit(b), shiftrightunsigned(col("sig"), b * 4) % 16).as(s"band$b")
+      concat_ws(":", lit(b),
+        shiftrightunsigned(col("sig"), b * LshBandBits).bitwiseAND(lit(mask)))
+        .as(s"band$b")
     }
     def banded(df: DataFrame, idCol: String, embCol: String) = df
       .select(col(idCol), col(embCol), explode(array(bandCols: _*)).as("key"))

@@ -914,6 +914,32 @@ object DedupOps {
 
   val EmbTopN = 100
 
+  /** Embedding-LSH band geometry — the [[simhashGeometry]] dial
+    * applied to the hyperplane family's dedup face (r9 verdict #1):
+    * `GRAFT_EMB_GEOMETRY=planes:bandBits`, default `16:8` — the
+    * historical 16-plane signature in two 8-bit bands, whose random
+    * collision floor is n²·2/2⁸ (linear only below ~10⁴-10⁵ docs;
+    * SURVEY §4's 3.6× decade ratio is the floor arriving). The wide
+    * dial `64:16` (four 16-bit bands of a 64-plane signature) pushes
+    * the floor to n²·4/2¹⁶ while genuinely-near pairs keep colliding
+    * (at cos ≈ 0.99 some band matches w.p. ≈ 0.93 — see
+    * [[AnnOps.lshGeometry]]); EmbFloorSpec measures both floors on a
+    * planted no-dup corpus and wide-dial recall on planted verbatim
+    * copies. The oracle interpolates these accessors; defaults
+    * preserve the gate hashes. */
+  @volatile var overrideEmbGeometry: Option[(Int, Int)] = None
+  def embGeometry: (Int, Int) = overrideEmbGeometry
+    .orElse(sys.env.get("GRAFT_EMB_GEOMETRY").map { g =>
+      val Array(p, b) = g.split(":").map(_.trim.toInt)
+      require(p >= 1 && p <= 64, s"emb planes must be 1..64, got $p")
+      require(b >= 1 && b <= 32 && p % b == 0,
+        s"emb bandBits must divide planes and be <= 32, got $b for $p planes")
+      (p, b)
+    }).getOrElse((16, 8))
+  def EmbPlanes: Int = embGeometry._1
+  def EmbBandBits: Int = embGeometry._2
+  def EmbBands: Int = EmbPlanes / EmbBandBits
+
   /** Embedding-cosine near-dup *review queue*: random-hyperplane LSH
     * candidates (16-bit sign signature, two 8-bit bands), exact cosine
     * inside the candidate set, and the global top-N most-similar pairs
@@ -1008,16 +1034,38 @@ object DedupOps {
   /** Pairs reported per cluster by [[dedupSemantic]]. */
   val SemTopPerCluster = 3
 
+  /** Salt blocks per cluster for [[dedupSemantic]]'s self-join — a
+    * PER-RUN DIAL (`GRAFT_SEM_BLOCKS`). With nb blocks the join key
+    * is (cluster, block_a, block_b): each side replicates nb× but no
+    * single task ever carries more than (nᵢ/nb)² pair work, so one
+    * giant cluster cannot pin an executor (the r9 verdict's second
+    * scale-killer — a bare cluster_id key is k join keys total). The
+    * pair SET is block-invariant (every (a<b) pair lands on exactly
+    * one (block_a, block_b) key), so the oracle — and the result
+    * hash — never see the dial. */
+  @volatile var overrideSemBlocks: Option[Int] = None
+  def SemBlocks: Int = overrideSemBlocks
+    .orElse(sys.env.get("GRAFT_SEM_BLOCKS").map(_.toInt)).getOrElse(4)
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-
     * dup discovery with the pairwise pass BUCKETED BY K-MEANS CLUSTER
     * — cosine is computed only within a cluster, never across the
-    * corpus, so the pair space shrinks from n²/2 to Σ nᵢ²/2 (with
-    * balanced clusters, a k× reduction; in production k scales with
-    * corpus size to hold nᵢ roughly constant). Reuses the exact,
-    * SQL-replayable Lloyd's model from [[KMeansOps]] — centroids are
-    * a k×dim broadcast, assignment is map-side, and the self-join
-    * shuffles on cluster_id (k keys; at real scale the join key is
-    * (cluster, salt-block) so one giant cluster cannot pin a task).
+    * corpus, so the pair space shrinks from n²/2 to Σ nᵢ²/2. Both
+    * scale levers are DIALS, not promises (r9 verdict #1): k via
+    * [[KMeansOps.K]] (`GRAFT_KMEANS_K` ≈ corpus / target cell size,
+    * holding nᵢ roughly constant as the corpus grows), and the
+    * self-join key is (cluster, block_a, block_b) under
+    * [[SemBlocks]] salt blocks, so the largest task carries
+    * (nᵢ/nb)² — never a whole cluster's quadratic mass. The
+    * per-cluster ranking runs through native `TopK.perKey` bounded
+    * heaps (≤ [[SemTopPerCluster]] rows per partition per cluster
+    * ever shuffle); the only window ranks the ≤ 3k surviving rows —
+    * the full quadratic pair stream is never window-sorted.
+    *
+    * Centroids are a k×dim broadcast from the exact, SQL-replayable
+    * Lloyd's model in [[KMeansOps]]; assignment is map-side. The
+    * pair SET, the cosines, and the ranking are block-invariant, so
+    * the DuckDB oracle replays the plain within-cluster self-join.
     *
     * Like [[dedupEmbedding]], the report face emits each cluster's
     * top-[[SemTopPerCluster]] most-similar pairs through the rounded-
@@ -1027,19 +1075,34 @@ object DedupOps {
     * its τ instead of ranking. */
   val dedupSemantic: QueryFn = (s, dir) => {
     import s.implicits._
+    val nb = SemBlocks
     val assigned = KMeansOps.assignments(s, dir)
-      .select($"vec_id", $"embedding", $"cluster_id").transform(Pin.corpus)
+      .select($"vec_id", $"embedding", $"cluster_id",
+        pmod($"vec_id", lit(nb.toLong)).as("__semblk"))
+      .transform(Pin.corpus)
+    val partnerBlocks = array((0 until nb).map(j => lit(j.toLong)): _*)
+    // A carries its own block and explodes the PARTNER's; B the
+    // mirror — pair (a, b) meets on exactly one (cluster, ba, bb) key
     val a = assigned.select($"cluster_id", $"vec_id".as("vec_a"),
-      $"embedding".as("emb_a"))
+        $"embedding".as("emb_a"), $"__semblk".as("__semblk_a"))
+      .withColumn("__semblk_b", explode(partnerBlocks))
     val b = assigned.select($"cluster_id", $"vec_id".as("vec_b"),
-      $"embedding".as("emb_b"))
+        $"embedding".as("emb_b"), $"__semblk".as("__semblk_b"))
+      .withColumn("__semblk_a", explode(partnerBlocks))
+    val pairs = a
+      .join(b, Seq("cluster_id", "__semblk_a", "__semblk_b"))
+      .where($"vec_a" < $"vec_b")
+      .withColumn("cos_raw", cosine_sim($"emb_a", $"emb_b"))
+      .withColumn("cos_r", rnd($"cos_raw", 6))
+    val top = graft.plans.TopK.perKey(pairs,
+      keyCols = Seq("cluster_id"),
+      orderCols = Seq("cos_r" -> false, "vec_a" -> true, "vec_b" -> true),
+      k = SemTopPerCluster)
+    // rank the ≤ k·SemTopPerCluster survivors — bounded input window
     val byCluster = org.apache.spark.sql.expressions.Window
       .partitionBy($"cluster_id")
-      .orderBy(rnd($"cos_raw", 6).desc, $"vec_a".asc, $"vec_b".asc)
-    a.join(b, Seq("cluster_id")).where($"vec_a" < $"vec_b")
-      .withColumn("cos_raw", cosine_sim($"emb_a", $"emb_b"))
-      .withColumn("rnk", row_number().over(byCluster))
-      .where($"rnk" <= SemTopPerCluster)
+      .orderBy($"cos_r".desc, $"vec_a".asc, $"vec_b".asc)
+    top.withColumn("rnk", row_number().over(byCluster))
       .select($"cluster_id", $"rnk".cast("long").as("rnk"),
         $"vec_a", $"vec_b", rnd($"cos_raw", 4).as("cos"))
       .orderBy($"cluster_id", $"rnk")

@@ -75,14 +75,20 @@ object HnswOps {
           .select($"vec_id").collect().map(_.getLong(0)).toSeq.sorted
       })
 
-  /** The 12×4-bit band keys of a 48-plane signature — the one
-    * load-bearing banding geometry, shared by the graph build and
-    * the attach path (a drift between the two would silently break
-    * the streaming-parity contract). */
-  private def bandKeys(sigCol: org.apache.spark.sql.Column) =
+  /** The band keys of the signature under the [[AnnOps.lshGeometry]]
+    * dial (default 12×4-bit bands of 48 planes; wide 4×16-bit of 64)
+    * — the one load-bearing banding geometry, shared by the graph
+    * build and the attach path (a drift between the two would
+    * silently break the streaming-parity contract). Mask, not mod:
+    * a 64-plane signature sets the sign bit. */
+  private def bandKeys(sigCol: org.apache.spark.sql.Column) = {
+    val bb = LshHelper.BandBits
+    val mask = if (bb == 64) -1L else (1L << bb) - 1
     array((0 until LshHelper.Bands).map { b =>
-      concat_ws(":", lit(b), shiftrightunsigned(sigCol, b * 4) % 16)
+      concat_ws(":", lit(b),
+        shiftrightunsigned(sigCol, b * bb).bitwiseAND(lit(mask)))
     }: _*)
+  }
 
   /** Bidirectional pruned edge list (src, dst). The candidate
     * distinct runs over ID PAIRS only — embeddings re-join for the
@@ -230,6 +236,7 @@ object HnswOps {
 /** Shared LSH geometry constants (mirrors AnnOps' private ones for
   * reuse by the graph build). */
 private[operators] object LshHelper {
-  val Planes: Int = AnnOps.LshPlanes
-  val Bands: Int = AnnOps.LshBands
+  def Planes: Int = AnnOps.LshPlanes
+  def Bands: Int = AnnOps.LshBands
+  def BandBits: Int = AnnOps.LshBandBits
 }

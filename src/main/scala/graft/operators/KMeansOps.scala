@@ -32,7 +32,19 @@ import graft.functions.Cols.{asDouble, rnd, xsum}
 object KMeansOps {
   import graft.SparkEntry.QueryFn
 
-  val K = 8
+  /** k is a PER-RUN DIAL (the GRAFT_ANN_* discipline), not a literal:
+    * a production launch sets `GRAFT_KMEANS_K` ≈ corpus / target cell
+    * size, so the semantic-dedup pair space Σnᵢ² stays ≈ n · target
+    * as the corpus grows — the docstring's "k scales with corpus
+    * size" as a mechanism instead of a promise (r9 verdict #2's
+    * constant-k was the first of dedup_semantic's three
+    * scale-killers). The oracle unroll interpolates THIS accessor
+    * (`vec_id < k` init is k-generic), so a dialed run stays
+    * hash-green; default 8 preserves every gate hash. Test-visible
+    * override, same as [[AnnOps.overrideNumProbes]]. */
+  @volatile var overrideK: Option[Int] = None
+  def K: Int = overrideK
+    .orElse(sys.env.get("GRAFT_KMEANS_K").map(_.toInt)).getOrElse(8)
   val Iters = 3
 
   /** Exact squared L2 distance to a literal centroid: per-dim squared

@@ -37,4 +37,31 @@ class AnnDialSpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(restored == defaultOut)
   }
+
+  test("dedup_semantic: salt blocks are result-invariant; k-means k dials cluster count") {
+    import spark.implicits._
+    def run(): Seq[(Long, Long, Long, Long, Double)] =
+      DedupOps.dedupSemantic(spark, sfDir)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val base = run()
+    assert(base.nonEmpty)
+    // the (cluster, block_a, block_b) join key partitions the pair
+    // space without changing it — every block count reproduces the
+    // default's bytes (nb=1 IS the unsalted join)
+    for (nb <- Seq(1, 3, 7)) {
+      DedupOps.overrideSemBlocks = Some(nb)
+      try assert(run() == base, s"salt blocks nb=$nb changed the result")
+      finally DedupOps.overrideSemBlocks = None
+    }
+    // k dials the clustering itself: a 4-cell model buckets pairs
+    // into ≤ 4 clusters (and emb_kmeans reports exactly 4 rows)
+    KMeansOps.overrideK = Some(4)
+    try {
+      val dialed = run()
+      assert(dialed.map(_._1).distinct.sorted == Seq(0L, 1L, 2L, 3L))
+      assert(KMeansOps.embKmeans(spark, sfDir).count() == 4L)
+    } finally KMeansOps.overrideK = None
+    // defaults restored → byte-identical (hash-gate stability)
+    assert(run() == base)
+  }
 }
