@@ -2028,15 +2028,15 @@ object SparkEntry {
         |m AS (SELECT media_id, t, length(t) AS L FROM reg),
         |ch AS (
         |  SELECT media_id, unnest([{'pos': i,
-        |      'c': substr(t, CAST(floor((i-1)*L/64.0) AS INTEGER)+1,
-        |             CAST(floor(i*L/64.0) AS INTEGER)-CAST(floor((i-1)*L/64.0) AS INTEGER))}
-        |    for i in generate_series(1, 64)]) AS u
+        |      'c': substr(t, CAST(floor((i-1)*L/${operators.TextOps.PhashWords * 64}.0) AS INTEGER)+1,
+        |             CAST(floor(i*L/${operators.TextOps.PhashWords * 64}.0) AS INTEGER)-CAST(floor((i-1)*L/${operators.TextOps.PhashWords * 64}.0) AS INTEGER))}
+        |    for i in generate_series(1, ${operators.TextOps.PhashWords * 64})]) AS u
         |  FROM m),
         |bits AS (SELECT media_id, u['pos'] AS pos,
         |    CAST(${fnvSql("u['c']")} % 2 AS BIGINT) AS bit FROM ch),
         |bands AS (
-        |  SELECT media_id, (pos-1)//16 AS band,
-        |    CAST(sum(bit << ((pos-1)%16)) AS BIGINT) AS bv
+        |  SELECT media_id, (pos-1)//${operators.TextOps.PhashBandBits} AS band,
+        |    CAST(sum(bit << ((pos-1)%${operators.TextOps.PhashBandBits})) AS BIGINT) AS bv
         |  FROM bits GROUP BY 1, 2),
         |sig AS (SELECT media_id, list(bv ORDER BY band) AS sg FROM bands GROUP BY media_id),
         |bseq AS (
@@ -2048,8 +2048,7 @@ object SparkEntry {
         |  WHERE a.i <= ${operators.Blocking.DefaultCap}),
         |h AS (
         |  SELECT ma, mb,
-        |    CAST(bit_count(xor(sa.sg[1], sb.sg[1])) + bit_count(xor(sa.sg[2], sb.sg[2]))
-        |       + bit_count(xor(sa.sg[3], sb.sg[3])) + bit_count(xor(sa.sg[4], sb.sg[4])) AS BIGINT) AS hamming
+        |    CAST(list_sum([bit_count(xor(sa.sg[i], sb.sg[i])) for i in generate_series(1, ${operators.TextOps.PhashBands})]) AS BIGINT) AS hamming
         |  FROM cand JOIN sig sa ON sa.media_id = ma JOIN sig sb ON sb.media_id = mb)
         |SELECT ma AS media_a, mb AS media_b, hamming
         |FROM h WHERE hamming <= ${operators.TextOps.PhashTau}
@@ -2921,10 +2920,14 @@ object SparkEntry {
         |  SELECT c.media_id, c.c,
         |    CASE WHEN kk.k = 64 THEN 0 ELSE c.bright END AS bit
         |  FROM cells c JOIN kk USING (media_id)),
+        |gbits AS (
+        |  SELECT b.media_id, g.g, b.bit
+        |  FROM bits b JOIN (SELECT unnest(generate_series(0, ${operators.TextOps.PhashWords * 64 - 1})) AS g) g
+        |    ON b.c = (g.g // ${operators.TextOps.PhashWords * 8}) * 8 + (g.g % ${operators.TextOps.PhashWords * 8}) // ${operators.TextOps.PhashWords}),
         |bands AS (
-        |  SELECT media_id, c//16 AS band,
-        |    CAST(sum(CAST(bit AS BIGINT) << (c%16)) AS BIGINT) AS bv
-        |  FROM bits GROUP BY 1, 2),
+        |  SELECT media_id, g//${operators.TextOps.PhashBandBits} AS band,
+        |    CAST(sum(CAST(bit AS BIGINT) << (g%${operators.TextOps.PhashBandBits})) AS BIGINT) AS bv
+        |  FROM gbits GROUP BY 1, 2),
         |sig AS (SELECT media_id, list(bv ORDER BY band) AS sg FROM bands GROUP BY media_id),
         |bseq AS (
         |  SELECT media_id, band, bv, row_number() OVER (PARTITION BY band, bv ORDER BY media_id) AS i
@@ -2935,8 +2938,7 @@ object SparkEntry {
         |  WHERE a.i <= ${operators.Blocking.DefaultCap}),
         |h AS (
         |  SELECT ma, mb,
-        |    CAST(bit_count(xor(sa.sg[1], sb.sg[1])) + bit_count(xor(sa.sg[2], sb.sg[2]))
-        |       + bit_count(xor(sa.sg[3], sb.sg[3])) + bit_count(xor(sa.sg[4], sb.sg[4])) AS BIGINT) AS hamming
+        |    CAST(list_sum([bit_count(xor(sa.sg[i], sb.sg[i])) for i in generate_series(1, ${operators.TextOps.PhashBands})]) AS BIGINT) AS hamming
         |  FROM cand JOIN sig sa ON sa.media_id = ma JOIN sig sb ON sb.media_id = mb)
         |SELECT ma AS media_a, mb AS media_b, hamming
         |FROM h WHERE hamming <= ${operators.TextOps.PhashTau}
@@ -5109,17 +5111,17 @@ object SparkEntry {
     * 8-bit bands, canonical (a < b) candidate pairs, exact cosine,
     * global top-N by (rounded cos, pair). */
   private def dedupEmbeddingOracle: String = {
-    s"""WITH pl AS (SELECT ${planesLiteral(16)} AS w),
+    s"""WITH pl AS (SELECT ${planesLiteral(operators.DedupOps.EmbPlanes)} AS w),
        |e AS (SELECT vec_id, embedding FROM embeddings),
        |d AS (
        |  SELECT vec_id, p,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      [CAST(embedding[i] AS DOUBLE) * w[p][i] for i in generate_series(1, 64)]),
        |      (a, b) -> a + b) AS dot
-       |  FROM e, pl, (SELECT unnest(generate_series(1, 16)) AS p)),
+       |  FROM e, pl, (SELECT unnest(generate_series(1, ${operators.DedupOps.EmbPlanes})) AS p)),
        |bv AS (
-       |  SELECT vec_id, (p - 1) // 8 AS b,
-       |    sum(CASE WHEN dot > 0 THEN (1 << ((p - 1) % 8)) ELSE 0 END) AS val
+       |  SELECT vec_id, (p - 1) // ${operators.DedupOps.EmbBandBits} AS b,
+       |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << ((p - 1) % ${operators.DedupOps.EmbBandBits})) ELSE 0 END) AS val
        |  FROM d GROUP BY 1, 2),
        |bsq AS (
        |  SELECT vec_id, b, val, row_number() OVER (PARTITION BY b, val ORDER BY vec_id) AS i

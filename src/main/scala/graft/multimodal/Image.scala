@@ -139,6 +139,50 @@ object ImageCodec {
     out
   }
 
+  /** Generalized average-hash over an 8×(8·words) block-mean grid —
+    * the widened-signature form behind the TextOps phash geometry
+    * dial: bit i (i = cellY·8·words + cellX) = cell mean above the
+    * GLOBAL mean, packed little-endian into `words` longs. words = 1
+    * is bit-for-bit [[aHash]] (same loop, same threshold); wider
+    * grids slice each 8×8 column band finer, so the per-band
+    * content-cell count (and with it near-dup recall) is preserved
+    * while band keys double in width — the simhash wide-geometry
+    * move applied to images. Requires width ≥ 8·words, height ≥ 8. */
+  def aHashGrid(img: BufferedImage, words: Int): Array[Long] = {
+    val gw = 8 * words
+    val w = img.getWidth
+    val h = img.getHeight
+    require(words >= 1 && words <= 4, s"aHashGrid words must be 1..4, got $words")
+    require(w >= gw && h >= 8, s"aHashGrid needs >= ${gw}x8, got ${w}x$h")
+    val cells = 64 * words
+    val sum = new Array[Long](cells)
+    val cnt = new Array[Long](cells)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        val c = cy * gw + x * gw / w
+        sum(c) += luma
+        cnt(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(cells)(i => sum(i).toDouble / cnt(i))
+    val global = means.sum / cells.toDouble
+    val out = new Array[Long](words)
+    var i = 0
+    while (i < cells) {
+      if (means(i) > global) out(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    out
+  }
+
   /** TRUE average-hash: 8×8 block-mean luminance grid, bit = cell
     * mean above the global mean. Survives re-encoding (JPEG quality
     * loss perturbs cell means by ≪ the cell-to-cell contrast) —

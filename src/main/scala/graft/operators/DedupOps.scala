@@ -941,9 +941,11 @@ object DedupOps {
   def EmbBands: Int = EmbPlanes / EmbBandBits
 
   /** Embedding-cosine near-dup *review queue*: random-hyperplane LSH
-    * candidates (16-bit sign signature, two 8-bit bands), exact cosine
-    * inside the candidate set, and the global top-N most-similar pairs
-    * emitted (cos desc, then vec ids — fully deterministic).
+    * candidates under the [[embGeometry]] dial (default: 16-bit sign
+    * signature, two 8-bit bands; wide: 64 planes, four 16-bit bands),
+    * exact cosine inside the candidate set, and the global top-N
+    * most-similar pairs emitted (cos desc, then vec ids — fully
+    * deterministic).
     *
     * r1 emitted `cos >= 0.95` pairs, which is the right production
     * threshold but returns 0 rows on the near-random test embeddings
@@ -953,19 +955,34 @@ object DedupOps {
     * never a global sort), so the plan is 100 TB-safe — while always
     * producing a checkable, nonzero result. A production dedup pass
     * filters the same candidate stream at its τ instead of ranking. */
+  /** (vec_id, embedding, sig) under the current [[embGeometry]] —
+    * the signature stage of [[dedupEmbedding]], spec-visible so
+    * EmbFloorSpec measures the floor on the REAL engine path. */
+  private[operators] def embSigs(emb: DataFrame): DataFrame = {
+    val planes = hyperplanes(EmbPlanes, 64)
+    emb.select(col("vec_id"), col("embedding"),
+      hyperplaneSig(planes)(col("embedding")).as("sig"))
+  }
+
+  /** Band-keyed candidate pairs (vec_a < vec_b) from the signature
+    * frame — anchor-capped per band ([[BandCap]] via pairsByKey). */
+  private[operators] def embCandidates(sigged: DataFrame): DataFrame = {
+    // mask, not mod (the simhash sign lesson — load-bearing at 64
+    // planes where bit 63 makes the signature negative)
+    val mask = if (EmbBandBits == 64) -1L else (1L << EmbBandBits) - 1
+    val keyed = sigged.select(col("vec_id").as("doc_id"),
+      explode(array((0 until EmbBands).map { b =>
+        concat_ws(":", lit(b),
+          shiftrightunsigned(col("sig"), b * EmbBandBits).bitwiseAND(lit(mask)))
+      }: _*)).as("key"))
+    pairsByKey(keyed)
+      .withColumnRenamed("doc_a", "vec_a").withColumnRenamed("doc_b", "vec_b")
+  }
+
   val dedupEmbedding: QueryFn = (s, dir) => {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    val planes = hyperplanes(16, 64)
-    val sigged = emb
-      .select($"vec_id", $"embedding", hyperplaneSig(planes)($"embedding").as("sig"))
-      .transform(Pin.corpus)
-    val keyed = sigged.select($"vec_id".as("doc_id"),
-      explode(array(
-        concat_ws(":", lit(0), $"sig" % 256),
-        concat_ws(":", lit(1), shiftrightunsigned($"sig", 8) % 256))).as("key"))
-    val pairs = pairsByKey(keyed)
-      .withColumnRenamed("doc_a", "vec_a").withColumnRenamed("doc_b", "vec_b")
+    val sigged = embSigs(Tables.embeddings(s, dir)).transform(Pin.corpus)
+    val pairs = embCandidates(sigged)
     val a = sigged.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
     val b = sigged.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
     pairs.join(a, "vec_a").join(b, "vec_b")

@@ -135,8 +135,19 @@ object HnswOps {
   def attachCandidates(s: SparkSession, dir: String)(
       arrivals: DataFrame): DataFrame = {
     import s.implicits._
+    attachCandidatesAgainst(
+      Tables.embeddings(s, dir).where($"vec_id" % 10 =!= 0))(arrivals)
+  }
+
+  /** The attach band-join against an EXPLICIT base frame — the core
+    * [[attachCandidates]] binds to the incremental-index split;
+    * spec-visible so NswFloorSpec measures the per-arrival candidate
+    * mass on planted corpora through the real engine path. */
+  private[operators] def attachCandidatesAgainst(baseVecs: DataFrame)(
+      arrivals: DataFrame): DataFrame = {
+    import arrivals.sparkSession.implicits._
     val sig = hyperplaneSig(hyperplanes(LshHelper.Planes, 64))
-    val base = Tables.embeddings(s, dir).where($"vec_id" % 10 =!= 0)
+    val base = baseVecs
       .select($"vec_id".as("nbr"), $"embedding".as("ne"),
         explode(bandKeys(sig($"embedding"))).as("key"))
     // NOTE: candidates are NOT deduplicated here — a .distinct() on

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1019,21 +1020,30 @@ object TextOps {
       val bytes = graft.multimodal.ImageCodec.encode(img, "png")
       val d = graft.multimodal.ImageCodec.decode(bytes).getOrElse(
         sys.error(s"undecodable neardup fixture for media $mid"))
-      (mid, graft.multimodal.ImageCodec.aHash(d.image))
-    }.toDF("media_id", "h")
+      (mid, graft.multimodal.ImageCodec.aHashGrid(d.image, PhashWords).toSeq)
+    }.toDF("media_id", "hs")
       // pinned: the band explode and BOTH verify joins read this, and
       // each row costs a real encode+decode
       .localCheckpoint(true)
-    val bands = hashed.select($"media_id", explode(array((0 until 4).map { c =>
-      concat_ws(":", lit(c),
-        shiftrightunsigned($"h", c * 16).bitwiseAND(lit(65535L)))
-    }: _*)).as("key"))
+    // band keys under the [[phashGeometry]] dial (default: the
+    // historical four 16-bit bands of the one-word 8x8 aHash; wide:
+    // four 32-bit bands of the 8x16 grid — same content cells per
+    // band, 2^16 deeper keys)
+    val bb = PhashBandBits
+    val perWord = 64 / bb
+    val mask = if (bb == 64) -1L else (1L << bb) - 1
+    val bands = hashed.select($"media_id", explode(array((for {
+      w <- 0 until PhashWords; c <- 0 until perWord
+    } yield concat_ws(":", lit(w * perWord + c),
+      shiftrightunsigned(element_at($"hs", w + 1), c * bb)
+        .bitwiseAND(lit(mask)))): _*)).as("key"))
     val cand = Blocking.cappedPairs(
       bands, "media_id", "ma", "mb", Blocking.DefaultCap)
-    cand.join(hashed.select($"media_id".as("ma"), $"h".as("ha")), "ma")
-      .join(hashed.select($"media_id".as("mb"), $"h".as("hb")), "mb")
+    cand.join(hashed.select($"media_id".as("ma"), $"hs".as("sa")), "ma")
+      .join(hashed.select($"media_id".as("mb"), $"hs".as("sb")), "mb")
       .select($"ma".as("media_a"), $"mb".as("media_b"),
-        bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
+        expr("aggregate(zip_with(sa, sb, (x, y) -> cast(bit_count(x ^ y) as bigint)), 0L, (acc, v) -> acc + v)")
+          .as("hamming"))
       .where($"hamming" <= PhashTau)
       .orderBy($"media_a", $"media_b")
   }
@@ -1099,10 +1109,34 @@ object TextOps {
       .orderBy($"chunk")
   }
 
-  /** Hamming threshold for [[mmPhashNeardup]]: re-encoded copies
-    * flip ≤ 4 of 64 blocks (≤ 4 bits expected ~2); random pairs sit
-    * near 32. 12 splits the two populations with wide margin. */
-  val PhashTau = 12L
+  /** Perceptual-hash band geometry — the simhash dial applied to the
+    * image/byte-payload family (r9 verdict #1):
+    * `GRAFT_PHASH_GEOMETRY=words:bandBits:tau`, default `1:16:12` —
+    * the historical 64-slice signature in four 16-bit bands with
+    * hamming ≤ 12 (re-encoded copies flip ≤ 4 of 64 blocks, random
+    * pairs sit near 32 — 12 splits the populations with wide
+    * margin). The wide dial `2:32:24` DOUBLES the signature (128
+    * slices / an 8×16 aHash grid) so bands widen to 32 bits at the
+    * SAME per-band content coverage: the flip FRACTION of an edit is
+    * grid-invariant (an edited byte span covers the same share of
+    * finer slices), so tau scales with the signature and planted
+    * recall is preserved while the random band-collision floor drops
+    * from n²·4/2¹⁶ to n²·4/2³² — the exact simhash 1:16:6 → 2:32:12
+    * move. Both neardup oracles interpolate these accessors;
+    * defaults preserve the gate hashes. bands = 64·words/bandBits. */
+  @volatile var overridePhashGeometry: Option[(Int, Int, Int)] = None
+  def phashGeometry: (Int, Int, Int) = overridePhashGeometry
+    .orElse(sys.env.get("GRAFT_PHASH_GEOMETRY").map { g =>
+      val Array(w, b, t) = g.split(":").map(_.trim.toInt)
+      require(w >= 1 && w <= 4, s"phash words must be 1..4, got $w")
+      require(Seq(8, 16, 32, 64).contains(b), s"phash bandBits must divide 64, got $b")
+      require(t >= 0 && t <= w * 64, s"phash tau out of range: $t")
+      (w, b, t)
+    }).getOrElse((1, 16, 12))
+  def PhashWords: Int = phashGeometry._1
+  def PhashBandBits: Int = phashGeometry._2
+  def PhashBands: Int = 64 * PhashWords / PhashBandBits
+  def PhashTau: Long = phashGeometry._3.toLong
 
   /** Perceptual-hash near-duplicate detection over media payloads —
     * the IMAGE dedup pass next to the text stack (minhash/simhash
@@ -1133,19 +1167,38 @@ object TextOps {
         concat(upper(substring($"text", 1, 10)),
           $"text".substr(lit(11), length($"text") - 20),
           upper($"text".substr(length($"text") - 9, lit(10)))).as("t"))
-    val m = base.unionByName(dirty).withColumn("L", length($"t").cast("long"))
+    phashCandPairs(base.unionByName(dirty))
+      .where($"hamming" <= PhashTau)
+      .orderBy($"media_a", $"media_b")
+  }
+
+  /** The phash index chain over an explicit (media_id, t) registry —
+    * slice-parity signature under [[phashGeometry]], banded
+    * candidates through the [[Blocking]] anchor cap, exact Hamming
+    * on every candidate (UNfiltered: [[mmPhashNeardup]] thresholds
+    * at [[PhashTau]]; PhashFloorSpec counts the candidates
+    * themselves — the floor is a property of the band stage, not the
+    * verify). */
+  private[operators] def phashCandPairs(reg: DataFrame): DataFrame = {
+    val sess = reg.sparkSession
+    import sess.implicits._
+    val m = reg.withColumn("L", length($"t").cast("long"))
+    // slice count and band width ride the [[phashGeometry]] dial
+    // (default 64 slices / 16-bit bands — the historical literals)
+    val slices = 64 * PhashWords
+    val bb = PhashBandBits
     val bits = m
       .select($"media_id", graft.functions.VectorExpressions.fnv_shingles(
-        transform(sequence(lit(1), lit(64)), i => {
-          val st = floor((i - 1).cast("long") * $"L" / 64.0).cast("int")
-          val en = floor(i.cast("long") * $"L" / 64.0).cast("int")
+        transform(sequence(lit(1), lit(slices)), i => {
+          val st = floor((i - 1).cast("long") * $"L" / slices.toDouble).cast("int")
+          val en = floor(i.cast("long") * $"L" / slices.toDouble).cast("int")
           $"t".substr(st + 1, en - st)
         }), 1).as("hs"))
       .select($"media_id", posexplode(transform($"hs", h => h.bitwiseAND(1L))))
       .withColumnRenamed("col", "bit")
     val bands = bits
-      .groupBy($"media_id", ($"pos" / 16).cast("long").as("band"))
-      .agg(sum($"bit" * expr("shiftleft(1L, pos % 16)")).as("bv"))
+      .groupBy($"media_id", ($"pos" / bb).cast("long").as("band"))
+      .agg(sum($"bit" * expr(s"shiftleft(1L, pos % $bb)")).as("bv"))
       .localCheckpoint(true)
     val sig = bands.groupBy($"media_id")
       .agg(sort_array(collect_list(struct($"band", $"bv"))).as("sgs"))
@@ -1163,7 +1216,5 @@ object TextOps {
       .select($"ma".as("media_a"), $"mb".as("media_b"),
         expr("aggregate(zip_with(sa, sb, (x, y) -> cast(bit_count(x ^ y) as bigint)), 0L, (acc, v) -> acc + v)")
           .as("hamming"))
-      .where($"hamming" <= PhashTau)
-      .orderBy($"media_a", $"media_b")
   }
 }
