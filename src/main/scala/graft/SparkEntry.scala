@@ -4488,38 +4488,71 @@ object SparkEntry {
     * left-to-right rewrite — the oracle's `list_reduce` fold is the
     * literal twin of the Scala merge UDF, so a just-merged symbol
     * re-matches (or doesn't) identically in both engines. */
-  private def bpeOracle: String = {
-    val rounds = (1 to operators.BpeOps.Rounds).map { r =>
-      s"""pc$r AS (
-         |  SELECT u.p['a'] AS a, u.p['b'] AS b, sum(u.cnt) AS pc
-         |  FROM (SELECT cnt, unnest([{'a': syms[i], 'b': syms[i+1]}
-         |          for i in generate_series(1, len(syms) - 1)]) AS p
-         |        FROM s${r - 1}) u
-         |  GROUP BY 1, 2),
-         |b$r AS (SELECT a, b, pc FROM pc$r ORDER BY pc DESC, a, b LIMIT 1),
-         |s$r AS (
-         |  SELECT list_reduce(
+  /** One batched training round as DuckDB CTEs (shared by
+    * [[bpeOracle]] and [[bpeEncodeCtes]]): pair counts over the
+    * round's vocab, the TopWindow ranked window, the disjointness
+    * admission (a pair enters iff its {lhs, rhs, merged} strings
+    * overlap NO higher-ranked window pair's — the engine's exact
+    * rule, tie order = (count desc, lhs, rhs)), capped at BatchT;
+    * then ONE greedy scan applying the whole batch (disjointness
+    * makes the simultaneous scan equal to sequential application —
+    * the mergeBatch contract BpeSpec pins). `withEncode` additionally
+    * threads the per-(doc, word) symbol frame e$r. */
+  private def bpeBatchRound(r: Int, withEncode: Boolean): String = {
+    val fold =
+      s"""list_reduce(
          |      list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
-         |      (acc, xl) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$r.a AND xl[1] = b$r.b
-         |        THEN list_append(acc[1:len(acc) - 1], b$r.a || b$r.b)
-         |        ELSE list_concat(acc, xl) END) AS syms,
-         |    cnt
-         |  FROM s${r - 1}, b$r)""".stripMargin
-    }.mkString(",\n")
+         |      (acc, xl) -> CASE WHEN len(acc) > 0 AND
+         |          list_contains(bl$r.ms, {'a': acc[-1], 'b': xl[1]})
+         |        THEN list_append(acc[1:len(acc) - 1], acc[-1] || xl[1])
+         |        ELSE list_concat(acc, xl) END) AS syms""".stripMargin
+    val enc = if (!withEncode) "" else
+      s""",
+         |e$r AS MATERIALIZED (
+         |  SELECT doc_id, n_chars, $fold
+         |  FROM e${r - 1}, bl$r)""".stripMargin
+    s"""pc$r AS MATERIALIZED (
+       |  SELECT u.p['a'] AS a, u.p['b'] AS b, sum(u.cnt) AS pc
+       |  FROM (SELECT cnt, unnest([{'a': syms[i], 'b': syms[i+1]}
+       |          for i in generate_series(1, len(syms) - 1)]) AS p
+       |        FROM s${r - 1}) u
+       |  GROUP BY 1, 2),
+       |w$r AS MATERIALIZED (
+       |  SELECT a, b, pc, row_number() OVER (ORDER BY pc DESC, a, b) AS rn
+       |  FROM (SELECT * FROM pc$r ORDER BY pc DESC, a, b LIMIT ${operators.BpeOps.TopWindow})),
+       |sel$r AS MATERIALIZED (
+       |  SELECT a, b, pc, rn, row_number() OVER (ORDER BY rn) AS bi
+       |  FROM w$r w1
+       |  WHERE NOT EXISTS (SELECT 1 FROM w$r w2 WHERE w2.rn < w1.rn AND (
+       |      w2.a IN (w1.a, w1.b, w1.a || w1.b) OR
+       |      w2.b IN (w1.a, w1.b, w1.a || w1.b) OR
+       |      (w2.a || w2.b) IN (w1.a, w1.b, w1.a || w1.b)))
+       |  QUALIFY bi <= ${operators.BpeOps.BatchT}),
+       |bl$r AS MATERIALIZED (SELECT list({'a': a, 'b': b} ORDER BY bi) AS ms FROM sel$r),
+       |s$r AS MATERIALIZED (
+       |  SELECT $fold,
+       |    cnt
+       |  FROM s${r - 1}, bl$r)$enc""".stripMargin
+  }
+
+  private def bpeOracle: String = {
+    val rounds = (1 to operators.BpeOps.Rounds)
+      .map(bpeBatchRound(_, withEncode = false)).mkString(",\n")
     val out = (1 to operators.BpeOps.Rounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS rank, a AS lhs, b AS rhs,
-         |    a || b AS merged, CAST(pc AS BIGINT) AS pair_count FROM b$r""".stripMargin
+      s"SELECT $r AS rnd, bi, a, b, pc FROM sel$r"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH w AS (
        |  SELECT u.t AS w, count(*) AS cnt
        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
        |        FROM documents) u
        |  GROUP BY 1),
-       |s0 AS (SELECT string_split(w, '') AS syms, cnt FROM w),
-       |$rounds
-       |SELECT * FROM (
-       |  $out
-       |) ORDER BY rank""".stripMargin
+       |s0 AS MATERIALIZED (SELECT string_split(w, '') AS syms, cnt FROM w),
+       |$rounds,
+       |allsel AS (
+       |  $out)
+       |SELECT CAST(row_number() OVER (ORDER BY rnd, bi) AS BIGINT) AS rank,
+       |  a AS lhs, b AS rhs, a || b AS merged, CAST(pc AS BIGINT) AS pair_count
+       |FROM allsel ORDER BY rank""".stripMargin
   }
 
   /** Shared by `ann_bruteforce_topk` and its SQL-front-door twin
@@ -4782,37 +4815,15 @@ object SparkEntry {
     * and [[tokenizerFertilityOracle]] (pc/b/s training rounds as in
     * [[bpeOracle]], then the per-(doc, word) greedy application). */
   private def bpeEncodeCtes: String = {
-    val rounds = (1 to operators.BpeOps.Rounds).map { r =>
-      s"""pc$r AS (
-         |  SELECT u.p['a'] AS a, u.p['b'] AS b, sum(u.cnt) AS pc
-         |  FROM (SELECT cnt, unnest([{'a': syms[i], 'b': syms[i+1]}
-         |          for i in generate_series(1, len(syms) - 1)]) AS p
-         |        FROM s${r - 1}) u
-         |  GROUP BY 1, 2),
-         |b$r AS (SELECT a, b, pc FROM pc$r ORDER BY pc DESC, a, b LIMIT 1),
-         |s$r AS (
-         |  SELECT list_reduce(
-         |      list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
-         |      (acc, xl) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$r.a AND xl[1] = b$r.b
-         |        THEN list_append(acc[1:len(acc) - 1], b$r.a || b$r.b)
-         |        ELSE list_concat(acc, xl) END) AS syms,
-         |    cnt
-         |  FROM s${r - 1}, b$r),
-         |e$r AS (
-         |  SELECT doc_id, n_chars, list_reduce(
-         |      list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
-         |      (acc, xl) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$r.a AND xl[1] = b$r.b
-         |        THEN list_append(acc[1:len(acc) - 1], b$r.a || b$r.b)
-         |        ELSE list_concat(acc, xl) END) AS syms
-         |  FROM e${r - 1}, b$r)""".stripMargin
-    }.mkString(",\n")
+    val rounds = (1 to operators.BpeOps.Rounds)
+      .map(bpeBatchRound(_, withEncode = true)).mkString(",\n")
     s"""WITH w AS (
        |  SELECT u.t AS w, count(*) AS cnt
        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
        |        FROM documents) u
        |  GROUP BY 1),
-       |s0 AS (SELECT string_split(w, '') AS syms, cnt FROM w),
-       |e0 AS (
+       |s0 AS MATERIALIZED (SELECT string_split(w, '') AS syms, cnt FROM w),
+       |e0 AS MATERIALIZED (
        |  SELECT doc_id, string_split(u.t, '') AS syms, CAST(len(u.t) AS BIGINT) AS n_chars
        |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
        |        FROM documents) u),

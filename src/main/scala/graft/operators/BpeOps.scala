@@ -9,30 +9,49 @@ import graft.functions.Cols.normTokens
 
 /** Byte-pair-encoding merge TRAINING (Sennrich et al. 2016) — the
   * tokenizer-learning pass itself, not just the pre-tokenizer piece
-  * counts of `text_subword_stats`. Three merge rounds learned over
-  * the corpus, each: count adjacent symbol pairs → pick the argmax →
-  * greedily rewrite every word.
+  * counts of `text_subword_stats`. [[Rounds]] BATCHED merge rounds
+  * learned over the corpus, each: count adjacent symbol pairs → rank
+  * → admit up to [[BatchT]] symbol-disjoint merges → rewrite every
+  * word in ONE scan.
   *
   * Scale shape (the standard BPE trick, distributed): rounds operate
   * on the (word, count) VOCABULARY table, never the corpus — the
   * corpus is scanned ONCE into word frequencies, after which a round
   * costs one partial+final pair aggregation over the vocab plus a
-  * map-side rewrite; the only driver traffic per round is the single
-  * argmax row (TakeOrderedAndProject, not a global sort). At 100 TB
-  * the vocab is millions of rows where the corpus is trillions —
-  * that asymmetry is what makes BPE trainable at all.
+  * map-side rewrite; the only driver traffic per round is the
+  * bounded [[TopWindow]]-row ranked window. Batching is what makes a
+  * REAL vocab reachable (r9 verdict #6): one merge per synchronous
+  * round is 32k round-trips to a 32k vocab; T disjoint merges per
+  * round is 32k/T — and symbol-disjointness makes a batch provably
+  * equal to applying its members one at a time (fusing a pair
+  * neither creates nor destroys instances of a pair whose symbols it
+  * doesn't touch), so the schedule stays exact, not approximate. At
+  * 100 TB the vocab is millions of rows where the corpus is
+  * trillions — that asymmetry is what makes BPE trainable at all.
   *
   * Determinism (why this has a full SQL-replay oracle): pair counts
-  * are exact integers, the argmax tie-breaks on (count desc, left
-  * asc, right asc), and the rewrite is the canonical GREEDY
-  * LEFT-TO-RIGHT scan — a just-merged symbol never re-matches as the
-  * left element unless it literally equals it — which both the Scala
-  * UDF and the oracle's `list_reduce` fold implement identically.
+  * are exact integers, ranking tie-breaks on (count desc, left asc,
+  * right asc), the batch admission is the stated non-recursive
+  * disjoint-vs-all-higher-ranked rule, and the rewrite is the
+  * canonical GREEDY LEFT-TO-RIGHT scan — a just-merged symbol never
+  * re-matches as the left element unless it literally equals it —
+  * which both the Scala UDF and the oracle's `list_reduce` fold
+  * implement identically.
   */
 object BpeOps {
   import graft.SparkEntry.QueryFn
 
-  val Rounds = 3
+  /** Driver rounds. One round = ONE driver argmax collect (the
+    * bounded [[TopWindow]] rows), but up to [[BatchT]] merges — the
+    * r9 verdict's batching: a 32k-merge vocab at one merge per
+    * synchronous round is 32k driver round-trips; at T per round it
+    * is 32k/T. Defaults train ≥ 48 merges on the gate corpora. */
+  val Rounds = 12
+  /** Max merges admitted per round. */
+  val BatchT = 16
+  /** Ranked candidate window the disjointness rule scans (bounded —
+    * this is ALL the driver ever collects per round). */
+  val TopWindow: Int = 4 * BatchT
 
   /** Greedy left-to-right merge of adjacent (a, b) into a+b — the
     * exact fold the oracle replays with list_reduce. */
@@ -45,6 +64,28 @@ object BpeOps {
       }
       out.toSeq
     }
+
+  /** One greedy left-to-right scan applying a whole SYMBOL-DISJOINT
+    * merge batch. Disjointness (on {lhs, rhs, merged}) makes the
+    * simultaneous scan provably equal to applying the batch members
+    * sequentially in any order: fusing one pair can neither create
+    * nor destroy an instance of another whose symbols it doesn't
+    * touch (BpeSpec pins this against the sequential fold). */
+  private def mergeBatch(pairs: Seq[(String, String)]): UserDefinedFunction = {
+    val pm: Map[(String, String), String] =
+      pairs.map { case (a, b) => (a, b) -> (a + b) }.toMap
+    udf { (syms: Seq[String]) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { x =>
+        val m = if (out.nonEmpty) pm.get((out.last, x)) else None
+        m match {
+          case Some(merged) => out(out.length - 1) = merged
+          case None         => out += x
+        }
+      }
+      out.toSeq
+    }
+  }
 
   private def pairCounts(vocab: DataFrame): DataFrame =
     vocab
@@ -65,6 +106,40 @@ object BpeOps {
       .orderBy(col("pc").desc, col("a").asc, col("b").asc)
       .limit(1).head
 
+  /** The round's merge BATCH: the [[TopWindow]] highest-count pairs
+    * (count desc, lhs, rhs — a total order, so the window is
+    * deterministic), admitted in rank order iff the pair's
+    * {lhs, rhs, lhs+rhs} symbols are disjoint from those of EVERY
+    * higher-ranked window pair (admitted or not — the non-recursive
+    * rule both engines state identically; blocking on blocked pairs
+    * is conservative, never wrong), capped at [[BatchT]]. Rank 1
+    * always enters, so every round makes progress. Tie resolution IS
+    * the ranking: equal counts order by (lhs, rhs) and the earlier
+    * pair blocks the later one. */
+  private[operators] def bestBatch(vocab: DataFrame)
+      : Seq[(String, String, Long)] = {
+    val window = pairCounts(vocab)
+      .orderBy(col("pc").desc, col("a").asc, col("b").asc)
+      .limit(TopWindow)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    window.zipWithIndex.foreach { case ((a, b, pc), i) =>
+      val mine = Set(a, b, a + b)
+      val blocked = window.take(i).exists { case (pa, pb, _) =>
+        val theirs = Set(pa, pb, pa + pb)
+        mine.exists(theirs.contains)
+      }
+      if (!blocked && out.size < BatchT) out += ((a, b, pc))
+    }
+    out.toSeq
+  }
+
+  /** Map-side greedy rewrite of the vocab under one disjoint batch. */
+  private[operators] def applyBatch(
+      vocab: DataFrame, pairs: Seq[(String, String)]): DataFrame =
+    vocab.select(mergeBatch(pairs)(col("syms")).as("syms"), col("cnt"))
+
   /** Map-side greedy rewrite of the vocab under one merge. */
   private[operators] def applyMerge(vocab: DataFrame, a: String, b: String): DataFrame =
     vocab.select(mergePair(col("syms"), lit(a), lit(b)).as("syms"), col("cnt"))
@@ -77,18 +152,36 @@ object BpeOps {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(split(col("w"), "").as("syms"), col("cnt"))
 
-  /** The learned merge table over any corpus frame. */
+  /** The learned merge table over any corpus frame: [[Rounds]]
+    * batched rounds, global rank = batch order (counts are the
+    * start-of-round counts — exactly what the oracle's per-round
+    * replay reproduces). */
   private[operators] def trainMerges(docs: DataFrame)
-      : Seq[(Long, String, String, String, Long)] = {
+      : Seq[(Long, String, String, String, Long)] =
+    trainMergeBatches(docs).flatten
+
+  /** Same, grouped by round — the encode pass applies each round's
+    * disjoint batch in one scan. */
+  private[operators] def trainMergeBatches(docs: DataFrame)
+      : Seq[Seq[(Long, String, String, String, Long)]] = {
     var vocab = charVocab(docs).transform(Pin.corpus)
-    (1 to Rounds).map { rank =>
-      val best = bestPair(vocab)
-      val (a, b, pc) = (best.getString(0), best.getString(1), best.getLong(2))
-      val prev = vocab
-      vocab = applyMerge(vocab, a, b).transform(Pin.corpus)
-      prev.unpersist()
-      (rank.toLong, a, b, a + b, pc)
+    var rank = 0L
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, String, String, String, Long)]]
+    (1 to Rounds).foreach { _ =>
+      val batch = bestBatch(vocab)
+      if (batch.nonEmpty) {
+        out += batch.map { case (a, b, pc) =>
+          rank += 1
+          (rank, a, b, a + b, pc)
+        }
+        val prev = vocab
+        vocab = applyBatch(vocab, batch.map(p => (p._1, p._2)))
+          .transform(Pin.corpus)
+        prev.unpersist()
+      }
     }
+    out.toSeq
   }
 
   /** The learned merge table: (rank, lhs, rhs, merged, pair_count)
@@ -120,13 +213,21 @@ object BpeOps {
   val textBpeEncode: QueryFn = (s, dir) => {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val merges = trainMerges(docs)
+    val rounds = trainMergeBatches(docs)
     val base = docs
       .select($"doc_id", explode(normTokens($"text")).as("w"))
       .select($"doc_id", split($"w", "").as("syms"))
       .select($"doc_id", size($"syms").cast("long").as("n_chars"), $"syms")
-    val encoded = merges.foldLeft(base) { case (df, (_, a, b, _, _)) =>
-      df.select($"doc_id", $"n_chars", mergePair($"syms", lit(a), lit(b)).as("syms"))
+    // one scan per ROUND (not per merge): within a round the batch is
+    // symbol-disjoint, so the simultaneous scan equals the sequential
+    // folds; across rounds the order is the training order. Round
+    // boundaries are recovered from the rank-contiguous batches the
+    // trainer emitted — a merge's round is irrelevant to application
+    // EXCEPT that later rounds may consume earlier rounds' outputs,
+    // which the per-round grouping preserves.
+    val encoded = rounds.foldLeft(base) { case (df, batch) =>
+      df.select($"doc_id", $"n_chars",
+        mergeBatch(batch.map(m => (m._2, m._3)))($"syms").as("syms"))
     }
     encoded
       .select($"doc_id", $"n_chars", size($"syms").cast("long").as("n_syms"))
