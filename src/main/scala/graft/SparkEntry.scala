@@ -3618,6 +3618,81 @@ object SparkEntry {
         |ivfbq AS (SELECT pid, nid FROM (
         |  SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY hamming, nid) AS rn
         |  FROM hamcell) t WHERE rn <= ${operators.AnnOps.BqShortlist}),
+        |pl AS (SELECT ${planesLiteral(operators.AnnOps.LshPlanes)} AS w),
+        |he AS (SELECT vec_id, embedding FROM embeddings),
+        |hd AS (
+        |  SELECT vec_id, p,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      [CAST(embedding[i] AS DOUBLE) * w[p][i] for i in generate_series(1, 64)]),
+        |      (a, b) -> a + b) AS dot
+        |  FROM he, pl, (SELECT unnest(generate_series(1, ${operators.AnnOps.LshPlanes})) AS p)),
+        |hbv AS (
+        |  SELECT vec_id, (p - 1) // ${operators.AnnOps.LshBandBits} AS b,
+        |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << ((p - 1) % ${operators.AnnOps.LshBandBits})) ELSE 0 END) AS val
+        |  FROM hd GROUP BY 1, 2),
+        |hbsq AS (
+        |  SELECT vec_id, b, val, row_number() OVER (PARTITION BY b, val ORDER BY vec_id) AS i
+        |  FROM hbv),
+        |hcpair AS (
+        |  SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+        |  FROM hbsq a JOIN hbsq c ON a.b = c.b AND a.val = c.val
+        |  WHERE a.vec_id <> c.vec_id
+        |    AND least(a.i, c.i) <= ${operators.HnswOps.BuildCap}),
+        |hcsim AS (
+        |  SELECT hcpair.src, hcpair.dst, ${cosEmbSql("sa", "sb")} AS sim
+        |  FROM hcpair JOIN he sa ON sa.vec_id = hcpair.src JOIN he sb ON sb.vec_id = hcpair.dst),
+        |hem AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY floor(sim*1000000 + 0.5)/1000000 DESC, dst ASC) AS rn
+        |    FROM hcsim) WHERE rn <= ${operators.HnswOps.M}),
+        |hedges AS (SELECT DISTINCT * FROM (
+        |  SELECT src, dst FROM hem UNION ALL SELECT dst AS src, src AS dst FROM hem)),
+        |med AS (
+        |  SELECT vec_id FROM (
+        |    SELECT a.cell, a.vec_id,
+        |      row_number() OVER (PARTITION BY a.cell ORDER BY d.sim DESC, a.vec_id) AS rn
+        |    FROM assigned a JOIN scored d ON d.vec_id = a.vec_id AND d.cell = a.cell) t
+        |  WHERE rn = 1),
+        |psim AS (
+        |  SELECT pr.pid, ev.vec_id AS nid, list_cosine_similarity(pr.pe, ev.v) AS sim
+        |  FROM probes pr, emb ev),
+        |hbs0 AS (
+        |  SELECT psim.pid, psim.nid, psim.sim FROM psim
+        |  WHERE psim.nid IN (SELECT vec_id FROM med)),
+        |hx1 AS (SELECT DISTINCT b.pid, ed.dst AS nid FROM hbs0 b JOIN hedges ed ON ed.src = b.nid),
+        |hbs1 AS (SELECT pid, nid, sim FROM (
+        |  SELECT u.pid, u.nid, psim.sim, row_number() OVER (PARTITION BY u.pid
+        |    ORDER BY floor(psim.sim*1000000 + 0.5)/1000000 DESC, u.nid ASC) AS rn
+        |  FROM (SELECT pid, nid FROM hx1 UNION SELECT pid, nid FROM hbs0) u
+        |  JOIN psim ON psim.pid = u.pid AND psim.nid = u.nid)
+        |  WHERE rn <= ${operators.HnswOps.Beam}),
+        |hx2 AS (SELECT DISTINCT b.pid, ed.dst AS nid FROM hbs1 b JOIN hedges ed ON ed.src = b.nid),
+        |hbs2 AS (SELECT pid, nid, sim FROM (
+        |  SELECT u.pid, u.nid, psim.sim, row_number() OVER (PARTITION BY u.pid
+        |    ORDER BY floor(psim.sim*1000000 + 0.5)/1000000 DESC, u.nid ASC) AS rn
+        |  FROM (SELECT pid, nid FROM hx2 UNION SELECT pid, nid FROM hbs1) u
+        |  JOIN psim ON psim.pid = u.pid AND psim.nid = u.nid)
+        |  WHERE rn <= ${operators.HnswOps.Beam}),
+        |hx3 AS (SELECT DISTINCT b.pid, ed.dst AS nid FROM hbs2 b JOIN hedges ed ON ed.src = b.nid),
+        |vis AS (
+        |  SELECT pid, nid, min(hop) AS hop FROM (
+        |    SELECT p.pid, m.vec_id AS nid, 0 AS hop FROM probes p, med m
+        |    UNION ALL SELECT pid, nid, 1 FROM hx1
+        |    UNION ALL SELECT pid, nid, 2 FROM hx2
+        |    UNION ALL SELECT pid, nid, 3 FROM hx3)
+        |  GROUP BY pid, nid),
+        |hnsw AS (SELECT pid, nid FROM (
+        |  SELECT v.pid, v.nid, row_number() OVER (PARTITION BY v.pid
+        |    ORDER BY v.hop, floor(psim.sim*1000000 + 0.5)/1000000 DESC, v.nid ASC) AS rn
+        |  FROM vis v JOIN psim ON psim.pid = v.pid AND psim.nid = v.nid
+        |  WHERE v.nid <> v.pid) t
+        |  WHERE rn <= ${operators.AnnOps.BqShortlist}),
+        |srv_hnsw AS (SELECT pid, nid FROM (
+        |  SELECT c.pid, c.nid, row_number() OVER (PARTITION BY c.pid
+        |    ORDER BY floor((list_cosine_similarity(pr.pe, ev.v))*1000000 + 0.5)/1000000 DESC, c.nid) AS rn
+        |  FROM hnsw c JOIN probes pr ON pr.pid = c.pid JOIN emb ev ON ev.vec_id = c.nid) t
+        |  WHERE rn <= ${operators.AnnOps.K}),
         |exr AS (SELECT pid, nid FROM (
         |  SELECT pr.pid, ev.vec_id AS nid, row_number() OVER (PARTITION BY pr.pid
         |    ORDER BY floor((list_cosine_similarity(pr.pe, ev.v))*1000000 + 0.5)/1000000 DESC, ev.vec_id) AS rn
@@ -3649,7 +3724,11 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'ivfbq',
         |    (SELECT count(*) FROM ivfbq),
-        |    (SELECT count(*) FROM srv_ivfbq s JOIN exr x ON x.pid = s.pid AND x.nid = s.nid))
+        |    (SELECT count(*) FROM srv_ivfbq s JOIN exr x ON x.pid = s.pid AND x.nid = s.nid)
+        |  UNION ALL
+        |  SELECT 'hnsw_beam',
+        |    (SELECT count(*) FROM hnsw),
+        |    (SELECT count(*) FROM srv_hnsw s JOIN exr x ON x.pid = s.pid AND x.nid = s.nid))
         |SELECT method, CAST(n_cands AS BIGINT) AS n_cands,
         |  CAST(n_hits AS BIGINT) AS n_hits,
         |  floor((CAST(n_hits AS DOUBLE) /

@@ -906,7 +906,20 @@ object AnnOps {
       (method, nc, nh,
         math.floor(nh.toDouble / (K.toLong * NumProbes) * 1000000d + 0.5d) / 1000000d)
     }
+    // hnsw-beam at the same budget (r9 verdict #8): candidates = the
+    // nodes the fixed-depth beam search actually SCORES (its true
+    // cost), capped at the shared shortlist in (hop asc, rounded-sim
+    // desc, nid asc) order — "the first `budget` nodes the search
+    // touches, best-first within a hop"
+    val hnswCands = graft.plans.TopK.perKey(
+      HnswOps.beamSearchWithVisited(s, dir)._2
+        .where($"nid" =!= $"pid")
+        .withColumn("sim_r", rnd($"sim", 6)),
+      keyCols = Seq("pid"),
+      orderCols = Seq("hop" -> true, "sim_r" -> false, "nid" -> true),
+      k = BqShortlist).select($"pid", $"nid")
     Seq(panelRow(bqCands, "bq_only"),
+        panelRow(hnswCands, "hnsw_beam"),
         panelRow(ivfCands, "ivf_only"),
         panelRow(ivfbqCands, "ivfbq"))
       .toDF("method", "n_cands", "n_hits", "recall")

@@ -199,7 +199,16 @@ object HnswOps {
     * the per-stage saving was task-launch overhead, not data. */
   val annHnswTopk: QueryFn = (s, dir) => serve(s, dir)
 
-  private def serve(s: SparkSession, dir: String): DataFrame = {
+  /** The fixed-depth beam search, returning both the final beam and
+    * VISITED — every (pid, nid, hop, sim) the search ever scored
+    * (entries = hop 0, expansions = their hop, min hop per node).
+    * Visited is the search's true candidate COST, which is what an
+    * equal-budget layout comparison must charge it —
+    * [[AnnOps.annIvfBqRecall]] caps it at the shared shortlist budget
+    * in (hop asc, rounded-sim desc, nid asc) order: "the first
+    * `budget` nodes the search scores, best-first within a hop". */
+  private[operators] def beamSearchWithVisited(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
     val probes = emb.where($"vec_id" < AnnOps.NumProbes)
@@ -216,11 +225,13 @@ object HnswOps {
 
     var beam = probes.crossJoin(broadcast(entries))
       .select($"pid", $"nid", cosine_sim($"pe", $"ne").as("sim"))
-    for (_ <- 1 to Hops) {
+    var visited = beam.withColumn("hop", lit(0))
+    for (h <- 1 to Hops) {
       val expand = beam.select($"pid", $"nid".as("src"))
         .join(eds, "src")
         .select($"pid", $"dst".as("nid")).distinct()
       val scored = score(expand)
+      visited = visited.unionByName(scored.withColumn("hop", lit(h)))
       // beam ∪ expansion deduped in ONE group pass (a re-reached
       // node carries the identical deterministic sim, so max = the
       // value) — cheaper than an exceptAll set-difference round
@@ -233,7 +244,15 @@ object HnswOps {
         .select($"pid", $"nid", $"sim")
         .transform(Checkpoints.cut)
     }
+    val vis = visited
+      .groupBy($"pid", $"nid")
+      .agg(min($"hop").as("hop"), max($"sim").as("sim"))
+    (beam, vis)
+  }
 
+  private def serve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (beam, _) = beamSearchWithVisited(s, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"pid").orderBy(rnd($"sim", 6).desc, $"nid".asc)
     beam.where($"nid" =!= $"pid")
