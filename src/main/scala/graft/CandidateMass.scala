@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Candidate-mass counter for the banded dedup/ANN families (r9
+  * verdict #7): counts the PRE-verify candidate pairs each banded
+  * index admits on a corpus — the quantity whose growth IS the
+  * collision floor — so the stress bench records the floor's arrival
+  * directly (candidates per doc across a data decade) instead of
+  * inferring it from wall ratios, which machine steal can mask in
+  * either direction.
+  *
+  * One JSON line on stdout:
+  *   {"sf_dir":..., "n_docs":N, "n_vecs":N,
+  *    "candidates":{"minhash":N,"simhash":N,"embedding":N,
+  *                  "nsw_attach":N,"phash":N},
+  *    "per_doc":{...}}
+  *
+  * Counts honor the live geometry dials (GRAFT_SIMHASH_GEOMETRY /
+  * GRAFT_LSH_GEOMETRY / GRAFT_EMB_GEOMETRY / GRAFT_PHASH_GEOMETRY),
+  * so the stress run measures the WIDE dials it benches and a plain
+  * run measures the gate defaults. Denominators: doc-banded families
+  * divide by document count, vector families by vector count
+  * (nsw_attach by the arrival split's size — its mass is per
+  * ARRIVAL, the streaming-cost unit).
+  */
+object CandidateMass {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val nDocs = docs.count()
+    val nVecs = emb.count()
+
+    val shingled = operators.DedupOps.docShingles(spark, sfDir)
+      .localCheckpoint(true)
+    val minhash = operators.DedupOps.minhashCandidates(shingled).count()
+    shingled.unpersist()
+
+    val simSigs = operators.DedupOps
+      .simhashSigs(docs.select($"doc_id", $"text")).localCheckpoint(true)
+    val simhash = operators.DedupOps.simhashCandidates(simSigs).count()
+    simSigs.unpersist()
+
+    val embSigs = operators.DedupOps.embSigs(emb).localCheckpoint(true)
+    val embedding = operators.DedupOps.embCandidates(embSigs).count()
+    embSigs.unpersist()
+
+    // the streaming attach face: candidates the arrival split pays
+    // against the frozen base (the per-arrival cost unit)
+    val arrivals = emb.where($"vec_id" % 10 === 0)
+      .select($"vec_id", $"embedding")
+    val nArrivals = arrivals.count()
+    val nsw = operators.HnswOps.attachCandidates(spark, sfDir)(arrivals).count()
+
+    // phash registry = the mm_phash_neardup fixture (base + derived)
+    val base = docs.where(length($"text") >= 64)
+      .select($"doc_id".as("media_id"), $"text".as("t"))
+    val dirty = docs.where(length($"text") >= 64 && $"doc_id" % 11 === 5)
+      .select(($"doc_id" + 10000000L).as("media_id"),
+        concat(upper(substring($"text", 1, 10)),
+          $"text".substr(lit(11), length($"text") - 20),
+          upper($"text".substr(length($"text") - 9, lit(10)))).as("t"))
+    val phash = operators.TextOps.phashCandPairs(base.unionByName(dirty)).count()
+
+    def rnd(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
+    val perDoc = Map(
+      "minhash" -> rnd(minhash.toDouble / nDocs),
+      "simhash" -> rnd(simhash.toDouble / nDocs),
+      "embedding" -> rnd(embedding.toDouble / nVecs),
+      "nsw_attach" -> rnd(nsw.toDouble / math.max(1L, nArrivals)),
+      "phash" -> rnd(phash.toDouble / nDocs))
+    def j(m: Map[String, Any]): String =
+      m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(
+      s"""{"sf_dir":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,""" +
+      s""""n_arrivals":$nArrivals,""" +
+      s""""candidates":${j(Map("minhash" -> minhash, "simhash" -> simhash,
+        "embedding" -> embedding, "nsw_attach" -> nsw, "phash" -> phash))},""" +
+      s""""per_doc":${j(perDoc)}}""")
+    spark.stop()
+  }
+}

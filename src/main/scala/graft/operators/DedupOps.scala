@@ -56,7 +56,7 @@ object DedupOps {
         array_sort(array_distinct(graft.functions.VectorExpressions
           .fnv_shingles(col("tk"), ShingleSize))).as("sh"))
 
-  private def docShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  private[graft] def docShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     shingled(Tables.documents(s, dir))
 
   /** Per-band candidate budget — see [[Blocking]]: bands at or under
@@ -98,7 +98,13 @@ object DedupOps {
   /** MinHash+LSH near-dup pairs over a pre-shingled (doc_id, sh)
     * frame (the reusable stage behind [[dedupMinhashLsh]] and
     * [[dedupPipeline]]), verified at jaccard >= tau. */
-  private def minhashPairs(docs: DataFrame, tau: Double): DataFrame = {
+  private def minhashPairs(docs: DataFrame, tau: Double): DataFrame =
+    verifyJaccard(minhashCandidates(docs), docs, tau)
+
+  /** Candidate pairs PRE-verify from the banded minhash index — the
+    * stage whose mass the stress bench's floor counters record
+    * ([[graft.CandidateMass]]). */
+  private[graft] def minhashCandidates(docs: DataFrame): DataFrame = {
     // Two-step select: materialize the 64-perm signature as a column
     // FIRST, then slice band keys out of it. Folding both into one
     // expression would inline the signature computation once per band
@@ -109,7 +115,7 @@ object DedupOps {
         .minhash_sig(col("sh"), minhashParams(NumPerms)).as("sig"))
     val keyed = sigged.select(col("doc_id"),
       explode(bandKeys(col("sig"), Bands, RowsPerBand)).as("key"))
-    verifyJaccard(pairsByKey(keyed), docs, tau)
+    pairsByKey(keyed)
   }
 
   /** MinHash + banded LSH near-dup pairs, verified at jaccard >= 0.5.
@@ -237,7 +243,7 @@ object DedupOps {
   /** (doc_id, sig0..sigW−1) under the current geometry; tokens
     * materialize once (two-step select) and each word is one fused
     * native loop. */
-  private[operators] def simhashSigs(docs: DataFrame): DataFrame = {
+  private[graft] def simhashSigs(docs: DataFrame): DataFrame = {
     val (words, _, _) = simhashGeometry
     val sigCols = (0 until words).map { w =>
       graft.functions.VectorExpressions
@@ -249,7 +255,7 @@ object DedupOps {
 
   /** Band-keyed candidate pairs (a < b) from the signature frame,
     * anchor-capped per band ([[BandCap]]). */
-  private[operators] def simhashCandidates(sigs: DataFrame): DataFrame = {
+  private[graft] def simhashCandidates(sigs: DataFrame): DataFrame = {
     val (words, bandBits, _) = simhashGeometry
     val bandsPerWord = 64 / bandBits
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
@@ -958,7 +964,7 @@ object DedupOps {
   /** (vec_id, embedding, sig) under the current [[embGeometry]] —
     * the signature stage of [[dedupEmbedding]], spec-visible so
     * EmbFloorSpec measures the floor on the REAL engine path. */
-  private[operators] def embSigs(emb: DataFrame): DataFrame = {
+  private[graft] def embSigs(emb: DataFrame): DataFrame = {
     val planes = hyperplanes(EmbPlanes, 64)
     emb.select(col("vec_id"), col("embedding"),
       hyperplaneSig(planes)(col("embedding")).as("sig"))
@@ -966,7 +972,7 @@ object DedupOps {
 
   /** Band-keyed candidate pairs (vec_a < vec_b) from the signature
     * frame — anchor-capped per band ([[BandCap]] via pairsByKey). */
-  private[operators] def embCandidates(sigged: DataFrame): DataFrame = {
+  private[graft] def embCandidates(sigged: DataFrame): DataFrame = {
     // mask, not mod (the simhash sign lesson — load-bearing at 64
     // planes where bit 63 makes the signature negative)
     val mask = if (EmbBandBits == 64) -1L else (1L << EmbBandBits) - 1

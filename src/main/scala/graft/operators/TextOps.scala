@@ -1179,7 +1179,7 @@ object TextOps {
     * at [[PhashTau]]; PhashFloorSpec counts the candidates
     * themselves — the floor is a property of the band stage, not the
     * verify). */
-  private[operators] def phashCandPairs(reg: DataFrame): DataFrame = {
+  private[graft] def phashCandPairs(reg: DataFrame): DataFrame = {
     val sess = reg.sparkSession
     import sess.implicits._
     val m = reg.withColumn("L", length($"t").cast("long"))

@@ -80,6 +80,38 @@ def ensure_corpus():
         cwd=REPO, check=True)
 
 
+def wide_dials():
+    """The scale-path band geometries (r9 verdict #1: the r8 simhash
+    dial generalized to the whole hyperplane family) — the dials a
+    10^8+-item corpus would deploy, measured here at the decade where
+    the defaults' collision floors bite. The gate still runs the
+    default dials."""
+    return dict(
+        GRAFT_SIMHASH_GEOMETRY=os.environ.get(
+            "GRAFT_SIMHASH_GEOMETRY", "2:32:12"),
+        GRAFT_LSH_GEOMETRY=os.environ.get("GRAFT_LSH_GEOMETRY", "64:16"),
+        GRAFT_EMB_GEOMETRY=os.environ.get("GRAFT_EMB_GEOMETRY", "64:16"),
+        GRAFT_PHASH_GEOMETRY=os.environ.get(
+            "GRAFT_PHASH_GEOMETRY", "2:32:24"))
+
+
+def candidate_mass(sf_dir):
+    """Pre-verify candidate-pair counts for the banded families (r9
+    verdict #7) under the SAME wide dials the stress bench runs —
+    the floor measured directly, not inferred from wall ratios."""
+    env = dict(os.environ, **wide_dials())
+    out = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.CandidateMass {sf_dir}"],
+        cwd=REPO, env=env, check=True, capture_output=True, text=True)
+    for line in out.stdout.splitlines():
+        t = line.strip()
+        if t.startswith("[info] "):
+            t = t[len("[info] "):]
+        if t.startswith('{"sf_dir"'):
+            return json.loads(t)
+    sys.exit("[stress] CandidateMass produced no JSON line")
+
+
 def run_bench():
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=STRESS_DIR,
@@ -88,14 +120,7 @@ def run_bench():
                # NEVER write the canonical bench_summary.json — that
                # clobber defeated the anti-drift chain in r6 and r7
                SPARK_GRAFT_BENCH_OUT="bench_stress_summary.json",
-               # the scale path for simhash (r7 verdict #2): 2x64-bit
-               # signature, 32-bit bands, hamming<=12 — same semantic
-               # bar, collision floor pushed from n²/2^16 to n²/2^32.
-               # The gate still runs the default 1:16:6 dial; this is
-               # the geometry a 10^8+-doc corpus would deploy, measured
-               # here at the decade where the default's floor bites.
-               GRAFT_SIMHASH_GEOMETRY=os.environ.get(
-                   "GRAFT_SIMHASH_GEOMETRY", "2:32:12"),
+               **wide_dials(),
                # 10x data: give slow builds room before the watchdog
                SPARK_GRAFT_QUERY_TIMEOUT=os.environ.get(
                    "SPARK_GRAFT_QUERY_TIMEOUT", "420"),
@@ -114,6 +139,8 @@ def run_bench():
 
 def main():
     ensure_corpus()
+    cm_base = candidate_mass("/root/testdata/sf0.1")
+    cm_dec = candidate_mass(STRESS_DIR)
     d = run_bench()
     q = d["queries"]
     serves = {k: v for k, v in q.items()
@@ -123,15 +150,20 @@ def main():
         "note": "self-generated 10x stress corpus (StressGen: docs+embeddings"
                 "+events+lineitem/orders/customer, disjoint key spaces per"
                 " replica); subset = build_* + dedup/ANN/suffix/mm/stream +"
-                " relational/graph families; dedup_simhash runs the wide"
-                " 2:32:12 geometry (the >=1e6-doc deployment dial; gate +"
-                " sf0.1 use 1:16:6)",
+                " relational/graph families; the banded families run the"
+                " WIDE geometry dials (simhash 2:32:12, lsh/emb 64:16,"
+                " phash 2:32:24 — the >=1e6-item deployment dials; gate +"
+                " sf0.1 use the defaults); candidate_mass records their"
+                " pre-verify pair counts at both decade points",
         "n_ok": len(serves),
         "n_skipped": sum(1 for v in q.values() if v == -2.0),
         "total_sec": round(sum(serves.values()), 1),
         "worst": [worst[0], round(worst[1], 2)],
         "builds": {k: v for k, v in q.items() if k.startswith("build_")},
         "queries": q,
+        # r9 verdict #7: the banded families' pre-verify candidate
+        # mass at both decade points, same wide dials as the bench
+        "candidate_mass": {"sf0.1": cm_base, "sf1": cm_dec},
     }
     path = os.path.join(REPO, "bench_scaling.json")
     scal = json.load(open(path)) if os.path.exists(path) else {}
@@ -178,6 +210,39 @@ def main():
                   f"(bound {BOUNDS.get(name, BOUND_DEFAULT)}x)")
         sys.exit(1)
     print("[stress] decade-ratio guard: all serves within family bounds")
+
+    # Candidates-per-doc growth guard (r9 verdict #7): under the wide
+    # dials the random-collision floor is dead, so per-item candidate
+    # mass across the decade should track the corpus's PLANTED near
+    # structure (StressGen replicas), not n². Bounds carry headroom
+    # for the planted twins; a floor regression (narrowed bands, a
+    # broken dial) shows as ~10x per-item growth and fails here.
+    CAND_BOUND_DEFAULT = 4.0
+    CAND_BOUNDS = {
+        # per-ARRIVAL attach mass keeps a base-linear random term even
+        # under wide bands (bands/2^bits of the base) on top of the
+        # planted twins; decade headroom reflects that term
+        "nsw_attach": 6.0,
+    }
+    cand_viol = []
+    for fam, pd1 in cm_dec["per_doc"].items():
+        pd0 = cm_base["per_doc"].get(fam, 0)
+        if pd0 >= 0.05:
+            ratio = pd1 / pd0
+            bound = CAND_BOUNDS.get(fam, CAND_BOUND_DEFAULT)
+            print(f"[stress] candidates-per-item {fam}: "
+                  f"{pd0:.2f} -> {pd1:.2f} ({ratio:.2f}x, bound {bound}x)")
+            if ratio > bound:
+                cand_viol.append((fam, pd0, pd1, ratio, bound))
+        else:
+            print(f"[stress] candidates-per-item {fam}: "
+                  f"{pd0:.2f} -> {pd1:.2f} (floor dead at sf0.1 — no ratio)")
+    if cand_viol:
+        print("[stress] FAIL: candidates-per-item growth guard tripped:")
+        for fam, pd0, pd1, r, b in cand_viol:
+            print(f"  {r:6.2f}x  {fam:12s} {pd0:.2f} -> {pd1:.2f} (bound {b}x)")
+        sys.exit(1)
+    print("[stress] candidates-per-item guard: all banded families bounded")
 
 
 if __name__ == "__main__":
