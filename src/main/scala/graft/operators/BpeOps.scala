@@ -100,7 +100,10 @@ object BpeOps {
       .agg(sum(col("cnt")).as("pc"))
 
   /** Argmax pair of a (syms, cnt) vocab — ONE row to the driver via
-    * TakeOrderedAndProject, ties to the lexicographically first pair. */
+    * TakeOrderedAndProject, ties to the lexicographically first pair.
+    * The pre-batching trainer's selection step, kept as the
+    * SEQUENTIAL REFERENCE schedule BpeSpec proves the batched
+    * trainer equal to on conflict-free corpora. */
   private[operators] def bestPair(vocab: DataFrame): org.apache.spark.sql.Row =
     pairCounts(vocab)
       .orderBy(col("pc").desc, col("a").asc, col("b").asc)
@@ -140,7 +143,8 @@ object BpeOps {
       vocab: DataFrame, pairs: Seq[(String, String)]): DataFrame =
     vocab.select(mergeBatch(pairs)(col("syms")).as("syms"), col("cnt"))
 
-  /** Map-side greedy rewrite of the vocab under one merge. */
+  /** Map-side greedy rewrite of the vocab under one merge (the
+    * sequential reference schedule's apply step — see [[bestPair]]). */
   private[operators] def applyMerge(vocab: DataFrame, a: String, b: String): DataFrame =
     vocab.select(mergePair(col("syms"), lit(a), lit(b)).as("syms"), col("cnt"))
 

@@ -32,6 +32,19 @@ class BpeSpec extends SparkTestBase {
     assert(got(0) == ((1L, "x", "x", "xx", 9L)), s"merge1: ${got(0)}")
     assert(got(1) == ((2L, "a", "b", "ab", 5L)), s"merge2: ${got(1)}")
     assert(got(2) == ((3L, "xx", "xx", "xxxx", 3L)), s"merge3: ${got(2)}")
+    // mechanical equality with the ONE-merge-per-round reference
+    // schedule (bestPair/applyMerge — the pre-r10 trainer): on a
+    // corpus whose top pairs never conflict, the batched table must
+    // equal the sequential one merge for merge
+    var vocab = BpeOps.charVocab(docs)
+    val sequential = (1 to got.length).map { rank =>
+      val best = BpeOps.bestPair(vocab)
+      val (a, b, pc) = (best.getString(0), best.getString(1), best.getLong(2))
+      vocab = BpeOps.applyMerge(vocab, a, b)
+      (rank.toLong, a, b, a + b, pc)
+    }
+    assert(got == sequential,
+      s"batched schedule must equal sequential on a conflict-free corpus:\n$got\nvs\n$sequential")
   }
 
   test("bpe batching: a conflicting pair is held back to the next round with its TRUE count") {
