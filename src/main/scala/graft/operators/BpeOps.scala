@@ -164,6 +164,20 @@ object BpeOps {
       : Seq[(Long, String, String, String, Long)] =
     trainMergeBatches(docs).flatten
 
+  /** Session-scoped memo of the trained batches per corpus
+    * fingerprint (the HnswOps.edgesMemo discipline): train, encode,
+    * and fertility all serve the SAME merge table — without this the
+    * bench paid 12 driver rounds three times over (training is the
+    * expensive half of every BPE row; the table itself is a few
+    * hundred driver-side tuples). */
+  private val mergesMemo = new Memo[Seq[Seq[(Long, String, String, String, Long)]]]()
+
+  private def trainedBatches(s: SparkSession, dir: String)
+      : Seq[Seq[(Long, String, String, String, Long)]] =
+    mergesMemo.getOrElseUpdate(
+      s, dir + graft.mr.Fs.fingerprint(dir + "/documents.parquet"),
+      trainMergeBatches(Tables.documents(s, dir)))
+
   /** Same, grouped by round — the encode pass applies each round's
     * disjoint batch in one scan. */
   private[operators] def trainMergeBatches(docs: DataFrame)
@@ -192,7 +206,7 @@ object BpeOps {
     * after `Rounds` rounds. */
   val textBpeTrain: QueryFn = (s, dir) => {
     import s.implicits._
-    trainMerges(Tables.documents(s, dir))
+    trainedBatches(s, dir).flatten
       .toDF("rank", "lhs", "rhs", "merged", "pair_count")
       .orderBy($"rank")
   }
@@ -217,7 +231,7 @@ object BpeOps {
   val textBpeEncode: QueryFn = (s, dir) => {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val rounds = trainMergeBatches(docs)
+    val rounds = trainedBatches(s, dir)
     val base = docs
       .select($"doc_id", explode(normTokens($"text")).as("w"))
       .select($"doc_id", split($"w", "").as("syms"))
