@@ -71,7 +71,9 @@ object Bench {
       "build_nsw_graph" ->
         (() => operators.HnswOps.buildGraph(spark, sfDir)),
       "build_jaccard_cc" ->
-        (() => operators.DedupOps.buildClusterChain(spark, sfDir)))
+        (() => operators.DedupOps.buildClusterChain(spark, sfDir)),
+      "build_bpe_merges" ->
+        (() => operators.BpeOps.buildMerges(spark, sfDir)))
 
     // optional comma-separated subset for local iteration
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")

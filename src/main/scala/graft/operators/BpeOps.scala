@@ -172,6 +172,15 @@ object BpeOps {
     * hundred driver-side tuples). */
   private val mergesMemo = new Memo[Seq[Seq[(Long, String, String, String, Long)]]]()
 
+  /** Cold-build entry for the bench's `build_bpe_merges` row: pays
+    * the 12 training rounds once so the train/encode/fertility query
+    * rows report warm-serve semantics (the build_* discipline —
+    * session memos must never amortize invisibly into their first
+    * consumer). */
+  def buildMerges(s: SparkSession, dir: String): Unit = {
+    trainedBatches(s, dir); ()
+  }
+
   private def trainedBatches(s: SparkSession, dir: String)
       : Seq[Seq[(Long, String, String, String, Long)]] =
     mergesMemo.getOrElseUpdate(
