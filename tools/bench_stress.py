@@ -211,38 +211,42 @@ def main():
         sys.exit(1)
     print("[stress] decade-ratio guard: all serves within family bounds")
 
-    # Candidates-per-doc growth guard (r9 verdict #7): under the wide
-    # dials the random-collision floor is dead, so per-item candidate
-    # mass across the decade should track the corpus's PLANTED near
-    # structure (StressGen replicas), not n². Bounds carry headroom
-    # for the planted twins; a floor regression (narrowed bands, a
-    # broken dial) shows as ~10x per-item growth and fails here.
-    CAND_BOUND_DEFAULT = 4.0
-    CAND_BOUNDS = {
-        # per-ARRIVAL attach mass keeps a base-linear random term even
-        # under wide bands (bands/2^bits of the base) on top of the
-        # planted twins; decade headroom reflects that term
-        "nsw_attach": 6.0,
+    # Candidate-mass guard (r9 verdict #7): the floor's signature is
+    # per-item candidate mass that is a FRACTION OF THE CORPUS
+    # (per-item ~ n·bands/2^bits ⇒ total ~ n²). Decade GROWTH is the
+    # wrong yardstick on this corpus — it is ~90% planted near-dup
+    # replicas by construction, so per-item mass legitimately grows
+    # ~replication-factor× (that is recall, not the floor; the
+    # growth is printed above as evidence). The guard: at the decade
+    # point, no banded family may pay more than CAND_FRAC of its
+    # corpus per item — a dial regression to the default geometries
+    # (embedding 2/2⁸ ≈ 0.8%, nsw 12/16 = 75% of the base PER
+    # ARRIVAL) trips it; the wide dials measure 10⁻⁴–10⁻⁵ here.
+    CAND_FRAC = 0.005
+    denom = {
+        "minhash": cm_dec["n_docs"], "simhash": cm_dec["n_docs"],
+        "phash": cm_dec["n_docs"], "embedding": cm_dec["n_vecs"],
+        "nsw_attach": cm_dec["n_vecs"] - cm_dec["n_arrivals"],
     }
     cand_viol = []
     for fam, pd1 in cm_dec["per_doc"].items():
+        n = max(1, denom.get(fam, cm_dec["n_docs"]))
+        frac = pd1 / n
         pd0 = cm_base["per_doc"].get(fam, 0)
-        if pd0 >= 0.05:
-            ratio = pd1 / pd0
-            bound = CAND_BOUNDS.get(fam, CAND_BOUND_DEFAULT)
-            print(f"[stress] candidates-per-item {fam}: "
-                  f"{pd0:.2f} -> {pd1:.2f} ({ratio:.2f}x, bound {bound}x)")
-            if ratio > bound:
-                cand_viol.append((fam, pd0, pd1, ratio, bound))
-        else:
-            print(f"[stress] candidates-per-item {fam}: "
-                  f"{pd0:.2f} -> {pd1:.2f} (floor dead at sf0.1 — no ratio)")
+        growth = (pd1 / pd0) if pd0 > 0 else float("nan")
+        print(f"[stress] candidates-per-item {fam}: {pd0:.2f} -> {pd1:.2f} "
+              f"({growth:.1f}x decade growth; {frac:.6f} of corpus/item, "
+              f"bound {CAND_FRAC})")
+        if frac > CAND_FRAC:
+            cand_viol.append((fam, pd1, n, frac))
     if cand_viol:
-        print("[stress] FAIL: candidates-per-item growth guard tripped:")
-        for fam, pd0, pd1, r, b in cand_viol:
-            print(f"  {r:6.2f}x  {fam:12s} {pd0:.2f} -> {pd1:.2f} (bound {b}x)")
+        print("[stress] FAIL: candidate corpus-fraction guard tripped "
+              "(per-item mass is a corpus fraction — the floor):")
+        for fam, pd1, n, frac in cand_viol:
+            print(f"  {fam:12s} {pd1:.1f} cands/item over {n} items "
+                  f"= {frac:.4f} (bound {CAND_FRAC})")
         sys.exit(1)
-    print("[stress] candidates-per-item guard: all banded families bounded")
+    print("[stress] candidate corpus-fraction guard: all banded families bounded")
 
 
 if __name__ == "__main__":
