@@ -30,6 +30,17 @@ object PlanAudit {
         "partial agg before shuffle" -> (_.contains("partial_"))),
       // §2.H: the price filter must reach the ORC scan (stripe-level
       // min/max skipping — the same 100 TB contract as parquet)
+      "src_bucketed_join" -> Map(
+        // the point of bucketing: the fact-fact join must read both
+        // bucketed tables CO-LOCATED — SortMergeJoin with zero
+        // hash-partitioning exchanges anywhere under it (the only
+        // exchanges left are the rollup's and the output sort's)
+        "co-located sort-merge join" -> (_.contains("SortMergeJoin")),
+        "bucketed scans on both sides" -> (p =>
+          "Bucketed: true".r.findAllIn(p).size >= 2),
+        "no shuffle on the join key" -> (p =>
+          !p.contains("hashpartitioning(l_orderkey") &&
+          !p.contains("hashpartitioning(o_orderkey"))),
       "src_orc_roundtrip" -> Map(
         "price filter pushed to orc scan" -> (p =>
           "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_extendedprice".r

@@ -281,6 +281,7 @@ object SparkEntry {
     "src_text_dir"                -> operators.SourceSinkOps.srcTextDir,
     "src_object_store"            -> operators.SourceSinkOps.srcObjectStore,
     "src_schema_evolution"        -> operators.SourceSinkOps.srcSchemaEvolution,
+    "src_bucketed_join"           -> operators.SourceSinkOps.srcBucketedJoin,
     "src_orc_roundtrip"           -> operators.SourceSinkOps.srcOrcRoundtrip,
     "src_csv_malformed"           -> operators.SourceSinkOps.srcCsvMalformed,
   )
@@ -4238,6 +4239,20 @@ object SparkEntry {
         |  count(*) AS n,
         |  floor(CAST(sum(CAST((o_totalprice) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS total
         |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
+
+    // bucketed round trip proven against the ORIGINAL parquet: the
+    // join cardinality and decimal-exact revenue move if the bucketed
+    // write or the co-located read drops/duplicates a row
+    "src_bucketed_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE year(o_orderdate) = 1996)
+        |SELECT o_orderpriority,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  count(*) AS n_lines,
+        |  floor(CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS revenue
+        |FROM o JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** `dedup_minhash_lsh` replayed END-TO-END in DuckDB — the whole

@@ -243,4 +243,52 @@ object SourceSinkOps {
       .agg(count(lit(1)).as("n"), rnd(xsum($"o_totalprice"), 2).as("total"))
       .orderBy($"priority")
   }
+  /** BUCKETED-table co-located join — the table-LAYOUT lever for
+    * repeated fact-fact joins at 100 TB: both lineitem and orders are
+    * written `bucketBy(8, key).sortBy(key)` (saveAsTable records the
+    * bucket metadata in the catalog; external tables under the
+    * per-sfDir tmp path), and the join between the two bucketed reads
+    * plans as a SortMergeJoin with NO shuffle on EITHER side — the
+    * bucket files ARE the exchange, paid once at write time and
+    * amortized over every subsequent join on the key (PlanAudit
+    * asserts zero hashpartitioning exchanges under the join and
+    * bucketed scans on both sides). `hint("merge")` pins SMJ so the
+    * demonstration cannot silently degrade into a broadcast at the
+    * small gate SFs — at real scale neither side broadcasts anyway.
+    * The DuckDB oracle runs the same join+rollup over the ORIGINAL
+    * parquet, so a hash pass proves the bucketed round trip lossless
+    * (values AND join cardinality), exactly like the other §2.H
+    * sinks. */
+  val srcBucketedJoin: QueryFn = (s, dir) => {
+    import s.implicits._
+    val key = graft.mr.Fs.pathKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+      .toLowerCase
+    val lt = s"graft_bl_$key"
+    val ot = s"graft_bo_$key"
+    // idempotent per corpus: rebuild only when the catalog lacks the
+    // tables (overwrite with external paths keeps reruns clean)
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .write.mode("overwrite")
+      .option("path", ioDir(dir, "bucketed_lineitem"))
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable(lt)
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
+      .write.mode("overwrite")
+      .option("path", ioDir(dir, "bucketed_orders"))
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable(ot)
+    val l = s.table(lt)
+    val o = s.table(ot).where(year($"o_orderdate") === 1996)
+    o.hint("merge")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        countDistinct($"o_orderkey").as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        rnd(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
 }
