@@ -79,6 +79,7 @@ object SparkEntry {
     "q_markov_transitions"        -> operators.GraphOps.qMarkovTransitions,
     "q_triangle_count"            -> operators.GraphOps.qTriangleCount,
     "q_bfs_distance"              -> operators.GraphOps.qBfsDistance,
+    "q_kcore"                     -> operators.GraphOps.qKcore,
     // §2.A mapreduce parity
     "mr_wordcount"                -> TextOps.mrWordcount,
     "mr_wordcount_engine"         -> TextOps.mrWordcountEngine,
@@ -2728,6 +2729,121 @@ object SparkEntry {
         |  WHERE w.dist < 4)
         |SELECT CAST(node AS BIGINT) AS l_partkey, CAST(min(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY dist, l_partkey""".stripMargin,
+
+    // k-core peeling unrolled to the engine's asserted round cap —
+    // peeling is idempotent at the fixpoint, so the fixed unroll and
+    // the engine's converge-then-stop loop agree by construction
+    "q_kcore" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ee AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS MATERIALIZED (SELECT u, v FROM ee),
+        |d1 AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY node),
+        |k1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg >= ${operators.GraphOps.KcoreK}),
+        |e1 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e0 e
+        |  JOIN k1 a ON a.node = e.u JOIN k1 b ON b.node = e.v),
+        |d2 AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+        |  GROUP BY node),
+        |k2 AS MATERIALIZED (SELECT node FROM d2 WHERE deg >= ${operators.GraphOps.KcoreK}),
+        |e2 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e1 e
+        |  JOIN k2 a ON a.node = e.u JOIN k2 b ON b.node = e.v),
+        |d3 AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+        |  GROUP BY node),
+        |k3 AS MATERIALIZED (SELECT node FROM d3 WHERE deg >= ${operators.GraphOps.KcoreK}),
+        |e3 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e2 e
+        |  JOIN k3 a ON a.node = e.u JOIN k3 b ON b.node = e.v),
+        |d4 AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+        |  GROUP BY node),
+        |k4 AS MATERIALIZED (SELECT node FROM d4 WHERE deg >= ${operators.GraphOps.KcoreK}),
+        |e4 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e3 e
+        |  JOIN k4 a ON a.node = e.u JOIN k4 b ON b.node = e.v),
+        |d5 AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
+        |  GROUP BY node),
+        |k5 AS MATERIALIZED (SELECT node FROM d5 WHERE deg >= ${operators.GraphOps.KcoreK}),
+        |e5 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e4 e
+        |  JOIN k5 a ON a.node = e.u JOIN k5 b ON b.node = e.v),
+        |d6 AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e5 UNION ALL SELECT v FROM e5)
+        |  GROUP BY node),
+        |k6 AS MATERIALIZED (SELECT node FROM d6 WHERE deg >= ${operators.GraphOps.KcoreK}),
+        |e6 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e5 e
+        |  JOIN k6 a ON a.node = e.u JOIN k6 b ON b.node = e.v),
+        |d7 AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e6 UNION ALL SELECT v FROM e6)
+        |  GROUP BY node),
+        |k7 AS MATERIALIZED (SELECT node FROM d7 WHERE deg >= ${operators.GraphOps.KcoreK}),
+        |e7 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e6 e
+        |  JOIN k7 a ON a.node = e.u JOIN k7 b ON b.node = e.v),
+        |d8 AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e7 UNION ALL SELECT v FROM e7)
+        |  GROUP BY node),
+        |k8 AS MATERIALIZED (SELECT node FROM d8 WHERE deg >= ${operators.GraphOps.KcoreK}),
+        |e8 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e7 e
+        |  JOIN k8 a ON a.node = e.u JOIN k8 b ON b.node = e.v),
+        |d9 AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8)
+        |  GROUP BY node),
+        |k9 AS MATERIALIZED (SELECT node FROM d9 WHERE deg >= ${operators.GraphOps.KcoreK}),
+        |e9 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e8 e
+        |  JOIN k9 a ON a.node = e.u JOIN k9 b ON b.node = e.v),
+        |d10 AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e9 UNION ALL SELECT v FROM e9)
+        |  GROUP BY node),
+        |k10 AS MATERIALIZED (SELECT node FROM d10 WHERE deg >= ${operators.GraphOps.KcoreK}),
+        |e10 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e9 e
+        |  JOIN k10 a ON a.node = e.u JOIN k10 b ON b.node = e.v),
+        |d11 AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e10 UNION ALL SELECT v FROM e10)
+        |  GROUP BY node),
+        |k11 AS MATERIALIZED (SELECT node FROM d11 WHERE deg >= ${operators.GraphOps.KcoreK}),
+        |e11 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e10 e
+        |  JOIN k11 a ON a.node = e.u JOIN k11 b ON b.node = e.v),
+        |d12 AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e11 UNION ALL SELECT v FROM e11)
+        |  GROUP BY node),
+        |k12 AS MATERIALIZED (SELECT node FROM d12 WHERE deg >= ${operators.GraphOps.KcoreK}),
+        |e12 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e11 e
+        |  JOIN k12 a ON a.node = e.u JOIN k12 b ON b.node = e.v),
+        |fin AS (
+        |  SELECT node, count(*) AS core_degree FROM (
+        |    SELECT u AS node FROM e12 UNION ALL SELECT v FROM e12)
+        |  GROUP BY node)
+        |SELECT CAST(node AS BIGINT) AS part_id,
+        |  CAST(core_degree AS BIGINT) AS core_degree
+        |FROM fin ORDER BY part_id""".stripMargin,
 
     // trigram-profile language ID: top-64 profiles learned from the
     // doc_id%4==0 training quarter, held-out docs classified by

@@ -188,6 +188,74 @@ object GraphOps {
       .where($"support" >= 2).select($"u", $"v")
   }
 
+  /** Peeling threshold and round cap for [[qKcore]]. */
+  val KcoreK = 3
+  val KcoreMaxRounds = 12
+
+  /** K-CORE decomposition by iterative peeling (the graph family's
+    * DENSITY completion next to components/communities/triangles):
+    * repeatedly delete vertices whose degree in the SURVIVING
+    * subgraph is < k until a fixpoint — the maximal subgraph where
+    * everyone keeps ≥ k neighbors, the standard cohesion filter
+    * (spam/bot rings and long-tail noise peel away; the recommender
+    * core survives). Run at k = [[KcoreK]] over the support-≥2
+    * co-purchase part graph the triangle/BFS family shares.
+    *
+    * Scale shape: each round is one degree agg (partial+final) plus
+    * two semi-join-shaped equi-joins to drop edges with a peeled
+    * endpoint, `localCheckpoint` keeping lineage O(1) — the Pregel
+    * shape with a SHRINKING working set (peeling is monotone; most
+    * corpora converge in a handful of rounds). Convergence within
+    * [[KcoreMaxRounds]] is ASSERTED (the dedup_clusters fixpoint
+    * discipline), which is what lets the oracle unroll a FIXED
+    * round count: peeling is idempotent at the fixpoint, so the
+    * oracle's extra no-op rounds change nothing, and the two
+    * engines agree by construction rather than by luck. */
+  val qKcore: QueryFn = (s, dir) => {
+    import s.implicits._
+    // the peel's final localCheckpoint makes the double read cheap
+    val core = kcoreEdges(copurchaseEdges(s, dir), KcoreK)
+    core.select($"u".as("node"))
+      .unionByName(core.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("core_degree"))
+      .select($"node".cast("long").as("part_id"), $"core_degree")
+      .orderBy($"part_id")
+  }
+
+  /** The surviving edge set of the k-core peel over a canonical
+    * (u < v) edge frame — factored out so KcoreSpec can feed hand
+    * graphs (the [[triangleCorners]] discipline). Fixpoint within
+    * [[KcoreMaxRounds]] asserted. */
+  private[operators] def kcoreEdges(
+      edgesIn: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val sp = edgesIn.sparkSession
+    import sp.implicits._
+    var edges = edgesIn.localCheckpoint(true)
+    var before = edges.count()
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < KcoreMaxRounds) {
+      val deg = edges.select($"u".as("node"))
+        .unionByName(edges.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+      val keep = deg.where($"deg" >= k).select($"node")
+      val pruned = edges
+        .join(keep.select($"node".as("u")), "u")
+        .join(keep.select($"node".as("v")), "v")
+        .select($"u", $"v")
+        .localCheckpoint(true)
+      val after = pruned.count()
+      changed = after != before
+      before = after
+      edges = pruned
+      rounds += 1
+    }
+    require(!changed,
+      s"k-core peeling did not reach a fixpoint in $KcoreMaxRounds rounds")
+    edges
+  }
+
   /** Per-node triangle participation counts (node, n_tri) for an
     * undirected edge set given as canonical (u < v) pairs — the
     * compact-forward + adjacency-intersection core behind

@@ -268,4 +268,22 @@ class GraphOpsSpec extends SparkTestBase {
     val tTotal = got.map(_.getLong(4)).sum
     assert(math.abs(tTotal - nTotal) <= got.length, s"targets $tTotal vs corpus $nTotal")
   }
+
+  test("kcoreEdges: clique core survives, tails and bridges peel away") {
+    import spark.implicits._
+    // K5 on 1..5 (each degree 4) + a tail 5-10-11 (degrees 1-2) + a
+    // pendant 3-12: the 3-core is exactly the K5 — the tail peels in
+    // two rounds (11 first, then 10), the pendant in one, and the
+    // peel must NOT cascade into the clique (degrees there stay 4)
+    val k5 = for { u <- 1L to 5L; v <- (u + 1) to 5L } yield (u, v)
+    val extra = Seq((5L, 10L), (10L, 11L), (3L, 12L))
+    val edges = (k5 ++ extra).toDF("u", "v")
+    val core = GraphOps.kcoreEdges(edges, 3)
+      .as[(Long, Long)].collect().toSet
+    assert(core == k5.toSet, s"3-core must be exactly the K5, got $core")
+    // k above the clique degree empties the graph at the fixpoint
+    assert(GraphOps.kcoreEdges(edges, 5).count() == 0L)
+    // k=1 keeps everything (every endpoint of an edge has degree >= 1)
+    assert(GraphOps.kcoreEdges(edges, 1).count() == edges.count())
+  }
 }
