@@ -148,6 +148,7 @@ object SparkEntry {
     // §2.F multimodal stand-in
     "mm_media_stats"              -> TextOps.mmMediaStats,
     "mm_wav_meta"                 -> TextOps.mmWavMeta,
+    "mm_vtt_cues"                 -> operators.TextOps.mmVttCues,
     "mm_image_meta"               -> TextOps.mmImageMeta,
     "mm_image_phash"              -> TextOps.mmImagePhash,
     "mm_image_neardup"            -> TextOps.mmImageNeardup,
@@ -3202,6 +3203,23 @@ object SparkEntry {
         |        unnest([CAST(x AS BIGINT) for x in generate_series(1, n_frames)]) AS i
         |      FROM n) u
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the kept VTT cues constructed closed-form from the residues —
+    // a parser slip (mis-timed ms, kept settings, swallowed second
+    // line, an unskipped NOTE or malformed cue) lands on a value/row
+    "mm_vtt_cues" ->
+      """WITH v AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 5),
+        |c AS (
+        |  SELECT id, unnest(generate_series(1, 2 + CAST(id % 5 AS INT))) AS i
+        |  FROM v)
+        |SELECT id AS media_id, CAST(i - 1 AS BIGINT) AS cue_idx,
+        |  CAST((id % 3) * 400 + (i - 1) * 2500 AS BIGINT) AS start_ms,
+        |  CAST((id % 3) * 400 + (i - 1) * 2500 + 1500 + 100 * (i % 4) AS BIGINT) AS end_ms,
+        |  CAST(1500 + 100 * (i % 4) AS BIGINT) AS dur_ms,
+        |  CAST(CASE WHEN i % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_lines,
+        |  'cue ' || i || ' of media ' || id ||
+        |    CASE WHEN i % 2 = 0 THEN ' / line two' ELSE '' END AS text
+        |FROM c ORDER BY media_id, cue_idx""".stripMargin,
 
     // the canonical URL CONSTRUCTED from the fixture's closed forms —
     // a parser slip (kept fragment, unsorted params, :443 stripped on

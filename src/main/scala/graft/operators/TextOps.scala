@@ -1048,6 +1048,65 @@ object TextOps {
       .orderBy($"media_a", $"media_b")
   }
 
+  /** WebVTT cue extraction — the SUBTITLE/caption text track of the
+    * video modality (next to mm_mp4_samples' frame schedule: the
+    * container says where frames are, the VTT track says what is
+    * SAID when — the alignment a caption-training pipeline consumes).
+    * Every %7==5 doc gets a deterministic VTT payload written by
+    * [[graft.multimodal.Vtt.formatTs]] and read back by the REAL
+    * [[graft.multimodal.Vtt.parse]]: both timestamp shapes (hourful
+    * on even ids, hour-less on odd — a one-shape parser hash-fails),
+    * CRLF line endings on id%4==2, NOTE blocks, optional cue-id
+    * lines on odd cues, cue settings after the arrow on even cues,
+    * 1-vs-2-line payloads, and a MALFORMED trailing cue on id%6==0
+    * that must be skipped whole (keeping it adds a row — hash fail).
+    * The oracle constructs the kept cues closed-form from the
+    * residues; every parser slip (mis-timed ms, kept settings text,
+    * swallowed second line, unskipped NOTE) lands on a value.
+    *
+    * Scale shape: map-only parse per payload (text-track files are
+    * KB-scale); the only exchange is the output sort. */
+  val mmVttCues: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir).where($"doc_id" % 7 === 5)
+      .select($"doc_id").as[Long]
+      .flatMap { id =>
+        val nl = if (id % 4 == 2) "\r\n" else "\n"
+        val sb = new StringBuilder
+        sb.append("WEBVTT").append(nl).append(nl)
+        sb.append("NOTE generated fixture").append(nl)
+          .append("meta " + id).append(nl).append(nl)
+        val n = 2 + (id % 5).toInt
+        val base = (id % 3) * 400
+        for (i <- 1 to n) {
+          val st = base + (i - 1) * 2500L
+          val en = st + 1500 + 100 * (i % 4)
+          val short = id % 2 == 1
+          if (i % 2 == 1) sb.append(s"c$i").append(nl)
+          sb.append(graft.multimodal.Vtt.formatTs(st, short))
+            .append(" --> ")
+            .append(graft.multimodal.Vtt.formatTs(en, short))
+          if (i % 2 == 0) sb.append(" align:start line:0")
+          sb.append(nl)
+          sb.append(s"cue $i of media $id").append(nl)
+          if (i % 2 == 0) sb.append("line two").append(nl)
+          sb.append(nl)
+        }
+        if (id % 6 == 0) {
+          sb.append("bad").append(nl)
+            .append("99:99 --> nonsense").append(nl)
+            .append("dropped payload").append(nl)
+        }
+        graft.multimodal.Vtt.parse(sb.toString).map { c =>
+          (id, c.idx.toLong, c.startMs, c.endMs, c.endMs - c.startMs,
+            c.lines.length.toLong, c.lines.mkString(" / "))
+        }
+      }
+      .toDF("media_id", "cue_idx", "start_ms", "end_ms", "dur_ms",
+        "n_lines", "text")
+      .orderBy($"media_id", $"cue_idx")
+  }
+
   /** Byte-grain CDC boundary mask (low 5 bits ⇒ ~32-byte average
     * chunks) and minimum reported chunk size. */
   val ByteCdcMask = 31L
