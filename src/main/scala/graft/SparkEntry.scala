@@ -279,6 +279,7 @@ object SparkEntry {
     // original parquet (SourceSinkOps doc for the lossless-ness rules)
     "src_csv_roundtrip"           -> operators.SourceSinkOps.srcCsvRoundtrip,
     "src_json_roundtrip"          -> operators.SourceSinkOps.srcJsonRoundtrip,
+    "src_json_malformed"          -> operators.SourceSinkOps.srcJsonMalformed,
     "src_partitioned_sink"        -> operators.SourceSinkOps.srcPartitionedSink,
     "src_text_dir"                -> operators.SourceSinkOps.srcTextDir,
     "src_object_store"            -> operators.SourceSinkOps.srcObjectStore,
@@ -4387,6 +4388,36 @@ object SparkEntry {
         |  floor(CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS revenue
         |FROM o JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the json reader's three corruption classes replayed closed-form
+    // from the residues: truncated objects and type mismatches
+    // quarantine (mismatches keep their PARTIAL siblings — Spark's
+    // enablePartialResults semantics, pinned here: s survives, v
+    // sums, k nulls), while missing fields are LEGAL JSON and must
+    // land as plain NULLs outside the corrupt group
+    "src_json_malformed" ->
+      """WITH cls AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 12 IN (5, 8) THEN 'corrupt'
+        |         WHEN doc_id % 12 = 10 THEN 'missing'
+        |         ELSE 'valid' END AS cls
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT FALSE AS corrupt, FALSE AS missing_v,
+        |    count(*) AS n, count(*) AS n_keys,
+        |    count(DISTINCT 't' || CAST(id % 5 AS VARCHAR)) AS n_s,
+        |    floor(CAST(sum(CAST((id % 7) * 1.25 AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS sum_v
+        |  FROM cls WHERE cls = 'valid' HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT FALSE, TRUE, count(*), count(*),
+        |    count(DISTINCT 't' || CAST(id % 5 AS VARCHAR)), 0.0
+        |  FROM cls WHERE cls = 'missing' HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT TRUE, FALSE, count(*), CAST(0 AS BIGINT),
+        |    count(DISTINCT CASE WHEN id % 12 = 8 THEN 't' || CAST(id % 5 AS VARCHAR) END),
+        |    floor((0.5 * count(CASE WHEN id % 12 = 8 THEN 1 END))*100 + 0.5)/100
+        |  FROM cls WHERE cls = 'corrupt' HAVING count(*) > 0)
+        |ORDER BY corrupt, missing_v""".stripMargin,
   )
 
   /** `dedup_minhash_lsh` replayed END-TO-END in DuckDB — the whole

@@ -222,6 +222,52 @@ object SourceSinkOps {
       .orderBy($"corrupt")
   }
 
+  /** The JSON twin of [[srcCsvMalformed]] — json lines carry their
+    * OWN corruption classes (syntactically broken objects, type
+    * mismatches against the read schema, and MISSING fields — which
+    * are legal JSON and must surface as NULLs, NOT corruption): per
+    * doc one hand-built line by residue class, read back PERMISSIVE
+    * with `_corrupt_record`, classified and decimal-exact-summed.
+    * The oracle constructs the class counts and the valid-row sum
+    * closed-form from the residues, so a reader that quarantines a
+    * missing-field row (over-strict), passes a type-mismatched one
+    * (under-strict), or mis-sums around either hash-fails. Every
+    * schema column is referenced (the csv column-pruning lesson:
+    * pruned readers stop quarantining errors outside the
+    * projection). Values are dyadic (id%7 · 1.25) so the sum is
+    * exact at any aggregation order. */
+  val srcJsonMalformed: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = ioDir(dir, "docs_json_hostile")
+    Tables.documents(s, dir).select($"doc_id").as[Long]
+      .map { id =>
+        (id % 12) match {
+          case 5  => s"""{"k": $id, "v": """ // truncated object
+          case 8  => s"""{"k": "notanum", "v": 0.5, "s": "t${id % 5}"}""" // k type mismatch
+          case 10 => s"""{"k": $id, "s": "t${id % 5}"}""" // missing v: legal JSON
+          case _  => s"""{"k": $id, "v": ${(id % 7).toDouble * 1.25}, "s": "t${id % 5}"}"""
+        }
+      }
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType),
+      StructField("s", StringType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .select(($"_corrupt_record".isNotNull).as("corrupt"),
+        ($"_corrupt_record".isNull && $"v".isNull).as("missing_v"),
+        $"k", $"v", $"s")
+      .groupBy($"corrupt", $"missing_v")
+      .agg(count(lit(1)).as("n"),
+        count($"k").as("n_keys"),
+        count_distinct($"s").as("n_s"),
+        rnd(xsum(coalesce($"v", lit(0.0))), 2).as("sum_v"))
+      .orderBy($"corrupt", $"missing_v")
+  }
+
   /** Two parquet generations with different schemas (v2 adds
     * `o_orderpriority`) merged by `mergeSchema` — the schema-
     * evolution read every long-lived 100 TB table eventually needs;
