@@ -149,6 +149,7 @@ object SparkEntry {
     "mm_media_stats"              -> TextOps.mmMediaStats,
     "mm_wav_meta"                 -> TextOps.mmWavMeta,
     "mm_vtt_cues"                 -> operators.TextOps.mmVttCues,
+    "mm_png_meta"                 -> operators.TextOps.mmPngMeta,
     "mm_image_meta"               -> TextOps.mmImageMeta,
     "mm_image_phash"              -> TextOps.mmImagePhash,
     "mm_image_neardup"            -> TextOps.mmImageNeardup,
@@ -280,6 +281,7 @@ object SparkEntry {
     "src_csv_roundtrip"           -> operators.SourceSinkOps.srcCsvRoundtrip,
     "src_json_roundtrip"          -> operators.SourceSinkOps.srcJsonRoundtrip,
     "src_json_malformed"          -> operators.SourceSinkOps.srcJsonMalformed,
+    "src_xml_roundtrip"           -> operators.SourceSinkOps.srcXmlRoundtrip,
     "src_partitioned_sink"        -> operators.SourceSinkOps.srcPartitionedSink,
     "src_text_dir"                -> operators.SourceSinkOps.srcTextDir,
     "src_object_store"            -> operators.SourceSinkOps.srcObjectStore,
@@ -3222,6 +3224,26 @@ object SparkEntry {
         |    CASE WHEN i % 2 = 0 THEN ' / line two' ELSE '' END AS text
         |FROM c ORDER BY media_id, cue_idx""".stripMargin,
 
+    // the png chunk walk replayed closed-form from the residues: the
+    // encoder's pinned choices (8-bit truecolor, no interlace), our
+    // framed tEXt on %6==0, the counted-not-fatal IHDR CRC flip on
+    // %6==1, the mid-IEND truncation keeping IHDR scalars on %6==2,
+    // the broken signature nulling everything on %6==3
+    "mm_png_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 6 = 3 THEN 'not_png'
+        |       WHEN doc_id % 6 = 2 THEN 'truncated' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 6 = 3 THEN NULL ELSE CAST(8 + (doc_id % 16) AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 6 = 3 THEN NULL ELSE CAST(8 + (doc_id % 10) AS BIGINT) END AS height,
+        |  CASE WHEN doc_id % 6 = 3 THEN NULL ELSE CAST(8 AS BIGINT) END AS bit_depth,
+        |  CASE WHEN doc_id % 6 = 3 THEN NULL ELSE CAST(2 AS BIGINT) END AS color_type,
+        |  CASE WHEN doc_id % 6 = 3 THEN NULL ELSE CAST(0 AS BIGINT) END AS interlace,
+        |  CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_text,
+        |  CASE WHEN doc_id % 6 = 0 THEN 'src=doc' || CAST(doc_id AS VARCHAR) END AS text_kv,
+        |  CAST(CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_bad_crc,
+        |  (doc_id % 6 NOT IN (2, 3)) AS saw_iend
+        |FROM documents WHERE doc_id % 7 = 3 ORDER BY media_id""".stripMargin,
+
     // the canonical URL CONSTRUCTED from the fixture's closed forms —
     // a parser slip (kept fragment, unsorted params, :443 stripped on
     // http, case-folded path, a surviving dot segment or trailing
@@ -4418,6 +4440,20 @@ object SparkEntry {
         |    floor((0.5 * count(CASE WHEN id % 12 = 8 THEN 1 END))*100 + 0.5)/100
         |  FROM cls WHERE cls = 'corrupt' HAVING count(*) > 0)
         |ORDER BY corrupt, missing_v""".stripMargin,
+
+    // the xml round trip judged against the ORIGINAL parquet: entity
+    // escaping must survive both directions (the ' <&> ' tag lands in
+    // min()), the nested contact element must re-read into its two
+    // distinct-counts, doubles must re-parse to identical bits for
+    // the acctbal filter and sum
+    "src_xml_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  floor(CAST(sum(CAST(c_acctbal AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS sum_bal,
+        |  count(DISTINCT 'c' || CAST(c_custkey % 97 AS VARCHAR)) AS n_codes,
+        |  count(DISTINCT c_nationkey) AS n_nations,
+        |  min(c_name || ' <&> ' || c_mktsegment) AS first_tag
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** `dedup_minhash_lsh` replayed END-TO-END in DuckDB — the whole

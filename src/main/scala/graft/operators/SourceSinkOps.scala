@@ -268,6 +268,45 @@ object SourceSinkOps {
       .orderBy($"corrupt", $"missing_v")
   }
 
+  /** customer → XML (Spark 4's built-in source — the feed format
+    * enterprise exports still arrive in) → schema'd read → segment
+    * rollup. XML-NATIVE round-trip hazards are made load-bearing:
+    * `tagged` embeds ` <&> ` so entity escaping must survive both
+    * directions (an unescaped writer produces unparseable rows, a
+    * lax reader corrupts the string `min()` lands on); `contact` is
+    * a NESTED element (the structure XML has and csv doesn't) whose
+    * fields feed two distinct-counts; doubles round-trip through
+    * shortest-round-trip decimal text exactly as the csv/json twins.
+    * Oracle runs the same rollup over the ORIGINAL parquet. */
+  val srcXmlRoundtrip: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = ioDir(dir, "customer_xml")
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        concat($"c_name", lit(" <&> "), $"c_mktsegment").as("tagged"),
+        struct(concat(lit("c"), $"c_custkey" % 97).as("code"),
+          $"c_nationkey".as("nation")).as("contact"))
+      .write.mode("overwrite").option("rowTag", "customer")
+      .format("xml").save(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("c_acctbal", DoubleType),
+      StructField("tagged", StringType),
+      StructField("contact", StructType(Seq(
+        StructField("code", StringType), StructField("nation", LongType))))))
+    s.read.schema(schema).option("rowTag", "customer")
+      .format("xml").load(out)
+      .where($"c_acctbal" > 0.0)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        rnd(xsum($"c_acctbal"), 2).as("sum_bal"),
+        count_distinct($"contact.code").as("n_codes"),
+        count_distinct($"contact.nation").as("n_nations"),
+        min($"tagged").as("first_tag"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Two parquet generations with different schemas (v2 adds
     * `o_orderpriority`) merged by `mergeSchema` — the schema-
     * evolution read every long-lived 100 TB table eventually needs;

@@ -1107,6 +1107,61 @@ object TextOps {
       .orderBy($"media_id", $"cue_idx")
   }
 
+  /** PNG CONTAINER walk over real encoder output — the structural
+    * triage a 100 TB image corpus runs before (or instead of) any
+    * pixel decode: chunk framing, IHDR scalars, per-chunk CRC-32
+    * validation, `tEXt` provenance metadata, and the corruption
+    * classes transit actually produces. Each %7==3 doc encodes a
+    * deterministic test card through the REAL `javax.imageio` PNG
+    * writer, then a residue class mutates the bytes:
+    * id%6==0 gets a `tEXt` chunk framed by [[graft.multimodal.Png
+    * .insertText]] (our CRC — the walker must verify a chunk we
+    * framed, not trust the encoder), id%6==1 flips an IHDR CRC byte
+    * (counted, walk continues — ancillary corruption must not hide
+    * the table), id%6==2 truncates mid-IEND, id%6==3 breaks the
+    * signature. The oracle states every field closed-form from the
+    * residues, so a walker slip — a swallowed bad-CRC chunk, scalars
+    * dropped on truncation, a tEXt keyword split at the wrong NUL —
+    * lands on a value. The encoder's choices (8-bit truecolor,
+    * no interlace) are pinned: a JDK that changed them would fail
+    * loudly here AND in PngSpec, which is the desired alarm.
+    *
+    * Scale shape: map-only per payload (encode+mutate+walk in one
+    * task, no pixel decode); the only exchange is the output sort. */
+  val mmPngMeta: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir).where($"doc_id" % 7 === 3)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val w = 8 + (id % 16).toInt
+        val h = 8 + (id % 10).toInt
+        val clean = graft.multimodal.ImageCodec.encode(
+          graft.multimodal.ImageCodec.renderGray(id, w, h), "png")
+        val bytes = (id % 6) match {
+          case 0 => graft.multimodal.Png.insertText(clean, "src", s"doc$id")
+          case 1 =>
+            val b = clean.clone()
+            // sig(8) + len(4) + type(4) + ihdr data(13) = first crc byte
+            b(29) = (b(29) ^ 0x5A).toByte
+            b
+          case 2 => clean.dropRight(7) // mid-IEND cut
+          case 3 => val b = clean.clone(); b(0) = 0x00; b
+          case _ => clean
+        }
+        val m = graft.multimodal.Png.parse(bytes)
+        (id, m.status, m.width.map(_.toLong), m.height.map(_.toLong),
+          m.bitDepth.map(_.toLong), m.colorType.map(_.toLong),
+          m.interlace.map(_.toLong),
+          m.texts.length.toLong,
+          m.texts.headOption.map { case (k, v) => s"$k=$v" },
+          m.badCrcCount.toLong, m.sawIend)
+      }
+      .toDF("media_id", "status", "width", "height", "bit_depth",
+        "color_type", "interlace", "n_text", "text_kv", "n_bad_crc",
+        "saw_iend")
+      .orderBy($"media_id")
+  }
+
   /** Byte-grain CDC boundary mask (low 5 bits ⇒ ~32-byte average
     * chunks) and minimum reported chunk size. */
   val ByteCdcMask = 31L
