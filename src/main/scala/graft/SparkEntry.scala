@@ -282,6 +282,7 @@ object SparkEntry {
     "src_json_roundtrip"          -> operators.SourceSinkOps.srcJsonRoundtrip,
     "src_json_malformed"          -> operators.SourceSinkOps.srcJsonMalformed,
     "src_xml_roundtrip"           -> operators.SourceSinkOps.srcXmlRoundtrip,
+    "src_warc_records"            -> operators.SourceSinkOps.srcWarcRecords,
     "src_partitioned_sink"        -> operators.SourceSinkOps.srcPartitionedSink,
     "src_text_dir"                -> operators.SourceSinkOps.srcTextDir,
     "src_object_store"            -> operators.SourceSinkOps.srcObjectStore,
@@ -4454,6 +4455,28 @@ object SparkEntry {
         |  min(c_name || ' <&> ' || c_mktsegment) AS first_tag
         |FROM customer WHERE c_acctbal > 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the warc walk replayed closed-form from the residues: %9==4
+    // records (corrupted Content-Length) are ABSENT — the reader
+    // dropped them and resynced; %9==7 records are present but
+    // invalid with a NULL type; %5==0 payloads carry the embedded
+    // WARC/ trap line whose 19 bytes and 2 tokens land in
+    // content_length/n_tokens — a reader that split on it would
+    // shred both
+    "src_warc_records" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id FROM documents
+        |  WHERE doc_id % 7 = 6 AND doc_id % 9 <> 4)
+        |SELECT id AS uri_id,
+        |  CASE WHEN id % 9 = 7 THEN NULL
+        |       WHEN id % 3 = 0 THEN 'response'
+        |       WHEN id % 3 = 1 THEN 'request' ELSE 'metadata' END AS warc_type,
+        |  CAST(5 + length(CAST(id AS VARCHAR)) + 4 * (id % 11)
+        |    + CASE WHEN id % 5 = 0 THEN 19 ELSE 0 END AS BIGINT) AS content_length,
+        |  (id % 5 = 0) AS has_marker,
+        |  CAST(2 + (id % 11) + CASE WHEN id % 5 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_tokens,
+        |  (id % 9 <> 7) AS valid
+        |FROM w ORDER BY uri_id""".stripMargin,
   )
 
   /** `dedup_minhash_lsh` replayed END-TO-END in DuckDB — the whole

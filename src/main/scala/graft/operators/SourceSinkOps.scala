@@ -268,6 +268,73 @@ object SourceSinkOps {
       .orderBy($"corrupt", $"missing_v")
   }
 
+  /** WARC record source — the wire format web-crawl corpora arrive
+    * in (Common Crawl ships petabytes of it), so the FIRST read of a
+    * pretraining pipeline. Per %7==6 doc one record; records are
+    * CONCATENATED into multi-record files (8 groups), because the
+    * format's defining property is Content-Length FRAMING across
+    * record boundaries: %5==0 payloads embed a `WARC/1.1 embedded`
+    * line that a delimiter-scanning reader would split on (the
+    * strict version-line check plus byte-count skip carry it);
+    * %9==4 records corrupt their Content-Length — the reader drops
+    * them and must RESYNC so every later record in the same file
+    * still lands; %9==7 records omit the mandatory WARC-Type —
+    * framing intact, kept, marked invalid. The oracle states every
+    * surviving record's fields closed-form from the residues, so a
+    * reader that splits on the trap line, fails to resync, or
+    * quarantines the merely-invalid record hash-fails.
+    *
+    * Scale shape: file build is one shuffle to the group key; the
+    * read is `binaryFile` + a map-only per-file record walk (real
+    * WARC files are ~1 GB members read exactly this way); the only
+    * other exchange is the output sort. */
+  val srcWarcRecords: QueryFn = (s, dir) => {
+    import s.implicits._
+    import java.nio.charset.StandardCharsets.US_ASCII
+    val out = ioDir(dir, "docs_warc")
+    Tables.documents(s, dir).where($"doc_id" % 7 === 6)
+      .select($"doc_id").as[Long]
+      .groupByKey(id => (id / 7) % 8)
+      .mapGroups { (_, ids) =>
+        val sb = new StringBuilder
+        ids.toSeq.sorted.foreach { id =>
+          val payload = (s"uri $id\n" + "tok " * (id % 11).toInt +
+            (if (id % 5 == 0) "WARC/1.1 embedded\r\n" else ""))
+            .getBytes(US_ASCII)
+          val typ = (id % 3) match {
+            case 0 => "response"; case 1 => "request"; case _ => "metadata"
+          }
+          val base = Seq(
+            "WARC-Record-ID" -> s"<urn:uuid:$id>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "WARC-Target-URI" -> s"http://ex.com/$id")
+          val hdrs =
+            if (id % 9 == 4) base ++ Seq("WARC-Type" -> typ, "Content-Length" -> "xyz")
+            else if (id % 9 == 7) base
+            else base ++ Seq("WARC-Type" -> typ)
+          sb.append(new String(graft.sources.Warc.render(hdrs, payload), US_ASCII))
+        }
+        sb.toString
+      }
+      .write.mode("overwrite").text(out)
+    s.read.format("binaryFile").option("pathGlobFilter", "part-*").load(out)
+      .select($"content").as[Array[Byte]]
+      .flatMap { bytes =>
+        graft.sources.Warc.parse(bytes).map { r =>
+          val body = new String(r.payload, US_ASCII)
+          (r.targetUri.flatMap(_.split("/").lastOption)
+            .map(_.toLong).getOrElse(-1L),
+            r.warcType, r.contentLength,
+            body.contains("WARC/"),
+            body.split("\\s+").count(_.nonEmpty).toLong,
+            r.valid)
+        }
+      }
+      .toDF("uri_id", "warc_type", "content_length", "has_marker",
+        "n_tokens", "valid")
+      .orderBy($"uri_id")
+  }
+
   /** customer → XML (Spark 4's built-in source — the feed format
     * enterprise exports still arrive in) → schema'd read → segment
     * rollup. XML-NATIVE round-trip hazards are made load-bearing:
