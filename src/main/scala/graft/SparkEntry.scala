@@ -283,6 +283,7 @@ object SparkEntry {
     "src_json_malformed"          -> operators.SourceSinkOps.srcJsonMalformed,
     "src_xml_roundtrip"           -> operators.SourceSinkOps.srcXmlRoundtrip,
     "src_warc_records"            -> operators.SourceSinkOps.srcWarcRecords,
+    "src_compressed_text"         -> operators.SourceSinkOps.srcCompressedText,
     "src_partitioned_sink"        -> operators.SourceSinkOps.srcPartitionedSink,
     "src_text_dir"                -> operators.SourceSinkOps.srcTextDir,
     "src_object_store"            -> operators.SourceSinkOps.srcObjectStore,
@@ -4477,6 +4478,25 @@ object SparkEntry {
         |  CAST(2 + (id % 11) + CASE WHEN id % 5 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_tokens,
         |  (id % 9 <> 7) AS valid
         |FROM w ORDER BY uri_id""".stripMargin,
+
+    // both codecs must decompress to the byte-identical stream: the
+    // per-codec rows are the SAME closed-form line/token/prefix
+    // accounting over documents (each doc reads back as nl(text)+1
+    // lines — the writer terminates records, embedded newlines
+    // re-split, empty lines are KEPT by the text source)
+    "src_compressed_text" ->
+      """WITH l AS (
+        |  SELECT unnest(string_split(text, chr(10))) AS line FROM documents),
+        |agg AS (
+        |  SELECT count(*) AS n_lines,
+        |    (SELECT CAST(count(*) AS BIGINT)
+        |     FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+        |           FROM documents) t WHERE w <> '') AS n_tokens,
+        |    count(DISTINCT CASE WHEN line <> '' THEN substring(line, 1, 16) END) AS n_prefixes
+        |  FROM l)
+        |SELECT codec, n_lines, n_tokens, n_prefixes
+        |FROM (SELECT 'bzip2' AS codec UNION ALL SELECT 'gzip') c
+        |CROSS JOIN agg ORDER BY codec""".stripMargin,
   )
 
   /** `dedup_minhash_lsh` replayed END-TO-END in DuckDB — the whole

@@ -121,6 +121,45 @@ object SourceSinkOps {
       .orderBy($"word")
   }
 
+  /** Compressed-text ingestion across codecs — the SPLITTABILITY
+    * lever of 100 TB text ingestion made a gated fact: the same
+    * corpus is written as `.txt.gz` (gzip: NOT splittable — one
+    * whole-file task per object, which is why crawl dumps ship as
+    * many ~1 GB members rather than one archive) and as `.txt.bz2`
+    * (bzip2: block-splittable — Spark fans one file out to many
+    * tasks), then both are read back through the codec-sniffing
+    * text source and rolled up PER CODEC. The hash proves
+    * byte-identity of the decompressed streams: both codecs must
+    * yield the same line count, token mass, and distinct-token
+    * count as the original documents table — a codec that drops a
+    * trailing unterminated line, mis-handles an empty line, or
+    * splits a bzip2 block mid-record moves a value. Line accounting
+    * is exact: each doc contributes nl(text)+1 read lines (the
+    * writer terminates records; embedded newlines re-split — the
+    * src_text_dir invariance, now plus empty lines which the text
+    * source KEEPS and csv would drop).
+    *
+    * Scale shape: map-only decode; the rollup shuffles token
+    * volume; codec choice changes PARALLELISM, never results. */
+  val srcCompressedText: QueryFn = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"text")
+    val codecs = Seq("gzip", "bzip2")
+    val reads = codecs.map { codec =>
+      val out = ioDir(dir, s"docs_txt_$codec")
+      docs.write.mode("overwrite").option("compression", codec).text(out)
+      s.read.text(out).select(lit(codec).as("codec"), $"value")
+    }
+    reads.reduce(_ unionAll _)
+      .groupBy($"codec")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(size(filter(split($"value", "\\s+"), w => w =!= ""))
+          .cast("long")).as("n_tokens"),
+        count_distinct(when($"value" =!= "",
+          substring($"value", 1, 16))).as("n_prefixes"))
+      .orderBy($"codec")
+  }
+
   /** orders → parquet on `objstore://` (the in-JVM flat-keyspace,
     * atomic-PUT, rename-is-copy+delete object store, S3-semantics —
     * ObjectStoreFileSystem.scala) → read back → rollup. Proves the
