@@ -150,6 +150,7 @@ object SparkEntry {
     "mm_wav_meta"                 -> TextOps.mmWavMeta,
     "mm_vtt_cues"                 -> operators.TextOps.mmVttCues,
     "mm_png_meta"                 -> operators.TextOps.mmPngMeta,
+    "mm_flac_meta"                -> operators.TextOps.mmFlacMeta,
     "mm_image_meta"               -> TextOps.mmImageMeta,
     "mm_image_phash"              -> TextOps.mmImagePhash,
     "mm_image_neardup"            -> TextOps.mmImageNeardup,
@@ -3245,6 +3246,33 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_bad_crc,
         |  (doc_id % 6 NOT IN (2, 3)) AS saw_iend
         |FROM documents WHERE doc_id % 7 = 3 ORDER BY media_id""".stripMargin,
+
+    // the flac walk replayed closed-form: bit-packed STREAMINFO
+    // fields by residue, duration = total·1000/rate floored (the
+    // demuxer arithmetic), block counts per corruption class —
+    // mid-STREAMINFO cut nulls fields, an overrunning second block
+    // keeps them, broken magic nulls everything
+    "mm_flac_meta" ->
+      """WITH f AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 2),
+        |v AS (SELECT id, id % 6 AS cls,
+        |  CASE id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+        |       WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+        |  1 + (id % 2) AS ch,
+        |  CASE WHEN id % 3 = 0 THEN 24 ELSE 16 END AS bps,
+        |  1000 + (id % 9000) AS total
+        |  FROM f)
+        |SELECT id AS media_id,
+        |  CASE WHEN cls = 2 THEN 'not_flac'
+        |       WHEN cls IN (1, 3) THEN 'truncated' ELSE 'ok' END AS status,
+        |  CASE WHEN cls IN (1, 2) THEN NULL ELSE CAST(rate AS BIGINT) END AS sample_rate,
+        |  CASE WHEN cls IN (1, 2) THEN NULL ELSE CAST(ch AS BIGINT) END AS channels,
+        |  CASE WHEN cls IN (1, 2) THEN NULL ELSE CAST(bps AS BIGINT) END AS bps,
+        |  CASE WHEN cls IN (1, 2) THEN NULL ELSE CAST(total AS BIGINT) END AS total_samples,
+        |  CASE WHEN cls IN (1, 2) THEN NULL ELSE CAST((total * 1000) // rate AS BIGINT) END AS duration_ms,
+        |  CAST(CASE cls WHEN 0 THEN 2 WHEN 3 THEN 1 WHEN 4 THEN 3 WHEN 5 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks,
+        |  CASE WHEN cls IN (0, 4) THEN 'doc' || CAST(id AS VARCHAR) END AS title,
+        |  CASE WHEN cls IN (0, 4) THEN 'l' || CAST(id % 4 AS VARCHAR) END AS lang
+        |FROM v ORDER BY media_id""".stripMargin,
 
     // the canonical URL CONSTRUCTED from the fixture's closed forms —
     // a parser slip (kept fragment, unsorted params, :443 stripped on

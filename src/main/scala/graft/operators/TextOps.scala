@@ -1162,6 +1162,62 @@ object TextOps {
       .orderBy($"media_id")
   }
 
+  /** FLAC metadata walk — the COMPRESSED-audio triage next to
+    * [[mmWavMeta]]'s PCM RIFF walk: crawled audio is overwhelmingly
+    * compressed, and FLAC puts every stream fact (rate, channels,
+    * bit depth, total samples → duration) in a leading bit-packed
+    * STREAMINFO block precisely so a pipeline can read them WITHOUT
+    * a frame decode. Each %7==2 doc gets a conforming metadata
+    * prologue from [[graft.multimodal.Flac.write]] and is walked
+    * back by the real parser: the 20/3/5/36-bit STREAMINFO packing,
+    * the LITTLE-endian VORBIS_COMMENT inside the big-endian
+    * container (the endianness switch is the parser slip class this
+    * gate pins), PADDING skipped by length. Residue classes replay
+    * the corruption taxonomy — mid-STREAMINFO truncation (fields
+    * null), a block length past the buffer (fields read before the
+    * overrun SURVIVE), broken magic. Oracle states every field
+    * closed-form; duration is the demuxer arithmetic
+    * total·1000/rate floored.
+    *
+    * Scale shape: map-only per payload; one output sort. */
+  val mmFlacMeta: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir).where($"doc_id" % 7 === 2)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val rate = (id % 5) match {
+          case 0 => 8000; case 1 => 16000; case 2 => 22050
+          case 3 => 44100; case _ => 48000
+        }
+        val ch = 1 + (id % 2).toInt
+        val bps = if (id % 3 == 0) 24 else 16
+        val total = 1000L + (id % 9000)
+        val comments = Seq("TITLE" -> s"doc$id", "LANG" -> s"l${id % 4}")
+        val bytes = (id % 6) match {
+          case 0 => graft.multimodal.Flac.write(rate, ch, bps, total, comments)
+          case 1 => graft.multimodal.Flac.write(rate, ch, bps, total, comments)
+            .take(4 + 4 + 17) // mid-STREAMINFO cut
+          case 2 =>
+            val b = graft.multimodal.Flac.write(rate, ch, bps, total, comments)
+            b(0) = 0x00; b
+          case 3 =>
+            val si = graft.multimodal.Flac.write(rate, ch, bps, total, Seq.empty)
+            si(4) = (si(4) & 0x7F).toByte // clear last: a block "follows"
+            si ++ Array[Byte](0x04, 0x7F, 0x00, 0x00) // length past buffer
+          case 4 => graft.multimodal.Flac.write(rate, ch, bps, total, comments,
+            padding = Some(10))
+          case _ => graft.multimodal.Flac.write(rate, ch, bps, total, Seq.empty)
+        }
+        val m = graft.multimodal.Flac.parse(bytes)
+        (id, m.status, m.sampleRate.map(_.toLong), m.channels.map(_.toLong),
+          m.bitsPerSample.map(_.toLong), m.totalSamples, m.durationMs,
+          m.nBlocks.toLong, m.comments.get("TITLE"), m.comments.get("LANG"))
+      }
+      .toDF("media_id", "status", "sample_rate", "channels", "bps",
+        "total_samples", "duration_ms", "n_blocks", "title", "lang")
+      .orderBy($"media_id")
+  }
+
   /** Byte-grain CDC boundary mask (low 5 bits ⇒ ~32-byte average
     * chunks) and minimum reported chunk size. */
   val ByteCdcMask = 31L
