@@ -80,6 +80,7 @@ object SparkEntry {
     "q_triangle_count"            -> operators.GraphOps.qTriangleCount,
     "q_bfs_distance"              -> operators.GraphOps.qBfsDistance,
     "q_kcore"                     -> operators.GraphOps.qKcore,
+    "q_clustering_coeff"          -> operators.GraphOps.qClusteringCoeff,
     // §2.A mapreduce parity
     "mr_wordcount"                -> TextOps.mrWordcount,
     "mr_wordcount_engine"         -> TextOps.mrWordcountEngine,
@@ -2736,6 +2737,36 @@ object SparkEntry {
         |  WHERE w.dist < 4)
         |SELECT CAST(node AS BIGINT) AS l_partkey, CAST(min(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY dist, l_partkey""".stripMargin,
+
+    // per-node local clustering coefficient on the same oriented
+    // triangle machinery as q_triangle_count, joined back to degrees
+    // over the support->=2 edge set; coefficient = 2T/(d(d-1)),
+    // nodes with no triangles coalesce to 0
+    "q_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |  SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS src,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS dst
+        |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM o e1 JOIN o e2 ON e1.dst = e2.src
+        |  WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)),
+        |n AS (SELECT unnest([a, b, c]) AS node FROM tri),
+        |t AS (SELECT node, count(*) AS n_tri FROM n GROUP BY 1)
+        |SELECT CAST(deg.node AS BIGINT) AS l_partkey,
+        |  CAST(d AS BIGINT) AS d,
+        |  CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+        |  floor((coalesce(n_tri, 0) * 2.0 / (d * (d - 1)))*1000000 + 0.5)/1000000 AS coeff
+        |FROM deg LEFT JOIN t ON deg.node = t.node
+        |WHERE d >= 2
+        |ORDER BY coeff DESC, l_partkey LIMIT 20""".stripMargin,
 
     // k-core peeling unrolled to the engine's asserted round cap —
     // peeling is idempotent at the fixpoint, so the fixed unroll and

@@ -168,6 +168,38 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Per-node LOCAL clustering coefficient over the co-purchase
+    * graph — the density read that sits between the global triangle
+    * count and the k-core cut: C(v) = 2·T(v) / (d(v)·(d(v)−1)) says
+    * how close v's neighborhood is to a clique, which separates
+    * "hub that bridges communities" (high degree, low C) from
+    * "member of a tight bundle" (the recommender's substitutable-
+    * set signal). Top 20 by (C, id) over nodes with d ≥ 2.
+    *
+    * Scale shape: T(v) comes from [[triangleCorners]] — the
+    * compact-forward oriented, adjacency-intersection counter whose
+    * shuffles are O(triangles), never Σdeg² wedges; degrees are one
+    * partial+final agg; the edge set is checkpointed ONCE and
+    * shared by both consumers (deg and the corner counter would
+    * otherwise re-run the itemset-pair shuffle). The final top-20
+    * is a TakeOrderedAndProject, not a global sort. */
+  val qClusteringCoeff: QueryFn = (s, dir) => {
+    import s.implicits._
+    val edges = copurchaseEdges(s, dir).localCheckpoint(true)
+    val deg = edges.select($"u".as("node"))
+      .unionByName(edges.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+      .where($"d" >= 2)
+    val tri = triangleCorners(edges)
+    deg.join(tri, Seq("node"), "left")
+      .select($"node".cast("long").as("l_partkey"), $"d",
+        coalesce($"n_tri", lit(0L)).as("n_tri"),
+        rnd(coalesce($"n_tri", lit(0L)) * lit(2.0) /
+          ($"d" * ($"d" - lit(1))), 6).as("coeff"))
+      .orderBy($"coeff".desc, $"l_partkey".asc)
+      .limit(20)
+  }
+
   /** The support-≥ 2 co-purchase part edge set (canonical u < v pairs)
     * behind [[qTriangleCount]] and [[qBfsDistance]]: map-side
     * per-order itemset pair generation (one groupBy shuffle,
