@@ -110,6 +110,7 @@ object SparkEntry {
     "text_lm_score"               -> PipelineOps.textLmScore,
     "text_tfidf_top"              -> PipelineOps.textTfidfTop,
     "text_decontaminate"          -> PipelineOps.textDecontaminate,
+    "text_bloom_decontaminate"    -> ((s, d) => PipelineOps.bloomDecontaminate(s, d)),
     "text_readability"            -> PipelineOps.textReadability,
     "pipeline_curate"             -> PipelineOps.pipelineCurate,
     "text_ccnet_buckets"          -> PipelineOps.textCcnetBuckets,
@@ -277,6 +278,7 @@ object SparkEntry {
     "stream_topk_events"          -> operators.StreamQueries.streamTopkEvents,
     "stream_ivf_ingest"           -> operators.StreamQueries.streamIvfIngest,
     "stream_neardup_alerts"       -> operators.StreamQueries.streamNeardupAlerts,
+    "stream_decontaminate"        -> operators.StreamQueries.streamDecontaminate,
     "stream_hnsw_ingest"          -> operators.StreamQueries.streamHnswIngest,
     // §2.H sources & sinks — write→read round-trips hashed against the
     // original parquet (SourceSinkOps doc for the lossless-ness rules)
@@ -4556,6 +4558,17 @@ object SparkEntry {
         |SELECT codec, n_lines, n_tokens, n_prefixes
         |FROM (SELECT 'bzip2' AS codec UNION ALL SELECT 'gzip') c
         |CROSS JOIN agg ORDER BY codec""".stripMargin,
+
+    // the FnvBloom sketch replayed END-TO-END: benchmark bit set from
+    // the fnv64→mix64 double-hash probes, per-gram all-k membership,
+    // per-doc flag counts — false positives INCLUDED (they are a
+    // deterministic function of the sketch, which is what makes a
+    // Bloom filter hashable at all)
+    "text_bloom_decontaminate" -> bloomOracleSql(allDocs = false),
+
+    // the streaming admission face: same sketch replay over ALL
+    // arriving docs (admit = n_flagged 0), no flagged-only filter
+    "stream_decontaminate" -> bloomOracleSql(allDocs = true),
   )
 
   /** `dedup_minhash_lsh` replayed END-TO-END in DuckDB — the whole
@@ -5296,6 +5309,48 @@ object SparkEntry {
       |  GROUP BY c.doc_a, c.doc_b)
       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
       |FROM ham WHERE hamming <= $tau ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** The [[graft.functions.FnvBloom]] decontamination sketch replayed
+    * end-to-end: h1 = mix64(fnv64(gram)), h2 = mix64(h1), probe_i =
+    * (h1 + i·h2) mod 2⁶⁴ mod 2^bits (power of two — the engine's
+    * mask IS this mod), benchmark bits the DISTINCT probe positions
+    * of the %10==9 gram set, a gram flagged iff ALL k of its probe
+    * bits are set. `allDocs` switches between the batch face
+    * (train docs only, flagged rows only) and the streaming
+    * admission face (every arriving doc, flagged or not). Hashes
+    * are computed once per DISTINCT gram. */
+  private def bloomOracleSql(allDocs: Boolean): String = {
+    val m = operators.PipelineOps.BloomBits
+    val k = operators.PipelineOps.BloomK
+    val trainFilter = if (allDocs) "" else " WHERE g.doc_id % 10 <> 9"
+    val flaggedFilter = if (allDocs) "" else " WHERE n_flagged > 0"
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+3], ' ') for i in generate_series(1, len(tk)-3)])) AS ng
+      |  FROM toks WHERE len(tk) >= 4),
+      |dg AS (SELECT DISTINCT ng FROM g),
+      |h1t AS (SELECT ng, ${mixSql(fnvSql("ng"))} AS h1 FROM dg),
+      |h2t AS (SELECT ng, h1, ${mixSql("h1")} AS h2 FROM h1t),
+      |ii AS (SELECT unnest(generate_series(0, ${k - 1})) AS i),
+      |bbits AS (
+      |  SELECT DISTINCT ((h.h1 + CAST(ii.i AS HUGEINT) * h.h2) % 18446744073709551616) % $m AS bit
+      |  FROM h2t h JOIN (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 9) b USING (ng)
+      |  CROSS JOIN ii),
+      |gprobe AS (
+      |  SELECT h.ng, ((h.h1 + CAST(ii.i AS HUGEINT) * h.h2) % 18446744073709551616) % $m AS bit
+      |  FROM h2t h CROSS JOIN ii),
+      |gflag AS (
+      |  SELECT gp.ng, min(CASE WHEN bb.bit IS NULL THEN 0 ELSE 1 END) AS flagged
+      |  FROM gprobe gp LEFT JOIN bbits bb ON gp.bit = bb.bit GROUP BY gp.ng),
+      |agg AS (
+      |  SELECT g.doc_id, count(*) AS n_grams, sum(f.flagged) AS n_flagged
+      |  FROM g JOIN gflag f USING (ng)$trainFilter GROUP BY g.doc_id)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(n_flagged AS BIGINT) AS n_flagged
+      |FROM agg$flaggedFilter ORDER BY doc_id""".stripMargin
   }
 
   private def fnvSql(strExpr: String): String =

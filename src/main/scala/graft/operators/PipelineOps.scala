@@ -394,31 +394,46 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  /** Decontamination Bloom geometry: a FIXED power-of-two table
+    * (2 MiB broadcast) and 7 probes — constants, not data-derived,
+    * so the oracle interpolates them like every other dial. At the
+    * gate SFs the load factor keeps false positives rare; at a real
+    * benchmark-suite scale the table widens, the SCHEME (and its
+    * SQL replay) doesn't change. */
+  val BloomBits: Int = 1 << 24
+  val BloomK: Int = 7
+
   /** Bloom-filter decontamination — the 100 TB face of
     * [[textDecontaminate]]. The exact scan broadcasts the raw
     * benchmark gram set; at a real benchmark suite × several n-gram
     * orders that set is tens of GB and stops fitting executor
-    * memory. A Bloom filter compresses it to ~10 bits/gram at 1% fpp
-    * with ZERO false negatives: contamination can never slip
-    * through, and the (tiny) false-positive overhang is re-checked
-    * exactly downstream on the flagged docs only. Probe is map-side
-    * over the broadcast sketch — same scan shape as the exact join,
-    * two orders of magnitude less broadcast weight.
+    * memory. A Bloom filter compresses it to a fixed 2 MiB with
+    * ZERO false negatives: contamination can never slip through,
+    * and the (rare) false-positive overhang is re-checked exactly
+    * downstream on the flagged docs only. Probe is map-side over
+    * the broadcast sketch — same scan shape as the exact join,
+    * orders of magnitude less broadcast weight.
     *
-    * Spec-verified ([[PipelineOpsSpec]]): every exactly-contaminated
-    * doc appears with n_flagged ≥ its exact hit count (no false
-    * negatives, the Bloom guarantee), and gram-level false positives
-    * stay within a generous multiple of the configured fpp. */
+    * r10: the sketch is [[graft.functions.FnvBloom]] — every bit a
+    * composition of the fnv64/mix64 primitives the oracles already
+    * replay — so this moved from spec-bounded to HASH-VERIFIED
+    * (`text_bloom_decontaminate`): the gate checks the exact flag
+    * counts, false positives included. The build is a distributed
+    * treeAggregate (partitions fold locally, filters OR pairwise —
+    * the KMV/HLL mergeable-sketch shape; the driver never sees a
+    * gram). Spec-verified on top: every exactly-contaminated doc
+    * appears with n_flagged ≥ its exact hit count (the zero-false-
+    * negative guarantee). */
   def bloomDecontaminate(
-      s: org.apache.spark.sql.SparkSession, dir: String,
-      fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val grams = Tables.documents(s, dir)
       .select($"doc_id", normTokens($"text").as("toks"))
       .where(size($"toks") >= 4)
       .select($"doc_id", explode(array_distinct(wordNgrams($"toks", 4))).as("ng"))
-    val bench = grams.where($"doc_id" % 10 === 9).select($"ng").distinct()
-    val bf = bench.stat.bloomFilter("ng", math.max(bench.count(), 1L), fpp)
+    val bench = grams.where($"doc_id" % 10 === 9).select($"ng").as[String].distinct()
+    val bf = graft.functions.FnvBloom.build(bench, BloomBits, BloomK)
     val bfB = s.sparkContext.broadcast(bf)
     val mightContain = udf((ng: String) => bfB.value.mightContain(ng))
     grams.where($"doc_id" % 10 =!= 9)

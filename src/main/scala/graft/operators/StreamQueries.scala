@@ -335,6 +335,25 @@ object StreamQueries {
     * a directory corpus serves as-is, the single-file testdata
     * layout goes through a per-sfDir symlink dir (the
     * [[Streams.eventsLandingDir]] pattern). */
+  /** Streaming decontamination admission gate, driver-gated (r10 —
+    * the last spec-only streaming face with a pure-data contract):
+    * the benchmark 4-gram Bloom ([[graft.functions.FnvBloom]] — the
+    * SQL-replayable sketch) broadcasts once; arriving docs gram
+    * map-side and fold inside their own micro-batch (stateless), so
+    * each doc's (n_grams, n_flagged) emission is a pure data
+    * function whatever the batching. The oracle replays the WHOLE
+    * sketch: benchmark bit set from the fnv64→mix64 double-hash
+    * probes, per-gram all-k-bits membership, per-doc counts — false
+    * positives included, which is what makes the flag counts
+    * hashable at all. */
+  val streamDecontaminate: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = runToTable(s, "stream_decontaminate",
+      Streams.decontaminateStream(s, dir, stagedDocsDir(s, dir)).toDF(),
+      "append")
+    out.select($"doc_id", $"n_grams", $"n_flagged").orderBy($"doc_id")
+  }
+
   private def stagedDocsDir(s: SparkSession, sfDir: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(sfDir, "documents.parquet")

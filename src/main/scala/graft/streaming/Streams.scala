@@ -548,13 +548,16 @@ object Streams {
     import graft.functions.Cols.normTokens
     import graft.operators.PipelineOps.wordNgrams
 
-    // frozen benchmark bloom (the batch build, reused verbatim)
+    // frozen benchmark bloom (the batch build, reused verbatim —
+    // r10: the SQL-replayable FnvBloom, so the gate hash-checks the
+    // exact flag counts, false positives included)
     val bench = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), normTokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 4 && col("doc_id") % 10 === 9)
       .select(explode(array_distinct(wordNgrams(col("toks"), 4))).as("ng"))
-      .distinct()
-    val bf = bench.stat.bloomFilter("ng", math.max(bench.count(), 1L), 0.01)
+      .distinct().as[String]
+    val bf = graft.functions.FnvBloom.build(bench,
+      graft.operators.PipelineOps.BloomBits, graft.operators.PipelineOps.BloomK)
     val bfB = spark.sparkContext.broadcast(bf)
 
     def fn(key: Long, rows: Iterator[(Long, String)],

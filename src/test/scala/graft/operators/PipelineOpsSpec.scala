@@ -42,7 +42,7 @@ class PipelineOpsSpec extends SparkTestBase {
     import spark.implicits._
     val exact = PipelineOps.textDecontaminate(spark, sfDir)
       .select($"doc_id", $"n_hit").as[(Long, Long)].collect().toMap
-    val bloom = PipelineOps.bloomDecontaminate(spark, sfDir, fpp = 0.01)
+    val bloom = PipelineOps.bloomDecontaminate(spark, sfDir)
       .select($"doc_id", $"n_grams", $"n_flagged").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(exact.nonEmpty, "exact scan must find contamination at this sf")
