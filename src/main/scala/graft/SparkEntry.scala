@@ -153,6 +153,7 @@ object SparkEntry {
     "mm_vtt_cues"                 -> operators.TextOps.mmVttCues,
     "mm_png_meta"                 -> operators.TextOps.mmPngMeta,
     "mm_flac_meta"                -> operators.TextOps.mmFlacMeta,
+    "mm_zip_entries"              -> operators.TextOps.mmZipEntries,
     "mm_image_meta"               -> TextOps.mmImageMeta,
     "mm_image_phash"              -> TextOps.mmImagePhash,
     "mm_image_neardup"            -> TextOps.mmImageNeardup,
@@ -3306,6 +3307,37 @@ object SparkEntry {
         |  CASE WHEN cls IN (0, 4) THEN 'doc' || CAST(id AS VARCHAR) END AS title,
         |  CASE WHEN cls IN (0, 4) THEN 'l' || CAST(id % 4 AS VARCHAR) END AS lang
         |FROM v ORDER BY media_id""".stripMargin,
+
+    // the zip central-directory walk replayed closed-form: per-entry
+    // names/sizes by residue (even entries stored, odd deflated),
+    // the tail cut killing the EOCD entirely, the patched entry
+    // count reported as count_mismatch with the REAL entries listed,
+    // the archive comment riding the EOCD's variable tail
+    "mm_zip_entries" ->
+      """WITH z AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 4),
+        |e AS (
+        |  SELECT id, unnest(generate_series(1, 1 + CAST(id % 3 AS INT))) AS i
+        |  FROM z WHERE id % 6 <> 1),
+        |per AS (
+        |  SELECT id, count(*) AS n_entries,
+        |    sum(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END) AS n_stored,
+        |    sum(11 + length(CAST(id AS VARCHAR)) + ((id + i) % 64)) AS sum_usize,
+        |    string_agg('doc' || CAST(id AS VARCHAR) || '/e' || CAST(i AS VARCHAR) || '.txt',
+        |               ',' ORDER BY i) AS names
+        |  FROM e GROUP BY id)
+        |SELECT z.id AS media_id,
+        |  CASE WHEN z.id % 6 = 1 THEN 'no_eocd'
+        |       WHEN z.id % 6 = 5 THEN 'count_mismatch' ELSE 'ok' END AS status,
+        |  CAST(CASE WHEN z.id % 6 = 1 THEN 0
+        |       WHEN z.id % 6 = 5 THEN 2 + (z.id % 3)
+        |       ELSE 1 + (z.id % 3) END AS BIGINT) AS claimed,
+        |  CAST(coalesce(p.n_entries, 0) AS BIGINT) AS n_entries,
+        |  CAST(coalesce(p.n_stored, 0) AS BIGINT) AS n_stored,
+        |  CAST(coalesce(p.sum_usize, 0) AS BIGINT) AS sum_usize,
+        |  coalesce(p.names, '') AS names,
+        |  CASE WHEN z.id % 6 = 0 THEN 'c' || CAST(z.id AS VARCHAR) END AS comment
+        |FROM z LEFT JOIN per p ON z.id = p.id
+        |ORDER BY media_id""".stripMargin,
 
     // the canonical URL CONSTRUCTED from the fixture's closed forms —
     // a parser slip (kept fragment, unsorted params, :443 stripped on

@@ -1218,6 +1218,70 @@ object TextOps {
       .orderBy($"media_id")
   }
 
+  /** ZIP archive listing from the CENTRAL DIRECTORY — the archive
+    * triage of a crawl (docx/epub/apk/jar are ZIPs; a pipeline lists
+    * entries long before inflating any). The format's defining
+    * property is that the truth is at the END: the EOCD record hides
+    * behind a variable-length comment (found by a bounded BACKWARD
+    * scan with the comment-length consistency check, so in-comment
+    * magic can't fake it), and entry facts come from the central
+    * directory, never the local headers. Each %7==4 doc builds a
+    * real `java.util.zip` archive (1–3 entries, even entries
+    * STORED with our CRC, odd DEFLATED); residues replay the
+    * corruption taxonomy — id%6==1 cuts the tail (no EOCD at all →
+    * a reader has NOTHING, which is why crawlers carry partial-zip
+    * recovery queues), id%6==5 patches the EOCD's entry count (the
+    * walk lists the real entries and reports the lie), id%6==0
+    * carries an archive comment. Oracle states per-archive
+    * counts/sizes/names closed-form.
+    *
+    * Scale shape: map-only per payload; one output sort. */
+  val mmZipEntries: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir).where($"doc_id" % 7 === 4)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val k = 1 + (id % 3).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(bos)
+        if (id % 6 == 0) z.setComment(s"c$id")
+        (1 to k).foreach { i =>
+          val e = new java.util.zip.ZipEntry(s"doc$id/e$i.txt")
+          val bytes = (s"doc$id entry$i " + "y" * ((id + i) % 64).toInt)
+            .getBytes("UTF-8")
+          if (i % 2 == 0) {
+            e.setMethod(java.util.zip.ZipEntry.STORED)
+            e.setSize(bytes.length.toLong)
+            e.setCompressedSize(bytes.length.toLong)
+            val c = new java.util.zip.CRC32; c.update(bytes)
+            e.setCrc(c.getValue)
+          }
+          z.putNextEntry(e); z.write(bytes); z.closeEntry()
+        }
+        z.close()
+        val clean = bos.toByteArray
+        val bytes = (id % 6) match {
+          case 1 => clean.dropRight(3)
+          case 5 =>
+            val b = clean.clone()
+            val eocd = b.length - 22 // no comment in this class
+            b(eocd + 8) = (k + 1).toByte  // entries-on-disk
+            b(eocd + 10) = (k + 1).toByte // total entries
+            b
+          case _ => clean
+        }
+        val m = graft.multimodal.Zip.parse(bytes)
+        (id, m.status, m.claimed.toLong, m.entries.length.toLong,
+          m.entries.count(_.method == 0).toLong,
+          m.entries.map(_.uncompressedSize).sum,
+          m.entries.map(_.name).mkString(","),
+          m.comment)
+      }
+      .toDF("media_id", "status", "claimed", "n_entries", "n_stored",
+        "sum_usize", "names", "comment")
+      .orderBy($"media_id")
+  }
+
   /** Byte-grain CDC boundary mask (low 5 bits ⇒ ~32-byte average
     * chunks) and minimum reported chunk size. */
   val ByteCdcMask = 31L
