@@ -154,6 +154,7 @@ object SparkEntry {
     "mm_png_meta"                 -> operators.TextOps.mmPngMeta,
     "mm_flac_meta"                -> operators.TextOps.mmFlacMeta,
     "mm_zip_entries"              -> operators.TextOps.mmZipEntries,
+    "mm_id3_tags"                 -> operators.TextOps.mmId3Tags,
     "mm_image_meta"               -> TextOps.mmImageMeta,
     "mm_image_phash"              -> TextOps.mmImagePhash,
     "mm_image_neardup"            -> TextOps.mmImageNeardup,
@@ -3338,6 +3339,28 @@ object SparkEntry {
         |  CASE WHEN z.id % 6 = 0 THEN 'c' || CAST(z.id AS VARCHAR) END AS comment
         |FROM z LEFT JOIN per p ON z.id = p.id
         |ORDER BY media_id""".stripMargin,
+
+    // the id3 walk replayed closed-form: version by parity (and with
+    // it the frame-size encoding — the >127-byte album frame makes a
+    // one-version parser hash-fail), the utf-16/utf-8 title against
+    // one closed-form string, the tail cut dropping only the trailing
+    // unknown frame, the broken magic nulling the tag
+    "mm_id3_tags" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 6 = 2 THEN 'no_tag'
+        |       WHEN doc_id % 6 = 1 THEN 'truncated' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 6 = 2 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN CAST(4 AS BIGINT)
+        |       ELSE CAST(3 AS BIGINT) END AS version,
+        |  CAST(CASE WHEN doc_id % 6 = 2 THEN 0
+        |       WHEN doc_id % 6 = 1 THEN 3 ELSE 4 END AS BIGINT) AS n_frames,
+        |  CASE WHEN doc_id % 6 = 2 THEN NULL
+        |       ELSE 'T★' || CAST(doc_id AS VARCHAR) END AS title,
+        |  CASE WHEN doc_id % 6 = 2 THEN NULL
+        |       ELSE 'A' || CAST(doc_id AS VARCHAR) || repeat('z', 130) END AS album,
+        |  CASE WHEN doc_id % 6 = 2 THEN NULL
+        |       ELSE CAST(doc_id % 12 AS VARCHAR) END AS track
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY media_id""".stripMargin,
 
     // the canonical URL CONSTRUCTED from the fixture's closed forms —
     // a parser slip (kept fragment, unsorted params, :443 stripped on

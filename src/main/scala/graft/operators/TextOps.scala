@@ -1282,6 +1282,48 @@ object TextOps {
       .orderBy($"media_id")
   }
 
+  /** ID3v2 tag walk — lossy-audio metadata triage next to
+    * [[mmFlacMeta]] (MP3 carries no in-stream metadata; title/album/
+    * track ride the front tag). The gate makes BOTH classic parser
+    * traps load-bearing: ids alternate v2.3/v2.4 so frame sizes
+    * alternate plain-BE/SYNCSAFE, and the album frame is >127 bytes
+    * so the two decodings genuinely diverge (a one-version parser
+    * mis-frames half the corpus — hash fail); the title alternates
+    * UTF-16-BOM (v2.3) and UTF-8 (v2.4) against one closed-form
+    * string, so an assumed-encoding read corrupts it. Corruption
+    * classes: id%6==1 cuts the tail (the trailing unknown frame
+    * drops, every walked frame KEEPS — truncation must not zero the
+    * tag), id%6==2 breaks the magic. Padding on id%4==0 ends the
+    * walk without inventing frames.
+    *
+    * Scale shape: map-only per payload; one output sort. */
+  val mmId3Tags: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir).where($"doc_id" % 7 === 0)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val major = if (id % 2 == 0) 4 else 3
+        val titleEnc = if (major == 4) 3 else 1
+        val clean = graft.multimodal.Id3.write(major,
+          Seq(("TIT2", titleEnc, s"T★$id"),
+            ("TALB", 0, s"A$id" + "z" * 130),
+            ("TRCK", 0, s"${id % 12}")),
+          extra = Seq(("WXYZ", Array[Byte](1, 2, 3, 4, 5))),
+          padding = if (id % 4 == 0) 32 else 0)
+        val bytes = (id % 6) match {
+          case 1 => clean.dropRight(6) // lands in the trailing WXYZ
+          case 2 => val b = clean.clone(); b(0) = 0x00; b
+          case _ => clean
+        }
+        val m = graft.multimodal.Id3.parse(bytes)
+        (id, m.status, m.version.map(_.toLong), m.nFrames.toLong,
+          m.title, m.album, m.track)
+      }
+      .toDF("media_id", "status", "version", "n_frames", "title",
+        "album", "track")
+      .orderBy($"media_id")
+  }
+
   /** Byte-grain CDC boundary mask (low 5 bits ⇒ ~32-byte average
     * chunks) and minimum reported chunk size. */
   val ByteCdcMask = 31L
