@@ -221,6 +221,7 @@ object SparkEntry {
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
     "q_ab_ztest"                  -> EventAnalytics.qAbZtest,
+    "q_survival_curve"            -> EventAnalytics.qSurvivalCurve,
     "q_rfm_segments"              -> RelationalExt.qRfmSegments,
     "q_scd2_history"              -> operators.CdcOps.qScd2History,
     "q_record_linkage"            -> operators.LinkageOps.qRecordLinkage,
@@ -1905,6 +1906,37 @@ object SparkEntry {
         |  floor(e*100 + 0.5)/100 AS est_distinct,
         |  floor((abs(e - n_exact)/n_exact)*10000 + 0.5)/10000 AS rel_err
         |FROM fin ORDER BY event_type""".stripMargin,
+
+    // Kaplan–Meier replay: same day-grain lifetimes, same censoring
+    // cutoff (max day − 6), n_risk by the before-t running count,
+    // and the survivor as an ORDERED list_reduce product — the same
+    // left-to-right double multiplies the engine's driver fold does,
+    // so the rounded value is bit-identical
+    "q_survival_curve" ->
+      """WITH ue AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS f, date_trunc('day', max(ts)) AS l
+        |  FROM events GROUP BY user_id),
+        |mx AS (SELECT max(l) AS ml FROM ue),
+        |u AS (SELECT date_diff('day', f, l) AS t,
+        |        (l >= ml - INTERVAL 6 DAY) AS censored
+        |      FROM ue CROSS JOIN mx),
+        |perT AS (SELECT t, count(*) AS c_all,
+        |           sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d
+        |         FROM u GROUP BY t),
+        |tot AS (SELECT sum(c_all) AS n FROM perT),
+        |rk AS (SELECT t, c_all, d,
+        |         (SELECT n FROM tot) - coalesce(sum(c_all) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |       FROM perT),
+        |ev AS (SELECT t, d, n_risk, 1.0 - CAST(d AS DOUBLE)/n_risk AS factor FROM rk WHERE d > 0),
+        |sv AS (SELECT a.t, a.d, a.n_risk,
+        |         list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |           list(b.factor ORDER BY b.t)), (x, y) -> x * y) AS s
+        |       FROM ev a JOIN ev b ON b.t <= a.t
+        |       GROUP BY a.t, a.d, a.n_risk)
+        |SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events,
+        |  floor(s*1000000 + 0.5)/1000000 AS surv
+        |FROM sv ORDER BY t_days""".stripMargin,
 
     "q_ab_ztest" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS s0 FROM events WHERE event_type = 'signup' GROUP BY user_id),

@@ -1272,4 +1272,59 @@ object EventAnalytics {
             (lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double"))),
           6).as("z"))
   }
+
+  /** Kaplan–Meier survival curve over user LIFETIMES (first event →
+    * last event, day grain) with right-censoring: users whose last
+    * activity falls in the observation window's final 7 days are
+    * CENSORED (still alive at cutoff — treating them as churned is
+    * the classic retention-analysis bias this estimator exists to
+    * fix). At each event time t: n_risk = users with lifetime ≥ t,
+    * d = uncensored users ending exactly at t, and the survivor
+    * S(t) = Π(1 − dᵢ/nᵢ) over event times ≤ t. Censored users leave
+    * the risk set without contributing an event — exactly the K-M
+    * accounting.
+    *
+    * Cross-engine exactness: S(t) is a cumulative DOUBLE product,
+    * which both engines must multiply in the SAME order — the
+    * driver folds factors t-ascending left-to-right and the oracle
+    * replays with an ordered `list_reduce` (the CosineSim
+    * discipline applied to a product), so the rounded survivor is
+    * bit-identical, not approximately equal.
+    *
+    * Scale shape: per-user first/last is one partial+final agg; the
+    * curve itself has at most calendar-span-in-days rows, so the
+    * per-t fold is a BOUNDED driver collect (the q_bisect_median /
+    * Ranked-offsets pattern) — no unpartitioned window, no
+    * quadratic self-join; user rows never leave the executors. */
+  val qSurvivalCurve: QueryFn = (s, dir) => {
+    import s.implicits._
+    val ue = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(date_trunc("day", min($"ts")).as("f"),
+        date_trunc("day", max($"ts")).as("l"))
+      .localCheckpoint(true) // two consumers: the max-day probe + users
+    val ml = ue.agg(max($"l")).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(ml.getTime - 6L * 86400000L)
+    val perT = ue.select(
+        datediff($"l", $"f").cast("long").as("t"),
+        ($"l" >= lit(cutoff)).as("censored"))
+      .groupBy($"t")
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(!$"censored", 1L).otherwise(0L)).as("d"))
+      .collect() // bounded by the calendar span in days
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var risk = perT.map(_._2).sum
+    var surv = 1.0
+    val curve = perT.flatMap { case (t, c, d) =>
+      val row = if (d > 0) {
+        surv *= (1.0 - d.toDouble / risk)
+        Some((t, risk, d, math.floor(surv * 1e6 + 0.5) / 1e6))
+      } else None
+      risk -= c
+      row
+    }.toSeq
+    curve.toDF("t_days", "n_risk", "n_events", "surv")
+      .orderBy($"t_days")
+  }
 }
