@@ -222,6 +222,7 @@ object SparkEntry {
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
     "q_ab_ztest"                  -> EventAnalytics.qAbZtest,
     "q_survival_curve"            -> EventAnalytics.qSurvivalCurve,
+    "q_attribution_markov"        -> EventAnalytics.qAttributionMarkov,
     "q_rfm_segments"              -> RelationalExt.qRfmSegments,
     "q_scd2_history"              -> operators.CdcOps.qScd2History,
     "q_record_linkage"            -> operators.LinkageOps.qRecordLinkage,
@@ -1906,6 +1907,11 @@ object SparkEntry {
         |  floor(e*100 + 0.5)/100 AS est_distinct,
         |  floor((abs(e - n_exact)/n_exact)*10000 + 0.5)/10000 AS rel_err
         |FROM fin ORDER BY event_type""".stripMargin,
+
+    // Markov removal-effect attribution replayed end-to-end — see
+    // markovAttributionSql (journeys, chain, 16-round unroll per
+    // variant, ordered folds)
+    "q_attribution_markov" -> markovAttributionSql,
 
     // Kaplan–Meier replay: same day-grain lifetimes, same censoring
     // cutoff (max day − 6), n_risk by the before-t running count,
@@ -5396,6 +5402,99 @@ object SparkEntry {
       |  GROUP BY c.doc_a, c.doc_b)
       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
       |FROM ham WHERE hamming <= $tau ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** The Markov removal-effect attribution replayed end-to-end: the
+    * same journey/transition construction (tuple-strict first-
+    * purchase cut, partitioned lag/row_number, empty-journey
+    * START→absorbing rows), single-division transition
+    * probabilities, and [[operators.EventAnalytics.MarkovRounds]]
+    * unrolled rounds per variant (full + one per removed channel)
+    * where each Σ p(u,v)·r(v) is an ORDERED list_reduce over v —
+    * the exact left-to-right double adds the engine's driver fold
+    * performs, so every rounded output is bit-identical. */
+  private def markovAttributionSql: String = {
+    val chans = operators.EventAnalytics.AttributionChannels
+    val rounds = operators.EventAnalytics.MarkovRounds
+    val variants = ("full", None) +: chans.map(c => (s"rm_$c", Some(c)))
+    def r0(q: String) =
+      s"""${q}_r0 AS MATERIALIZED (SELECT node, CAST(0.0 AS DOUBLE) AS r FROM frm
+         |  UNION ALL SELECT 'CONV', CAST(1.0 AS DOUBLE)
+         |  UNION ALL SELECT 'END', CAST(0.0 AS DOUBLE))""".stripMargin
+    def rk(q: String, removed: Option[String], k: Int) = {
+      val rmCase = removed.map(c => s"n.node = '$c'").getOrElse("FALSE")
+      s"""${q}_r$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CASE WHEN $rmCase THEN CAST(0.0 AS DOUBLE)
+         |         ELSE coalesce(s.r, CAST(0.0 AS DOUBLE)) END AS r
+         |  FROM frm n LEFT JOIN (
+         |    SELECT t2.u AS node,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list((t2.p * prev.r) ORDER BY t2.v)), (x, y) -> x + y) AS r
+         |    FROM p t2 JOIN ${q}_r${k - 1} prev ON t2.v = prev.node
+         |    GROUP BY t2.u) s ON n.node = s.node
+         |  UNION ALL SELECT 'CONV', CAST(1.0 AS DOUBLE)
+         |  UNION ALL SELECT 'END', CAST(0.0 AS DOUBLE))""".stripMargin
+    }
+    val roundCtes = variants.flatMap { case (q, rm) =>
+      r0(q) +: (1 to rounds).map(k => rk(q, rm, k))
+    }.mkString(",\n")
+    val effs = chans.map(c =>
+      s"(1.0 - (SELECT r FROM rm_${c}_r$rounds WHERE node = 'START') / pf)")
+    val effList = effs.mkString("[", ", ", "]")
+    val rows = chans.zipWithIndex.map { case (c, _) =>
+      s"""SELECT '$c' AS channel,
+         |  CAST((SELECT sum(c) FROM t WHERE v = '$c') AS BIGINT) AS touches,
+         |  floor(pf*1000000 + 0.5)/1000000 AS p_full,
+         |  floor(((SELECT r FROM rm_${c}_r$rounds WHERE node = 'START'))*1000000 + 0.5)/1000000 AS p_removed,
+         |  floor(((1.0 - (SELECT r FROM rm_${c}_r$rounds WHERE node = 'START') / pf) / es)*1000000 + 0.5)/1000000 AS share
+         |FROM fin""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH fp AS (
+       |  SELECT user_id, ts AS fts, event_id AS fid FROM (
+       |    SELECT user_id, ts, event_id,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+       |j AS (
+       |  SELECT e.user_id, e.ts, e.event_id, e.event_type,
+       |    (f.user_id IS NOT NULL) AS conv
+       |  FROM events e LEFT JOIN fp f USING (user_id)
+       |  WHERE e.event_type <> 'purchase'
+       |    AND (f.user_id IS NULL OR e.ts < f.fts
+       |         OR (e.ts = f.fts AND e.event_id < f.fid))),
+       |st AS (
+       |  SELECT user_id, event_type AS cur,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prevc,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnd_,
+       |    conv
+       |  FROM j),
+       |mids AS (SELECT coalesce(prevc, 'START') AS u, cur AS v FROM st),
+       |ends AS (SELECT cur AS u, CASE WHEN conv THEN 'CONV' ELSE 'END' END AS v
+       |         FROM st WHERE rnd_ = 1),
+       |emptyu AS (
+       |  SELECT e.user_id FROM (SELECT DISTINCT user_id FROM events) e
+       |  LEFT JOIN (SELECT DISTINCT user_id FROM j) jj USING (user_id)
+       |  WHERE jj.user_id IS NULL),
+       |empties AS (
+       |  SELECT 'START' AS u,
+       |    CASE WHEN f.user_id IS NOT NULL THEN 'CONV' ELSE 'END' END AS v
+       |  FROM emptyu LEFT JOIN fp f USING (user_id)),
+       |t AS MATERIALIZED (SELECT u, v, count(*) AS c FROM (
+       |  SELECT * FROM mids UNION ALL SELECT * FROM ends
+       |  UNION ALL SELECT * FROM empties) GROUP BY u, v),
+       |ow AS (SELECT u, sum(c) AS o FROM t GROUP BY u),
+       |p AS MATERIALIZED (SELECT t.u, t.v, CAST(t.c AS DOUBLE) / CAST(ow.o AS DOUBLE) AS p
+       |      FROM t JOIN ow ON t.u = ow.u),
+       |frm AS MATERIALIZED (SELECT unnest(['START'${chans.map(c => s", '$c'").mkString}]) AS node),
+       |$roundCtes,
+       |pfc AS MATERIALIZED (SELECT (SELECT r FROM full_r$rounds WHERE node = 'START') AS pf),
+       |fin AS MATERIALIZED (SELECT pf,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $effList),
+       |    (x, y) -> x + y) AS es
+       |  FROM pfc)
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY channel""".stripMargin
   }
 
   /** The [[graft.functions.FnvBloom]] decontamination sketch replayed

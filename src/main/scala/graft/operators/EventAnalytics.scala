@@ -1273,6 +1273,110 @@ object EventAnalytics {
           6).as("z"))
   }
 
+  /** The (non-purchase) channel domain of [[qAttributionMarkov]] and
+    * the fixed round count — the bound is the operator's SEMANTICS
+    * ("absorption probability within ≤ 16 hops", the BFS/pagerank
+    * discipline), so the driver fold and the oracle's fixed unroll
+    * agree by construction. */
+  val AttributionChannels: Seq[String] = Seq("click", "error", "signup", "view")
+  val MarkovRounds = 16
+
+  /** Markov REMOVAL-EFFECT attribution — the principled multi-touch
+    * model next to [[qAttribution]]'s last-touch and
+    * [[qAttributionDecay]]'s positional weights: build the
+    * first-order channel chain over pre-conversion journeys
+    * (START → touches → CONV on purchase, → END on silence), compute
+    * the absorption probability P(START reaches CONV within
+    * [[MarkovRounds]] hops), then for each channel force its state
+    * to zero and recompute — the channel's REMOVAL EFFECT
+    * 1 − P₋c/P is the conversion mass that dies without it, and the
+    * normalized effects are the attribution shares. Unlike
+    * last-touch this credits mid-journey channels that route
+    * traffic toward conversion.
+    *
+    * Cross-engine exactness: transition probabilities are single
+    * divisions (bit-identical); each iteration's Σ p(u,v)·r(v) is
+    * folded LEFT-TO-RIGHT over v in label order on both sides (the
+    * ordered-fold discipline of CosineSim / q_survival_curve), and
+    * the share denominator folds the four effects in channel order —
+    * so every rounded output is bit-identical, not approximately
+    * equal.
+    *
+    * Scale shape: journeys/transitions are two partitioned windows
+    * plus one partial+final agg — fully distributed; the chain
+    * itself is ≤ (|channels|+3)² rows, a BOUNDED driver collect
+    * (the q_bisect/Ranked-offsets pattern), and the 16-round solve
+    * is driver arithmetic on that tiny matrix. User rows never
+    * leave the executors. */
+  val qAttributionMarkov: QueryFn = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val fp = ev.where($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(min(struct($"ts", $"event_id")).as("fp"))
+      .localCheckpoint(true) // three consumers below
+    // pre-conversion journey: non-purchase events strictly before the
+    // first purchase (all of them for never-converting users)
+    val j = ev.join(fp, Seq("user_id"), "left")
+      .where($"event_type" =!= "purchase" &&
+        ($"fp".isNull || struct($"ts", $"event_id") < $"fp"))
+      .localCheckpoint(true) // two windows + the empty-journey anti-join
+    val wAsc = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wDesc = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val stepped = j.select($"user_id", $"event_type".as("cur"),
+      lag($"event_type", 1).over(wAsc).as("prevc"),
+      row_number().over(wDesc).as("rn_desc"),
+      $"fp".isNotNull.as("conv"))
+    val mids = stepped.select(
+      coalesce($"prevc", lit("START")).as("u"), $"cur".as("v"))
+    val ends = stepped.where($"rn_desc" === 1).select(
+      $"cur".as("u"), when($"conv", "CONV").otherwise("END").as("v"))
+    // purchase-first users have an empty journey: START goes straight
+    // to the absorbing state
+    val empties = ev.select($"user_id").distinct()
+      .join(j.select($"user_id").distinct(), Seq("user_id"), "left_anti")
+      .join(fp, Seq("user_id"), "left")
+      .select(lit("START").as("u"),
+        when($"fp".isNotNull, "CONV").otherwise("END").as("v"))
+    val tcnt = mids.unionByName(ends).unionByName(empties)
+      .groupBy($"u", $"v").agg(count(lit(1)).as("c"))
+      .collect() // bounded: ≤ (|channels|+3)² transition kinds
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val out = tcnt.groupBy(_._1._1).map { case (u, m) => u -> m.values.sum }
+    val p = tcnt.map { case ((u, v), c) => (u, v) -> c.toDouble / out(u) }
+    val froms = "START" +: AttributionChannels
+    val targetsOf: Map[String, Seq[String]] =
+      froms.map(u => u -> p.keys.filter(_._1 == u).map(_._2).toSeq.sorted).toMap
+    def solve(removed: Option[String]): Double = {
+      var r = (AttributionChannels.map(_ -> 0.0) ++
+        Seq("START" -> 0.0, "CONV" -> 1.0, "END" -> 0.0)).toMap
+      for (_ <- 1 to MarkovRounds) {
+        val nr = froms.map { u =>
+          u -> targetsOf(u).foldLeft(0.0)((acc, v) => acc + p((u, v)) * r(v))
+        }
+        r = r ++ nr.map { case (u, x) =>
+          u -> (if (removed.contains(u)) 0.0 else x)
+        }
+      }
+      r("START")
+    }
+    val pFull = solve(None)
+    val eff = AttributionChannels.map(c => c -> (1.0 - solve(Some(c)) / pFull))
+    val effSum = eff.foldLeft(0.0)((acc, e) => acc + e._2)
+    val touches = AttributionChannels.map(c =>
+      c -> tcnt.collect { case ((_, v), n) if v == c => n }.sum)
+    val rows = AttributionChannels.map { c =>
+      (c, touches.toMap.apply(c),
+        math.floor(pFull * 1e6 + 0.5) / 1e6,
+        math.floor(solve(Some(c)) * 1e6 + 0.5) / 1e6,
+        math.floor((eff.toMap.apply(c) / effSum) * 1e6 + 0.5) / 1e6)
+    }
+    rows.toDF("channel", "touches", "p_full", "p_removed", "share")
+      .orderBy($"channel")
+  }
+
   /** Kaplan–Meier survival curve over user LIFETIMES (first event →
     * last event, day grain) with right-censoring: users whose last
     * activity falls in the observation window's final 7 days are
