@@ -41,6 +41,18 @@ object PlanAudit {
         "no shuffle on the join key" -> (p =>
           !p.contains("hashpartitioning(l_orderkey") &&
           !p.contains("hashpartitioning(o_orderkey"))),
+      // r10: the coefficient's top-20 must compile to the bounded
+      // top-k operator, never a global sort of the node table
+      "q_clustering_coeff" -> Map(
+        "top-20 is TakeOrderedAndProject" -> (_.contains("TakeOrderedAndProject")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      // r10: the served curve is the bounded driver-side relation —
+      // the heavy per-user agg ran eagerly underneath; the plan the
+      // caller executes must be a LocalTableScan + sort, never a
+      // Window over the user table
+      "q_survival_curve" -> Map(
+        "curve is a bounded local relation" -> (_.contains("LocalTableScan")),
+        "no window operator" -> (p => !p.contains("Window"))),
       "src_orc_roundtrip" -> Map(
         "price filter pushed to orc scan" -> (p =>
           "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_extendedprice".r

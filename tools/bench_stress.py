@@ -62,6 +62,18 @@ SUBSET = [
     "q_copurchase_pairs", "q_triangle_count", "q_bfs_distance",
     "q_sssp", "q_pagerank", "q_link_prediction", "q_skewed_agg",
     "stream_enrich_rollup",
+    # r10 widening rows with decade-scaling surface: the map-only
+    # container walks (per-doc cost constant — the ratio IS the row
+    # count growth), the Bloom admission pair (sketch build is a
+    # treeAggregate over 10x grams, probe map-side), the graph-density
+    # coefficient (wedge-bounded like the triangle row), and the two
+    # driver-fold estimators (distributed halves grow, the folds
+    # stay bounded)
+    "mm_png_meta", "mm_flac_meta", "mm_id3_tags", "mm_zip_entries",
+    "mm_vtt_cues", "src_warc_records",
+    "text_bloom_decontaminate", "stream_decontaminate",
+    "q_kcore", "q_clustering_coeff",
+    "q_survival_curve", "q_attribution_markov",
 ]
 
 
