@@ -152,6 +152,7 @@ object SparkEntry {
     "mm_wav_meta"                 -> TextOps.mmWavMeta,
     "mm_vtt_cues"                 -> operators.TextOps.mmVttCues,
     "mm_png_meta"                 -> operators.TextOps.mmPngMeta,
+    "mm_caption_align"            -> operators.TextOps.mmCaptionAlign,
     "mm_flac_meta"                -> operators.TextOps.mmFlacMeta,
     "mm_zip_entries"              -> operators.TextOps.mmZipEntries,
     "mm_id3_tags"                 -> operators.TextOps.mmId3Tags,
@@ -3299,6 +3300,31 @@ object SparkEntry {
         |  'cue ' || i || ' of media ' || id ||
         |    CASE WHEN i % 2 = 0 THEN ' / line two' ELSE '' END AS text
         |FROM c ORDER BY media_id, cue_idx""".stripMargin,
+
+    // caption→frame alignment: the closed-form cue schedule (the
+    // mm_vtt_cues CTEs) ASOF-LEFT-joined to the closed-form sparse
+    // frame schedule in DuckDB's NATIVE asof join — independent of
+    // the engine's sort-merge asof operator under test; every
+    // media's first cue precedes the first frame (null path on
+    // every group)
+    "mm_caption_align" ->
+      """WITH v AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 5),
+        |c AS (
+        |  SELECT id, unnest(generate_series(1, 2 + CAST(id % 5 AS INT))) AS i
+        |  FROM v),
+        |cues AS (SELECT id AS media_id, CAST(i - 1 AS BIGINT) AS cue_idx,
+        |  CAST((id % 3) * 400 + (i - 1) * 2500 AS BIGINT) AS start_ms FROM c),
+        |fr AS (
+        |  SELECT v.id AS media_id, CAST(1000 + 2000 * k.k AS BIGINT) AS frame_ms
+        |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) k
+        |  WHERE 1000 + 2000 * k.k <
+        |    (id % 3) * 400 + (1 + CAST(id % 5 AS INT)) * 2500 + 1500
+        |    + 100 * ((2 + id % 5) % 4) + 1000)
+        |SELECT c.media_id, c.cue_idx, c.start_ms, f.frame_ms,
+        |  c.start_ms - f.frame_ms AS lag_ms
+        |FROM cues c ASOF LEFT JOIN fr f
+        |  ON c.media_id = f.media_id AND c.start_ms >= f.frame_ms
+        |ORDER BY c.media_id, c.cue_idx""".stripMargin,
 
     // the png chunk walk replayed closed-form from the residues: the
     // encoder's pinned choices (8-bit truecolor, no interlace), our

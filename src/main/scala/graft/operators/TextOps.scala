@@ -1066,44 +1066,94 @@ object TextOps {
     *
     * Scale shape: map-only parse per payload (text-track files are
     * KB-scale); the only exchange is the output sort. */
+  /** The deterministic VTT payload behind [[mmVttCues]] AND
+    * [[mmCaptionAlign]] — one builder so the two consumers can never
+    * drift (both parse the SAME bytes; the oracle states the same
+    * closed-form cue schedule for both). */
+  private[operators] def vttFixture(id: Long): String = {
+    val nl = if (id % 4 == 2) "\r\n" else "\n"
+    val sb = new StringBuilder
+    sb.append("WEBVTT").append(nl).append(nl)
+    sb.append("NOTE generated fixture").append(nl)
+      .append("meta " + id).append(nl).append(nl)
+    val n = 2 + (id % 5).toInt
+    val base = (id % 3) * 400
+    for (i <- 1 to n) {
+      val st = base + (i - 1) * 2500L
+      val en = st + 1500 + 100 * (i % 4)
+      val short = id % 2 == 1
+      if (i % 2 == 1) sb.append(s"c$i").append(nl)
+      sb.append(graft.multimodal.Vtt.formatTs(st, short))
+        .append(" --> ")
+        .append(graft.multimodal.Vtt.formatTs(en, short))
+      if (i % 2 == 0) sb.append(" align:start line:0")
+      sb.append(nl)
+      sb.append(s"cue $i of media $id").append(nl)
+      if (i % 2 == 0) sb.append("line two").append(nl)
+      sb.append(nl)
+    }
+    if (id % 6 == 0) {
+      sb.append("bad").append(nl)
+        .append("99:99 --> nonsense").append(nl)
+        .append("dropped payload").append(nl)
+    }
+    sb.toString
+  }
+
   val mmVttCues: QueryFn = (s, dir) => {
     import s.implicits._
     Tables.documents(s, dir).where($"doc_id" % 7 === 5)
       .select($"doc_id").as[Long]
       .flatMap { id =>
-        val nl = if (id % 4 == 2) "\r\n" else "\n"
-        val sb = new StringBuilder
-        sb.append("WEBVTT").append(nl).append(nl)
-        sb.append("NOTE generated fixture").append(nl)
-          .append("meta " + id).append(nl).append(nl)
-        val n = 2 + (id % 5).toInt
-        val base = (id % 3) * 400
-        for (i <- 1 to n) {
-          val st = base + (i - 1) * 2500L
-          val en = st + 1500 + 100 * (i % 4)
-          val short = id % 2 == 1
-          if (i % 2 == 1) sb.append(s"c$i").append(nl)
-          sb.append(graft.multimodal.Vtt.formatTs(st, short))
-            .append(" --> ")
-            .append(graft.multimodal.Vtt.formatTs(en, short))
-          if (i % 2 == 0) sb.append(" align:start line:0")
-          sb.append(nl)
-          sb.append(s"cue $i of media $id").append(nl)
-          if (i % 2 == 0) sb.append("line two").append(nl)
-          sb.append(nl)
-        }
-        if (id % 6 == 0) {
-          sb.append("bad").append(nl)
-            .append("99:99 --> nonsense").append(nl)
-            .append("dropped payload").append(nl)
-        }
-        graft.multimodal.Vtt.parse(sb.toString).map { c =>
+        graft.multimodal.Vtt.parse(vttFixture(id)).map { c =>
           (id, c.idx.toLong, c.startMs, c.endMs, c.endMs - c.startMs,
             c.lines.length.toLong, c.lines.mkString(" / "))
         }
       }
       .toDF("media_id", "cue_idx", "start_ms", "end_ms", "dur_ms",
         "n_lines", "text")
+      .orderBy($"media_id", $"cue_idx")
+  }
+
+  /** Caption-to-frame ALIGNMENT — the multimodal JOIN a
+    * caption-training pipeline actually computes: which sampled
+    * video frame does each subtitle cue describe? Cues come from the
+    * REAL VTT parse (the [[vttFixture]] bytes, shared with
+    * [[mmVttCues]]); the frame schedule is the sparse sampler's
+    * (every 2 s from t=1 s, capped at 8 — the [[mmFrameSample]]
+    * discipline) over a duration of last-cue-end + 1 s; the match is
+    * the engine's own [[graft.operators.AsOf.asofBackward]] — latest
+    * frame at-or-before the cue start, per media — while the oracle
+    * uses DuckDB's native ASOF LEFT JOIN over the closed-form
+    * schedules, so the check is independent of the operator under
+    * test. Every media's FIRST cue starts before the first frame
+    * (base < 1000 ms), so the null/no-prior-frame path is exercised
+    * on every row group.
+    *
+    * Scale shape: parse and schedule are map-only; the as-of is one
+    * shuffle of |cues|+|frames| on media_id with a running window —
+    * the operator's standing sort-merge shape. One output sort. */
+  val mmCaptionAlign: QueryFn = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).where($"doc_id" % 7 === 5)
+      .select($"doc_id").as[Long]
+    val cues = media.flatMap { id =>
+      graft.multimodal.Vtt.parse(vttFixture(id)).map { c =>
+        (id, c.idx.toLong, c.startMs)
+      }
+    }.toDF("media_id", "cue_idx", "start_ms")
+    val frames = media
+      .flatMap { id =>
+        val n = 2 + (id % 5)
+        val dur = (id % 3) * 400 + (n - 1) * 2500 + 1500 + 100 * (n % 4) + 1000
+        (0 to 7).map(k => (id, 1000L + 2000L * k)).filter(_._2 < dur)
+      }
+      .toDF("media_id", "frame_ms")
+    AsOf.asofBackward(cues, frames,
+      key = "media_id", leftTime = "start_ms", rightTime = "frame_ms",
+      payload = Seq("frame_ms"))
+      .select($"media_id", $"cue_idx", $"start_ms", $"frame_ms",
+        ($"start_ms" - $"frame_ms").as("lag_ms"))
       .orderBy($"media_id", $"cue_idx")
   }
 
