@@ -223,6 +223,7 @@ object SparkEntry {
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
     "q_ab_ztest"                  -> EventAnalytics.qAbZtest,
     "q_survival_curve"            -> EventAnalytics.qSurvivalCurve,
+    "q_changepoint_cusum"         -> RelationalExt.qChangepointCusum,
     "q_attribution_markov"        -> EventAnalytics.qAttributionMarkov,
     "q_rfm_segments"              -> RelationalExt.qRfmSegments,
     "q_scd2_history"              -> operators.CdcOps.qScd2History,
@@ -1908,6 +1909,27 @@ object SparkEntry {
         |  floor(e*100 + 0.5)/100 AS est_distinct,
         |  floor((abs(e - n_exact)/n_exact)*10000 + 0.5)/10000 AS rel_err
         |FROM fin ORDER BY event_type""".stripMargin,
+
+    // CUSUM replay: same integer-cents daily series, S' = n·cum − t·total
+    // exact in the window running sum (integers commute — no ordered
+    // fold needed), only the display value divides
+    "q_changepoint_cusum" ->
+      """WITH d AS (
+        |  SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(cents) AS total, count(*) AS n FROM d),
+        |ord AS (SELECT day, cents,
+        |    sum(cents) OVER (ORDER BY day) AS cum,
+        |    row_number() OVER (ORDER BY day) AS i
+        |  FROM d),
+        |sc AS (SELECT day,
+        |    (SELECT n FROM tot) * cum - i * (SELECT total FROM tot) AS sp
+        |  FROM ord)
+        |SELECT day,
+        |  floor((CAST(sp AS DOUBLE) / ((SELECT n FROM tot) * 100.0))*100 + 0.5)/100 AS cusum,
+        |  CASE WHEN sp >= 0 THEN 'up' ELSE 'down' END AS side
+        |FROM sc ORDER BY abs(sp) DESC, day LIMIT 5""".stripMargin,
 
     // Markov removal-effect attribution replayed end-to-end — see
     // markovAttributionSql (journeys, chain, 16-round unroll per

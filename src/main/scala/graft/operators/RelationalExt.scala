@@ -780,4 +780,50 @@ object RelationalExt {
         $"m_score".cast("int").as("m_score"), $"n_cust", $"avg_monetary")
       .orderBy($"segment")
   }
+
+  /** CUSUM changepoint scan over daily order revenue — the "did the
+    * level shift, and when?" monitor behind release/incident triage:
+    * Sₜ = Σᵢ≤ₜ(xᵢ − x̄) peaks exactly where the series switches
+    * regimes (rising |S| = the running level sits off the global
+    * mean). Top 5 days by |S| with the shift direction.
+    *
+    * Cross-engine exactness by staying INTEGER until the last step:
+    * daily revenue in cents (decimal-cast, so float dust never
+    * enters), and the mean subtraction cleared of division via
+    * S′ₜ = n·cumₜ − t·total — exact 64-bit integers whose argmax
+    * equals S's (scale by n). Only the final display value divides
+    * (identical operands → identical doubles). Order-free by
+    * construction: integer sums commute, so the oracle's window
+    * running sum and the driver's fold cannot disagree.
+    *
+    * Scale shape: the daily rollup is one partial+final agg; the
+    * series is bounded by the CALENDAR (one row per day), so the
+    * scan is a bounded driver fold (the q_bisect/Ranked-offsets
+    * pattern). Magnitude headroom: n·cum ≤ days × total-cents —
+    * ~5·10¹⁶ at the stress decade, within Long; a 100 TB deployment
+    * moves the fold to HUGEINT-style BigInt, same plan. */
+  val qChangepointCusum: QueryFn = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(date_trunc("day", $"o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+      .collect() // bounded by the calendar span (one row per day)
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = daily.length.toLong
+    val total = daily.map(_._2).sum
+    var cum = 0L
+    val scans = daily.zipWithIndex.map { case ((day, cents), i) =>
+      cum += cents
+      (day, n * cum - (i + 1).toLong * total)
+    }
+    val top = scans.sortBy { case (day, sp) => (-math.abs(sp), day) }.take(5)
+      .map { case (day, sp) =>
+        (day,
+          math.floor((sp.toDouble / (n * 100.0)) * 100 + 0.5) / 100,
+          if (sp >= 0) "up" else "down")
+      }.toSeq
+    top.toDF("day", "cusum", "side")
+      .orderBy(abs($"cusum").desc, $"day")
+  }
 }
