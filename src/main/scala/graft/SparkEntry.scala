@@ -209,6 +209,7 @@ object SparkEntry {
     "q_sql_cosine_topk"           -> AnnOps.qSqlCosineTopk,
     "q_funnel_ordered"            -> EventAnalytics.qFunnelOrdered,
     "emb_dim_stats"               -> AnnOps.embDimStats,
+    "emb_ivf_balance"             -> AnnOps.embIvfBalance,
     "q_abandoned_views"           -> EventAnalytics.qAbandonedViews,
     "q_robust_outliers"           -> EventAnalytics.qRobustOutliers,
     "q_cohort_ltv"                -> EventAnalytics.qCohortLtv,
@@ -1476,6 +1477,37 @@ object SparkEntry {
 
     "q_mmr_select" -> mmrOracle,
     "text_perceptron_train" -> perceptronOracle,
+
+    // the ivf occupancy panel: the PERSISTED quantizer is trained on
+    // the base split (vec_id % 10 <> 0 — the stream_ivf_ingest
+    // replay), the WHOLE corpus assigns through it, then the cell
+    // histogram and the n·K/N load factor — a routing slip or a
+    // drifted persisted index moves a count
+    "emb_ivf_balance" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/count(*) AS m
+        |  FROM e WHERE vec_id % 10 <> 0 GROUP BY label, pos),
+        |cent AS (SELECT CAST(label AS INTEGER) AS cell, list(m ORDER BY pos) AS centroid FROM c GROUP BY label),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT vec_id, cell,
+        |    floor((list_cosine_similarity(v, centroid))*1000000 + 0.5)/1000000 AS sim
+        |  FROM emb CROSS JOIN cent),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        |    FROM scored) t WHERE rn = 1),
+        |hist AS (SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY cell),
+        |kk AS (SELECT count(*) AS k FROM cent),
+        |nn AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
+        |  floor((CAST(n_vecs AS DOUBLE) * (SELECT k FROM kk) / (SELECT n FROM nn))*10000 + 0.5)/10000 AS load
+        |FROM hist ORDER BY cell""".stripMargin,
 
     "emb_dim_stats" ->
       """WITH e AS (

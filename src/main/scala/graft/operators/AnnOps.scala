@@ -668,6 +668,33 @@ object AnnOps {
     * Determinism: decimal-exact Σx and Σx², variance derived as
     * Σx²/n − (Σx/n)² from those exact sums with identical IEEE steps
     * both engines; min/max are exact. */
+  /** IVF cell-occupancy BALANCE — the serving-health panel a
+    * cell-partitioned vector index is operated by: probe cost and
+    * tail latency follow the HOTTEST probed cell, and a drifting
+    * corpus concentrates mass until "retrain the quantizer" is the
+    * action ([[annIncrementalTopk]]'s doc: "periodic retrain only
+    * when cell occupancy drifts" — this is the panel that decision
+    * reads). The whole corpus routes through the persisted frozen
+    * quantizer (map-side, zero shuffle — the same projection the
+    * streaming ingest face uses), one partial+final agg histograms
+    * the cells, and each cell reports its load factor n·K/N (1.0 =
+    * perfectly even; the max row is the tail-latency multiplier).
+    * The oracle replays quantizer training AND assignment (the
+    * ann_ivf_topk CTEs) plus the histogram, so a routing slip or a
+    * drifted persisted index hash-fails. */
+  val embIvfBalance: QueryFn = (s, dir) => {
+    import s.implicits._
+    val k = IvfIndex.centroids(s, IvfIndex.ensure(s, dir)).length
+    val assigned = routeWithFrozenQuantizer(s, dir)(
+      Tables.embeddings(s, dir).select($"vec_id", $"embedding"))
+    val counts = assigned.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+      .localCheckpoint(true) // two consumers: the total probe + output
+    val tot = counts.agg(sum($"n_vecs")).head.getLong(0)
+    counts.select($"cell".cast("long").as("cell"), $"n_vecs",
+        rnd($"n_vecs".cast("double") * k / tot, 4).as("load"))
+      .orderBy($"cell")
+  }
+
   /** Embedding QUARANTINE — the ingest hygiene gate in front of
     * every index build: vectors with NaN components, zero norm, or
     * out-of-range magnitudes corrupt centroids and cosine rankings
