@@ -225,6 +225,7 @@ object SparkEntry {
     "q_ab_ztest"                  -> EventAnalytics.qAbZtest,
     "q_survival_curve"            -> EventAnalytics.qSurvivalCurve,
     "q_changepoint_cusum"         -> RelationalExt.qChangepointCusum,
+    "q_forecast_holt"             -> RelationalExt.qForecastHolt,
     "q_attribution_markov"        -> EventAnalytics.qAttributionMarkov,
     "q_rfm_segments"              -> RelationalExt.qRfmSegments,
     "q_scd2_history"              -> operators.CdcOps.qScd2History,
@@ -1962,6 +1963,36 @@ object SparkEntry {
         |  floor((CAST(sp AS DOUBLE) / ((SELECT n FROM tot) * 100.0))*100 + 0.5)/100 AS cusum,
         |  CASE WHEN sp >= 0 THEN 'up' ELSE 'down' END AS side
         |FROM sc ORDER BY abs(sp) DESC, day LIMIT 5""".stripMargin,
+
+    // Holt replay: the same sequential recursion as a recursive CTE —
+    // per-step expressions written with LITERAL complements (0.7/0.9,
+    // never 1−α) and b's step re-evaluating the lNew expression, so
+    // every state pair is bit-identical to the driver fold's
+    "q_forecast_holt" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |xs AS (SELECT row_number() OVER (ORDER BY day) AS i,
+        |              CAST(cents AS DOUBLE) / 100.0 AS x FROM d),
+        |nn AS (SELECT max(i) AS n FROM xs),
+        |r(i, l, b) AS (
+        |  SELECT 1, x1.x, x2.x - x1.x
+        |  FROM (SELECT x FROM xs WHERE i = 1) x1,
+        |       (SELECT x FROM xs WHERE i = 2) x2
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    0.3 * xs.x + 0.7 * (r.l + r.b),
+        |    0.1 * ((0.3 * xs.x + 0.7 * (r.l + r.b)) - r.l) + 0.9 * r.b
+        |  FROM r JOIN xs ON xs.i = r.i + 1
+        |  WHERE r.i < (SELECT n FROM nn)),
+        |fin AS (SELECT l, b FROM r WHERE i = (SELECT n FROM nn))
+        |SELECT CAST(h.h AS BIGINT) AS h,
+        |  floor((l + h.h * b)*100 + 0.5)/100 AS yhat,
+        |  floor((l)*100 + 0.5)/100 AS last_level,
+        |  floor((b)*10000 + 0.5)/10000 AS last_trend
+        |FROM fin CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) h
+        |ORDER BY h""".stripMargin,
 
     // Markov removal-effect attribution replayed end-to-end — see
     // markovAttributionSql (journeys, chain, 16-round unroll per

@@ -826,4 +826,55 @@ object RelationalExt {
     top.toDF("day", "cusum", "side")
       .orderBy(abs($"cusum").desc, $"day")
   }
+
+  /** Holt smoothing constants — LITERALS on both sides, including the
+    * complements: `1.0 - 0.3` and the literal `0.7` can differ by an
+    * ulp, and a 2,000-step recursion amplifies that into a real
+    * divergence, so neither engine ever computes `1 − α`. */
+  val HoltAlpha = 0.3
+  val HoltOneMinusAlpha = 0.7
+  val HoltBeta = 0.1
+  val HoltOneMinusBeta = 0.9
+
+  /** Holt LINEAR-TREND smoothing + 7-day-ahead forecast over daily
+    * revenue — the trend-aware upgrade of `q_exp_smoothing` (a level-
+    * only smoother lags a trending series forever; Holt carries an
+    * explicit trend state): lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    * bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, initialized l₁=x₁, b₁=x₂−x₁;
+    * forecast ŷₕ = lₙ + h·bₙ. The recursion is inherently SEQUENTIAL
+    * — both engines march the same per-step expressions over the
+    * same doubles in day order (the ordered-fold discipline), the
+    * oracle as a recursive CTE, so the forecasts are bit-identical
+    * before rounding.
+    *
+    * Scale shape: the daily rollup is one partial+final agg; the
+    * series is calendar-bounded, so the recursion is a bounded
+    * driver fold (the q_bisect / q_changepoint_cusum pattern). */
+  val qForecastHolt: QueryFn = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(date_trunc("day", $"o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+      .collect() // bounded by the calendar span (one row per day)
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val xs = daily.map(_._2.toDouble / 100.0)
+    require(xs.length >= 2, "holt needs two days")
+    var l = xs(0)
+    var b = xs(1) - xs(0)
+    var i = 1
+    while (i < xs.length) {
+      val lNew = HoltAlpha * xs(i) + HoltOneMinusAlpha * (l + b)
+      b = HoltBeta * (lNew - l) + HoltOneMinusBeta * b
+      l = lNew
+      i += 1
+    }
+    val rows = (1 to 7).map { h =>
+      (h.toLong,
+        math.floor((l + h * b) * 100 + 0.5) / 100,
+        math.floor(l * 100 + 0.5) / 100,
+        math.floor(b * 10000 + 0.5) / 10000)
+    }
+    rows.toDF("h", "yhat", "last_level", "last_trend").orderBy($"h")
+  }
 }
