@@ -74,6 +74,8 @@ SUBSET = [
     "text_bloom_decontaminate", "stream_decontaminate",
     "q_kcore", "q_clustering_coeff",
     "q_survival_curve", "q_attribution_markov",
+    "mm_caption_align", "q_changepoint_cusum", "q_forecast_holt",
+    "emb_ivf_balance",
 ]
 
 
