@@ -226,6 +226,7 @@ object SparkEntry {
     "q_survival_curve"            -> EventAnalytics.qSurvivalCurve,
     "q_changepoint_cusum"         -> RelationalExt.qChangepointCusum,
     "q_forecast_holt"             -> RelationalExt.qForecastHolt,
+    "q_benford_check"             -> RelationalExt.qBenfordCheck,
     "q_attribution_markov"        -> EventAnalytics.qAttributionMarkov,
     "q_rfm_segments"              -> RelationalExt.qRfmSegments,
     "q_scd2_history"              -> operators.CdcOps.qScd2History,
@@ -296,6 +297,7 @@ object SparkEntry {
     "src_xml_roundtrip"           -> operators.SourceSinkOps.srcXmlRoundtrip,
     "src_warc_records"            -> operators.SourceSinkOps.srcWarcRecords,
     "src_compressed_text"         -> operators.SourceSinkOps.srcCompressedText,
+    "src_fixedwidth"              -> operators.SourceSinkOps.srcFixedWidth,
     "src_partitioned_sink"        -> operators.SourceSinkOps.srcPartitionedSink,
     "src_text_dir"                -> operators.SourceSinkOps.srcTextDir,
     "src_object_store"            -> operators.SourceSinkOps.srcObjectStore,
@@ -1963,6 +1965,22 @@ object SparkEntry {
         |  floor((CAST(sp AS DOUBLE) / ((SELECT n FROM tot) * 100.0))*100 + 0.5)/100 AS cusum,
         |  CASE WHEN sp >= 0 THEN 'up' ELSE 'down' END AS side
         |FROM sc ORDER BY abs(sp) DESC, day LIMIT 5""".stripMargin,
+
+    // Benford replay: digits from the decimal-cents string, integer
+    // ppm shares (// = integral div), log10 of nine constants rounded
+    // half-up at 1e-6 (verified away from every boundary)
+    "q_benford_check" ->
+      """WITH d AS (
+        |  SELECT substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |tot AS (SELECT sum(n) AS t FROM g)
+        |SELECT digit, n,
+        |  CAST((n * 1000000) // (SELECT t FROM tot) AS BIGINT) AS share_ppm,
+        |  CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS benford_ppm,
+        |  CAST((n * 1000000) // (SELECT t FROM tot) AS BIGINT)
+        |    - CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS dev_ppm
+        |FROM g ORDER BY digit""".stripMargin,
 
     // Holt replay: the same sequential recursion as a recursive CTE —
     // per-step expressions written with LITERAL complements (0.7/0.9,
@@ -4762,6 +4780,18 @@ object SparkEntry {
         |SELECT codec, n_lines, n_tokens, n_prefixes
         |FROM (SELECT 'bzip2' AS codec UNION ALL SELECT 'gzip') c
         |CROSS JOIN agg ORDER BY codec""".stripMargin,
+
+    // the fixed-width round trip judged against the ORIGINAL parquet:
+    // implied-decimal cents reconstruct exactly (integer sums, zero
+    // rounding), the record-END date filter catches any upstream
+    // width shear
+    "src_fixedwidth" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  count(DISTINCT l_orderkey) AS n_okeys
+        |FROM lineitem WHERE strftime(l_shipdate, '%Y%m%d') >= '19940101'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the FnvBloom sketch replayed END-TO-END: benchmark bit set from
     // the fnv64→mix64 double-hash probes, per-gram all-k membership,

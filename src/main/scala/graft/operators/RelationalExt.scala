@@ -877,4 +877,34 @@ object RelationalExt {
     }
     rows.toDF("h", "yhat", "last_level", "last_trend").orderBy($"h")
   }
+
+  /** Benford first-digit audit over order totals — the fraud /
+    * fabricated-data screen auditors actually run (organic financial
+    * amounts follow P(d) = log₁₀(1+1/d); fabricated ones cluster on
+    * round leading digits): per digit the observed share in ppm
+    * against the Benford expectation, plus the signed deviation.
+    * Exactness: digits come from the DECIMAL-cents string (no float
+    * dust), shares are INTEGER ppm (floor(n·10⁶/total) — integer
+    * division, order-free), and the expectation is log₁₀ of nine
+    * CONSTANTS rounded at half-up 1e-6 — verified away from every
+    * rounding boundary, so java.lang.Math vs libm cannot flip a
+    * value. Map-only digit extraction, one 9-row agg. */
+  val qBenfordCheck: QueryFn = (s, dir) => {
+    import s.implicits._
+    val digits = Tables.orders(s, dir)
+      .select(substring(($"o_totalprice".cast("decimal(18,2)") * 100)
+        .cast("long").cast("string"), 1, 1).as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // two consumers: total + output
+    val total = digits.agg(sum($"n")).head.getLong(0)
+    digits.select($"digit", $"n",
+        // integral `div`, never float division + floor: a quotient a
+        // hair under an integer can round UP in double and floor to
+        // the wrong bucket
+        expr(s"(n * 1000000L) div ${total}L").as("share_ppm"),
+        floor(log10(lit(1.0) + lit(1.0) / $"digit".cast("double")) * 1e6 + lit(0.5))
+          .cast("long").as("benford_ppm"))
+      .withColumn("dev_ppm", $"share_ppm" - $"benford_ppm")
+      .orderBy($"digit")
+  }
 }

@@ -160,6 +160,52 @@ object SourceSinkOps {
       .orderBy($"codec")
   }
 
+  /** FIXED-WIDTH records — the mainframe/COBOL copybook feed that
+    * still backs a surprising share of enterprise data lakes, with
+    * the two format-native traps load-bearing: IMPLIED DECIMALS
+    * (PIC 9(n)V99 — quantity and price ride as zero-padded cent
+    * integers; a reader unaware of the V99 is off by 100×) and
+    * OFFSET-SCHEMA parsing (every field a substring at a fixed
+    * column; one wrong width shears every later field — the date
+    * filter sits at the record's END so any upstream width slip
+    * lands on the hash). Values stay integer-cents end-to-end, so
+    * the rollup is EXACT against the original parquet with no
+    * rounding at all.
+    *
+    * Scale shape: format and parse are map-only string ops at scan
+    * speed; one partial+final agg. Fixed-width text is splittable
+    * (newline-framed), unlike the gzip members it usually arrives
+    * wrapped in — see src_compressed_text. */
+  val srcFixedWidth: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = ioDir(dir, "lineitem_fixed")
+    Tables.lineitem(s, dir).select(
+      concat(
+        lpad($"l_orderkey".cast("string"), 12, "0"),
+        lpad($"l_partkey".cast("string"), 10, "0"),
+        lpad(($"l_quantity".cast("decimal(12,2)") * 100).cast("long")
+          .cast("string"), 8, "0"),
+        lpad(($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long")
+          .cast("string"), 12, "0"),
+        $"l_returnflag", $"l_linestatus",
+        date_format($"l_shipdate", "yyyyMMdd")).as("rec"))
+      .write.mode("overwrite").text(out)
+    s.read.text(out).select(
+        substring($"value", 1, 12).cast("long").as("okey"),
+        substring($"value", 23, 8).cast("long").as("qty_c"),
+        substring($"value", 31, 12).cast("long").as("price_c"),
+        substring($"value", 43, 1).as("rf"),
+        substring($"value", 44, 1).as("ls"),
+        substring($"value", 45, 8).as("sd"))
+      .where($"sd" >= "19940101") // the fixed-width idiom: string-ordered dates
+      .groupBy($"rf", $"ls")
+      .agg(count(lit(1)).as("n"),
+        sum($"qty_c").as("sum_qty_c"),
+        sum($"price_c").as("sum_price_c"),
+        count_distinct($"okey").as("n_okeys"))
+      .orderBy($"rf", $"ls")
+  }
+
   /** orders → parquet on `objstore://` (the in-JVM flat-keyspace,
     * atomic-PUT, rename-is-copy+delete object store, S3-semantics —
     * ObjectStoreFileSystem.scala) → read back → rollup. Proves the
