@@ -75,7 +75,7 @@ SUBSET = [
     "q_kcore", "q_clustering_coeff",
     "q_survival_curve", "q_attribution_markov",
     "mm_caption_align", "q_changepoint_cusum", "q_forecast_holt",
-    "emb_ivf_balance",
+    "emb_ivf_balance", "q_benford_check", "src_fixedwidth",
 ]
 
 
