@@ -296,6 +296,7 @@ object SparkEntry {
     "src_json_malformed"          -> operators.SourceSinkOps.srcJsonMalformed,
     "src_xml_roundtrip"           -> operators.SourceSinkOps.srcXmlRoundtrip,
     "src_warc_records"            -> operators.SourceSinkOps.srcWarcRecords,
+    "src_warc_gz"                 -> operators.SourceSinkOps.srcWarcGz,
     "src_compressed_text"         -> operators.SourceSinkOps.srcCompressedText,
     "src_fixedwidth"              -> operators.SourceSinkOps.srcFixedWidth,
     "src_partitioned_sink"        -> operators.SourceSinkOps.srcPartitionedSink,
@@ -1819,6 +1820,68 @@ object SparkEntry {
         |  floor((abs(e - n_exact)/n_exact)*10000 + 0.5)/10000 AS rel_err
         |FROM est ORDER BY event_type""".stripMargin,
 
+    // CMS replay (r10 verdict missing #1): the same d×w counter
+    // array — row i's index is mix64(fnv64("i:user")) mod width
+    // (width a power of two, so signed/unsigned mod agree) — exact
+    // integer counts, candidate estimates as row-min lookups
+    "q_heavy_hitters" ->
+      s"""WITH rs AS (SELECT unnest(generate_series(0, ${operators.EventAnalytics.CmsDepth - 1})) AS r),
+        |h AS (
+        |  SELECT rs.r,
+        |    ${mixSql(fnvSql("CAST(rs.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)"))} % ${operators.EventAnalytics.CmsWidth} AS idx
+        |  FROM events e CROSS JOIN rs),
+        |counters AS (SELECT r, idx, count(*) AS c FROM h GROUP BY r, idx),
+        |ex AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id),
+        |cand AS (
+        |  SELECT user_id, true_cnt FROM (
+        |    SELECT user_id, true_cnt,
+        |      row_number() OVER (ORDER BY true_cnt DESC, user_id) AS rk
+        |    FROM ex) WHERE rk <= 10),
+        |ce AS (
+        |  SELECT cand.user_id, cand.true_cnt, rs.r,
+        |    ${mixSql(fnvSql("CAST(rs.r AS VARCHAR) || ':' || CAST(cand.user_id AS VARCHAR)"))} % ${operators.EventAnalytics.CmsWidth} AS idx
+        |  FROM cand CROSS JOIN rs)
+        |SELECT ce.user_id, ce.true_cnt, CAST(min(k.c) AS BIGINT) AS est_cnt
+        |FROM ce JOIN counters k USING (r, idx)
+        |GROUP BY ce.user_id, ce.true_cnt
+        |ORDER BY true_cnt DESC, user_id""".stripMargin,
+
+    // KMV(k=64) + 0.1-grid median replay (r10 verdict missing #1 —
+    // the last rows-only gate upgraded): same estimator arms as
+    // q_kmv_distinct, same ⌊(n+1)/2⌋ lower-median grid read
+    "q_approx_stats" ->
+      s"""WITH h AS (
+        |  SELECT DISTINCT event_type, ${mixSql(fnvSql("CAST(user_id AS VARCHAR)"))} AS hu
+        |  FROM events),
+        |sk AS (
+        |  SELECT event_type, hu,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hu) AS rn
+        |  FROM h),
+        |agg AS (
+        |  SELECT event_type, max(hu) AS kth, count(*) AS n_sk
+        |  FROM sk WHERE rn <= ${operators.RelationalExt.ApproxKmvK} GROUP BY event_type),
+        |au AS (
+        |  SELECT event_type,
+        |    CASE WHEN n_sk < ${operators.RelationalExt.ApproxKmvK} THEN CAST(n_sk AS DOUBLE)
+        |         ELSE ${operators.RelationalExt.ApproxKmvK - 1}.0 * 1.8446744073709552e19 / CAST(kth AS DOUBLE) END AS au
+        |  FROM agg),
+        |grid AS (SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS g FROM events),
+        |hist AS (SELECT event_type, g, count(*) AS c FROM grid GROUP BY event_type, g),
+        |tot AS (SELECT event_type, count(*) AS n FROM grid GROUP BY event_type),
+        |cum AS (SELECT event_type, g,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY g) AS cum
+        |  FROM hist),
+        |med AS (
+        |  SELECT cum.event_type, min(cum.g) AS mg
+        |  FROM cum JOIN tot USING (event_type)
+        |  WHERE cum.cum >= (tot.n + 1) // 2
+        |  GROUP BY cum.event_type)
+        |SELECT au.event_type,
+        |  floor(au.au*100 + 0.5)/100 AS approx_users,
+        |  floor((CAST(med.mg AS DOUBLE)/10)*10000 + 0.5)/10000 AS approx_p50
+        |FROM au JOIN med USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     // bounded Bellman-Ford vs recursive walk enumeration: IEEE + is
     // monotone, so min-then-extend == extend-then-min bit-for-bit
     "q_sssp" ->
@@ -2017,18 +2080,23 @@ object SparkEntry {
     // variant, ordered folds)
     "q_attribution_markov" -> markovAttributionSql,
 
-    // Kaplan–Meier replay: same day-grain lifetimes, same censoring
-    // cutoff (max day − 6), n_risk by the before-t running count,
-    // and the survivor as an ORDERED list_reduce product — the same
-    // left-to-right double multiplies the engine's driver fold does,
-    // so the rounded value is bit-identical
+    // Kaplan–Meier replay: same day-grain lifetimes, same ADAPTIVE
+    // censoring horizon (min(7, max inactivity gap) — r10 advice: a
+    // fixed 7-day cutoff censored every user of the uniformly-active
+    // test corpus and the gate was vacuously empty), n_risk by the
+    // before-t running count, and the survivor as an ORDERED
+    // list_reduce product — the same left-to-right double multiplies
+    // the engine's driver fold does, so the rounded value is
+    // bit-identical
     "q_survival_curve" ->
       """WITH ue AS (
         |  SELECT user_id, date_trunc('day', min(ts)) AS f, date_trunc('day', max(ts)) AS l
         |  FROM events GROUP BY user_id),
         |mx AS (SELECT max(l) AS ml FROM ue),
+        |hz AS (SELECT least(7, max(date_diff('day', l, ml))) AS h
+        |       FROM ue CROSS JOIN mx),
         |u AS (SELECT date_diff('day', f, l) AS t,
-        |        (l >= ml - INTERVAL 6 DAY) AS censored
+        |        (date_diff('day', l, ml) < (SELECT h FROM hz)) AS censored
         |      FROM ue CROSS JOIN mx),
         |perT AS (SELECT t, count(*) AS c_all,
         |           sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d
@@ -4760,6 +4828,26 @@ object SparkEntry {
         |  (id % 5 = 0) AS has_marker,
         |  CAST(2 + (id % 11) + CASE WHEN id % 5 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_tokens,
         |  (id % 9 <> 7) AS valid
+        |FROM w ORDER BY uri_id""".stripMargin,
+
+    // the gzip-member walk replayed closed-form: %9==4 members
+    // (flipped deflate byte → CRC fail) are ABSENT — the reader
+    // dropped the MEMBER and resynced at the next member magic, so
+    // every other record in the same file still lands; envelopes are
+    // all well-formed here (the corruption lives one layer down),
+    // so valid is uniformly true and warc_type always present
+    "src_warc_gz" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id FROM documents
+        |  WHERE doc_id % 7 = 5 AND doc_id % 9 <> 4)
+        |SELECT id AS uri_id,
+        |  CASE WHEN id % 3 = 0 THEN 'response'
+        |       WHEN id % 3 = 1 THEN 'request' ELSE 'metadata' END AS warc_type,
+        |  CAST(5 + length(CAST(id AS VARCHAR)) + 4 * (id % 11)
+        |    + CASE WHEN id % 5 = 0 THEN 19 ELSE 0 END AS BIGINT) AS content_length,
+        |  (id % 5 = 0) AS has_marker,
+        |  CAST(2 + (id % 11) + CASE WHEN id % 5 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_tokens,
+        |  TRUE AS valid
         |FROM w ORDER BY uri_id""".stripMargin,
 
     // both codecs must decompress to the byte-identical stream: the

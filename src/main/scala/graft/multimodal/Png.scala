@@ -36,7 +36,11 @@ object Png {
     * truncated; IHDR scalars are None unless an intact IHDR payload
     * was read (its CRC may still be bad — that lands in
     * `badCrcCount`, not in the scalars: the bytes are there either
-    * way and corruption triage wants BOTH facts). */
+    * way and corruption triage wants BOTH facts). `trailing` counts
+    * bytes past IEND's CRC (0 for a conforming file): a concatenated
+    * or garbage-padded payload still walks `ok` — the table IS intact
+    * — but the writer half must splice from the WALKED IEND offset,
+    * never from `length - 12`. */
   final case class PngMeta(
       status: String,
       width: Option[Int],
@@ -45,7 +49,8 @@ object Png {
       colorType: Option[Int],
       interlace: Option[Int],
       chunks: Vector[ChunkInfo],
-      texts: Vector[(String, String)]) {
+      texts: Vector[(String, String)],
+      trailing: Int = 0) {
     def badCrcCount: Int = chunks.count(!_.crcOk)
     def sawIend: Boolean = chunks.lastOption.exists(_.typ == "IEND")
   }
@@ -78,6 +83,7 @@ object Png {
     var first = true
     var n = 0
     var done = false
+    var trailing = 0
     while (!done) {
       if (off == bytes.length) {
         done = true // clean end (a conforming file ends AT IEND's crc)
@@ -116,8 +122,12 @@ object Png {
             }
           }
           n += 1
-          if (typ == "IEND" || n >= MaxChunks) done = true
-          else off = dataOff + len.toInt + 4
+          off = dataOff + len.toInt + 4
+          if (typ == "IEND") {
+            // bytes past IEND's CRC are trailing garbage, not chunks
+            trailing = bytes.length - off
+            done = true
+          } else if (n >= MaxChunks) done = true
         }
       }
     }
@@ -126,9 +136,9 @@ object Png {
     // walked table that simply never had an IHDR is `no_ihdr`
     if (first && status == "ok")
       PngMeta("no_ihdr", None, None, None, None, None,
-        chunks.result(), texts.result())
+        chunks.result(), texts.result(), trailing)
     else PngMeta(status, width, height, bitDepth, colorType, interlace,
-      chunks.result(), texts.result())
+      chunks.result(), texts.result(), trailing)
   }
 
   /** Insert a `tEXt` chunk (keyword NUL value, CRC computed here)
@@ -139,8 +149,10 @@ object Png {
     val meta = parse(bytes)
     require(meta.status == "ok" && meta.sawIend,
       s"insertText needs an intact png, got ${meta.status}")
-    // IEND is the final 12 bytes of a conforming file
-    val iendOff = bytes.length - 12
+    // IEND's offset comes from the WALK, not from `length - 12`: a
+    // payload with trailing bytes after IEND still parses ok, and
+    // splicing at a fixed tail offset would corrupt it (r10 advice)
+    val iendOff = bytes.length - meta.trailing - 12
     val kw = keyword.getBytes("ISO-8859-1")
     val tv = value.getBytes("ISO-8859-1")
     val data = kw ++ Array(0.toByte) ++ tv
@@ -153,7 +165,8 @@ object Png {
     val crcBuf = java.nio.ByteBuffer.allocate(4)
       .putInt(crc32(typAndData, 0, typAndData.length).toInt).array()
     out.write(crcBuf)
-    out.write(bytes, iendOff, 12)
+    // IEND plus any trailing bytes, carried through unchanged
+    out.write(bytes, iendOff, bytes.length - iendOff)
     out.toByteArray
   }
 }

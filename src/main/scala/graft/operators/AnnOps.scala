@@ -923,16 +923,6 @@ object AnnOps {
       .localCheckpoint(true) // K·probes rows, reused by 3 hit joins
     val vecs = Tables.embeddings(s, dir)
       .select($"vec_id".as("nid"), $"embedding".as("ne"))
-    def panelRow(cands: org.apache.spark.sql.DataFrame, method: String) = {
-      val served = rankTopK(cands
-        .join(vecs, "nid")
-        .join(broadcast(probes(s, dir)), "pid")
-        .select($"pid", $"nid", cosine_sim($"pe", $"ne").as("sim")), K)
-      val nc = cands.count()
-      val nh = served.join(ex, Seq("pid", "nid")).count()
-      (method, nc, nh,
-        math.floor(nh.toDouble / (K.toLong * NumProbes) * 1000000d + 0.5d) / 1000000d)
-    }
     // hnsw-beam at the same budget (r9 verdict #8): candidates = the
     // nodes the fixed-depth beam search actually SCORES (its true
     // cost), capped at the shared shortlist in (hop asc, rounded-sim
@@ -945,11 +935,35 @@ object AnnOps {
       keyCols = Seq("pid"),
       orderCols = Seq("hop" -> true, "sim_r" -> false, "nid" -> true),
       k = BqShortlist).select($"pid", $"nid")
-    Seq(panelRow(bqCands, "bq_only"),
-        panelRow(hnswCands, "hnsw_beam"),
-        panelRow(ivfCands, "ivf_only"),
-        panelRow(ivfbqCands, "ivfbq"))
-      .toDF("method", "n_cands", "n_hits", "recall")
+    // ONE union-with-method-tag job (r10 verdict #6: the per-method
+    // panelRow fired ~8 driver actions — per-method cands.count() +
+    // hit-join count() — making this diagnostic row the most
+    // expensive serve): the four shortlists union under a method
+    // tag, the rerank is one TopKPerKey keyed by (method, pid), and
+    // n_cands / n_hits / recall come out of two small aggs inside
+    // the same served plan.
+    val tagged = bqCands.withColumn("method", lit("bq_only"))
+      .unionByName(hnswCands.withColumn("method", lit("hnsw_beam")))
+      .unionByName(ivfCands.withColumn("method", lit("ivf_only")))
+      .unionByName(ivfbqCands.withColumn("method", lit("ivfbq")))
+      .localCheckpoint(true) // two consumers: the rerank + n_cands
+    val served = graft.plans.TopK.perKey(
+      tagged
+        .join(vecs, "nid")
+        .join(broadcast(probes(s, dir)), "pid")
+        .select($"method", $"pid", $"nid",
+          rnd(cosine_sim($"pe", $"ne"), 6).as("sim_r")),
+      keyCols = Seq("method", "pid"),
+      orderCols = Seq("sim_r" -> false, "nid" -> true),
+      k = K)
+    val nCands = tagged.groupBy($"method").agg(count(lit(1)).as("n_cands"))
+    val nHits = served.join(ex, Seq("pid", "nid"))
+      .groupBy($"method").agg(count(lit(1)).as("n_hits"))
+    nCands.join(nHits, Seq("method"), "left")
+      .select($"method", $"n_cands",
+        coalesce($"n_hits", lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        rnd($"n_hits".cast("double") / lit((K.toLong * NumProbes).toDouble), 6))
       .orderBy($"method")
   }
 

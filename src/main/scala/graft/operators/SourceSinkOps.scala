@@ -420,6 +420,90 @@ object SourceSinkOps {
       .orderBy($"uri_id")
   }
 
+  /** `.warc.gz` — the COMPOSITION src_warc_records and
+    * src_compressed_text each prove half of, and the layout a real
+    * crawl reader hits FIRST (r10 verdict missing #3): Common Crawl
+    * ships WARC as concatenated PER-RECORD GZIP MEMBERS, so the
+    * reader must walk member boundaries itself (member offsets are
+    * the random-access index; one corrupt member must cost one
+    * record, not the file). Per %7==5 doc one record in ONE gzip
+    * member; members concatenate into 8 multi-member `.warc.gz`
+    * objects. The traps: %9==4 members get a byte of their DEFLATE
+    * stream flipped — the member fails CRC and the reader must DROP
+    * it and resync at the next member magic (an abort-on-error
+    * reader loses every later record in the file and hash-fails);
+    * %5==0 payloads carry the embedded `WARC/1.1` line — after
+    * decompression the Content-Length framing must still carry it.
+    *
+    * Scale shape: fixture build is one shuffle to the group key +
+    * a map-only member write through the Hadoop FS API; the read is
+    * `binaryFile` + a map-only per-object member walk — exactly how
+    * a 1000-executor job reads a crawl bucket (one task per ~1 GB
+    * object; gzip members are NOT splittable, which is WHY crawls
+    * ship many medium objects — see src_compressed_text). */
+  val srcWarcGz: QueryFn = (s, dir) => {
+    import s.implicits._
+    import java.nio.charset.StandardCharsets.US_ASCII
+    val out = ioDir(dir, "docs_warc_gz")
+    val files = Tables.documents(s, dir).where($"doc_id" % 7 === 5)
+      .select($"doc_id").as[Long]
+      .groupByKey(id => (id / 7) % 8)
+      .mapGroups { (g, ids) =>
+        val bo = new java.io.ByteArrayOutputStream()
+        ids.toSeq.sorted.foreach { id =>
+          val payload = (s"uri $id\n" + "tok " * (id % 11).toInt +
+            (if (id % 5 == 0) "WARC/1.1 embedded\r\n" else ""))
+            .getBytes(US_ASCII)
+          val typ = (id % 3) match {
+            case 0 => "response"; case 1 => "request"; case _ => "metadata"
+          }
+          val member = graft.sources.Warc.gzMember(graft.sources.Warc.render(Seq(
+            "WARC-Record-ID" -> s"<urn:uuid:$id>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "WARC-Target-URI" -> s"http://ex.com/$id",
+            "WARC-Type" -> typ), payload))
+          // the corrupt-member trap: flip a DEFLATE byte (offset 12
+          // is inside compressed data — header is 10 bytes) so the
+          // member fails its CRC and must be dropped, not aborted on
+          if (id % 9 == 4) member(12) = (member(12) ^ 0x5A).toByte
+          bo.write(member, 0, member.length)
+        }
+        (g, bo.toByteArray)
+      }
+    // write real `.warc.gz` objects through the Hadoop FS API (Spark
+    // has no binary-file WRITER; one create per object is exactly
+    // what a member-framed sink does on an object store)
+    val p = new org.apache.hadoop.fs.Path(out)
+    val dfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    dfs.delete(p, true)
+    dfs.mkdirs(p)
+    files.foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.foreach { case (g, bytes) =>
+        val path = new org.apache.hadoop.fs.Path(out, f"part-g$g%02d.warc.gz")
+        val os = path.getFileSystem(conf).create(path, true)
+        os.write(bytes)
+        os.close()
+      }
+    }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz").load(out)
+      .select($"content").as[Array[Byte]]
+      .flatMap { bytes =>
+        graft.sources.Warc.parseGz(bytes).map { r =>
+          val body = new String(r.payload, US_ASCII)
+          (r.targetUri.flatMap(_.split("/").lastOption)
+            .map(_.toLong).getOrElse(-1L),
+            r.warcType, r.contentLength,
+            body.contains("WARC/"),
+            body.split("\\s+").count(_.nonEmpty).toLong,
+            r.valid)
+        }
+      }
+      .toDF("uri_id", "warc_type", "content_length", "has_marker",
+        "n_tokens", "valid")
+      .orderBy($"uri_id")
+  }
+
   /** customer → XML (Spark 4's built-in source — the feed format
     * enterprise exports still arrive in) → schema'd read → segment
     * rollup. XML-NATIVE round-trip hazards are made load-bearing:

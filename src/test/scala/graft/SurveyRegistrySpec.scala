@@ -32,10 +32,10 @@ class SurveyRegistrySpec extends AnyFunSuite {
       s"in SURVEY §2 but not registered: ${unimplemented.toSeq.sorted}")
   }
 
-  test("every query has an oracle except the documented rows-only pair") {
+  test("every query has an oracle — 0 rows-only since r11") {
     val rowsOnly = SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_approx_stats", "q_heavy_hitters"),
-      s"rows-only set drifted: ${rowsOnly.toSeq.sorted}")
+    assert(rowsOnly.isEmpty,
+      s"rows-only set drifted (r11 closed the last two): ${rowsOnly.toSeq.sorted}")
     val orphanOracles = SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty,
       s"oracles with no query: ${orphanOracles.toSeq.sorted}")

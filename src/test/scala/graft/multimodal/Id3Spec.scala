@@ -80,4 +80,37 @@ class Id3Spec extends AnyFunSuite {
     bad(11) = 0x01 // corrupt a frame-id byte (non-zero, non-alnum)
     assert(Id3.parse(bad).status == "truncated")
   }
+
+  test("extended header is skipped by its version-correct size (r10 advice)") {
+    // v2.4: syncsafe self-inclusive; v2.3: plain-BE self-exclusive
+    for (major <- Seq(3, 4)) {
+      val b = Id3.write(major, Seq(("TIT2", 0, "ExtOk"), ("TALB", 0, "A")),
+        extendedHeader = true)
+      val m = Id3.parse(b)
+      assert(m.status == "ok", s"v2.$major: ${m.status}")
+      assert(m.nFrames == 2 && m.title.contains("ExtOk") && m.album.contains("A"),
+        s"v2.$major: $m")
+    }
+  }
+
+  test("v2.3 whole-tag unsynchronisation de-unsyncs before the walk") {
+    // 0xFF bytes in a latin-1 value force real FF->FF00 expansion
+    val hot = "a\u00ffb\u00ffc"
+    val b = Id3.write(3, Seq(("TIT2", 0, hot), ("TRCK", 0, "9")),
+      unsynchronised = true)
+    // the on-disk tag really is unsynced: raw buffer contains FF 00
+    assert(b.sliding(2).exists(p => (p(0) & 0xFF) == 0xFF && p(1) == 0))
+    val m = Id3.parse(b)
+    assert(m.status == "ok" && m.nFrames == 2)
+    assert(m.title.contains(hot) && m.track.contains("9"))
+  }
+
+  test("v2.4 per-frame unsynchronisation: flagged bodies de-unsync, sizes are on-disk") {
+    val hot = "x\u00ffy"
+    val b = Id3.write(4, Seq(("TIT2", 0, hot), ("TALB", 0, "plain")),
+      unsynchronised = true)
+    val m = Id3.parse(b)
+    assert(m.status == "ok" && m.nFrames == 2)
+    assert(m.title.contains(hot) && m.album.contains("plain"))
+  }
 }

@@ -86,4 +86,22 @@ class PngSpec extends AnyFunSuite {
     val m = Png.parse(flood)
     assert(m.chunks.size <= Png.MaxChunks)
   }
+
+  test("trailing bytes after IEND are reported, and insertText splices at the walked IEND (r10 advice)") {
+    val dirty = realPng() ++ "GARBAGE-AFTER-IEND".getBytes("US-ASCII")
+    val m0 = Png.parse(dirty)
+    assert(m0.status == "ok" && m0.sawIend && m0.trailing == 18)
+    val withText = Png.insertText(dirty, "k", "v")
+    val m = Png.parse(withText)
+    assert(m.status == "ok" && m.badCrcCount == 0)
+    assert(m.texts == Vector(("k", "v")))
+    assert(m.chunks.map(_.typ).takeRight(2) == Vector("tEXt", "IEND"))
+    // the trailing bytes ride through unchanged, still past IEND
+    assert(m.trailing == 18)
+    assert(new String(withText.takeRight(18), "US-ASCII") == "GARBAGE-AFTER-IEND")
+  }
+
+  test("a conforming file reports zero trailing bytes") {
+    assert(Png.parse(realPng()).trailing == 0)
+  }
 }
