@@ -22,14 +22,26 @@ import org.apache.spark.sql.SparkSession
   *  - a JVM shutdown hook prints the summary line with whatever has
   *    completed if the process is killed before the natural end.
   *
-  * Warmup policy: a first measured run covers codegen + broadcast +
-  * JIT; every query whose first run takes ≥ 1 s gets a second
-  * (steady-state) run when the budget allows, and the reported value
-  * is the min — sub-second queries are overhead-dominated either way.
-  * r2 capped the retry at 30 s, which excluded exactly the queries
-  * where a steal-time spike matters most (the recorded dedup_pipeline
-  * 48.8 s was one); now the slow ones retry first in line as long as
-  * 1.2× their first-run time remains in the budget.
+  * Coverage before precision (r10 verdict #1: the driver artifact
+  * skipped 14 text rows because inline min-of-two re-runs ate the
+  * budget before the alphabetic tail ran):
+  *  - PHASE 1 measures EVERY row exactly once, families ordered
+  *    cheap-first (text/mr/src/... before dedup/stream), so even a
+  *    pathological overflow skips known-expensive rows, never an
+  *    untimed family;
+  *  - PHASE 2 spends whatever budget remains on steady-state re-runs
+  *    of the ≥ 2 s rows, slowest first (the ones a steal-time spike
+  *    distorts most), reporting the min of the two runs. Build rows
+  *    never re-run (cold-or-load semantics, see below).
+  *
+  * Build rows and the index store: the five `build_*` rows force the
+  * memoized index constructions. Since r11 those indexes PERSIST
+  * (operators.IndexStore, keyed by corpus fingerprint + dial), so on
+  * a corpus whose indexes are already on disk the build rows report
+  * the warm LOAD cost — which is the real cost a rerun pays, and why
+  * the driver's bench fits its budget; the committed canonical run
+  * is taken from a cleared store so the cold construction cost stays
+  * on record.
   *
   * Output: one JSON line on stdout —
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
@@ -49,7 +61,11 @@ object Bench {
       // box; 480 s skipped the alphabetic tail in r5
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "560").toLong * 1000L
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // unreliable mode (GRAFT_CHAOS — see graft.mr.Chaos): dialed
+      // runs get production-style task retries, clean runs keep
+      // local-mode fail-fast so a real bug can't retry invisibly
+      .master(if (graft.mr.Chaos.rate > 0) s"local[$cpus, 4]" else s"local[$cpus]")
+      .config("spark.plugins", "graft.mr.ChaosPlugin")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -176,37 +192,78 @@ object Bench {
     val partial = new java.io.PrintWriter(
       new java.io.FileWriter("bench_partial.jsonl", false), true)
     val benchStart = System.nanoTime()
-    names.zipWithIndex.foreach { case (name, i) =>
-      val elapsedMs = (System.nanoTime() - benchStart) / 1e6
+    def elapsedMs: Double = (System.nanoTime() - benchStart) / 1e6
+
+    // PHASE 1 — coverage: every row exactly once, cheap families
+    // first (builds lead: their consumers report warm-serve
+    // semantics only if the index exists before they run)
+    val ordered = buildNames ++ queryNames.sortBy(n => (familyRank(n), n))
+    ordered.zipWithIndex.foreach { case (name, i) =>
       if (elapsedMs > benchBudgetMs) {
         done.put(name, -2.0)
         System.err.println(s"[bench] $name SKIPPED (budget ${benchBudgetMs / 1000}s exceeded)")
       } else {
-        val t = try {
-          val t1 = timedRun(name)
-          val remainingMs = benchBudgetMs - (System.nanoTime() - benchStart) / 1e6
-          // >30 s queries are the ones a contention spike distorts
-          // most — they retry too (1.2× headroom vs 1.5× for cheap
-          // ones, so one slow retry can't eat the whole tail's budget)
-          val headroom = if (t1 > 30.0) 1200 else 1500
-          // build rows are COLD by definition — a second (memoized)
-          // run would report ~0 and defeat their purpose
-          if (t1 >= 1.0 && !name.startsWith("build_") &&
-              remainingMs > t1 * headroom)
-            math.min(t1, timedRun(name))
-          else t1
-        } catch {
+        val t = try timedRun(name) catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
         done.put(name, t)
-        System.err.println(f"[bench] ${i + 1}%2d/${names.size} $name%-28s ${t}%8.3f s")
+        System.err.println(f"[bench] ${i + 1}%2d/${ordered.size} $name%-28s ${t}%8.3f s")
         partial.println(s"""{"name":"$name","sec":${"%.3f".format(t)}}""")
+      }
+    }
+
+    // PHASE 2 — precision: steady-state re-runs of the ≥ 2 s serves
+    // with the leftover budget, slowest first, min-of-two reported.
+    // A 15 s reserve keeps the summary/jsonl writes off the deadline.
+    val rerunnable = queryNames
+      .filter(n => done.getOrDefault(n, -2.0) >= 2.0)
+      .sortBy(n => -done.get(n))
+    rerunnable.foreach { name =>
+      val t1 = done.get(name)
+      if (benchBudgetMs - elapsedMs > t1 * 1200 + 15000) {
+        val t = try math.min(t1, timedRun(name)) catch { case _: Throwable => t1 }
+        done.put(name, t)
+        if (t < t1) {
+          System.err.println(f"[bench] rerun $name%-28s ${t1}%8.3f -> ${t}%8.3f s")
+          partial.println(
+            s"""{"name":"$name","sec":${"%.3f".format(t)},"rerun":true}""")
+        }
       }
     }
     partial.close()
     emitSummary()
+
+    // In-JVM candidate-mass counters (r10 verdict #7): the stress
+    // harness reads these from a sidecar instead of paying two extra
+    // sbt/Spark cold starts. Off the driver's bench path (env unset).
+    sys.env.get("SPARK_GRAFT_CANDMASS_DIRS").foreach { dirs =>
+      val w = new java.io.PrintWriter(
+        new java.io.FileWriter("candidate_mass.jsonl", false), true)
+      dirs.split(",").map(_.trim).filter(_.nonEmpty).foreach { d =>
+        System.err.println(s"[bench] candidate mass: $d")
+        w.println(CandidateMass.measure(spark, d))
+      }
+      w.close()
+    }
     spark.stop()
   }
+
+  /** Family cost rank for phase-1 ordering: cheap map-mostly
+    * families first, the heavy banded/stateful families last — an
+    * overflow (which phase-1-only should make impossible at today's
+    * surface) skips rows whose per-row cost is individually large
+    * and known, never a whole cheap family (r10: 14 text rows went
+    * untimed while dedup re-runs burned the tail of the budget). */
+  private[graft] def familyRank(n: String): Int =
+    if (n.startsWith("text_")) 0
+    else if (n.startsWith("mr_")) 1
+    else if (n.startsWith("src_")) 2
+    else if (n.startsWith("mm_")) 3
+    else if (n.startsWith("q")) 4 // q1..q22 and q_*
+    else if (n.startsWith("emb_")) 5
+    else if (n.startsWith("ann_")) 6
+    else if (n.startsWith("dedup_") || n.startsWith("pipeline_")) 7
+    else 8 // stream_*
 }

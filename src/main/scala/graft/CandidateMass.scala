@@ -11,33 +11,31 @@ import org.apache.spark.sql.functions._
   * inferring it from wall ratios, which machine steal can mask in
   * either direction.
   *
-  * One JSON line on stdout:
-  *   {"sf_dir":..., "n_docs":N, "n_vecs":N,
+  * One JSON line per corpus:
+  *   {"sf_dir":..., "n_docs":N, "n_vecs":N, "n_arrivals":N,
+  *    "geometry":{"embedding":"p:b","lsh":"p:b"},
   *    "candidates":{"minhash":N,"simhash":N,"embedding":N,
   *                  "nsw_attach":N,"phash":N},
   *    "per_doc":{...}}
   *
-  * Counts honor the live geometry dials (GRAFT_SIMHASH_GEOMETRY /
-  * GRAFT_LSH_GEOMETRY / GRAFT_EMB_GEOMETRY / GRAFT_PHASH_GEOMETRY),
-  * so the stress run measures the WIDE dials it benches and a plain
-  * run measures the gate defaults. Denominators: doc-banded families
-  * divide by document count, vector families by vector count
-  * (nsw_attach by the arrival split's size — its mass is per
-  * ARRIVAL, the streaming-cost unit).
-  */
+  * Counts honor the live geometry resolution: a pinned dial
+  * (override/env) wins, else the hyperplane families use the n-AWARE
+  * schedule ([[operators.AnnOps.scheduledGeometry]], r10 verdict #2)
+  * — so a no-env stress run measures exactly the geometry the engine
+  * would deploy on that corpus, and the recorded "geometry" field is
+  * the audit trail. Denominators: doc-banded families divide by
+  * document count, vector families by vector count (nsw_attach by
+  * the arrival split's size — its mass is per ARRIVAL, the
+  * streaming-cost unit).
+  *
+  * Callable in-process ([[measure]]) so the stress harness reads the
+  * counters from the bench JVM instead of paying two extra sbt/Spark
+  * cold starts (r10 verdict #7). */
 object CandidateMass {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse(
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Compute the counters for one corpus on an existing session;
+    * returns the JSON line. */
+  def measure(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
 
     val docs = Tables.documents(spark, sfDir)
@@ -50,17 +48,24 @@ object CandidateMass {
     val minhash = operators.DedupOps.minhashCandidates(shingled).count()
     shingled.unpersist()
 
+    val simGeo = operators.DedupOps.simhashGeometryFor(spark, sfDir)
     val simSigs = operators.DedupOps
-      .simhashSigs(docs.select($"doc_id", $"text")).localCheckpoint(true)
-    val simhash = operators.DedupOps.simhashCandidates(simSigs).count()
+      .simhashSigs(docs.select($"doc_id", $"text"), simGeo)
+      .localCheckpoint(true)
+    val simhash = operators.DedupOps.simhashCandidates(simSigs, simGeo).count()
     simSigs.unpersist()
 
-    val embSigs = operators.DedupOps.embSigs(emb).localCheckpoint(true)
-    val embedding = operators.DedupOps.embCandidates(embSigs).count()
+    // per-corpus geometry (n-aware unless a dial pins it) — the same
+    // resolution the dedup/attach serve paths use, so the counters
+    // measure the geometry the engine would actually deploy here
+    val embGeo = operators.DedupOps.embGeometryFor(spark, sfDir)
+    val embSigs = operators.DedupOps.embSigs(emb, embGeo).localCheckpoint(true)
+    val embedding = operators.DedupOps.embCandidates(embSigs, embGeo).count()
     embSigs.unpersist()
 
     // the streaming attach face: candidates the arrival split pays
     // against the frozen base (the per-arrival cost unit)
+    val lshGeo = operators.AnnOps.lshGeometryFor(spark, sfDir)
     val arrivals = emb.where($"vec_id" % 10 === 0)
       .select($"vec_id", $"embedding")
     val nArrivals = arrivals.count()
@@ -74,7 +79,9 @@ object CandidateMass {
         concat(upper(substring($"text", 1, 10)),
           $"text".substr(lit(11), length($"text") - 20),
           upper($"text".substr(length($"text") - 9, lit(10)))).as("t"))
-    val phash = operators.TextOps.phashCandPairs(base.unionByName(dirty)).count()
+    val phGeo = operators.TextOps.phashGeometryFor(spark, sfDir)
+    val phash = operators.TextOps
+      .phashCandPairs(base.unionByName(dirty), phGeo).count()
 
     def rnd(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
     val perDoc = Map(
@@ -85,12 +92,31 @@ object CandidateMass {
       "phash" -> rnd(phash.toDouble / nDocs))
     def j(m: Map[String, Any]): String =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(
-      s"""{"sf_dir":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,""" +
+    s"""{"sf_dir":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,""" +
       s""""n_arrivals":$nArrivals,""" +
+      s""""geometry":{"embedding":"${embGeo._1}:${embGeo._2}",""" +
+      s""""lsh":"${lshGeo._1}:${lshGeo._2}",""" +
+      s""""simhash":"${simGeo._1}:${simGeo._2}:${simGeo._3}",""" +
+      s""""phash":"${phGeo._1}:${phGeo._2}:${phGeo._3}"},""" +
       s""""candidates":${j(Map("minhash" -> minhash, "simhash" -> simhash,
         "embedding" -> embedding, "nsw_attach" -> nsw, "phash" -> phash))},""" +
-      s""""per_doc":${j(perDoc)}}""")
+      s""""per_doc":${j(perDoc)}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.plugins", "graft.mr.ChaosPlugin")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(measure(spark, sfDir))
     spark.stop()
   }
 }

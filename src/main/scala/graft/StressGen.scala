@@ -58,10 +58,16 @@ object StressGen {
     }
   }
 
-  def writeStress(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
+  def writeStress(spark: SparkSession, srcDir: String, outDir: String, k: Int,
+      tables: Set[String] = Set.empty): Unit = {
     import spark.implicits._
+    // empty `tables` = everything; a subset (e.g. docs+embeddings for
+    // the extra candidate-mass decade) skips the unconsumed facts —
+    // a 100x events/lineitem replication nobody reads is pure waste
+    def want(t: String): Boolean = tables.isEmpty || tables.contains(t)
     val reps = spark.range(0, k).select($"id".cast("int").as("r"))
 
+    if (want("documents")) {
     val docs = Tables.documents(spark, srcDir)
       .select($"doc_id", $"text", $"lang", $"source")
       .crossJoin(org.apache.spark.sql.functions.broadcast(reps))
@@ -74,6 +80,7 @@ object StressGen {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
+    }
 
     // events (r8, for the streaming stress rows): replica r shifts
     // event_id AND user_id into disjoint id spaces, so state-bearing
@@ -85,6 +92,7 @@ object StressGen {
     // topology's stress axis. Raw-schema read/write (no Tables.events
     // normalization) so the landing-dir streaming source sees the
     // same dtypes as the official corpora.
+    if (want("events")) {
     val ev = spark.read.parquet(s"$srcDir/events.parquet")
       .crossJoin(broadcast(reps))
       .select(
@@ -93,6 +101,7 @@ object StressGen {
         (col("user_id") + col("r") * 1000000L).as("user_id"),
         col("event_type"), col("value"), col("props"))
     ev.repartition(16).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
 
     // TPC-H fact tables (r9, r8 verdict #1 — the relational/graph
     // stress axis): replicate with DISJOINT key spaces per replica,
@@ -105,6 +114,7 @@ object StressGen {
     // dims barely move, the graph family derives its node sets from
     // the facts (partkey-keyed queries never join `part`), and the
     // nation-level trade graph keeps its 25 nodes with 10× edge mass.
+    if (want("lineitem")) {
     val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
       .crossJoin(broadcast(reps))
       .select(
@@ -115,7 +125,9 @@ object StressGen {
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
     li.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
+    }
 
+    if (want("orders")) {
     val ord = spark.read.parquet(s"$srcDir/orders.parquet")
       .crossJoin(broadcast(reps))
       .select(
@@ -125,7 +137,9 @@ object StressGen {
         col("o_orderdate"), col("o_orderpriority"))
     ord.repartition(16).write.mode("overwrite")
       .parquet(s"$outDir/orders.parquet")
+    }
 
+    if (want("customer")) {
     val cust = spark.read.parquet(s"$srcDir/customer.parquet")
       .crossJoin(broadcast(reps))
       .select(
@@ -134,12 +148,14 @@ object StressGen {
         col("c_mktsegment"))
     cust.repartition(8).write.mode("overwrite")
       .parquet(s"$outDir/customer.parquet")
+    }
 
-    Seq("supplier", "part", "nation", "region").foreach { t =>
+    Seq("supplier", "part", "nation", "region").filter(want).foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
 
+    if (want("embeddings")) {
     val embs = Tables.embeddings(spark, srcDir)
       .select($"vec_id", $"embedding", $"label")
       .crossJoin(org.apache.spark.sql.functions.broadcast(reps))
@@ -153,12 +169,17 @@ object StressGen {
       .toDF("vec_id", "embedding", "label")
     embs.repartition(16).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
+    }
   }
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft-stress/sf1"
     val k = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated table subset
+    val tables = if (args.length > 3)
+      args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+    else Set.empty[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -167,12 +188,12 @@ object StressGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    writeStress(spark, src, out, k)
-    val nd = spark.read.parquet(s"$out/documents.parquet").count()
-    val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
-    val nv = spark.read.parquet(s"$out/events.parquet").count()
-    val nl = spark.read.parquet(s"$out/lineitem.parquet").count()
-    println(s"""{"stress_dir":"$out","k":$k,"documents":$nd,"embeddings":$ne,"events":$nv,"lineitem":$nl}""")
+    writeStress(spark, src, out, k, tables)
+    def cnt(t: String): Long =
+      if (tables.isEmpty || tables.contains(t))
+        spark.read.parquet(s"$out/$t.parquet").count()
+      else -1L
+    println(s"""{"stress_dir":"$out","k":$k,"documents":${cnt("documents")},"embeddings":${cnt("embeddings")},"events":${cnt("events")},"lineitem":${cnt("lineitem")}}""")
     spark.stop()
   }
 }

@@ -19,7 +19,11 @@ object Verify {
     val queryTimeoutMs =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "120").toLong * 1000L
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // unreliable mode (GRAFT_CHAOS=0.1 — the reference's chaos
+      // harness, mapreduce.go:465): injected first-attempt task
+      // failures need task retries, which local-mode defaults to 1
+      .master(if (graft.mr.Chaos.rate > 0) s"local[$cpus, 4]" else s"local[$cpus]")
+      .config("spark.plugins", "graft.mr.ChaosPlugin")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -225,14 +225,36 @@ object DedupOps {
     * materialization), so engine and oracle move together when the
     * dial does. */
   @volatile var overrideSimhashGeometry: Option[(Int, Int, Int)] = None
-  def simhashGeometry: (Int, Int, Int) = overrideSimhashGeometry
-    .orElse(sys.env.get("GRAFT_SIMHASH_GEOMETRY").map { g =>
-      val Array(w, b, t) = g.split(":").map(_.trim.toInt)
-      require(w >= 1 && w <= 4, s"simhash words must be 1..4, got $w")
-      require(Seq(8, 16, 32, 64).contains(b), s"simhash bandBits must divide 64, got $b")
-      require(t >= 0 && t <= w * 64, s"simhash tau out of range: $t")
-      (w, b, t)
-    }).getOrElse((1, 16, 6))
+  private def pinnedSimhashGeometry: Option[(Int, Int, Int)] =
+    overrideSimhashGeometry
+      .orElse(sys.env.get("GRAFT_SIMHASH_GEOMETRY").map { g =>
+        val Array(w, b, t) = g.split(":").map(_.trim.toInt)
+        require(w >= 1 && w <= 4, s"simhash words must be 1..4, got $w")
+        require(Seq(8, 16, 32, 64).contains(b), s"simhash bandBits must divide 64, got $b")
+        require(t >= 0 && t <= w * 64, s"simhash tau out of range: $t")
+        (w, b, t)
+      })
+  def simhashGeometry: (Int, Int, Int) =
+    pinnedSimhashGeometry.getOrElse((1, 16, 6))
+
+  /** The geometry the simhash face USES for this corpus: pinned dial
+    * if set, else the n-aware Hamming schedule
+    * ([[AnnOps.scheduledHammingGeometry]], r10 verdict #2) on the
+    * measured document count. */
+  def simhashGeometryFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): (Int, Int, Int) =
+    pinnedSimhashGeometry.getOrElse(
+      AnnOps.scheduledHammingGeometry(nDocs(s, dir), (1, 16, 6)))
+
+  /** Corpus document count, memoized per fingerprint (the
+    * [[AnnOps.nVecs]] twin for doc-banded families). */
+  private val nDocsMemo = new Memo[java.lang.Long]()
+  private[graft] def nDocs(
+      s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    nDocsMemo.getOrElseUpdate(
+      s, dir + graft.mr.Fs.fingerprint(dir + "/documents.parquet"),
+      java.lang.Long.valueOf(
+        Tables.documents(s, dir).count())).longValue()
 
   /** Deterministic seed for word w of the wide signature (word 0 is
     * seedless = the historical signature). Exposed for the oracle's
@@ -243,8 +265,9 @@ object DedupOps {
   /** (doc_id, sig0..sigW−1) under the current geometry; tokens
     * materialize once (two-step select) and each word is one fused
     * native loop. */
-  private[graft] def simhashSigs(docs: DataFrame): DataFrame = {
-    val (words, _, _) = simhashGeometry
+  private[graft] def simhashSigs(
+      docs: DataFrame, geo: (Int, Int, Int) = simhashGeometry): DataFrame = {
+    val (words, _, _) = geo
     val sigCols = (0 until words).map { w =>
       graft.functions.VectorExpressions
         .simhash64_native(col("toks"), simhashSeed(w)).as(s"sig$w")
@@ -255,8 +278,9 @@ object DedupOps {
 
   /** Band-keyed candidate pairs (a < b) from the signature frame,
     * anchor-capped per band ([[BandCap]]). */
-  private[graft] def simhashCandidates(sigs: DataFrame): DataFrame = {
-    val (words, bandBits, _) = simhashGeometry
+  private[graft] def simhashCandidates(
+      sigs: DataFrame, geo: (Int, Int, Int) = simhashGeometry): DataFrame = {
+    val (words, bandBits, _) = geo
     val bandsPerWord = 64 / bandBits
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val keys = for { w <- 0 until words; c <- 0 until bandsPerWord } yield
@@ -274,9 +298,10 @@ object DedupOps {
     * verified at hamming ≤ 6. */
   val dedupSimhash: QueryFn = (s, dir) => {
     import s.implicits._
-    val (words, _, tau) = simhashGeometry
-    val sigs = simhashSigs(Tables.documents(s, dir)).transform(Pin.corpus)
-    val pairs = simhashCandidates(sigs)
+    val geo = simhashGeometryFor(s, dir) // n-aware unless pinned
+    val (words, _, tau) = geo
+    val sigs = simhashSigs(Tables.documents(s, dir), geo).transform(Pin.corpus)
+    val pairs = simhashCandidates(sigs, geo)
     val a = sigs.select($"doc_id".as("doc_a") +:
       (0 until words).map(w => col(s"sig$w").as(s"sa$w")): _*)
     val b = sigs.select($"doc_id".as("doc_b") +:
@@ -357,16 +382,24 @@ object DedupOps {
   private val chainMemo = new Memo[(DataFrame, DataFrame)]()
 
   private def clusterChain(
-      s: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) =
-    chainMemo.getOrElseUpdate(
-      s, dir + graft.mr.Fs.fingerprint(dir + "/documents.parquet") + ":tau50", {
-        val pairs = jaccardPairs(docShingles(s, dir).transform(Pin.corpus), tau = 0.5)
+      s: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val key = dir + graft.mr.Fs.fingerprint(dir + "/documents.parquet") + ":tau50"
+    chainMemo.getOrElseUpdate(s, key, {
+      // disk layer under the session memo (r10 verdict #1): a rerun
+      // JVM reads the persisted exact pair set + CC labels instead of
+      // re-paying shingle -> prefix-filter -> verify -> contraction
+      val Seq(pairs, labels) = IndexStore.frames(
+        s, "jaccard_cc", key, Seq("pairs", "labels")) {
+        val p = jaccardPairs(docShingles(s, dir).transform(Pin.corpus), tau = 0.5)
           .localCheckpoint(true)
         val universe = Tables.documents(s, dir).select(col("doc_id"))
-        val labels = connectedComponents(
-          pairs.select(col("doc_a"), col("doc_b")), universe).localCheckpoint(true)
-        (pairs, labels)
-      })
+        val l = connectedComponents(
+          p.select(col("doc_a"), col("doc_b")), universe)
+        Seq(p, l)
+      }
+      (pairs, labels)
+    })
+  }
 
   /** The memoized full-corpus τ=0.5 EXACT pair set, for consumers
     * that dedup a SUBSET of the corpus (pipeline_curate): the
@@ -934,17 +967,31 @@ object DedupOps {
     * copies. The oracle interpolates these accessors; defaults
     * preserve the gate hashes. */
   @volatile var overrideEmbGeometry: Option[(Int, Int)] = None
-  def embGeometry: (Int, Int) = overrideEmbGeometry
+  /** Human-pinned geometry (override, else env dial); `None` lets
+    * the n-aware schedule decide — see [[AnnOps.scheduledGeometry]]
+    * (r10 verdict #2). */
+  private def pinnedEmbGeometry: Option[(Int, Int)] = overrideEmbGeometry
     .orElse(sys.env.get("GRAFT_EMB_GEOMETRY").map { g =>
       val Array(p, b) = g.split(":").map(_.trim.toInt)
       require(p >= 1 && p <= 64, s"emb planes must be 1..64, got $p")
       require(b >= 1 && b <= 32 && p % b == 0,
         s"emb bandBits must divide planes and be <= 32, got $b for $p planes")
       (p, b)
-    }).getOrElse((16, 8))
+    })
+  def embGeometry: (Int, Int) = pinnedEmbGeometry.getOrElse((16, 8))
   def EmbPlanes: Int = embGeometry._1
   def EmbBandBits: Int = embGeometry._2
   def EmbBands: Int = EmbPlanes / EmbBandBits
+
+  /** The geometry the embedding-dedup face USES for this corpus:
+    * pinned dial if set, else chosen from the measured corpus size
+    * at signature time (below [[AnnOps.ScheduleMinN]] — every gate
+    * corpus — the schedule returns the default, so the static
+    * accessors the oracle interpolates keep matching the engine). */
+  def embGeometryFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): (Int, Int) =
+    pinnedEmbGeometry.getOrElse(
+      AnnOps.scheduledGeometry(AnnOps.nVecs(s, dir), (16, 8)))
 
   /** Embedding-cosine near-dup *review queue*: random-hyperplane LSH
     * candidates under the [[embGeometry]] dial (default: 16-bit sign
@@ -964,22 +1011,25 @@ object DedupOps {
   /** (vec_id, embedding, sig) under the current [[embGeometry]] —
     * the signature stage of [[dedupEmbedding]], spec-visible so
     * EmbFloorSpec measures the floor on the REAL engine path. */
-  private[graft] def embSigs(emb: DataFrame): DataFrame = {
-    val planes = hyperplanes(EmbPlanes, 64)
+  private[graft] def embSigs(
+      emb: DataFrame, geo: (Int, Int) = embGeometry): DataFrame = {
+    val planes = hyperplanes(geo._1, 64)
     emb.select(col("vec_id"), col("embedding"),
       hyperplaneSig(planes)(col("embedding")).as("sig"))
   }
 
   /** Band-keyed candidate pairs (vec_a < vec_b) from the signature
     * frame — anchor-capped per band ([[BandCap]] via pairsByKey). */
-  private[graft] def embCandidates(sigged: DataFrame): DataFrame = {
+  private[graft] def embCandidates(
+      sigged: DataFrame, geo: (Int, Int) = embGeometry): DataFrame = {
+    val (embPlanes, embBandBits) = geo
     // mask, not mod (the simhash sign lesson — load-bearing at 64
     // planes where bit 63 makes the signature negative)
-    val mask = if (EmbBandBits == 64) -1L else (1L << EmbBandBits) - 1
+    val mask = if (embBandBits == 64) -1L else (1L << embBandBits) - 1
     val keyed = sigged.select(col("vec_id").as("doc_id"),
-      explode(array((0 until EmbBands).map { b =>
+      explode(array((0 until embPlanes / embBandBits).map { b =>
         concat_ws(":", lit(b),
-          shiftrightunsigned(col("sig"), b * EmbBandBits).bitwiseAND(lit(mask)))
+          shiftrightunsigned(col("sig"), b * embBandBits).bitwiseAND(lit(mask)))
       }: _*)).as("key"))
     pairsByKey(keyed)
       .withColumnRenamed("doc_a", "vec_a").withColumnRenamed("doc_b", "vec_b")
@@ -987,8 +1037,9 @@ object DedupOps {
 
   val dedupEmbedding: QueryFn = (s, dir) => {
     import s.implicits._
-    val sigged = embSigs(Tables.embeddings(s, dir)).transform(Pin.corpus)
-    val pairs = embCandidates(sigged)
+    val geo = embGeometryFor(s, dir) // n-aware unless pinned
+    val sigged = embSigs(Tables.embeddings(s, dir), geo).transform(Pin.corpus)
+    val pairs = embCandidates(sigged, geo)
     val a = sigged.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
     val b = sigged.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
     pairs.join(a, "vec_a").join(b, "vec_b")

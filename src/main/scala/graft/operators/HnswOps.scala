@@ -60,9 +60,10 @@ object HnswOps {
     * assignment, and per-cell argmax. */
   private val entriesMemo = new Memo[Seq[Long]]()
 
-  private[operators] def medoidEntries(s: SparkSession, dir: String): Seq[Long] =
-    entriesMemo.getOrElseUpdate(
-      s, dir + graft.mr.Fs.fingerprint(dir + "/embeddings.parquet"), {
+  private[operators] def medoidEntries(s: SparkSession, dir: String): Seq[Long] = {
+    val key = dir + graft.mr.Fs.fingerprint(dir + "/embeddings.parquet")
+    entriesMemo.getOrElseUpdate(s, key,
+      IndexStore.frame(s, "nsw_entries", key) {
         import s.implicits._
         val cellsLit = typedLit(AnnOps.ivfCentroids(s, dir))
         val scored = Tables.embeddings(s, dir)
@@ -72,8 +73,9 @@ object HnswOps {
         graft.plans.TopK.perKey(scored,
           keyCols = Seq("cell"),
           orderCols = Seq("sim_r" -> false, "vec_id" -> true), k = 1)
-          .select($"vec_id").collect().map(_.getLong(0)).toSeq.sorted
-      })
+          .select($"vec_id")
+      }.collect().map(_.getLong(0)).toSeq.sorted)
+  }
 
   /** The band keys of the signature under the [[AnnOps.lshGeometry]]
     * dial (default 12×4-bit bands of 48 planes; wide 4×16-bit of 64)
@@ -81,10 +83,11 @@ object HnswOps {
     * build and the attach path (a drift between the two would
     * silently break the streaming-parity contract). Mask, not mod:
     * a 64-plane signature sets the sign bit. */
-  private def bandKeys(sigCol: org.apache.spark.sql.Column) = {
-    val bb = LshHelper.BandBits
+  private def bandKeys(
+      sigCol: org.apache.spark.sql.Column, geo: (Int, Int)) = {
+    val (planes, bb) = geo
     val mask = if (bb == 64) -1L else (1L << bb) - 1
-    array((0 until LshHelper.Bands).map { b =>
+    array((0 until planes / bb).map { b =>
       concat_ws(":", lit(b),
         shiftrightunsigned(sigCol, b * bb).bitwiseAND(lit(mask)))
     }: _*)
@@ -96,10 +99,11 @@ object HnswOps {
     * shuffles 64× the bytes for the same answer). */
   def edges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = hyperplaneSig(hyperplanes(LshHelper.Planes, 64))
+    val geo = AnnOps.lshGeometryFor(s, dir) // n-aware unless pinned
+    val sig = hyperplaneSig(hyperplanes(geo._1, 64))
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
     val banded = emb
-      .select($"vec_id", explode(bandKeys(sig($"embedding"))).as("key"))
+      .select($"vec_id", explode(bandKeys(sig($"embedding"), geo)).as("key"))
     // per-band anchor-star cap ([[Blocking]]): a degenerate band emits
     // O(n·cap) candidates instead of n²; bands ≤ cap — every organic
     // band here — are the exact uncapped self-join. The oracle replays
@@ -136,20 +140,22 @@ object HnswOps {
       arrivals: DataFrame): DataFrame = {
     import s.implicits._
     attachCandidatesAgainst(
-      Tables.embeddings(s, dir).where($"vec_id" % 10 =!= 0))(arrivals)
+      Tables.embeddings(s, dir).where($"vec_id" % 10 =!= 0),
+      AnnOps.lshGeometryFor(s, dir))(arrivals)
   }
 
   /** The attach band-join against an EXPLICIT base frame — the core
     * [[attachCandidates]] binds to the incremental-index split;
     * spec-visible so NswFloorSpec measures the per-arrival candidate
     * mass on planted corpora through the real engine path. */
-  private[operators] def attachCandidatesAgainst(baseVecs: DataFrame)(
+  private[operators] def attachCandidatesAgainst(
+      baseVecs: DataFrame, geo: (Int, Int) = AnnOps.lshGeometry)(
       arrivals: DataFrame): DataFrame = {
     import arrivals.sparkSession.implicits._
-    val sig = hyperplaneSig(hyperplanes(LshHelper.Planes, 64))
+    val sig = hyperplaneSig(hyperplanes(geo._1, 64))
     val base = baseVecs
       .select($"vec_id".as("nbr"), $"embedding".as("ne"),
-        explode(bandKeys(sig($"embedding"))).as("key"))
+        explode(bandKeys(sig($"embedding"), geo)).as("key"))
     // NOTE: candidates are NOT deduplicated here — a .distinct() on
     // a STREAMING frame compiles to an unwatermarked
     // StreamingDeduplicate whose state grows forever and suppresses
@@ -158,7 +164,7 @@ object HnswOps {
     // streaming fold inside its per-key batch.
     arrivals
       .select($"vec_id", $"embedding",
-        explode(bandKeys(sig($"embedding"))).as("key"))
+        explode(bandKeys(sig($"embedding"), geo)).as("key"))
       .join(base, "key")
       .where($"vec_id" =!= $"nbr")
       .select($"vec_id", $"nbr",
@@ -179,10 +185,17 @@ object HnswOps {
     * re-pays the most expensive stage for identical input. */
   private val edgesMemo = new Memo[DataFrame]()
 
-  private def edgesCached(s: SparkSession, dir: String): DataFrame =
-    edgesMemo.getOrElseUpdate(
-      s, dir + graft.mr.Fs.fingerprint(dir + "/embeddings.parquet"),
-      edges(s, dir).transform(Checkpoints.cut))
+  private def edgesCached(s: SparkSession, dir: String): DataFrame = {
+    // key carries the band-geometry dial: a re-dialed run (or the
+    // n-aware schedule picking differently for a regenerated corpus)
+    // can never serve a stale graph; the dial also lands in the
+    // store's _META — the "which geometry built this index" record
+    val (p, b) = AnnOps.lshGeometryFor(s, dir)
+    val key = dir + graft.mr.Fs.fingerprint(dir + "/embeddings.parquet") +
+      s":geo$p:$b:M$M:cap$BuildCap"
+    edgesMemo.getOrElseUpdate(s, key,
+      IndexStore.frame(s, "nsw_edges", key)(edges(s, dir)))
+  }
 
   /** Cold-build entry for the bench's `build_nsw_graph` row: edge
     * list + medoid entry points (both memoized; the checkpoint is
@@ -261,12 +274,4 @@ object HnswOps {
       .select($"pid", $"rnk", $"nid", rnd($"sim", 4).as("sim"))
       .orderBy($"pid", $"rnk")
   }
-}
-
-/** Shared LSH geometry constants (mirrors AnnOps' private ones for
-  * reuse by the graph build). */
-private[operators] object LshHelper {
-  def Planes: Int = AnnOps.LshPlanes
-  def Bands: Int = AnnOps.LshBands
-  def BandBits: Int = AnnOps.LshBandBits
 }

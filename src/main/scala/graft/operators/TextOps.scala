@@ -981,6 +981,7 @@ object TextOps {
     * candidates only. */
   val mmImageNeardup: QueryFn = (s, dir) => {
     import s.implicits._
+    val (phWords, phBandBits, phTau) = phashGeometryFor(s, dir)
     val imgIds = Tables.documents(s, dir).where($"doc_id" % 7 <= 1)
       .select($"doc_id")
     // the registry KNOWS which rows are derived — the dirty flag and
@@ -1020,7 +1021,7 @@ object TextOps {
       val bytes = graft.multimodal.ImageCodec.encode(img, "png")
       val d = graft.multimodal.ImageCodec.decode(bytes).getOrElse(
         sys.error(s"undecodable neardup fixture for media $mid"))
-      (mid, graft.multimodal.ImageCodec.aHashGrid(d.image, PhashWords).toSeq)
+      (mid, graft.multimodal.ImageCodec.aHashGrid(d.image, phWords).toSeq)
     }.toDF("media_id", "hs")
       // pinned: the band explode and BOTH verify joins read this, and
       // each row costs a real encode+decode
@@ -1029,11 +1030,11 @@ object TextOps {
     // historical four 16-bit bands of the one-word 8x8 aHash; wide:
     // four 32-bit bands of the 8x16 grid — same content cells per
     // band, 2^16 deeper keys)
-    val bb = PhashBandBits
+    val bb = phBandBits
     val perWord = 64 / bb
     val mask = if (bb == 64) -1L else (1L << bb) - 1
     val bands = hashed.select($"media_id", explode(array((for {
-      w <- 0 until PhashWords; c <- 0 until perWord
+      w <- 0 until phWords; c <- 0 until perWord
     } yield concat_ws(":", lit(w * perWord + c),
       shiftrightunsigned(element_at($"hs", w + 1), c * bb)
         .bitwiseAND(lit(mask)))): _*)).as("key"))
@@ -1044,7 +1045,7 @@ object TextOps {
       .select($"ma".as("media_a"), $"mb".as("media_b"),
         expr("aggregate(zip_with(sa, sb, (x, y) -> cast(bit_count(x ^ y) as bigint)), 0L, (acc, v) -> acc + v)")
           .as("hamming"))
-      .where($"hamming" <= PhashTau)
+      .where($"hamming" <= phTau.toLong)
       .orderBy($"media_a", $"media_b")
   }
 
@@ -1451,14 +1452,26 @@ object TextOps {
     * move. Both neardup oracles interpolate these accessors;
     * defaults preserve the gate hashes. bands = 64·words/bandBits. */
   @volatile var overridePhashGeometry: Option[(Int, Int, Int)] = None
-  def phashGeometry: (Int, Int, Int) = overridePhashGeometry
-    .orElse(sys.env.get("GRAFT_PHASH_GEOMETRY").map { g =>
-      val Array(w, b, t) = g.split(":").map(_.trim.toInt)
-      require(w >= 1 && w <= 4, s"phash words must be 1..4, got $w")
-      require(Seq(8, 16, 32, 64).contains(b), s"phash bandBits must divide 64, got $b")
-      require(t >= 0 && t <= w * 64, s"phash tau out of range: $t")
-      (w, b, t)
-    }).getOrElse((1, 16, 12))
+  private def pinnedPhashGeometry: Option[(Int, Int, Int)] =
+    overridePhashGeometry
+      .orElse(sys.env.get("GRAFT_PHASH_GEOMETRY").map { g =>
+        val Array(w, b, t) = g.split(":").map(_.trim.toInt)
+        require(w >= 1 && w <= 4, s"phash words must be 1..4, got $w")
+        require(Seq(8, 16, 32, 64).contains(b), s"phash bandBits must divide 64, got $b")
+        require(t >= 0 && t <= w * 64, s"phash tau out of range: $t")
+        (w, b, t)
+      })
+  def phashGeometry: (Int, Int, Int) =
+    pinnedPhashGeometry.getOrElse((1, 16, 12))
+
+  /** The geometry the phash faces USE for this corpus: pinned dial
+    * if set, else the n-aware Hamming schedule on the document count
+    * (the media registries are doc-derived, so doc count is the
+    * registry-size proxy the schedule needs). */
+  def phashGeometryFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): (Int, Int, Int) =
+    pinnedPhashGeometry.getOrElse(
+      AnnOps.scheduledHammingGeometry(DedupOps.nDocs(s, dir), (1, 16, 12)))
   def PhashWords: Int = phashGeometry._1
   def PhashBandBits: Int = phashGeometry._2
   def PhashBands: Int = 64 * PhashWords / PhashBandBits
@@ -1493,8 +1506,9 @@ object TextOps {
         concat(upper(substring($"text", 1, 10)),
           $"text".substr(lit(11), length($"text") - 20),
           upper($"text".substr(length($"text") - 9, lit(10)))).as("t"))
-    phashCandPairs(base.unionByName(dirty))
-      .where($"hamming" <= PhashTau)
+    val geo = phashGeometryFor(s, dir) // n-aware unless pinned
+    phashCandPairs(base.unionByName(dirty), geo)
+      .where($"hamming" <= geo._3.toLong)
       .orderBy($"media_a", $"media_b")
   }
 
@@ -1505,14 +1519,16 @@ object TextOps {
     * at [[PhashTau]]; PhashFloorSpec counts the candidates
     * themselves — the floor is a property of the band stage, not the
     * verify). */
-  private[graft] def phashCandPairs(reg: DataFrame): DataFrame = {
+  private[graft] def phashCandPairs(
+      reg: DataFrame, geo: (Int, Int, Int) = phashGeometry): DataFrame = {
     val sess = reg.sparkSession
     import sess.implicits._
+    val (phWords, phBandBits, _) = geo
     val m = reg.withColumn("L", length($"t").cast("long"))
     // slice count and band width ride the [[phashGeometry]] dial
     // (default 64 slices / 16-bit bands — the historical literals)
-    val slices = 64 * PhashWords
-    val bb = PhashBandBits
+    val slices = 64 * phWords
+    val bb = phBandBits
     val bits = m
       .select($"media_id", graft.functions.VectorExpressions.fnv_shingles(
         transform(sequence(lit(1), lit(slices)), i => {

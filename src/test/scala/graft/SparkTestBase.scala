@@ -17,6 +17,11 @@ object SparkTestBase {
     val s = SparkSession.builder()
       .master("local[4, 2]")
       .appName("graft-test")
+      // unreliable-mode hook (inert at rate 0): ChaosSpec dials
+      // graft.mr.Chaos.rate to inject per-task failures across every
+      // stage; plugins only load at context creation, so the hook
+      // must ride the shared session
+      .config("spark.plugins", "graft.mr.ChaosPlugin")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")

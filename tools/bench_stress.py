@@ -79,6 +79,14 @@ SUBSET = [
 ]
 
 
+# Extra candidate-mass decade (r10 verdict #2 "done" criterion): the
+# n-aware geometry schedule must hold at sf1 AND one more synthetic
+# decade with NO dial env vars set. docs+embeddings only — the mass
+# counters read nothing else, and a 100x fact replication nobody
+# consumes is pure generation waste.
+SF10_DIR = "/tmp/graft-stress/sf10"
+
+
 def ensure_corpus():
     # lineitem is the newest table (r9): its absence means a stale
     # pre-relational corpus that must be regenerated whole
@@ -86,55 +94,37 @@ def ensure_corpus():
            for t in ("documents", "embeddings", "events",
                      "lineitem", "orders", "customer")):
         print(f"[stress] corpus already at {STRESS_DIR}", flush=True)
-        return
-    print("[stress] generating 10x corpus ...", flush=True)
-    subprocess.run(
-        ["sbt", "-batch",
-         f"runMain graft.StressGen /root/testdata/sf0.1 {STRESS_DIR} 10"],
-        cwd=REPO, check=True)
-
-
-def wide_dials():
-    """The scale-path band geometries (r9 verdict #1: the r8 simhash
-    dial generalized to the whole hyperplane family) — the dials a
-    10^8+-item corpus would deploy, measured here at the decade where
-    the defaults' collision floors bite. The gate still runs the
-    default dials."""
-    return dict(
-        GRAFT_SIMHASH_GEOMETRY=os.environ.get(
-            "GRAFT_SIMHASH_GEOMETRY", "2:32:12"),
-        GRAFT_LSH_GEOMETRY=os.environ.get("GRAFT_LSH_GEOMETRY", "64:16"),
-        GRAFT_EMB_GEOMETRY=os.environ.get("GRAFT_EMB_GEOMETRY", "64:16"),
-        GRAFT_PHASH_GEOMETRY=os.environ.get(
-            "GRAFT_PHASH_GEOMETRY", "2:32:24"))
-
-
-def candidate_mass(sf_dir):
-    """Pre-verify candidate-pair counts for the banded families (r9
-    verdict #7) under the SAME wide dials the stress bench runs —
-    the floor measured directly, not inferred from wall ratios."""
-    env = dict(os.environ, **wide_dials())
-    out = subprocess.run(
-        ["sbt", "-batch", f"runMain graft.CandidateMass {sf_dir}"],
-        cwd=REPO, env=env, check=True, capture_output=True, text=True)
-    for line in out.stdout.splitlines():
-        t = line.strip()
-        if t.startswith("[info] "):
-            t = t[len("[info] "):]
-        if t.startswith('{"sf_dir"'):
-            return json.loads(t)
-    sys.exit("[stress] CandidateMass produced no JSON line")
+    else:
+        print("[stress] generating 10x corpus ...", flush=True)
+        subprocess.run(
+            ["sbt", "-batch",
+             f"runMain graft.StressGen /root/testdata/sf0.1 {STRESS_DIR} 10"],
+            cwd=REPO, check=True)
+    if all(os.path.exists(f"{SF10_DIR}/{t}.parquet/_SUCCESS")
+           for t in ("documents", "embeddings")):
+        print(f"[stress] corpus already at {SF10_DIR}", flush=True)
+    else:
+        print("[stress] generating 100x docs+embeddings corpus ...", flush=True)
+        subprocess.run(
+            ["sbt", "-batch",
+             "runMain graft.StressGen /root/testdata/sf0.1 "
+             f"{SF10_DIR} 100 documents,embeddings"],
+            cwd=REPO, check=True)
 
 
 def run_bench():
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=STRESS_DIR,
                SPARK_GRAFT_QUERIES=",".join(SUBSET),
+               # candidate-mass counters from INSIDE the bench JVM
+               # (r10 verdict #7: two extra sbt/Spark cold starts
+               # cost ~2 min of the stress wall for the same numbers)
+               SPARK_GRAFT_CANDMASS_DIRS=",".join(
+                   ["/root/testdata/sf0.1", STRESS_DIR, SF10_DIR]),
                # run-scoped artifact (r7 verdict #1b): a stress run must
                # NEVER write the canonical bench_summary.json — that
                # clobber defeated the anti-drift chain in r6 and r7
                SPARK_GRAFT_BENCH_OUT="bench_stress_summary.json",
-               **wide_dials(),
                # 10x data: give slow builds room before the watchdog
                SPARK_GRAFT_QUERY_TIMEOUT=os.environ.get(
                    "SPARK_GRAFT_QUERY_TIMEOUT", "420"),
@@ -153,9 +143,16 @@ def run_bench():
 
 def main():
     ensure_corpus()
-    cm_base = candidate_mass("/root/testdata/sf0.1")
-    cm_dec = candidate_mass(STRESS_DIR)
     d = run_bench()
+    # the bench JVM wrote one counter line per corpus (sidecar)
+    cms = {}
+    with open(os.path.join(REPO, "candidate_mass.jsonl")) as f:
+        for line in f:
+            e = json.loads(line)
+            cms[e["sf_dir"]] = e
+    cm_base = cms["/root/testdata/sf0.1"]
+    cm_dec = cms[STRESS_DIR]
+    cm_dec10 = cms[SF10_DIR]
     q = d["queries"]
     serves = {k: v for k, v in q.items()
               if not k.startswith("build_") and v >= 0}
@@ -164,20 +161,24 @@ def main():
         "note": "self-generated 10x stress corpus (StressGen: docs+embeddings"
                 "+events+lineitem/orders/customer, disjoint key spaces per"
                 " replica); subset = build_* + dedup/ANN/suffix/mm/stream +"
-                " relational/graph families; the banded families run the"
-                " WIDE geometry dials (simhash 2:32:12, lsh/emb 64:16,"
-                " phash 2:32:24 — the >=1e6-item deployment dials; gate +"
-                " sf0.1 use the defaults); candidate_mass records their"
-                " pre-verify pair counts at both decade points",
+                " relational/graph families; NO dial env vars — the banded"
+                " families choose geometry from the measured corpus size"
+                " (n-aware schedule, r11; the chosen dials are recorded in"
+                " each candidate_mass entry's geometry field; gate + sf0.1"
+                " resolve to the defaults); candidate_mass records"
+                " pre-verify pair counts at sf0.1, sf1, and the extra"
+                " sf10 docs+embeddings decade",
         "n_ok": len(serves),
         "n_skipped": sum(1 for v in q.values() if v == -2.0),
         "total_sec": round(sum(serves.values()), 1),
         "worst": [worst[0], round(worst[1], 2)],
         "builds": {k: v for k, v in q.items() if k.startswith("build_")},
         "queries": q,
-        # r9 verdict #7: the banded families' pre-verify candidate
-        # mass at both decade points, same wide dials as the bench
-        "candidate_mass": {"sf0.1": cm_base, "sf1": cm_dec},
+        # r9 verdict #7 / r10 #2: pre-verify candidate mass at sf0.1,
+        # sf1, and one more synthetic decade — all env-free, geometry
+        # chosen by the n-aware schedule and recorded per entry
+        "candidate_mass": {"sf0.1": cm_base, "sf1": cm_dec,
+                           "sf10": cm_dec10},
     }
     path = os.path.join(REPO, "bench_scaling.json")
     scal = json.load(open(path)) if os.path.exists(path) else {}
@@ -237,30 +238,36 @@ def main():
     # (embedding 2/2⁸ ≈ 0.8%, nsw 12/16 = 75% of the base PER
     # ARRIVAL) trips it; the wide dials measure 10⁻⁴–10⁻⁵ here.
     CAND_FRAC = 0.005
-    denom = {
-        "minhash": cm_dec["n_docs"], "simhash": cm_dec["n_docs"],
-        "phash": cm_dec["n_docs"], "embedding": cm_dec["n_vecs"],
-        "nsw_attach": cm_dec["n_vecs"] - cm_dec["n_arrivals"],
-    }
     cand_viol = []
-    for fam, pd1 in cm_dec["per_doc"].items():
-        n = max(1, denom.get(fam, cm_dec["n_docs"]))
-        frac = pd1 / n
-        pd0 = cm_base["per_doc"].get(fam, 0)
-        growth = (pd1 / pd0) if pd0 > 0 else float("nan")
-        print(f"[stress] candidates-per-item {fam}: {pd0:.2f} -> {pd1:.2f} "
-              f"({growth:.1f}x decade growth; {frac:.6f} of corpus/item, "
-              f"bound {CAND_FRAC})")
-        if frac > CAND_FRAC:
-            cand_viol.append((fam, pd1, n, frac))
+    prev = cm_base
+    for label, cm in (("sf1", cm_dec), ("sf10", cm_dec10)):
+        denom = {
+            "minhash": cm["n_docs"], "simhash": cm["n_docs"],
+            "phash": cm["n_docs"], "embedding": cm["n_vecs"],
+            "nsw_attach": cm["n_vecs"] - cm["n_arrivals"],
+        }
+        print(f"[stress] {label} geometry (n-aware, no env): "
+              f"{cm.get('geometry')}")
+        for fam, pd1 in cm["per_doc"].items():
+            n = max(1, denom.get(fam, cm["n_docs"]))
+            frac = pd1 / n
+            pd0 = prev["per_doc"].get(fam, 0)
+            growth = (pd1 / pd0) if pd0 > 0 else float("nan")
+            print(f"[stress] candidates-per-item {label} {fam}: "
+                  f"{pd0:.2f} -> {pd1:.2f} ({growth:.1f}x decade growth; "
+                  f"{frac:.6f} of corpus/item, bound {CAND_FRAC})")
+            if frac > CAND_FRAC:
+                cand_viol.append((label, fam, pd1, n, frac))
+        prev = cm
     if cand_viol:
         print("[stress] FAIL: candidate corpus-fraction guard tripped "
               "(per-item mass is a corpus fraction — the floor):")
-        for fam, pd1, n, frac in cand_viol:
-            print(f"  {fam:12s} {pd1:.1f} cands/item over {n} items "
+        for label, fam, pd1, n, frac in cand_viol:
+            print(f"  {label} {fam:12s} {pd1:.1f} cands/item over {n} items "
                   f"= {frac:.4f} (bound {CAND_FRAC})")
         sys.exit(1)
-    print("[stress] candidate corpus-fraction guard: all banded families bounded")
+    print("[stress] candidate corpus-fraction guard: all banded families "
+          "bounded at both decades, no dial env vars set")
 
 
 if __name__ == "__main__":
