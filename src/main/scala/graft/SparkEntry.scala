@@ -152,6 +152,7 @@ object SparkEntry {
     "mm_wav_meta"                 -> TextOps.mmWavMeta,
     "mm_vtt_cues"                 -> operators.TextOps.mmVttCues,
     "mm_png_meta"                 -> operators.TextOps.mmPngMeta,
+    "mm_jpeg_meta"                -> operators.TextOps.mmJpegMeta,
     "mm_caption_align"            -> operators.TextOps.mmCaptionAlign,
     "mm_flac_meta"                -> operators.TextOps.mmFlacMeta,
     "mm_zip_entries"              -> operators.TextOps.mmZipEntries,
@@ -181,6 +182,7 @@ object SparkEntry {
     // r3 wave 2: retrieval, layout, partial-dup + semantic dedup
     "text_char_diversity"         -> PipelineOps.textCharDiversity,
     "q_bm25_search"               -> PipelineOps.qBm25Search,
+    "q_search_rankeval"           -> PipelineOps.qSearchRankeval,
     "q_zorder_layout"             -> operators.LayoutOps.qZorderLayout,
     "q_hilbert_layout"            -> operators.LayoutOps.qHilbertLayout,
     "dedup_cdc_chunks"            -> DedupOps.dedupCdcChunks,
@@ -233,6 +235,7 @@ object SparkEntry {
     "q_record_linkage"            -> operators.LinkageOps.qRecordLinkage,
     "q_label_propagation"         -> operators.GraphOps.qLabelPropagation,
     "q_model_gains"               -> operators.ModelOps.qModelGains,
+    "q_bandit_ips"                -> operators.ModelOps.qBanditIps,
     "ann_radius_search"           -> AnnOps.annRadiusSearch,
     "text_rake_keywords"          -> PipelineOps.textRakeKeywords,
     "q_weighted_median"           -> EventAnalytics.qWeightedMedian,
@@ -305,6 +308,7 @@ object SparkEntry {
     "src_schema_evolution"        -> operators.SourceSinkOps.srcSchemaEvolution,
     "src_bucketed_join"           -> operators.SourceSinkOps.srcBucketedJoin,
     "src_orc_roundtrip"           -> operators.SourceSinkOps.srcOrcRoundtrip,
+    "src_avro_roundtrip"          -> operators.SourceSinkOps.srcAvroRoundtrip,
     "src_csv_malformed"           -> operators.SourceSinkOps.srcCsvMalformed,
   )
 
@@ -2163,6 +2167,45 @@ object SparkEntry {
 
     "q_model_gains" -> perceptronGainsOracle,
 
+    // off-policy eval replayed end-to-end: propensities and the
+    // target argmax from the suite's own fnv64→mix64 primitives
+    // (power-of-two moduli — the signed/unsigned-mod discipline),
+    // w = den/numer one IEEE division, sums DECIMAL-exact, the
+    // estimates single divisions
+    "q_bandit_ips" ->
+      s"""WITH acts AS (
+        |  SELECT unnest(['click','error','purchase','signup','view']) AS b),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |arms AS (
+        |  SELECT user_id, b,
+        |    CAST(${mixSql(fnvSql("'log:' || b || ':' || CAST(user_id AS VARCHAR)"))} % 4 AS BIGINT) + 1 AS numer,
+        |    CAST(${mixSql(fnvSql("'pi:' || b || ':' || CAST(user_id AS VARCHAR)"))} % 1024 AS BIGINT) AS score
+        |  FROM u CROSS JOIN acts),
+        |den AS (SELECT user_id, CAST(sum(numer) AS BIGINT) AS den FROM arms GROUP BY 1),
+        |pi AS (SELECT user_id, b AS pi_action FROM (
+        |  SELECT user_id, b,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY score DESC, b) AS rk
+        |  FROM arms) WHERE rk = 1),
+        |j AS (
+        |  SELECT e.event_type, e.value,
+        |    CAST(den.den AS DOUBLE) / CAST(a.numer AS DOUBLE) AS w,
+        |    (pi.pi_action = e.event_type) AS m
+        |  FROM events e
+        |  JOIN arms a ON a.user_id = e.user_id AND a.b = e.event_type
+        |  JOIN den ON den.user_id = e.user_id
+        |  JOIN pi ON pi.user_id = e.user_id),
+        |g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |    CAST(sum(CAST((CASE WHEN m THEN w ELSE CAST(0 AS DOUBLE) END) AS DECIMAL(27,10))) AS DOUBLE) AS sw,
+        |    CAST(sum(CAST((CASE WHEN m THEN w * value ELSE CAST(0 AS DOUBLE) END) AS DECIMAL(27,10))) AS DOUBLE) AS swr
+        |  FROM j GROUP BY 1)
+        |SELECT event_type, n, n_match,
+        |  floor(sw*10000 + 0.5)/10000 AS sum_w,
+        |  CASE WHEN n_match > 0 THEN floor((swr / CAST(n AS DOUBLE))*10000 + 0.5)/10000 END AS ips_value,
+        |  CASE WHEN n_match > 0 THEN floor((swr / sw)*10000 + 0.5)/10000 END AS snips_value
+        |FROM g ORDER BY event_type""".stripMargin,
+
     "ann_radius_search" -> annRadiusOracle,
 
     // lower weighted median on the cent grid: the oracle sorts
@@ -3517,6 +3560,27 @@ object SparkEntry {
         |  (doc_id % 6 NOT IN (2, 3)) AS saw_iend
         |FROM documents WHERE doc_id % 7 = 3 ORDER BY media_id""".stripMargin,
 
+    // the jpeg walk replayed closed-form: SOF scalars from the
+    // chosen dims, encoder constants (JFIF 1.2, baseline, 3-comp
+    // YCbCr, 8-bit) pinned, residue classes for comment/exif/
+    // truncation/broken-SOI/trailing; SOF scalars SURVIVE the
+    // mid-entropy cut (the bytes were there), broken SOI nulls all
+    "mm_jpeg_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 6 = 3 THEN 'not_jpeg'
+        |       WHEN doc_id % 6 = 2 THEN 'truncated' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 6 = 3 THEN NULL ELSE CAST(8 + (doc_id % 13) AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 6 = 3 THEN NULL ELSE CAST(8 + (doc_id % 9) AS BIGINT) END AS height,
+        |  CASE WHEN doc_id % 6 = 3 THEN NULL ELSE CAST(8 AS BIGINT) END AS sof_precision,
+        |  CASE WHEN doc_id % 6 = 3 THEN NULL ELSE CAST(3 AS BIGINT) END AS n_components,
+        |  CASE WHEN doc_id % 6 = 3 THEN NULL ELSE FALSE END AS progressive,
+        |  CASE WHEN doc_id % 6 = 3 THEN NULL ELSE '1.2' END AS jfif_version,
+        |  (doc_id % 6 = 1) AS has_exif,
+        |  CASE WHEN doc_id % 6 = 0 THEN 'doc' || CAST(doc_id AS VARCHAR) END AS comment_text,
+        |  (doc_id % 6 NOT IN (2, 3)) AS saw_eoi,
+        |  CAST(CASE WHEN doc_id % 6 = 4 THEN 9 ELSE 0 END AS BIGINT) AS trailing_bytes
+        |FROM documents WHERE doc_id % 7 = 1 ORDER BY media_id""".stripMargin,
+
     // the flac walk replayed closed-form: bit-packed STREAMINFO
     // fields by residue, duration = total·1000/rate floored (the
     // demuxer arithmetic), block counts per corruption class —
@@ -4297,6 +4361,57 @@ object SparkEntry {
         |  floor((CAST(max(c) AS DOUBLE)/CAST(sum(c) AS DOUBLE))*1000000 + 0.5)/1000000 AS top_char_share
         |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // retrieval eval replayed end-to-end: the same BM25 postings
+    // scored per term, pseudo-judgments from the suite's own
+    // fnv64→mix64 primitives, exact integer DCG (gains × lcm(2..11)
+    // discounts), NDCG as one BIGINT/BIGINT division
+    "q_search_rankeval" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks WHERE len(tk) > 0),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+        |hit AS (
+        |  SELECT doc_id, unnest(list_filter(tk, x -> x IN ('join', 'scan', 'filter'))) AS term
+        |  FROM toks WHERE len(tk) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM hit GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    floor((((CAST(st.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)
+        |      * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))))
+        |    / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |       ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+        |        ((CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)) /
+        |         (CAST(st.tot_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))*1000000 + 0.5)/1000000 AS score_r,
+        |    CAST(${mixSql(fnvSql("tf.term || ':' || CAST(tf.doc_id AS VARCHAR)"))} % 4 AS BIGINT) AS rel
+        |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id, st),
+        |d AS (SELECT [13860, 9240, 6930, 5544, 4620, 3960, 3465, 3080, 2772, 2520] AS ds),
+        |ret AS (
+        |  SELECT term, rel, rank FROM (
+        |    SELECT term, rel,
+        |      row_number() OVER (PARTITION BY term ORDER BY score_r DESC, doc_id) AS rank
+        |    FROM sc) WHERE rank <= 10),
+        |m AS (
+        |  SELECT term, count(*) AS n_ret,
+        |    count(CASE WHEN rel > 0 THEN 1 END) / CAST(10.0 AS DOUBLE) AS p_at_10,
+        |    coalesce(CAST(1.0 AS DOUBLE) / min(CASE WHEN rel > 0 THEN rank END),
+        |      CAST(0.0 AS DOUBLE)) AS mrr,
+        |    CAST(sum(((1 << rel) - 1) * ds[rank]) AS BIGINT) AS dcg_s
+        |  FROM ret, d GROUP BY term),
+        |idl AS (
+        |  SELECT term, rel, rank FROM (
+        |    SELECT term, rel,
+        |      row_number() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS rank
+        |    FROM sc) WHERE rank <= 10),
+        |im AS (
+        |  SELECT term, CAST(sum(((1 << rel) - 1) * ds[rank]) AS BIGINT) AS idcg_s
+        |  FROM idl, d GROUP BY term)
+        |SELECT m.term, df.df, m.n_ret, m.p_at_10, m.mrr, m.dcg_s, im.idcg_s,
+        |  floor((CAST(m.dcg_s AS DOUBLE) / CAST(im.idcg_s AS DOUBLE))*1000000 + 0.5)/1000000 AS ndcg
+        |FROM m JOIN im USING (term) JOIN df USING (term)
+        |ORDER BY term""".stripMargin,
+
     "q_bm25_search" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
@@ -4693,6 +4808,18 @@ object SparkEntry {
         |  floor(CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS disc_price
         |FROM lineitem WHERE l_quantity < 25.0
         |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // the avro round trip judged against the ORIGINAL parquet: the
+    // planted union-null rows (okey%9==4) count closed-form, the
+    // rest must survive the container blocks + per-file codecs
+    // bit-identically in values AND cardinality
+    "src_avro_roundtrip" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey % 9 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_priority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |  floor(CAST(sum(CAST((o_totalprice) AS DECIMAL(27,10))) AS DOUBLE)*100 + 0.5)/100 AS sum_total,
+        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_odate
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 
     "src_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,

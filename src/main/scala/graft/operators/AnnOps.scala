@@ -146,7 +146,24 @@ object AnnOps {
     else {
       val bits = math.min(16, math.max(12,
         math.ceil(math.log(n.toDouble * ScheduleBands) / math.log(2)).toInt))
-      (ScheduleBands * bits, bits)
+      // Once the one-BIGINT signature exhausts (16-bit bands is the
+      // widest key 64 planes can tile), widening stops being free —
+      // so past the cap the schedule SHEDS BANDS to keep the admitted
+      // mass bounded: bands = clamp(⌊12·2¹⁶/n⌋, 2, 4) holds the
+      // random floor ≤ ~12 candidates/item at ANY n, and — measured
+      // at the sf10 stress decade, where 4 bands sat exactly ON the
+      // 0.5% guard from correlated replica mass — drops the
+      // moderate-cosine admission ~linearly with the band count.
+      // Cost is some-band recall at cos 0.99: 0.93 (4 bands) → 0.86
+      // (3) → 0.73 (2); a production deployment past n ≈ 10⁶ should
+      // move to a multi-word signature instead (the simhash words
+      // family) — this schedule keeps the ONE-WORD index safe and
+      // replayable until then.
+      val bands =
+        if (bits < 16) ScheduleBands
+        else math.max(2, math.min(ScheduleBands,
+          (12.0 * (1L << 16).toDouble / n.toDouble).toInt))
+      (bands * bits, bits)
     }
 
   /** The Hamming families' (simhash, phash) n-aware form of the same

@@ -214,4 +214,82 @@ object ModelOps {
       .withColumn("keep", $"score" > 0)
       .orderBy($"doc_id")
   }
+
+  /** The action vocabulary of the logged event stream (fixed — the
+    * generator's five types), i.e. the bandit's arm set. */
+  val BanditActions: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** OFF-POLICY evaluation by inverse propensity scoring (r11) — the
+    * counterfactual "what would the NEW policy have earned on the OLD
+    * logs" estimate every recommender/ranking team computes before an
+    * online test (Horvitz–Thompson IPS and its self-normalized SNIPS
+    * variant; Swaminathan & Joachims 2015). Each logged event is a
+    * decision (context = user, action = event_type, reward = value);
+    * the LOGGING policy's propensities and the TARGET policy's argmax
+    * are deterministic rational stand-ins derived from the suite's
+    * own fnv64→mix64 primitives (a real deployment joins its logged
+    * propensities and scores its model here; nothing else changes
+    * shape):
+    *
+    *   numer(x,a) = 1 + (mix64(fnv64("log:a:x")) mod 4)  ∈ 1..4
+    *   p(a|x)     = numer(x,a) / Σ_b numer(x,b)
+    *   π(x)       = argmax_b mix64(fnv64("pi:b:x")) mod 1024
+    *
+    * (moduli are powers of two so the signed-vs-unsigned mod agrees
+    * across engines — the q_heavy_hitters discipline)
+    *   V̂_IPS      = Σ r·w·1[π(x)=a] / N,   w = 1/p  (exact rational)
+    *   V̂_SNIPS    = Σ r·w·1[π(x)=a] / Σ w·1[π(x)=a]
+    *
+    * Exactness: w = denom/numer is one IEEE division of small
+    * integers; the sums accumulate DECIMAL-exact ([[graft.functions
+    * .Cols.xsum]]); the estimates are single divisions — both
+    * engines agree bit-for-bit, so the gate hashes.
+    *
+    * Scale shape: the per-user arm table (|users|×5) builds in one
+    * shuffle on user_id and joins back co-partitioned; the eval
+    * itself is one partial+final agg per action. At 100 TB the arm
+    * table is the policy/propensity store — still |users|-sized,
+    * never corpus-sized. */
+  val qBanditIps: QueryFn = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Cols.xsum
+    def h(prefix: String): Column =
+      graft.functions.VectorExpressions.mix64(
+        element_at(fnv_shingles(array(concat_ws(":",
+          lit(prefix), $"b", $"user_id".cast("string"))), 1), 1))
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"value")
+    val arms = ev.select($"user_id").distinct()
+      .select($"user_id",
+        explode(typedLit(BanditActions)).as("b"))
+      .select($"user_id", $"b",
+        (pmod(h("log"), lit(4L)) + lit(1L)).as("numer"),
+        pmod(h("pi"), lit(1024L)).as("score"))
+      .localCheckpoint(true) // three consumers: denom, policy, join
+    val denom = arms.groupBy($"user_id").agg(sum($"numer").as("den"))
+    val pi = graft.plans.TopK.perKey(
+        arms.select($"user_id", $"b", $"score"),
+        Seq("user_id"), Seq("score" -> false, "b" -> true), 1)
+      .select($"user_id", $"b".as("pi_action"))
+    val agg = ev
+      .join(arms.select($"user_id", $"b".as("event_type"), $"numer"),
+        Seq("user_id", "event_type"))
+      .join(denom, "user_id")
+      .join(pi, "user_id")
+      .select($"event_type", $"value",
+        ($"den".cast("double") / $"numer".cast("double")).as("w"),
+        ($"pi_action" === $"event_type").as("m"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"m", 1L).otherwise(0L)).as("n_match"),
+        xsum(when($"m", $"w").otherwise(lit(0.0))).as("sw"),
+        xsum(when($"m", $"w" * $"value").otherwise(lit(0.0))).as("swr"))
+    agg.select($"event_type", $"n", $"n_match",
+        rnd($"sw", 4).as("sum_w"),
+        when($"n_match" > 0,
+          rnd($"swr" / $"n".cast("double"), 4)).as("ips_value"),
+        when($"n_match" > 0, rnd($"swr" / $"sw", 4)).as("snips_value"))
+      .orderBy($"event_type")
+  }
 }

@@ -878,6 +878,86 @@ object PipelineOps {
       .select($"doc_id", $"dl", $"score")
   }
 
+  /** Retrieval-quality EVAL over the BM25 face (r11) — the judgment
+    * pass every search/RAG pipeline runs after indexing: score the
+    * ranking against a relevance-label table with Precision@10, MRR,
+    * and graded NDCG@10. Labels here are a deterministic pseudo-
+    * judgment file (rel(term, doc) = mix64(fnv64(term:doc)) mod 4 —
+    * the stand-in for human judgments, replayable by the oracle
+    * through the suite's own hash primitives), attached to every
+    * posting; the RANKING under eval is the real per-term BM25.
+    *
+    * Exact-arithmetic discipline (the [[qDsirImportance]] log-free
+    * reasoning): the classic log₂ rank discount differs across libm
+    * builds in the last ulp, so DCG is computed as an exact INTEGER
+    * scaled by lcm(2..11) = 27720 — gain (2^rel − 1) × integer
+    * discount 27720/(rank+1) — and NDCG is ONE division of two
+    * BIGINTs (IEEE division is correctly rounded, so both engines
+    * agree bit-for-bit). P@10 = count/10.0 and MRR = 1.0/first-rank
+    * are single exact divisions for the same reason.
+    *
+    * Scale shape: postings score map-side after two broadcast joins
+    * (df + corpus stats); top-10 per term through TopKPerKey bounded
+    * heaps (never a global sort); the rank window runs over ≤ 10
+    * rows per term. At 100 TB the judgment file joins in exactly
+    * like this — labels are always tiny next to the corpus. */
+  val qSearchRankeval: QueryFn = (s, dir) => {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", normTokens($"text").as("tk"))
+      .where(size($"tk") > 0)
+    val dl = toks.select($"doc_id", size($"tk").cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_dl"))
+    val hits = toks
+      .select($"doc_id",
+        explode(filter($"tk", t => t.isInCollection(Bm25Terms))).as("term"))
+    val tf = hits.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val avgdl = $"tot_dl".cast("double") / $"n_docs"
+    val denom = $"tf" + lit(Bm25K1) *
+      (lit(1 - Bm25B) + lit(Bm25B) * $"dl" / avgdl)
+    val rel = pmod(graft.functions.VectorExpressions.mix64(
+      element_at(graft.functions.VectorExpressions.fnv_shingles(
+        array(concat_ws(":", $"term", $"doc_id".cast("string"))), 1), 1)),
+      lit(4L))
+    val scored = tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"term", $"doc_id",
+        rnd(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) *
+          ($"tf" * lit(Bm25K1 + 1)) / denom, 6).as("score_r"),
+        rel.as("rel"))
+      .localCheckpoint(true) // two consumers: the ranking + the ideal
+    // exact integer discounts: 27720/(rank+1), rank 1..10
+    val disc = typedLit(Seq(13860L, 9240L, 6930L, 5544L, 4620L,
+      3960L, 3465L, 3080L, 2772L, 2520L))
+    // gains (2^rel − 1) for rel 0..3 as an exact literal table
+    val gain = element_at(typedLit(Seq(0L, 1L, 3L, 7L)),
+      $"rel".cast("int") + 1)
+    def ranked(order: Seq[(String, Boolean)]) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"term")
+        .orderBy(order.map { case (c, asc) =>
+          if (asc) col(c).asc else col(c).desc }: _*)
+      graft.plans.TopK.perKey(scored, Seq("term"), order, 10)
+        .withColumn("rank", row_number().over(w))
+    }
+    val ret = ranked(Seq("score_r" -> false, "doc_id" -> true))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("n_ret"),
+        (count(when($"rel" > 0, 1)) / lit(10.0)).as("p_at_10"),
+        coalesce(lit(1.0) / min(when($"rel" > 0, $"rank")), lit(0.0)).as("mrr"),
+        sum(gain * element_at(disc, $"rank")).as("dcg_s"))
+    val ideal = ranked(Seq("rel" -> false, "doc_id" -> true))
+      .groupBy($"term")
+      .agg(sum(gain * element_at(disc, $"rank")).as("idcg_s"))
+    ret.join(ideal, "term").join(dfT, "term")
+      .select($"term", $"df", $"n_ret", $"p_at_10", $"mrr",
+        $"dcg_s", $"idcg_s",
+        rnd($"dcg_s".cast("double") / $"idcg_s".cast("double"), 6).as("ndcg"))
+      .orderBy($"term")
+  }
+
   // ---------------------------------------------------------------
   // DSIR importance weighting
   // ---------------------------------------------------------------

@@ -252,6 +252,112 @@ object SourceSinkOps {
       .orderBy($"l_returnflag")
   }
 
+  /** AVRO container round trip (r11) — the row-oriented interchange
+    * format of the Kafka/streaming ecosystem (what CDC feeds and
+    * event buses actually ship), read and written WITHOUT a
+    * connector: Spark has no built-in avro source in this build, but
+    * the container format is self-describing, so the engine speaks
+    * it through the avro-core classes Spark itself ships — the same
+    * posture as the WARC reader (binaryFile + a real parser beats
+    * "unsupported format").
+    *
+    * Format-native hazards made load-bearing:
+    *  - UNION NULLABILITY: `priority` is `["null","string"]` and
+    *    every o_orderkey%9==4 row writes a null — the rollup counts
+    *    them per group, so a reader that coerces unions wrong (or a
+    *    writer that drops the branch index) moves a value;
+    *  - SYNC-MARKER BLOCKS: writers flush every ~512 bytes, so each
+    *    container holds MANY blocks (the unit of avro splittability
+    *    and corruption containment) and the reader must walk block
+    *    framing, not assume one;
+    *  - PER-FILE CODEC: even partitions write deflate, odd ones
+    *    null — the reader negotiates the codec from each file's own
+    *    header metadata.
+    *
+    * Scale shape: write is one shuffle to spread keys + a map-only
+    * per-partition container write through the Hadoop FS API; read
+    * is binaryFile + a map-only block walk per object — avro IS
+    * block-splittable, and on a real cluster this flatMap is what a
+    * splittable InputFormat would fan out. Judged against the
+    * ORIGINAL parquet, so the hash proves the round trip lossless
+    * in values and cardinality. */
+  val srcAvroRoundtrip: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = ioDir(dir, "orders_avro")
+    val schemaJson =
+      """{"type":"record","name":"GraftOrder","namespace":"graft","fields":[
+        |{"name":"okey","type":"long"},
+        |{"name":"ckey","type":"long"},
+        |{"name":"status","type":"string"},
+        |{"name":"total","type":"double"},
+        |{"name":"odate","type":"string"},
+        |{"name":"priority","type":["null","string"]}]}""".stripMargin
+    val rows = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice",
+        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("odate"),
+        $"o_orderpriority")
+      .as[(Long, Long, String, Double, String, String)]
+    val p = new org.apache.hadoop.fs.Path(out)
+    val dfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    dfs.delete(p, true)
+    dfs.mkdirs(p)
+    rows.repartition(4, $"o_orderkey").foreachPartition {
+      (it: Iterator[(Long, Long, String, Double, String, String)]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema))
+        w.setSyncInterval(512) // many blocks per container
+        w.setCodec(
+          if (pid % 2 == 0) org.apache.avro.file.CodecFactory.deflateCodec(6)
+          else org.apache.avro.file.CodecFactory.nullCodec())
+        val path = new org.apache.hadoop.fs.Path(out, f"part-$pid%02d.avro")
+        val os = path.getFileSystem(
+          new org.apache.hadoop.conf.Configuration()).create(path, true)
+        w.create(schema, os)
+        it.foreach { case (okey, ckey, status, total, odate, prio) =>
+          val r = new org.apache.avro.generic.GenericData.Record(schema)
+          r.put("okey", okey); r.put("ckey", ckey)
+          r.put("status", status); r.put("total", total)
+          r.put("odate", odate)
+          r.put("priority", if (okey % 9 == 4) null else prio)
+          w.append(r)
+        }
+        w.close()
+    }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(out)
+      .select($"content").as[Array[Byte]]
+      .flatMap { bytes =>
+        val rd = new org.apache.avro.file.DataFileStream(
+          new java.io.ByteArrayInputStream(bytes),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, String, Double, String, Option[String])]
+        while (rd.hasNext) {
+          val r = rd.next()
+          buf += ((r.get("okey").asInstanceOf[Long],
+            r.get("ckey").asInstanceOf[Long],
+            r.get("status").toString,
+            r.get("total").asInstanceOf[Double],
+            r.get("odate").toString,
+            Option(r.get("priority")).map(_.toString)))
+        }
+        rd.close()
+        buf
+      }
+      .toDF("okey", "ckey", "status", "total", "odate", "priority")
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"priority".isNull, 1L).otherwise(0L)).as("n_null_priority"),
+        countDistinct($"ckey").as("n_custs"),
+        rnd(xsum($"total"), 2).as("sum_total"),
+        max($"odate").as("last_odate"))
+      .orderBy($"status")
+  }
+
   /** Malformed-ingest discipline, driver-gated: the good rows write
     * as headerless CSV, a hand-written part file of HOSTILE lines
     * (wrong arity, unparseable numbers, embedded quotes, blank) is

@@ -1213,6 +1213,59 @@ object TextOps {
       .orderBy($"media_id")
   }
 
+  /** JPEG/JFIF segment walk over real encoder output — the dominant
+    * byte format of any web image corpus, triaged structurally (the
+    * [[mmPngMeta]] discipline): marker framing with LENGTHLESS
+    * standalone markers and FF fill bytes (the two desync classes a
+    * naive reader hits first), SOF scalars (dims, precision,
+    * component count, baseline-vs-progressive — the decode-cost
+    * split), JFIF version, Exif presence, the COM provenance text
+    * taggers splice after SOI, and the entropy-scan to EOI that must
+    * skip FF00 stuffing and RST markers or it ends the image early.
+    * Each %7==1 doc encodes a deterministic test card through the
+    * REAL `javax.imageio` JPEG writer, then a residue class mutates:
+    * id%6==0 splices a COM comment ([[graft.multimodal.Jpeg
+    * .insertComment]] — our framing, the walker can't trust the
+    * encoder), id%6==1 an APP1 Exif stub, id%6==2 cuts mid-entropy
+    * (SOF scalars SURVIVE — the bytes were there; saw_eoi false),
+    * id%6==3 breaks SOI (not_jpeg, all null), id%6==4 appends 9
+    * trailing bytes (counted, still `ok` — concatenation/padding is
+    * not corruption). Encoder choices (JFIF 1.2, baseline SOF0,
+    * 3-component YCbCr, 8-bit) are pinned closed-form — a JDK that
+    * changed them fails loudly here and in JpegSpec, the desired
+    * alarm.
+    *
+    * Scale shape: map-only per payload (encode+mutate+walk in one
+    * task, no pixel decode); the only exchange is the output sort. */
+  val mmJpegMeta: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir).where($"doc_id" % 7 === 1)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val w = 8 + (id % 13).toInt
+        val h = 8 + (id % 9).toInt
+        val clean = graft.multimodal.ImageCodec.encode(
+          graft.multimodal.ImageCodec.renderGray(id, w, h), "jpg")
+        val bytes = (id % 6) match {
+          case 0 => graft.multimodal.Jpeg.insertComment(clean, s"doc$id")
+          case 1 => graft.multimodal.Jpeg.insertExifStub(clean)
+          case 2 => clean.dropRight(4) // mid-entropy cut: EOI + 2 bytes
+          case 3 => val b = clean.clone(); b(1) = 0x00; b
+          case 4 => clean ++ Array.fill[Byte](9)(0x41)
+          case _ => clean
+        }
+        val m = graft.multimodal.Jpeg.parse(bytes)
+        (id, m.status, m.width.map(_.toLong), m.height.map(_.toLong),
+          m.precision.map(_.toLong), m.nComponents.map(_.toLong),
+          m.progressive, m.jfifVersion, m.hasExif, m.comment,
+          m.sawEoi, m.trailing.toLong)
+      }
+      .toDF("media_id", "status", "width", "height", "sof_precision",
+        "n_components", "progressive", "jfif_version", "has_exif",
+        "comment_text", "saw_eoi", "trailing_bytes")
+      .orderBy($"media_id")
+  }
+
   /** FLAC metadata walk — the COMPRESSED-audio triage next to
     * [[mmWavMeta]]'s PCM RIFF walk: crawled audio is overwhelmingly
     * compressed, and FLAC puts every stream fact (rate, channels,

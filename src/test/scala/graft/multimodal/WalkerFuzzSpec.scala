@@ -59,6 +59,11 @@ class WalkerFuzzSpec extends AnyFunSuite {
     drive("Png", valid, Png.Signature, Png.parse)
   }
 
+  test("Jpeg.parse never throws on hostile bytes") {
+    val valid = ImageCodec.encode(ImageCodec.renderGray(7, 12, 9), "jpg")
+    drive("Jpeg", valid, Array(0xFF.toByte, 0xD8.toByte), Jpeg.parse)
+  }
+
   test("Flac.parse never throws on hostile bytes") {
     val valid = Flac.write(44100, 2, 16, 1000L, Seq("TITLE" -> "t"))
     drive("Flac", valid, "fLaC".getBytes("US-ASCII"), Flac.parse)

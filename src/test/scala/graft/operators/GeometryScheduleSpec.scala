@@ -27,9 +27,25 @@ class GeometryScheduleSpec extends AnyFunSuite {
     assert(bits.head >= 12 && bits.last == 16)
     ns.foreach { n =>
       val (p, b) = scheduledGeometry(n, (16, 8))
-      assert(p == ScheduleBands * b, "four bands, planes = bands*bits")
+      assert(p % b == 0 && p / b >= 2 && p / b <= ScheduleBands,
+        "2..4 bands, planes = bands*bits")
       assert(p <= 64, "signature must stay one replayable BIGINT word")
     }
+  }
+
+  test("past the bits cap the schedule sheds bands, never a human") {
+    // 4 bands up to n ~ 196k (12·2^16/n >= 4), then 3, floor 2 —
+    // the sf10 stress decade (200k vecs) measured 4 bands exactly ON
+    // the 0.5% mass guard; 3 bands is what keeps it under
+    assert(scheduledGeometry(20000L, (48, 4)) == ((64, 16)))
+    assert(scheduledGeometry(196608L, (48, 4)) == ((64, 16)))
+    assert(scheduledGeometry(200000L, (48, 4)) == ((48, 16)))
+    assert(scheduledGeometry(2000000L, (48, 4)) == ((32, 16)))
+    assert(scheduledGeometry(2000000000L, (48, 4)) == ((32, 16)))
+    // band count is monotone non-increasing in n
+    val bands = Seq(10000L, 50000L, 150000L, 300000L, 1000000L, 5000000L)
+      .map(n => { val (p, b) = scheduledGeometry(n, (48, 4)); p / b })
+    assert(bands == bands.sorted.reverse, s"bands must shed with n: $bands")
   }
 
   test("scheduled random-collision floor stays orders under the mass guard") {

@@ -76,6 +76,12 @@ SUBSET = [
     "q_survival_curve", "q_attribution_markov",
     "mm_caption_align", "q_changepoint_cusum", "q_forecast_holt",
     "emb_ivf_balance", "q_benford_check", "src_fixedwidth",
+    # r11 widening rows with decade surface: the jpeg walk (map-only,
+    # ratio = row growth), the avro container round trip (write+read
+    # at the decade), the retrieval eval (postings-bounded), and the
+    # off-policy eval (|users|x5 arm table + one agg)
+    "mm_jpeg_meta", "src_avro_roundtrip", "q_search_rankeval",
+    "q_bandit_ips",
 ]
 
 
