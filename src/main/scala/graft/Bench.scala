@@ -214,11 +214,14 @@ object Bench {
       }
     }
 
-    // PHASE 2 — precision: steady-state re-runs of the ≥ 2 s serves
-    // with the leftover budget, slowest first, min-of-two reported.
-    // A 15 s reserve keeps the summary/jsonl writes off the deadline.
+    // PHASE 2 — precision: steady-state re-runs of the ≥ 1 s serves
+    // with the leftover budget, slowest first, min-of-two reported
+    // (coverage is already banked, so the only cost of a low floor
+    // is leftover budget — and 1-2 s rows carry proportionally the
+    // most contention noise). A 15 s reserve keeps the summary/jsonl
+    // writes off the deadline.
     val rerunnable = queryNames
-      .filter(n => done.getOrDefault(n, -2.0) >= 2.0)
+      .filter(n => done.getOrDefault(n, -2.0) >= 1.0)
       .sortBy(n => -done.get(n))
     rerunnable.foreach { name =>
       val t1 = done.get(name)

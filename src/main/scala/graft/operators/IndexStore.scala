@@ -29,8 +29,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object IndexStore {
   private val Prefix = "graft-bidx-v1-"
 
-  /** Live roots kept per index name. */
-  val Retain = 4
+  /** Live roots kept per index name — sized like [[Memo.Cap]]: a
+    * test JVM cycles spec fixture corpora through the same store the
+    * gate corpora use, and a cap of 4 let that churn evict the
+    * STRESS corpus's 40 s suffix index between two stress runs
+    * (measured r11); 8 covers the gate SFs + stress + fixture slack. */
+  val Retain = 8
 
   private def enabled: Boolean =
     sys.env.get("GRAFT_INDEX_PERSIST").forall(_ != "0")
