@@ -153,6 +153,7 @@ object SparkEntry {
     "mm_vtt_cues"                 -> operators.TextOps.mmVttCues,
     "mm_png_meta"                 -> operators.TextOps.mmPngMeta,
     "mm_jpeg_meta"                -> operators.TextOps.mmJpegMeta,
+    "mm_gif_meta"                 -> operators.TextOps.mmGifMeta,
     "mm_caption_align"            -> operators.TextOps.mmCaptionAlign,
     "mm_flac_meta"                -> operators.TextOps.mmFlacMeta,
     "mm_zip_entries"              -> operators.TextOps.mmZipEntries,
@@ -3580,6 +3581,27 @@ object SparkEntry {
         |  (doc_id % 6 NOT IN (2, 3)) AS saw_eoi,
         |  CAST(CASE WHEN doc_id % 6 = 4 THEN 9 ELSE 0 END AS BIGINT) AS trailing_bytes
         |FROM documents WHERE doc_id % 7 = 1 ORDER BY media_id""".stripMargin,
+
+    // the gif walk replayed closed-form: screen scalars from the
+    // chosen dims, encoder constants (89a, GCT, interlaced) pinned,
+    // residues for comment/GCE/truncation/broken-sig/trailing;
+    // screen scalars and the frame count SURVIVE the mid-chain cut
+    "mm_gif_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 6 = 3 THEN 'not_gif'
+        |       WHEN doc_id % 6 = 2 THEN 'truncated' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 6 = 3 THEN NULL ELSE '89a' END AS version,
+        |  CASE WHEN doc_id % 6 = 3 THEN NULL ELSE CAST(8 + (doc_id % 12) AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 6 = 3 THEN NULL ELSE CAST(8 + (doc_id % 11) AS BIGINT) END AS height,
+        |  (doc_id % 6 <> 3) AS has_gct,
+        |  (doc_id % 6 <> 3) AS interlaced,
+        |  CAST(CASE WHEN doc_id % 6 = 3 THEN 0 ELSE 1 END AS BIGINT) AS n_frames,
+        |  CASE WHEN doc_id % 6 = 1 THEN CAST(doc_id % 90 + 1 AS BIGINT) END AS delay_cs,
+        |  (doc_id % 6 = 1 AND doc_id % 2 = 0) AS transparent,
+        |  CASE WHEN doc_id % 6 = 0 THEN 'doc' || CAST(doc_id AS VARCHAR) END AS comment_text,
+        |  (doc_id % 6 NOT IN (2, 3)) AS saw_trailer,
+        |  CAST(CASE WHEN doc_id % 6 = 4 THEN 7 ELSE 0 END AS BIGINT) AS trailing_bytes
+        |FROM documents WHERE doc_id % 7 = 4 ORDER BY media_id""".stripMargin,
 
     // the flac walk replayed closed-form: bit-packed STREAMINFO
     // fields by residue, duration = total·1000/rate floored (the

@@ -1266,6 +1266,54 @@ object TextOps {
       .orderBy($"media_id")
   }
 
+  /** GIF block walk over real encoder output — the third web-image
+    * triage ([[mmJpegMeta]]/[[mmPngMeta]] discipline) and the
+    * ANIMATION-facts one: frame count (static-vs-animated is a
+    * routing decision), Graphic Control Extension delay/transparency,
+    * interlacing, palette presence, COM provenance — all block
+    * framing, no LZW decode. The format's defining hazard is the
+    * SUB-BLOCK CHAIN (len+data … 0): unknown extensions must be
+    * skipped by their chain, and a chain running off the buffer is
+    * lost framing, not an exception. Each %7==4 doc encodes a test
+    * card through the REAL `javax.imageio` GIF writer (89a, global
+    * color table, INTERLACED — pinned encoder choices, the JDK-drift
+    * alarm), then residues mutate: %6==0 splices a COM comment,
+    * %6==1 a GCE (delay id%90+1 cs, transparency on even ids),
+    * %6==2 truncates mid-chain (screen scalars and the frame count
+    * SURVIVE; saw_trailer false), %6==3 breaks the signature,
+    * %6==4 appends 7 trailing bytes (counted, still ok).
+    *
+    * Scale shape: map-only encode+mutate+walk; one output sort. */
+  val mmGifMeta: QueryFn = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir).where($"doc_id" % 7 === 4)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val w = 8 + (id % 12).toInt
+        val h = 8 + (id % 11).toInt
+        val clean = graft.multimodal.ImageCodec.encode(
+          graft.multimodal.ImageCodec.renderGray(id, w, h), "gif")
+        val bytes = (id % 6) match {
+          case 0 => graft.multimodal.Gif.insertComment(clean, s"doc$id")
+          case 1 => graft.multimodal.Gif.insertGce(
+            clean, (id % 90 + 1).toInt, transparent = id % 2 == 0)
+          case 2 => clean.dropRight(5) // trailer + 4 data bytes
+          case 3 => val b = clean.clone(); b(2) = 'X'; b
+          case 4 => clean ++ Array.fill[Byte](7)(0x20)
+          case _ => clean
+        }
+        val m = graft.multimodal.Gif.parse(bytes)
+        (id, m.status, m.version, m.width.map(_.toLong),
+          m.height.map(_.toLong), m.hasGct, m.interlaced,
+          m.nFrames.toLong, m.delayCs.map(_.toLong), m.transparent,
+          m.comment, m.sawTrailer, m.trailing.toLong)
+      }
+      .toDF("media_id", "status", "version", "width", "height",
+        "has_gct", "interlaced", "n_frames", "delay_cs", "transparent",
+        "comment_text", "saw_trailer", "trailing_bytes")
+      .orderBy($"media_id")
+  }
+
   /** FLAC metadata walk — the COMPRESSED-audio triage next to
     * [[mmWavMeta]]'s PCM RIFF walk: crawled audio is overwhelmingly
     * compressed, and FLAC puts every stream fact (rate, channels,

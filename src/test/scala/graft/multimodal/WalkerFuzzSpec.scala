@@ -64,6 +64,11 @@ class WalkerFuzzSpec extends AnyFunSuite {
     drive("Jpeg", valid, Array(0xFF.toByte, 0xD8.toByte), Jpeg.parse)
   }
 
+  test("Gif.parse never throws on hostile bytes") {
+    val valid = ImageCodec.encode(ImageCodec.renderGray(7, 12, 9), "gif")
+    drive("Gif", valid, "GIF89a".getBytes("ISO-8859-1"), Gif.parse)
+  }
+
   test("Flac.parse never throws on hostile bytes") {
     val valid = Flac.write(44100, 2, 16, 1000L, Seq("TITLE" -> "t"))
     drive("Flac", valid, "fLaC".getBytes("US-ASCII"), Flac.parse)

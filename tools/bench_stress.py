@@ -80,8 +80,8 @@ SUBSET = [
     # ratio = row growth), the avro container round trip (write+read
     # at the decade), the retrieval eval (postings-bounded), and the
     # off-policy eval (|users|x5 arm table + one agg)
-    "mm_jpeg_meta", "src_avro_roundtrip", "q_search_rankeval",
-    "q_bandit_ips",
+    "mm_jpeg_meta", "mm_gif_meta", "src_avro_roundtrip",
+    "q_search_rankeval", "q_bandit_ips",
 ]
 
 
