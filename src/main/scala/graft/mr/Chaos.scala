@@ -31,6 +31,15 @@ object Chaos {
     * a zero count makes every convergence assertion vacuous). */
   val injected = new AtomicLong(0)
 
+  /** First-attempt task starts observed WHILE chaos was dialed on —
+    * counted in the same `onTaskStart` hook that decides injection,
+    * so `injected / firstAttempts` is exactly the realized injection
+    * rate and the spec's non-vacuity floor can be derived from the
+    * MEASURED task count (r11 verdict #2: a constant floor went
+    * vacuous when warm memos let a chaotic run launch almost no
+    * fresh tasks — the floor must scale with what actually ran). */
+  val firstAttempts = new AtomicLong(0)
+
   /** Fail this attempt? Deterministic in (stageId, partitionId);
     * never true past attempt 0, so one retry always converges. */
   def decide(rate: Double, stageId: Int, partitionId: Int, attempt: Int): Boolean =
@@ -39,6 +48,26 @@ object Chaos {
         (stageId.toLong << 32) | (partitionId.toLong & 0xFFFFFFFFL))
       (h & Long.MaxValue) % 10000 < (rate * 10000).toLong
     }
+
+  private val sinceInjection = new AtomicLong(0)
+
+  /** Starvation guard (r11 verdict #2): the mix64 draw is uniform,
+    * but stage ids depend on what ran before, so a SMALL chaotic run
+    * can draw zero injections and leave the convergence assertions
+    * vacuous without failing loudly. While chaos is dialed, at most
+    * every ⌈2/rate⌉ consecutive first-attempt task starts pass
+    * without an injection — the next one is failed regardless of the
+    * hash — so `injected ≥ ⌊firstAttempts·rate/2⌋` holds by
+    * CONSTRUCTION and the spec's measured floor can never flake on
+    * hash luck or suite order. First attempts only, like [[decide]]:
+    * a retry always lands. */
+  def topUp(rate: Double, attempt: Int): Boolean =
+    rate > 0 && attempt == 0 &&
+      sinceInjection.incrementAndGet() >= math.ceil(2.0 / rate).toLong && {
+        sinceInjection.set(0); true
+      }
+
+  private[mr] def noteInjection(): Unit = sinceInjection.set(0)
 }
 
 /** The injection hook: `onTaskStart` runs at the head of every task
@@ -52,9 +81,13 @@ class ChaosPlugin extends SparkPlugin {
   override def executorPlugin(): ExecutorPlugin = new ExecutorPlugin {
     override def onTaskStart(): Unit = {
       val tc = TaskContext.get()
+      if (tc != null && Chaos.rate > 0 && tc.attemptNumber() == 0)
+        Chaos.firstAttempts.incrementAndGet()
       if (tc != null &&
-          Chaos.decide(Chaos.rate, tc.stageId(), tc.partitionId(),
-            tc.attemptNumber())) {
+          (Chaos.decide(Chaos.rate, tc.stageId(), tc.partitionId(),
+            tc.attemptNumber()) ||
+           Chaos.topUp(Chaos.rate, tc.attemptNumber()))) {
+        Chaos.noteInjection()
         Chaos.injected.incrementAndGet()
         throw new RuntimeException(
           s"graft chaos: injected failure, stage ${tc.stageId()} " +
