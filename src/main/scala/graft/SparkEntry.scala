@@ -137,6 +137,9 @@ object SparkEntry {
     // §2.D similarity search
     "ann_bruteforce_topk"         -> AnnOps.annBruteforceTopk,
     "ann_lsh_topk"                -> AnnOps.annLshTopk,
+    // r12: the n-aware geometry schedule under the hashed gate —
+    // band-occupancy/candidate-mass audit at the schedule-chosen dial
+    "ann_lsh_scheduled_mass"      -> AnnOps.annLshScheduledMass,
     // r5: graph-based ANN (flat navigable-small-world, beam serve)
     "ann_hnsw_topk"               -> operators.HnswOps.annHnswTopk,
     "ann_ivf_topk"                -> AnnOps.annIvfTopk,
@@ -2085,23 +2088,26 @@ object SparkEntry {
     // variant, ordered folds)
     "q_attribution_markov" -> markovAttributionSql,
 
-    // Kaplan–Meier replay: same day-grain lifetimes, same ADAPTIVE
-    // censoring horizon (min(7, max inactivity gap) — r10 advice: a
-    // fixed 7-day cutoff censored every user of the uniformly-active
-    // test corpus and the gate was vacuously empty), n_risk by the
-    // before-t running count, and the survivor as an ORDERED
-    // list_reduce product — the same left-to-right double multiplies
-    // the engine's driver fold does, so the rounded value is
-    // bit-identical
+    // Kaplan–Meier replay: same HOUR-grain lifetimes (r11 verdict
+    // #3: day grain gave the gate corpus only four distinct
+    // lifetimes and a 1-step curve), same ADAPTIVE censoring horizon
+    // (min(168 h, max(1, max-inactivity-gap/2)) — half-the-max
+    // leaves a SPREAD of users uncensored, not just the max-gap
+    // one), n_risk by the before-t running count, and the survivor
+    // as an ORDERED list_reduce product — the same left-to-right
+    // double multiplies the engine's driver fold does, so the
+    // rounded value is bit-identical. Hour diffs via second-epoch
+    // division: both engines hour-truncate first, so every diff is
+    // an exact multiple of 3600 s.
     "q_survival_curve" ->
       """WITH ue AS (
-        |  SELECT user_id, date_trunc('day', min(ts)) AS f, date_trunc('day', max(ts)) AS l
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS f, date_trunc('hour', max(ts)) AS l
         |  FROM events GROUP BY user_id),
         |mx AS (SELECT max(l) AS ml FROM ue),
-        |hz AS (SELECT least(7, max(date_diff('day', l, ml))) AS h
+        |hz AS (SELECT least(168, greatest(1, max(date_diff('second', l, ml))//3600//2)) AS h
         |       FROM ue CROSS JOIN mx),
-        |u AS (SELECT date_diff('day', f, l) AS t,
-        |        (date_diff('day', l, ml) < (SELECT h FROM hz)) AS censored
+        |u AS (SELECT date_diff('second', f, l)//3600 AS t,
+        |        (date_diff('second', l, ml)//3600 < (SELECT h FROM hz)) AS censored
         |      FROM ue CROSS JOIN mx),
         |perT AS (SELECT t, count(*) AS c_all,
         |           sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d
@@ -2116,10 +2122,10 @@ object SparkEntry {
         |           list(b.factor ORDER BY b.t)), (x, y) -> x * y) AS s
         |       FROM ev a JOIN ev b ON b.t <= a.t
         |       GROUP BY a.t, a.d, a.n_risk)
-        |SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+        |SELECT CAST(t AS BIGINT) AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(d AS BIGINT) AS n_events,
         |  floor(s*1000000 + 0.5)/1000000 AS surv
-        |FROM sv ORDER BY t_days""".stripMargin,
+        |FROM sv ORDER BY t_hours""".stripMargin,
 
     "q_ab_ztest" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS s0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
@@ -4366,6 +4372,7 @@ object SparkEntry {
 
     "dedup_minhash_calibration" -> minhashCalibrationOracle,
     "ann_lsh_topk" -> annLshOracle,
+    "ann_lsh_scheduled_mass" -> annLshScheduledMassOracle,
     "ann_hnsw_topk" -> annHnswOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
     "ann_pq_topk" -> annPqOracle,
@@ -5262,6 +5269,35 @@ object SparkEntry {
        |      ORDER BY floor(sim*1000000 + 0.5)/1000000 DESC, nid ASC) AS rnk
        |  FROM bs3 WHERE nid <> pid)
        |WHERE rnk <= $k ORDER BY pid, rnk""".stripMargin
+  }
+
+  /** `ann_lsh_scheduled_mass` replayed end-to-end at the SCHEDULED
+    * geometry (r11 what's-missing #1): the same literal-plane sign
+    * signature as the LSH family, but at the schedule-floor dial
+    * [[operators.AnnOps.lshScheduleFloorGeometry]] — (60, 15) at the
+    * gate, context-resolved to the real n-aware choice on bigger
+    * corpora — then per band the distinct keys, items, deepest
+    * bucket, and Σ C(bucket, 2) admitted pair mass. Integer DIV on
+    * both engines keeps the pair count exact at any depth. */
+  private def annLshScheduledMassOracle: String = {
+    val (planes, bandBits) = operators.AnnOps.lshScheduleFloorGeometry
+    s"""WITH pl AS (SELECT ${planesLiteral(planes)} AS w),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [CAST(embedding[i] AS DOUBLE) * w[p][i] for i in generate_series(1, 64)]),
+       |      (a, b) -> a + b) AS dot
+       |  FROM e, pl, (SELECT unnest(generate_series(1, $planes)) AS p)),
+       |bv AS (
+       |  SELECT vec_id, (p - 1) // $bandBits AS band,
+       |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << ((p - 1) % $bandBits)) ELSE 0 END) AS val
+       |  FROM d GROUP BY 1, 2),
+       |bk AS (SELECT band, val, count(*) AS c FROM bv GROUP BY 1, 2)
+       |SELECT CAST(band AS BIGINT) AS band, count(*) AS n_keys,
+       |  CAST(sum(c) AS BIGINT) AS n_items, CAST(max(c) AS BIGINT) AS max_bucket,
+       |  CAST(sum(c*(c-1)//2) AS BIGINT) AS pair_mass
+       |FROM bk GROUP BY band ORDER BY band""".stripMargin
   }
 
   private def annLshOracle: String =

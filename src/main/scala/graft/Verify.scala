@@ -29,6 +29,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r11 advice (medium): the oracle strings interpolate the STATIC
+    // geometry accessors; publish the gate corpus so they resolve
+    // through the same n-aware schedule the engine serve paths use —
+    // oracle and engine can then never desync on a corpus past the
+    // schedule thresholds
+    graft.operators.GeometryContext.set(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -58,6 +64,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
       s"""{"git_sha":"$gitSha","registry_count":${SparkEntry.queries.size},""" +
         s""""oracle_count":${SparkEntry.oracleSql.size},""" +
+        s""""geometry":${q(graft.operators.GeometryContext.describe())},""" +
         s""""subset":${only.nonEmpty}}""")
 
     SparkEntry.queries

@@ -105,7 +105,9 @@ object AnnOps {
         s"lsh bandBits must divide planes and be <= 32, got $b for $p planes")
       (p, b)
     })
-  def lshGeometry: (Int, Int) = pinnedLshGeometry.getOrElse((48, 4))
+  def lshGeometry: (Int, Int) = pinnedLshGeometry.getOrElse(
+    GeometryContext.resolve((48, 4))((s, d) =>
+      scheduledGeometry(nVecs(s, d), (48, 4))))
   def LshPlanes: Int = lshGeometry._1
   def LshBandBits: Int = lshGeometry._2
   def LshBands: Int = LshPlanes / LshBandBits
@@ -196,6 +198,27 @@ object AnnOps {
   def lshGeometryFor(s: SparkSession, dir: String): (Int, Int) =
     pinnedLshGeometry.getOrElse(scheduledGeometry(nVecs(s, dir), (48, 4)))
 
+  /** The schedule's choice at the SCHEDULE FLOOR for this corpus:
+    * `scheduledGeometry(max(n, ScheduleMinN))`. Every gate corpus
+    * sits below [[ScheduleMinN]] by design (hash stability), so the
+    * n-aware path the 100 TB safety argument rides was never under
+    * rows+schema+hash (r11 what's-missing #1); `ann_lsh_scheduled_
+    * mass` serves THIS geometry — the schedule's first scheduled
+    * point, (60, 15), NOT the (48, 4) family default — at every
+    * corpus, and above the threshold it coincides with
+    * [[lshGeometryFor]] exactly. */
+  def lshScheduleFloorGeometryFor(s: SparkSession, dir: String): (Int, Int) =
+    scheduledGeometry(math.max(nVecs(s, dir), ScheduleMinN), (48, 4))
+
+  /** Static-accessor face of [[lshScheduleFloorGeometryFor]] for the
+    * oracle strings: context-resolved when Verify has published the
+    * corpus ([[GeometryContext]]), else the floor point itself —
+    * which is also what the *For path returns on every sub-threshold
+    * corpus, so oracle and engine agree everywhere. */
+  def lshScheduleFloorGeometry: (Int, Int) =
+    GeometryContext.resolve(scheduledGeometry(ScheduleMinN, (48, 4)))(
+      lshScheduleFloorGeometryFor)
+
   /** LSH-bucketed top-k: candidates share >= 1 of twelve 4-bit bands
     * of a 48-plane sign signature; exact cosine only within
     * candidates. The scale path — candidate count per probe is
@@ -235,6 +258,52 @@ object AnnOps {
     p.join(c, Seq("key"))
       .where($"vec_id" =!= $"pid")
       .select($"pid", $"vec_id".as("nid"), $"pe", $"embedding").distinct()
+  }
+
+  /** Band-occupancy audit of the index built at the SCHEDULED
+    * geometry (r11 what's-missing #1: the n-aware schedule carried
+    * the 100 TB safety argument but no hashed gate row ever ran it —
+    * every gate corpus sits below ScheduleMinN, so the scheduled
+    * path was covered only by specs and the unhashed stress
+    * decades). This row signs the corpus at
+    * [[lshScheduleFloorGeometryFor]] — the schedule's own choice at
+    * max(n, ScheduleMinN), (60, 15) at the gate, never the (48, 4)
+    * family default — persists the signature index through
+    * [[IndexStore]] (its `_META` records the schedule-chosen dial),
+    * and reports per band: distinct keys, items, the deepest bucket,
+    * and the admitted candidate-pair mass Σ C(bucket, 2) — the exact
+    * quantity the stress guard bounds at 0.5% of corpus per item,
+    * now under rows+schema+hash. A top-k serve at this dial would be
+    * vacuously empty on the near-random gate embeddings (no pair
+    * clears a 15-bit band); the mass audit is non-vacuous at every
+    * corpus and is the schedule's load-bearing output anyway. */
+  val annLshScheduledMass: QueryFn = (s, dir) => {
+    import s.implicits._
+    val (planesN, bandBits) = lshScheduleFloorGeometryFor(s, dir)
+    val bands = planesN / bandBits
+    val fp = graft.mr.Fs.fingerprint(dir + "/embeddings.parquet")
+    val sigDf = IndexStore.frame(s, "lsh_sched_sig",
+      s"$fp:planes=$planesN:bits=$bandBits") {
+      val sig = hyperplaneSig(hyperplanes(planesN, 64))
+      Tables.embeddings(s, dir).select($"vec_id", sig($"embedding").as("sig"))
+    }
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val keyCols = (0 until bands).map { b =>
+      struct(lit(b).cast("long").as("band"),
+        shiftrightunsigned($"sig", b * bandBits).bitwiseAND(lit(mask)).as("k"))
+    }
+    sigDf
+      .select(explode(array(keyCols: _*)).as("bk"))
+      .groupBy($"bk.band".as("band"), $"bk.k".as("k"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_keys"),
+        sum($"c").cast("long").as("n_items"),
+        max($"c").as("max_bucket"),
+        // integer DIV keeps the pair count exact past 2^53 (a double
+        // /2 would round on billion-deep skew buckets)
+        sum(expr("c * (c - 1) DIV 2")).cast("long").as("pair_mass"))
+      .orderBy($"band")
   }
 
   /** Radius threshold for [[annRadiusSearch]] — chosen so the report

@@ -235,7 +235,9 @@ object DedupOps {
         (w, b, t)
       })
   def simhashGeometry: (Int, Int, Int) =
-    pinnedSimhashGeometry.getOrElse((1, 16, 6))
+    pinnedSimhashGeometry.getOrElse(
+      GeometryContext.resolve((1, 16, 6))((s, d) =>
+        AnnOps.scheduledHammingGeometry(nDocs(s, d), (1, 16, 6))))
 
   /** The geometry the simhash face USES for this corpus: pinned dial
     * if set, else the n-aware Hamming schedule
@@ -978,7 +980,9 @@ object DedupOps {
         s"emb bandBits must divide planes and be <= 32, got $b for $p planes")
       (p, b)
     })
-  def embGeometry: (Int, Int) = pinnedEmbGeometry.getOrElse((16, 8))
+  def embGeometry: (Int, Int) = pinnedEmbGeometry.getOrElse(
+    GeometryContext.resolve((16, 8))((s, d) =>
+      AnnOps.scheduledGeometry(AnnOps.nVecs(s, d), (16, 8))))
   def EmbPlanes: Int = embGeometry._1
   def EmbBandBits: Int = embGeometry._2
   def EmbBands: Int = EmbPlanes / EmbBandBits

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1401,15 +1402,26 @@ object EventAnalytics {
   }
 
   /** Kaplan–Meier survival curve over user LIFETIMES (first event →
-    * last event, day grain) with right-censoring: users whose last
-    * activity falls in the observation window's final 7 days are
-    * CENSORED (still alive at cutoff — treating them as churned is
-    * the classic retention-analysis bias this estimator exists to
-    * fix). At each event time t: n_risk = users with lifetime ≥ t,
-    * d = uncensored users ending exactly at t, and the survivor
-    * S(t) = Π(1 − dᵢ/nᵢ) over event times ≤ t. Censored users leave
-    * the risk set without contributing an event — exactly the K-M
-    * accounting.
+    * last event, HOUR grain) with right-censoring: users whose last
+    * activity falls within the censor horizon of the observation
+    * cutoff are CENSORED (still alive at cutoff — treating them as
+    * churned is the classic retention-analysis bias this estimator
+    * exists to fix). At each event time t: n_risk = users with
+    * lifetime ≥ t, d = uncensored users ending exactly at t, and the
+    * survivor S(t) = Π(1 − dᵢ/nᵢ) over event times ≤ t. Censored
+    * users leave the risk set without contributing an event —
+    * exactly the K-M accounting.
+    *
+    * Grain + horizon (r11 verdict #3): day-grain lifetimes take only
+    * FOUR distinct values on the gate corpus, so however the horizon
+    * is tuned the curve cannot have ≥5 steps — the ordered-product
+    * discipline this row exists to prove was exercised by one
+    * factor. Hour grain gives the corpus 46 distinct lifetimes at
+    * sf0.01, and the horizon — production default 7 days (168 h),
+    * capped at HALF the corpus's own maximum inactivity gap, never
+    * below 1 h — leaves a spread of users uncensored (10 event times
+    * at sf0.01, 33 at sf0.1) instead of only the single max-gap
+    * user, so the risk-set walk multiplies a real chain of factors.
     *
     * Cross-engine exactness: S(t) is a cumulative DOUBLE product,
     * which both engines must multiply in the SAME order — the
@@ -1427,26 +1439,29 @@ object EventAnalytics {
     import s.implicits._
     val ue = Tables.events(s, dir)
       .groupBy($"user_id")
-      .agg(date_trunc("day", min($"ts")).as("f"),
-        date_trunc("day", max($"ts")).as("l"))
-      .localCheckpoint(true) // two consumers: the max-day probe + users
+      .agg(date_trunc("hour", min($"ts")).as("f"),
+        date_trunc("hour", max($"ts")).as("l"))
+      .localCheckpoint(true) // two consumers: the max-hour probe + users
     val ml = ue.agg(max($"l")).head.getTimestamp(0)
-    // Censor horizon: 7 days is the production default, but CAPPED at
-    // the corpus's own maximum inactivity gap — a short, uniformly
-    // active corpus (the test events span days with near-daily-active
-    // users) would otherwise censor EVERYONE and the curve (and its
-    // hash gate) would be vacuously empty (r10 advice). min(7, max
-    // gap) always leaves the max-gap user(s) uncensored, so the K-M
-    // risk-set accounting is exercised at every sf.
-    val maxGap = ue.agg(max(datediff(lit(ml), $"l"))).head.getInt(0)
-    val h = math.min(7, maxGap)
+    // hour-truncated timestamps ⇒ second diffs are exact multiples
+    // of 3600 on both engines (unix_timestamp vs epoch replay)
+    def hoursTo(end: Column, start: Column): Column =
+      ((unix_timestamp(end) - unix_timestamp(start)) / 3600L).cast("long")
+    // Censor horizon: 168 h (the 7-day production default), capped
+    // at HALF the corpus's max inactivity gap and floored at 1 h —
+    // a short, uniformly active corpus would otherwise censor
+    // everyone but the single max-gap user and the curve (and its
+    // hash gate) collapses to one factor (r10 advice; r11 verdict
+    // #3). Half-the-max always leaves a SPREAD of users uncensored.
+    val maxGap = ue.agg(max(hoursTo(lit(ml), $"l"))).head.getLong(0)
+    val h = math.min(168L, math.max(1L, maxGap / 2))
     val perT = ue.select(
-        datediff($"l", $"f").cast("long").as("t"),
-        (datediff(lit(ml), $"l") < h).as("censored"))
+        hoursTo($"l", $"f").as("t"),
+        (hoursTo(lit(ml), $"l") < h).as("censored"))
       .groupBy($"t")
       .agg(count(lit(1)).as("c_all"),
         sum(when(!$"censored", 1L).otherwise(0L)).as("d"))
-      .collect() // bounded by the calendar span in days
+      .collect() // bounded by the calendar span in hours
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     var risk = perT.map(_._2).sum
@@ -1459,7 +1474,7 @@ object EventAnalytics {
       risk -= c
       row
     }.toSeq
-    curve.toDF("t_days", "n_risk", "n_events", "surv")
-      .orderBy($"t_days")
+    curve.toDF("t_hours", "n_risk", "n_events", "surv")
+      .orderBy($"t_hours")
   }
 }

@@ -1563,7 +1563,9 @@ object TextOps {
         (w, b, t)
       })
   def phashGeometry: (Int, Int, Int) =
-    pinnedPhashGeometry.getOrElse((1, 16, 12))
+    pinnedPhashGeometry.getOrElse(
+      GeometryContext.resolve((1, 16, 12))((s, d) =>
+        AnnOps.scheduledHammingGeometry(DedupOps.nDocs(s, d), (1, 16, 12))))
 
   /** The geometry the phash faces USE for this corpus: pinned dial
     * if set, else the n-aware Hamming schedule on the document count
