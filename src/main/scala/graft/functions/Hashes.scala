@@ -106,6 +106,28 @@ object Hashes {
       sig
     }
 
+  /** Multi-word sign-projection signature (the words ≥ 2 tier of the
+    * hyperplane schedule, r11 what's-missing #2): word w packs
+    * planes [64w, 64w+64), so GLOBAL plane p lands at word p/64 bit
+    * p%64 — the same global-bit indexing the one-word
+    * [[hyperplaneSig]] uses and the oracle's `(p-1)//bandBits`
+    * replay assumes. One-word signatures stay on [[hyperplaneSig]]
+    * (hash-stable BIGINT form). */
+  def hyperplaneSigWords(planes: Array[Array[Double]]): UserDefinedFunction =
+    udf { (emb: Seq[Float]) =>
+      val words = new Array[Long]((planes.length + 63) / 64)
+      var p = 0
+      while (p < planes.length) {
+        val plane = planes(p)
+        var dot = 0.0
+        var i = 0
+        while (i < plane.length && i < emb.length) { dot += emb(i) * plane(i); i += 1 }
+        if (dot > 0) words(p / 64) |= (1L << (p % 64))
+        p += 1
+      }
+      words
+    }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): hash all
     * k-gram character shingles, slide a window of w hashes, keep the
     * rightmost minimum per window; dedupe positions. Returns the

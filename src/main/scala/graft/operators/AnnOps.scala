@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -100,11 +100,26 @@ object AnnOps {
   private def pinnedLshGeometry: Option[(Int, Int)] = overrideLshGeometry
     .orElse(sys.env.get("GRAFT_LSH_GEOMETRY").map { g =>
       val Array(p, b) = g.split(":").map(_.trim.toInt)
-      require(p >= 1 && p <= 64, s"lsh planes must be 1..64, got $p")
-      require(b >= 1 && b <= 32 && p % b == 0,
-        s"lsh bandBits must divide planes and be <= 32, got $b for $p planes")
+      requireHyperplaneGeometry(p, b, "lsh")
       (p, b)
     })
+
+  /** Dial validation shared with the emb family: one-word (planes ≤
+    * 64, bandBits | planes) or multi-word (planes a multiple of 64
+    * up to [[MultiWordPlanes]] ceiling ×2, 32-bit bands — bands must
+    * tile words so the engine's per-word extraction equals the
+    * oracle's global `(p-1)//bits` rule). */
+  private[operators] def requireHyperplaneGeometry(
+      p: Int, b: Int, fam: String): Unit =
+    if (p <= 64) {
+      require(p >= 1, s"$fam planes must be >= 1, got $p")
+      require(b >= 1 && b <= 32 && p % b == 0,
+        s"$fam bandBits must divide planes and be <= 32, got $b for $p planes")
+    } else {
+      require(p % 64 == 0 && p <= 2 * MultiWordPlanes,
+        s"$fam multi-word planes must be a multiple of 64 <= ${2 * MultiWordPlanes}, got $p")
+      require(b == 32, s"$fam multi-word bandBits must be 32, got $b")
+    }
   def lshGeometry: (Int, Int) = pinnedLshGeometry.getOrElse(
     GeometryContext.resolve((48, 4))((s, d) =>
       scheduledGeometry(nVecs(s, d), (48, 4))))
@@ -143,29 +158,33 @@ object AnnOps {
   val ScheduleMinN = 8192L
   val ScheduleBands = 4
 
+  /** The words ≥ 2 tier (r11 what's-missing #2, the schedule's
+    * documented exit): ten 32-bit bands over a 5×64-plane signature.
+    * Some-band recall at cos 0.99 is 1−(1−p³²)¹⁰ ≈ 0.925 with
+    * p = 1−θ/π ≈ 0.955 — RESTORED above the one-word 4×16 dial's
+    * 0.93 and far above the r11 shed tiers (0.86 at 3 bands, 0.73
+    * at 2); the random floor is 10/2³² ≈ 2.3·10⁻⁹ of corpus per
+    * item — ~2 candidates/item at n = 10⁹, under the 0.5% guard by
+    * six orders at every n, so the schedule never sheds again. The
+    * 5× signature compute is map-side and amortizes into the scan. */
+  val MultiWordPlanes = 320
+  val MultiWordBandBits = 32
+
   def scheduledGeometry(n: Long, default: (Int, Int)): (Int, Int) =
     if (n < ScheduleMinN) default
     else {
       val bits = math.min(16, math.max(12,
         math.ceil(math.log(n.toDouble * ScheduleBands) / math.log(2)).toInt))
-      // Once the one-BIGINT signature exhausts (16-bit bands is the
-      // widest key 64 planes can tile), widening stops being free —
-      // so past the cap the schedule SHEDS BANDS to keep the admitted
-      // mass bounded: bands = clamp(⌊12·2¹⁶/n⌋, 2, 4) holds the
-      // random floor ≤ ~12 candidates/item at ANY n, and — measured
-      // at the sf10 stress decade, where 4 bands sat exactly ON the
-      // 0.5% guard from correlated replica mass — drops the
-      // moderate-cosine admission ~linearly with the band count.
-      // Cost is some-band recall at cos 0.99: 0.93 (4 bands) → 0.86
-      // (3) → 0.73 (2); a production deployment past n ≈ 10⁶ should
-      // move to a multi-word signature instead (the simhash words
-      // family) — this schedule keeps the ONE-WORD index safe and
-      // replayable until then.
-      val bands =
-        if (bits < 16) ScheduleBands
-        else math.max(2, math.min(ScheduleBands,
-          (12.0 * (1L << 16).toDouble / n.toDouble).toInt))
-      (bands * bits, bits)
+      if (bits < 16) (ScheduleBands * bits, bits)
+      // One-word exhaustion point: 16-bit bands are the widest key a
+      // BIGINT signature tiles, and ⌊12·2¹⁶/n⌋ < 4 (n > 196608) is
+      // where r11's band-shedding began trading recall for mass
+      // (0.93 → 0.86 → 0.73 at cos 0.99). The schedule now jumps to
+      // the multi-word tier there instead: deeper keys, MORE bands,
+      // recall restored, floor six orders under the guard (above).
+      else if ((12.0 * (1L << 16).toDouble / n.toDouble).toInt >= ScheduleBands)
+        (ScheduleBands * 16, 16)
+      else (MultiWordPlanes, MultiWordBandBits)
     }
 
   /** The Hamming families' (simhash, phash) n-aware form of the same
@@ -219,6 +238,41 @@ object AnnOps {
     GeometryContext.resolve(scheduledGeometry(ScheduleMinN, (48, 4)))(
       lshScheduleFloorGeometryFor)
 
+  /** Signature UDF for a hyperplane geometry: the historical BIGINT
+    * form below 65 planes (hash-stable — every gate dial), the
+    * BIGINT-array words form above ([[MultiWordPlanes]] tier). */
+  private[operators] def sigUdfFor(planes: Int) =
+    if (planes <= 64) hyperplaneSig(hyperplanes(planes, 64))
+    else hyperplaneSigWords(hyperplanes(planes, 64))
+
+  /** Numeric key of band `b` under `geo` from a signature column:
+    * GLOBAL plane bits [b·bits, (b+1)·bits) — one-word via shift,
+    * multi-word via per-word shift (bands never straddle words:
+    * planes%64 == 0 and bits | 64 there). The same global-bit rule
+    * the oracle SQL's `(p-1)//bits` replay uses at ANY geometry, so
+    * engine and DuckDB partition items identically under every dial.
+    * Mask, not mod: bit 63 makes a full word negative. */
+  private[operators] def bandKeyNum(
+      sigCol: Column, geo: (Int, Int), b: Int): Column = {
+    val (planes, bb) = geo
+    val mask = lit(if (bb == 64) -1L else (1L << bb) - 1)
+    if (planes <= 64) shiftrightunsigned(sigCol, b * bb).bitwiseAND(mask)
+    else {
+      require(planes % 64 == 0 && 64 % bb == 0,
+        s"multi-word geometry must tile words: $geo")
+      shiftrightunsigned(element_at(sigCol, b * bb / 64 + 1), (b * bb) % 64)
+        .bitwiseAND(mask)
+    }
+  }
+
+  /** The `band:key` string columns every banded consumer explodes —
+    * shared by the flat LSH serve, the NSW build/attach, and the
+    * embedding-dedup face so no two paths can drift geometries. */
+  private[operators] def bandKeyCols(
+      sigCol: Column, geo: (Int, Int)): Seq[Column] =
+    (0 until geo._1 / geo._2).map(b =>
+      concat_ws(":", lit(b), bandKeyNum(sigCol, geo, b)))
+
   /** LSH-bucketed top-k: candidates share >= 1 of twelve 4-bit bands
     * of a 48-plane sign signature; exact cosine only within
     * candidates. The scale path — candidate count per probe is
@@ -237,22 +291,13 @@ object AnnOps {
     * twelve 4-bit bands of the 48-plane sign signature. */
   private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (lshPlanes, lshBandBits) = lshGeometryFor(s, dir)
-    val lshBands = lshPlanes / lshBandBits
-    val planes = hyperplanes(lshPlanes, 64)
-    val sig = hyperplaneSig(planes)
+    val geo = lshGeometryFor(s, dir)
+    val sig = sigUdfFor(geo._1)
     val corpus = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding", sig($"embedding").as("sig"))
-    // mask, not mod (the simhash sign lesson): a 64-plane signature
-    // sets bit 63 and `%` would keep the dividend's sign
-    val mask = if (lshBandBits == 64) -1L else (1L << lshBandBits) - 1
-    val bandCols = (0 until lshBands).map { b =>
-      concat_ws(":", lit(b),
-        shiftrightunsigned(col("sig"), b * lshBandBits).bitwiseAND(lit(mask)))
-        .as(s"band$b")
-    }
     def banded(df: DataFrame, idCol: String, embCol: String) = df
-      .select(col(idCol), col(embCol), explode(array(bandCols: _*)).as("key"))
+      .select(col(idCol), col(embCol),
+        explode(array(bandKeyCols(col("sig"), geo): _*)).as("key"))
     val p = banded(probes(s, dir).withColumn("sig", sig($"pe")), "pid", "pe")
     val c = banded(corpus, "vec_id", "embedding")
     p.join(c, Seq("key"))
@@ -284,13 +329,12 @@ object AnnOps {
     val fp = graft.mr.Fs.fingerprint(dir + "/embeddings.parquet")
     val sigDf = IndexStore.frame(s, "lsh_sched_sig",
       s"$fp:planes=$planesN:bits=$bandBits") {
-      val sig = hyperplaneSig(hyperplanes(planesN, 64))
+      val sig = sigUdfFor(planesN)
       Tables.embeddings(s, dir).select($"vec_id", sig($"embedding").as("sig"))
     }
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val keyCols = (0 until bands).map { b =>
       struct(lit(b).cast("long").as("band"),
-        shiftrightunsigned($"sig", b * bandBits).bitwiseAND(lit(mask)).as("k"))
+        bandKeyNum($"sig", (planesN, bandBits), b).as("k"))
     }
     sigDf
       .select(explode(array(keyCols: _*)).as("bk"))

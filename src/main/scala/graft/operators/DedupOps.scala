@@ -975,9 +975,7 @@ object DedupOps {
   private def pinnedEmbGeometry: Option[(Int, Int)] = overrideEmbGeometry
     .orElse(sys.env.get("GRAFT_EMB_GEOMETRY").map { g =>
       val Array(p, b) = g.split(":").map(_.trim.toInt)
-      require(p >= 1 && p <= 64, s"emb planes must be 1..64, got $p")
-      require(b >= 1 && b <= 32 && p % b == 0,
-        s"emb bandBits must divide planes and be <= 32, got $b for $p planes")
+      AnnOps.requireHyperplaneGeometry(p, b, "emb")
       (p, b)
     })
   def embGeometry: (Int, Int) = pinnedEmbGeometry.getOrElse(
@@ -1017,24 +1015,16 @@ object DedupOps {
     * EmbFloorSpec measures the floor on the REAL engine path. */
   private[graft] def embSigs(
       emb: DataFrame, geo: (Int, Int) = embGeometry): DataFrame = {
-    val planes = hyperplanes(geo._1, 64)
     emb.select(col("vec_id"), col("embedding"),
-      hyperplaneSig(planes)(col("embedding")).as("sig"))
+      AnnOps.sigUdfFor(geo._1)(col("embedding")).as("sig"))
   }
 
   /** Band-keyed candidate pairs (vec_a < vec_b) from the signature
     * frame — anchor-capped per band ([[BandCap]] via pairsByKey). */
   private[graft] def embCandidates(
       sigged: DataFrame, geo: (Int, Int) = embGeometry): DataFrame = {
-    val (embPlanes, embBandBits) = geo
-    // mask, not mod (the simhash sign lesson — load-bearing at 64
-    // planes where bit 63 makes the signature negative)
-    val mask = if (embBandBits == 64) -1L else (1L << embBandBits) - 1
     val keyed = sigged.select(col("vec_id").as("doc_id"),
-      explode(array((0 until embPlanes / embBandBits).map { b =>
-        concat_ws(":", lit(b),
-          shiftrightunsigned(col("sig"), b * embBandBits).bitwiseAND(lit(mask)))
-      }: _*)).as("key"))
+      explode(array(AnnOps.bandKeyCols(col("sig"), geo): _*)).as("key"))
     pairsByKey(keyed)
       .withColumnRenamed("doc_a", "vec_a").withColumnRenamed("doc_b", "vec_b")
   }

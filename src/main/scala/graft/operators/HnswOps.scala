@@ -78,20 +78,16 @@ object HnswOps {
   }
 
   /** The band keys of the signature under the [[AnnOps.lshGeometry]]
-    * dial (default 12×4-bit bands of 48 planes; wide 4×16-bit of 64)
-    * — the one load-bearing banding geometry, shared by the graph
-    * build and the attach path (a drift between the two would
-    * silently break the streaming-parity contract). Mask, not mod:
-    * a 64-plane signature sets the sign bit. */
+    * dial (default 12×4-bit bands of 48 planes; wide 4×16-bit of 64;
+    * ten 32-bit bands of the 5-word signature at the multi-word
+    * tier) — the one load-bearing banding geometry, shared by the
+    * graph build and the attach path (a drift between the two would
+    * silently break the streaming-parity contract). Delegates to
+    * [[AnnOps.bandKeyCols]] so every hyperplane consumer extracts
+    * identically at every dial. */
   private def bandKeys(
-      sigCol: org.apache.spark.sql.Column, geo: (Int, Int)) = {
-    val (planes, bb) = geo
-    val mask = if (bb == 64) -1L else (1L << bb) - 1
-    array((0 until planes / bb).map { b =>
-      concat_ws(":", lit(b),
-        shiftrightunsigned(sigCol, b * bb).bitwiseAND(lit(mask)))
-    }: _*)
-  }
+      sigCol: org.apache.spark.sql.Column, geo: (Int, Int)) =
+    array(AnnOps.bandKeyCols(sigCol, geo): _*)
 
   /** Bidirectional pruned edge list (src, dst). The candidate
     * distinct runs over ID PAIRS only — embeddings re-join for the
@@ -100,7 +96,7 @@ object HnswOps {
   def edges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val geo = AnnOps.lshGeometryFor(s, dir) // n-aware unless pinned
-    val sig = hyperplaneSig(hyperplanes(geo._1, 64))
+    val sig = AnnOps.sigUdfFor(geo._1)
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
     val banded = emb
       .select($"vec_id", explode(bandKeys(sig($"embedding"), geo)).as("key"))
@@ -152,7 +148,7 @@ object HnswOps {
       baseVecs: DataFrame, geo: (Int, Int) = AnnOps.lshGeometry)(
       arrivals: DataFrame): DataFrame = {
     import arrivals.sparkSession.implicits._
-    val sig = hyperplaneSig(hyperplanes(geo._1, 64))
+    val sig = AnnOps.sigUdfFor(geo._1)
     val base = baseVecs
       .select($"vec_id".as("nbr"), $"embedding".as("ne"),
         explode(bandKeys(sig($"embedding"), geo)).as("key"))

@@ -74,6 +74,58 @@ class EmbFloorSpec extends SparkTestBase {
       assert(planted == 30L, s"expected all 30 planted pairs admitted, got $planted")
     }
   }
+
+  /** Exact-cosine plant: for each base vector v, a partner at
+    * cos(v, w) = c — w = c·v̂ + √(1−c²)·û with û a random unit
+    * vector orthogonalized against v. Deterministic (seeded), so the
+    * measured recall below is a fixed number, not a flaky draw. */
+  private def plantedPairs(n: Int, c: Double): org.apache.spark.sql.DataFrame = {
+    val rows = (0 until n).flatMap { i =>
+      val r = new scala.util.Random(i * 6364136223846793005L + 1442695040888963407L)
+      val v = Array.fill(64)(r.nextDouble() * 2 - 1)
+      val u = Array.fill(64)(r.nextDouble() * 2 - 1)
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      val vh = v.map(_ / nv)
+      val dot = vh.indices.map(j => u(j) * vh(j)).sum
+      val uo = vh.indices.map(j => u(j) - dot * vh(j)).toArray
+      val nu = math.sqrt(uo.map(x => x * x).sum)
+      val w = vh.indices
+        .map(j => c * vh(j) + math.sqrt(1 - c * c) * uo(j) / nu)
+      Seq((i.toLong, vh.map(_.toFloat).toSeq),
+        (i.toLong + 1000000L, w.map(_.toFloat).toSeq))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("MULTI-WORD tier (r11 what's-missing #2): random floor ~zero at 10x32-bit " +
+      "bands; recall at cos 0.99 >= 0.9 through the real candidate path") {
+    import AnnOps.{MultiWordPlanes, MultiWordBandBits}
+    val geo = (MultiWordPlanes, MultiWordBandBits)
+    // floor: E[pairs] = 10·C(1500,2)/2^32 ≈ 0.003 on a no-structure corpus
+    val floor = candidates(randomVecs(1500).localCheckpoint(true), geo)
+    assert(floor <= 2L, s"multi-word random floor must be ~0, got $floor")
+    // recall: 1000 pairs planted at cos exactly 0.99; analytic
+    // some-band collision 1-(1-p^32)^10 ≈ 0.925 — the schedule's
+    // restored-recall claim, measured through embSigs/embCandidates
+    val corpus = plantedPairs(1000, 0.99).localCheckpoint(true)
+    val cands = withGeometry(Some(geo)) {
+      DedupOps.embCandidates(
+        DedupOps.embSigs(corpus).localCheckpoint(true))
+    }
+    val admitted = cands
+      .where($"vec_b" - $"vec_a" === 1000000L).count()
+    assert(admitted >= 900L,
+      s"multi-word recall at cos 0.99: ${admitted / 1000.0} < 0.9")
+    // and the one-word 16-bit dial's recall on the SAME plant is
+    // lower-or-equal — the tier exists because widening one word
+    // cannot both keep recall and cut mass past n ~ 196k
+    val one = withGeometry(Some((64, 16))) {
+      DedupOps.embCandidates(
+        DedupOps.embSigs(corpus).localCheckpoint(true))
+    }.where($"vec_b" - $"vec_a" === 1000000L).count()
+    assert(one <= admitted + 20,
+      s"one-word 4x16 recall $one should not beat multi-word $admitted")
+  }
 }
 
 /** The NSW/attach face of the same floor: the judge's worst bench row

@@ -20,32 +20,37 @@ class GeometryScheduleSpec extends AnyFunSuite {
     }
   }
 
-  test("bits widen monotonically with n and cap at a one-word signature") {
-    val ns = Seq(ScheduleMinN, 20000L, 80000L, 200000L, 2000000L, 2000000000L)
+  test("bits widen monotonically with n; one word until the multi-word tier") {
+    val ns = Seq(ScheduleMinN, 20000L, 80000L, 196608L)
     val bits = ns.map(n => scheduledGeometry(n, (16, 8))._2)
     assert(bits == bits.sorted, s"bandBits must be monotone in n: $bits")
     assert(bits.head >= 12 && bits.last == 16)
     ns.foreach { n =>
       val (p, b) = scheduledGeometry(n, (16, 8))
-      assert(p % b == 0 && p / b >= 2 && p / b <= ScheduleBands,
-        "2..4 bands, planes = bands*bits")
-      assert(p <= 64, "signature must stay one replayable BIGINT word")
+      assert(p % b == 0 && p / b == ScheduleBands, "4 bands, planes = bands*bits")
+      assert(p <= 64, "one replayable BIGINT word below the multi-word tier")
     }
   }
 
-  test("past the bits cap the schedule sheds bands, never a human") {
-    // 4 bands up to n ~ 196k (12·2^16/n >= 4), then 3, floor 2 —
-    // the sf10 stress decade (200k vecs) measured 4 bands exactly ON
-    // the 0.5% mass guard; 3 bands is what keeps it under
+  test("past the one-word cap the schedule goes MULTI-WORD, never sheds " +
+      "(r11 what's-missing #2)") {
+    import AnnOps.{MultiWordPlanes, MultiWordBandBits}
+    // 4×16-bit one-word bands up to n ~ 196k (12·2^16/n >= 4); r11
+    // shed bands there (recall 0.93 → 0.86 → 0.73 at cos 0.99) —
+    // now the 5-word, ten-32-bit-band signature takes over instead
     assert(scheduledGeometry(20000L, (48, 4)) == ((64, 16)))
     assert(scheduledGeometry(196608L, (48, 4)) == ((64, 16)))
-    assert(scheduledGeometry(200000L, (48, 4)) == ((48, 16)))
-    assert(scheduledGeometry(2000000L, (48, 4)) == ((32, 16)))
-    assert(scheduledGeometry(2000000000L, (48, 4)) == ((32, 16)))
-    // band count is monotone non-increasing in n
-    val bands = Seq(10000L, 50000L, 150000L, 300000L, 1000000L, 5000000L)
-      .map(n => { val (p, b) = scheduledGeometry(n, (48, 4)); p / b })
-    assert(bands == bands.sorted.reverse, s"bands must shed with n: $bands")
+    for (n <- Seq(200000L, 2000000L, 2000000000L))
+      assert(scheduledGeometry(n, (48, 4)) ==
+        ((MultiWordPlanes, MultiWordBandBits)))
+    // the multi-word dial passes the same validation as a pinned one
+    AnnOps.requireHyperplaneGeometry(MultiWordPlanes, MultiWordBandBits, "spec")
+    // multi-word recall at cos 0.99 is RESTORED >= 0.9 analytically:
+    // some-band collision 1-(1-p^32)^10 with p = 1 - acos(0.99)/pi
+    val p = 1.0 - math.acos(0.99) / math.Pi
+    val bands = MultiWordPlanes / MultiWordBandBits
+    val recall = 1.0 - math.pow(1.0 - math.pow(p, MultiWordBandBits), bands)
+    assert(recall >= 0.9, s"analytic multi-word recall at cos 0.99: $recall")
   }
 
   test("scheduled random-collision floor stays orders under the mass guard") {
@@ -53,14 +58,19 @@ class GeometryScheduleSpec extends AnyFunSuite {
     // guard's ceiling is 0.5% of corpus per item (CAND_FRAC) — the
     // schedule keeps the floor >= 40x under it at every n
     for (n <- Seq(ScheduleMinN, 20000L, 200000L, 2000000L, 200000000L)) {
-      val (_, b) = scheduledGeometry(n, (16, 8))
-      val floorFrac = ScheduleBands.toDouble / (1L << b)
+      val (p, b) = scheduledGeometry(n, (16, 8))
+      val floorFrac = (p / b).toDouble / (1L << b)
       assert(floorFrac <= 0.005 / 40,
         s"n=$n bits=$b floorFrac=$floorFrac")
-      // and below the cap the ABSOLUTE floor is ~1 candidate/item
+      // and below the one-word cap the ABSOLUTE floor is ~1
+      // candidate/item; at the multi-word tier it is ~2/item even at
+      // n = 10^9 (10 bands / 2^32)
       if (b < 16)
         assert(n.toDouble * ScheduleBands / (1L << b) <= 2.0,
           s"n=$n bits=$b: uncapped floor must be <= ~1/item")
+      if (b == 32)
+        assert(n.toDouble * (p / b) / (1L << 32).toDouble <= 2.0,
+          s"n=$n multi-word floor must stay <= ~2/item")
     }
   }
 
