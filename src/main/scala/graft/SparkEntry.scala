@@ -110,6 +110,9 @@ object SparkEntry {
     "text_lm_score"               -> PipelineOps.textLmScore,
     "text_tfidf_top"              -> PipelineOps.textTfidfTop,
     "text_decontaminate"          -> PipelineOps.textDecontaminate,
+    // r12: paraphrase-level (near-dup) benchmark leakage — the
+    // verbatim detectors' missing rung
+    "text_minhash_decontaminate"  -> PipelineOps.textMinhashDecontaminate,
     "text_bloom_decontaminate"    -> ((s, d) => PipelineOps.bloomDecontaminate(s, d)),
     "text_readability"            -> PipelineOps.textReadability,
     "pipeline_curate"             -> PipelineOps.pipelineCurate,
@@ -229,6 +232,8 @@ object SparkEntry {
     "q_priority_sample"           -> operators.CurationOps.qPrioritySample,
     "q_negative_pairs"            -> operators.CurationOps.qNegativePairs,
     "q_ab_ztest"                  -> EventAnalytics.qAbZtest,
+    // r12: sequential testing — always-valid p-values under peeking
+    "q_ab_sprt"                   -> EventAnalytics.qAbSprt,
     "q_survival_curve"            -> EventAnalytics.qSurvivalCurve,
     "q_changepoint_cusum"         -> RelationalExt.qChangepointCusum,
     "q_forecast_holt"             -> RelationalExt.qForecastHolt,
@@ -2126,6 +2131,50 @@ object SparkEntry {
         |  CAST(d AS BIGINT) AS n_events,
         |  floor(s*1000000 + 0.5)/1000000 AS surv
         |FROM sv ORDER BY t_hours""".stripMargin,
+
+    // mSPRT replay: identical integer peeks (cumulative by signup
+    // day), the identically-parenthesized lnΛ tree (one ln per peek,
+    // every downstream comparison over the 1e-6-ROUNDED value), the
+    // running max as a window fold over the same valid-peek set,
+    // and the reject boundary as the shared rounded literal
+    "q_ab_sprt" -> {
+      val t2 = operators.EventAnalytics.SprtTau * operators.EventAnalytics.SprtTau
+      s"""WITH s0 AS (SELECT user_id, min(ts) AS s0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |cv AS (
+        |  SELECT s0.user_id, strftime(date_trunc('day', s0.s0), '%Y-%m-%d') AS d,
+        |    max(CASE WHEN e.event_type = 'purchase' AND e.ts > s0.s0
+        |              AND e.ts <= s0.s0 + INTERVAL 6 HOUR THEN 1 ELSE 0 END) AS conv
+        |  FROM s0 JOIN events e USING (user_id) GROUP BY s0.user_id, 2),
+        |daily AS (
+        |  SELECT d,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS da_n,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS da_x,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS db_n,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS db_x
+        |  FROM cv GROUP BY d),
+        |cum AS (
+        |  SELECT d,
+        |    CAST(sum(da_n) OVER w AS BIGINT) AS n_a, CAST(sum(da_x) OVER w AS BIGINT) AS x_a,
+        |    CAST(sum(db_n) OVER w AS BIGINT) AS n_b, CAST(sum(db_x) OVER w AS BIGINT) AS x_b
+        |  FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |st AS (
+        |  SELECT d, n_a, x_a, n_b, x_b,
+        |    floor((0.5*ln(v/(v + $t2)) + (pa - pb)*(pa - pb)*$t2/(2.0*v*(v + $t2)))*1000000 + 0.5)/1000000 AS lnl_r
+        |  FROM (
+        |    SELECT d, n_a, x_a, n_b, x_b,
+        |      CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE) AS pa,
+        |      CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE) AS pb,
+        |      (CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE))*(1.0 - CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE))*(1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE)) AS v
+        |    FROM cum
+        |    WHERE n_a > 0 AND n_b > 0 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b) t),
+        |fold AS (
+        |  SELECT d AS day, n_a, x_a, n_b, x_b, lnl_r AS log_lambda,
+        |    max(greatest(lnl_r, 0.0)) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS neg_log_p
+        |  FROM st)
+        |SELECT day, n_a, x_a, n_b, x_b, log_lambda, neg_log_p,
+        |  neg_log_p >= ${operators.EventAnalytics.SprtLnInvAlpha} AS reject
+        |FROM fold ORDER BY day""".stripMargin
+    },
 
     "q_ab_ztest" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS s0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
@@ -4062,6 +4111,7 @@ object SparkEntry {
         |FROM ser ORDER BY priority""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashLshOracle,
+    "text_minhash_decontaminate" -> minhashDecontamOracle,
 
     // the dedup_clusters partition + the text_quality score, folded
     // to the per-cluster argmax survivor
@@ -6270,6 +6320,34 @@ object SparkEntry {
        |      / len(list_distinct(list_concat(sa.shs, sb.shs))) AS jac
        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)""".stripMargin
   }
+
+  /** `text_minhash_decontaminate`: the shared minhash index chain,
+    * replayed CROSS-SET — training docs (doc_id%10≠9) against the
+    * benchmark mark (doc_id%10=9), per-(band,key) rank cap applied
+    * PER SIDE (the bipartite form of the anchor discipline), exact
+    * Jaccard on candidates, flagged at NearContamTau, folded to the
+    * per-train-doc contamination report. */
+  private def minhashDecontamOracle: String =
+    s"""WITH $minhashCoreCtes,
+       |bseqx AS (
+       |  SELECT doc_id, b, bk, (doc_id % 10 = 9) AS mark,
+       |    row_number() OVER (PARTITION BY b, bk, (doc_id % 10 = 9) ORDER BY doc_id) AS i
+       |  FROM bandk),
+       |candx AS (
+       |  SELECT DISTINCT t.doc_id AS doc_id, bb.doc_id AS bench_id
+       |  FROM bseqx t JOIN bseqx bb ON t.b = bb.b AND t.bk = bb.bk
+       |  WHERE NOT t.mark AND bb.mark
+       |    AND t.i <= ${DedupOps.BandCap} AND bb.i <= ${DedupOps.BandCap}),
+       |jx AS (
+       |  SELECT candx.doc_id, candx.bench_id,
+       |    CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+       |      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS jac
+       |  FROM candx JOIN sh sa ON sa.doc_id = candx.doc_id
+       |             JOIN sh sb ON sb.doc_id = candx.bench_id)
+       |SELECT doc_id, count(*) AS n_bench_matches,
+       |  max(floor(jac*10000 + 0.5)/10000) AS max_jaccard
+       |FROM jx WHERE jac >= ${operators.PipelineOps.NearContamTau}
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private def minhashLshOracle: String =
     s"""WITH $minhashCoreCtes

@@ -1297,6 +1297,88 @@ object EventAnalytics {
           6).as("z"))
   }
 
+  /** Mixture prior sd (τ) on the rate-difference scale for
+    * [[qAbSprt]] — ~1pp effects, the scale A/B conversion deltas
+    * live on; a PER-RUN constant both engines interpolate. */
+  val SprtTau = 0.01
+
+  /** Rejection threshold ln(1/α) at α = 0.05, as the SAME 1e-6-
+    * rounded literal on both engines (the fold below compares only
+    * 1e-6-rounded statistics, so the boundary is exact). */
+  val SprtLnInvAlpha = 2.995732
+
+  /** Mixture SPRT / always-valid sequential A/B test (r11 next-round
+    * #8 — the "peeking" answer every experimentation platform ships:
+    * a fixed-horizon z-test read daily inflates false positives;
+    * the mSPRT's likelihood ratio against a N(0, τ²) effect mixture
+    * is a martingale under H₀, so P(ever Λ ≥ 1/α) ≤ α and the
+    * derived p-value sequence is valid at EVERY peek, Robbins 1970
+    * / Johari et al. 2017).
+    *
+    * Peeks: the [[qAbZtest]] cohort (signup → purchase within 6 h,
+    * arms by user_id parity), read cumulatively at each signup DAY.
+    * Per valid peek (both arms populated, pooled rate strictly
+    * inside (0,1)):
+    *
+    *   V    = p̂(1−p̂)(1/n_a + 1/n_b)        (null variance of Δ)
+    *   lnΛ  = ½·ln(V/(V+τ²)) + Δ²τ²/(2V(V+τ²))
+    *   nlp  = running max of max(0, lnΛ)    (= −ln of the always-
+    *          valid p; monotone, the sequential decision state)
+    *   reject at nlp ≥ ln(1/α)
+    *
+    * Cross-engine exactness: counts are integers, V/Δ/lnΛ one
+    * identically-parenthesized expression tree (division and sqrt-
+    * free except the single `ln`, evaluated once per peek — both
+    * libms are ≤1 ulp, and every downstream comparison consumes the
+    * 1e-6-ROUNDED lnΛ, so the running max and the reject flag are
+    * bit-identical by construction; the residual risk is a 1-ulp
+    * ln landing within 1e-10 of a rounding boundary — the same
+    * class the division-based gates already carry).
+    *
+    * Scale shape: one signup min-agg, one user-keyed equi-join, one
+    * day-keyed partial+final agg; the fold is a BOUNDED driver walk
+    * over calendar days (the q_survival_curve pattern) — user rows
+    * never leave the executors. */
+  val qAbSprt: QueryFn = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val s0 = ev.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("s0"))
+    val conv = s0.join(ev, Seq("user_id"))
+      .groupBy($"user_id")
+      .agg(min(date_format(date_trunc("day", $"s0"), "yyyy-MM-dd")).as("d"),
+        max(when($"event_type" === "purchase" && $"ts" > $"s0" &&
+          $"ts" <= $"s0" + expr("INTERVAL 6 HOURS"), 1L).otherwise(0L)).as("conv"))
+    val daily = conv.groupBy($"d").agg(
+        sum(when($"user_id" % 2 === 0, 1L).otherwise(0L)).as("da_n"),
+        sum(when($"user_id" % 2 === 0, $"conv").otherwise(0L)).as("da_x"),
+        sum(when($"user_id" % 2 === 1, 1L).otherwise(0L)).as("db_n"),
+        sum(when($"user_id" % 2 === 1, $"conv").otherwise(0L)).as("db_x"))
+      .collect() // bounded by the calendar span in days
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val t2 = SprtTau * SprtTau
+    var (na, xa, nb, xb) = (0L, 0L, 0L, 0L)
+    var nlp = 0.0
+    val rows = daily.flatMap { case (d, dan, dax, dbn, dbx) =>
+      na += dan; xa += dax; nb += dbn; xb += dbx
+      if (na > 0 && nb > 0 && xa + xb > 0 && xa + xb < na + nb) {
+        val pa = xa.toDouble / na.toDouble
+        val pb = xb.toDouble / nb.toDouble
+        val pp = (xa + xb).toDouble / (na + nb).toDouble
+        val v = pp * (1.0 - pp) * (1.0 / na.toDouble + 1.0 / nb.toDouble)
+        val lnl = 0.5 * math.log(v / (v + t2)) +
+          (pa - pb) * (pa - pb) * t2 / (2.0 * v * (v + t2))
+        val lnlR = math.floor(lnl * 1e6 + 0.5) / 1e6
+        nlp = math.max(nlp, math.max(0.0, lnlR))
+        Some((d, na, xa, nb, xb, lnlR, nlp, nlp >= SprtLnInvAlpha))
+      } else None
+    }.toSeq
+    rows.toDF("day", "n_a", "x_a", "n_b", "x_b",
+        "log_lambda", "neg_log_p", "reject")
+      .orderBy($"day")
+  }
+
   /** The (non-purchase) channel domain of [[qAttributionMarkov]] and
     * the fixed round count — the bound is the operator's SEMANTICS
     * ("absorption probability within ≤ 16 hops", the BFS/pagerank

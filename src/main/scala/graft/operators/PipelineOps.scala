@@ -444,6 +444,69 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  /** Near-duplicate threshold for [[textMinhashDecontaminate]] —
+    * matched to the minhash banding's own candidate threshold
+    * ((1/16)^(1/4) ≈ 0.5), so the index surfaces exactly the overlap
+    * regime it can see reliably. */
+  val NearContamTau = 0.5
+
+  /** MinHash NEAR-decontamination (r11 next-round #8): the
+    * decontamination ladder's missing rung. `text_decontaminate` /
+    * the Bloom face / the exact-substr spans are all VERBATIM
+    * detectors — a paraphrased or lightly-edited benchmark item
+    * (the 2020s leakage concern: translated eval sets, whitespace-
+    * normalized copies, near-verbatim quotes) shares few exact
+    * 4-grams and walks through. This pass runs the SAME banded
+    * minhash index the dedup family serves, CROSS-SET: training
+    * docs (doc_id%10≠9) against the benchmark set (doc_id%10=9),
+    * band-key equi-join (never all-pairs), exact Jaccard on
+    * candidates only, flagged at [[NearContamTau]].
+    *
+    * Capping: per (band, key) bucket, each SIDE is rank-capped at
+    * [[DedupOps.BandCap]] by doc_id (the [[Blocking]] anchor
+    * discipline, applied per side because the join is bipartite) —
+    * a degenerate boilerplate bucket admits O(cap²) pairs, never
+    * |train|×|bench|. The oracle replays the identical rank rule.
+    *
+    * Scale: shingles/signatures are the dedup family's (shared
+    * memo/pin), the only new shuffle is the banded bipartite join —
+    * candidates ≈ corpus × band collision rate, the LSH posture. At
+    * 100 TB the benchmark side is tiny (benchmarks are MBs) so the
+    * band join degenerates to a broadcast — same plan, smaller. */
+  val textMinhashDecontaminate: QueryFn = (s, dir) =>
+    minhashDecontaminateOver(DedupOps.docShingles(s, dir).transform(Pin.corpus))
+
+  /** The core over a pre-shingled (doc_id, sh) frame — spec-visible
+    * so the plant/brute-force checks run the REAL banded path. */
+  private[operators] def minhashDecontaminateOver(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val sigged = docs.select($"doc_id",
+      graft.functions.VectorExpressions.minhash_sig($"sh",
+        graft.functions.Hashes.minhashParams(DedupOps.NumPerms)).as("sig"))
+    val keyed = sigged.select($"doc_id",
+      explode(graft.functions.Hashes.bandKeys(
+        $"sig", DedupOps.Bands, DedupOps.RowsPerBand)).as("key"))
+    def side(f: Column => Column) = keyed.where(f($"doc_id" % 10 === 9))
+      .withColumn("i", row_number().over(
+        Window.partitionBy($"key").orderBy($"doc_id")))
+      .where($"i" <= DedupOps.BandCap)
+    val cand = side(!_).select($"doc_id", $"key")
+      .join(side(identity).select($"doc_id".as("bench_id"), $"key"), "key")
+      .select($"doc_id", $"bench_id").distinct()
+    val st = docs.select($"doc_id", $"sh".as("sh_t"))
+    val sb = docs.select($"doc_id".as("bench_id"), $"sh".as("sh_b"))
+    cand.join(st, "doc_id").join(sb, "bench_id")
+      .withColumn("o", graft.functions.VectorExpressions
+        .sorted_overlap($"sh_t", $"sh_b").cast("double"))
+      .withColumn("jac", $"o" / (size($"sh_t") + size($"sh_b") - $"o"))
+      .where($"jac" >= NearContamTau)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(rnd($"jac", 4)).as("max_jaccard"))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------
   // Readability scoring
   // ---------------------------------------------------------------
