@@ -159,12 +159,34 @@ object Id3 {
             // v2.4 frames unsync individually: the tag-level bit
             // means all of them, the format flag (0x02) one of them;
             // the stored size is the on-disk (synced) body size
+            val fmt = buf(off + 9) & 0xFF
             val frameUnsync = major == 4 &&
-              (tagUnsync || (buf(off + 9) & 0x02) != 0)
+              (tagUnsync || (fmt & 0x02) != 0)
             val raw = java.util.Arrays.copyOfRange(
               buf, off + 10, off + 10 + size.toInt)
-            val body = if (frameUnsync) deUnsync(raw) else raw
-            fid match {
+            val unsynced = if (frameUnsync) deUnsync(raw) else raw
+            // r11 advice: the format flags can PREPEND data to the
+            // body — v2.4 a grouping byte (0x40) then a 4-byte
+            // syncsafe data-length indicator (0x01, common alongside
+            // unsync/compression); v2.3 a grouping byte (0x20).
+            // Without the skip the first body bytes are misread as
+            // text-encoding + text. Compressed/encrypted frames are
+            // counted but treated as opaque (no codec to decode
+            // them honestly): v2.4 flags 0x08/0x04, v2.3 0x80/0x40.
+            var body = unsynced
+            var decodable = true
+            if (major == 4) {
+              if ((fmt & 0x40) != 0)
+                { if (body.length >= 1) body = body.drop(1) else decodable = false }
+              if ((fmt & 0x01) != 0)
+                { if (body.length >= 4) body = body.drop(4) else decodable = false }
+              if ((fmt & 0x0C) != 0) decodable = false
+            } else {
+              if ((fmt & 0x20) != 0)
+                { if (body.length >= 1) body = body.drop(1) else decodable = false }
+              if ((fmt & 0xC0) != 0) decodable = false
+            }
+            if (decodable) fid match {
               case "TIT2" => title = decodeText(body)
               case "TALB" => album = decodeText(body)
               case "TRCK" => track = decodeText(body)

@@ -176,9 +176,20 @@ object Warc {
   // Content-Length framing, one layer down.
   // ---------------------------------------------------------------
 
-  /** Hostile cap: decompressed bytes per member (a crafted deflate
-    * bomb must not eat the heap — real WARC members are ≤ ~1 MB). */
-  val MaxMemberBytes: Int = 1 << 28
+  /** Hostile cap: decompressed bytes per member. Real WARC members
+    * are ≤ ~1 MB; 4 MiB is generous headroom while keeping the
+    * worst case of a crafted deflate bomb (or of each false-magic
+    * resync attempt below) to one small allocation, not a 256 MB
+    * heap bite per attempt (r11 advice). */
+  val MaxMemberBytes: Int = 1 << 22
+
+  /** Hostile cap: failed member-parse attempts per object. Organic
+    * corruption costs a handful (a false 1F 8B 08 inside compressed
+    * data every ~2²⁴ random bytes); a crafted object tiling magics
+    * could otherwise force a full inflate attempt per offset —
+    * quadratic work. Past the cap the remainder of the object is
+    * dropped, the same containment contract as a lost member. */
+  val MaxResyncAttempts: Int = 1024
 
   /** Parse one gzip member starting exactly at `off`: returns the
     * decompressed payload and the offset just past the member's
@@ -243,13 +254,16 @@ object Warc {
     val out = Vector.newBuilder[Record]
     var pos = 0
     var members = 0
-    while (pos >= 0 && pos < bytes.length && members < MaxRecords) {
+    var failed = 0
+    while (pos >= 0 && pos < bytes.length && members < MaxRecords &&
+        failed < MaxResyncAttempts) {
       gzMemberAt(bytes, pos) match {
         case Some((data, next)) =>
           out ++= parse(data)
           members += 1
           pos = next
         case None =>
+          failed += 1
           var j = pos + 1
           var found = -1
           while (found < 0 && j + 3 <= bytes.length) {

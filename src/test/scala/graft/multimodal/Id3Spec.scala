@@ -47,6 +47,29 @@ class Id3Spec extends AnyFunSuite {
     assert(m.title.isEmpty && m.nFrames == 1)
   }
 
+  test("v2.4 data-length indicator (0x01) prefix is skipped; compressed " +
+      "frames are counted but opaque (r11 advice)") {
+    def ss(n: Int) = Array(((n >> 21) & 0x7F).toByte, ((n >> 14) & 0x7F).toByte,
+      ((n >> 7) & 0x7F).toByte, (n & 0x7F).toByte)
+    val body = Array(0.toByte) ++ "DLIT".getBytes("ISO-8859-1")
+    val frame = "TIT2".getBytes("ISO-8859-1") ++ ss(4 + body.length) ++
+      Array(0.toByte, 0x01.toByte) ++ ss(body.length) ++ body
+    // a compressed TALB (0x08, DLI set as the spec requires): without
+    // a codec the walker must count it, never misread zlib bytes as
+    // a text encoding
+    val cbody = Array[Byte](0x78, 0x9C.toByte, 1, 2, 3)
+    val cframe = "TALB".getBytes("ISO-8859-1") ++ ss(4 + cbody.length) ++
+      Array(0.toByte, 0x09.toByte) ++ ss(99) ++ cbody
+    val tagBody = frame ++ cframe
+    val tag = "ID3".getBytes("ISO-8859-1") ++ Array[Byte](4, 0, 0) ++
+      ss(tagBody.length) ++ tagBody
+    val m = Id3.parse(tag)
+    assert(m.status == "ok" && m.nFrames == 2, s"got $m")
+    assert(m.title.contains("DLIT"),
+      s"the 4-byte DLI must be skipped before text decode: $m")
+    assert(m.album.isEmpty, "compressed frame must be opaque, not misdecoded")
+  }
+
   test("missing magic, unsupported version, short input classify no_tag") {
     assert(Id3.parse(Array.emptyByteArray).status == "no_tag")
     assert(Id3.parse("MP3 data without a tag".getBytes).status == "no_tag")
