@@ -701,6 +701,25 @@ object PlanAudit {
         "user equi-join, no cartesian" -> (p =>
           !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "ann_lsh_scheduled_mass" -> Map(
+        // the scheduled-dial audit is two stacked key aggregations
+        // over the persisted signature index — partial+final both
+        // levels, no join at all in the served plan
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no join in the occupancy fold" -> (p =>
+          !p.contains("Join") || (!p.contains("SortMergeJoin") &&
+            !p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin") &&
+            !p.contains("CartesianProduct"))),
+        "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "text_minhash_decontaminate" -> Map(
+        // cross-set candidates come from the band-key EQUI-join;
+        // the per-side rank caps are key-partitioned windows — the
+        // bipartite join must never degrade to a nested loop
+        "band join stays equi" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "rank-cap windows key-partitioned" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size ==
+            "windowspecdefinition\\(key".r.findAllIn(p).size)),
       "emb_pq_distortion" -> Map(
         // encode/decode are map-side; one vec-keyed join to the raw
         // vectors and a 4-row band fold
