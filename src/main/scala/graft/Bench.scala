@@ -209,15 +209,15 @@ object Bench {
 
     val partial = new java.io.PrintWriter(
       new java.io.FileWriter("bench_partial.jsonl", false), true)
+    // Untimed warm-up of the calibration job, BEFORE the budget
+    // clock starts: the FIRST job in the JVM pays codegen/
+    // classloading (~3 s measured), which would both drown the
+    // box-drift signal the calibration pair exists to carry and
+    // silently eat phase-1 budget on tight subset runs (r12 review).
+    try force("calib_start") catch { case _: Throwable => () }
+
     val benchStart = System.nanoTime()
     def elapsedMs: Double = (System.nanoTime() - benchStart) / 1e6
-
-    // Untimed warm-up of the calibration job: the FIRST job in the
-    // JVM pays codegen/classloading (~3 s measured), which would
-    // drown the box-drift signal the calibration pair exists to
-    // carry; after one throwaway run both twins measure ~0.2 s of
-    // pure scheduling + CPU.
-    try force("calib_start") catch { case _: Throwable => () }
 
     // PHASE 1 — coverage: every row exactly once, cheap families
     // first (builds lead: their consumers report warm-serve

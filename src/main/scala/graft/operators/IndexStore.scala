@@ -85,6 +85,11 @@ private[graft] object IndexStore {
       return build.map(_.localCheckpoint(true))
     }
     val b = base(name, key)
+    // pin BEFORE resolving: a concurrent builder of a sibling key
+    // must never window-race this root between the pointer read and
+    // the pin (the r12 review's TOCTOU) — pinning an unbuilt root is
+    // harmless, retention just skips a name until the JVM exits
+    liveRoots.add(new org.apache.hadoop.fs.Path(b).getName)
     val attempt = committedAttempt(b).getOrElse {
       val token = "a-" + java.util.UUID.randomUUID().toString
       val dir = s"$b/$token"
@@ -100,7 +105,6 @@ private[graft] object IndexStore {
       dropStaleSiblings(name, b)
       dir
     }
-    liveRoots.add(new org.apache.hadoop.fs.Path(b).getName)
     parts.map(p => s.read.parquet(s"$attempt/$p"))
   }
 
@@ -155,6 +159,13 @@ private[graft] object IndexStore {
         val n = st.getPath.getName
         n != keepName && !liveRoots.contains(n)
       }.drop(Retain - 1)
+        .foreach(st => fs.delete(st.getPath, true))
+      // one-time v1 sweep (r12 review): the layout bump orphaned the
+      // r11-era roots — nothing serves them and the v2 filter above
+      // never matches them, so without this the "bounded by index
+      // count × Retain" disk claim quietly stops holding
+      fs.listStatus(rootPath)
+        .filter(_.getPath.getName.startsWith("graft-bidx-v1-" + name + "-"))
         .foreach(st => fs.delete(st.getPath, true))
     }
   }

@@ -177,11 +177,16 @@ object Warc {
   // ---------------------------------------------------------------
 
   /** Hostile cap: decompressed bytes per member. Real WARC members
-    * are ≤ ~1 MB; 4 MiB is generous headroom while keeping the
-    * worst case of a crafted deflate bomb (or of each false-magic
-    * resync attempt below) to one small allocation, not a 256 MB
-    * heap bite per attempt (r11 advice). */
-  val MaxMemberBytes: Int = 1 << 22
+    * are ≤ ~1 MB (Common Crawl truncates around there); 4 MiB is
+    * generous headroom while keeping the worst case of a crafted
+    * deflate bomb (or of each false-magic resync attempt below) to
+    * one small allocation, not a 256 MB heap bite per attempt (r11
+    * advice). Archives that legitimately carry larger members
+    * (uncapped PDF/media responses) raise `GRAFT_WARC_MEMBER_CAP`
+    * at launch — a cap drop is classified like corruption (member
+    * skipped, walk resyncs), never an OOM. */
+  val MaxMemberBytes: Int = sys.env.get("GRAFT_WARC_MEMBER_CAP")
+    .map(_.toInt).getOrElse(1 << 22)
 
   /** Hostile cap: failed member-parse attempts per object. Organic
     * corruption costs a handful (a false 1F 8B 08 inside compressed
