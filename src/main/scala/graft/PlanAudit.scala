@@ -706,10 +706,11 @@ object PlanAudit {
         // over the persisted signature index — partial+final both
         // levels, no join at all in the served plan
         "partial agg before shuffle" -> (_.contains("partial_")),
+        // r12 advice: the served plan has no join AT ALL — assert
+        // that directly (the old disjunct-list form let a
+        // BroadcastNestedLoopJoin, the worst degradation, slip by)
         "no join in the occupancy fold" -> (p =>
-          !p.contains("Join") || (!p.contains("SortMergeJoin") &&
-            !p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin") &&
-            !p.contains("CartesianProduct"))),
+          !p.contains("Join") && !p.contains("CartesianProduct")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
       "text_minhash_decontaminate" -> Map(
         // cross-set candidates come from the band-key EQUI-join;

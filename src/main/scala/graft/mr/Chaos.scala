@@ -40,8 +40,14 @@ object Chaos {
     * fresh tasks — the floor must scale with what actually ran). */
   val firstAttempts = new AtomicLong(0)
 
-  /** Fail this attempt? Deterministic in (stageId, partitionId);
-    * never true past attempt 0, so one retry always converges. */
+  /** Fail this attempt? The hash draw is deterministic in (stageId,
+    * partitionId) — but the REALIZED injection set is only
+    * deterministic modulo [[topUp]] (r12 advice): the starvation
+    * top-up rides a JVM-wide counter, so which extra tasks it fails
+    * depends on run order and concurrency. What IS invariant: never
+    * true past attempt 0 (one retry always converges — topUp
+    * included), and `injected ≥ ⌊firstAttempts·rate/2⌋` holds by
+    * construction whatever the interleaving. */
   def decide(rate: Double, stageId: Int, partitionId: Int, attempt: Int): Boolean =
     rate > 0 && attempt == 0 && {
       val h = graft.functions.Hashes.mix64(

@@ -60,7 +60,24 @@ private[graft] object IndexStore {
   /** Base-dir names this JVM has built or read — never deleted by
     * [[dropStaleSiblings]] while the JVM lives, however many corpora
     * later churn through the same index name (test-visible so the
-    * churn regression spec can assert the exemption). */
+    * churn regression spec can assert the exemption).
+    *
+    * Documented tradeoffs (r12 advice, accepted deliberately):
+    * pins accumulate for the JVM's lifetime — every `frames()` call
+    * pins, cache hits and failed builds included — so a long-lived
+    * driver cycling MANY corpora through one index name disables
+    * retention for that name until restart. The set holds short dir
+    * NAMES (≈60 bytes each), so even 10⁵ corpora cost ~6 MB of
+    * driver heap and the DISK bound degrades to "what this JVM
+    * touched", which is the correct reader-safety order: an LRU
+    * unpin would reintroduce exactly the delete-under-lazy-reader
+    * race the pin exists to close (no unpin can know whether a memo
+    * still holds a lazy frame over the root). Residual cross-JVM
+    * race: ANOTHER JVM's retention can still delete a root this JVM
+    * is lazily reading — pins are process-local by design; the
+    * Retain=8 window plus mtime ordering makes that require 8+
+    * concurrent corpus churns on one index name across JVMs.
+    * IndexStoreSpec's exemption test pins these semantics. */
   private[graft] val liveRoots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

@@ -184,9 +184,32 @@ object Warc {
     * advice). Archives that legitimately carry larger members
     * (uncapped PDF/media responses) raise `GRAFT_WARC_MEMBER_CAP`
     * at launch — a cap drop is classified like corruption (member
-    * skipped, walk resyncs), never an OOM. */
-  val MaxMemberBytes: Int = sys.env.get("GRAFT_WARC_MEMBER_CAP")
-    .map(_.toInt).getOrElse(1 << 22)
+    * skipped, walk resyncs), never an OOM. The env dial is validated
+    * eagerly with a NAMED error (r12 advice: a bare toInt here threw
+    * ExceptionInInitializerError — the one exception class that hides
+    * its own cause — and a zero/negative value silently dropped every
+    * member); oversize drops are counted in [[oversizeDrops]] so the
+    * data loss is observable, not silent. */
+  val MaxMemberBytes: Int = sys.env.get("GRAFT_WARC_MEMBER_CAP") match {
+    case None => 1 << 22
+    case Some(v) =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"GRAFT_WARC_MEMBER_CAP must be a positive int (bytes), got '$v'")
+      }
+      require(n > 0,
+        s"GRAFT_WARC_MEMBER_CAP must be positive (bytes), got $n")
+      n
+  }
+
+  /** Members dropped ONLY because their decompressed size exceeded
+    * [[MaxMemberBytes]] (r12 advice: a cap drop looked identical to
+    * corruption — a legitimate-but-large member vanished with no
+    * signal). Counted per JVM; executors log one line per drop so a
+    * systematic cap misfit shows up in task logs, and the counter is
+    * test-visible. Corrupt members (bad magic/CRC/framing) do NOT
+    * count here — they are the corruption class, handled by resync. */
+  val oversizeDrops = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Hostile cap: failed member-parse attempts per object. Organic
     * corruption costs a handful (a false 1F 8B 08 inside compressed
@@ -230,7 +253,13 @@ object Warc {
         // needsInput before finished = truncated stream
         if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
         out.write(buf, 0, n)
-        if (out.size() > MaxMemberBytes) return None // bomb guard
+        if (out.size() > MaxMemberBytes) { // bomb guard — observable drop
+          oversizeDrops.incrementAndGet()
+          System.err.println(
+            s"[warc] member at offset $off dropped: decompressed size " +
+            s"exceeds cap $MaxMemberBytes (GRAFT_WARC_MEMBER_CAP raises it)")
+          return None
+        }
       }
       val end = i + inf.getBytesRead.toInt
       if (end + 8 > bytes.length) return None // trailer truncated

@@ -79,6 +79,17 @@ class WarcGzSpec extends AnyFunSuite {
       Vector("http://ex.com/1", "http://ex.com/2"))
   }
 
+  test("oversize member drop is COUNTED (r12 advice: cap drops were " +
+      "indistinguishable from corruption), later members still land") {
+    // a member whose decompressed payload exceeds the cap: highly
+    // compressible so the compressed object stays small
+    val big = rec(1, "x" * (Warc.MaxMemberBytes + 1024))
+    val before = Warc.oversizeDrops.get()
+    val rs = Warc.parseGz(Warc.gzMember(big) ++ Warc.gzMember(rec(2, "ok")))
+    assert(Warc.oversizeDrops.get() >= before + 1)
+    assert(rs.map(_.targetUri.get) == Vector("http://ex.com/2"))
+  }
+
   test("parseGz never throws on hostile bytes (the walker-family fuzz)") {
     val rng = new scala.util.Random(11)
     val valid = obj(rec(1, "fuzz me"))
