@@ -64,8 +64,11 @@ object CandidateMass {
     embSigs.unpersist()
 
     // the streaming attach face: candidates the arrival split pays
-    // against the frozen base (the per-arrival cost unit)
+    // against the frozen base (the per-arrival cost unit) — served
+    // at the attach path's schedule-floor dial (r12 verdict #1),
+    // recorded separately from the graph-build "lsh" dial below
     val lshGeo = operators.AnnOps.lshGeometryFor(spark, sfDir)
+    val attachGeo = operators.HnswOps.attachGeometryFor(spark, sfDir)
     val arrivals = emb.where($"vec_id" % 10 === 0)
       .select($"vec_id", $"embedding")
     val nArrivals = arrivals.count()
@@ -96,6 +99,7 @@ object CandidateMass {
       s""""n_arrivals":$nArrivals,""" +
       s""""geometry":{"embedding":"${embGeo._1}:${embGeo._2}",""" +
       s""""lsh":"${lshGeo._1}:${lshGeo._2}",""" +
+      s""""nsw_attach":"${attachGeo._1}:${attachGeo._2}",""" +
       s""""simhash":"${simGeo._1}:${simGeo._2}:${simGeo._3}",""" +
       s""""phash":"${phGeo._1}:${phGeo._2}:${phGeo._3}"},""" +
       s""""candidates":${j(Map("minhash" -> minhash, "simhash" -> simhash,

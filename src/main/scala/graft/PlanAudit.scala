@@ -712,6 +712,15 @@ object PlanAudit {
         "no join in the occupancy fold" -> (p =>
           !p.contains("Join") && !p.contains("CartesianProduct")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "stream_hnsw_ingest" -> Map(
+        // r13: the gate frame is (arrival split) LEFT equi-join
+        // (ranked sink rows) — the rank window keyed per arrival,
+        // never a global window, and no nested-loop degradation
+        "joins stay equi" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "rank window arrival-partitioned" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size ==
+            "windowspecdefinition\\(vec_id".r.findAllIn(p).size)),
       "text_minhash_decontaminate" -> Map(
         // cross-set candidates come from the band-key EQUI-join;
         // the per-side rank caps are key-partitioned windows — the

@@ -4822,44 +4822,15 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
-    // the HNSW attach replayed whole: literal hyperplanes, 12×4-bit
-    // band collisions of the arriving tenth against the base split,
-    // exact cosines in the identical accumulation order, top-M at
-    // (1e-6-rounded sim, nbr asc)
-    "stream_hnsw_ingest" ->
-      s"""WITH pl AS (SELECT ${planesLiteral(operators.AnnOps.LshPlanes)} AS w),
-        |e AS (SELECT vec_id, embedding FROM embeddings),
-        |d AS (
-        |  SELECT vec_id, p,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      [CAST(embedding[i] AS DOUBLE) * w[p][i] for i in generate_series(1, 64)]),
-        |      (a, b) -> a + b) AS dot
-        |  FROM e, pl, (SELECT unnest(generate_series(1, ${operators.AnnOps.LshPlanes})) AS p)),
-        |bv AS (
-        |  SELECT vec_id, (p - 1) // ${operators.AnnOps.LshBandBits} AS b,
-        |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << ((p - 1) % ${operators.AnnOps.LshBandBits})) ELSE 0 END) AS val
-        |  FROM d GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS vid, c.vec_id AS nbr
-        |  FROM bv a JOIN bv c ON a.b = c.b AND a.val = c.val
-        |  WHERE a.vec_id % 10 = 0 AND c.vec_id % 10 <> 0 AND c.vec_id <> a.vec_id),
-        |cos AS (
-        |  SELECT cand.vid, cand.nbr,
-        |    floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      [CAST(a.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
-        |      (x, y) -> x + y)
-        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |        [CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
-        |        (x, y) -> x + y))
-        |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |        [CAST(bb.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
-        |        (x, y) -> x + y))))*1000000 + 0.5)/1000000 AS sim_r
-        |  FROM cand JOIN e a ON a.vec_id = cand.vid JOIN e bb ON bb.vec_id = cand.nbr)
-        |SELECT vid AS vec_id, CAST(rnk AS BIGINT) AS rnk, nbr, sim_r
-        |FROM (SELECT vid, nbr, sim_r,
-        |        row_number() OVER (PARTITION BY vid ORDER BY sim_r DESC, nbr) AS rnk
-        |      FROM cos) t
-        |WHERE rnk <= ${operators.HnswOps.M} ORDER BY vec_id, rnk""".stripMargin,
+    // the HNSW attach replayed whole AT THE SCHEDULE-FLOOR DIAL
+    // (r12 verdict #1 — (60, 15) at the gate, context-resolved to
+    // the schedule's real choice on bigger corpora): literal
+    // hyperplanes, band collisions of the arriving tenth against the
+    // base split, exact cosines in the identical accumulation order,
+    // top-M at (1e-6-rounded sim, nbr asc), per-arrival candidate
+    // count, LEFT JOIN from the arrival split with (0, 0, -1, 0.0)
+    // sentinels so the row set is the arrival split by construction
+    "stream_hnsw_ingest" -> streamHnswIngestOracle,
 
     // on bands where the prior cap never binds, the streaming alert
     // pair set (canonicalized unordered) IS the full LSH candidate
@@ -5348,6 +5319,62 @@ object SparkEntry {
        |  CAST(sum(c) AS BIGINT) AS n_items, CAST(max(c) AS BIGINT) AS max_bucket,
        |  CAST(sum(c*(c-1)//2) AS BIGINT) AS pair_mass
        |FROM bk GROUP BY band ORDER BY band""".stripMargin
+  }
+
+  /** `stream_hnsw_ingest` replayed end-to-end at the attach path's
+    * SCHEDULE-FLOOR dial ([[operators.HnswOps.attachGeometryFor]] —
+    * the same accessor discipline as the scheduled-mass row): band
+    * collisions of the arriving tenth against the base split, exact
+    * cosines, per-arrival distinct-candidate count, top-M edges,
+    * LEFT JOIN from the full arrival split with the engine's
+    * (0, 0, -1, 0.0) sentinels for collision-free arrivals. */
+  private def streamHnswIngestOracle: String = {
+    val (planes, bandBits) = operators.AnnOps.lshScheduleFloorGeometry
+    s"""WITH pl AS (SELECT ${planesLiteral(planes)} AS w),
+      |e AS (SELECT vec_id, embedding FROM embeddings),
+      |d AS (
+      |  SELECT vec_id, p,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      [CAST(embedding[i] AS DOUBLE) * w[p][i] for i in generate_series(1, 64)]),
+      |      (a, b) -> a + b) AS dot
+      |  FROM e, pl, (SELECT unnest(generate_series(1, $planes)) AS p)),
+      |bv AS (
+      |  SELECT vec_id, (p - 1) // $bandBits AS b,
+      |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << ((p - 1) % $bandBits)) ELSE 0 END) AS val
+      |  FROM d GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vid, c.vec_id AS nbr
+      |  FROM bv a JOIN bv c ON a.b = c.b AND a.val = c.val
+      |  WHERE a.vec_id % 10 = 0 AND c.vec_id % 10 <> 0 AND c.vec_id <> a.vec_id),
+      |nc AS (SELECT vid, count(*) AS n_cands FROM cand GROUP BY vid),
+      |cos AS (
+      |  SELECT cand.vid, cand.nbr,
+      |    floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      [CAST(a.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+      |      (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        [CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+      |        (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        [CAST(bb.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]),
+      |        (x, y) -> x + y))))*1000000 + 0.5)/1000000 AS sim_r
+      |  FROM cand JOIN e a ON a.vec_id = cand.vid JOIN e bb ON bb.vec_id = cand.nbr),
+      |rk AS (
+      |  SELECT vid, nbr, sim_r,
+      |    row_number() OVER (PARTITION BY vid ORDER BY sim_r DESC, nbr) AS rnk
+      |  FROM cos),
+      |topm AS (SELECT vid, nbr, sim_r, rnk FROM rk
+      |  WHERE rnk <= ${operators.HnswOps.M}),
+      |arr AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0)
+      |SELECT arr.vec_id,
+      |  CAST(COALESCE(nc.n_cands, 0) AS BIGINT) AS n_cands,
+      |  CAST(COALESCE(topm.rnk, 0) AS BIGINT) AS rnk,
+      |  CAST(COALESCE(topm.nbr, -1) AS BIGINT) AS nbr,
+      |  COALESCE(topm.sim_r, 0.0) AS sim_r
+      |FROM arr
+      |LEFT JOIN topm ON topm.vid = arr.vec_id
+      |LEFT JOIN nc ON nc.vid = arr.vec_id
+      |ORDER BY vec_id, rnk""".stripMargin
   }
 
   private def annLshOracle: String =

@@ -123,21 +123,66 @@ object HnswOps {
       .distinct()
   }
 
+  /** The geometry the ATTACH paths (batch add + streaming ingest)
+    * serve: the n-aware schedule's choice AT THE SCHEDULE FLOOR —
+    * `scheduledGeometry(max(n, ScheduleMinN))`, (60, 15) at the gate
+    * corpora, coinciding with [[AnnOps.lshGeometryFor]] exactly on
+    * every corpus past the threshold (r12 verdict #1: the gate's
+    * attach ran the (48, 4) family default, whose 4-bit buckets
+    * admit ~77% of the base corpus PER ARRIVAL on a sub-threshold
+    * corpus — the bench's worst row measured that floor, not the
+    * operator; the floor dial admits ~0.4/arrival on the same data
+    * and is the dial a production ingest would actually run). The
+    * GRAPH BUILD keeps [[AnnOps.lshGeometryFor]]: its per-band
+    * anchor-cap already bounds a deep default bucket, and the serve
+    * recall panel is tuned against that graph. */
+  def attachGeometryFor(s: SparkSession, dir: String): (Int, Int) =
+    AnnOps.lshScheduleFloorGeometryFor(s, dir)
+
+  /** Persisted banded postings of the BASE corpus for the attach
+    * join — (key, nbr, ne): exactly what a production LSH attach
+    * index materializes (band-key-partitioned postings with the
+    * vectors attached, so an arrival pays one equi-join and reads
+    * only colliding vectors). Built once per (corpus fingerprint,
+    * dial) through [[IndexStore]] — its `_META` records the
+    * schedule-chosen geometry, the "which dial built this index"
+    * audit trail the scheduled-mass row established. */
+  private def attachBase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (p, b) = attachGeometryFor(s, dir)
+    val key = dir + graft.mr.Fs.fingerprint(dir + "/embeddings.parquet") +
+      s":attach:geo$p:$b"
+    IndexStore.frame(s, "nsw_attach_base", key) {
+      val sig = AnnOps.sigUdfFor(p)
+      Tables.embeddings(s, dir).where($"vec_id" % 10 =!= 0)
+        .select($"vec_id".as("nbr"), $"embedding".as("ne"),
+          explode(bandKeys(sig($"embedding"), (p, b))).as("key"))
+    }
+  }
+
   /** Banded candidate edges for ATTACHING new vectors to the frozen
     * graph (HNSW `add`): arriving vectors signature map-side, band
-    * keys explode, and an equi-join against the banded BASE corpus
-    * (`vec_id % 10 != 0`, the incremental-index split) yields
-    * (vec_id, nbr, sim_r) candidates. Pure map + equi-join — works
-    * unchanged on a STREAMING arrivals frame (stream-static join),
-    * which is how [[graft.streaming.Streams.hnswIngestStream]] routes
-    * per micro-batch; the batch face [[attachEdges]] prunes to top-M
+    * keys explode, and an equi-join against the persisted banded
+    * BASE postings ([[attachBase]] — `vec_id % 10 != 0`, the
+    * incremental-index split) yields (vec_id, nbr, sim_r)
+    * candidates at [[attachGeometryFor]]'s schedule-floor dial.
+    * Pure map + equi-join — works unchanged on a STREAMING arrivals
+    * frame (stream-static join), which is how
+    * [[graft.streaming.Streams.hnswIngestStream]] routes per
+    * micro-batch; the batch face [[attachEdges]] prunes to top-M
     * through the native heaps. */
   def attachCandidates(s: SparkSession, dir: String)(
       arrivals: DataFrame): DataFrame = {
     import s.implicits._
-    attachCandidatesAgainst(
-      Tables.embeddings(s, dir).where($"vec_id" % 10 =!= 0),
-      AnnOps.lshGeometryFor(s, dir))(arrivals)
+    val geo = attachGeometryFor(s, dir)
+    val sig = AnnOps.sigUdfFor(geo._1)
+    arrivals
+      .select($"vec_id", $"embedding",
+        explode(bandKeys(sig($"embedding"), geo)).as("key"))
+      .join(attachBase(s, dir), "key")
+      .where($"vec_id" =!= $"nbr")
+      .select($"vec_id", $"nbr",
+        rnd(cosine_sim($"embedding", $"ne"), 6).as("sim_r"))
   }
 
   /** The attach band-join against an EXPLICIT base frame — the core

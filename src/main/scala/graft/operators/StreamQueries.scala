@@ -283,15 +283,29 @@ object StreamQueries {
   /** Streaming vector attach into the frozen NSW graph
     * ([[Streams.hnswIngestStream]] — the HNSW `add` next to
     * [[streamIvfIngest]]'s cell routing), driver-gated: arriving
-    * vectors (the vec_id % 10 == 0 split) signature map-side,
-    * band-join the STATIC banded base corpus, and keep their top-M
-    * candidate edges per arrival — all of an arrival's candidates
-    * land in its own micro-batch (the band fan-out happens inside
-    * the batch), so the emitted edge set is a pure data function
-    * whatever the batching. The oracle replays the whole banding
-    * index: literal hyperplanes, 12×4-bit band collisions against
-    * the base split, exact cosines in the same left-to-right
-    * accumulation, top-M at (1e-6-rounded sim, nbr). */
+    * vectors (the vec_id % 10 == 0 split) signature map-side AT THE
+    * SCHEDULE-FLOOR DIAL ([[HnswOps.attachGeometryFor]] — (60, 15)
+    * at the gate, the n-aware schedule's own first point, recorded
+    * in the persisted postings' `_META`; r12 verdict #1: the old
+    * (48, 4) default paid 77% of the base corpus per arrival here),
+    * band-join the STATIC banded base postings, and keep their
+    * top-M candidate edges per arrival — all of an arrival's
+    * candidates land in its own micro-batch (the band fan-out
+    * happens inside the batch), so the emitted edge set is a pure
+    * data function whatever the batching.
+    *
+    * At the production dial most near-random gate arrivals collide
+    * with NOTHING (that is the dial doing its job), so the gate row
+    * LEFT-JOINS the full arrival split: every arrival emits ≥ 1 row
+    * — matched ones their ranked edges plus their candidate COUNT
+    * (n_cands, the per-arrival cost the candidate-mass guard
+    * bounds), unmatched ones a (0, 0, -1, 0.0) sentinel — so the
+    * row count is the arrival count by construction, never
+    * collision-luck (the r10 survival-curve lesson). The oracle
+    * replays the whole banding index at the same dial: literal
+    * hyperplanes, 4×15-bit band collisions against the base split,
+    * exact cosines in the same left-to-right accumulation, top-M at
+    * (1e-6-rounded sim, nbr), left join from the arrival split. */
   val streamHnswIngest: QueryFn = (s, dir) => {
     import s.implicits._
     val out = runToTable(s, "stream_hnsw_ingest",
@@ -299,8 +313,15 @@ object StreamQueries {
       "append")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"vec_id").orderBy($"sim_r".desc, $"nbr".asc)
-    out.withColumn("rnk", row_number().over(w).cast("long"))
-      .select($"vec_id", $"rnk", $"nbr", $"sim_r")
+    val ranked = out.withColumn("rnk", row_number().over(w).cast("long"))
+    Tables.embeddings(s, dir).where($"vec_id" % 10 === 0)
+      .select($"vec_id")
+      .join(ranked, Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"n_cands", lit(0L)).as("n_cands"),
+        coalesce($"rnk", lit(0L)).as("rnk"),
+        coalesce($"nbr", lit(-1L)).as("nbr"),
+        coalesce($"sim_r", lit(0.0)).as("sim_r"))
       .orderBy($"vec_id", $"rnk")
   }
 

@@ -487,12 +487,15 @@ object Streams {
       .select(col("vec_id"), col("cell"))
   }
 
-  final case class HnswEdge(vec_id: Long, nbr: Long, sim_r: Double)
+  final case class HnswEdge(vec_id: Long, n_cands: Long, nbr: Long, sim_r: Double)
 
   /** Streaming vector attach into the frozen NSW graph — the
     * continuous face of the HNSW `add` operation next to
     * [[ivfIngestStream]]'s cell routing: arriving vectors signature
-    * map-side, band-join the STATIC banded base corpus
+    * map-side AT THE SCHEDULE-FLOOR DIAL
+    * ([[graft.operators.HnswOps.attachGeometryFor]], r12 verdict #1
+    * — the persisted postings' `_META` records the dial), band-join
+    * the STATIC banded base corpus
     * (stream-static equi-join, stateless per micro-batch), and each
     * arrival keeps its top-M candidate edges via a per-key fold
     * (`flatMapGroupsWithState`, no retained state — all of an
@@ -513,16 +516,24 @@ object Streams {
     val m = graft.operators.HnswOps.M
 
     def fn(key: Long, rows: Iterator[(Long, Long, Double)],
-        state: GroupState[Int]): Iterator[HnswEdge] =
+        state: GroupState[Int]): Iterator[HnswEdge] = {
       // dedup INSIDE the per-key batch (multi-band collisions emit
       // the same candidate tuple several times) — a .distinct() on
       // the streaming frame itself would be an unwatermarked
       // StreamingDeduplicate with unbounded state
-      rows.toSeq.distinct
+      val cands = rows.toSeq.distinct
+      // n_cands = this arrival's candidate-generation COST (distinct
+      // colliding base vectors) — the per-arrival quantity the
+      // candidate-mass guard bounds, carried on every emitted edge
+      // so ingest cost is observable at the sink, not just in the
+      // stress harness
+      val n = cands.size.toLong
+      cands
         .sortBy { case (_, nbr, simR) => (-simR, nbr) }
         .take(m)
-        .map { case (_, nbr, simR) => HnswEdge(key, nbr, simR) }
+        .map { case (_, nbr, simR) => HnswEdge(key, n, nbr, simR) }
         .iterator
+    }
 
     graft.operators.HnswOps.attachCandidates(spark, sfDir)(arrivals)
       .as[(Long, Long, Double)]

@@ -438,6 +438,15 @@ class StreamingSpec extends SparkTestBase {
     // bounded degree: no arrival exceeds M edges
     val deg = got.groupBy(_._1).map(_._2.size)
     assert(deg.max <= graft.operators.HnswOps.M)
+    // n_cands parity: each arrival's carried candidate count equals
+    // the batch path's distinct candidate count (the per-arrival
+    // cost unit the candidate-mass guard bounds)
+    val gotN = spark.read.parquet(outDir)
+      .select($"vec_id", $"n_cands").as[(Long, Long)].collect().toMap
+    val expN = graft.operators.HnswOps.attachCandidates(spark, sfDir)(arrivals)
+      .distinct().groupBy($"vec_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(gotN == expN, "stream n_cands diverged from batch candidate counts")
   }
 
   test("decontamination stream: per-doc gram flags == batch bloom pass, exactly-once") {
