@@ -712,6 +712,14 @@ object PlanAudit {
         "no join in the occupancy fold" -> (p =>
           !p.contains("Join") && !p.contains("CartesianProduct")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "ann_lsh_multiword_mass" -> Map(
+        // the multi-word tier's audit has the same served shape as
+        // the scheduled row: two stacked key aggs over the persisted
+        // 5-word signature index — no join, no window
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no join in the occupancy fold" -> (p =>
+          !p.contains("Join") && !p.contains("CartesianProduct")),
+        "no window" -> (p => !p.contains("windowspecdefinition"))),
       "stream_hnsw_ingest" -> Map(
         // r13: the gate frame is (arrival split) LEFT equi-join
         // (ranked sink rows) — the rank window keyed per arrival,

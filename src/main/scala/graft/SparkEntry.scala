@@ -143,6 +143,7 @@ object SparkEntry {
     // r12: the n-aware geometry schedule under the hashed gate —
     // band-occupancy/candidate-mass audit at the schedule-chosen dial
     "ann_lsh_scheduled_mass"      -> AnnOps.annLshScheduledMass,
+    "ann_lsh_multiword_mass"      -> AnnOps.annLshMultiwordMass,
     // r5: graph-based ANN (flat navigable-small-world, beam serve)
     "ann_hnsw_topk"               -> operators.HnswOps.annHnswTopk,
     "ann_ivf_topk"                -> AnnOps.annIvfTopk,
@@ -4423,6 +4424,7 @@ object SparkEntry {
     "dedup_minhash_calibration" -> minhashCalibrationOracle,
     "ann_lsh_topk" -> annLshOracle,
     "ann_lsh_scheduled_mass" -> annLshScheduledMassOracle,
+    "ann_lsh_multiword_mass" -> annLshMultiwordMassOracle,
     "ann_hnsw_topk" -> annHnswOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
     "ann_pq_topk" -> annPqOracle,
@@ -5300,8 +5302,21 @@ object SparkEntry {
     * corpora — then per band the distinct keys, items, deepest
     * bucket, and Σ C(bucket, 2) admitted pair mass. Integer DIV on
     * both engines keeps the pair count exact at any depth. */
-  private def annLshScheduledMassOracle: String = {
-    val (planes, bandBits) = operators.AnnOps.lshScheduleFloorGeometry
+  private def annLshScheduledMassOracle: String =
+    lshMassAuditOracle(operators.AnnOps.lshScheduleFloorGeometry)
+
+  /** `ann_lsh_multiword_mass` (r12 what's-missing #1): the identical
+    * replay at the schedule's multi-word exit tier (320, 32) — the
+    * oracle's global `(p-1)//bits` band rule is geometry-parametric
+    * by construction, so the 5-word engine signature's per-word
+    * shift/mask extraction is judged against the same arithmetic at
+    * every dial. */
+  private def annLshMultiwordMassOracle: String =
+    lshMassAuditOracle((operators.AnnOps.MultiWordPlanes,
+      operators.AnnOps.MultiWordBandBits))
+
+  private def lshMassAuditOracle(geo: (Int, Int)): String = {
+    val (planes, bandBits) = geo
     s"""WITH pl AS (SELECT ${planesLiteral(planes)} AS w),
        |e AS (SELECT vec_id, embedding FROM embeddings),
        |d AS (
@@ -5317,7 +5332,10 @@ object SparkEntry {
        |bk AS (SELECT band, val, count(*) AS c FROM bv GROUP BY 1, 2)
        |SELECT CAST(band AS BIGINT) AS band, count(*) AS n_keys,
        |  CAST(sum(c) AS BIGINT) AS n_items, CAST(max(c) AS BIGINT) AS max_bucket,
-       |  CAST(sum(c*(c-1)//2) AS BIGINT) AS pair_mass
+       |  CAST(sum(c*(c-1)//2) AS BIGINT) AS pair_mass,
+       |  CAST(min(val) AS BIGINT) AS key_min,
+       |  CAST(max(val) AS BIGINT) AS key_max,
+       |  CAST(sum(val) AS BIGINT) AS key_sum
        |FROM bk GROUP BY band ORDER BY band""".stripMargin
   }
 

@@ -322,12 +322,47 @@ object AnnOps {
     * vacuously empty on the near-random gate embeddings (no pair
     * clears a 15-bit band); the mass audit is non-vacuous at every
     * corpus and is the schedule's load-bearing output anyway. */
-  val annLshScheduledMass: QueryFn = (s, dir) => {
+  val annLshScheduledMass: QueryFn = (s, dir) =>
+    lshMassAudit(s, dir, lshScheduleFloorGeometryFor(s, dir), "lsh_sched_sig")
+
+  /** The same audit at the schedule's MULTI-WORD tier —
+    * ([[MultiWordPlanes]], [[MultiWordBandBits]]) = (320, 32), the
+    * dial `scheduledGeometry` exits to past the one-word exhaustion
+    * point (n > 196 608) and the one that carried the sf10 stress
+    * decade (r12 what's-missing #1: the tier that holds the
+    * n ≥ 10⁶ claim was exercised only by the env-free stress run
+    * and spec validation — no HASHED row ever extracted a band from
+    * a words ≥ 2 signature). This row signs the corpus with the
+    * 5×64-plane BIGINT-ARRAY signature, persists it through
+    * [[IndexStore]] (`_META` records the dial), and hash-verifies
+    * the per-word band extraction against the oracle's global
+    * `(p-1)//bits` replay — the exact word/shift/mask arithmetic
+    * the multi-word tier rides at the decade, now under
+    * rows+schema+hash at every gate SF. */
+  val annLshMultiwordMass: QueryFn = (s, dir) =>
+    lshMassAudit(s, dir, (MultiWordPlanes, MultiWordBandBits), "lsh_mw_sig")
+
+  /** Shared body of the mass-audit rows: build (or load) the
+    * persisted signature index at `geo`, then per band report
+    * distinct keys, items, deepest bucket, and the admitted
+    * candidate-pair mass Σ C(bucket, 2) — the exact quantity the
+    * stress guard bounds at 0.5% of corpus per item — plus the
+    * min/max/sum of the distinct KEY VALUES themselves: on a
+    * near-random gate corpus every deep-key bucket is a singleton,
+    * so occupancy counts alone would pass any wrong-but-INJECTIVE
+    * band extraction — the key statistics pin the actual extracted
+    * values against the oracle's global `(p-1)//bits` arithmetic
+    * (key_sum ≤ n·2³², inside BIGINT to n ≈ 2³⁰ per band; both
+    * engines sum exact integers). Two stacked partial+final aggs
+    * over the index, no join, no window (PlanAudit pins that shape
+    * for both rows). */
+  private def lshMassAudit(s: SparkSession, dir: String,
+      geo: (Int, Int), store: String): DataFrame = {
     import s.implicits._
-    val (planesN, bandBits) = lshScheduleFloorGeometryFor(s, dir)
+    val (planesN, bandBits) = geo
     val bands = planesN / bandBits
     val fp = graft.mr.Fs.fingerprint(dir + "/embeddings.parquet")
-    val sigDf = IndexStore.frame(s, "lsh_sched_sig",
+    val sigDf = IndexStore.frame(s, store,
       s"$fp:planes=$planesN:bits=$bandBits") {
       val sig = sigUdfFor(planesN)
       Tables.embeddings(s, dir).select($"vec_id", sig($"embedding").as("sig"))
@@ -346,7 +381,10 @@ object AnnOps {
         max($"c").as("max_bucket"),
         // integer DIV keeps the pair count exact past 2^53 (a double
         // /2 would round on billion-deep skew buckets)
-        sum(expr("c * (c - 1) DIV 2")).cast("long").as("pair_mass"))
+        sum(expr("c * (c - 1) DIV 2")).cast("long").as("pair_mass"),
+        min($"k").as("key_min"),
+        max($"k").as("key_max"),
+        sum($"k").cast("long").as("key_sum"))
       .orderBy($"band")
   }
 
