@@ -6311,7 +6311,17 @@ object SparkEntry {
     * finalizer → 64-perm signatures → band keys → candidate pairs →
     * exact pair Jaccard (UNfiltered — the LSH oracle thresholds it,
     * the calibration oracle keeps false positives on purpose). */
-  private def minhashCoreCtes: String = {
+  private def minhashCoreCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |$minhashChainFromToks""".stripMargin
+
+  /** The chain from a `toks(doc_id, tk)` CTE down — split out (r13)
+    * so the decontamination oracle can splice a PLANTED token source
+    * (documents ∪ token-dropout paraphrases) above the identical
+    * shingle/signature/banding replay. */
+  private def minhashChainFromToks: String = {
     val salts = graft.functions.Hashes.minhashParams(DedupOps.NumPerms)
       .zipWithIndex
       .map { case (s, p) => s"($p, CAST(${java.lang.Long.toUnsignedString(s)} AS HUGEINT))" }
@@ -6323,10 +6333,7 @@ object SparkEntry {
     }
     val c1 = java.lang.Long.parseUnsignedLong("ff51afd7ed558ccd", 16)
     val c2 = java.lang.Long.parseUnsignedLong("c4ceb9fe1a85ec53", 16)
-    s"""toks AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
-       |  FROM documents),
-       |sh AS (
+    s"""sh AS (
        |  SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]) AS shs
        |  FROM toks WHERE len(tk) >= 3),
        |hh AS (
@@ -6371,9 +6378,29 @@ object SparkEntry {
     * benchmark mark (doc_id%10=9), per-(band,key) rank cap applied
     * PER SIDE (the bipartite form of the anchor discipline), exact
     * Jaccard on candidates, flagged at NearContamTau, folded to the
-    * per-train-doc contamination report. */
+    * per-train-doc contamination report. r13: the token source is
+    * documents ∪ the deterministic token-dropout PLANTS (every 50th
+    * benchmark doc re-entering the train side at 10⁶ + 10·doc_id
+    * with every m-th token dropped, m from {10,12,16,20,30} by
+    * (doc_id//50)%5 — DuckDB's 1-based lambda index matches the
+    * engine's (i+1) on its 0-based one), spliced above the shared
+    * chain so the whole signature/banding replay runs over the
+    * identical planted corpus. */
   private def minhashDecontamOracle: String =
-    s"""WITH $minhashCoreCtes,
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |ptoks AS (
+       |  SELECT 1000000 + doc_id * 10 AS doc_id,
+       |    list_filter(tk, (t, i) -> i % m <> 0) AS tk
+       |  FROM (
+       |    SELECT doc_id, tk,
+       |      CASE ((doc_id // 50) % 5) WHEN 0 THEN 10 WHEN 1 THEN 12
+       |        WHEN 2 THEN 16 WHEN 3 THEN 20 ELSE 30 END AS m
+       |    FROM toks0 WHERE doc_id % 50 = 9)),
+       |toks AS (SELECT doc_id, tk FROM toks0
+       |  UNION ALL SELECT doc_id, tk FROM ptoks),
+       |$minhashChainFromToks,
        |bseqx AS (
        |  SELECT doc_id, b, bk, (doc_id % 10 = 9) AS mark,
        |    row_number() OVER (PARTITION BY b, bk, (doc_id % 10 = 9) ORDER BY doc_id) AS i

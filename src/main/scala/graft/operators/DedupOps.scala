@@ -44,11 +44,18 @@ object DedupOps {
     * hash family the DuckDB oracles can replay, which is what makes
     * `dedup_minhash_lsh` hash-verifiable end-to-end (r3). */
   private[operators] def shingled(docs: DataFrame): DataFrame =
-    docs
+    shingledToks(docs
       // ≥ n tokens ⟺ ≥ 1 shingle; filtering on the token count keeps
       // the (pushed-down) predicate to one regex pass per row
       .filter(size(normTokens(col("text"))) >= ShingleSize)
-      .select(col("doc_id"), normTokens(col("text")).as("tk"))
+      .select(col("doc_id"), normTokens(col("text")).as("tk")))
+
+  /** The shingle stage from a pre-tokenized (doc_id, tk) frame —
+    * split out (r13) so the decontamination gate can shingle
+    * token-dropout PLANTS without re-deriving them from text. */
+  private[operators] def shingledToks(toks: DataFrame): DataFrame =
+    toks
+      .filter(size(col("tk")) >= ShingleSize)
       // SORTED asc: the verify stage counts overlaps with the native
       // merge kernel (SortedOverlapCount) — one sort per DOC here
       // buys allocation-free verification per candidate PAIR there

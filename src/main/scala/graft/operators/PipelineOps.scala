@@ -472,9 +472,48 @@ object PipelineOps {
     * memo/pin), the only new shuffle is the banded bipartite join —
     * candidates ≈ corpus × band collision rate, the LSH posture. At
     * 100 TB the benchmark side is tiny (benchmarks are MBs) so the
-    * band join degenerates to a broadcast — same plan, smaller. */
+    * band join degenerates to a broadcast — same plan, smaller.
+    *
+    * PLANTS (r13, r12 what's-wrong #1 — the gate row flagged exactly
+    * ONE organic document, too thin to tell "the banding surfaces
+    * the near-duplicate regime" from one lucky pair): the gate
+    * corpus is seeded with DETERMINISTIC paraphrase-grade
+    * contaminations — every 50th benchmark doc re-enters the TRAIN
+    * side (doc_id → 10⁶ + 10·doc_id, % 10 = 0) with every m-th
+    * token dropped, m cycling {10, 12, 16, 20, 30} → shingle
+    * Jaccard ≈ 0.58-0.84 vs its source (each dropped token kills ~3
+    * shingles and bridges ~2 new ones: J ≈ (1−3/m)/(1+2/m)) — the
+    * exact token-dropout/light-edit regime this operator exists to
+    * catch, spread across the banding's catch-probability curve.
+    * The oracle replays the identical dropout ([[minhashChainFromToks]]
+    * splices a planted token source above the shared chain), and
+    * check.py enforces a ≥ 5-row floor on this gate row (the r12
+    * survival-curve discipline). */
   val textMinhashDecontaminate: QueryFn = (s, dir) =>
-    minhashDecontaminateOver(DedupOps.docShingles(s, dir).transform(Pin.corpus))
+    minhashDecontaminateOver(decontamCorpus(s, dir).transform(Pin.corpus))
+
+  /** The gate's planted shingle corpus — documents ∪ token-dropout
+    * paraphrases; spec-visible so the brute-force equality check
+    * runs over the identical planted frame. */
+  private[operators] def decontamCorpus(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // dropout period from the SOURCE doc_id, staged BEFORE the plant
+    // id is aliased: a lambda's outer reference resolves against the
+    // projection OUTPUT, so `doc_id` inside the filter would bind to
+    // the re-keyed plant id (caught by the oracle diff — every plant
+    // silently got the same m)
+    val plantToks = Tables.documents(s, dir)
+      .where($"doc_id" % 50 === 9)
+      .select($"doc_id", normTokens($"text").as("tk0"))
+      .withColumn("m", element_at(typedLit(Seq(10, 12, 16, 20, 30)),
+        (($"doc_id" / 50).cast("int") % 5) + 1))
+      .withColumn("tk", filter($"tk0", (_, i) => ((i + 1) % $"m") =!= 0))
+      .select((lit(1000000L) + $"doc_id" * 10).as("doc_id"), $"tk")
+    DedupOps.docShingles(s, dir)
+      .unionByName(DedupOps.shingledToks(plantToks))
+  }
 
   /** The core over a pre-shingled (doc_id, sh) frame — spec-visible
     * so the plant/brute-force checks run the REAL banded path. */

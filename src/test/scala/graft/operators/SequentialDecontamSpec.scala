@@ -47,7 +47,9 @@ class SequentialDecontamSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     // brute force: exact jaccard between every train doc and every
     // benchmark doc over the same distinct-shingle sets
-    val sh = DedupOps.docShingles(spark, sfDir)
+    // the SAME planted frame the gate serves (r13: documents ∪
+    // token-dropout paraphrases) — brute force must see the plants
+    val sh = PipelineOps.decontamCorpus(spark, sfDir)
     val tr = sh.where($"doc_id" % 10 =!= 9).select($"doc_id", $"sh".as("sh_t"))
     val be = sh.where($"doc_id" % 10 === 9)
       .select($"doc_id".as("bench_id"), $"sh".as("sh_b"))
@@ -62,6 +64,19 @@ class SequentialDecontamSpec extends SparkTestBase {
     assert(got.sorted == truth.sorted,
       s"banded cross-set report != brute force: got=$got truth=$truth")
     assert(truth.nonEmpty, "fixture has no cross-set near-dups — vacuous")
+  }
+
+  test("text_minhash_decontaminate: the gate's token-dropout plants are " +
+      "paraphrase-grade (0.5 <= J < 1) with a real spread of jaccards") {
+    val planted = PipelineOps.textMinhashDecontaminate(spark, sfDir)
+      .where($"doc_id" >= 1000000L).collect()
+    assert(planted.length >= 5,
+      s"r12 what's-wrong #1: need >= 5 planted gate rows, got ${planted.length}")
+    val js = planted.map(_.getDouble(2))
+    assert(js.forall(j => j >= PipelineOps.NearContamTau && j < 1.0),
+      s"plants must sit in the NEAR regime, got ${js.mkString(",")}")
+    assert(js.distinct.length >= 3,
+      "plants must spread across the banding's catch curve, not one J")
   }
 
   test("text_minhash_decontaminate: verbatim-contaminated plants are flagged " +

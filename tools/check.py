@@ -41,6 +41,20 @@ if os.path.exists(meta_path):
         sys.exit(f"FATAL: registry had {meta.get('registry_count')} queries "
                  f"but {len(oracle)} oracles exist — registry/oracle drift")
 
+# Minimum-row floors (r12 verdict what's-wrong #1, the survival-curve
+# discipline): rows whose non-vacuity is load-bearing evidence must
+# never silently thin out — a passing hash over 0-1 rows proves the
+# plumbing, not the operator. Floors hold at BOTH gate SFs by
+# construction (plants / arrival splits are corpus-size-proportional
+# or fixed-count seeded).
+ROW_FLOORS = {
+    "text_minhash_decontaminate": 5,   # >= 5 of the 10 seeded plants
+    "stream_hnsw_ingest": 20,          # the full arrival split left-joins in
+    "q_survival_curve": 2,             # the r10 lesson (was 1 row); the
+                                       # sf0.001 corpus supports 2 steps,
+                                       # sf0.01 runs 10
+}
+
 fails, passes = [], []
 for name in sorted(oracle):
     sql = oracle[name]
@@ -64,6 +78,10 @@ for name in sorted(oracle):
         continue
     if len(got) != len(exp):
         fails.append((name, f"row count {len(got)} vs {len(exp)}")); continue
+    if len(got) < ROW_FLOORS.get(name, 0):
+        fails.append((name, f"row floor: {len(got)} rows < "
+                      f"{ROW_FLOORS[name]} required for non-vacuity"))
+        continue
     gs = got.sort_values(list(got.columns)).reset_index(drop=True)
     es = exp.sort_values(list(exp.columns)).reset_index(drop=True)
     try:
