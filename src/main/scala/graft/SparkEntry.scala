@@ -292,6 +292,7 @@ object SparkEntry {
     "stream_hopping_stats"        -> operators.StreamQueries.streamHoppingStats,
     "stream_dedup_keys"           -> operators.StreamQueries.streamDedupKeys,
     "stream_interval_join"        -> operators.StreamQueries.streamIntervalJoin,
+    "stream_interval_outer"       -> operators.StreamQueries.streamIntervalOuter,
     "stream_sessionize_closed"    -> operators.StreamQueries.streamSessionizeClosed,
     "stream_cdc_state"            -> operators.StreamQueries.streamCdcState,
     "stream_kmv_distinct"         -> operators.StreamQueries.streamKmvDistinct,
@@ -4684,6 +4685,34 @@ object SparkEntry {
         |  CAST(floor(value*100 + 0.5) AS BIGINT) AS purchase_cents
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND pus >= vus AND pus <= vus + 3600000000
+        |ORDER BY view_id, purchase_id""".stripMargin,
+
+    // the LEFT OUTER interval join replayed: inner pairs exactly as
+    // stream_interval_join, plus every unmatched view whose match
+    // interval END (vus + 1h) sits strictly below the final
+    // watermark — min of the two sides' ms-truncated max event time
+    // minus the 1h delay, the engine's multi-watermark "min" policy
+    // — as a (-1, -1)-padded abandonment row; newer unmatched views
+    // stay in state and must NOT emit
+    "stream_interval_outer" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |inner_ AS (
+        |  SELECT v.user_id AS user_id, view_id, purchase_id,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS purchase_cents
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |    AND pus >= vus AND pus <= vus + 3600000000),
+        |wm AS (SELECT least((SELECT max(vus // 1000) FROM v),
+        |                    (SELECT max(pus // 1000) FROM p)) - 3600000 AS wm_ms)
+        |SELECT user_id, view_id, purchase_id, purchase_cents FROM inner_
+        |UNION ALL
+        |SELECT v.user_id, v.view_id,
+        |  CAST(-1 AS BIGINT) AS purchase_id, CAST(-1 AS BIGINT) AS purchase_cents
+        |FROM v, wm
+        |WHERE v.view_id NOT IN (SELECT view_id FROM inner_)
+        |  AND vus // 1000 + 3600000 < wm_ms
         |ORDER BY view_id, purchase_id""".stripMargin,
 
     // flatMapGroupsWithState sessionizer, closed sessions only: a

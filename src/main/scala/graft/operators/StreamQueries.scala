@@ -107,6 +107,29 @@ object StreamQueries {
       .orderBy($"view_id", $"purchase_id")
   }
 
+  /** LEFT OUTER stream-stream interval join (r12 verdict #6a),
+    * driver-gated: matched pairs emit like `stream_interval_join`;
+    * a view with no purchase in its hour emits ONCE, null-padded, at
+    * watermark expiry of its match interval — the abandonment
+    * accounting an unbounded pipeline runs with bounded state. The
+    * finite gate's emitted set is a pure data function: inner pairs
+    * ∪ unmatched views whose interval end sits below the final
+    * watermark (min of the sides' max event time, ms-truncated,
+    * − 1h) — nulls surface as −1 sentinels so every column stays
+    * non-null BIGINT on both engines. Views inside the final
+    * watermark horizon stay in (would-be) state and do NOT emit —
+    * the oracle replays exactly that horizon. */
+  val streamIntervalOuter: QueryFn = (s, dir) => {
+    import s.implicits._
+    val out = runToTable(s, "stream_interval_outer",
+      Streams.viewPurchaseOuterJoin(Streams.eventsStream(s, dir)), "append")
+    out.select($"user_id", $"view_id",
+        coalesce($"purchase_id", lit(-1L)).as("purchase_id"),
+        coalesce(floor($"purchase_value" * 100 + lit(0.5)).cast("long"),
+          lit(-1L)).as("purchase_cents"))
+      .orderBy($"view_id", $"purchase_id")
+  }
+
   /** Closed sessions from the flatMapGroupsWithState sessionizer,
     * event-time timeouts included: a user's non-final sessions close
     * when their successor event arrives; the final session closes iff

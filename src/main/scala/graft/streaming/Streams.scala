@@ -194,6 +194,38 @@ object Streams {
         col("view_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** LEFT OUTER stream-stream interval join (r12 verdict #6a — the
+    * late-data/null-emission face of [[viewPurchaseJoin]]): matched
+    * (view, purchase) pairs emit exactly like the inner join; a view
+    * with NO purchase in its hour emits once, null-padded, when the
+    * watermark passes the end of its match interval (view_ts + 1h) —
+    * Spark can then prove no future purchase can land in the window,
+    * evicts the view's state, and emits the outer row. That is the
+    * unbounded-stream contract an abandonment pipeline needs: every
+    * view is ACCOUNTED for (converted or timed out) with bounded
+    * state, no nightly batch sweep. The emitted set is a pure data
+    * function: inner pairs ∪ views unmatched with interval end below
+    * the FINAL watermark (min of the two sides' max event time − 1h,
+    * ms-truncated) — the exact rule the oracle replays. */
+  def viewPurchaseOuterJoin(events: DataFrame): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   // ---- streaming near-dup alerts (minhash-LSH at ingest) ----
 
   final case class NeardupAlert(band: String, doc_id: Long, prior_id: Long)

@@ -109,6 +109,67 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("outer interval join: inner pairs == batch; outer rows are exactly " +
+      "the unmatched views past the final watermark, invariant to batching") {
+    import spark.implicits._
+    import java.nio.file.Files
+
+    def runOver(landing: String): Set[(Long, Long)] = {
+      val name = "vpo_out_" + math.abs(landing.hashCode)
+      val q = Streams.viewPurchaseOuterJoin(Streams.eventsStreamFrom(spark, landing))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = spark.table(name)
+        .select($"view_id", coalesce($"purchase_id", lit(-1L)))
+        .as[(Long, Long)].collect().toSet
+      spark.catalog.dropTempView(name)
+      out
+    }
+
+    // one-batch run over the corpus landing dir
+    val oneBatch = runOver(Streams.eventsLandingDir(sfDir))
+
+    // two-wave run: early half then late half (event-time split so
+    // the watermark genuinely advances between batches)
+    val ev = Tables.events(spark, sfDir)
+    val cut = ev.selectExpr("percentile_approx(ts, 0.5)").head().getTimestamp(0)
+    val landing2 = Files.createTempDirectory("vpo-landing").toString
+    ev.where($"ts" <= cut).write.mode("append").parquet(landing2)
+    val s1 = Streams.viewPurchaseOuterJoin(Streams.eventsStreamFrom(spark, landing2))
+    val ck = Files.createTempDirectory("vpo-ckpt").toString
+    val sink = Files.createTempDirectory("vpo-sink").toString
+    def wave(): Unit = {
+      val q = s1.writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ck).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    wave()
+    ev.where($"ts" > cut).write.mode("append").parquet(landing2)
+    wave() // restart on the same checkpoint: offsets + join state survive
+    val twoWave = spark.read.parquet(sink)
+      .select($"view_id", coalesce($"purchase_id", lit(-1L)))
+      .as[(Long, Long)].collect().toSet
+    assert(twoWave == oneBatch,
+      "outer emission set must be batching-invariant")
+
+    // the emitted set is the documented pure data function
+    val inner = Streams.viewPurchaseJoin(ev)
+      .select($"view_id", $"purchase_id").as[(Long, Long)].collect().toSet
+    val v = ev.where($"event_type" === "view")
+      .select($"event_id", $"ts").as[(Long, java.sql.Timestamp)].collect()
+    val maxV = v.map(_._2.getTime).max
+    val maxP = ev.where($"event_type" === "purchase")
+      .select(max($"ts")).head().getTimestamp(0).getTime
+    val wmMs = math.min(maxV, maxP) - 3600000L
+    val matched = inner.map(_._1)
+    val outer = v.filter { case (id, ts) =>
+      !matched.contains(id) && ts.getTime + 3600000L < wmMs
+    }.map(_._1 -> -1L).toSet
+    assert(oneBatch == inner ++ outer,
+      "emitted set != inner ∪ watermark-expired unmatched views")
+    assert(outer.nonEmpty && inner.nonEmpty, "fixture must exercise both faces")
+  }
+
   test("stream-static enrichment == batch join (broadcast dim per micro-batch)") {
     import spark.implicits._
     // static dim: each user's first-seen day, computed batch-side
