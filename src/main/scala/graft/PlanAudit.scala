@@ -712,6 +712,15 @@ object PlanAudit {
         "no join in the occupancy fold" -> (p =>
           !p.contains("Join") && !p.contains("CartesianProduct")),
         "no window" -> (p => !p.contains("windowspecdefinition"))),
+      "q_compact_binpack" -> Map(
+        // the manifest scan is ordered PER PARTITION (source-keyed
+        // window) — a global running sum would single-thread the
+        // manifest at scale; report is partial+final on (source, bin)
+        "running sum partitioned by source" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size ==
+            "windowspecdefinition\\(source".r.findAllIn(p).size),
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no join" -> (p => !p.contains("Join"))),
       "ann_lsh_multiword_mass" -> Map(
         // the multi-word tier's audit has the same served shape as
         // the scheduled row: two stacked key aggs over the persisted

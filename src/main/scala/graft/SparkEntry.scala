@@ -191,6 +191,7 @@ object SparkEntry {
     "text_char_diversity"         -> PipelineOps.textCharDiversity,
     "q_bm25_search"               -> PipelineOps.qBm25Search,
     "q_search_rankeval"           -> PipelineOps.qSearchRankeval,
+    "q_compact_binpack"           -> operators.LayoutOps.qCompactBinpack,
     "q_zorder_layout"             -> operators.LayoutOps.qZorderLayout,
     "q_hilbert_layout"            -> operators.LayoutOps.qHilbertLayout,
     "dedup_cdc_chunks"            -> DedupOps.dedupCdcChunks,
@@ -4518,6 +4519,24 @@ object SparkEntry {
         |  floor((CAST(sum(CAST(term_score AS DECIMAL(27,10))) AS DOUBLE))*1000000 + 0.5)/1000000 AS score
         |FROM sc GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the compaction plan replayed: per-partition next-fit-decreasing
+    // — files ordered (bytes DESC, doc_id ASC), bin = integer-div of
+    // the running sum BEFORE each file by the target
+    "q_compact_binpack" ->
+      s"""WITH f AS (
+        |  SELECT source, doc_id, n_chars,
+        |    COALESCE(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bfr
+        |  FROM documents)
+        |SELECT source, CAST(bfr // ${operators.LayoutOps.CompactTarget} AS BIGINT) AS bin,
+        |  count(*) AS n_files,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+        |  CAST(max(n_chars) AS BIGINT) AS max_file_bytes,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM f GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "q_zorder_layout" -> {
       val morton = (0 until 8).map { i =>

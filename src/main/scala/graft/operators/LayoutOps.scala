@@ -89,6 +89,50 @@ object LayoutOps {
     * and the oracle replays the identical integer transform as 8
     * unrolled SQL levels. LayoutRetrievalSpec asserts the mean
     * envelope area beats the Z-order layout's on the same data. */
+  /** Target compacted-shard size for [[qCompactBinpack]] — 2 KiB on
+    * the synthetic corpus gives a handful of bins per partition; a
+    * production OPTIMIZE targets 128 MB-1 GB from table properties. */
+  val CompactTarget = 2048L
+
+  /** Small-file COMPACTION plan (r12 verdict #6b — the lakehouse
+    * OPTIMIZE primitive next to the z-order/hilbert layout rows):
+    * documents stand in for a partitioned table's small-file
+    * manifest (file = doc, bytes = n_chars, partition = source), and
+    * each PARTITION's files are bin-packed into ≥ [[CompactTarget]]
+    * output shards with a deterministic next-fit-decreasing rule —
+    * files ordered (bytes DESC, doc_id ASC), bin = running-sum-
+    * before ÷ target (each bin fills to the target, the straddling
+    * file overflows into the boundary; the descending order puts
+    * big files first so tail bins pack the fragments — the
+    * fill-ratio shape Delta/Iceberg OPTIMIZE bin-packing produces).
+    * The report per (partition, bin): file count, total bytes, the
+    * largest file, and the id span — what a compaction writer audits
+    * before committing rewrites.
+    *
+    * Scale: the ONLY ordered scan is per PARTITION (window keyed by
+    * source — PlanAudit pins no global window), exactly the unit a
+    * real OPTIMIZE plans independently and in parallel; the report
+    * is one partial+final agg on (source, bin). A global running sum
+    * would single-thread the manifest at 100 TB — the per-partition
+    * key is the load-bearing choice. */
+  val qCompactBinpack: QueryFn = (s, dir) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("before", coalesce(sum($"n_chars").over(w), lit(0L)))
+      .withColumn("bin", ($"before" / CompactTarget).cast("long"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"n_chars").as("total_bytes"),
+        max($"n_chars").as("max_file_bytes"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"bin")
+  }
+
   val qHilbertLayout: QueryFn = (s, dir) => {
     import s.implicits._
     bucketed(s, dir)

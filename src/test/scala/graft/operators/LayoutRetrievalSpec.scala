@@ -48,6 +48,32 @@ class LayoutRetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("q_compact_binpack: every file packed once; the plan never leaves a " +
+      "target's worth of bytes behind a bin boundary") {
+    import spark.implicits._
+    val out = LayoutOps.qCompactBinpack(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    assert(bySource.size > 1, "needs multiple partitions to prove parallelism")
+    // conservation: every manifest file lands in exactly one bin
+    val manifest = graft.Tables.documents(spark, sfDir)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    bySource.foreach { case (src, bins) =>
+      assert(bins.map(_.getAs[Long]("n_files")).sum == manifest(src),
+        s"$src: packed file count != manifest")
+      // prefix-fill invariant of the running-sum rule: cumulative
+      // bytes through bin b cover (b+1) targets for every non-final
+      // bin — no bin boundary strands a target's worth of bytes
+      val sorted = bins.sortBy(_.getAs[Long]("bin"))
+      var cum = 0L
+      sorted.dropRight(1).foreach { r =>
+        cum += r.getAs[Long]("total_bytes")
+        assert(cum >= (r.getAs[Long]("bin") + 1) * LayoutOps.CompactTarget,
+          s"$src bin ${r.get(1)}: boundary stranded bytes")
+      }
+    }
+  }
+
   test("dedup_cdc_chunks: boundaries resynchronize after a prefix edit") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
