@@ -74,6 +74,47 @@ object CandidateMass {
     val nArrivals = arrivals.count()
     val nsw = operators.HnswOps.attachCandidates(spark, sfDir)(arrivals).count()
 
+    // MEASURED plant recall at the corpus's own dial (r12 next-round
+    // #4: the multi-word tier's recall@cos 0.99 was asserted from the
+    // banding closed form, never measured on plants at the decade):
+    // a deterministic sample of base vectors is jittered to
+    // cos ≈ 0.996 copies (hash noise, no RNG state) and pushed
+    // through the REAL banded attach path against the full corpus —
+    // recall = the fraction of plants whose candidate set contains
+    // their own source. Eligibility is the MEASURED plant cosine
+    // (≥ 0.99), so the recorded number is exactly "recall@cos 0.99
+    // at this dial on this corpus".
+    val plantRecall = {
+      val eps = 0.02f
+      val jitter = udf { (id: Long, v: Seq[Float]) =>
+        Array.tabulate(v.length) { i =>
+          val h = graft.functions.Hashes.fnv64(s"plant:$id:$i")
+          val u = ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+          v(i) + eps * u.toFloat
+        }
+      }
+      val stride = 1L << 40
+      val plants = emb.where($"vec_id" % 101 === 7)
+        .select($"vec_id".as("src"), $"embedding".as("orig"),
+          jitter($"vec_id", $"embedding").as("pv"))
+        .withColumn("cos",
+          graft.functions.VectorExpressions.cosine_sim($"orig", $"pv"))
+        .where($"cos" >= 0.99)
+        .localCheckpoint(true)
+      val nElig = plants.count()
+      val arrivals = plants
+        .select(($"src" + stride).as("vec_id"), $"pv".as("embedding"))
+      val found = operators.HnswOps
+        .attachCandidatesAgainst(emb.select($"vec_id", $"embedding"), attachGeo)(arrivals)
+        .where($"nbr" === $"vec_id" - stride)
+        .select($"vec_id").distinct().count()
+      plants.unpersist()
+      val recall =
+        if (nElig == 0) -1.0
+        else math.floor(found.toDouble / nElig * 10000 + 0.5) / 10000
+      (nElig, found, recall)
+    }
+
     // phash registry = the mm_phash_neardup fixture (base + derived)
     val base = docs.where(length($"text") >= 64)
       .select($"doc_id".as("media_id"), $"text".as("t"))
@@ -104,7 +145,10 @@ object CandidateMass {
       s""""phash":"${phGeo._1}:${phGeo._2}:${phGeo._3}"},""" +
       s""""candidates":${j(Map("minhash" -> minhash, "simhash" -> simhash,
         "embedding" -> embedding, "nsw_attach" -> nsw, "phash" -> phash))},""" +
-      s""""per_doc":${j(perDoc)}}"""
+      s""""per_doc":${j(perDoc)},""" +
+      s""""plant_recall":{"lsh":{"geometry":"${attachGeo._1}:${attachGeo._2}",""" +
+      s""""n_eligible":${plantRecall._1},"n_found":${plantRecall._2},""" +
+      s""""recall":${plantRecall._3}}}}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -189,7 +189,7 @@ object HnswOps {
     * [[attachCandidates]] binds to the incremental-index split;
     * spec-visible so NswFloorSpec measures the per-arrival candidate
     * mass on planted corpora through the real engine path. */
-  private[operators] def attachCandidatesAgainst(
+  private[graft] def attachCandidatesAgainst(
       baseVecs: DataFrame, geo: (Int, Int) = AnnOps.lshGeometry)(
       arrivals: DataFrame): DataFrame = {
     import arrivals.sparkSession.implicits._

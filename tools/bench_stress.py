@@ -275,6 +275,30 @@ def main():
     print("[stress] candidate corpus-fraction guard: all banded families "
           "bounded at both decades, no dial env vars set")
 
+    # Measured plant-recall guard (r12 next-round #4): the hyperplane
+    # family's recall@cos 0.99 was previously ASSERTED from the
+    # banding closed form — now CandidateMass jitters a deterministic
+    # base sample to cos >= 0.99 copies and pushes them through the
+    # real banded attach path at the corpus's scheduled dial; the
+    # fraction that re-find their source is recorded per corpus. The
+    # guard enforces recall >= 0.9 at BOTH decades (sf10 runs the
+    # multi-word 320:32 dial — the tier whose recall claim was
+    # analytic-only) and a non-vacuity floor on the plant count.
+    RECALL_FLOOR = 0.9
+    for label, cm in (("sf1", cm_dec), ("sf10", cm_dec10)):
+        pr = cm.get("plant_recall", {}).get("lsh")
+        if not pr:
+            sys.exit(f"[stress] FAIL: no plant_recall recorded at {label}")
+        print(f"[stress] plant recall {label} @ dial {pr['geometry']}: "
+              f"{pr['n_found']}/{pr['n_eligible']} = {pr['recall']}")
+        if pr["n_eligible"] < 50:
+            sys.exit(f"[stress] FAIL: plant recall at {label} is vacuous "
+                     f"({pr['n_eligible']} eligible plants < 50)")
+        if pr["recall"] < RECALL_FLOOR:
+            sys.exit(f"[stress] FAIL: plant recall {pr['recall']} < "
+                     f"{RECALL_FLOOR} at {label} (dial {pr['geometry']})")
+    print("[stress] plant-recall guard: >= 0.9 measured at both decades")
+
 
 if __name__ == "__main__":
     main()
