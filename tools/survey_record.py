@@ -129,6 +129,61 @@ def scaling():
     return json.load(open(path))
 
 
+def serves(queries):
+    """The bench total convention: serve rows = everything that is not
+    a build_* row and did not fail/skip (calib rows count as serves)."""
+    return {k: v for k, v in queries.items()
+            if not k.startswith("build_") and v >= 0}
+
+
+def calib_mean(queries):
+    cs, ce = queries.get("calib_start"), queries.get("calib_end")
+    if cs is None or ce is None or cs <= 0 or ce <= 0:
+        return None
+    # the pair MEAN (r12 verdict what's-wrong #3): calib_end runs
+    # 40-80% above calib_start within every run — the spread is the
+    # run's own contention signature, so neither end alone is the
+    # box-speed estimate; the mean is
+    return (cs + ce) / 2.0
+
+
+def update_history_and_delta(rnd, bench):
+    """Upsert this round's canonical bench into bench_history.json and
+    return a calib-normalized Δ-vs-previous-round line (r12 verdict
+    what's-wrong #3 / next-round #5): raw per-row deltas conflate plan
+    changes with box drift; dividing by the calibration-pair mean
+    ratio separates them with one number."""
+    path = os.path.join(REPO, "bench_history.json")
+    hist = json.load(open(path)) if os.path.exists(path) else {}
+    hist[f"r{rnd}"] = {
+        "git_sha": bench.get("git_sha"),
+        "n_queries": bench.get("n_queries"),
+        "queries": bench.get("queries", {}),
+    }
+    json.dump(hist, open(path, "w"), indent=1)
+    prev = hist.get(f"r{rnd - 1}")
+    if not prev:
+        return f"no r{rnd - 1} entry in bench_history.json — Δ starts next round"
+    cur_q, prev_q = serves(bench.get("queries", {})), serves(prev["queries"])
+    common = sorted(set(cur_q) & set(prev_q))
+    if not common:
+        return "no common serve rows with the previous round"
+    cur_t = sum(cur_q[k] for k in common)
+    prev_t = sum(prev_q[k] for k in common)
+    cm_cur = calib_mean(cur_q)
+    cm_prev = calib_mean(prev_q)
+    raw = (f"Δ vs r{rnd - 1} on {len(common)} common serve rows: "
+           f"{prev_t:.1f} → {cur_t:.1f} s "
+           f"({100.0 * (cur_t - prev_t) / prev_t:+.1f}%)")
+    if not cm_cur or not cm_prev:
+        return raw + "; no calibration pair on one side — raw only"
+    ratio = cm_cur / cm_prev
+    norm_t = cur_t / ratio
+    return (f"{raw}; calib pair mean {cm_prev:.3f} → {cm_cur:.3f} s "
+            f"(box ratio {ratio:.2f}×), calib-normalized "
+            f"{norm_t:.1f} s ({100.0 * (norm_t - prev_t) / prev_t:+.1f}%)")
+
+
 # §4's scale-decade wall numbers, mechanized (r8 verdict #2 — the
 # hand-quoted-prose drift class appeared twice): every family §4
 # discusses by name, plus whatever currently tops the ratio list, is
@@ -264,9 +319,11 @@ def main():
 
     specs_line = f"; {args.specs} ScalaTest specs green" if args.specs else ""
 
+    delta_line = update_history_and_delta(rnd, bench) if bench else None
     headline = (
         f"r{rnd} recorded @ sf0.1, regenerated by tools/survey_record.py "
-        f"from bench_summary.json at HEAD — **{bench_line}**.")
+        f"from bench_summary.json at HEAD — **{bench_line}**."
+        + (f" {delta_line}." if delta_line else ""))
     record = (
         f"**FINAL r{rnd} record — REGENERATED MECHANICALLY by "
         f"`tools/survey_record.py` from the tracked artifacts at HEAD "
