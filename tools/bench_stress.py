@@ -82,6 +82,12 @@ SUBSET = [
     # off-policy eval (|users|x5 arm table + one agg)
     "mm_jpeg_meta", "mm_gif_meta", "src_avro_roundtrip",
     "q_search_rankeval", "q_bandit_ips",
+    # r13 widening rows with decade surface: the outer interval join
+    # (join state + null-emission sweep grow with the stream), the
+    # compaction plan (per-partition windows over a 10x manifest),
+    # and the multi-word mass audit (5-word signatures at the decade
+    # where the schedule actually picks that tier)
+    "stream_interval_outer", "q_compact_binpack", "ann_lsh_multiword_mass",
 ]
 
 
