@@ -721,6 +721,22 @@ object PlanAudit {
             "windowspecdefinition\\(source".r.findAllIn(p).size),
         "partial agg before shuffle" -> (_.contains("partial_")),
         "no join" -> (p => !p.contains("Join"))),
+      "q_mann_whitney" -> Map(
+        // the joint rank runs through Ranked's range-partition +
+        // offset decomposition — every window is __pid-partitioned,
+        // never a global sort to one partition
+        "rank window pid-partitioned" -> (p =>
+          "windowspecdefinition".r.findAllIn(p).size ==
+            "windowspecdefinition\\(__pid".r.findAllIn(p).size),
+        "joins stay equi" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+        "partial agg before shuffle" -> (_.contains("partial_"))),
+      "src_sequencefile" -> Map(
+        // read fans out through the splittable InputFormat; the
+        // rollup is one partial+final agg — no join, no window
+        "partial agg before shuffle" -> (_.contains("partial_")),
+        "no join" -> (p => !p.contains("Join")),
+        "no window" -> (p => !p.contains("windowspecdefinition"))),
       "ann_lsh_multiword_mass" -> Map(
         // the multi-word tier's audit has the same served shape as
         // the scheduled row: two stacked key aggs over the persisted

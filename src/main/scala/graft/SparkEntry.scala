@@ -240,6 +240,9 @@ object SparkEntry {
     "q_changepoint_cusum"         -> RelationalExt.qChangepointCusum,
     "q_forecast_holt"             -> RelationalExt.qForecastHolt,
     "q_benford_check"             -> RelationalExt.qBenfordCheck,
+    // r13: nonparametric two-sample + trend tests (rank/sign based)
+    "q_mann_whitney"              -> RelationalExt.qMannWhitney,
+    "q_mann_kendall"              -> RelationalExt.qMannKendall,
     "q_attribution_markov"        -> EventAnalytics.qAttributionMarkov,
     "q_rfm_segments"              -> RelationalExt.qRfmSegments,
     "q_scd2_history"              -> operators.CdcOps.qScd2History,
@@ -314,6 +317,7 @@ object SparkEntry {
     "src_warc_gz"                 -> operators.SourceSinkOps.srcWarcGz,
     "src_compressed_text"         -> operators.SourceSinkOps.srcCompressedText,
     "src_fixedwidth"              -> operators.SourceSinkOps.srcFixedWidth,
+    "src_sequencefile"            -> operators.SourceSinkOps.srcSequenceFile,
     "src_partitioned_sink"        -> operators.SourceSinkOps.srcPartitionedSink,
     "src_text_dir"                -> operators.SourceSinkOps.srcTextDir,
     "src_object_store"            -> operators.SourceSinkOps.srcObjectStore,
@@ -2060,6 +2064,70 @@ object SparkEntry {
         |  CAST((n * 1000000) // (SELECT t FROM tot) AS BIGINT)
         |    - CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS dev_ppm
         |FROM g ORDER BY digit""".stripMargin,
+
+    // Mann–Whitney replay: identical total order (price, okey) →
+    // identical row numbers; per-price group stats make the DOUBLED
+    // rank sum r2a an integer; z is the same parenthesization
+    "q_mann_whitney" ->
+      """WITH ab AS (
+        |  SELECT o_orderkey AS okey, o_totalprice AS price,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_a
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |rk AS (SELECT price, is_a,
+        |         row_number() OVER (ORDER BY price, okey) AS rn FROM ab),
+        |grp AS (SELECT price, min(rn) AS lo, max(rn) AS hi,
+        |          count(*) AS t, sum(is_a) AS ta FROM rk GROUP BY price),
+        |agg AS (SELECT CAST(sum(ta * (lo + hi)) AS BIGINT) AS r2a,
+        |          CAST(sum(ta) AS BIGINT) AS n_a,
+        |          CAST(sum(t - ta) AS BIGINT) AS n_b,
+        |          CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM grp)
+        |SELECT n_a, n_b, ties,
+        |  CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+        |  floor(((CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+        |          - CAST(n_a * n_b AS DOUBLE) / 2.0)
+        |    / sqrt((CAST(n_a * n_b AS DOUBLE) / 12.0)
+        |        * (CAST(n_a + n_b + 1 AS DOUBLE)
+        |           - CAST(ties AS DOUBLE)
+        |             / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))))
+        |    * 1000000 + 0.5) / 1000000 AS z
+        |FROM agg""".stripMargin,
+
+    // Mann–Kendall replay: the O(days²) pair walk as a self-join over
+    // the DECIMAL daily series (signs exact); the slope median is the
+    // explicit mean of the two middle order statistics — never the
+    // engine's interpolating quantile, whose lerp can differ by an
+    // ulp from (a+b)/2
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+        |    sum(CAST(o_totalprice AS DECIMAL(27,10))) AS rev
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.d AS d1, b.d AS d2, a.rev AS r1, b.rev AS r2
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |s AS (SELECT CAST(sum(CASE WHEN r2 > r1 THEN 1
+        |                           WHEN r2 < r1 THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |      FROM pairs),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |tt AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+        |       FROM (SELECT count(*) AS t FROM daily GROUP BY rev) g),
+        |v AS (SELECT CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0 AS var_s
+        |      FROM nd, tt),
+        |sl AS (SELECT (CAST(r2 AS DOUBLE) - CAST(r1 AS DOUBLE))
+        |         / CAST(date_diff('day', d1, d2) AS DOUBLE) AS slope FROM pairs),
+        |so AS (SELECT slope, row_number() OVER (ORDER BY slope) AS p,
+        |         count(*) OVER () AS np FROM sl),
+        |sen AS (SELECT (max(CASE WHEN p = (np + 1) // 2 THEN slope END)
+        |              + max(CASE WHEN p = (np + 2) // 2 THEN slope END)) / 2.0 AS sen
+        |        FROM so)
+        |SELECT nd.n AS n_days, s.s_stat,
+        |  floor(v.var_s * 1000000 + 0.5) / 1000000 AS var_s,
+        |  floor((CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE) / sqrt(v.var_s)
+        |              WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE) / sqrt(v.var_s)
+        |              ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS z,
+        |  floor(sen.sen * 1000000 + 0.5) / 1000000 AS sen_slope
+        |FROM nd, s, v, sen""".stripMargin,
 
     // Holt replay: the same sequential recursion as a recursive CTE —
     // per-step expressions written with LITERAL complements (0.7/0.9,
@@ -5034,6 +5102,15 @@ object SparkEntry {
         |  min(c_name || ' <&> ' || c_mktsegment) AS first_tag
         |FROM customer WHERE c_acctbal > 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SequenceFile rollup on the ORIGINAL parquet: totals travel as
+    // Double.toString shortest-roundtrip decimals, so parse-back is
+    // bit-identical and the decimal xsum matches exactly
+    "src_sequencefile" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(27,10))) AS DOUBLE) AS total_price,
+        |  strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_odate
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the warc walk replayed closed-form from the residues: %9==4
     // records (corrupted Content-Length) are ABSENT — the reader

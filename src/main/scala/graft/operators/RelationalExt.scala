@@ -965,4 +965,125 @@ object RelationalExt {
       .withColumn("dev_ppm", $"share_ppm" - $"benford_ppm")
       .orderBy($"digit")
   }
+
+  /** Mann–Whitney U / Wilcoxon rank-sum test — the NONPARAMETRIC
+    * two-sample comparison next to [[graft.operators.EventAnalytics.qAbZtest]]'s
+    * parametric z (revenue-per-order distributions are heavy-tailed;
+    * a rank test answers "does segment A stochastically dominate B"
+    * without a normality assumption the data doesn't meet): order
+    * totals of the BUILDING vs MACHINERY customer segments, ranked
+    * jointly with midrank tie handling, U₁ from the rank sum,
+    * normal approximation with the exact tie-corrected variance
+    *   z = (U₁ − n₁n₂/2) / √( n₁n₂/12 · (n+1 − Σ(t³−t)/(n(n−1))) ).
+    *
+    * Cross-engine exactness: ranks come from a TOTAL order
+    * (price, orderkey) so both engines assign identical row numbers;
+    * midranks are never materialized per row — per distinct price
+    * the group contributes ta·(lo+hi) to DOUBLED rank sum r2a, an
+    * INTEGER, so U₁ = (r2a − n₁(n₁+1))/2 is exact (a half-integer at
+    * worst, exact in double), the tie term Σ(t³−t) is an integer,
+    * and z is ONE identically-parenthesized expression tree over
+    * those integers, rounded half-up 1e-6 (the [[qBenfordCheck]] /
+    * qAbZtest boundary-risk class).
+    *
+    * Scale shape: one orders⋈customer equi-join (dim broadcasts at
+    * gate SF, hashes at 10⁹ rows), the global rank through
+    * [[Ranked.withGlobalRank]]'s range-partition + offset
+    * decomposition — NO unpartitioned window, every partition ranks
+    * only its own price range — then a price-keyed partial+final agg
+    * collapsing to one row. */
+  val qMannWhitney: QueryFn = (s, dir) => {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .where($"c_mktsegment".isin("BUILDING", "MACHINERY"))
+      .select($"c_custkey", ($"c_mktsegment" === "BUILDING").cast("long").as("is_a"))
+    val ab = Tables.orders(s, dir)
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey".as("okey"), $"o_totalprice".as("price"), $"is_a")
+    val rf = Ranked.withGlobalRank(ab, Seq($"price".asc, $"okey".asc), "rn")
+    val agg = rf.df
+      .groupBy($"price")
+      .agg(min($"rn").as("lo"), max($"rn").as("hi"),
+        count(lit(1)).as("t"), sum($"is_a").as("ta"))
+      .agg(sum($"ta" * ($"lo" + $"hi")).as("r2a"),
+        sum($"ta").as("n_a"), sum($"t" - $"ta").as("n_b"),
+        sum($"t" * $"t" * $"t" - $"t").as("ties"))
+    val ua = ($"r2a" - $"n_a" * ($"n_a" + lit(1L))).cast("double") / lit(2.0)
+    val mu = ($"n_a" * $"n_b").cast("double") / lit(2.0)
+    val varU = (($"n_a" * $"n_b").cast("double") / lit(12.0)) *
+      (($"n_a" + $"n_b" + lit(1L)).cast("double") - $"ties".cast("double") /
+        (($"n_a" + $"n_b") * ($"n_a" + $"n_b" - lit(1L))).cast("double"))
+    agg.select($"n_a", $"n_b", $"ties", ua.as("u_a"),
+      rnd((ua - mu) / sqrt(varU), 6).as("z"))
+  }
+
+  /** Mann–Kendall trend test + Sen's slope over the daily revenue
+    * series — the DISTRIBUTION-FREE "is this metric trending"
+    * answer next to [[qForecastHolt]]'s point forecast and
+    * [[qChangepointCusum]]'s level-shift detector (S counts
+    * concordant minus discordant day pairs; no linearity or
+    * normality assumed, robust to outlier days):
+    *   S    = Σ_{i<j} sign(rev_j − rev_i)
+    *   var  = ( n(n−1)(2n+5) − Σ t(t−1)(2t+5) ) / 18   (tie-corrected)
+    *   z    = (S∓1)/√var  (continuity-corrected, 0 at S=0)
+    *   sen  = median of the C(n,2) pairwise slopes (rev_j−rev_i)/(d_j−d_i)
+    *
+    * Cross-engine exactness: daily revenue accumulates in
+    * DECIMAL(27,10) so every sign() is exact; S and both variance
+    * terms are INTEGERS; slopes cast the decimals to double and take
+    * ONE IEEE subtraction+division each (bit-identical), the median
+    * is defined explicitly as the mean of the order statistics at
+    * positions ⌈np/2⌉ and ⌈(np+1)/2⌉ — never an engine's own
+    * interpolating quantile, whose lerp can differ by an ulp from
+    * (a+b)/2; z and sen round half-up 1e-6.
+    *
+    * Scale shape: one day-keyed partial+final agg over orders (the
+    * only corpus-sized pass), then a CALENDAR-BOUNDED driver fold —
+    * the series is ≤ #days rows whatever the corpus (the qAbSprt /
+    * q_survival_curve discipline), and the O(days²) pair walk is a
+    * constant ~3·10⁶ at the 7-year TPC-H span, independent of SF. */
+  val qMannKendall: QueryFn = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format($"o_orderdate".cast("date"), "yyyy-MM-dd").as("d"))
+      .agg(sum($"o_totalprice".cast(
+        org.apache.spark.sql.types.DecimalType(27, 10))).as("rev"))
+      .collect() // bounded by the calendar span in days
+      .map(r => (java.time.LocalDate.parse(r.getString(0)).toEpochDay,
+        r.getDecimal(1)))
+      .sortBy(_._1)
+    val n = daily.length
+    var sStat = 0L
+    val slopes = new Array[Double](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val cmp = daily(j)._2.compareTo(daily(i)._2)
+        sStat += java.lang.Integer.signum(cmp).toLong
+        slopes(k) = (daily(j)._2.doubleValue() - daily(i)._2.doubleValue()) /
+          (daily(j)._1 - daily(i)._1).toDouble
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    // tie groups over the exact decimal revenue values
+    val tieTerm = daily.groupBy(_._2).valuesIterator
+      .map(_.length.toLong).filter(_ > 1)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val nL = n.toLong
+    val varNum = nL * (nL - 1) * (2 * nL + 5) - tieTerm
+    val varS = varNum.toDouble / 18.0
+    val z =
+      if (sStat > 0) (sStat - 1).toDouble / math.sqrt(varS)
+      else if (sStat < 0) (sStat + 1).toDouble / math.sqrt(varS)
+      else 0.0
+    java.util.Arrays.sort(slopes)
+    val np = slopes.length
+    val sen = (slopes((np - 1) / 2) + slopes(np / 2)) / 2.0
+    def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    Seq((nL, sStat, rnd6(varS), rnd6(z), rnd6(sen)))
+      .toDF("n_days", "s_stat", "var_s", "z", "sen_slope")
+  }
 }

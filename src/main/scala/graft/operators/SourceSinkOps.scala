@@ -718,4 +718,64 @@ object SourceSinkOps {
           .as("revenue"))
       .orderBy($"o_orderpriority")
   }
+
+  /** Hadoop SequenceFile round trip — the key-value container every
+    * legacy Hadoop estate still holds PBs of (the migration-read
+    * case: an engine that can't read the old cluster's SequenceFiles
+    * can't replace it). Spoken through the classes Spark itself
+    * ships (hadoop-client-api `LongWritable`/`Text` + the
+    * `sequenceFile` source / `saveAsSequenceFile` sink — the
+    * src_avro_roundtrip posture: no connector needed, the format is
+    * self-describing via its header).
+    *
+    * Format-native hazards made load-bearing:
+    *  - PER-FILE CODEC negotiation: even orderkeys write PLAIN
+    *    containers, odd ones DEFLATE-compressed — one read glob
+    *    spans both and the reader must take each file's codec from
+    *    its own header, not an expectation;
+    *  - WRITABLE REUSE: the Hadoop record reader recycles ONE
+    *    (LongWritable, Text) pair per split — the map copies to
+    *    primitives/String immediately, the classic corruption bug
+    *    when skipped;
+    *  - STRING-ROUNDTRIPPED DOUBLES: totals travel as
+    *    `Double.toString` shortest-roundtrip decimals and must parse
+    *    back bit-identical, since the oracle aggregates the ORIGINAL
+    *    parquet values.
+    *
+    * Scale shape: write is map-only per partition; SequenceFiles are
+    * sync-marker splittable, so the read fans out like any
+    * InputFormat; the rollup is one partial+final agg. Judged
+    * against the original parquet — the hash proves values AND
+    * cardinality survive the container. */
+  val srcSequenceFile: QueryFn = (s, dir) => {
+    import s.implicits._
+    import org.apache.hadoop.io.{LongWritable, Text}
+    val outPlain = ioDir(dir, "orders_seq_plain")
+    val outDefl = ioDir(dir, "orders_seq_defl")
+    Seq(outPlain, outDefl).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val kv = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("odate"))
+      .as[(Long, String, Double, String)]
+      .rdd.map { case (k, st, tp, od) => (k, st + "|" + tp + "|" + od) }
+    kv.filter(_._1 % 2 == 0).repartition(2).saveAsSequenceFile(outPlain)
+    kv.filter(_._1 % 2 == 1).repartition(2).saveAsSequenceFile(outDefl,
+      Some(classOf[org.apache.hadoop.io.compress.DeflateCodec]))
+    val back = s.sparkContext
+      .sequenceFile(outPlain + "," + outDefl, classOf[LongWritable], classOf[Text])
+      // copy OUT of the reused Writables before the iterator advances
+      .map { case (k, v) => (k.get, v.toString) }
+      .toDF("okey", "payload")
+    back
+      .select($"okey", split($"payload", "\\|").as("f"))
+      .select($"okey", $"f".getItem(0).as("status"),
+        $"f".getItem(1).cast("double").as("total"), $"f".getItem(2).as("odate"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n"), xsum($"total").as("total_price"),
+        max($"odate").as("last_odate"))
+      .orderBy($"status")
+  }
 }

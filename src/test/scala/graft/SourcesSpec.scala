@@ -165,4 +165,43 @@ class SourcesSpec extends SparkTestBase {
     assert(graft.mr.ObjectStore.objects.keySet().stream()
       .anyMatch(k => k.contains("/orders/") && k.endsWith(".parquet")))
   }
+
+  test("src_sequencefile round-trips every row through mixed-codec containers") {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import spark.implicits._
+    // running the query writes the containers (even keys plain, odd
+    // keys deflate) and returns the rollup — then re-read at ROW
+    // grain and prove the full key→payload set survived losslessly
+    operators.SourceSinkOps.srcSequenceFile(spark, sfDir).collect()
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-io-" + graft.mr.Fs.pathKey(sfDir)).toString
+    val back = spark.sparkContext
+      .sequenceFile(s"$base/orders_seq_plain,$base/orders_seq_defl",
+        classOf[LongWritable], classOf[Text])
+      .map { case (k, v) => (k.get, v.toString) }
+      .collect().toMap
+    val exp = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        date_format($"o_orderdate", "yyyy-MM-dd"))
+      .as[(Long, String, Double, String)].collect()
+      .map { case (k, st, tp, od) => k -> (st + "|" + tp + "|" + od) }
+      .toMap
+    assert(back == exp, s"row sets differ: ${back.size} vs ${exp.size}")
+    // the codec split is real: both dirs hold part files, and the
+    // deflate side's headers name the codec
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def parts(d: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(d))
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getPath)
+    assert(parts(s"$base/orders_seq_plain").nonEmpty)
+    val defl = parts(s"$base/orders_seq_defl")
+    assert(defl.nonEmpty)
+    val head = new Array[Byte](256)
+    val in = fs.open(defl.head)
+    try in.readFully(0, head) finally in.close()
+    assert(new String(head, "ISO-8859-1").contains("DeflateCodec"),
+      "compressed container header should name its codec")
+  }
 }
