@@ -88,6 +88,13 @@ SUBSET = [
     # and the multi-word mass audit (5-word signatures at the decade
     # where the schedule actually picks that tier)
     "stream_interval_outer", "q_compact_binpack", "ann_lsh_multiword_mass",
+    # second r13 wave: the rank-sum test (global rank over a 10x
+    # joined sample through Ranked's range decomposition — the decade
+    # ratio measures the rank shuffle), the trend test (day-keyed agg
+    # over 10x orders, then a CALENDAR-BOUNDED fold — ratio should be
+    # the agg alone), and the sequencefile round trip (write+read
+    # 10x containers through both codecs)
+    "q_mann_whitney", "q_mann_kendall", "src_sequencefile",
 ]
 
 
