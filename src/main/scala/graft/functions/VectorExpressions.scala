@@ -423,6 +423,105 @@ case class Mix64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Native argmax-cell over literal coarse-quantizer centroids — the
+  * corpus-side IVF assignment fused into one codegen loop (r13,
+  * guide §1.2 "per-task work"; the [[MinHashSigExpr]] precedent).
+  *
+  * Bit-compatible with the declarative
+  * `cellScores ∘ argmaxCellSim` fold it replaces: per-cell cosine in
+  * [[CosineSim]]'s exact left-to-right double accumulation (float
+  * elements widened per element), the identical
+  * floor(x·10⁶ + 0.5)/10⁶ rounding, argmax by (sim desc, cell asc)
+  * under Spark's SQL double ordering (±0 equal, NaN greatest/equal
+  * — [[CellArgmax.cmpD]]). The declarative form stays in use on the
+  * tiny probe side (top-nprobe needs the whole scored array); this
+  * expression serves the corpus-scale scans, where the
+  * higher-order-function machinery evaluated interpreted per row.
+  * `simMode=false` returns the winning cell id (int),
+  * `simMode=true` the winning rounded similarity (double) — the
+  * medoid-entry builder reads both. */
+case class CellArgmax(
+    child: Expression, cells: Array[Int], cents: Array[Array[Double]],
+    simMode: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = if (simMode) DoubleType else IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cell_argmax expects array<float|double>, got ${other.simpleString}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Winning centroid INDEX for one row. */
+  def bestK(x: ArrayData): Int =
+    CellArgmax.bestK(x, isFloat, cells, cents)
+
+  def bestCell(x: ArrayData): Int = cells(bestK(x))
+
+  def bestSim(x: ArrayData): Double =
+    CellArgmax.roundedSim(x, isFloat, cents(bestK(x)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    if (simMode) bestSim(x) else bestCell(x)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellArgmax", this,
+      classOf[CellArgmax].getName)
+    val call = if (simMode) "bestSim" else "bestCell"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.$call($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CellArgmax {
+  /** Spark SQL's double comparison: ±0.0 equal, NaN greatest and
+    * equal to itself (SQLOrderingUtil semantics). */
+  def cmpD(a: Double, b: Double): Int =
+    if (a < b) -1 else if (a > b) 1 else if (a == b) 0
+    else java.lang.Double.compare(a, b)
+
+  /** [[CosineSim]]'s exact loop + the 1e-6 half-up rounding. */
+  def roundedSim(x: ArrayData, xFloat: Boolean, c: Array[Double]): Double = {
+    val n = math.min(x.numElements(), c.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = c(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0 + 0.5) / 1000000.0
+  }
+
+  def bestK(x: ArrayData, xFloat: Boolean,
+      cells: Array[Int], cents: Array[Array[Double]]): Int = {
+    var bestK = 0
+    var bestSim = 0.0
+    var k = 0
+    while (k < cents.length) {
+      val sim = roundedSim(x, xFloat, cents(k))
+      val cmp = cmpD(sim, bestSim)
+      if (k == 0 || cmp > 0 || (cmp == 0 && cells(k) < cells(bestK))) {
+        bestK = k; bestSim = sim
+      }
+      k += 1
+    }
+    bestK
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -432,6 +531,16 @@ object VectorExpressions {
   /** Column-API face of [[CosineSim]]. */
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+
+  /** Column faces of [[CellArgmax]]: winning cell id / winning
+    * rounded similarity of the literal centroid set. */
+  def cell_argmax(emb: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    column(CellArgmax(expression(emb),
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray, simMode = false))
+
+  def cell_argmax_sim(emb: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    column(CellArgmax(expression(emb),
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray, simMode = true))
 
   /** Column-API face of [[SortedOverlapCount]]. */
   def sorted_overlap(a: Column, b: Column): Column =

@@ -699,6 +699,26 @@ object AnnOps {
   private def argmaxCell(scored: org.apache.spark.sql.Column) =
     argmaxCellSim(scored).getField("cell")
 
+  /** Fused native twin of `cellScores ∘ argmaxCellSim` for the
+    * CORPUS-scale assignment scans (r13, guide §1.2 "per-task work"
+    * — the [[graft.functions.MinHashSigExpr]] precedent): the
+    * declarative transform(…cosine_sim…) + aggregate fold evaluates
+    * interpreted (higher-order functions never enter whole-stage
+    * codegen), so every corpus row paid |cells| interpreted
+    * expression trees plus struct-array allocation. The
+    * [[graft.functions.CellArgmax]] expression computes the
+    * identical quantity — per-cell cosine in [[cosine_sim]]'s exact
+    * left-to-right double accumulation, the same
+    * floor(x·10⁶ + 0.5)/10⁶ rounding, argmax by (sim desc, cell asc)
+    * under Spark's SQL double ordering — in one codegen loop, with
+    * no array cast or boxing (floats read in place). The tiny
+    * PROBE-side top-nprobe sort ([[probeCellsOf]]) keeps the
+    * declarative form: it runs on [[NumProbes]] rows, not the
+    * corpus. Bit-equality is re-proven by the sf0.001/sf0.01 oracle
+    * gate on every IVF-family row. */
+  private[operators] def cellAssignUdf(cents: Seq[(Int, Seq[Double])]) =
+    (emb: Column) => graft.functions.VectorExpressions.cell_argmax(emb, cents)
+
   /** Probes exploded to their top `nprobe` cells (sort the tiny
     * scored array per row, slice, explode) — map-side. */
   private def probeCellsOf(s: SparkSession, dir: String,
@@ -727,10 +747,11 @@ object AnnOps {
     * shared by the top-k serve path and [[annRecallPanel]]. */
   private def ivfCandidates(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import s.implicits._
-    val cellsLit = typedLit(ivfCentroids(s, dir))
+    val cells = ivfCentroids(s, dir)
+    val cellsLit = typedLit(cells)
     val assigned = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding", cellScores(cellsLit)($"embedding").as("scored"))
-      .select($"vec_id", $"embedding", argmaxCell($"scored").as("cell"))
+      .select($"vec_id", $"embedding",
+        cellAssignUdf(cells)($"embedding").as("cell"))
     probeCellsOf(s, dir, cellsLit, nprobe).join(assigned, Seq("cell"))
       .where($"vec_id" =!= $"pid")
       .select($"pid", $"vec_id".as("nid"), cosine_sim($"pe", $"embedding").as("sim"))
@@ -814,7 +835,8 @@ object AnnOps {
   val annIvfPqTopk: QueryFn = (s, dir) => {
     import s.implicits._
     val subDim = 64 / PqSubspaces
-    val cellsLit = typedLit(ivfCentroids(s, dir))
+    val cells = ivfCentroids(s, dir)
+    val cellsLit = typedLit(cells)
     val cb = trainPq(s, dir)
     // one map-side pass: cell assignment + PQ encode + ADC decode
     val corpus = Tables.embeddings(s, dir)
@@ -822,9 +844,9 @@ object AnnOps {
       .select($"vec_id", $"embedding", $"raw", l2norm($"raw").as("nrm"))
       .select($"vec_id", $"embedding", transform($"raw", x => x / $"nrm").as("emb"))
       .select($"vec_id",
-        cellScores(cellsLit)($"embedding").as("scored"),
+        cellAssignUdf(cells)($"embedding").as("cell"),
         pqEncode(cb, subDim)($"emb").as("codes"))
-      .select($"vec_id", argmaxCell($"scored").as("cell"),
+      .select($"vec_id", $"cell",
         pqDecode(cb, subDim)($"codes").as("emb_hat"))
     val cands = probeCellsOf(s, dir, cellsLit).join(corpus, Seq("cell"))
       .where($"vec_id" =!= $"pid")
@@ -876,8 +898,8 @@ object AnnOps {
       .select($"vec_id", $"embedding", asDouble($"embedding").as("raw"))
       .select($"vec_id", $"embedding", $"raw", l2norm($"raw").as("nrm"))
       .select($"vec_id", $"embedding", transform($"raw", x => x / $"nrm").as("emb0"))
-      .select($"vec_id", $"emb0", cellScores(cellsLit)($"embedding").as("scored"))
-      .select($"vec_id", $"emb0", argmaxCell($"scored").as("cell"))
+      .select($"vec_id", $"emb0",
+        cellAssignUdf(cells)($"embedding").as("cell"))
       .select($"vec_id", $"cell",
         zip_with($"emb0", element_at(cnLit, $"cell"), (a, b) => a - b).as("emb"))
     val cb = trainPqOn(s, dir + "#residual", () => residuals.select($"vec_id", $"emb"))
@@ -1075,13 +1097,12 @@ object AnnOps {
     * (centroid training included). */
   val annIvfBqTopk: QueryFn = (s, dir) => {
     import s.implicits._
-    val cellsLit = typedLit(ivfCentroids(s, dir))
+    val cells = ivfCentroids(s, dir)
+    val cellsLit = typedLit(cells)
     val corpus = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding",
-        cellScores(cellsLit)($"embedding").as("scored"),
+        cellAssignUdf(cells)($"embedding").as("cell"),
         sigHalf($"embedding", 0).as("lo"), sigHalf($"embedding", 32).as("hi"))
-      .select($"vec_id", $"embedding", $"lo", $"hi",
-        argmaxCell($"scored").as("cell"))
     val pc = probeCellsOf(s, dir, cellsLit)
       .select($"pid", $"pe", $"cell",
         sigHalf($"pe", 0).as("plo"), sigHalf($"pe", 32).as("phi"))
@@ -1117,13 +1138,12 @@ object AnnOps {
     * serve paths already compute; the final fold is 3 rows. */
   val annIvfBqRecall: QueryFn = (s, dir) => {
     import s.implicits._
-    val cellsLit = typedLit(ivfCentroids(s, dir))
+    val cells = ivfCentroids(s, dir)
+    val cellsLit = typedLit(cells)
     val corpus = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding",
-        cellScores(cellsLit)($"embedding").as("scored"),
+        cellAssignUdf(cells)($"embedding").as("cell"),
         sigHalf($"embedding", 0).as("lo"), sigHalf($"embedding", 32).as("hi"))
-      .select($"vec_id", $"embedding", $"lo", $"hi",
-        argmaxCell($"scored").as("cell"))
       .transform(Pin.corpus)
     val p = corpus.where($"vec_id" < NumProbes)
       .select($"vec_id".as("pid"), $"embedding".as("pe"),
@@ -1360,12 +1380,9 @@ object AnnOps {
           .select(col("label").cast("int").as("cell"),
             transform(col("pm"), p => p.getField("m")).as("centroid"))
           .write.mode("overwrite").parquet(s"$base/cent")
-        val cellsLit = typedLit(centroids(s, base))
         baseVecs
           .select(col("vec_id"), col("embedding"),
-            cellScores(cellsLit)(col("embedding")).as("scored"))
-          .select(col("vec_id"), col("embedding"),
-            argmaxCell(col("scored")).as("cell"))
+            cellAssignUdf(centroids(s, base))(col("embedding")).as("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(s"$base/vecs")
         graft.mr.Fs.touch(base + "/_READY")
       }
@@ -1395,17 +1412,17 @@ object AnnOps {
     * projection (centroid literals, fold argmax): works unchanged on
     * a streaming DataFrame, shuffles nothing. */
   def routeWithFrozenQuantizer(s: SparkSession, dir: String)(vecs: DataFrame): DataFrame = {
-    val cellsLit = typedLit(IvfIndex.centroids(s, IvfIndex.ensure(s, dir)))
+    val cents = IvfIndex.centroids(s, IvfIndex.ensure(s, dir))
     vecs
       .select(col("vec_id"), col("embedding"),
-        cellScores(cellsLit)(col("embedding")).as("scored"))
-      .select(col("vec_id"), col("embedding"), argmaxCell(col("scored")).as("cell"))
+        cellAssignUdf(cents)(col("embedding")).as("cell"))
   }
 
   val annIncrementalTopk: QueryFn = (s, dir) => {
     import s.implicits._
     val idx = IvfIndex.ensure(s, dir)
-    val cellsLit = typedLit(IvfIndex.centroids(s, idx))
+    val cents = IvfIndex.centroids(s, idx)
+    val cellsLit = typedLit(cents)
     // the probed-cell routing table is probes×IvfProbeCells rows —
     // collected so the cell predicate reaches the partitioned index
     // read as a STATIC `cell IN (...)` partition filter (directory
@@ -1416,8 +1433,7 @@ object AnnOps {
     val cellSet = probeCells.map(_._2).distinct.toSeq
     val batch = Tables.embeddings(s, dir).where($"vec_id" % 10 === 0)
       .select($"vec_id", $"embedding",
-        cellScores(cellsLit)($"embedding").as("scored"))
-      .select($"vec_id", $"embedding", argmaxCell($"scored").as("cell"))
+        cellAssignUdf(cents)($"embedding").as("cell"))
       .where($"cell".isin(cellSet: _*))
     val stored = s.read.parquet(s"$idx/vecs")
       .where($"cell".isin(cellSet: _*))

@@ -65,11 +65,11 @@ object HnswOps {
     entriesMemo.getOrElseUpdate(s, key,
       IndexStore.frame(s, "nsw_entries", key) {
         import s.implicits._
-        val cellsLit = typedLit(AnnOps.ivfCentroids(s, dir))
+        val cents = AnnOps.ivfCentroids(s, dir)
         val scored = Tables.embeddings(s, dir)
-          .select($"vec_id", AnnOps.cellScores(cellsLit)($"embedding").as("scored"))
-          .select($"vec_id", AnnOps.argmaxCellSim($"scored").as("cs"))
-          .select($"vec_id", $"cs.cell".as("cell"), $"cs.sim".as("sim_r"))
+          .select($"vec_id",
+            graft.functions.VectorExpressions.cell_argmax($"embedding", cents).as("cell"),
+            graft.functions.VectorExpressions.cell_argmax_sim($"embedding", cents).as("sim_r"))
         graft.plans.TopK.perKey(scored,
           keyCols = Seq("cell"),
           orderCols = Seq("sim_r" -> false, "vec_id" -> true), k = 1)

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.Cols.{asDouble, rnd, xsum}
@@ -47,24 +46,54 @@ object KMeansOps {
     .orElse(sys.env.get("GRAFT_KMEANS_K").map(_.toInt)).getOrElse(8)
   val Iters = 3
 
-  /** Exact squared L2 distance to a literal centroid: per-dim squared
-    * differences are bit-identical doubles in any engine; accumulating
-    * them in decimal (scale 10, like [[xsum]]) removes the last-ulp
-    * association noise a double fold would leave. */
-  private def d2(emb: Column, c: Array[Double]): Column =
-    aggregate(
-      zip_with(emb, lit(c), (x, cv) => (x - cv) * (x - cv)),
-      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 10)),
-      (acc, x) => (acc + x.cast(DecimalType(27, 10))).cast(DecimalType(38, 10)))
-      .cast("double")
+  /** Winning (distance, cluster) of the map-side argmin — named
+    * fields so consumers read `.d` / `.c` like the former
+    * struct-array form. */
+  private case class D2C(d: Double, c: Int)
 
-  /** Map-side argmin: array of (distance, cluster) structs, array_min
-    * picks the lexicographic minimum — lowest distance, ties to the
-    * lowest cluster id. */
-  private def assign(emb: Column, cents: Array[Array[Double]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(d2(emb, c).as("d"), lit(i).as("c"))
-    }: _*))
+  /** Map-side argmin over the literal centroids: lowest exact
+    * decimal-accumulated squared L2, ties to the lowest cluster id.
+    *
+    * r13 optimization (guide §1.2 "per-task work", the
+    * [[AnnOps]] pqEncode precedent): the former
+    * `array_min(array(struct(aggregate(zip_with(...)))))` form
+    * evaluated INTERPRETED — higher-order functions never enter
+    * whole-stage codegen, and each row paid k × dim Catalyst
+    * Decimal allocations. This tight loop computes the identical
+    * quantity: per-dim squared difference as a double (bit-identical
+    * in any engine), rounded to DECIMAL scale 10 by the exact
+    * `BigDecimal.valueOf` (shortest-repr, HALF_UP — the same path
+    * Spark's double→DECIMAL(27,10) cast takes), accumulated exactly
+    * (scale-10 additions are exact at these magnitudes, matching the
+    * DECIMAL(38,10) fold), final `doubleValue` = Decimal.toDouble.
+    * Hash-equivalence is re-proven by the sf0.001/sf0.01 oracle gate
+    * and the planted-cluster specs; the plan keeps the audit shape
+    * (no join, partial agg only). */
+  private def assign(emb: Column, cents: Array[Array[Double]]): Column = {
+    val fn = udf { (v: Seq[Double]) =>
+      val x = v.toArray
+      var bestD = Double.MaxValue
+      var bestC = -1
+      var ci = 0
+      while (ci < cents.length) {
+        val c = cents(ci)
+        var acc = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < c.length) {
+          val diff = x(i) - c(i)
+          val sq = diff * diff
+          acc = acc.add(java.math.BigDecimal.valueOf(sq)
+            .setScale(10, java.math.RoundingMode.HALF_UP))
+          i += 1
+        }
+        val d = acc.doubleValue()
+        if (d < bestD) { bestD = d; bestC = ci }
+        ci += 1
+      }
+      D2C(bestD, bestC)
+    }
+    fn(emb)
+  }
 
   /** The fitted centroids after `iters` exact Lloyd's iterations —
     * k×dim doubles, the broadcastable model other operators build on
