@@ -87,6 +87,35 @@ object BpeOps {
     }
   }
 
+  /** All training rounds applied in ONE UDF invocation per word —
+    * the per-round fold of [[mergeBatch]], replayed batch after
+    * batch over a mutable buffer (bit-identical output; the only
+    * change is that the symbols cross the UDF boundary once instead
+    * of once per round). */
+  private def mergeAllBatches(
+      batches: Seq[Seq[(String, String)]]): UserDefinedFunction = {
+    val pms: Array[Map[(String, String), String]] =
+      batches.map(_.map { case (a, b) => (a, b) -> (a + b) }.toMap).toArray
+    udf { (syms: Seq[String]) =>
+      var cur: Seq[String] = syms
+      var r = 0
+      while (r < pms.length) {
+        val pm = pms(r)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        cur.foreach { x =>
+          val m = if (out.nonEmpty) pm.get((out.last, x)) else None
+          m match {
+            case Some(merged) => out(out.length - 1) = merged
+            case None         => out += x
+          }
+        }
+        cur = out.toSeq
+        r += 1
+      }
+      cur
+    }
+  }
+
   private def pairCounts(vocab: DataFrame): DataFrame =
     vocab
       // sequence(1, 0) counts DOWN in Spark — single-symbol words
@@ -264,17 +293,17 @@ object BpeOps {
       .select($"doc_id", explode(normTokens($"text")).as("w"))
       .select($"doc_id", split($"w", "").as("syms"))
       .select($"doc_id", size($"syms").cast("long").as("n_chars"), $"syms")
-    // one scan per ROUND (not per merge): within a round the batch is
-    // symbol-disjoint, so the simultaneous scan equals the sequential
-    // folds; across rounds the order is the training order. Round
-    // boundaries are recovered from the rank-contiguous batches the
-    // trainer emitted — a merge's round is irrelevant to application
-    // EXCEPT that later rounds may consume earlier rounds' outputs,
-    // which the per-round grouping preserves.
-    val encoded = rounds.foldLeft(base) { case (df, batch) =>
-      df.select($"doc_id", $"n_chars",
-        mergeBatch(batch.map(m => (m._2, m._3)))($"syms").as("syms"))
-    }
+    // one per-word pass applying ALL rounds (r13, guide §1.2): the
+    // former per-round chain of [[mergeBatch]] projections paid 12
+    // ArrayData ↔ Seq conversions per word at the UDF boundary; the
+    // fused fold replays the identical per-round greedy scans over
+    // the in-memory symbol buffer. Within a round the batch is
+    // symbol-disjoint, so the simultaneous scan equals the
+    // sequential folds; across rounds the order is the training
+    // order, preserved by the rank-contiguous batches the trainer
+    // emitted (later rounds may consume earlier rounds' outputs).
+    val encoded = base.select($"doc_id", $"n_chars",
+      mergeAllBatches(rounds.map(_.map(m => (m._2, m._3))))($"syms").as("syms"))
     encoded
       .select($"doc_id", $"n_chars", size($"syms").cast("long").as("n_syms"))
       .groupBy($"doc_id")

@@ -475,6 +475,70 @@ object EventAnalytics {
     * two middle order statistics on the cent grid — the oracle
     * computes `quantile_cont` on the SAME grid, so the result is
     * bit-exact, not approximately-equal. */
+  /** Probe fan-out per bisection round (r13, guide §1.2 "the
+    * distributed algorithm"): each round of the driver-side searches
+    * used to test ONE midpoint per open group — log₂(range)
+    * sequential Spark jobs whose cost is all fixed job overhead, not
+    * data. Probing [[BisectFanout]] thresholds per group per round
+    * costs the same single pass (the conditional sums are map-side
+    * columns of one aggregate) and divides the round count by
+    * log₂(16) = 4. The answer is unchanged: the searched value is
+    * the unique v with count(≤ v−1) < k ≤ count(≤ v), and every
+    * round preserves that invariant exactly as binary search did. */
+  private val BisectFanout = 15
+
+  /** Multi-way driver-side bisection: for every job `gk` (group `g`,
+    * target weight k, inclusive value range [lo, hi] with
+    * weight(≤ lo−1) < k ≤ weight(≤ hi)), the smallest value v with
+    * cumulative weight(≤ v) ≥ k. `cents` must carry (g, v, w). All
+    * jobs advance together — one Spark pass per round probes
+    * [[BisectFanout]] thresholds per open job. */
+  private[operators] def multiwayKth(
+      cents: org.apache.spark.sql.DataFrame,
+      jobs: Map[String, (String, Long, Long, Long)]): Map[String, Long] = {
+    val s = cents.sparkSession
+    import s.implicits._
+    val P = BisectFanout
+    var state = jobs.view.mapValues { case (_, _, lo, hi) => (lo, hi) }.toMap
+    val target = jobs.view.mapValues(_._2).toMap
+    val groupOf = jobs.view.mapValues(_._1).toMap
+    while (state.values.exists { case (lo, hi) => lo < hi }) {
+      val probes: Map[String, IndexedSeq[Long]] = state.collect {
+        case (gk, (lo, hi)) if lo < hi =>
+          val ps: IndexedSeq[Long] =
+            if (hi - lo <= P) (lo until hi).toVector
+            else {
+              val step = (hi - lo) / (P + 1)
+              (1 to P).map(j => lo + step * j).toVector
+            }
+          // pad with hi: weight(≤ hi) ≥ k by the invariant, so the
+          // selection below always finds a bracketing probe
+          (gk, ps ++ Vector.fill(P - ps.length)(hi))
+      }
+      val pDf = probes.toSeq.map { case (gk, ps) => (gk, groupOf(gk), ps) }
+        .toDF("gk", "g", "ps")
+      val sums = (0 until P).map(j =>
+        sum(when($"v" <= element_at($"ps", lit(j + 1)), $"w")
+          .otherwise(0L)).as(s"c$j"))
+      val cnt = cents.join(broadcast(pDf), "g")
+        .groupBy($"gk")
+        .agg(sums.head, sums.tail: _*)
+        .collect()
+        .map(r => r.getString(0) -> (0 until P).map(i => r.getLong(i + 1)))
+        .toMap
+      state = state.map { case (gk, (lo, hi)) =>
+        if (lo >= hi) (gk, (lo, hi))
+        else {
+          val ps = probes(gk); val cs = cnt(gk); val k = target(gk)
+          val j = cs.indexWhere(_ >= k)
+          if (j < 0) (gk, (ps.last + 1, hi))
+          else (gk, (if (j == 0) lo else ps(j - 1) + 1, ps(j)))
+        }
+      }
+    }
+    state.map { case (gk, (lo, _)) => (gk, lo) }
+  }
+
   val qBisectMedian: QueryFn = (s, dir) => {
     import s.implicits._
     val cents = Tables.events(s, dir)
@@ -485,31 +549,18 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"), min($"c").as("lo"), max($"c").as("hi"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
 
-    // kth smallest cent value per (group, k) by parallel bisection:
-    // invariant count(<= lo-1) < k <= count(<= hi)
-    def kth(ks: Map[String, Long]): Map[String, Long] = {
-      var state = bounds.map { case (g, _, lo, hi) => (g, (lo, hi)) }.toMap
-      while (state.values.exists { case (lo, hi) => lo < hi }) {
-        val mids = state.map { case (g, (lo, hi)) => (g, lo + (hi - lo) / 2) }
-        val midDf = mids.toSeq.toDF("event_type", "mid")
-        val counts = cents.join(broadcast(midDf), "event_type")
-          .groupBy($"event_type")
-          .agg(sum(when($"c" <= $"mid", 1L).otherwise(0L)).as("le"))
-          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-        state = state.map { case (g, (lo, hi)) =>
-          if (lo >= hi) (g, (lo, hi))
-          else if (counts(g) >= ks(g)) (g, (lo, mids(g)))
-          else (g, (mids(g) + 1, hi))
-        }
-      }
-      state.map { case (g, (lo, _)) => (g, lo) }
-    }
-
-    val k1 = bounds.map { case (g, n, _, _) => (g, (n + 1) / 2) }.toMap
-    val k2 = bounds.map { case (g, n, _, _) => (g, n / 2 + 1) }.toMap
-    val m1 = kth(k1); val m2 = kth(k2)
+    // kth smallest cent value per (group, k) — BOTH middle order
+    // statistics advance in the SAME multi-way bisection (r13: the
+    // two sequential kth() searches at one midpoint per round were
+    // 2·log₂(range) driver-synchronous jobs; this runs log₁₆(range))
+    val jobs = bounds.flatMap { case (g, n, lo, hi) =>
+      Seq(("1" + g) -> (g, (n + 1) / 2, lo, hi),
+        ("2" + g) -> (g, n / 2 + 1, lo, hi))
+    }.toMap
+    val kth = multiwayKth(
+      cents.select($"event_type".as("g"), $"c".as("v"), lit(1L).as("w")), jobs)
     bounds.map { case (g, n, _, _) =>
-      val med = (m1(g) + m2(g)).toDouble / 2.0 / 100.0
+      val med = (kth("1" + g) + kth("2" + g)).toDouble / 2.0 / 100.0
       (g, n, math.floor(med * 10000 + 0.5) / 10000)
     }.toSeq.toDF("event_type", "n", "median")
       .orderBy($"event_type")
@@ -639,19 +690,17 @@ object EventAnalytics {
     val stats = lat.agg(count(lit(1)).as("n"), min($"m").as("lo"), max($"m").as("hi"))
       .head()
     val (n, lo0, hi0) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
-    // kth smallest minute value via bisection (ks: median lower rank
-    // and the p90 lower rank — ceil semantics match the oracle)
-    def kth(k: Long): Long = {
-      var (lo, hi) = (lo0, hi0)
-      while (lo < hi) {
-        val mid = lo + (hi - lo) / 2
-        val le = lat.agg(sum(when($"m" <= mid, 1L).otherwise(0L))).head().getLong(0)
-        if (le >= k) hi = mid else lo = mid + 1
-      }
-      lo
-    }
-    val med = kth((n + 1) / 2)
-    val p90 = kth((9 * n + 9) / 10)
+    // kth smallest minute values via the shared multi-way bisection
+    // (median lower rank and the p90 lower rank — ceil semantics
+    // match the oracle; r13: both ranks advance in one search at
+    // [[BisectFanout]] probes per round instead of two sequential
+    // one-midpoint binary searches)
+    val kth = multiwayKth(
+      lat.select(lit("x").as("g"), $"m".as("v"), lit(1L).as("w")),
+      Map("m" -> (("x", (n + 1) / 2, lo0, hi0)),
+        "p" -> (("x", (9 * n + 9) / 10, lo0, hi0))))
+    val med = kth("m")
+    val p90 = kth("p")
     Seq((n, med, p90)).toDF("n_converted", "median_min", "p90_min")
   }
 
@@ -841,28 +890,17 @@ object EventAnalytics {
     val bounds = cents.groupBy($"event_type")
       .agg(count(lit(1)).as("n"), min($"c").as("lo"), max($"c").as("hi"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    // state keyed by (group, boundary index i=1..3), k = ceil(i*n/4)
-    val keys = bounds.flatMap { case (g, n, lo, hi) =>
-      (1 to 3).map(i => ((g, i), ((i * n + 3) / 4, lo, hi)))
+    // all three boundaries of every group advance in ONE multi-way
+    // bisection (r13): keyed by (group, boundary index i=1..3),
+    // k = ceil(i*n/4)
+    val jobs = bounds.flatMap { case (g, n, lo, hi) =>
+      (1 to 3).map(i => (s"$i$g", (g, (i * n + 3) / 4, lo, hi)))
     }.toMap
-    var state = keys.view.mapValues { case (_, lo, hi) => (lo, hi) }.toMap
-    while (state.values.exists { case (lo, hi) => lo < hi }) {
-      val mids = state.map { case (k, (lo, hi)) => (k, lo + (hi - lo) / 2) }
-      val midDf = mids.toSeq.map { case ((g, i), m) => (g, i, m) }
-        .toDF("event_type", "bi", "mid")
-      val counts = cents.join(broadcast(midDf), "event_type")
-        .groupBy($"event_type", $"bi")
-        .agg(sum(when($"c" <= $"mid", 1L).otherwise(0L)).as("le"))
-        .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
-      state = state.map { case (k, (lo, hi)) =>
-        if (lo >= hi) (k, (lo, hi))
-        else if (counts(k) >= keys(k)._1) (k, (lo, mids(k)))
-        else (k, (mids(k) + 1, hi))
-      }
-    }
+    val kth = multiwayKth(
+      cents.select($"event_type".as("g"), $"c".as("v"), lit(1L).as("w")), jobs)
     // bucket every row against the three boundaries in one pass
     val bDf = bounds.map { case (g, _, _, _) =>
-      (g, state((g, 1))._1, state((g, 2))._1, state((g, 3))._1)
+      (g, kth("1" + g), kth("2" + g), kth("3" + g))
     }.toSeq.toDF("event_type", "q1", "q2", "q3")
     cents.join(broadcast(bDf), "event_type")
       .select($"event_type",
@@ -901,23 +939,15 @@ object EventAnalytics {
         min($"q").as("lo"), max($"q").as("hi"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    val target = bounds.map { case (g, _, tw, _, _) => (g, (tw + 1) / 2) }.toMap
-    var state = bounds.map { case (g, _, _, lo, hi) => (g, (lo, hi)) }.toMap
-    while (state.values.exists { case (lo, hi) => lo < hi }) {
-      val mids = state.map { case (g, (lo, hi)) => (g, lo + (hi - lo) / 2) }
-      val midDf = mids.toSeq.toDF("l_returnflag", "mid")
-      val wle = cents.join(broadcast(midDf), "l_returnflag")
-        .groupBy($"l_returnflag")
-        .agg(sum(when($"q" <= $"mid", $"w").otherwise(0L)).as("wle"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-      state = state.map { case (g, (lo, hi)) =>
-        if (lo >= hi) (g, (lo, hi))
-        else if (wle(g) >= target(g)) (g, (lo, mids(g)))
-        else (g, (mids(g) + 1, hi))
-      }
-    }
+    // weighted kth by the same multi-way bisection (r13): weights
+    // ride the shared helper's `w` column
+    val jobs = bounds.map { case (g, _, tw, lo, hi) =>
+      g -> (g, (tw + 1) / 2, lo, hi)
+    }.toMap
+    val kth = multiwayKth(
+      cents.select($"l_returnflag".as("g"), $"q".as("v"), $"w"), jobs)
     bounds.map { case (g, n, tw, _, _) =>
-      val med = state(g)._1.toDouble / 100.0
+      val med = kth(g).toDouble / 100.0
       (g, n, tw, math.floor(med * 10000 + 0.5) / 10000)
     }.toSeq.toDF("l_returnflag", "n_lines", "total_weight", "w_median")
       .orderBy($"l_returnflag")

@@ -200,24 +200,64 @@ object GraphOps {
       .limit(20)
   }
 
-  /** The support-≥ 2 co-purchase part edge set (canonical u < v pairs)
-    * behind [[qTriangleCount]] and [[qBfsDistance]]: map-side
-    * per-order itemset pair generation (one groupBy shuffle,
-    * k²/2 fan-out bounded by order width), one partial+final agg for
-    * support. */
-  private[operators] def copurchaseEdges(
+  /** Canonical (u < v) pair of one order's sorted itemset — named
+    * fields so the exploded stream reads `.u` / `.v`. */
+  private[operators] case class PairUV(u: Long, v: Long)
+
+  /** Tight-loop per-order pair fan-out (r13, guide §1.2 "per-task
+    * work" — the pqEncode precedent): the former nested
+    * `transform(slice(...))` higher-order expressions evaluated
+    * interpreted per order; this emits the identical i < j pairs of
+    * the sorted distinct itemset in one fused loop. */
+  private[operators] val pairsOfItemset =
+    udf { (ps: Seq[Long]) =>
+      val a = ps.toArray
+      val out = new Array[PairUV](a.length * (a.length - 1) / 2)
+      var k = 0; var i = 0
+      while (i < a.length) {
+        var j = i + 1
+        while (j < a.length) { out(k) = PairUV(a(i), a(j)); k += 1; j += 1 }
+        i += 1
+      }
+      out
+    }
+
+  /** Per-order sorted distinct itemsets (width ≥ 2) — ONE groupBy
+    * shuffle of the fact projection; the substrate every
+    * market-basket pair/triple consumer fans out from map-side. */
+  private[operators] def orderItemsets(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val byOrder = Tables.lineitem(s, dir)
+    Tables.lineitem(s, dir)
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey")).as("ps"))
       .where(size($"ps") >= 2)
-    val pairs = byOrder.select(explode(flatten(transform($"ps", (x, i) =>
-        transform(slice($"ps", i + lit(2), size($"ps")),
-          y => struct(x.as("u"), y.as("v")))))).as("pr"))
+  }
+
+  /** The co-purchase pair stream with exact per-pair order support —
+    * map-side itemset fan-out (k²/2 bounded by order width), one
+    * partial+final agg. Shared by the edge sets (support ≥ 2), the
+    * recommender pairs (≥ 3), SSSP's weighted edges (all pairs), and
+    * the A-priori frequent-pair stage — r13: the SSSP/link-prediction
+    * /basket rows previously re-derived pairs through a fact-fact
+    * self-join on l_orderkey (two shuffles of the projected fact
+    * table instead of one, guide §2.3 "aggregate before you
+    * shuffle"). */
+  private[operators] def orderPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    orderItemsets(s, dir)
+      .select(explode(pairsOfItemset($"ps")).as("pr"))
       .select($"pr.u", $"pr.v")
-    pairs.groupBy($"u", $"v").agg(count(lit(1)).as("support"))
-      .where($"support" >= 2).select($"u", $"v")
+      .groupBy($"u", $"v").agg(count(lit(1)).as("support"))
+  }
+
+  /** The support-≥ 2 co-purchase part edge set (canonical u < v pairs)
+    * behind [[qTriangleCount]] and [[qBfsDistance]]. */
+  private[operators] def copurchaseEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    orderPairs(s, dir).where($"support" >= 2).select($"u", $"v")
   }
 
   /** Peeling threshold and round cap for [[qKcore]]. */
@@ -378,6 +418,14 @@ object GraphOps {
     * the output rounding. */
   val qSssp: QueryFn = (s, dir) => {
     import s.implicits._
+    // r13 note: the shared itemset fan-out (orderPairs) was measured
+    // here and CONSISTENTLY +0.7-1.6 s vs the self-join across three
+    // interleaved A/B forms (plain, keyed-repartition checkpoint,
+    // canonical-pair checkpoint) even though the identical rewrite
+    // sped up q_copurchase_pairs/q_link_prediction — this row's cost
+    // is dominated by the four relaxation rounds, and the self-join's
+    // reusable exchange feeds them better. Kept as-is; see
+    // OPTIMIZATION_r13.md "deliberately left alone".
     val op = Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_partkey").distinct()
     val e0 = op.select($"l_orderkey", $"l_partkey".as("pa"))
@@ -475,14 +523,16 @@ object GraphOps {
     * cn/(deg_a+deg_b−cn) is one division of exact integers. */
   val qLinkPrediction: QueryFn = (s, dir) => {
     import s.implicits._
-    val op = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val edges = op.select($"l_orderkey", $"l_partkey".as("pa"))
-      .join(op.select($"l_orderkey", $"l_partkey".as("pb")), Seq("l_orderkey"))
-      .where($"pa" < $"pb")
-      .groupBy($"pa", $"pb").agg(count(lit(1)).as("no"))
-      .where($"no" >= 2)
-      .select($"pa", $"pb")
+    // r13: pairs from the shared map-side itemset fan-out (one fact
+    // shuffle, guide §2.3), and the edge set CHECKPOINTED — it feeds
+    // six consumers (und×2, deg, wedges×2, the anti-join) whose
+    // physical plan otherwise replicated the whole derivation
+    // subtree six times (measured: a 201-operator plan re-scanning
+    // lineitem per consumer; guide §3.3 "materialise an intermediate
+    // result truncates the plan")
+    val edges = Checkpoints.cut(orderPairs(s, dir)
+      .where($"support" >= 2)
+      .select($"u".as("pa"), $"v".as("pb")))
     val und = edges.unionByName(
       edges.select($"pb".as("pa"), $"pa".as("pb")))
     val deg = und.groupBy($"pa").agg(count(lit(1)).as("deg"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -21,12 +21,39 @@ object PipelineOps {
   /** Word n-grams from a MATERIALIZED token-array column (pass a plain
     * column reference, not the tokenizer expression — Catalyst inlines
     * a non-trivial argument into every `element_at` site otherwise;
-    * see SURVEY §6). Empty array when the doc is shorter than n. */
+    * see SURVEY §6). Empty array when the doc is shorter than n.
+    *
+    * r13 (guide §1.2 "per-task work"): the former
+    * `transform(sequence(...), i => concat_ws(...))` form evaluated
+    * interpreted per row (HOFs never enter whole-stage codegen) with
+    * n element_at probes + a concat_ws tree per gram; this tight
+    * loop emits the identical grams — same windows, same
+    * concat_ws(" ") null-skipping join, empty array for short or
+    * null docs — across the ~11 decontamination/quality consumers. */
+  private val ngramUdfs =
+    new java.util.concurrent.ConcurrentHashMap[Int, UserDefinedFunction]()
+
   def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
+    ngramUdfs.computeIfAbsent(n, (k: Int) => udf { (ts: Seq[String]) =>
+      if (ts == null || ts.length < k) Array.empty[String]
+      else {
+        val a = ts.toArray
+        Array.tabulate(a.length - k + 1) { i =>
+          val sb = new java.lang.StringBuilder
+          var first = true
+          var j = 0
+          while (j < k) {
+            val t = a(i + j)
+            if (t != null) {
+              if (!first) sb.append(' ')
+              sb.append(t); first = false
+            }
+            j += 1
+          }
+          sb.toString
+        }
+      }
+    })(toks)
 
   /** Collocation mining: adjacent-bigram lift against independent
     * unigram rates — lift(a,b) = c_ab · T / (c_a · c_b), the

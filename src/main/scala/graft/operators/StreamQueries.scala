@@ -41,6 +41,37 @@ import graft.streaming.Streams
 object StreamQueries {
   import graft.SparkEntry.QueryFn
 
+  /** Scale-adaptive state-partition width for the gate's streaming
+    * faces (r13, guide §2 "make partitioning scale-adaptive ...
+    * rather than a constant tuned for either local mode or the
+    * cluster"): stateful streaming exchanges are EXEMPT from AQE
+    * coalescing (Spark disables AQE under stateful workloads), so
+    * the session's batch-sized `spark.sql.shuffle.partitions` (= the
+    * core count) was also the state-store count — a stream-stream
+    * interval join materializes FOUR state stores per partition per
+    * micro-batch, so the gate's 2 MB landing dir paid 128
+    * store open/commit cycles per batch of pure fixed overhead.
+    * Width derives from the landing-dir bytes at ~32 MB of input per
+    * state partition (clamped to [4, session width]); a production
+    * deployment sizes by sustained throughput instead and pins
+    * `GRAFT_STREAM_STATE_PARTITIONS` (the GRAFT_ANN_* dial
+    * discipline). Emitted rows are a pure data function (the spec
+    * suite proves batch-count/partitioning invariance), so the dial
+    * changes cost, never content — and each gate face starts from a
+    * fresh temp checkpoint, so no checkpoint ever sees two widths. */
+  private def stateParts(s: SparkSession, srcDir: String): Int =
+    sys.env.get("GRAFT_STREAM_STATE_PARTITIONS").map(_.toInt).getOrElse {
+      val bytes =
+        try {
+          val d = new java.io.File(srcDir)
+          val fs = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq(d))
+          fs.map(f => java.nio.file.Files.size(f.toPath)).sum
+        } catch { case _: Throwable => Long.MaxValue }
+      val sessionWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
+      math.min(sessionWidth,
+        math.max(4, (bytes / (32L << 20)).toInt)).toInt
+    }
+
   /** Run a finite streaming query to completion into a memory sink
     * and return the sink rows. Drops any previous run's sink view
     * first so re-runs in one session (Verify then Bench) are clean.
@@ -48,13 +79,19 @@ object StreamQueries {
     * view dropped before returning (r9): a memory sink left
     * registered holds its rows on the driver heap for the rest of
     * the JVM, and thirteen faces of that stack up in one bench
-    * process — the stress run OOMed at 73 rows before this. */
-  private def runToTable(
-      s: SparkSession, name: String, df: DataFrame, mode: String): DataFrame = {
+    * process — the stress run OOMed at 73 rows before this.
+    * `srcDir` feeds [[stateParts]]; the session width is restored
+    * after the stream stops so batch plans never see the dial. */
+  private def runToTable(s: SparkSession, name: String, df: DataFrame,
+      mode: String, srcDir: String): DataFrame = {
     s.catalog.dropTempView(name)
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
-    val out = s.table(name).localCheckpoint(true)
+    val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts(s, srcDir).toString)
+    val out = try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).localCheckpoint(true)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevWidth)
     s.catalog.dropTempView(name)
     out
   }
@@ -64,7 +101,8 @@ object StreamQueries {
   val streamWindowStats: QueryFn = (s, dir) => {
     import s.implicits._
     val out = runToTable(s, "stream_window_stats",
-      Streams.windowStats(Streams.eventsStream(s, dir)), "complete")
+      Streams.windowStats(Streams.eventsStream(s, dir)), "complete",
+      Streams.eventsLandingDir(dir))
     out.select(
         date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
         $"event_type", $"n_events", rnd($"sum_value", 2).as("sum_value"))
@@ -76,7 +114,8 @@ object StreamQueries {
   val streamHoppingStats: QueryFn = (s, dir) => {
     import s.implicits._
     val out = runToTable(s, "stream_hopping_stats",
-      Streams.hoppingAgg(Streams.eventsStream(s, dir)), "complete")
+      Streams.hoppingAgg(Streams.eventsStream(s, dir)), "complete",
+      Streams.eventsLandingDir(dir))
     out.select(
         date_format($"win_start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
         $"event_type", $"n_events")
@@ -90,7 +129,8 @@ object StreamQueries {
   val streamDedupKeys: QueryFn = (s, dir) => {
     import s.implicits._
     val out = runToTable(s, "stream_dedup_keys",
-      Streams.streamingDedup(Streams.eventsStream(s, dir)), "append")
+      Streams.streamingDedup(Streams.eventsStream(s, dir)), "append",
+      Streams.eventsLandingDir(dir))
     out.select($"user_id", $"event_type").orderBy($"user_id", $"event_type")
   }
 
@@ -101,7 +141,8 @@ object StreamQueries {
   val streamIntervalJoin: QueryFn = (s, dir) => {
     import s.implicits._
     val out = runToTable(s, "stream_interval_join",
-      Streams.viewPurchaseJoin(Streams.eventsStream(s, dir)), "append")
+      Streams.viewPurchaseJoin(Streams.eventsStream(s, dir)), "append",
+      Streams.eventsLandingDir(dir))
     out.select($"user_id", $"view_id", $"purchase_id",
         floor($"purchase_value" * 100 + lit(0.5)).cast("long").as("purchase_cents"))
       .orderBy($"view_id", $"purchase_id")
@@ -122,7 +163,8 @@ object StreamQueries {
   val streamIntervalOuter: QueryFn = (s, dir) => {
     import s.implicits._
     val out = runToTable(s, "stream_interval_outer",
-      Streams.viewPurchaseOuterJoin(Streams.eventsStream(s, dir)), "append")
+      Streams.viewPurchaseOuterJoin(Streams.eventsStream(s, dir)), "append",
+      Streams.eventsLandingDir(dir))
     out.select($"user_id", $"view_id",
         coalesce($"purchase_id", lit(-1L)).as("purchase_id"),
         coalesce(floor($"purchase_value" * 100 + lit(0.5)).cast("long"),
@@ -143,7 +185,8 @@ object StreamQueries {
     val events = Streams.eventsStream(s, dir)
       .withColumn("value", floor($"value" * 100 + lit(0.5)))
     val out = runToTable(s, "stream_sessionize_closed",
-      Streams.sessionize(events).toDF(), "append")
+      Streams.sessionize(events).toDF(), "append",
+      Streams.eventsLandingDir(dir))
     out.where($"closed")
       .select($"user_id", $"start_us", $"end_us", $"n_events",
         $"sum_value".cast("long").as("sum_cents"))
@@ -164,7 +207,7 @@ object StreamQueries {
       $"event_type".as("st"),
       rnd($"value", 2).as("tp"))
     val out = runToTable(s, "stream_cdc_state",
-      Streams.cdcApply(changes).toDF(), "update")
+      Streams.cdcApply(changes).toDF(), "update", stagedEventsDir(s, dir))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"key").orderBy($"ver".desc)
     out.withColumn("rn", row_number().over(w)).where($"rn" === 1)
@@ -183,7 +226,8 @@ object StreamQueries {
   val streamKmvDistinct: QueryFn = (s, dir) => {
     import s.implicits._
     val out = runToTable(s, "stream_kmv_distinct",
-      Streams.kmvStream(Streams.eventsStream(s, dir)).toDF(), "append")
+      Streams.kmvStream(Streams.eventsStream(s, dir)).toDF(), "append",
+      Streams.eventsLandingDir(dir))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"event_type")
       .orderBy($"n_sketch".desc, $"est_distinct".desc)
@@ -203,7 +247,8 @@ object StreamQueries {
   val streamHllDistinct: QueryFn = (s, dir) => {
     import s.implicits._
     val out = runToTable(s, "stream_hll_distinct",
-      Streams.hllStream(Streams.eventsStream(s, dir)).toDF(), "append")
+      Streams.hllStream(Streams.eventsStream(s, dir)).toDF(), "append",
+      Streams.eventsLandingDir(dir))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"event_type")
       .orderBy($"n_zero_regs".asc, $"hsum".asc)
@@ -229,7 +274,8 @@ object StreamQueries {
       .groupBy(coalesce($"n_name", lit("<none>")).as("nation"), $"event_type")
       .agg(count(lit(1)).as("n_events"),
         graft.functions.Cols.xsum($"value").as("sum_value"))
-    val out = runToTable(s, "stream_enrich_rollup", enriched, "complete")
+    val out = runToTable(s, "stream_enrich_rollup", enriched, "complete",
+      Streams.eventsLandingDir(dir))
     out.select($"nation", $"event_type", $"n_events",
         rnd($"sum_value", 2).as("sum_value"))
       .orderBy($"nation", $"event_type")
@@ -247,7 +293,8 @@ object StreamQueries {
   val streamTopkEvents: QueryFn = (s, dir) => {
     import s.implicits._
     val out = runToTable(s, "stream_topk_events",
-      Streams.topkEvents(Streams.eventsStream(s, dir)).toDF(), "append")
+      Streams.topkEvents(Streams.eventsStream(s, dir)).toDF(), "append",
+      Streams.eventsLandingDir(dir))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"event_type").orderBy($"value".desc, $"event_id".asc)
     out.select($"event_type", $"event_id", $"value").distinct()
@@ -270,7 +317,8 @@ object StreamQueries {
   val streamIvfIngest: QueryFn = (s, dir) => {
     import s.implicits._
     val out = runToTable(s, "stream_ivf_ingest",
-      Streams.ivfIngestStream(s, dir, stagedVectorsDir(s, dir)), "append")
+      Streams.ivfIngestStream(s, dir, stagedVectorsDir(s, dir)), "append",
+      stagedVectorsDir(s, dir))
     out.select($"vec_id", $"cell".cast("long").as("cell")).orderBy($"vec_id")
   }
 
@@ -291,7 +339,7 @@ object StreamQueries {
     val alerts = runToTable(s, "stream_neardup_alerts",
       Streams.neardupAlerts(
         Streams.bandedDocs(docsStreamFrom(s, stagedDocsDir(s, dir)))).toDF(),
-      "append")
+      "append", stagedDocsDir(s, dir))
     val uncapped = Streams.bandedDocs(docs)
       .groupBy($"band").agg(count_distinct($"doc_id").as("n"))
       .where($"n" >= 2 && $"n" <= Streams.MaxPriorsPerBand)
@@ -333,7 +381,7 @@ object StreamQueries {
     import s.implicits._
     val out = runToTable(s, "stream_hnsw_ingest",
       Streams.hnswIngestStream(s, dir, stagedVectorsDir(s, dir)).toDF(),
-      "append")
+      "append", stagedVectorsDir(s, dir))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"vec_id").orderBy($"sim_r".desc, $"nbr".asc)
     val ranked = out.withColumn("rnk", row_number().over(w).cast("long"))
@@ -394,7 +442,7 @@ object StreamQueries {
     import s.implicits._
     val out = runToTable(s, "stream_decontaminate",
       Streams.decontaminateStream(s, dir, stagedDocsDir(s, dir)).toDF(),
-      "append")
+      "append", stagedDocsDir(s, dir))
     out.select($"doc_id", $"n_grams", $"n_flagged").orderBy($"doc_id")
   }
 

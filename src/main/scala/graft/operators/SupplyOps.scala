@@ -82,11 +82,13 @@ object SupplyOps {
       .select($"l_orderkey", $"l_partkey").distinct()
     val nOrders = op.select($"l_orderkey").distinct().count()
     val itemSup = op.groupBy($"l_partkey".as("item")).agg(count(lit(1)).as("sup"))
-    val pairSup = op.select($"l_orderkey", $"l_partkey".as("pa"))
-      .join(op.select($"l_orderkey", $"l_partkey".as("pb")), Seq("l_orderkey"))
-      .where($"pa" < $"pb")
-      .groupBy($"pa", $"pb").agg(count(lit(1)).as("sup_ab"))
-      .where($"sup_ab" >= 3)
+    // r13: pair supports from the shared map-side itemset fan-out
+    // (GraphOps.orderPairs — one fact shuffle instead of the
+    // fact-fact self-join, guide §2.3); checkpointed because the
+    // rule stream consumes it twice (ante/cons mirror)
+    val pairSup = Checkpoints.cut(GraphOps.orderPairs(s, dir)
+      .select($"u".as("pa"), $"v".as("pb"), $"support".as("sup_ab"))
+      .where($"sup_ab" >= 3))
     val rules = pairSup
       .select($"pa".as("ante"), $"pb".as("cons"), $"sup_ab")
       .unionByName(pairSup.select($"pb".as("ante"), $"pa".as("cons"), $"sup_ab"))
@@ -116,11 +118,17 @@ object SupplyOps {
     * warehouse scale. Every count exact; support ≥ 2 on orders. */
   val qFrequentTriples: QueryFn = (s, dir) => {
     import s.implicits._
-    val op = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val pairs = op.select($"l_orderkey", $"l_partkey".as("a"))
-      .join(op.select($"l_orderkey", $"l_partkey".as("b")), Seq("l_orderkey"))
-      .where($"a" < $"b")
+    // r13: ONE checkpointed per-order itemset substrate replaces the
+    // four distinct-projection subtrees the old plan re-derived from
+    // the fact table (two self-joins on l_orderkey plus two more
+    // scans — guide §2.3/§3.3): per-order pairs fan out map-side
+    // from the sorted itemsets, and the third item joins back to the
+    // exploded itemset stream.
+    val byOrder = Checkpoints.cut(GraphOps.orderItemsets(s, dir))
+    val perOrderPairs = byOrder
+      .select($"l_orderkey", explode(GraphOps.pairsOfItemset($"ps")).as("pr"))
+      .select($"l_orderkey", $"pr.u".as("a"), $"pr.v".as("b"))
+    val pairs = perOrderPairs
       .groupBy($"a", $"b").agg(count(lit(1)).as("sup"))
       .where($"sup" >= 2)
       .select($"a", $"b").localCheckpoint(true)
@@ -136,12 +144,11 @@ object SupplyOps {
     // the join that produces c, so without this staging the physical
     // fan-out is the full width³ triple space and the A-priori prune
     // never bounds anything
-    val freqPairsPerOrder = op.select($"l_orderkey", $"l_partkey".as("a"))
-      .join(op.select($"l_orderkey", $"l_partkey".as("b")), Seq("l_orderkey"))
-      .where($"a" < $"b")
+    val freqPairsPerOrder = perOrderPairs
       .join(pairs, Seq("a", "b"), "left_semi")
     val triples = freqPairsPerOrder
-      .join(op.select($"l_orderkey", $"l_partkey".as("c")), Seq("l_orderkey"))
+      .join(byOrder.select($"l_orderkey", explode($"ps").as("c")),
+        Seq("l_orderkey"))
       .where($"b" < $"c")
       .join(cands, Seq("a", "b", "c"), "left_semi")
       .groupBy($"a", $"b", $"c").agg(count(lit(1)).as("support"))
@@ -151,14 +158,12 @@ object SupplyOps {
 
   val qCopurchasePairs: QueryFn = (s, dir) => {
     import s.implicits._
-    val op = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val a = op.select($"l_orderkey", $"l_partkey".as("part_a"))
-    val b = op.select($"l_orderkey", $"l_partkey".as("part_b"))
-    a.join(b, Seq("l_orderkey"))
-      .where($"part_a" < $"part_b")
-      .groupBy($"part_a", $"part_b")
-      .agg(count(lit(1)).as("n_orders"))
+    // r13: the shared map-side itemset fan-out (GraphOps.orderPairs)
+    // replaces the fact-fact self-join — identical per-order
+    // distinct pairs and counts, one fact shuffle (guide §2.3)
+    GraphOps.orderPairs(s, dir)
+      .select($"u".as("part_a"), $"v".as("part_b"),
+        $"support".as("n_orders"))
       .where($"n_orders" >= 3)
       .orderBy($"part_a", $"part_b")
   }

@@ -253,11 +253,28 @@ object TextOps {
     import s.implicits._
     val d = Tables.documents(s, dir)
       .select($"doc_id", $"lang", normText($"text").as("t"))
+    // r13 (guide §1.2): tight-loop trigram fan-out — the former
+    // transform(sequence, i => substr(i, 3)) evaluated interpreted
+    // per doc; this emits the identical code-point-indexed windows
+    // (Spark's length/substr count code points, so the loop indexes
+    // by code point too, not UTF-16 units)
+    val charTrigrams = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else {
+        val n = t.codePointCount(0, t.length)
+        if (n < 3) Array.empty[String]
+        else {
+          val offs = new Array[Int](n + 1)
+          var o = 0; var i = 0
+          while (i < n) { offs(i) = o; o = t.offsetByCodePoints(o, 1); i += 1 }
+          offs(n) = t.length
+          Array.tabulate(n - 2)(k => t.substring(offs(k), offs(k + 3)))
+        }
+      }
+    }
     val tri = d
       .where(length($"t") >= 3)
-      .select($"doc_id", $"lang",
-        explode(transform(sequence(lit(1), length($"t") - 2),
-          i => $"t".substr(i, lit(3)))).as("tri"))
+      .select($"doc_id", $"lang", explode(charTrigrams($"t")).as("tri"))
     val trainCounts = tri.where($"doc_id" % 4 === 0)
       .groupBy($"lang", $"tri").agg(count(lit(1)).as("cnt"))
     val prof = graft.plans.TopK.perKey(
