@@ -98,8 +98,14 @@ object HnswOps {
     val geo = AnnOps.lshGeometryFor(s, dir) // n-aware unless pinned
     val sig = AnnOps.sigUdfFor(geo._1)
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    // sig MATERIALIZED in its own select (r13 — the SURVEY §6 inline
+    // trap, measured here: inlining the signature UDF into all 12
+    // band-key columns re-evaluated it per band, 12.4 s -> 1.8 s for
+    // the banding stage at sf0.1; CollapseProject keeps a multiply-
+    // referenced non-cheap alias in its own projection)
     val banded = emb
-      .select($"vec_id", explode(bandKeys(sig($"embedding"), geo)).as("key"))
+      .select($"vec_id", sig($"embedding").as("sig"))
+      .select($"vec_id", explode(bandKeys($"sig", geo)).as("key"))
     // per-band anchor-star cap ([[Blocking]]): a degenerate band emits
     // O(n·cap) candidates instead of n²; bands ≤ cap — every organic
     // band here — are the exact uncapped self-join. The oracle replays
@@ -156,7 +162,9 @@ object HnswOps {
       val sig = AnnOps.sigUdfFor(p)
       Tables.embeddings(s, dir).where($"vec_id" % 10 =!= 0)
         .select($"vec_id".as("nbr"), $"embedding".as("ne"),
-          explode(bandKeys(sig($"embedding"), (p, b))).as("key"))
+          sig($"embedding").as("sig")) // materialized: the inline trap
+        .select($"nbr", $"ne",
+          explode(bandKeys($"sig", (p, b))).as("key"))
     }
   }
 
@@ -178,7 +186,9 @@ object HnswOps {
     val sig = AnnOps.sigUdfFor(geo._1)
     arrivals
       .select($"vec_id", $"embedding",
-        explode(bandKeys(sig($"embedding"), geo)).as("key"))
+        sig($"embedding").as("sig")) // materialized: the inline trap
+      .select($"vec_id", $"embedding",
+        explode(bandKeys($"sig", geo)).as("key"))
       .join(attachBase(s, dir), "key")
       .where($"vec_id" =!= $"nbr")
       .select($"vec_id", $"nbr",
@@ -196,7 +206,8 @@ object HnswOps {
     val sig = AnnOps.sigUdfFor(geo._1)
     val base = baseVecs
       .select($"vec_id".as("nbr"), $"embedding".as("ne"),
-        explode(bandKeys(sig($"embedding"), geo)).as("key"))
+        sig($"embedding").as("sig")) // materialized: the inline trap
+      .select($"nbr", $"ne", explode(bandKeys($"sig", geo)).as("key"))
     // NOTE: candidates are NOT deduplicated here — a .distinct() on
     // a STREAMING frame compiles to an unwatermarked
     // StreamingDeduplicate whose state grows forever and suppresses
@@ -205,7 +216,9 @@ object HnswOps {
     // streaming fold inside its per-key batch.
     arrivals
       .select($"vec_id", $"embedding",
-        explode(bandKeys(sig($"embedding"), geo)).as("key"))
+        sig($"embedding").as("sig")) // materialized: the inline trap
+      .select($"vec_id", $"embedding",
+        explode(bandKeys($"sig", geo)).as("key"))
       .join(base, "key")
       .where($"vec_id" =!= $"nbr")
       .select($"vec_id", $"nbr",
